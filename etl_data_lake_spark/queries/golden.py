@@ -1,0 +1,151 @@
+"""Golden-query analogs — the reference's four analytic queries
+(README.md:111-129, 153-170, 194-220, 233-262) re-expressed over the
+synthetic star schema per FIXTURES.md §C, plus the batch anchor for
+the streaming extension. Q1's analog is ``q01_top_parts_by_lineitems``
+in relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.money import sql_sum_money, sum_money
+from etl_data_lake_spark.operators.joins import dim_join
+from etl_data_lake_spark.operators.topk import top_k
+from etl_data_lake_spark.queries.registry import register
+from etl_data_lake_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# Golden Q2 (README.md:153-170): top 10 users by plays, with the
+# concatenated display name — customers by order count here.
+# --------------------------------------------------------------------------
+@register(
+    "golden_q2_top_customers",
+    oracle="""
+        SELECT c.c_name || ' (' || c.c_mktsegment || ')' AS customer_label,
+               o.o_custkey AS user_id,
+               COUNT(*) AS order_count
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+        ORDER BY order_count DESC, user_id
+        LIMIT 10
+    """,
+    tags=("golden", "join", "agg", "topk"),
+)
+def golden_q2_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = dim_join(orders, customer, on=orders.o_custkey == customer.c_custkey)
+    counts = joined.groupBy(
+        F.concat(F.col("c_name"), F.lit(" ("), F.col("c_mktsegment"), F.lit(")")).alias(
+            "customer_label"
+        ),
+        F.col("o_custkey").alias("user_id"),
+    ).agg(F.count("*").alias("order_count"))
+    return top_k(counts, [F.desc("order_count"), F.asc("user_id")], 10)
+
+
+# --------------------------------------------------------------------------
+# Golden Q3 (README.md:194-220): the user with the most plays, via an
+# uncorrelated scalar subquery — expressed as a broadcast cross-join
+# against the 1-row max (no collect, fully distributed).
+# --------------------------------------------------------------------------
+@register(
+    "golden_q3_top_user",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+        )
+        SELECT user_id, cnt AS event_count
+        FROM counts
+        WHERE cnt = (SELECT MAX(cnt) FROM counts)
+    """,
+    tags=("golden", "agg", "subquery"),
+)
+def golden_q3_top_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    mx = counts.agg(F.max("cnt").alias("max_cnt"))
+    return (
+        counts.join(F.broadcast(mx))
+        .where(F.col("cnt") == F.col("max_cnt"))
+        .select("user_id", F.col("cnt").alias("event_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Golden Q4 (README.md:233-262): top 5 sessions of the top user —
+# top 5 active days of the (dynamically computed) top user here.
+# --------------------------------------------------------------------------
+@register(
+    "golden_q4_top_days_of_top_user",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+        ), top_user AS (
+            SELECT user_id FROM counts ORDER BY cnt DESC, user_id LIMIT 1
+        )
+        SELECT e.user_id,
+               strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_events
+        FROM events e
+        JOIN top_user t ON e.user_id = t.user_id
+        GROUP BY 1, 2
+        ORDER BY n_events DESC, day
+        LIMIT 5
+    """,
+    tags=("golden", "agg", "topk"),
+)
+def golden_q4_top_days_of_top_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    top_user = top_k(counts, [F.desc("cnt"), F.asc("user_id")], 1).select("user_id")
+    per_day = (
+        events.join(F.broadcast(top_user), "user_id")
+        .groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    return top_k(per_day, [F.desc("n_events"), F.asc("day")], 5)
+
+
+# --------------------------------------------------------------------------
+# Streaming anchor: tumbling 1-hour windowed aggregate over events in
+# BATCH mode. streaming/events.py runs the identical plan with
+# readStream + watermark; tests assert batch ≡ stream.
+# --------------------------------------------------------------------------
+@register(
+    "events_tumbling_window_1h",
+    oracle=f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_sum_money('value')} AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "agg"),
+)
+def events_tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_money(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

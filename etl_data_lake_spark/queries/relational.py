@@ -1,0 +1,604 @@
+"""Relational core queries — SURVEY.md §2.1-2.8 operators, each as a
+driver-verifiable (Spark, DuckDB-oracle) pair over the synthetic
+star schema (FIXTURES.md §B/§C maps them to the reference sites).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.money import (
+    avg_money,
+    sql_avg_money,
+    sql_sum_money,
+    sum_money,
+)
+from etl_data_lake_spark.functions.timeparts import time_dimension
+from etl_data_lake_spark.operators.joins import asof_join, dim_join
+from etl_data_lake_spark.operators.relational import dedup_exact, drop_null_keys
+from etl_data_lake_spark.operators.topk import top_k
+from etl_data_lake_spark.operators.windows import sessionize, surrogate_key
+from etl_data_lake_spark.queries.registry import register
+from etl_data_lake_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# Flagship: golden-Q1 analog (README.md:111-129 — top 10 (song, artist) by
+# plays → top 10 (part, supplier) by lineitem count). J2 + A2 + T1 + T2.
+# --------------------------------------------------------------------------
+@register(
+    "q01_top_parts_by_lineitems",
+    oracle="""
+        SELECT p.p_name AS part_name, s.s_name AS supplier_name,
+               COUNT(*) AS play_count
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY p.p_name, s.s_name
+        ORDER BY play_count DESC, part_name, supplier_name
+        LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "flagship"),
+)
+def q01_top_parts_by_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    joined = dim_join(
+        dim_join(lineitem, part, on=lineitem.l_partkey == part.p_partkey),
+        supplier,
+        on=F.col("l_suppkey") == supplier.s_suppkey,
+    )
+    counts = joined.groupBy(
+        F.col("p_name").alias("part_name"), F.col("s_name").alias("supplier_name")
+    ).agg(F.count("*").alias("play_count"))
+    return top_k(
+        counts,
+        [F.desc("play_count"), F.asc("part_name"), F.asc("supplier_name")],
+        10,
+    )
+
+
+# --------------------------------------------------------------------------
+# P1/P2/P3 — SQL-string filter + equality predicate + projection
+# (reference etl.py:68, 127; README.md:238)
+# --------------------------------------------------------------------------
+@register(
+    "filter_eq_projection",
+    oracle="""
+        SELECT event_id, user_id, value
+        FROM events
+        WHERE event_type = 'purchase' AND value > 50
+    """,
+    tags=("filter", "project"),
+)
+def filter_eq_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(F.col("event_type") == "purchase")
+        .filter("value > 50")
+        .select("event_id", "user_id", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# P4/P5 — projection+rename, null/empty-key drop (etl.py:79-87, 130-138)
+# --------------------------------------------------------------------------
+@register(
+    "project_alias_dropnull",
+    oracle="""
+        SELECT c_custkey AS cust_id, c_name AS cust_name,
+               NULLIF(c_mktsegment, 'BUILDING') AS segment
+        FROM customer
+        WHERE NULLIF(c_mktsegment, 'BUILDING') IS NOT NULL
+          AND c_name != ''
+    """,
+    tags=("project", "dropna"),
+)
+def project_alias_dropnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    projected = customer.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("cust_name"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment"),
+    )
+    return drop_null_keys(projected, ["segment", "cust_name"])
+
+
+# --------------------------------------------------------------------------
+# P6/F6 — derived per-row columns (etl.py:146-153, minus the UDFs)
+# --------------------------------------------------------------------------
+@register(
+    "derived_columns",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS disc_price,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        FROM lineitem
+    """,
+    tags=("project", "expr"),
+)
+def derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc.alias("disc_price"),
+        (disc * (F.lit(1) + F.col("l_tax"))).alias("charge"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 — exact dedup via hash aggregate (etl.py:71, 87, 138)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_full_row",
+    oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+    tags=("dedup", "agg"),
+)
+def dedup_full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return dedup_exact(orders.select("o_custkey", "o_orderstatus"))
+
+
+# --------------------------------------------------------------------------
+# A2/A3 — groupBy + count on compound keys (README.md:122-127, 163-167)
+# --------------------------------------------------------------------------
+@register(
+    "groupby_count_compound",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def groupby_count_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1-shaped wide aggregation (exact-integer money arithmetic)
+# --------------------------------------------------------------------------
+@register(
+    "agg_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_sum_money('l_quantity')} AS sum_qty,
+               {sql_sum_money('l_extendedprice')} AS sum_base_price,
+               {sql_sum_money('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+               {sql_sum_money('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+               {sql_avg_money('l_quantity')} AS avg_qty,
+               {sql_avg_money('l_extendedprice')} AS avg_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_money(F.col("l_quantity")).alias("sum_qty"),
+            sum_money(F.col("l_extendedprice")).alias("sum_base_price"),
+            sum_money(disc, 4).alias("sum_disc_price"),
+            sum_money(charge, 6).alias("sum_charge"),
+            avg_money(F.col("l_quantity")).alias("avg_qty"),
+            avg_money(F.col("l_extendedprice")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — global MAX over an aggregate (README.md:209-212)
+# --------------------------------------------------------------------------
+@register(
+    "global_max_over_agg",
+    oracle="""
+        SELECT MAX(cnt) AS max_events
+        FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY user_id)
+    """,
+    tags=("agg",),
+)
+def global_max_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return counts.agg(F.max("cnt").alias("max_events"))
+
+
+# --------------------------------------------------------------------------
+# A5 — COUNT(col) null-skipping vs COUNT(*) (README.md:257)
+# --------------------------------------------------------------------------
+@register(
+    "count_col_vs_star",
+    oracle="""
+        SELECT COUNT(*) AS n_all,
+               COUNT(NULLIF(l_returnflag, 'N')) AS n_flagged
+        FROM lineitem
+    """,
+    tags=("agg",),
+)
+def count_col_vs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_all"),
+        F.count(F.nullif(F.col("l_returnflag"), F.lit("N"))).alias("n_flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6/F4 — DISTINCT over string concatenation (README.md:163)
+# --------------------------------------------------------------------------
+@register(
+    "distinct_concat",
+    oracle="""
+        SELECT DISTINCT c_name || ' ' || c_mktsegment AS cust_label
+        FROM customer
+    """,
+    tags=("dedup", "string"),
+)
+def distinct_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        F.concat_ws(" ", F.col("c_name"), F.col("c_mktsegment")).alias("cust_label")
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# J1 — left-outer enrichment join with a non-key condition
+# (reference etl.py:175-179; nulls on the probe side preserved)
+# --------------------------------------------------------------------------
+@register(
+    "join_left_outer_enrich",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice, c.c_name AS buyer_name
+        FROM orders o
+        LEFT JOIN customer c
+          ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+    """,
+    tags=("join",),
+)
+def join_left_outer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cond = (orders.o_custkey == customer.c_custkey) & (
+        customer.c_mktsegment == "BUILDING"
+    )
+    return dim_join(orders, customer, on=cond, how="left_outer").select(
+        "o_orderkey", "o_totalprice", F.col("c_name").alias("buyer_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 — compound-key equi-join (README.md:156-160: (user_id, level))
+# --------------------------------------------------------------------------
+@register(
+    "join_compound_key",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
+        FROM lineitem l
+        JOIN orders o
+          ON l.l_orderkey = o.o_orderkey AND l.l_linestatus = o.o_orderstatus
+    """,
+    tags=("join",),
+)
+def join_compound_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_linestatus == orders.o_orderstatus
+    )
+    return li.join(orders, cond).select("l_orderkey", "l_linenumber", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# J4 — multi-way join chain (README.md:240-249) shaped like TPC-H Q5:
+# revenue by region/nation where customer and supplier share a nation.
+# --------------------------------------------------------------------------
+@register(
+    "multiway_join_revenue",
+    oracle=f"""
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               {sql_sum_money('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "agg", "flagship"),
+)
+def multiway_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == supplier.s_suppkey)
+            & (F.col("c_nationkey") == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return joined.groupBy(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    ).agg(sum_money(revenue, 4).alias("revenue"), F.count("*").alias("n_items"))
+
+
+# --------------------------------------------------------------------------
+# W1 — surrogate key via row_number over (year, month) (etl.py:192-200)
+# --------------------------------------------------------------------------
+@register(
+    "window_surrogate_key",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(month(o_orderdate) AS BIGINT) AS order_month,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY year(o_orderdate), month(o_orderdate)
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS BIGINT) AS surrogate_id
+        FROM orders
+    """,
+    tags=("window",),
+)
+def window_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    with_parts = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+    )
+    keyed = surrogate_key(
+        with_parts,
+        ["order_year", "order_month"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return keyed.select(
+        "o_orderkey",
+        "order_year",
+        "order_month",
+        F.col("surrogate_id").cast("long").alias("surrogate_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window analytics beyond the reference: lag / rank / running sum
+# (running sum uses exact-integer money — see functions.money)
+# --------------------------------------------------------------------------
+@register(
+    "window_lag_rank_running",
+    oracle="""
+        SELECT event_id, user_id, value,
+               lag(value) OVER w AS prev_value,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS event_seq,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+                   AS running_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def window_lag_rank_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.row_number().over(w).cast("long").alias("event_seq"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(wrun).cast("double")
+            / 100.0
+        ).alias("running_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization (session windows in batch; extension op)
+# --------------------------------------------------------------------------
+@register(
+    "window_sessionize",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, date_trunc('second', ts) AS tsec
+            FROM events
+        ), flagged AS (
+            SELECT user_id, event_id, tsec,
+                   CASE WHEN lag(tsec) OVER w IS NULL
+                             OR date_diff('second', lag(tsec) OVER w, tsec) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM ordered
+            WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+        )
+        SELECT user_id,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id,
+               event_id
+        FROM flagged
+    """,
+    tags=("window", "session"),
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ordered = events.select(
+        "user_id", "event_id", F.date_trunc("second", F.col("ts")).alias("tsec")
+    )
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    gap = F.expr("timestampdiff(SECOND, lag(tsec) over (partition by user_id order by tsec, event_id), tsec)")
+    flagged = ordered.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.select(
+        "user_id",
+        F.sum("is_new").over(wrun).cast("long").alias("session_id"),
+        "event_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# T1/T2 — ORDER BY multi-key + LIMIT → TakeOrderedAndProject
+# --------------------------------------------------------------------------
+@register(
+    "topk_orders_by_price",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 5
+    """,
+    tags=("topk",),
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        5,
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 — set operations (absent in reference; engine completeness)
+# --------------------------------------------------------------------------
+@register(
+    "setops_union_except",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setops",),
+)
+def setops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = customer.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    c = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.union(b).distinct().exceptAll(c.distinct())
+
+
+# --------------------------------------------------------------------------
+# F1-F3 — the time dimension (reference time table, etl.py:156-164,
+# with quirks Q1-Q4 fixed: built-ins, UTC/ntz, ISO weekday)
+# --------------------------------------------------------------------------
+@register(
+    "time_dimension",
+    oracle="""
+        SELECT DISTINCT date_trunc('second', ts) AS start_time,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               CAST(dayofmonth(ts) AS BIGINT) AS day,
+               CAST(weekofyear(ts) AS BIGINT) AS week,
+               CAST(month(ts) AS BIGINT) AS month,
+               CAST(year(ts) AS BIGINT) AS year,
+               CAST(isodow(ts) AS BIGINT) AS weekday
+        FROM events
+    """,
+    tags=("time",),
+)
+def time_dimension_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    truncated = events.select(F.date_trunc("second", F.col("ts")).alias("ts"))
+    return time_dimension(truncated, "ts")
+
+
+# --------------------------------------------------------------------------
+# JSON extraction (extension surface: events.props is a JSON string)
+# --------------------------------------------------------------------------
+@register(
+    "json_extract_props",
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("json", "agg"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"), "user_id"
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join (backward): latest order date at or before each event.
+# Spark lacks the operator; composed as union + last-over-window (one
+# shuffle). DuckDB oracle uses its native ASOF JOIN.
+# --------------------------------------------------------------------------
+@register(
+    "asof_join_latest_order",
+    oracle="""
+        SELECT e.event_id, e.user_id,
+               strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_order_date
+        FROM events e
+        ASOF LEFT JOIN (SELECT DISTINCT o_custkey, o_orderdate FROM orders) o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("join", "asof"),
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .distinct()
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("asof_o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "asof_order_date"
+        ),
+    )

@@ -1,0 +1,1 @@
+"""Text-analysis queries over the documents table (filled in phase 3)."""

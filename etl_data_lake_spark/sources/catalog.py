@@ -1,0 +1,73 @@
+"""Source catalog for the driver testdata (TPC-H-ish star schema).
+
+The reference reads schemaless JSON (etl.py:61-64, 120-124), paying a
+schema-inference job per read; we pin explicit schemas so the scan
+starts immediately and column pruning reaches the parser. Our testdata
+is Parquet (self-describing), but we still normalize the one awkward
+physical type — ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark
+reads (under ``nanosAsLong``) as an epoch-nanos long; ``load_table``
+converts it to a proper ``timestamp_ntz`` column so every downstream
+operator sees wall-clock semantics identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor —
+# TPC-H fixes region at 5 rows and nation at 25 rows regardless of SF,
+# and supplier/part/customer stay several orders of magnitude below the
+# fact table. Join helpers consult this set for broadcast hints.
+BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing physical quirks.
+
+    ``events.ts``: TIMESTAMP(NANOS) → ntz timestamp (microsecond
+    truncation; the oracle compares at second granularity anyway).
+    Integer division keeps the conversion exact — epoch-nanos
+    (~1.7e18) does not fit a double mantissa.
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` workloads."""
+    for n in TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,89 @@
+"""DuckDB-oracle differential tests — a local mirror of the driver's
+correctness gate: for every registered query with an oracle, run the
+Spark DataFrame plan and the ANSI SQL on the same parquet and compare
+row count + column names + order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _canon_cell(v):
+    """Canonicalize one value for order-insensitive comparison."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, float) and pd.isna(v):
+        return "<null>"
+    if v is pd.NaT:
+        return "<null>"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if f == int(f) and abs(f) < 1e15:
+            return f"num:{int(f)}"
+        return f"flt:{f!r}"
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return f"num:{int(v)}"
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return "ts:" + pd.Timestamp(v).strftime("%Y-%m-%d %H:%M:%S.%f")
+    return f"{type(v).__name__ if not isinstance(v, str) else 'str'}:{v}"
+
+
+def _canon(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_canon_cell(r[c]) for c in cols) for _, r in df[cols].iterrows()]
+    return sorted(rows)
+
+
+def _pairs():
+    from etl_data_lake_spark.queries.registry import REGISTRY, _load_all
+
+    _load_all()
+    return [(n, qd) for n, qd in sorted(REGISTRY.items()) if qd.oracle]
+
+
+@pytest.mark.parametrize("name", [n for n, _ in _pairs()])
+def test_oracle_parity(name, spark, duck):
+    from etl_data_lake_spark.queries.registry import REGISTRY
+
+    qd = REGISTRY[name]
+    got = qd.fn(spark, SF_DIR).toPandas()
+    want = duck.sql(qd.oracle).df()
+
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    assert sorted(got.columns) == sorted(
+        want.columns
+    ), f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    g, w = _canon(got), _canon(want)
+    mism = [i for i, (a, b) in enumerate(zip(g, w)) if a != b][:5]
+    assert g == w, f"{name}: first mismatched rows {[(g[i], w[i]) for i in mism]}"
+
+
+def test_every_query_has_rows(spark):
+    """Weak check for oracle-less queries: they run and return a schema."""
+    from etl_data_lake_spark.queries.registry import REGISTRY, _load_all
+
+    _load_all()
+    for name, qd in REGISTRY.items():
+        if qd.oracle:
+            continue
+        df = qd.fn(spark, SF_DIR)
+        assert df.columns, f"{name}: empty schema"
+        df.limit(5).collect()
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
