@@ -1,0 +1,77 @@
+"""Headline benchmark — prints ONE JSON line the round driver records.
+
+Runs the flagship queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query executes to completion via the
+noop sink (full plan runs, nothing is collected to the driver — the
+same shape a cluster job has).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "q01_top_parts_by_lineitems",
+    "agg_pricing_summary",
+    "multiway_join_revenue",
+    "join_compound_key",
+    "golden_q2_top_customers",
+    "window_surrogate_key",
+    "window_sessionize",
+    "events_tumbling_window_1h",
+    "asof_join_latest_order",
+    "time_dimension",
+    # extension operators (registered in later phases; skipped if absent)
+    "text_quality_scores",
+    "dedup_minhash_lsh_pairs",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from etl_data_lake_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    from etl_data_lake_spark.queries.registry import queries
+
+    qs = queries()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    # one warmup to exclude JVM/codegen cold start from per-query numbers
+    run("q01_top_parts_by_lineitems")
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        per_query[name] = run(name)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
