@@ -1,0 +1,13 @@
+from etl_data_lake_spark.dedup.exact import canonicalize_exact
+from etl_data_lake_spark.dedup.jaccard import shingle_table, jaccard_pairs
+from etl_data_lake_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
+from etl_data_lake_spark.dedup.simhash import simhash_table
+
+__all__ = [
+    "canonicalize_exact",
+    "shingle_table",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_table",
+]

@@ -1,0 +1,82 @@
+"""n-gram Jaccard near-duplicate pairs (the exact, quadratic-ish
+baseline that MinHash-LSH approximates).
+
+Pipeline: doc → distinct n-word shingles (exploded long table) →
+self-join on shingle → per-pair intersection counts → Jaccard via
+inclusion-exclusion. All joins/aggs on integer-or-short-string keys;
+integer division makes the score bit-identical across engines.
+
+Scale: the shingle self-join is |pairs sharing a shingle| — fine while
+shingles are selective; when a hot shingle appears in k docs it
+contributes k² pair rows, so at 100 TB cap shingle frequency (drop
+shingles with doc-frequency above a threshold — they carry no dedup
+signal anyway) and/or switch to minhash.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.text import poly_hash, tokens, word_shingles
+
+
+def shingle_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hashed: bool = False,
+) -> DataFrame:
+    """→ (doc_id, shingle) — distinct n-word shingles per document."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias(
+            "shingle"
+        ),
+    )
+    if hashed:
+        # distinct AFTER hashing: two distinct shingles may collide, and
+        # the signature/verify math must see one row per (doc, hash)
+        sh = sh.select("doc_id", poly_hash("shingle").alias("shingle")).distinct()
+    return sh
+
+
+def jaccard_pairs(
+    shingles: DataFrame, threshold: float = 0.5, candidates: DataFrame | None = None
+) -> DataFrame:
+    """→ (doc_a, doc_b, jaccard) for pairs with J >= threshold.
+
+    ``candidates`` (doc_a, doc_b), when given, restricts the verify
+    join to LSH candidates — the MinHash path reuses this verbatim.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    inter = inter.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
+    joined = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+    )
+    jac = F.col("n_inter") * F.lit(1.0) / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return joined.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )

@@ -1,0 +1,95 @@
+"""MinHash + LSH near-duplicate detection, DataFrame-native.
+
+shingle → polynomial hash h → k permutations h_i = (a_i·h + b_i) mod P
+→ per-doc signature (k mins, ONE hash aggregation) → band keys (r
+mins combined per band) → bucket self-join per band → candidate pairs
+→ exact Jaccard verify (dedup.jaccard reused, restricted to
+candidates).
+
+Everything is integer arithmetic on 64-bit values mod P=1e9+7, so the
+DuckDB oracle reproduces it bit-for-bit — a property Spark's builtin
+``MinHashLSH`` (pyspark.ml) can't give us, and the reason this is
+hand-rolled. Cost model at 100 TB: one explode (|docs|·|shingles|
+rows), one groupBy doc, one groupBy (band, key) whose fan-out is
+bounded by bucket sizes — no quadratic term until the verify join,
+which only sees LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.dedup.jaccard import jaccard_pairs, shingle_table
+from etl_data_lake_spark.functions.text import MOD
+
+# fixed permutation constants (small primes; a_i must be non-zero mod P)
+PERM_A = (131, 137, 139, 149, 151, 157, 163, 167, 173, 179, 181, 191)
+PERM_B = (7919, 104729, 1299709, 15485863, 32452843, 49979687,
+          67867967, 86028121, 104395301, 122949823, 141650939, 160481183)
+
+
+def minhash_signatures(shingles_hashed: DataFrame, k: int = 12) -> DataFrame:
+    """(doc_id, shingle:int) → (doc_id, mh0..mh{k-1})."""
+    aggs = [
+        F.min((F.col("shingle") * PERM_A[i] + PERM_B[i]) % MOD).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return shingles_hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _band_key(cols: list[str]):
+    key = F.col(cols[0])
+    for c in cols[1:]:
+        key = (key * 31 + F.col(c)) % MOD
+    return key
+
+
+def lsh_candidates(signatures: DataFrame, bands: int = 4, rows: int = 3) -> DataFrame:
+    """Band the signature and bucket-join: docs agreeing on ALL r mins
+    of any band become a candidate pair."""
+    per_band = []
+    for b in range(bands):
+        cols = [f"mh{b * rows + r}" for r in range(rows)]
+        per_band.append(
+            signatures.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                _band_key(cols).alias("band_key"),
+            )
+        )
+    band_tbl = per_band[0]
+    for t in per_band[1:]:
+        band_tbl = band_tbl.unionByName(t)
+    a, b_ = band_tbl.alias("a"), band_tbl.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """→ (doc_a, doc_b, jaccard): LSH candidates verified by exact
+    Jaccard ≥ threshold. With b=4, r=3 the S-curve crosses ~0.63 —
+    candidates below that are caught with decreasing probability, so
+    recall vs dedup.jaccard is checked in tests, not assumed."""
+    assert bands * rows <= k
+    sh = shingle_table(docs, text_col, id_col, n, hashed=True)
+    sigs = minhash_signatures(sh, k)
+    cand = lsh_candidates(sigs, bands, rows)
+    return jaccard_pairs(sh, threshold, candidates=cand)

@@ -1,0 +1,71 @@
+"""Text-analysis building blocks (training-data-pipeline extensions).
+
+All JVM-side expressions — tokenization, shingling, hashing, quality
+metrics are built from ``split``/higher-order functions so they stay
+inside whole-stage codegen; no Python touches the hot path.
+
+Cross-engine hashing: Spark's ``hash``/``xxhash64`` and DuckDB's
+``hash`` disagree, so anything oracle-checked uses an explicit
+polynomial rolling hash (base 31, mod 1e9+7) written as a left fold —
+bit-identical in any engine that evaluates the same fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: str | Column, pattern: str = r"\s+") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), pattern)
+
+
+def poly_hash(col: str | Column) -> Column:
+    """Char-level polynomial rolling hash: fold(a*31 + ascii(ch)) % MOD."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(MOD),
+    )
+
+
+def sql_poly_hash(expr: str) -> str:
+    """DuckDB twin of :func:`poly_hash`."""
+    return (
+        f"list_reduce(list_transform(split({expr}, ''), x -> CAST(ascii(x) AS BIGINT)),"
+        f" (a, b) -> (a * 31 + b) % {MOD})"
+    )
+
+
+def word_shingles(tokens_col: Column, n: int = 3) -> Column:
+    """n-word shingles as strings; empty array when the doc is shorter
+    than n tokens (guards Spark's descending ``sequence``)."""
+    idx = F.sequence(F.lit(1), F.size(tokens_col) - F.lit(n - 1))
+    make = lambda i: F.concat_ws(
+        " ", *[F.element_at(tokens_col, i + F.lit(j)) for j in range(n)]
+    )
+    return F.when(
+        F.size(tokens_col) >= n, F.transform(idx, make)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sql_word_shingles(tokens_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`word_shingles` (range() is exclusive-stop,
+    so short docs yield an empty list without a guard)."""
+    parts = " || ' ' || ".join(f"({tokens_expr})[i+{j}]" for j in range(n))
+    return f"list_transform(range(1, len({tokens_expr}) - {n - 2}), i -> {parts})"
+
+
+def stopword_count(tokens_col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(F.filter(tokens_col, lambda t: t.isin(*stopwords)))
+
+
+def sql_stopword_count(tokens_expr: str, stopwords: tuple[str, ...] = STOPWORDS) -> str:
+    inlist = ", ".join(f"'{s}'" for s in stopwords)
+    return f"len(list_filter({tokens_expr}, t -> t IN ({inlist})))"

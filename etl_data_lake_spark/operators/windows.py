@@ -57,8 +57,12 @@ def sessionize(
     lag → boolean → running sum, all within one window partition on
     ``key``: a single shuffle, fully JVM-side.
     """
-    w = Window.partitionBy(key).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # timestampdiff works for both TIMESTAMP and TIMESTAMP_NTZ (a plain
+    # cast-to-long is illegal under ANSI for ntz)
+    gap = F.expr(
+        f"timestampdiff(SECOND, lag({ts_col}) over "
+        f"(partition by {key} order by {ts_col}), {ts_col})"
+    )
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     running = Window.partitionBy(key).orderBy(ts_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -1,1 +1,185 @@
-"""Deduplication queries over the documents table (filled in phase 3)."""
+"""Deduplication queries over the documents table.
+
+Four strategies, strongest-oracle-first: exact (hash groupBy), n-gram
+Jaccard (quadratic baseline), MinHash+LSH (the scale path — identical
+integer math reproduced in the DuckDB oracle), SimHash fingerprints.
+The reference's only dedup is full-row ``dropDuplicates`` (etl.py:71);
+everything here is north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.dedup.exact import canonicalize_exact
+from etl_data_lake_spark.dedup.jaccard import jaccard_pairs, shingle_table
+from etl_data_lake_spark.dedup.minhash import (
+    PERM_A,
+    PERM_B,
+    minhash_lsh_pairs,
+)
+from etl_data_lake_spark.dedup.simhash import N_BITS, simhash_table
+from etl_data_lake_spark.functions.text import MOD, sql_poly_hash
+from etl_data_lake_spark.queries.registry import register
+from etl_data_lake_spark.sources.catalog import load_table
+
+_TOK = "regexp_split_to_array(trim(text), '\\s+')"
+_SHINGLE_STR = (
+    f"SELECT doc_id, unnest(list_transform(range(1, len({_TOK}) - 1),"
+    f" i -> ({_TOK})[i] || ' ' || ({_TOK})[i+1] || ' ' || ({_TOK})[i+2])) AS shingle"
+    f" FROM documents"
+)
+
+
+# --------------------------------------------------------------------------
+# Exact dedup with planted duplicates (the corpus has none; we union a
+# shifted copy of every 10th doc so the operator's group/canonical
+# semantics are actually exercised).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_canonical",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id % 10 = 0
+        )
+        SELECT md5(text) AS content_md5,
+               MIN(doc_id) AS canonical_id,
+               COUNT(*) AS dup_count
+        FROM corpus
+        GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return canonicalize_exact(docs.unionByName(planted))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact baseline, string shingles)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+        WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLE_STR})),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+    """,
+    tags=("dedup", "join"),
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(shingle_table(docs), threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs — k=12 permutations, 4 bands × 3 rows,
+# exact-Jaccard verify at 0.5. The oracle below reproduces the integer
+# pipeline (generated from the same constants).
+# --------------------------------------------------------------------------
+def _minhash_oracle(k: int = 12, bands: int = 4, rows: int = 3) -> str:
+    mins = ",\n               ".join(
+        f"MIN((shingle * {PERM_A[i]} + {PERM_B[i]}) % {MOD}) AS mh{i}"
+        for i in range(k)
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = [f"mh{b * rows + r}" for r in range(rows)]
+        key = cols[0]
+        for c in cols[1:]:
+            key = f"(({key}) * 31 + {c}) % {MOD}"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs"
+        )
+    band_tbl = "\n            UNION ALL ".join(band_selects)
+    return f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, {sql_poly_hash('shingle')} AS shingle
+            FROM ({_SHINGLE_STR})
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        sigs AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        ),
+        band_tbl AS (
+            {band_tbl}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band_tbl a JOIN band_tbl b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+    """
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "lsh", "flagship"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints (per-doc; Hamming pairing exercised in tests)
+# --------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    bit_sums = ",\n               ".join(
+        f"SUM(((h // {1 << j}) % 2) * 2 - 1) AS s{j}" for j in range(N_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_BITS)
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT DISTINCT doc_id, {sql_poly_hash('shingle')} AS h
+            FROM ({_SHINGLE_STR})
+        ),
+        bit_sums AS (
+            SELECT doc_id,
+               {bit_sums}
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bit_sums
+    """
+
+
+@register("text_simhash", oracle=_simhash_oracle(), tags=("dedup", "hash"))
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_table(docs)

@@ -1,1 +1,207 @@
-"""Text-analysis queries over the documents table (filled in phase 3)."""
+"""Text-analysis queries over the documents table — the language-ID /
+quality-scoring / token-counting / fingerprinting surface a training-
+data pipeline needs (BASELINE.json north star; no reference analog —
+the reference's only string ops are equality predicates, SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.text import (
+    MOD,
+    STOPWORDS,
+    poly_hash,
+    sql_poly_hash,
+    sql_stopword_count,
+    stopword_count,
+    tokens,
+)
+from etl_data_lake_spark.operators.topk import top_k
+from etl_data_lake_spark.queries.registry import register
+from etl_data_lake_spark.sources.catalog import load_table
+
+_TOK = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish subword estimate
+# (len/4 heuristic on non-space chars, the common quick proxy).
+# --------------------------------------------------------------------------
+@register(
+    "text_token_counts",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT)
+                   AS n_subwords_est
+        FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.ceil(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / 4.0)
+        .cast("long")
+        .alias("n_subwords_est"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: length / stopword ratio / vocabulary diversity —
+# the standard cheap filters before expensive dedup.
+# --------------------------------------------------------------------------
+@register(
+    "text_quality_scores",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOK} AS toks FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               {sql_stopword_count('toks')} * 1.0 / len(toks) AS stopword_ratio,
+               len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+               length(text) * 1.0 / len(toks) AS chars_per_token,
+               CASE WHEN len(toks) >= 10
+                         AND {sql_stopword_count('toks')} * 1.0 / len(toks)
+                             BETWEEN 0.01 AND 0.6
+                         AND len(list_distinct(toks)) * 1.0 / len(toks) > 0.2
+                    THEN 1 ELSE 0 END AS quality_pass
+        FROM t
+    """,
+    tags=("text", "flagship"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", tokens("text").alias("toks"))
+    n = F.size("toks")
+    stop_ratio = stopword_count(F.col("toks")) * F.lit(1.0) / n
+    distinct_ratio = F.size(F.array_distinct("toks")) * F.lit(1.0) / n
+    chars_per_token = F.length("text") * F.lit(1.0) / n
+    quality = (
+        F.when(
+            (n >= 10)
+            & stop_ratio.between(0.01, 0.6)
+            & (distinct_ratio > 0.2),
+            1,
+        )
+        .otherwise(0)
+    )
+    return t.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        chars_per_token.alias("chars_per_token"),
+        quality.alias("quality_pass"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID: marker-word voting (n-gram-frequency heuristic family).
+# Deterministic argmax: ties resolve in fixed language order.
+# --------------------------------------------------------------------------
+_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+    "es": ("el", "los", "y", "es"),
+    "zh": ("de5", "shi4", "le5", "he2"),  # pinyin-ish fallback markers
+}
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, {_TOK} AS toks FROM documents),
+        scores AS (
+            SELECT doc_id, lang,
+                   {sql_stopword_count('toks', _MARKERS['en'])} AS s_en,
+                   {sql_stopword_count('toks', _MARKERS['de'])} AS s_de,
+                   {sql_stopword_count('toks', _MARKERS['fr'])} AS s_fr,
+                   {sql_stopword_count('toks', _MARKERS['es'])} AS s_es,
+                   {sql_stopword_count('toks', _MARKERS['zh'])} AS s_zh
+            FROM t
+        )
+        SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                    WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                    WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                    WHEN s_es >= s_zh THEN 'es'
+                    ELSE 'zh' END AS predicted_lang,
+               CAST(s_en + s_de + s_fr + s_es + s_zh AS BIGINT) AS marker_hits
+        FROM scores
+    """,
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens("text").alias("toks"))
+    s = {k: stopword_count(F.col("toks"), v) for k, v in _MARKERS.items()}
+    predicted = (
+        F.when(s["en"] >= F.greatest(s["de"], s["fr"], s["es"], s["zh"]), "en")
+        .when(s["de"] >= F.greatest(s["fr"], s["es"], s["zh"]), "de")
+        .when(s["fr"] >= F.greatest(s["es"], s["zh"]), "fr")
+        .when(s["es"] >= s["zh"], "es")
+        .otherwise("zh")
+    )
+    total = s["en"] + s["de"] + s["fr"] + s["es"] + s["zh"]
+    return t.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predicted.alias("predicted_lang"),
+        total.cast("long").alias("marker_hits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprint: char-level polynomial rolling hash (the
+# engine-portable stand-in for xxhash64 content addressing).
+# --------------------------------------------------------------------------
+@register(
+    "text_fingerprints",
+    oracle=f"""
+        SELECT doc_id,
+               {sql_poly_hash('text')} AS fingerprint,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+    tags=("text", "hash"),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        poly_hash("text").alias("fingerprint"),
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level token frequencies (explode → agg → top-k)
+# --------------------------------------------------------------------------
+@register(
+    "text_token_frequencies",
+    oracle=f"""
+        SELECT t AS token, COUNT(*) AS freq,
+               COUNT(DISTINCT doc_id) AS doc_freq
+        FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+        GROUP BY t
+        ORDER BY freq DESC, token
+        LIMIT 20
+    """,
+    tags=("text", "agg", "topk"),
+)
+def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    counts = exploded.groupBy("token").agg(
+        F.count("*").alias("freq"), F.countDistinct("doc_id").alias("doc_freq")
+    )
+    return top_k(counts, [F.desc("freq"), F.asc("token")], 20)

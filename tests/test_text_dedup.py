@@ -1,0 +1,75 @@
+"""Dedup-family behavior tests: LSH recall against the exact baseline,
+SimHash Hamming pairing, canonical exact dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Every high-similarity pair the exact quadratic baseline finds
+    must be recovered by the LSH path (b=4, r=3 S-curve crosses ~0.63,
+    so require full recall only at J >= 0.8)."""
+    from etl_data_lake_spark.dedup.jaccard import jaccard_pairs, shingle_table
+    from etl_data_lake_spark.dedup.minhash import minhash_lsh_pairs
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(shingle_table(docs), 0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain at least one >=0.8 near-dup pair"
+    missing = exact - lsh
+    assert not missing, f"LSH missed high-similarity pairs: {missing}"
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    """Near-identical docs (shingle Jaccard >= 0.9) must land within a
+    small Hamming ball; random pairs must not."""
+    from etl_data_lake_spark.dedup.jaccard import jaccard_pairs, shingle_table
+    from etl_data_lake_spark.dedup.simhash import hamming_pairs, simhash_table
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    near = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(shingle_table(docs), 0.9).collect()
+    }
+    sims = simhash_table(docs)
+    ham = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in hamming_pairs(sims, max_distance=8).collect()
+    }
+    for pair in near:
+        assert pair in ham, f"near-dup {pair} not within Hamming<=8"
+    # sanity: the Hamming ball is selective (not everything matches)
+    n_docs = docs.count()
+    assert len(ham) < n_docs * (n_docs - 1) / 20
+
+
+def test_exact_dedup_canonical_semantics(spark):
+    from etl_data_lake_spark.dedup.exact import canonicalize_exact
+
+    df = spark.createDataFrame(
+        [(1, "x"), (7, "x"), (3, "y")], "doc_id long, text string"
+    )
+    got = {
+        (r.canonical_id, r.dup_count)
+        for r in canonicalize_exact(df).collect()
+    }
+    assert got == {(1, 2), (3, 1)}
+
+
+def test_shingles_short_doc_empty(spark):
+    from etl_data_lake_spark.functions.text import tokens, word_shingles
+
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    out = df.select(F.size(word_shingles(tokens("text"))).alias("n")).collect()
+    assert sorted(r.n for r in out) == [0, 2]
