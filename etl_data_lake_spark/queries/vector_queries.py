@@ -1,1 +1,121 @@
-"""Embedding-similarity queries over the embeddings table (phase 4)."""
+"""Embedding-similarity queries over the embeddings table.
+
+Brute-force cosine top-k is oracle-checked exactly (fold-order-
+deterministic math, see functions.vectors). The LSH variant is the
+approximate scale path: rows-only driver check, recall measured
+against the brute-force baseline in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.money import sql_sum_money
+from etl_data_lake_spark.functions.vectors import as_double, cosine, norm, sql_cosine, sql_norm
+from etl_data_lake_spark.queries.registry import register
+from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+from etl_data_lake_spark.similarity.lsh import lsh_bucket_topk
+from etl_data_lake_spark.sources.catalog import load_table
+
+_N_QUERIES = 5
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round({sql_cosine('q.qv', 'e.v')}, 6) AS cos_sim
+            FROM e JOIN q ON e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+            ) AS rnk FROM scored
+        )
+        WHERE rnk <= 10
+    """,
+    tags=("vector", "topk", "flagship"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(emb, queries, k=10)
+
+
+@register("ann_lsh_topk", tags=("vector", "topk", "lsh"))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (sign-random-projection LSH) — rows-only check;
+    recall vs the exact baseline asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return lsh_bucket_topk(emb, queries, k=10)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({sql_cosine('a.v', 'b.v')}, 6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round({sql_cosine('a.v', 'b.v')}, 6) >= 0.45
+    """,
+    tags=("vector", "dedup"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates (threshold tuned to the
+    corpus: max pairwise cosine is ~0.51, so 0.45 exercises the
+    operator with a non-trivial result set)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.45)
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+        WITH e AS (
+            SELECT label, round({sql_norm('CAST(embedding AS DOUBLE[])')}, 6)
+                       AS nrm
+            FROM embeddings
+        )
+        SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vectors,
+               {sql_sum_money('nrm', 6)} AS sum_norm,
+               round(MIN(nrm), 6) AS min_norm,
+               round(MAX(nrm), 6) AS max_norm
+        FROM e GROUP BY label
+    """,
+    tags=("vector", "agg"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(norm(as_double("embedding")), 6)
+    pre = emb.select(F.col("label").cast("long").alias("label"), nrm.alias("nrm"))
+    return pre.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        (F.sum(F.round(F.col("nrm") * 1000000).cast("long")).cast("double") / 1000000.0)
+        .alias("sum_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )

@@ -1,0 +1,103 @@
+"""Sign-random-projection LSH for cosine ANN — the scale path.
+
+L hash tables × p hyperplanes: a vector's bucket in table t is the
+p-bit sign pattern of its projections onto that table's planes.
+Collision probability for angle θ is (1-θ/π)^p per table; L tables
+multi-probe the complement, so recall for cos≈0.5 at (L=8, p=4) is
+~0.8 while each table's buckets hold |corpus|/2^p vectors.
+
+Planes are DETERMINISTIC pseudo-random (integer LCG on (table, plane,
+dim), mapped to [-1,1]) — no fit step, no state to persist, identical
+across runs and engines. All expressed as literal arrays + the same
+fold used everywhere else; candidates then re-score exactly.
+
+At 100 TB: bucketing is one narrow shuffle on (table, bucket); the
+exact re-score touches only candidate pairs. Skewed buckets (dense
+regions) are AQE's skew-join case, or raise p.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.vectors import as_double, cosine
+
+# LCG constants (Numerical Recipes); plane component in [-1, 1]
+_A, _C, _M = 1664525, 1013904223, 2**32
+
+
+def _plane(table: int, plane: int, dims: int) -> list[float]:
+    out = []
+    seed = (table * 131 + plane) & 0xFFFFFFFF
+    for d in range(dims):
+        seed = (_A * (seed + d * 2654435761) + _C) % _M
+        out.append(seed / _M * 2.0 - 1.0)
+    return out
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    tables: int = 8,
+    planes: int = 4,
+) -> DataFrame:
+    """→ df exploded to (…, table, bucket): one row per hash table."""
+    v = as_double(vec_col)
+
+    def projection(plane):
+        # closure factory: PySpark requires exactly-2-arg lambdas here
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(v)),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(v, i) * F.element_at(plane, i),
+        )
+
+    entries = []
+    for t in range(tables):
+        bucket = F.lit(0)
+        for p in range(planes):
+            proj = projection(F.array(*[F.lit(x) for x in _plane(t, p, dims)]))
+            bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        entries.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return df.withColumn("__tb", F.explode(F.array(*entries))).select(
+        "*", F.col("__tb.table").alias("table"), F.col("__tb.bucket").alias("bucket")
+    ).drop("__tb")
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    tables: int = 8,
+    planes: int = 4,
+) -> DataFrame:
+    """ANN top-k: candidates = corpus sharing any (table, bucket) with
+    the query; exact cosine re-score; rank; keep k."""
+    cb = with_lsh_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")),
+        "cv", dims, tables, planes,
+    )
+    qb = with_lsh_buckets(
+        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")),
+        "qv", dims, tables, planes,
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,46 @@
+"""ANN behavior tests: LSH recall against the exact baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+    from etl_data_lake_spark.similarity.lsh import lsh_bucket_topk
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucket_topk(emb, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # deterministic planes → this is a fixed number for the fixture;
+    # random-vector corpora are LSH's worst case, so the bar is modest
+    assert recall >= 0.4, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_lsh_scores_are_exact_for_found_pairs(spark):
+    """LSH approximates the CANDIDATE SET, never the score: any pair
+    both paths return must carry the identical cosine."""
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+    from etl_data_lake_spark.similarity.lsh import lsh_bucket_topk
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    for r in lsh_bucket_topk(emb, queries, k=10).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert exact[key] == r.cos_sim
