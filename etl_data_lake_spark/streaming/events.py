@@ -1,0 +1,198 @@
+"""Structured Streaming over the events table.
+
+The reference processes its event log as a static batch (etl.py:124,
+SURVEY §2.9: no watermarks, no windows, no state). This module is the
+streaming-native extension: the SAME aggregation plan as the batch
+query ``events_tumbling_window_1h`` under ``readStream``, with
+watermark-based late-data handling — plus a custom stateful
+sessionizer via ``applyInPandasWithState`` (the operator Spark's
+built-ins can't express).
+
+Batch ≡ stream equivalence is the correctness contract
+(tests/test_streaming.py): an ``availableNow`` run over the static
+parquet must produce exactly the batch result.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_data_lake_spark.functions.money import sum_money
+from etl_data_lake_spark.session import apply_runtime_confs
+
+# explicit schema: streaming sources cannot infer (and the physical
+# type of ts is epoch-nanos long under nanosAsLong — see sources.catalog)
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def event_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over the events parquet with the batch-identical ts
+    normalization (epoch-nanos long → timestamp)."""
+    apply_runtime_confs(spark)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # glob, not the bare file path: the file-stream source requires a
+    # directory (or glob) basePath
+    df = reader.parquet(f"{sf_dir.rstrip('/')}/events.parq*")
+    # watermark needs a tz-aware timestamp; UTC session makes it equal
+    # to the ntz wall-clock used in batch
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour tumbling count+sum per event_type — the streaming twin of
+    queries.golden.events_tumbling_window_1h."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_money(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESSION_STATE = StructType(
+    [
+        StructField("last_ts", DoubleType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessions per user via
+    applyInPandasWithState (state = last event time, open session id,
+    open session count).
+
+    Sessions close two ways: (a) a later event from the same user
+    arrives more than ``gap`` after the previous one, or (b) the
+    EVENT-TIME watermark passes ``last_ts + gap`` — the open session
+    times out and is emitted. Event-time (not processing-time)
+    timeouts keep the operator deterministic: an ``availableNow``
+    replay over static data settles as soon as the final watermark is
+    reached, with no wall-clock waits, and produces the same sessions
+    as the batch sessionizer (operators.windows.sessionize) for every
+    session whose gap elapsed before end-of-data.
+    """
+    gap_s = gap_minutes * 60.0
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            last_ts, sid, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_id": [sid], "n_events": [n]}
+            )
+            return
+        last_ts, sid, n = state.get if state.exists else (None, 0, 0)
+        closed: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            for t in sorted(pdf["ts_sec"].tolist()):
+                if last_ts is None:
+                    sid, n = 1, 1
+                elif t - last_ts > gap_s:
+                    closed.append((sid, n))
+                    sid, n = sid + 1, 1
+                else:
+                    n += 1
+                last_ts = t
+        state.update((last_ts, sid, n))
+        # fire when the watermark passes the session-gap deadline
+        # (must be strictly beyond the current watermark)
+        deadline_ms = int((last_ts + gap_s) * 1000)
+        state.setTimeoutTimestamp(
+            max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_id": [s for s, _ in closed],
+                    "n_events": [c for _, c in closed],
+                }
+            )
+
+    prepared = events.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("ts"),
+        F.unix_timestamp("ts").cast("double").alias("ts_sec"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_available_now(
+    result: DataFrame, query_name: str = "snap", output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over the currently
+    available data (availableNow trigger → memory sink) and return the
+    materialized result as a batch DataFrame.
+
+    ``complete`` for windowed aggregations (append would hold back
+    windows the watermark hasn't closed); ``append`` for stateful
+    flatMap-style operators which mandate it.
+    """
+    spark = result.sparkSession
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)

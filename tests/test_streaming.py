@@ -1,0 +1,56 @@
+"""Batch ≡ stream equivalence — the streaming extension's contract
+(SURVEY §7 step 7)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def test_tumbling_window_batch_equals_stream(spark):
+    from etl_data_lake_spark.queries.golden import events_tumbling_window_1h
+    from etl_data_lake_spark.streaming.events import (
+        event_stream,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    batch = {
+        tuple(r)
+        for r in events_tumbling_window_1h(spark, SF_DIR).collect()
+    }
+    stream_df = tumbling_counts(event_stream(spark, SF_DIR))
+    got = {tuple(r) for r in run_available_now(stream_df, "tumble").collect()}
+    assert got == batch
+
+
+def test_stateful_sessionizer_closed_sessions_match_batch(spark):
+    """applyInPandasWithState sessionizer: every CLOSED session the
+    stream emits must match the batch sessionizer's (count per
+    session); open sessions stay in state until timeout."""
+    from pyspark.sql import functions as F
+
+    from etl_data_lake_spark.operators.windows import sessionize
+    from etl_data_lake_spark.sources.catalog import load_table
+    from etl_data_lake_spark.streaming.events import (
+        event_stream,
+        run_available_now,
+        sessionize_stream,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    batch = {
+        (r.user_id, r.session_id, r.n_events)
+        for r in sessionize(events, "user_id", "ts", 30)
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    stream = sessionize_stream(event_stream(spark, SF_DIR), gap_minutes=30)
+    got = {
+        (r.user_id, r.session_id, r.n_events)
+        for r in run_available_now(stream, "sess", output_mode="append").collect()
+    }
+    assert got, "stream emitted no closed sessions"
+    assert got <= batch, f"stream emitted sessions batch doesn't have: {got - batch}"
+    # most sessions close within the fixture's time range
+    assert len(got) >= len(batch) * 0.5
