@@ -1,0 +1,151 @@
+"""Deterministic FAKE1 media container + media-table generator.
+
+The driver testdata has no binary columns, so multimodal operators
+build their input from ``documents``: each document becomes one media
+blob whose payload is a tiny self-describing container::
+
+    FAKE1 | kind(1B) | width(4B LE) | height(4B LE) | n_frames(4B LE)
+          | body = UTF-8 bytes of the document text
+
+Header fields are pure functions of ``doc_id``, so a SQL oracle can
+recompute everything a decoder extracts — the DuckDB differential
+check covers the whole binary round-trip (encode in Spark, decode in
+a pandas batch, compare field-by-field against arithmetic on doc_id).
+
+Encoding runs in ``mapInPandas`` (not a row UDF): one Arrow batch in,
+one pandas DataFrame out, which is exactly the shape a real
+``PIL.Image.open``/``soundfile.read`` decode stage would use.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FAKE_MAGIC = b"FAKE1"
+KINDS = ("image", "audio", "video")
+_KIND_CODE = {k: i for i, k in enumerate(KINDS)}
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def kind_of(doc_id: int) -> str:
+    return KINDS[doc_id % 3]
+
+
+def width_of(doc_id: int) -> int:
+    return 16 + (doc_id % 32) * 8
+
+
+def height_of(doc_id: int) -> int:
+    return 16 + (doc_id % 24) * 8
+
+
+def n_frames_of(doc_id: int, kind: str) -> int:
+    return 1 if kind != "video" else 8 + doc_id % 40
+
+
+def encode_payload(doc_id: int, text: str) -> bytes:
+    kind = kind_of(doc_id)
+    return (
+        FAKE_MAGIC
+        + bytes([_KIND_CODE[kind]])
+        + struct.pack(
+            "<iii", width_of(doc_id), height_of(doc_id), n_frames_of(doc_id, kind)
+        )
+        + text.encode("utf-8")
+    )
+
+
+def decode_payload(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """→ (kind, width, height, n_frames, body). Raises on bad magic —
+    corrupt blobs should fail loudly, not silently zero-fill."""
+    if payload[:5] != FAKE_MAGIC:
+        raise ValueError("not a FAKE1 container")
+    kind = KINDS[payload[5]]
+    width, height, n_frames = struct.unpack("<iii", payload[6:18])
+    return kind, width, height, n_frames, payload[18:]
+
+
+def fake_media_table(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, ...) → media table with binary payloads.
+
+    A real pipeline would read blobs straight from object storage
+    (``spark.read.format("binaryFile")``); here the generator stands
+    in for that source.
+    """
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": [kind_of(i) for i in ids],
+                    "width": pd.array([width_of(i) for i in ids], dtype="int32"),
+                    "height": pd.array([height_of(i) for i in ids], dtype="int32"),
+                    "n_frames": pd.array(
+                        [n_frames_of(i, kind_of(i)) for i in ids], dtype="int32"
+                    ),
+                    "payload": [
+                        encode_payload(i, t)
+                        for i, t in zip(ids, pdf["text"].astype(str))
+                    ],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        encode, schema=MEDIA_SCHEMA
+    )
+
+
+def try_real_image_decode(payload: bytes):
+    """Where a real codec would plug in. PIL/opencv are not in this
+    container, so this raises unless one appears on the path."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode needs PIL/opencv; this environment ships "
+            "neither — use the FAKE1 path (decode_payload) for plumbing"
+        ) from exc
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(payload))
+
+
+__all__ = [
+    "FAKE_MAGIC",
+    "MEDIA_SCHEMA",
+    "KINDS",
+    "encode_payload",
+    "decode_payload",
+    "fake_media_table",
+    "try_real_image_decode",
+    "kind_of",
+    "width_of",
+    "height_of",
+    "n_frames_of",
+]

@@ -48,6 +48,7 @@ def _load_all() -> None:
     from etl_data_lake_spark.queries import (  # noqa: F401
         dedup_queries,
         golden,
+        multimodal_queries,
         relational,
         text_queries,
         vector_queries,

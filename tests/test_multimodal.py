@@ -1,0 +1,80 @@
+"""Multimodal plumbing tests: binary round-trip, batch shapes, fan-out,
+and the DuckDB differential for the registered media queries."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _oracle_con():
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return con
+
+
+def test_codec_roundtrip():
+    from etl_data_lake_spark.multimodal.codec import decode_payload, encode_payload
+
+    for doc_id, text in [(0, "hello"), (5, "äöü€ multibyte"), (14, "")]:
+        kind, w, h, nf, body = decode_payload(encode_payload(doc_id, text))
+        assert body.decode("utf-8") == text
+        assert (kind == "video") == (doc_id % 3 == 2)
+        assert nf >= 1 and w >= 16 and h >= 16
+    with pytest.raises(ValueError):
+        decode_payload(b"JPEG....not fake")
+
+
+def test_real_decoder_is_gated():
+    from etl_data_lake_spark.multimodal.codec import try_real_image_decode
+
+    with pytest.raises(NotImplementedError):
+        try_real_image_decode(b"\x89PNG")
+
+
+def test_media_table_schema_and_payloads(spark):
+    from etl_data_lake_spark.multimodal import fake_media_table
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    media = fake_media_table(load_table(spark, SF_DIR, "documents"))
+    assert dict(media.dtypes)["payload"] == "binary"
+    rows = media.limit(5).collect()
+    assert all(bytes(r.payload)[:5] == b"FAKE1" for r in rows)
+
+
+def test_histograms_normalized(spark):
+    from etl_data_lake_spark.multimodal import byte_histograms, fake_media_table
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    media = fake_media_table(load_table(spark, SF_DIR, "documents"))
+    hists = byte_histograms(media, bins=16).collect()
+    assert len(hists) == media.count()
+    for r in hists:
+        assert len(r.histogram) == 16
+        assert math.isclose(sum(r.histogram), 1.0, abs_tol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["media_decode_metadata", "media_frame_sample", "media_histogram_stats"],
+)
+def test_media_queries_match_oracle(spark, name):
+    from etl_data_lake_spark.queries.registry import oracle_sql, queries
+
+    got = queries()[name](spark, SF_DIR).toPandas()
+    con = _oracle_con()
+    want = con.sql(oracle_sql()[name]).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(w) and len(g) > 0
+    for c in cols:
+        assert list(g[c]) == list(w[c]), c
