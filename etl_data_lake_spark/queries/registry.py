@@ -50,6 +50,7 @@ def _load_all() -> None:
         golden,
         multimodal_queries,
         relational,
+        streaming_queries,
         text_queries,
         vector_queries,
     )

@@ -1,0 +1,62 @@
+"""Streaming operators surfaced through the driver contract.
+
+Each entry executes a Structured Streaming plan to completion with the
+``availableNow`` trigger (bounded replay over the static parquet — the
+cluster pattern for backfills) and returns the materialized result, so
+the driver can hash-compare it like any batch query. The tumbling
+window carries the SAME oracle as its batch twin
+``events_tumbling_window_1h``: the driver thereby checks
+batch ≡ stream, not just rows>0. The stateful sessionizer's trailing
+sessions depend on the final watermark, which SQL can't express — it
+stays a rows-only check (the pytest suite covers its semantics against
+the batch sessionizer).
+"""
+
+from __future__ import annotations
+
+from itertools import count
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_data_lake_spark.functions.money import sql_sum_money
+from etl_data_lake_spark.queries.registry import register
+from etl_data_lake_spark.streaming.events import (
+    event_stream,
+    run_available_now,
+    sessionize_stream,
+    tumbling_counts,
+)
+
+_run_seq = count()
+
+
+def _unique(name: str) -> str:
+    # memory-sink table names are session-global; never reuse one
+    return f"{name}_{next(_run_seq)}"
+
+
+@register(
+    "stream_tumbling_window_1h",
+    oracle=f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_sum_money('value')} AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def stream_tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = tumbling_counts(event_stream(spark, sf_dir))
+    return run_available_now(stream, _unique("tumble"))
+
+
+@register("stream_sessionize_closed", tags=("streaming", "stateful"))
+def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions from the applyInPandasWithState operator;
+    emitted set = sessions closed by a successor event or by the final
+    event-time watermark."""
+    stream = sessionize_stream(event_stream(spark, sf_dir), gap_minutes=30)
+    return run_available_now(stream, _unique("sess"), output_mode="append")

@@ -39,6 +39,19 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # a conf may be static in some deployments; never fail a query
             # over a tuning knob
             pass
+    try:
+        # Size the shuffle to the machine iff the caller left Spark's
+        # stock 200. AQE re-coalesces batch plans anyway, but stateful
+        # STREAMING plans cannot use AQE — there the partition count is
+        # paid as real state-store tasks per micro-batch. On a cluster
+        # this would be ~2-3x total executor cores.
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            )
+    except Exception:
+        pass
     return spark
 
 
