@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_data_lake_spark.functions.text import poly_hash, tokens, word_shingles
+from etl_data_lake_spark.sources.catalog import fan_out
 
 
 def shingle_table(
@@ -29,6 +30,7 @@ def shingle_table(
     hashed: bool = False,
 ) -> DataFrame:
     """→ (doc_id, shingle) — distinct n-word shingles per document."""
+    docs = fan_out(docs)
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias(
@@ -51,18 +53,33 @@ def jaccard_pairs(
     join to LSH candidates — the MinHash path reuses this verbatim.
     """
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(
+    if candidates is not None:
+        # Candidates-FIRST: expand each (doc_a, doc_b) by doc_a's
+        # shingles, probe doc_b's on (doc_b, shingle). Work is
+        # |candidates| x avg shingles — NOT the corpus-wide co-shingle
+        # blowup the no-candidates branch pays. Never build the full
+        # self-join only to semi-filter it afterwards.
+        inter = (
+            candidates.join(
+                shingles.select(F.col("doc_id").alias("doc_a"), "shingle"),
+                "doc_a",
+            )
+            .join(
+                shingles.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                ["doc_b", "shingle"],
+            )
+            .select("doc_a", "doc_b")
+        )
+    else:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        inter = a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
     inter = inter.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
     joined = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")

@@ -89,7 +89,15 @@ def minhash_lsh_pairs(
     candidates below that are caught with decreasing probability, so
     recall vs dedup.jaccard is checked in tests, not assumed."""
     assert bands * rows <= k
-    sh = shingle_table(docs, text_col, id_col, n, hashed=True)
+    # the shingle table feeds three consumers (signatures + both sides
+    # of the verify probe); persist it once instead of recomputing the
+    # explode+hash chain per consumer — the canonical reuse case.
+    # MEMORY_AND_DISK: spills rather than OOMs when the corpus is big.
+    from pyspark import StorageLevel
+
+    sh = shingle_table(docs, text_col, id_col, n, hashed=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_signatures(sh, k)
     cand = lsh_candidates(sigs, bands, rows)
     return jaccard_pairs(sh, threshold, candidates=cand)

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_data_lake_spark.functions.vectors import as_double, cosine
+from etl_data_lake_spark.sources.catalog import fan_out
 
 
 def cosine_topk(
@@ -31,8 +32,10 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+        )
     )
     pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_data_lake_spark.functions.vectors import as_double, cosine
+from etl_data_lake_spark.sources.catalog import fan_out
 
 # LCG constants (Numerical Recipes); plane component in [-1, 1]
 _A, _C, _M = 1664525, 1013904223, 2**32
@@ -79,7 +80,11 @@ def lsh_bucket_topk(
     """ANN top-k: candidates = corpus sharing any (table, bucket) with
     the query; exact cosine re-score; rank; keep k."""
     cb = with_lsh_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")),
+        fan_out(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+            )
+        ),
         "cv", dims, tables, planes,
     )
     qb = with_lsh_buckets(

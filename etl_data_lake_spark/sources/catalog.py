@@ -43,6 +43,19 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input has
+    fewer partitions — for CPU-heavy fan-out stages (shingling, vector
+    math) fed by a small file count. A 5 MB parquet arrives as ONE
+    task; exploding it 50x on one core wastes 31. No-op when the scan
+    already yields enough splits (the 100 TB case), so the extra
+    shuffle is only paid when it's cheap by construction."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing physical quirks.
 
