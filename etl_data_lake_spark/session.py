@@ -55,16 +55,50 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Object-store (s3a://) connector surface — the reference's only
+# session config is exactly this (hadoop-aws + credentials,
+# etl.py:18-22, 33-37). Two deliberate changes: a current connector
+# line instead of the 2015-era hadoop-aws 2.7.0, and the credential
+# PROVIDER CHAIN instead of copying AWS keys from env into Spark conf
+# (the reference's approach leaks secrets into logged confs and breaks
+# on instance roles).
+S3A_CONFS: dict[str, str] = {
+    "spark.hadoop.fs.s3a.aws.credentials.provider": (
+        "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider,"
+        "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider,"
+        "com.amazonaws.auth.EnvironmentVariableCredentialsProvider"
+    ),
+    # committers: never rename-commit on an object store
+    "spark.hadoop.fs.s3a.committer.name": "magic",
+    "spark.sql.sources.commitProtocolClass": (
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+    ),
+    "spark.sql.parquet.output.committer.class": (
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+    ),
+    # read tuning for columnar formats over HTTP range requests
+    "spark.hadoop.fs.s3a.experimental.input.fadvise": "random",
+    "spark.hadoop.fs.s3a.connection.maximum": "96",
+}
+
+
 def get_spark(
     app_name: str = "etl-data-lake-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    s3a: bool = False,
 ) -> SparkSession:
     """Build a local session sized from $SPARK_GRAFT_CPUS.
 
     On a real cluster you would leave ``master`` unset and size
     ``spark.sql.shuffle.partitions`` to ~2-3x total executor cores
     (with AQE coalescing handling the small-query case).
+
+    ``s3a=True`` adds the object-store connector configs (S3A_CONFS)
+    plus the hadoop-aws package line; reading ``s3a://`` paths then
+    works wherever the JVM can fetch the connector jars. Kept off by
+    default: this container is offline and every testdata path is
+    local.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
@@ -81,6 +115,12 @@ def get_spark(
         # this is the knob that balances task count vs per-task overhead.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    if s3a:
+        builder = builder.config(
+            "spark.jars.packages", "org.apache.hadoop:hadoop-aws:3.4.1"
+        )
+        for k, v in S3A_CONFS.items():
+            builder = builder.config(k, v)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
