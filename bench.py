@@ -25,6 +25,8 @@ HEADLINE = [
     "events_tumbling_window_1h",
     "asof_join_latest_order",
     "time_dimension",
+    "events_session_window_agg",
+    "range_join_ship_lag",
     # extension operators (registered in later phases; skipped if absent)
     "text_quality_scores",
     "dedup_minhash_lsh_pairs",

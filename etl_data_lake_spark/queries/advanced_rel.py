@@ -1,0 +1,161 @@
+"""Advanced relational coverage beyond the reference's operator set
+(SURVEY §2.4/§2.5 'not present' lists, implemented because any user
+extending the reference's workload hits them immediately): session
+windows, rollup/grouping sets, distinct aggregates, and an
+equi+range join.
+
+Scale notes: every query here is one shuffle (the groupBy/join key) +
+whatever Catalyst broadcasts; session_window is Spark's built-in
+gaps-and-islands — state lives JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.money import sql_sum_money, sum_money
+from etl_data_lake_spark.queries.registry import register
+from etl_data_lake_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# Native session windows (F.session_window): 30-minute-gap sessions per
+# user, directly as a groupBy — no explicit lag/cumsum plumbing. The
+# oracle IS the lag/cumsum gaps-and-islands construction, so the two
+# formulations check each other.
+# --------------------------------------------------------------------------
+@register(
+    "events_session_window_agg",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER w < INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM marked
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_no
+    """,
+    tags=("window", "session"),
+)
+def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP: per-(returnflag, linestatus) revenue with subtotals and a
+# grand total — the partial-aggregate tree Spark executes as ONE
+# shuffle with Expand, not one job per grouping level.
+# --------------------------------------------------------------------------
+@register(
+    "rollup_revenue",
+    oracle=f"""
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               {sql_sum_money('l_extendedprice')} AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            sum_money(F.col("l_extendedprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n_items",
+            "revenue",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregates: COUNT(DISTINCT) alongside plain aggregates —
+# Spark plans this as a two-phase Expand aggregation; keep it exact
+# (approx_count_distinct can't oracle-match by construction).
+# --------------------------------------------------------------------------
+@register(
+    "distinct_agg_per_status",
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_sum_money('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "distinct"),
+)
+def distinct_agg_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        sum_money(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi + range join: line items shipped within 60 days of their
+# order's date. The equi key carries the shuffle; the range predicate
+# evaluates post-probe — the shape that stays a hash join at 100 TB
+# (a PURE range join would need a bucketed interval strategy instead).
+# --------------------------------------------------------------------------
+@register(
+    "range_join_ship_lag",
+    oracle=f"""
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                   AS ship_lag_days
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+    """,
+    tags=("join", "range"),
+)
+def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+    )
+    return li.join(orders, cond).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("ship_lag_days"),
+    )

@@ -46,6 +46,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 def _load_all() -> None:
     # import for registration side effects
     from etl_data_lake_spark.queries import (  # noqa: F401
+        advanced_rel,
         dedup_queries,
         golden,
         multimodal_queries,

@@ -15,6 +15,7 @@ from etl_data_lake_spark.functions.money import sql_sum_money
 from etl_data_lake_spark.functions.vectors import as_double, cosine, norm, sql_cosine, sql_norm
 from etl_data_lake_spark.queries.registry import register
 from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+from etl_data_lake_spark.similarity.ivf import ivf_topk
 from etl_data_lake_spark.similarity.lsh import lsh_bucket_topk
 from etl_data_lake_spark.sources.catalog import load_table
 
@@ -57,6 +58,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
     return lsh_bucket_topk(emb, queries, k=10)
+
+
+@register("ann_ivf_topk", tags=("vector", "topk", "ivf"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (inverted-file coarse quantization) — rows-only
+    check; recall vs the exact baseline asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(emb, queries, k=10)
 
 
 @register(

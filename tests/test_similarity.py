@@ -27,6 +27,33 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.4, f"LSH recall collapsed: {recall:.2f}"
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+    from etl_data_lake_spark.similarity.ivf import ivf_topk
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    got = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    # nprobe/n_cells = 1/4 of the corpus scanned; random vectors are the
+    # worst case (no cluster structure for the quantizer to exploit)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall:.2f}"
+    # every emitted row must still carry the exact re-scored cosine
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    for r in got:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert exact_scores[key] == r.cos_sim
+
+
 def test_lsh_scores_are_exact_for_found_pairs(spark):
     """LSH approximates the CANDIDATE SET, never the score: any pair
     both paths return must carry the identical cosine."""
