@@ -166,10 +166,14 @@ def build_songplays(
 
     surrogate='row_number' replicates the reference's per-(year,month)
     ``row_number`` key (etl.py:192-200) — a per-month global sort,
-    fine at dim scale. surrogate='monotonic' is the 100 TB path:
+    fine at dim scale. surrogate='monotonic' is the 100 TB batch path:
     ``monotonically_increasing_id`` is shuffle-free and unique (not
     dense, not stable across runs — same instability the reference
-    already has, quirk Q8).
+    already has, quirk Q8). surrogate='hash' derives the key from the
+    natural event identity (xxhash64 over session/user/time/context) —
+    the only strategy valid under Structured Streaming, and the only
+    one stable across reruns; collisions require two events identical
+    in every natural column.
     """
     song_dim = songs.join(
         artists.select("artist_id", F.col("name").alias("artist_name")),
@@ -197,6 +201,13 @@ def build_songplays(
 
     if surrogate == "monotonic":
         keyed = enriched.withColumn("songplay_id", F.monotonically_increasing_id())
+    elif surrogate == "hash":
+        keyed = enriched.withColumn(
+            "songplay_id",
+            F.xxhash64(
+                "session_id", "user_id", "start_time", "song_id", "location"
+            ),
+        )
     else:
         w = Window.partitionBy("year", "month").orderBy(
             F.desc("start_time"), F.desc("user_id")
