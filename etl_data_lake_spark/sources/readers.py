@@ -1,0 +1,99 @@
+"""Schema-first readers for the formats a lake ingests (JSON/CSV/
+Parquet), with explicit bad-record policy.
+
+The reference reads schemaless JSON and silently null-fills anything
+malformed (Spark PERMISSIVE default, etl.py:64,124). At 100 TB that
+policy hides corruption until an analyst finds the nulls; these
+readers make the choice explicit:
+
+* ``on_error='capture'`` (default): PERMISSIVE + a ``_corrupt``
+  column — bad rows survive, visibly quarantined, and
+  ``split_corrupt`` separates them for a dead-letter sink;
+* ``on_error='fail'``: FAILFAST — the job dies on first bad record;
+* ``on_error='drop'``: DROPMALFORMED — bad rows vanish (the only mode
+  with silent data loss; opt-in).
+
+Schemas are REQUIRED — inference is an extra full scan and a types
+lottery (SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt"
+
+_MODES = {"capture": "PERMISSIVE", "fail": "FAILFAST", "drop": "DROPMALFORMED"}
+
+
+def _with_corrupt(schema: StructType) -> StructType:
+    return StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    on_error: str = "capture",
+    **options: str,
+) -> DataFrame:
+    mode = _MODES[on_error]
+    reader = spark.read.option("mode", mode)
+    if on_error == "capture":
+        schema = _with_corrupt(schema)
+        reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.schema(schema).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    on_error: str = "capture",
+    header: bool = True,
+    delimiter: str = ",",
+    **options: str,
+) -> DataFrame:
+    mode = _MODES[on_error]
+    reader = (
+        spark.read.option("mode", mode)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+    )
+    if on_error == "capture":
+        schema = _with_corrupt(schema)
+        reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.schema(schema).csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Parquet is self-describing; the schema arg here PRUNES (and
+    type-checks) — only the requested columns reach the scan."""
+    return spark.read.schema(schema).parquet(path)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """→ (clean rows without the corrupt column, quarantined rows with
+    the raw record in ``_corrupt``). Use the second element as a
+    dead-letter sink input (it keeps all columns — partial parses are
+    diagnostic).
+
+    The parsed scan is cached first: Spark refuses any plan whose only
+    referenced scan column is the corrupt-record column (column
+    pruning would otherwise skip the very parse that populates it),
+    and caching the parsed batch is the documented contract for
+    splitting it. In a pipeline this materialization is the same one
+    the dead-letter write needs anyway.
+    """
+    if CORRUPT_COL not in df.columns:
+        return df, df.limit(0)
+    df = df.cache()
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    return clean, bad
