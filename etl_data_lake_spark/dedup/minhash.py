@@ -1,5 +1,9 @@
 """MinHash + LSH near-duplicate detection, DataFrame-native.
 
+(Min-wise independent permutations: Broder et al., STOC 1998; LSH
+banding scheme: Indyk & Motwani, STOC 1998 — both public-domain
+classics, parameters chosen for the S-curve noted below.)
+
 shingle → polynomial hash h → k permutations h_i = (a_i·h + b_i) mod P
 → per-doc signature (k mins, ONE hash aggregation) → band keys (r
 mins combined per band) → bucket self-join per band → candidate pairs

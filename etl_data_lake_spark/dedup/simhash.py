@@ -1,5 +1,8 @@
 """SimHash document fingerprints (near-dup via Hamming distance).
 
+(Charikar, "Similarity Estimation Techniques from Rounding
+Algorithms", STOC 2002.)
+
 Charikar-style: each distinct FEATURE (3-word shingle — unigrams are
 useless on small vocabularies: every doc shares most words and all
 fingerprints collapse into one Hamming ball) hashes to a 30-bit

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_data_lake_spark.pipeline import tables as T
 from etl_data_lake_spark.pipeline.schemas import LOG_SCHEMA, SONG_SCHEMA
 from etl_data_lake_spark.session import apply_runtime_confs
+from etl_data_lake_spark.sources.sinks import write_partitioned
 
 
 @dataclass
@@ -62,12 +63,7 @@ def read_log_data(spark: SparkSession, path: str) -> DataFrame:
 
 def _write(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ()) -> None:
     if partition_cols:
-        (
-            df.repartition(*[df[c] for c in partition_cols])
-            .write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .parquet(path)
-        )
+        write_partitioned(df, path, partition_cols)
     else:
         df.write.mode("overwrite").parquet(path)
 

@@ -1,4 +1,7 @@
-"""Sign-random-projection LSH for cosine ANN — the scale path.
+"""Sign-random-projection LSH for cosine ANN — a scale path.
+
+(Random hyperplane rounding per Charikar STOC 2002; multi-table
+scheme per Gionis/Indyk/Motwani VLDB 1999.)
 
 L hash tables × p hyperplanes: a vector's bucket in table t is the
 p-bit sign pattern of its projections onto that table's planes.

@@ -1,0 +1,91 @@
+"""Parquet sinks that manage FILE COUNT, not just correctness.
+
+The reference's ``partitionBy`` writes (etl.py:74-76, 167-169,
+203-204) inherit Spark's default behavior: every upstream task opens a
+file in every output partition it touches — N tasks × M partitions
+small files, the layout that kills 100 TB scans (footer reads and
+object-store listing dominate). Two tools:
+
+* :func:`write_partitioned` — repartitions ON THE PARTITION COLUMNS
+  (plus an optional within-partition file count) before the write, so
+  each output partition is owned by a bounded number of tasks;
+* :func:`compact` — rewrites an existing table to ~``target_mb``
+  files per directory, the periodic maintenance job every streaming
+  append sink (streaming_ingest) eventually needs.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...],
+    files_per_partition: int = 1,
+) -> None:
+    """Overwrite-write hive-partitioned parquet with a bounded file
+    count per partition directory.
+
+    files_per_partition > 1 adds a hash-spread second key so one huge
+    partition can still parallelize its write (pick roughly
+    partition_bytes / 256 MB at scale).
+    """
+    cols = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        spread = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        out = df.repartition(*cols, spread)
+    else:
+        out = df.repartition(*cols)
+    (
+        out.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def data_file_count(path: str) -> int:
+    return sum(1 for p in Path(path).rglob("*.parquet") if p.is_file())
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    partition_cols: tuple[str, ...] = (),
+    target_mb: int = 256,
+) -> int:
+    """Rewrite a parquet table with ~target_mb output files.
+
+    Reads, coalesces to max(total_bytes / target_mb, 1) tasks (per
+    partition directory when partitioned), and atomically replaces via
+    write-to-temp + rename. Returns the new file count. On object
+    stores the rename step becomes a metastore/table-format swap
+    (Delta/Iceberg); the sizing logic is the part that transfers.
+    """
+    total_bytes = sum(
+        p.stat().st_size for p in Path(path).rglob("*.parquet") if p.is_file()
+    )
+    n_files = max(int(total_bytes / (target_mb * 1024 * 1024)), 1)
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    if partition_cols:
+        (
+            df.repartition(n_files, *[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return data_file_count(path)

@@ -1,0 +1,58 @@
+"""Sink file-count management: bounded partitioned writes, compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_write_partitioned_bounds_files(spark, tmp_path):
+    from etl_data_lake_spark.sources.catalog import load_table
+    from etl_data_lake_spark.sources.sinks import (
+        data_file_count,
+        write_partitioned,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_part")
+    write_partitioned(orders, out, ("year",))
+    n_years = orders.select("year").distinct().count()
+    # exactly one file per partition directory
+    assert data_file_count(out) == n_years
+    got = spark.read.parquet(out)
+    assert got.count() == orders.count()
+
+
+def test_naive_write_makes_more_files_than_managed(spark, tmp_path):
+    """The failure mode write_partitioned exists for: many upstream
+    tasks x partitions -> file explosion."""
+    from etl_data_lake_spark.sources.catalog import load_table
+    from etl_data_lake_spark.sources.sinks import data_file_count
+
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .withColumn("year", F.year("o_orderdate"))
+        .repartition(8)  # simulate many upstream tasks
+    )
+    naive = str(tmp_path / "naive")
+    orders.write.mode("overwrite").partitionBy("year").parquet(naive)
+    n_years = orders.select("year").distinct().count()
+    assert data_file_count(naive) > n_years
+
+
+def test_compact_reduces_file_count_preserving_rows(spark, tmp_path):
+    from etl_data_lake_spark.sources.catalog import load_table
+    from etl_data_lake_spark.sources.sinks import compact, data_file_count
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    out = str(tmp_path / "li_small_files")
+    li.repartition(16).write.parquet(out)
+    before = data_file_count(out)
+    assert before >= 16
+    n_rows = li.count()
+    after = compact(spark, out, target_mb=256)
+    assert after < before
+    assert spark.read.parquet(out).count() == n_rows
