@@ -159,3 +159,96 @@ def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.datediff("l_shipdate", "o_orderdate").cast("long").alias("ship_lag_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semi/anti joins — the EXISTS / NOT EXISTS shapes. Spark plans both
+# sides as existence joins (no row multiplication, dim broadcastable).
+# --------------------------------------------------------------------------
+@register(
+    "semi_anti_join_customers",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+    """,
+    tags=("join", "semi", "anti"),
+)
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.where(F.col("o_orderstatus") == "O")
+    done_orders = orders.where(F.col("o_orderstatus") == "F")
+    return (
+        customer.join(
+            open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+        )
+        .join(
+            done_orders, customer.c_custkey == done_orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# INTERSECT — completes the set-operation family with
+# relational.setops_union_except.
+# --------------------------------------------------------------------------
+@register(
+    "setops_intersect",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("setops",),
+)
+def setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b)
+
+
+# --------------------------------------------------------------------------
+# PIVOT — wide conditional aggregation. The value list is EXPLICIT
+# (statuses F/O/P): an unlisted pivot forces an extra distinct-scan
+# job and a nondeterministic column order; never ship that at scale.
+# The oracle is the equivalent CASE WHEN conditional aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "pivot_status_counts",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS status_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS status_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS status_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("status_p"),
+    )
