@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -130,4 +131,59 @@ def sample_frames(media: DataFrame, stride: int = 4) -> DataFrame:
         media.filter(media.kind == "video")
         .select("media_id", "payload")
         .mapInPandas(fn, _FRAME_SCHEMA)
+    )
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("body", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 16, target_h: int = 16
+) -> DataFrame:
+    """Deterministic image 'resize': the FAKE1 stand-in treats the body
+    as a w×h byte raster and nearest-neighbor samples it down to
+    (target_w, target_h). A real pipeline swaps the inner function for
+    PIL/cv2 (codec.try_real_image_decode gates that); everything
+    around it — the kind filter BEFORE decode, the Arrow batch shape,
+    the declared binary output schema — is the production plumbing.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {"media_id": [], "width": [], "height": [], "body": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _kind, w, h, _nf, body = decode_payload(bytes(p))
+                raster = np.frombuffer(body, dtype=np.uint8)
+                n = min(len(raster), w * h)
+                # pad the undersized stand-in bodies so indexing is total
+                grid = np.zeros(w * h, dtype=np.uint8)
+                grid[:n] = raster[:n]
+                grid = grid.reshape(h, w) if w * h else grid.reshape(0, 0)
+                ys = (np.arange(target_h) * h // target_h) if h else []
+                xs = (np.arange(target_w) * w // target_w) if w else []
+                small = grid[np.ix_(ys, xs)] if h and w else np.zeros((0, 0))
+                out_rows["media_id"].append(int(mid))
+                out_rows["width"].append(target_w)
+                out_rows["height"].append(target_h)
+                out_rows["body"].append(small.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out_rows["media_id"], dtype="int64"),
+                    "width": pd.array(out_rows["width"], dtype="int32"),
+                    "height": pd.array(out_rows["height"], dtype="int32"),
+                    "body": out_rows["body"],
+                }
+            )
+
+    return (
+        media.filter(media.kind == "image")
+        .select("media_id", "payload")
+        .mapInPandas(fn, _RESIZE_SCHEMA)
     )

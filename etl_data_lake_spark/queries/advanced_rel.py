@@ -252,3 +252,33 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("status_o"),
         F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("status_p"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (linear interpolation — Spark `percentile` and
+# DuckDB `quantile_cont` implement the same estimator, verified to 6
+# decimals). Exact percentile buffers each group's values; at 100 TB
+# swap in approx_percentile (t-digest, mergeable, bounded memory) and
+# accept the documented error bound — the approx variant can't be
+# oracle-matched by construction, which is why the EXACT one is
+# registered.
+# --------------------------------------------------------------------------
+@register(
+    "percentile_prices",
+    oracle="""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "percentile"),
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )

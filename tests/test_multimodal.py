@@ -78,3 +78,21 @@ def test_media_queries_match_oracle(spark, name):
     assert len(g) == len(w) and len(g) > 0
     for c in cols:
         assert list(g[c]) == list(w[c]), c
+
+
+def test_resize_images_shapes(spark):
+    from etl_data_lake_spark.multimodal import fake_media_table
+    from etl_data_lake_spark.multimodal.decode import resize_images
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    media = fake_media_table(load_table(spark, SF_DIR, "documents"))
+    out = resize_images(media, target_w=8, target_h=8).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images > 0
+    for r in out:
+        assert (r.width, r.height) == (8, 8)
+        assert len(bytes(r.body)) == 64
+    # deterministic: same input -> identical bytes
+    again = {r.media_id: bytes(r.body) for r in
+             resize_images(media, target_w=8, target_h=8).collect()}
+    assert all(again[r.media_id] == bytes(r.body) for r in out)
