@@ -64,6 +64,16 @@ def ivf_topk(
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cos_sim, rank); self-matches excluded."""
     centroids = sample_centroids(corpus, n_cells, id_col, vec_col)
+    if not centroids:
+        # empty corpus: empty result with the contract schema
+        return (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.lit(0.0).alias("cos_sim"),
+                F.lit(0).cast("long").alias("rank"),
+            ).limit(0)
+        )
 
     c = fan_out(
         corpus.select(

@@ -1,0 +1,74 @@
+"""Degenerate-input hardening: every operator family returns an empty
+(not crashed) result on empty input — the property that matters when
+a 100 TB run's partition filter legitimately selects nothing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    return load_table(spark, SF_DIR, "documents").where(F.lit(False))
+
+
+def test_dedup_family_on_empty(spark, empty_docs):
+    from etl_data_lake_spark.dedup.jaccard import jaccard_pairs, shingle_table
+    from etl_data_lake_spark.dedup.minhash import minhash_lsh_pairs
+    from etl_data_lake_spark.dedup.simhash import simhash_table
+
+    assert minhash_lsh_pairs(empty_docs).count() == 0
+    assert simhash_table(empty_docs).count() == 0
+    assert jaccard_pairs(shingle_table(empty_docs)).count() == 0
+
+
+def test_similarity_on_empty_queries(spark):
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+    from etl_data_lake_spark.similarity.lsh import lsh_bucket_topk
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    from etl_data_lake_spark.similarity.ivf import ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    none = emb.where(F.lit(False))
+    assert cosine_topk(emb, none).count() == 0
+    assert lsh_bucket_topk(emb, none).count() == 0
+    # empty CORPUS with live queries must also be empty, not error
+    assert cosine_topk(none, emb.limit(2)).count() == 0
+    assert ivf_topk(none, emb.limit(2)).count() == 0
+
+
+def test_sessionize_and_multimodal_on_empty(spark, empty_docs):
+    from etl_data_lake_spark.multimodal import fake_media_table
+    from etl_data_lake_spark.multimodal.decode import decode_metadata
+    from etl_data_lake_spark.operators.windows import sessionize
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    events = load_table(spark, SF_DIR, "events").where(F.lit(False))
+    assert sessionize(events, "user_id", "ts", 30).count() == 0
+    media = fake_media_table(empty_docs)
+    assert decode_metadata(media).count() == 0
+
+
+def test_pipeline_builders_on_empty(spark):
+    from etl_data_lake_spark.pipeline.schemas import LOG_SCHEMA, SONG_SCHEMA
+    from etl_data_lake_spark.pipeline.tables import (
+        build_artists,
+        build_songplays,
+        build_songs,
+        build_time,
+        build_users,
+    )
+
+    song = spark.createDataFrame([], SONG_SCHEMA)
+    log = spark.createDataFrame([], LOG_SCHEMA)
+    songs, artists = build_songs(song), build_artists(song)
+    assert songs.count() == 0 and artists.count() == 0
+    assert build_users(log).count() == 0
+    assert build_time(log).count() == 0
+    assert build_songplays(log, songs, artists).count() == 0
