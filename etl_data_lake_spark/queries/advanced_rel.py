@@ -282,3 +282,48 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
         F.count("*").alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding windows: 1-hour windows every 15 minutes — each event lands
+# in 4 overlapping windows. Spark's F.window handles the fan-out
+# internally (Expand, then one aggregation shuffle); the oracle
+# reconstructs the same assignment by generating each event's 4
+# member windows explicitly.
+# --------------------------------------------------------------------------
+@register(
+    "events_sliding_window_1h_15m",
+    oracle="""
+        WITH member AS (
+            SELECT event_type, value,
+                   unnest(generate_series(
+                       time_bucket(INTERVAL 15 MINUTE, ts)
+                           - INTERVAL 45 MINUTE,
+                       time_bucket(INTERVAL 15 MINUTE, ts),
+                       INTERVAL 15 MINUTE)) AS window_start
+            FROM events
+        )
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM member
+        GROUP BY 1, 2
+    """,
+    tags=("window", "sliding", "streaming-shape"),
+)
+def events_sliding_window_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
