@@ -31,17 +31,28 @@ def shingle_table(
 ) -> DataFrame:
     """→ (doc_id, shingle) — distinct n-word shingles per document."""
     docs = fan_out(docs)
-    sh = docs.select(
+    if hashed:
+        # hash and dedup INSIDE the per-doc array (array_distinct over
+        # the hashed values — catches hash collisions within a doc),
+        # then explode: one narrow pass, no shuffle. A global
+        # .distinct() here would repartition the whole shingle table
+        # for a guarantee the per-doc array op already provides.
+        hashed_arr = F.array_distinct(
+            F.transform(
+                F.array_distinct(word_shingles(tokens(text_col), n)),
+                lambda s: poly_hash(s),
+            )
+        )
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(hashed_arr).alias("shingle"),
+        )
+    return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias(
             "shingle"
         ),
     )
-    if hashed:
-        # distinct AFTER hashing: two distinct shingles may collide, and
-        # the signature/verify math must see one row per (doc, hash)
-        sh = sh.select("doc_id", poly_hash("shingle").alias("shingle")).distinct()
-    return sh
 
 
 def jaccard_pairs(
