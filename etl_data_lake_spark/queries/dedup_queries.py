@@ -183,3 +183,40 @@ def _simhash_oracle() -> str:
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_table(docs)
+
+
+# --------------------------------------------------------------------------
+# Duplicate CLUSTERING: connected components over the MinHash-LSH pair
+# graph (iterative min-label propagation in Spark; the oracle closes
+# the same graph with a recursive CTE — viable because candidate
+# graphs are tiny relative to the corpus).
+# --------------------------------------------------------------------------
+def _cluster_oracle() -> str:
+    return f"""
+        WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(n, m) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src
+        )
+        SELECT n AS doc_id, MIN(m) AS cluster_id
+        FROM reach GROUP BY n
+    """
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=_cluster_oracle(),
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_lake_spark.dedup.cluster import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return connected_components(pairs)

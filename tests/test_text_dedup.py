@@ -73,3 +73,30 @@ def test_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
     out = df.select(F.size(word_shingles(tokens("text"))).alias("n")).collect()
     assert sorted(r.n for r in out) == [0, 2]
+
+
+def test_connected_components_known_graph(spark):
+    from etl_data_lake_spark.dedup.cluster import connected_components
+
+    # two components {1,2,3,4} (chain) and {10,11}; 99 isolated via self-pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_dedup_keep_canonical(spark):
+    from etl_data_lake_spark.dedup.cluster import dedup_keep_canonical
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 7)], ["doc_a", "doc_b"])
+    kept = dedup_keep_canonical(docs, pairs)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert {1, 2, 7}.isdisjoint(kept_ids)  # losers dropped
+    assert {0, 5}.issubset(kept_ids)  # canonical reps kept
+    assert kept.count() == docs.count() - 3
