@@ -89,3 +89,31 @@ def compact(
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return data_file_count(path)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...]
+) -> None:
+    """Overwrite ONLY the hive partitions present in ``df``, leaving
+    every other partition directory untouched — the idempotent
+    'reprocess one month' operation the reference can't do (its writes
+    either crash on rerun, quirk Q9, or would wipe the whole table
+    under mode=overwrite).
+
+    Uses Spark's dynamic partitionOverwriteMode scoped to this write;
+    the session-level setting is restored afterwards so callers keep
+    their own semantics.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, old)

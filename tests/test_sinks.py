@@ -56,3 +56,37 @@ def test_compact_reduces_file_count_preserving_rows(spark, tmp_path):
     after = compact(spark, out, target_mb=256)
     assert after < before
     assert spark.read.parquet(out).count() == n_rows
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from etl_data_lake_spark.sources.catalog import load_table
+    from etl_data_lake_spark.sources.sinks import (
+        overwrite_partitions_dynamic,
+        write_partitioned,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_dyn")
+    write_partitioned(orders, out, ("year",))
+    years = sorted(r.year for r in orders.select("year").distinct().collect())
+    target, others = years[0], years[1:]
+    before_other = (
+        spark.read.parquet(out).where(F.col("year") != target).count()
+    )
+
+    # "reprocess" one year: halve it, rewrite just that partition
+    redo = orders.where(F.col("year") == target).limit(10)
+    overwrite_partitions_dynamic(redo, out, ("year",))
+
+    after = spark.read.parquet(out)
+    assert after.where(F.col("year") == target).count() == 10
+    assert after.where(F.col("year") != target).count() == before_other
+    assert sorted(
+        r.year for r in after.select("year").distinct().collect()
+    ) == years
