@@ -71,3 +71,30 @@ def test_lsh_scores_are_exact_for_found_pairs(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert exact[key] == r.cos_sim
+
+
+def test_pandas_cosine_matches_fold_within_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from etl_data_lake_spark.functions.vectors import (
+        as_double,
+        cosine,
+        cosine_pandas_udf,
+    )
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    a = emb.alias("a").limit(50)
+    pairs = a.crossJoin(emb.alias("b").limit(50)).select(
+        F.col("a.v").alias("av"), F.col("b.v").alias("bv")
+    )
+    cos_pd = cosine_pandas_udf()
+    both = pairs.select(
+        cosine(F.col("av"), F.col("bv")).alias("fold"),
+        cos_pd(F.col("av"), F.col("bv")).alias("np"),
+    ).collect()
+    assert both
+    for r in both:
+        assert abs(r.fold - r.np) < 1e-9
