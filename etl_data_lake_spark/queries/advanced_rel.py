@@ -327,3 +327,21 @@ def events_sliding_window_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct (HyperLogLog++): the 100 TB companion to
+# distinct_agg_per_status. Sketches are mergeable (map-side partials,
+# no Expand), memory-bounded, and ~2% rsd by default — but not
+# bit-reproducible across engines, so this is a rows-only driver entry
+# with the accuracy bound pinned in tests instead of an oracle.
+# --------------------------------------------------------------------------
+@register("approx_distinct_customers", tags=("agg", "approx"))
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").cast("long").alias(
+            "n_customers_approx"
+        ),
+        F.count("*").alias("n_orders"),
+    )

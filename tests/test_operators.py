@@ -100,3 +100,26 @@ def test_broadcast_hint_survives_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from etl_data_lake_spark.queries.registry import queries
+    from etl_data_lake_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    approx = {
+        r.o_orderstatus: r.n_customers_approx
+        for r in queries()["approx_distinct_customers"](spark, SF_DIR).collect()
+    }
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.o_orderstatus: r.n
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(0.05 * exact[k], 2), k
