@@ -25,11 +25,19 @@ from etl_data_lake_spark.queries.registry import register
 from etl_data_lake_spark.sources.catalog import load_table
 
 _TOK = "regexp_split_to_array(trim(text), '\\s+')"
-_SHINGLE_STR = (
-    f"SELECT doc_id, unnest(list_transform(range(1, len({_TOK}) - 1),"
-    f" i -> ({_TOK})[i] || ' ' || ({_TOK})[i+1] || ' ' || ({_TOK})[i+2])) AS shingle"
-    f" FROM documents"
-)
+
+
+def _shingle_str(source: str = "documents") -> str:
+    """Shingle-exploding subquery over any (doc_id, text) relation —
+    composable so filtered-corpus pipelines reuse the exact math."""
+    return (
+        f"SELECT doc_id, unnest(list_transform(range(1, len({_TOK}) - 1),"
+        f" i -> ({_TOK})[i] || ' ' || ({_TOK})[i+1] || ' ' || ({_TOK})[i+2]))"
+        f" AS shingle FROM {source}"
+    )
+
+
+_SHINGLE_STR = _shingle_str()
 
 
 # --------------------------------------------------------------------------
@@ -95,7 +103,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-Jaccard verify at 0.5. The oracle below reproduces the integer
 # pipeline (generated from the same constants).
 # --------------------------------------------------------------------------
-def _minhash_oracle(k: int = 12, bands: int = 4, rows: int = 3) -> str:
+def _minhash_oracle(
+    k: int = 12, bands: int = 4, rows: int = 3, source: str = "documents"
+) -> str:
     mins = ",\n               ".join(
         f"MIN((shingle * {PERM_A[i]} + {PERM_B[i]}) % {MOD}) AS mh{i}"
         for i in range(k)
@@ -113,7 +123,7 @@ def _minhash_oracle(k: int = 12, bands: int = 4, rows: int = 3) -> str:
     return f"""
         WITH sh AS (
             SELECT DISTINCT doc_id, {sql_poly_hash('shingle')} AS shingle
-            FROM ({_SHINGLE_STR})
+            FROM ({_shingle_str(source)})
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         sigs AS (

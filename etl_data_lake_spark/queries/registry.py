@@ -47,6 +47,7 @@ def _load_all() -> None:
     # import for registration side effects
     from etl_data_lake_spark.queries import (  # noqa: F401
         advanced_rel,
+        curation,
         dedup_queries,
         golden,
         multimodal_queries,
