@@ -60,3 +60,30 @@ def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time watermark."""
     stream = sessionize_stream(event_stream(spark, sf_dir), gap_minutes=30)
     return run_available_now(stream, _unique("sess"), output_mode="append")
+
+
+@register(
+    "stream_sliding_window_1h_15m",
+    oracle="""
+        WITH member AS (
+            SELECT event_type,
+                   unnest(generate_series(
+                       time_bucket(INTERVAL 15 MINUTE, ts)
+                           - INTERVAL 45 MINUTE,
+                       time_bucket(INTERVAL 15 MINUTE, ts),
+                       INTERVAL 15 MINUTE)) AS window_start
+            FROM events
+        )
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM member
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_window_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_lake_spark.streaming.events import sliding_counts
+
+    stream = sliding_counts(event_stream(spark, sf_dir))
+    return run_available_now(stream, _unique("slide"))

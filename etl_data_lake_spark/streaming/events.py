@@ -85,6 +85,30 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Overlapping windows (each event in size/slide windows) under a
+    watermark — the streaming twin of
+    queries.advanced_rel.events_sliding_window_1h_15m. State is
+    size/slide× the tumbling case; the watermark bounds it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), size, slide).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 _SESSION_OUT = StructType(
     [
         StructField("user_id", LongType()),
