@@ -54,3 +54,63 @@ def test_stateful_sessionizer_closed_sessions_match_batch(spark):
     assert got <= batch, f"stream emitted sessions batch doesn't have: {got - batch}"
     # most sessions close within the fixture's time range
     assert len(got) >= len(batch) * 0.5
+
+
+def test_foreach_batch_upsert_latest_wins(spark, tmp_path):
+    """Stream of user-level records with later corrections: the upsert
+    sink keeps exactly one row per key — the newest."""
+    import json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_data_lake_spark.streaming.upsert import run_upsert_backfill
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("level", StringType()),
+            StructField("updated_at", LongType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "level": "free", "updated_at": 100},
+                {"user_id": 2, "level": "free", "updated_at": 100},
+                {"user_id": 3, "level": "paid", "updated_at": 100},
+            ]
+        )
+    )
+    (src / "b.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "level": "paid", "updated_at": 200},  # correction
+                {"user_id": 4, "level": "free", "updated_at": 150},  # new key
+            ]
+        )
+    )
+    out = str(tmp_path / "users_table")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    run_upsert_backfill(stream, out, ["user_id"], "updated_at")
+
+    got = {
+        r.user_id: (r.level, r.updated_at)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        1: ("paid", 200),
+        2: ("free", 100),
+        3: ("paid", 100),
+        4: ("free", 150),
+    }
