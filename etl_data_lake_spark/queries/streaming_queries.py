@@ -87,3 +87,34 @@ def stream_sliding_window_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = sliding_counts(event_stream(spark, sf_dir))
     return run_available_now(stream, _unique("slide"))
+
+
+_ATTRIBUTION_ORACLE = """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL 10 MINUTE
+"""
+
+
+@register(
+    "stream_stream_attribution_join",
+    oracle=_ATTRIBUTION_ORACLE,
+    tags=("streaming", "join", "stateful"),
+)
+def stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (click→purchase within
+    10 min); the availableNow replay must equal the batch self-join
+    the oracle runs."""
+    from etl_data_lake_spark.streaming.events import attribution_join
+
+    stream = attribution_join(event_stream(spark, sf_dir))
+    return run_available_now(stream, _unique("attr"), output_mode="append")

@@ -220,3 +220,52 @@ def run_available_now(
         )
         q.awaitTermination()
     return spark.table(query_name)
+
+
+def attribution_join(
+    events: DataFrame, window_minutes: int = 10, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase attributed to every
+    click by the same user in the preceding ``window_minutes``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time — the two requirements that let Spark EVICT join state (a
+    click older than the window + watermark can never match again).
+    Without the time bound the state grows forever; this is the
+    canonical stream-stream join shape.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (
+            purchases.purchase_ts
+            < clicks.click_ts + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond).select(
+        "user_id",
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_time"
+        ),
+        "purchase_value",
+    )
