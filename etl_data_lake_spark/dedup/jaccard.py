@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_data_lake_spark.functions.text import poly_hash, tokens, word_shingles
+from etl_data_lake_spark.functions.text import (
+    compose_shingle_hashes,
+    poly_hash,
+    tokens,
+    word_shingles,
+)
 from etl_data_lake_spark.sources.catalog import fan_out
 
 
@@ -33,19 +38,20 @@ def shingle_table(
     docs = fan_out(docs)
     if hashed:
         # hash and dedup INSIDE the per-doc array (array_distinct over
-        # the hashed values — catches hash collisions within a doc),
-        # then explode: one narrow pass, no shuffle. A global
-        # .distinct() here would repartition the whole shingle table
-        # for a guarantee the per-doc array op already provides.
-        hashed_arr = F.array_distinct(
-            F.transform(
-                F.array_distinct(word_shingles(tokens(text_col), n)),
-                lambda s: poly_hash(s),
-            )
-        )
-        return docs.select(
+        # the hashed values — catches collisions within a doc), then
+        # explode: one narrow pass, no shuffle. Hashes are COMPOSED
+        # from per-token hashes (each token char-folded once) — no
+        # shingle strings are ever materialized; the SQL oracle twin
+        # implements the identical composition.
+        token_hashes = docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(hashed_arr).alias("shingle"),
+            F.transform(tokens(text_col), lambda t: poly_hash(t)).alias("th"),
+        )
+        return token_hashes.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(compose_shingle_hashes(F.col("th"), n))
+            ).alias("shingle"),
         )
     return docs.select(
         F.col(id_col).alias("doc_id"),

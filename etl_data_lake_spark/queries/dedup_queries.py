@@ -20,7 +20,11 @@ from etl_data_lake_spark.dedup.minhash import (
     minhash_lsh_pairs,
 )
 from etl_data_lake_spark.dedup.simhash import N_BITS, simhash_table
-from etl_data_lake_spark.functions.text import MOD, sql_poly_hash
+from etl_data_lake_spark.functions.text import (
+    MOD,
+    sql_hashed_word_shingles,
+    sql_poly_hash,
+)
 from etl_data_lake_spark.queries.registry import register
 from etl_data_lake_spark.sources.catalog import load_table
 
@@ -122,8 +126,9 @@ def _minhash_oracle(
     band_tbl = "\n            UNION ALL ".join(band_selects)
     return f"""
         WITH sh AS (
-            SELECT DISTINCT doc_id, {sql_poly_hash('shingle')} AS shingle
-            FROM ({_shingle_str(source)})
+            SELECT DISTINCT doc_id,
+                   unnest({sql_hashed_word_shingles(_TOK)}) AS shingle
+            FROM {source}
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         sigs AS (
@@ -177,8 +182,9 @@ def _simhash_oracle() -> str:
     )
     return f"""
         WITH hashed AS (
-            SELECT DISTINCT doc_id, {sql_poly_hash('shingle')} AS h
-            FROM ({_SHINGLE_STR})
+            SELECT DISTINCT doc_id,
+                   unnest({sql_hashed_word_shingles(_TOK)}) AS h
+            FROM documents
         ),
         bit_sums AS (
             SELECT doc_id,
