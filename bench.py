@@ -30,7 +30,12 @@ HEADLINE = [
     # extension operators (registered in later phases; skipped if absent)
     "text_quality_scores",
     "dedup_minhash_lsh_pairs",
+    "dedup_minhash_clusters",
+    "corpus_curation_pipeline",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "media_histogram_stats",
+    "stream_tumbling_window_1h",
 ]
 
 
@@ -47,6 +52,11 @@ def main() -> None:
     qs = queries()
 
     def run(name: str) -> float:
+        # per-query isolation: a query may persist() intermediates for
+        # its own plan (e.g. the shingle table feeding three consumers);
+        # dropping them between queries keeps each number independent
+        # of what ran before it.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)

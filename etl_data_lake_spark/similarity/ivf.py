@@ -4,19 +4,41 @@ The other approximate path besides sign-random-projection LSH
 (lsh.py): partition the corpus into cells around coarse centroids;
 a query scores only the cells its ``nprobe`` nearest centroids own.
 
-Centroids are a deterministic sample of the corpus itself (first
-``n_cells`` vectors by id) — real IVF trains k-means, but corpus
-samples already land in the data's distribution, need no fit
-iterations, and keep runs reproducible. The sample is the ONLY
+Centroids are a deterministic sample of the corpus itself — real IVF
+trains k-means, but corpus samples already land in the data's
+distribution, need no fit iterations, and keep runs reproducible.
+Sampling orders by ``hash(id)`` (distributed top-k,
+TakeOrderedAndProject — one scan, no shuffle), so the sample spreads
+across the whole corpus instead of taking an id prefix, which at
+100 TB would concentrate every centroid in whatever locality the
+lowest ids share (one tenant, one crawl day). The sample is the ONLY
 driver-side collect: n_cells × dims floats, broadcast back as
-literals — at 100 TB you would sample ids instead of taking a prefix,
-the rest is unchanged.
+literals.
 
-Cell assignment is one narrow JVM-side pass (array_max over
-struct(sim, cid) — no shuffle, no Python); the candidate join shuffles
-only on the cell id; exact cosine re-scores candidates. Recall vs the
-brute-force baseline is asserted in tests/test_similarity.py, not
-assumed.
+Cell assignment is one Arrow-batched numpy pass (batch × centroid
+matmul — one BLAS call per batch, no shuffle): assigning every corpus
+vector to n_cells centroids is a dense matrix product, exactly the
+wide-vector regime where the JVM fold loses to numpy by an order of
+magnitude (an earlier fold-based assigner made IVF *slower* than brute
+force at 16 cells — measured 10s vs 1.2s at sf0.1). The candidate join
+shuffles only on the cell id; the exact JVM-fold cosine re-scores
+candidates, so every EMITTED score stays bit-deterministic — numpy
+only picks which cells get scanned. Recall vs the brute-force baseline
+is asserted in tests/test_similarity.py, not assumed — including the
+probe sweep: recall@10 is monotone in nprobe and exactly 1.0 at
+nprobe == n_cells (full probe ≡ exhaustive).
+
+Measured curve (sf0.01 embeddings, 500 random vectors — the quantizer's
+worst case, no cluster structure — 20 queries, n_cells=16):
+
+    nprobe   1     2     4     8     16
+    scanned  6%    12%   25%   50%   100%
+    recall   0.17  0.32  0.50  0.75  1.00
+
+Random data gives recall ≈ fraction scanned (as theory predicts); on
+real embedding corpora with cluster structure the curve bends sharply
+upward, which is the only reason IVF exists. nprobe is the knob a
+caller turns per query-latency budget.
 """
 
 from __future__ import annotations
@@ -28,17 +50,27 @@ from etl_data_lake_spark.functions.vectors import as_double, cosine
 from etl_data_lake_spark.sources.catalog import fan_out
 
 
-def _centroid_sims(v: Column, centroids: list[list[float]]) -> Column:
-    """array<struct<sim,cid>> of similarities to every centroid."""
-    return F.array(
-        *[
-            F.struct(
-                cosine(v, F.array(*[F.lit(x) for x in c])).alias("sim"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+def _probe_udf(centroids: list[list[float]], nprobe: int):
+    """Pandas UDF: vector → its ``nprobe`` nearest cell ids (cosine,
+    descending; ties stable toward the lower cid). The normalized
+    centroid matrix is captured in the closure and ships once per
+    task, not per row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
+
+    def probes(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(vs.to_numpy()).astype(np.float64)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        order = np.argsort(-(vn @ cn.T), axis=1, kind="stable")
+        return pd.Series(list(order[:, :nprobe].astype("int32")))
+
+    return pandas_udf(probes, "array<int>", PandasUDFType.SCALAR)
 
 
 def sample_centroids(
@@ -46,7 +78,7 @@ def sample_centroids(
 ) -> list[list[float]]:
     rows = (
         corpus.select(F.col(id_col).alias("i"), as_double(vec_col).alias("v"))
-        .orderBy("i")
+        .orderBy(F.hash("i"), "i")
         .limit(n_cells)
         .collect()
     )
@@ -81,25 +113,17 @@ def ivf_topk(
         )
     )
     # corpus side: each vector lives in exactly ONE cell (its argmax
-    # centroid; struct ordering breaks sim ties toward the higher cid)
-    cb = c.withColumn(
-        "cell", F.array_max(_centroid_sims(F.col("cv"), centroids)).getField("cid")
-    )
+    # centroid)
+    assign = _probe_udf(centroids, 1)
+    cb = c.withColumn("cell", F.element_at(assign(F.col("cv")), 1))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
     # query side: probe the nprobe nearest cells
-    qb = (
-        q.withColumn(
-            "probes",
-            F.slice(
-                F.reverse(F.array_sort(_centroid_sims(F.col("qv"), centroids))),
-                1,
-                nprobe,
-            ),
-        )
-        .select("query_id", "qv", F.explode("probes.cid").alias("cell"))
+    probe = _probe_udf(centroids, nprobe)
+    qb = q.select(
+        "query_id", "qv", F.explode(probe(F.col("qv"))).alias("cell")
     )
 
     cand = (

@@ -54,6 +54,32 @@ def test_ivf_recall_vs_bruteforce(spark):
             assert exact_scores[key] == r.cos_sim
 
 
+def test_ivf_recall_sweep_monotone_to_exact(spark):
+    """Probe-count sweep: recall vs brute force is non-decreasing in
+    nprobe (more cells scanned can only add candidates, and the exact
+    re-score keeps ranking consistent), and nprobe == n_cells probes
+    every cell — the candidate set is the whole corpus, so the result
+    must EQUAL the brute-force top-k (same rounding, same tiebreak)."""
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+    from etl_data_lake_spark.similarity.ivf import ivf_topk
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    recalls = []
+    for nprobe in (1, 4, 8, 16):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, queries, k=10, n_cells=16, nprobe=nprobe).collect()
+        }
+        recalls.append(len(exact & approx) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone in nprobe: {recalls}"
+    assert recalls[-1] == 1.0, f"full probe must be exhaustive, got {recalls[-1]}"
+
+
 def test_lsh_scores_are_exact_for_found_pairs(spark):
     """LSH approximates the CANDIDATE SET, never the score: any pair
     both paths return must carry the identical cosine."""
