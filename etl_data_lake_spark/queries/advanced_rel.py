@@ -345,3 +345,81 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUBE: all four grouping combinations of (status, priority) in one
+# pass — Spark plans rollup/cube as a single Expand + hash aggregate,
+# so the cost is one shuffle regardless of how many grouping sets the
+# lattice has. Null grouping markers are labeled '<all>' on both
+# engines (the grouping columns themselves are non-null in testdata).
+# --------------------------------------------------------------------------
+@register(
+    "cube_orders_revenue",
+    oracle=f"""
+        SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
+               COALESCE(o_orderpriority, '<all>') AS orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_sum_money('o_totalprice')} AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            sum_money(F.col("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("orderpriority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window FRAME spec (ROWS BETWEEN): trailing-4-order spend per
+# customer. The frame makes the window a sliding aggregate, not a
+# running one; (o_orderdate, o_orderkey) is a total order per
+# partition so the frame content — and therefore the sum — is
+# deterministic. Money stays in scaled-long space inside the window
+# aggregation for cross-engine bit equality.
+# --------------------------------------------------------------------------
+@register(
+    "window_frame_trailing_spend",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / 100.0 AS trailing_spend
+        FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def window_frame_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_data_lake_spark.functions.money import to_scaled_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(to_scaled_long(F.col("o_totalprice"))).over(w).cast("double")
+            / F.lit(100.0)
+        ).alias("trailing_spend"),
+    )

@@ -118,3 +118,23 @@ def stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFram
 
     stream = attribution_join(event_stream(spark, sf_dir))
     return run_available_now(stream, _unique("attr"), output_mode="append")
+
+
+@register(
+    "stream_dedup_exactly_once",
+    oracle="SELECT event_id, event_type FROM events",
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → exactly-once: the source is unioned with itself
+    (every event delivered twice, the redelivery failure mode a
+    distributed log ingest must survive) and
+    dropDuplicatesWithinWatermark recovers exactly one row per
+    event_id — the oracle is simply the single-copy table, so the
+    driver checks the dedup actually removed the duplication."""
+    from etl_data_lake_spark.streaming.events import dedup_exactly_once
+
+    s = event_stream(spark, sf_dir)
+    redelivered = s.union(event_stream(spark, sf_dir))
+    stream = dedup_exactly_once(redelivered)
+    return run_available_now(stream, _unique("dedup"), output_mode="append")

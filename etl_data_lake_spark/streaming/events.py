@@ -197,6 +197,21 @@ def sessionize_stream(
     )
 
 
+def dedup_exactly_once(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """At-least-once delivery → exactly-once processing: drop replayed
+    events by ``event_id``, keeping dedup state only for ids whose
+    event-time is still inside the watermark (``
+    dropDuplicatesWithinWatermark``) — without the watermark bound the
+    id set grows forever, which is the failure mode that matters on an
+    unbounded 100 TB ingest, not the dedup itself. Emits each id's
+    first-seen row (append semantics, no aggregation state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+
+
 def run_available_now(
     result: DataFrame, query_name: str = "snap", output_mode: str = "complete"
 ) -> DataFrame:
