@@ -423,3 +423,78 @@ def window_frame_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("trailing_spend"),
     )
+
+
+# --------------------------------------------------------------------------
+# Arg-max aggregation (max_by / min_by): "the row that attains the
+# extreme" without a self-join or window — one hash aggregate, the
+# cheapest formulation at scale. DuckDB's arg_max only takes scalar
+# keys, so the (price, orderkey) tiebreak is packed into one BIGINT:
+# scaled_price·10¹⁰ + orderkey, exact while scaled price < 9.2·10⁸
+# and orderkey < 10¹⁰ (testdata maxima are orders of magnitude below
+# both bounds).
+# --------------------------------------------------------------------------
+_PACK = 10_000_000_000
+
+
+@register(
+    "argmax_order_per_customer",
+    oracle=f"""
+        SELECT o_custkey,
+               arg_max(o_orderkey,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) * {_PACK}
+                           + o_orderkey) AS top_orderkey,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS top_price
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    tags=("agg", "argmax"),
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_lake_spark.functions.money import to_scaled_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    packed = to_scaled_long(F.col("o_totalprice")) * F.lit(_PACK) + F.col(
+        "o_orderkey"
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", packed).alias("top_orderkey"),
+        (F.max(to_scaled_long(F.col("o_totalprice"))).cast("double") / F.lit(100.0)).alias(
+            "top_price"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS through the SQL entry point (the DataFrame API only
+# exposes the rollup/cube special cases): an explicit, non-lattice
+# set list — per (status), per (priority), and the grand total, but
+# NOT the (status, priority) cross — still one Expand + one shuffle.
+# Also exercises spark.sql() as a first-class query surface.
+# --------------------------------------------------------------------------
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+        SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
+               COALESCE(o_orderpriority, '<all>') AS orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_sum_money('o_totalprice')} AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping-sets", "sql"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
+               COALESCE(o_orderpriority, '<all>') AS orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

@@ -75,3 +75,23 @@ def test_parquet_reader_prunes(spark):
     assert df.columns == ["o_orderkey"]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "o_totalprice" not in plan  # scan reads only the asked column
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC source/sink (built-in columnar alternative to parquet):
+    schema and values survive a write/read cycle, and predicate
+    pushdown reaches the ORC scan like it does for parquet."""
+    from pyspark.sql import functions as F
+
+    from etl_data_lake_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    out = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    lo = back.where(F.col("o_orderkey") < 100)
+    plan = lo._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan

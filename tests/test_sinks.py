@@ -90,3 +90,41 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(
     assert sorted(
         r.year for r in after.select("year").distinct().collect()
     ) == years
+
+
+def test_range_clustered_layout_enables_file_skipping(spark, tmp_path):
+    """Range clustering must produce files with disjoint cluster-key
+    ranges (footer min/max stats), so a point predicate prunes to ONE
+    file — the data-skipping property, asserted from the actual
+    parquet metadata rather than assumed."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from etl_data_lake_spark.sources.catalog import load_table
+    from etl_data_lake_spark.sources.sinks import write_range_clustered
+
+    orders = load_table(spark, SF_DIR, "orders")
+    out = str(tmp_path / "orders_clustered")
+    write_range_clustered(orders, out, ("o_custkey",), n_files=8)
+
+    ranges = []
+    for p in Path(out).rglob("*.parquet"):
+        md = pq.read_metadata(p)
+        idx = md.schema.names.index("o_custkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, f"file ranges overlap: ({lo_a},{hi_a}) vs {lo_b}"
+
+    # a point predicate's key range contains exactly one file
+    probe = ranges[len(ranges) // 2][0]
+    containing = [r for r in ranges if r[0] <= probe <= r[1]]
+    assert len(containing) == 1
+    # and nothing was lost
+    assert spark.read.parquet(out).count() == orders.count()
