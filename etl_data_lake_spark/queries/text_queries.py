@@ -205,3 +205,38 @@ def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("freq"), F.countDistinct("doc_id").alias("doc_freq")
     )
     return top_k(counts, [F.desc("freq"), F.asc("token")], 20)
+
+
+# --------------------------------------------------------------------------
+# BPE-style pre-tokenization: the GPT-2-family splitter shape
+# (contraction suffixes | space-prefixed letter runs | digit runs |
+# punctuation runs) as a real regex tokenizer, not the len/4 proxy in
+# text_token_counts. Counting pre-tokens is the unit "token budget"
+# accounting is done in before a vocabulary is even chosen. Java regex
+# (Spark) and RE2 (DuckDB) agree exactly on this pattern class —
+# verified over the corpus, not assumed. One narrow projection, no
+# shuffle; the regex runs codegen-side per row.
+# --------------------------------------------------------------------------
+_BPE_PAT = r"'[a-z]+| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+@register(
+    "text_bpe_pretokens",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '{_BPE_PAT.replace("'", "''")}')) AS BIGINT) AS n_pretokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0)))
+        .cast("long")
+        .alias("n_pretokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
