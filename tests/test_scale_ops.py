@@ -79,3 +79,44 @@ def test_two_phase_agg_matches_plain(spark):
         for r in two_phase_agg_count(li, "l_returnflag", salts=4).collect()
     }
     assert got == plain
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The runtime half of the skew story (operators/skew.py salting
+    is the static half): with skew-join mitigation on, AQE must detect
+    the hot key's oversized shuffle partition and split it — the final
+    adaptive plan says so explicitly (SortMergeJoin(skew=true) reading
+    an 'AQEShuffleRead ... skewed'). Thresholds are scaled down to make
+    a 500k-row fixture exhibit what a 100 TB hot key does naturally."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("r")
+        )
+        res = left.join(right, "k").agg(F.count("*").alias("n"))
+        assert res.collect()[0].n == 500_000
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
