@@ -187,3 +187,52 @@ def resize_images(
         .select("media_id", "payload")
         .mapInPandas(fn, _RESIZE_SCHEMA)
     )
+
+
+_AUDIO_WIN_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", FloatType()),
+    ]
+)
+
+
+def audio_windows(media: DataFrame, frame: int = 256, hop: int = 128) -> DataFrame:
+    """Overlapping fixed-size sample windows per audio payload (the
+    STFT-style framing every audio feature extractor starts with):
+    windows start every ``hop`` bytes, take up to ``frame`` samples
+    (tail windows truncate), and carry their RMS energy. So
+    n_windows = ceil(body_bytes / hop) — an invariant an external
+    oracle can compute from the payload size alone. The stand-in
+    treats body bytes as unsigned 8-bit PCM; a real pipeline swaps the
+    inner two lines for soundfile/librosa decode, the framing math and
+    the fan-out shape stay."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "window_idx": [], "n_samples": [], "rms": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _kind, _w, _h, _nf, body = decode_payload(bytes(p))
+                samples = np.frombuffer(body, dtype=np.uint8).astype(np.float64)
+                for i, off in enumerate(range(0, len(samples), hop)):
+                    wnd = samples[off : off + frame]
+                    out["media_id"].append(int(mid))
+                    out["window_idx"].append(i)
+                    out["n_samples"].append(len(wnd))
+                    out["rms"].append(float(np.sqrt(np.mean(wnd * wnd))))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out["media_id"], dtype="int64"),
+                    "window_idx": pd.array(out["window_idx"], dtype="int32"),
+                    "n_samples": pd.array(out["n_samples"], dtype="int32"),
+                    "rms": pd.array(out["rms"], dtype="float32"),
+                }
+            )
+
+    return (
+        media.filter(media.kind == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(fn, _AUDIO_WIN_SCHEMA)
+    )

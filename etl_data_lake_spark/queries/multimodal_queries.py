@@ -109,3 +109,40 @@ def media_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_bytes"),
     )
+
+
+@register(
+    "media_audio_windows",
+    oracle="""
+        WITH a AS (
+            SELECT doc_id, octet_length(encode(text)) AS nb
+            FROM documents
+            WHERE doc_id % 3 = 1 AND octet_length(encode(text)) > 0
+        )
+        SELECT doc_id AS media_id,
+               CAST(CEIL(nb / 128.0) AS BIGINT) AS n_windows,
+               CAST(CEIL(nb / 128.0) * (CEIL(nb / 128.0) - 1) / 2 AS BIGINT)
+                   AS idx_sum
+        FROM a
+    """,
+    tags=("multimodal", "audio", "fanout"),
+)
+def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STFT-style audio framing (frame=256, hop=128) reduced to
+    per-media invariants the oracle can recompute from payload size:
+    window count = ceil(body/hop) and the 0..n-1 window-index sum.
+    Windows only count if their decoded RMS and sample count are
+    in-range, so a Python stage emitting garbage energies or
+    mis-sliced windows breaks the match — the plumbing AND the
+    framing math are both under test."""
+    from etl_data_lake_spark.multimodal.decode import audio_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    wnd = audio_windows(fake_media_table(docs), frame=256, hop=128)
+    valid = wnd.where(
+        F.col("rms").between(0.0, 255.0) & F.col("n_samples").between(1, 256)
+    )
+    return valid.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum("window_idx").cast("long").alias("idx_sum"),
+    )

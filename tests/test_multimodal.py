@@ -96,3 +96,32 @@ def test_resize_images_shapes(spark):
     again = {r.media_id: bytes(r.body) for r in
              resize_images(media, target_w=8, target_h=8).collect()}
     assert all(again[r.media_id] == bytes(r.body) for r in out)
+
+
+def test_audio_windows_framing_semantics(spark):
+    """Exact framing on a crafted payload: 300 body bytes at
+    (frame=256, hop=128) → windows [0:256], [128:300], [256:300] with
+    known RMS values."""
+    import math
+
+    from etl_data_lake_spark.multimodal.codec import encode_payload, kind_of
+    from etl_data_lake_spark.multimodal.decode import audio_windows
+
+    # doc_id=1 is 'audio' (kind_of = doc_id % 3); body = 300 x 'a'
+    assert kind_of(1) == "audio"
+    payload = encode_payload(1, "a" * 300)
+    media = spark.createDataFrame(
+        [(1, "audio", 0, 0, 1, bytearray(payload))],
+        "media_id long, kind string, width int, height int, n_frames int,"
+        " payload binary",
+    )
+    rows = sorted(
+        audio_windows(media, frame=256, hop=128).collect(),
+        key=lambda r: r.window_idx,
+    )
+    assert [(r.window_idx, r.n_samples) for r in rows] == [
+        (0, 256), (1, 172), (2, 44)
+    ]
+    # constant signal: RMS == the byte value for every window
+    for r in rows:
+        assert math.isclose(r.rms, float(ord("a")), rel_tol=1e-6)
