@@ -18,24 +18,25 @@ HEADLINE = [
     "q01_top_parts_by_lineitems",
     "agg_pricing_summary",
     "multiway_join_revenue",
-    "join_compound_key",
     "golden_q2_top_customers",
     "window_surrogate_key",
-    "window_sessionize",
-    "events_tumbling_window_1h",
+    "window_lag_rank_running",
     "asof_join_latest_order",
     "time_dimension",
     "events_session_window_agg",
     "range_join_ship_lag",
     # extension operators (registered in later phases; skipped if absent)
     "text_quality_scores",
+    "text_token_counts",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_clusters",
     "corpus_curation_pipeline",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "media_histogram_stats",
+    "media_audio_windows",
     "stream_tumbling_window_1h",
+    "stream_dedup_exactly_once",
 ]
 
 

@@ -71,19 +71,10 @@ def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROLLUP: per-(returnflag, linestatus) revenue with subtotals and a
 # grand total — the partial-aggregate tree Spark executes as ONE
 # shuffle with Expand, not one job per grouping level.
+# Library surface only (50-entry driver cap): the Expand-lattice driver
+# signal rides on cube_orders_revenue (superset lattice) and
+# grouping_sets_revenue (explicit set list through spark.sql).
 # --------------------------------------------------------------------------
-@register(
-    "rollup_revenue",
-    oracle=f"""
-        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
-               COALESCE(l_linestatus, '<all>') AS linestatus,
-               CAST(COUNT(*) AS BIGINT) AS n_items,
-               {sql_sum_money('l_extendedprice')} AS revenue
-        FROM lineitem
-        GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    tags=("agg", "rollup"),
-)
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -196,29 +187,6 @@ def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# INTERSECT — completes the set-operation family with
-# relational.setops_union_except.
-# --------------------------------------------------------------------------
-@register(
-    "setops_intersect",
-    oracle="""
-        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        INTERSECT
-        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    """,
-    tags=("setops",),
-)
-def setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    a = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    b = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return a.intersect(b)
-
-
-# --------------------------------------------------------------------------
 # PIVOT — wide conditional aggregation. The value list is EXPLICIT
 # (statuses F/O/P): an unlisted pivot forces an extra distinct-scan
 # job and a nondeterministic column order; never ship that at scale.
@@ -290,27 +258,11 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 # internally (Expand, then one aggregation shuffle); the oracle
 # reconstructs the same assignment by generating each event's 4
 # member windows explicitly.
+# Library surface only (50-entry driver cap): the identical plan runs
+# driver-checked as stream_sliding_window_1h_15m against the SAME
+# oracle, so the driver still verifies these semantics (and batch ≡
+# stream on top).
 # --------------------------------------------------------------------------
-@register(
-    "events_sliding_window_1h_15m",
-    oracle="""
-        WITH member AS (
-            SELECT event_type, value,
-                   unnest(generate_series(
-                       time_bucket(INTERVAL 15 MINUTE, ts)
-                           - INTERVAL 45 MINUTE,
-                       time_bucket(INTERVAL 15 MINUTE, ts),
-                       INTERVAL 15 MINUTE)) AS window_start
-            FROM events
-        )
-        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
-               event_type,
-               CAST(COUNT(*) AS BIGINT) AS n_events
-        FROM member
-        GROUP BY 1, 2
-    """,
-    tags=("window", "sliding", "streaming-shape"),
-)
 def events_sliding_window_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (

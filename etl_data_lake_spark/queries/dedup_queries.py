@@ -22,6 +22,7 @@ from etl_data_lake_spark.dedup.minhash import (
 from etl_data_lake_spark.dedup.simhash import N_BITS, simhash_table
 from etl_data_lake_spark.functions.text import (
     MOD,
+    poly_hash,
     sql_hashed_word_shingles,
     sql_poly_hash,
 )
@@ -171,7 +172,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash fingerprints (per-doc; Hamming pairing exercised in tests)
+# Per-doc hash fingerprints: SimHash (Hamming pairing exercised in
+# tests) + char-level polynomial rolling hash + md5 content address —
+# formerly the separate text_fingerprints entry, folded in under the
+# 50-entry driver cap; all three are per-doc hash projections, one
+# narrow join on doc_id after the shingle aggregate.
 # --------------------------------------------------------------------------
 def _simhash_oracle() -> str:
     bit_sums = ",\n               ".join(
@@ -191,14 +196,22 @@ def _simhash_oracle() -> str:
                {bit_sums}
             FROM hashed GROUP BY doc_id
         )
-        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bit_sums
+        SELECT b.doc_id, CAST({fp} AS BIGINT) AS simhash,
+               {sql_poly_hash('d.text')} AS fingerprint,
+               md5(d.text) AS content_md5
+        FROM bit_sums b JOIN documents d ON b.doc_id = d.doc_id
     """
 
 
 @register("text_simhash", oracle=_simhash_oracle(), tags=("dedup", "hash"))
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_table(docs)
+    fingerprints = docs.select(
+        "doc_id",
+        poly_hash("text").alias("fingerprint"),
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+    )
+    return simhash_table(docs).join(fingerprints, "doc_id")
 
 
 # --------------------------------------------------------------------------

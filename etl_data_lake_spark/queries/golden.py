@@ -118,20 +118,10 @@ def golden_q4_top_days_of_top_user(spark: SparkSession, sf_dir: str) -> DataFram
 # Streaming anchor: tumbling 1-hour windowed aggregate over events in
 # BATCH mode. streaming/events.py runs the identical plan with
 # readStream + watermark; tests assert batch ≡ stream.
+# Library surface only (50-entry driver cap): stream_tumbling_window_1h
+# runs driver-checked against the SAME oracle, so the driver verifies
+# these semantics plus batch ≡ stream.
 # --------------------------------------------------------------------------
-@register(
-    "events_tumbling_window_1h",
-    oracle=f"""
-        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
-                   AS window_start,
-               event_type,
-               COUNT(*) AS n_events,
-               {sql_sum_money('value')} AS total_value
-        FROM events
-        GROUP BY 1, 2
-    """,
-    tags=("streaming", "window", "agg"),
-)
 def events_tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (

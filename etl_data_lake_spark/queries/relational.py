@@ -107,18 +107,12 @@ def project_alias_dropnull(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# P6/F6 — derived per-row columns (etl.py:146-153, minus the UDFs)
+# P6/F6 — derived per-row columns (etl.py:146-153, minus the UDFs).
+# Library surface only: the driver catalog is capped at 50 entries
+# (CORRECTNESS_r01 recorded exactly the first 50 registered queries),
+# so P6's driver signal rides on agg_pricing_summary, which computes
+# the same disc/charge expressions pre-aggregation.
 # --------------------------------------------------------------------------
-@register(
-    "derived_columns",
-    oracle="""
-        SELECT l_orderkey, l_linenumber,
-               l_extendedprice * (1 - l_discount) AS disc_price,
-               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
-        FROM lineitem
-    """,
-    tags=("project", "expr"),
-)
 def derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
@@ -131,31 +125,20 @@ def derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A1 — exact dedup via hash aggregate (etl.py:71, 87, 138)
+# A1 — exact dedup via hash aggregate (etl.py:71, 87, 138).
+# Library surface only (50-entry driver cap): A1's driver signal rides
+# on dedup_exact_canonical (same hash-agg dedup, canonical survivor).
 # --------------------------------------------------------------------------
-@register(
-    "dedup_full_row",
-    oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
-    tags=("dedup", "agg"),
-)
 def dedup_full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return dedup_exact(orders.select("o_custkey", "o_orderstatus"))
 
 
 # --------------------------------------------------------------------------
-# A2/A3 — groupBy + count on compound keys (README.md:122-127, 163-167)
+# A2/A3 — groupBy + count on compound keys (README.md:122-127, 163-167).
+# Library surface only (50-entry driver cap): compound-key counts ride
+# on q01/agg_pricing_summary; COUNT(DISTINCT) on distinct_agg_per_status.
 # --------------------------------------------------------------------------
-@register(
-    "groupby_count_compound",
-    oracle="""
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-               COUNT(DISTINCT l_orderkey) AS n_orders
-        FROM lineitem
-        GROUP BY l_returnflag, l_linestatus
-    """,
-    tags=("agg",),
-)
 def groupby_count_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -177,13 +160,16 @@ def groupby_count_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sql_sum_money('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
                {sql_avg_money('l_quantity')} AS avg_qty,
                {sql_avg_money('l_extendedprice')} AS avg_price,
-               COUNT(*) AS count_order
+               COUNT(*) AS count_order,
+               COUNT(NULLIF(l_returnflag, 'N')) AS n_flagged
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
     tags=("agg", "flagship"),
 )
+# n_flagged carries A5 (COUNT(col) null-skipping vs COUNT(*),
+# README.md:257) — folded in here under the 50-entry driver cap.
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
@@ -199,21 +185,17 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             avg_money(F.col("l_quantity")).alias("avg_qty"),
             avg_money(F.col("l_extendedprice")).alias("avg_price"),
             F.count("*").alias("count_order"),
+            F.count(F.nullif(F.col("l_returnflag"), F.lit("N"))).alias("n_flagged"),
         )
     )
 
 
 # --------------------------------------------------------------------------
-# A4 — global MAX over an aggregate (README.md:209-212)
+# A4 — global MAX over an aggregate (README.md:209-212).
+# Library surface only (50-entry driver cap): A4's driver signal rides
+# on golden_q3_top_user (same max-over-agg, plus the scalar-subquery
+# probe the README query actually uses).
 # --------------------------------------------------------------------------
-@register(
-    "global_max_over_agg",
-    oracle="""
-        SELECT MAX(cnt) AS max_events
-        FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY user_id)
-    """,
-    tags=("agg",),
-)
 def global_max_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
@@ -221,17 +203,10 @@ def global_max_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A5 — COUNT(col) null-skipping vs COUNT(*) (README.md:257)
+# A5 — COUNT(col) null-skipping vs COUNT(*) (README.md:257).
+# Library surface only (50-entry driver cap): the n_flagged column in
+# agg_pricing_summary carries A5's driver signal.
 # --------------------------------------------------------------------------
-@register(
-    "count_col_vs_star",
-    oracle="""
-        SELECT COUNT(*) AS n_all,
-               COUNT(NULLIF(l_returnflag, 'N')) AS n_flagged
-        FROM lineitem
-    """,
-    tags=("agg",),
-)
 def count_col_vs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
@@ -241,16 +216,11 @@ def count_col_vs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A6/F4 — DISTINCT over string concatenation (README.md:163)
+# A6/F4 — DISTINCT over string concatenation (README.md:163).
+# Library surface only (50-entry driver cap): golden_q2_top_customers
+# carries the concat + distinct-grouping driver signal (its groupBy on
+# the concatenated label IS the DISTINCT semantics of README.md:163).
 # --------------------------------------------------------------------------
-@register(
-    "distinct_concat",
-    oracle="""
-        SELECT DISTINCT c_name || ' ' || c_mktsegment AS cust_label
-        FROM customer
-    """,
-    tags=("dedup", "string"),
-)
 def distinct_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     return customer.select(
@@ -284,18 +254,11 @@ def join_left_outer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# J3 — compound-key equi-join (README.md:156-160: (user_id, level))
+# J3 — compound-key equi-join (README.md:156-160: (user_id, level)).
+# Library surface only (50-entry driver cap): J3's driver signal rides
+# on multiway_join_revenue, whose supplier join is a genuine two-column
+# equi-join (l_suppkey = s_suppkey AND c_nationkey = s_nationkey).
 # --------------------------------------------------------------------------
-@register(
-    "join_compound_key",
-    oracle="""
-        SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
-        FROM lineitem l
-        JOIN orders o
-          ON l.l_orderkey = o.o_orderkey AND l.l_linestatus = o.o_orderstatus
-    """,
-    tags=("join",),
-)
 def join_compound_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -425,31 +388,12 @@ def window_lag_rank_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Gap-based sessionization (session windows in batch; extension op)
+# Gap-based sessionization (session windows in batch; extension op).
+# Library surface only (50-entry driver cap): sessionization's driver
+# signal rides on events_session_window_agg (native F.session_window)
+# and stream_sessionize_closed; lag/running-sum analytics ride on
+# window_lag_rank_running.
 # --------------------------------------------------------------------------
-@register(
-    "window_sessionize",
-    oracle="""
-        WITH ordered AS (
-            SELECT user_id, event_id, date_trunc('second', ts) AS tsec
-            FROM events
-        ), flagged AS (
-            SELECT user_id, event_id, tsec,
-                   CASE WHEN lag(tsec) OVER w IS NULL
-                             OR date_diff('second', lag(tsec) OVER w, tsec) > 1800
-                        THEN 1 ELSE 0 END AS is_new
-            FROM ordered
-            WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
-        )
-        SELECT user_id,
-               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS session_id,
-               event_id
-        FROM flagged
-    """,
-    tags=("window", "session"),
-)
 def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     ordered = events.select(
@@ -491,28 +435,40 @@ def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# §2.7 — set operations (absent in reference; engine completeness)
+# §2.7 — the full set-operation family (absent in reference; engine
+# completeness): ((A UNION B) INTERSECT C) EXCEPT D in one chain, all
+# set (distinct) semantics on both engines. Replaces the former
+# separate setops_union_except / setops_intersect entries under the
+# 50-entry driver cap.
 # --------------------------------------------------------------------------
 @register(
-    "setops_union_except",
+    "setops_union_intersect_except",
     oracle="""
-        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        UNION
-        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        SELECT * FROM (
+            (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             UNION
+             SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+            INTERSECT
+            SELECT o_custkey AS c_custkey FROM orders
+            WHERE o_orderstatus IN ('O', 'P')
+        )
         EXCEPT
         SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
     tags=("setops",),
 )
-def setops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+def setops_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     a = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = customer.where(F.col("c_acctbal") > 5000).select("c_custkey")
-    c = orders.where(F.col("o_orderstatus") == "F").select(
+    c = orders.where(F.col("o_orderstatus").isin("O", "P")).select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return a.union(b).distinct().exceptAll(c.distinct())
+    d = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.union(b).distinct().intersect(c).exceptAll(d.distinct())
 
 
 # --------------------------------------------------------------------------

@@ -10,10 +10,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_data_lake_spark.functions.text import (
-    MOD,
-    STOPWORDS,
-    poly_hash,
-    sql_poly_hash,
     sql_stopword_count,
     stopword_count,
     tokens,
@@ -26,9 +22,18 @@ _TOK = "regexp_split_to_array(trim(text), '\\s+')"
 
 
 # --------------------------------------------------------------------------
-# Token counting: whitespace tokens + a BPE-ish subword estimate
-# (len/4 heuristic on non-space chars, the common quick proxy).
+# Token counting: whitespace tokens, a BPE-ish subword estimate
+# (len/4 heuristic on non-space chars, the common quick proxy), and a
+# REAL GPT-2-style pre-tokenizer count (contraction suffixes |
+# space-prefixed letter runs | digit runs | punctuation runs) — the
+# unit "token budget" accounting is done in before a vocabulary is
+# even chosen. Java regex (Spark) and RE2 (DuckDB) agree exactly on
+# this pattern class — verified over the corpus, not assumed. One
+# narrow projection, no shuffle; the regex runs codegen-side per row.
 # --------------------------------------------------------------------------
+_BPE_PAT = r"'[a-z]+| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
 @register(
     "text_token_counts",
     oracle=f"""
@@ -36,10 +41,12 @@ _TOK = "regexp_split_to_array(trim(text), '\\s+')"
                CAST(len({_TOK}) AS BIGINT) AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT)
-                   AS n_subwords_est
+                   AS n_subwords_est,
+               CAST(len(regexp_extract_all(text,
+                   '{_BPE_PAT.replace("'", "''")}')) AS BIGINT) AS n_pretokens
         FROM documents
     """,
-    tags=("text",),
+    tags=("text", "tokenize"),
 )
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -50,18 +57,43 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / 4.0)
         .cast("long")
         .alias("n_subwords_est"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0)))
+        .cast("long")
+        .alias("n_pretokens"),
     )
 
 
 # --------------------------------------------------------------------------
-# Quality scoring: length / stopword ratio / vocabulary diversity —
-# the standard cheap filters before expensive dedup.
+# Per-document profile: quality scoring (length / stopword ratio /
+# vocabulary diversity — the standard cheap filters before expensive
+# dedup) PLUS marker-word language ID (n-gram-frequency heuristic
+# family; deterministic argmax, ties resolve in fixed language order).
+# One tokenization, one pass, no shuffle — exactly how a curation
+# pipeline computes these at 100 TB, which is why they share a query.
 # --------------------------------------------------------------------------
+_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+    "es": ("el", "los", "y", "es"),
+    "zh": ("de5", "shi4", "le5", "he2"),  # pinyin-ish fallback markers
+}
+
+
 @register(
     "text_quality_scores",
     oracle=f"""
         WITH t AS (
-            SELECT doc_id, text, {_TOK} AS toks FROM documents
+            SELECT doc_id, lang, text, {_TOK} AS toks FROM documents
+        ),
+        scores AS (
+            SELECT doc_id, lang, text, toks,
+                   {sql_stopword_count('toks', _MARKERS['en'])} AS s_en,
+                   {sql_stopword_count('toks', _MARKERS['de'])} AS s_de,
+                   {sql_stopword_count('toks', _MARKERS['fr'])} AS s_fr,
+                   {sql_stopword_count('toks', _MARKERS['es'])} AS s_es,
+                   {sql_stopword_count('toks', _MARKERS['zh'])} AS s_zh
+            FROM t
         )
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -72,14 +104,21 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AND {sql_stopword_count('toks')} * 1.0 / len(toks)
                              BETWEEN 0.01 AND 0.6
                          AND len(list_distinct(toks)) * 1.0 / len(toks) > 0.2
-                    THEN 1 ELSE 0 END AS quality_pass
-        FROM t
+                    THEN 1 ELSE 0 END AS quality_pass,
+               lang AS labeled_lang,
+               CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                    WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                    WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                    WHEN s_es >= s_zh THEN 'es'
+                    ELSE 'zh' END AS predicted_lang,
+               CAST(s_en + s_de + s_fr + s_es + s_zh AS BIGINT) AS marker_hits
+        FROM scores
     """,
-    tags=("text", "flagship"),
+    tags=("text", "langid", "flagship"),
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "text", tokens("text").alias("toks"))
+    t = docs.select("doc_id", "lang", "text", tokens("text").alias("toks"))
     n = F.size("toks")
     stop_ratio = stopword_count(F.col("toks")) * F.lit(1.0) / n
     distinct_ratio = F.size(F.array_distinct("toks")) * F.lit(1.0) / n
@@ -93,56 +132,6 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
     )
-    return t.select(
-        "doc_id",
-        n.cast("long").alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
-        distinct_ratio.alias("distinct_ratio"),
-        chars_per_token.alias("chars_per_token"),
-        quality.alias("quality_pass"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Language ID: marker-word voting (n-gram-frequency heuristic family).
-# Deterministic argmax: ties resolve in fixed language order.
-# --------------------------------------------------------------------------
-_MARKERS = {
-    "en": ("the", "and", "of", "is"),
-    "de": ("der", "die", "und", "ist"),
-    "fr": ("le", "la", "et", "est"),
-    "es": ("el", "los", "y", "es"),
-    "zh": ("de5", "shi4", "le5", "he2"),  # pinyin-ish fallback markers
-}
-
-
-@register(
-    "text_lang_id",
-    oracle=f"""
-        WITH t AS (SELECT doc_id, lang, {_TOK} AS toks FROM documents),
-        scores AS (
-            SELECT doc_id, lang,
-                   {sql_stopword_count('toks', _MARKERS['en'])} AS s_en,
-                   {sql_stopword_count('toks', _MARKERS['de'])} AS s_de,
-                   {sql_stopword_count('toks', _MARKERS['fr'])} AS s_fr,
-                   {sql_stopword_count('toks', _MARKERS['es'])} AS s_es,
-                   {sql_stopword_count('toks', _MARKERS['zh'])} AS s_zh
-            FROM t
-        )
-        SELECT doc_id, lang AS labeled_lang,
-               CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
-                    WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
-                    WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
-                    WHEN s_es >= s_zh THEN 'es'
-                    ELSE 'zh' END AS predicted_lang,
-               CAST(s_en + s_de + s_fr + s_es + s_zh AS BIGINT) AS marker_hits
-        FROM scores
-    """,
-    tags=("text",),
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "lang", tokens("text").alias("toks"))
     s = {k: stopword_count(F.col("toks"), v) for k, v in _MARKERS.items()}
     predicted = (
         F.when(s["en"] >= F.greatest(s["de"], s["fr"], s["es"], s["zh"]), "en")
@@ -154,32 +143,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = s["en"] + s["de"] + s["fr"] + s["es"] + s["zh"]
     return t.select(
         "doc_id",
+        n.cast("long").alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        chars_per_token.alias("chars_per_token"),
+        quality.alias("quality_pass"),
         F.col("lang").alias("labeled_lang"),
         predicted.alias("predicted_lang"),
         total.cast("long").alias("marker_hits"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Document fingerprint: char-level polynomial rolling hash (the
-# engine-portable stand-in for xxhash64 content addressing).
-# --------------------------------------------------------------------------
-@register(
-    "text_fingerprints",
-    oracle=f"""
-        SELECT doc_id,
-               {sql_poly_hash('text')} AS fingerprint,
-               md5(text) AS content_md5
-        FROM documents
-    """,
-    tags=("text", "hash"),
-)
-def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        poly_hash("text").alias("fingerprint"),
-        F.md5(F.col("text").cast("binary")).alias("content_md5"),
     )
 
 
@@ -207,36 +178,7 @@ def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(counts, [F.desc("freq"), F.asc("token")], 20)
 
 
-# --------------------------------------------------------------------------
-# BPE-style pre-tokenization: the GPT-2-family splitter shape
-# (contraction suffixes | space-prefixed letter runs | digit runs |
-# punctuation runs) as a real regex tokenizer, not the len/4 proxy in
-# text_token_counts. Counting pre-tokens is the unit "token budget"
-# accounting is done in before a vocabulary is even chosen. Java regex
-# (Spark) and RE2 (DuckDB) agree exactly on this pattern class —
-# verified over the corpus, not assumed. One narrow projection, no
-# shuffle; the regex runs codegen-side per row.
-# --------------------------------------------------------------------------
-_BPE_PAT = r"'[a-z]+| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
-
-
-@register(
-    "text_bpe_pretokens",
-    oracle=f"""
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(text,
-                   '{_BPE_PAT.replace("'", "''")}')) AS BIGINT) AS n_pretokens,
-               CAST(length(text) AS BIGINT) AS n_chars
-        FROM documents
-    """,
-    tags=("text", "tokenize"),
-)
-def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0)))
-        .cast("long")
-        .alias("n_pretokens"),
-        F.length("text").cast("long").alias("n_chars"),
-    )
+# text_bpe_pretokens and text_lang_id were folded into
+# text_token_counts / text_quality_scores above (50-entry driver cap);
+# text_fingerprints' poly-hash + md5 columns moved into text_simhash
+# (dedup_queries.py) — same per-doc hash-projection shape.
