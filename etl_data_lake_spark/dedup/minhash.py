@@ -51,20 +51,19 @@ def _band_key(cols: list[str]):
 
 def lsh_candidates(signatures: DataFrame, bands: int = 4, rows: int = 3) -> DataFrame:
     """Band the signature and bucket-join: docs agreeing on ALL r mins
-    of any band become a candidate pair."""
-    per_band = []
-    for b in range(bands):
-        cols = [f"mh{b * rows + r}" for r in range(rows)]
-        per_band.append(
-            signatures.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                _band_key(cols).alias("band_key"),
-            )
-        )
-    band_tbl = per_band[0]
-    for t in per_band[1:]:
-        band_tbl = band_tbl.unionByName(t)
+    of any band become a candidate pair.
+
+    Single-pass banding: all band keys are derived in ONE select and
+    fanned out with ``posexplode`` — the signature aggregate is planned
+    once, not once per band (the former ``bands``-way union re-planned
+    the groupBy-min per branch; ReuseExchange softened but did not
+    eliminate the duplicate aggregation)."""
+    band_keys = [
+        _band_key([f"mh{b * rows + r}" for r in range(rows)]) for b in range(bands)
+    ]
+    band_tbl = signatures.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+    )
     a, b_ = band_tbl.alias("a"), band_tbl.alias("b")
     return (
         a.join(
