@@ -21,7 +21,7 @@ which only sees LSH candidates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_data_lake_spark.dedup.jaccard import jaccard_pairs, shingle_table
@@ -49,7 +49,12 @@ def _band_key(cols: list[str]):
     return key
 
 
-def lsh_candidates(signatures: DataFrame, bands: int = 4, rows: int = 3) -> DataFrame:
+def lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows: int = 3,
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """Band the signature and bucket-join: docs agreeing on ALL r mins
     of any band become a candidate pair.
 
@@ -57,13 +62,31 @@ def lsh_candidates(signatures: DataFrame, bands: int = 4, rows: int = 3) -> Data
     fanned out with ``posexplode`` — the signature aggregate is planned
     once, not once per band (the former ``bands``-way union re-planned
     the groupBy-min per branch; ReuseExchange softened but did not
-    eliminate the duplicate aggregation)."""
+    eliminate the duplicate aggregation).
+
+    ``bucket_cap`` bounds the self-join's worst case: a bucket holding
+    m docs emits m(m-1)/2 pairs, so an adversarial corpus (mass
+    near-identical text that was not collapsed by exact dedup first)
+    goes quadratic in one reducer. With a cap, each (band, band_key)
+    bucket keeps only its ``bucket_cap`` lowest doc_ids (deterministic),
+    bounding candidates at bands·cap·(cap-1)/2 total. Default None
+    preserves the exact LSH-candidate semantics the DuckDB oracle
+    reproduces; at 100 TB run exact dedup first, then cap as insurance
+    — docs sharing a capped bucket still clique, so clusters survive
+    via transitivity."""
     band_keys = [
         _band_key([f"mh{b * rows + r}" for r in range(rows)]) for b in range(bands)
     ]
     band_tbl = signatures.select(
         "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+        band_tbl = (
+            band_tbl.withColumn("__bn", F.row_number().over(w))
+            .where(F.col("__bn") <= bucket_cap)
+            .drop("__bn")
+        )
     a, b_ = band_tbl.alias("a"), band_tbl.alias("b")
     return (
         a.join(
@@ -86,6 +109,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     rows: int = 3,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """→ (doc_a, doc_b, jaccard): LSH candidates verified by exact
     Jaccard ≥ threshold. With b=4, r=3 the S-curve crosses ~0.63 —
@@ -102,5 +126,5 @@ def minhash_lsh_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = minhash_signatures(sh, k)
-    cand = lsh_candidates(sigs, bands, rows)
+    cand = lsh_candidates(sigs, bands, rows, bucket_cap=bucket_cap)
     return jaccard_pairs(sh, threshold, candidates=cand)

@@ -92,6 +92,23 @@ def with_lsh_buckets(
     )
 
 
+def cap_buckets(
+    bucketed: DataFrame, bucket_cap: int, order_col: str = "neighbor_id"
+) -> DataFrame:
+    """Keep at most ``bucket_cap`` rows per (table, bucket), selected by
+    xxhash64(order_col) order — a deterministic unbiased sample. Bounds
+    the candidate join against degenerate dense buckets (mass-duplicate
+    embeddings) at queries·tables·cap candidates."""
+    w = Window.partitionBy("table", "bucket").orderBy(
+        F.xxhash64(order_col), order_col
+    )
+    return (
+        bucketed.withColumn("__bn", F.row_number().over(w))
+        .where(F.col("__bn") <= bucket_cap)
+        .drop("__bn")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -101,9 +118,20 @@ def lsh_bucket_topk(
     dims: int = 64,
     tables: int = 8,
     planes: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates = corpus sharing any (table, bucket) with
-    the query; exact cosine re-score; rank; keep k."""
+    the query; exact cosine re-score; rank; keep k.
+
+    ``bucket_cap`` bounds the candidate join against dense regions: a
+    bucket holding m corpus vectors contributes m candidates per query
+    probing it, so a degenerate corpus (mass duplicate embeddings) makes
+    the join quadratic. With a cap, each (table, bucket) keeps at most
+    ``bucket_cap`` vectors, chosen by xxhash64(neighbor_id) order — a
+    deterministic unbiased sample — bounding candidates at
+    queries·tables·cap. Recall within the surviving bucket population is
+    unchanged (re-score is exact); the sacrifice is among near-identical
+    vectors where any representative is an equally good neighbor."""
     cb = with_lsh_buckets(
         fan_out(
             corpus.select(
@@ -112,6 +140,8 @@ def lsh_bucket_topk(
         ),
         "cv", dims, tables, planes,
     )
+    if bucket_cap is not None:
+        cb = cap_buckets(cb, bucket_cap)
     qb = with_lsh_buckets(
         queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")),
         "qv", dims, tables, planes,

@@ -124,3 +124,41 @@ def test_pandas_cosine_matches_fold_within_tolerance(spark):
     assert both
     for r in both:
         assert abs(r.fold - r.np) < 1e-9
+
+
+def test_lsh_bucket_cap_bounds_dense_bucket(spark):
+    """Adversarial shape: mass-duplicate embeddings all hash to the
+    same bucket in every table, so the candidate join degenerates to
+    |corpus| candidates per (query, table). cap_buckets must bound every
+    bucket while the exact re-score still returns perfect neighbors."""
+    from etl_data_lake_spark.similarity.lsh import (
+        cap_buckets,
+        lsh_bucket_topk,
+        with_lsh_buckets,
+    )
+
+    n, dims, cap = 150, 8, 12
+    base = [1.0, 0.25, -0.5, 0.75, -0.25, 0.5, -1.0, 0.125]
+    rows = [(i, base) for i in range(n)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cb = with_lsh_buckets(
+        corpus.selectExpr("vec_id as neighbor_id", "embedding as cv"),
+        "cv", dims=dims,
+    )
+    sizes = cb.groupBy("table", "bucket").count()
+    assert sizes.agg({"count": "max"}).collect()[0][0] == n  # adversarial confirmed
+
+    capped_sizes = cap_buckets(cb, cap).groupBy("table", "bucket").count()
+    assert capped_sizes.agg({"count": "max"}).collect()[0][0] <= cap
+
+    queries = corpus.where("vec_id < 3")
+    got = lsh_bucket_topk(
+        corpus, queries, k=5, dims=dims, bucket_cap=cap
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) <= 5
+        assert all(r.cos_sim == 1.0 for r in rs)  # exact re-score intact

@@ -100,3 +100,37 @@ def test_dedup_keep_canonical(spark):
     assert {1, 2, 7}.isdisjoint(kept_ids)  # losers dropped
     assert {0, 5}.issubset(kept_ids)  # canonical reps kept
     assert kept.count() == docs.count() - 3
+
+
+def test_minhash_bucket_cap_bounds_adversarial_corpus(spark):
+    """Adversarial shape: a corpus of identical documents puts every
+    doc in ONE bucket per band, so uncapped candidate generation is
+    quadratic — n(n-1)/2 pairs through a single reducer. The cap must
+    bound candidates at bands*cap*(cap-1)/2 while still emitting a
+    clique among the survivors (transitivity keeps clusters intact)."""
+    from etl_data_lake_spark.dedup.jaccard import shingle_table
+    from etl_data_lake_spark.dedup.minhash import (
+        lsh_candidates,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    n, cap, bands = 120, 10, 4
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(shingle_table(docs, hashed=True))
+
+    uncapped = lsh_candidates(sigs).count()
+    assert uncapped == n * (n - 1) // 2  # genuinely quadratic
+
+    capped = lsh_candidates(sigs, bucket_cap=cap).count()
+    assert capped <= bands * cap * (cap - 1) // 2
+    # identical docs -> identical signatures -> every band keeps the
+    # same lowest doc_ids, so the bound collapses to one clique
+    assert capped == cap * (cap - 1) // 2
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, bucket_cap=cap).collect()
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert all(r.jaccard == 1.0 for r in pairs)
