@@ -49,9 +49,18 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_rounds: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """→ (doc_id, cluster_id): every node appearing in ``pairs``,
-    labeled with the minimum doc id reachable from it."""
+    labeled with the minimum doc id reachable from it.
+
+    A component whose diameter exceeds ``max_rounds`` (a pathological
+    chain of near-dups) would come back SPLIT — near-duplicates
+    silently retained. That must never be silent: with ``strict``
+    (default) non-convergence raises; ``strict=False`` downgrades to a
+    ``RuntimeWarning`` for callers that prefer partial clusters over a
+    failed job. Either way the remedy is a larger ``max_rounds`` —
+    rounds ≈ component diameter, so 20 covers any realistic dup graph."""
     # both directions in ONE pass over pairs — a union of two selects
     # would compute the (possibly expensive, usually uncached) pair
     # pipeline twice
@@ -77,6 +86,7 @@ def connected_components(
         .repartition(n_part, "doc_id")
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_rounds):
         neighbor_min = (
             edges.join(
@@ -107,6 +117,18 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing): a component's diameter "
+            "exceeds max_rounds and its cluster would be split. Raise "
+            "max_rounds."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

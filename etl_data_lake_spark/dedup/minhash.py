@@ -114,7 +114,16 @@ def minhash_lsh_pairs(
     """→ (doc_a, doc_b, jaccard): LSH candidates verified by exact
     Jaccard ≥ threshold. With b=4, r=3 the S-curve crosses ~0.63 —
     candidates below that are caught with decreasing probability, so
-    recall vs dedup.jaccard is checked in tests, not assumed."""
+    recall vs dedup.jaccard is checked in tests, not assumed.
+
+    Cache lifecycle: the shingle table is persisted (it feeds the
+    signature aggregate AND both sides of the verify probe) and stays
+    cached after the returned DataFrame materializes — the plan is
+    lazy, so this function cannot know when it is safe to unpersist.
+    CALLERS OWN THE CACHE: a long-lived session issuing many corpora
+    should ``spark.catalog.clearCache()`` (or unpersist via
+    ``spark.catalog.cacheTable`` bookkeeping) between runs, as bench.py
+    does between queries."""
     assert bands * rows <= k
     # the shingle table feeds three consumers (signatures + both sides
     # of the verify probe); persist it once instead of recomputing the

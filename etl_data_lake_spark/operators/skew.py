@@ -19,8 +19,12 @@ power-law fact side.
   the explicit form exists for pipelines that need the intermediate,
   e.g. sketch merges.)
 
-Salts are ``pmod(xxhash64(entire row), S)`` — deterministic, no RNG,
-well-spread even when the skewed key dominates.
+Salts are ``pmod(xxhash64(row, monotonically_increasing_id), S)``: the
+row-content hash alone would send EXACT-DUPLICATE rows of a hot key to
+one salt value — the one skew shape the operator exists to fix — so a
+physical per-row component (partition id in the high bits, row
+position in the low) is mixed in. Fact-side salt need not be
+reproducible across runs; it only has to spread rows within this job.
 """
 
 from __future__ import annotations
@@ -30,7 +34,13 @@ from pyspark.sql import functions as F
 
 
 def _salt(df: DataFrame, salts: int) -> F.Column:
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
+    return F.pmod(
+        F.xxhash64(
+            *[F.col(c) for c in df.columns],
+            F.monotonically_increasing_id(),
+        ),
+        F.lit(salts),
+    )
 
 
 def salted_join(

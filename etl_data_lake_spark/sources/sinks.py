@@ -55,6 +55,35 @@ def data_file_count(path: str) -> int:
     return sum(1 for p in Path(path).rglob("*.parquet") if p.is_file())
 
 
+def swap_into_place(tmp: str, path: str) -> None:
+    """Replace the table at ``path`` with ``tmp`` without a window in
+    which the data is simply GONE: the old table is renamed aside
+    (same-filesystem rename, atomic) before the new one moves in, and
+    the backup is only deleted once the new table is in place. A crash
+    between any two steps leaves either the old or the new table at a
+    recoverable location — never neither (the rmtree-then-move it
+    replaces stranded the new data in tmp with the table deleted).
+    Local-FS semantics; on an object store this whole function becomes
+    a table-format metadata commit (Delta/Iceberg)."""
+    import shutil
+
+    target = Path(path)
+    backup = Path(path.rstrip("/") + ".old")
+    if backup.exists():
+        shutil.rmtree(backup)
+    had_old = target.exists()
+    if had_old:
+        target.rename(backup)
+    try:
+        shutil.move(tmp, path)
+    except BaseException:
+        if had_old and not target.exists():
+            backup.rename(target)
+        raise
+    if had_old:
+        shutil.rmtree(backup)
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -84,10 +113,7 @@ def compact(
         )
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    swap_into_place(tmp, path)
     return data_file_count(path)
 
 

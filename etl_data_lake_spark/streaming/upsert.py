@@ -18,12 +18,13 @@ commit; everything else transfers.
 
 from __future__ import annotations
 
-import shutil
 import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from etl_data_lake_spark.sources.sinks import swap_into_place
 
 
 def merge_latest(
@@ -64,9 +65,9 @@ def upsert_sink(path: str, key_cols: list[str], order_col: str):
         latest = merge_latest(existing, batch, key_cols, order_col)
         tmp = tempfile.mkdtemp(prefix="upsert_")
         latest.write.mode("overwrite").parquet(tmp)
-        if target.exists():
-            shutil.rmtree(path)
-        shutil.move(tmp, path)
+        # backup-rename swap: no instant at which the table is deleted
+        # with the new data stranded in tmp (sinks.swap_into_place)
+        swap_into_place(tmp, path)
 
     return fn
 

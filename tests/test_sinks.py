@@ -128,3 +128,29 @@ def test_range_clustered_layout_enables_file_skipping(spark, tmp_path):
     assert len(containing) == 1
     # and nothing was lost
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_swap_into_place_replaces_and_restores(tmp_path):
+    """The backup-rename swap must (a) replace the table and clean up
+    its backup on success, (b) restore the old table when the move of
+    the new data fails — no state in which the table is simply gone."""
+    import pytest
+
+    from etl_data_lake_spark.sources.sinks import swap_into_place
+
+    table = tmp_path / "tbl"
+    table.mkdir()
+    (table / "old.parquet").write_bytes(b"old")
+    new = tmp_path / "new"
+    new.mkdir()
+    (new / "new.parquet").write_bytes(b"new")
+
+    swap_into_place(str(new), str(table))
+    assert (table / "new.parquet").read_bytes() == b"new"
+    assert not (tmp_path / "tbl.old").exists()
+
+    # failure path: source tmp missing -> move raises -> old restored
+    (table / "data.parquet").write_bytes(b"v2")
+    with pytest.raises(FileNotFoundError):
+        swap_into_place(str(tmp_path / "missing"), str(table))
+    assert (table / "data.parquet").read_bytes() == b"v2"

@@ -134,3 +134,29 @@ def test_minhash_bucket_cap_bounds_adversarial_corpus(spark):
     pairs = minhash_lsh_pairs(docs, threshold=0.5, bucket_cap=cap).collect()
     assert len(pairs) == cap * (cap - 1) // 2
     assert all(r.jaccard == 1.0 for r in pairs)
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """A component with diameter > max_rounds must not silently return
+    split clusters: strict raises, non-strict warns."""
+    import warnings
+
+    import pytest
+
+    from etl_data_lake_spark.dedup.cluster import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_rounds=2).collect()
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = connected_components(chain, max_rounds=2, strict=False)
+        got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert any("did not converge" in str(w.message) for w in caught)
+    assert len(got) == 13  # all nodes labeled, just not fully merged
+
+    full = connected_components(chain, max_rounds=20)
+    assert {r.cluster_id for r in full.collect()} == {0}
