@@ -44,16 +44,28 @@ def default_sf_dir() -> str:
 
 
 def fan_out(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input has
-    fewer partitions — for CPU-heavy fan-out stages (shingling, vector
-    math) fed by a small file count. A 5 MB parquet arrives as ONE
-    task; exploding it 50x on one core wastes 31. No-op when the scan
-    already yields enough splits (the 100 TB case), so the extra
-    shuffle is only paid when it's cheap by construction."""
+    """Repartition up to the cluster's parallelism when the input scan
+    has fewer source files than cores — for CPU-heavy fan-out stages
+    (shingling, vector math) fed by a small file count. A 5 MB parquet
+    arrives as ONE task; exploding it 50x on one core wastes 31.
+
+    The decision reads ``inputFiles()`` — file-index metadata, no RDD
+    conversion (the former ``df.rdd.getNumPartitions()`` probe forced
+    physical planning on the driver per call). File count lower-bounds
+    scan splits, so at 100 TB (thousands of files) this is a no-op;
+    when files < cores the input is either small (shuffle is cheap by
+    construction) or a few huge files feeding a CPU-heavy stage — the
+    one case where paying the repartition is exactly right. Non-file
+    sources (test fixtures via createDataFrame) report zero files and
+    take the repartition, which is the safe default for them."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -133,6 +133,44 @@ def test_golden_queries_match_duckdb(pipeline, spark, name):
     assert got == want and len(got) > 0
 
 
+def test_golden_literal_rows(pipeline, spark):
+    """Literal golden outputs on the deterministic fixture — the analog
+    of the README's committed result tables (README.md:134-145: top =
+    "You're The One" / 37). Pins the reference's SEMANTICS, not just
+    Spark ≡ DuckDB: quirk Q6 dirty-data duplicates (the same title
+    under two artist-id variants must BOTH chart), the compound
+    (user_id, level) join for the level-switching top user (Q7), the
+    scalar-subquery max, and Q4's unpadded DATE_PART date rendering."""
+    from etl_data_lake_spark.pipeline.golden import (
+        top_5_sessions_for_user,
+        top_10_songs,
+        top_10_users,
+        top_user_id,
+    )
+
+    q1 = [tuple(r) for r in top_10_songs(spark).collect()]
+    assert q1[0] == ("Midnight Harbor", "The Lanterns", 103)
+    # known-dirty-data expectation: both artist-id variants of the same
+    # title chart separately (README.md:109,147)
+    assert q1[1] == ("Copper Sky", "Vel Moraine & Co", 73)
+    assert q1[2] == ("Copper Sky", "Vel Moraine", 68)
+
+    q2 = [tuple(r) for r in top_10_users(spark).collect()]
+    assert q2[0] == ("Nora Fleet", "11", 162)
+    assert q2[1] == ("Rosa Umber", "15", 143)
+
+    assert [tuple(r) for r in top_user_id(spark).collect()] == [("11",)]
+
+    q4 = [tuple(r) for r in top_5_sessions_for_user(spark, "11").collect()]
+    assert q4 == [
+        ("Nora Fleet", 167, "2018-11-12", 6),
+        ("Nora Fleet", 281, "2018-12-1", 6),  # unpadded month/day (F5)
+        ("Nora Fleet", 179, "2018-11-14", 5),
+        ("Nora Fleet", 185, "2018-11-15", 5),
+        ("Nora Fleet", 197, "2018-11-17", 5),
+    ]
+
+
 def test_golden_q4_sessions(pipeline, spark):
     import duckdb
 
