@@ -19,8 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_data_lake_spark.functions.text import (
-    compose_shingle_hashes,
-    poly_hash,
+    shingle_hashes_pandas_udf,
     tokens,
     word_shingles,
 )
@@ -37,21 +36,20 @@ def shingle_table(
     """→ (doc_id, shingle) — distinct n-word shingles per document."""
     docs = fan_out(docs)
     if hashed:
-        # hash and dedup INSIDE the per-doc array (array_distinct over
-        # the hashed values — catches collisions within a doc), then
-        # explode: one narrow pass, no shuffle. Hashes are COMPOSED
-        # from per-token hashes (each token char-folded once) — no
-        # shingle strings are ever materialized; the SQL oracle twin
-        # implements the identical composition.
-        token_hashes = docs.select(
+        # hash and dedup INSIDE the per-doc batch, then explode: one
+        # narrow pass, no shuffle. Hashes are COMPOSED from per-token
+        # hashes (each token char-folded once) — no shingle strings are
+        # ever materialized; the SQL oracle twin implements the
+        # identical composition. The fold runs as an Arrow-batched
+        # pandas UDF: the JVM higher-order-function version of the same
+        # math executes as interpreted lambdas (a closure call per
+        # CHARACTER) and was the measured bottleneck of the LSH family;
+        # functions.text keeps the expression twin and tests pin their
+        # bit-equality (see shingle_hashes_pandas_udf).
+        shingle_hashes = shingle_hashes_pandas_udf(n)
+        return docs.select(
             F.col(id_col).alias("doc_id"),
-            F.transform(tokens(text_col), lambda t: poly_hash(t)).alias("th"),
-        )
-        return token_hashes.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(compose_shingle_hashes(F.col("th"), n))
-            ).alias("shingle"),
+            F.explode(shingle_hashes(F.col(text_col))).alias("shingle"),
         )
     return docs.select(
         F.col(id_col).alias("doc_id"),

@@ -100,6 +100,56 @@ def hashed_word_shingles(tokens_col: Column, n: int = 3) -> Column:
     return compose_shingle_hashes(th, n)
 
 
+def shingle_hashes_pandas_udf(n: int = 3):
+    """Arrow-batched twin of :func:`hashed_word_shingles` ∘ tokenize ∘
+    array_distinct: text → distinct composed shingle hashes.
+
+    Same integer DEFINITION bit-for-bit (char fold base 31 mod 1e9+7,
+    n-window composition, first-occurrence dedup) — the JVM expression
+    version runs as INTERPRETED higher-order-function lambdas (split to
+    per-char arrays, a closure call per character), which is the
+    measured bottleneck of the whole LSH family; the same loops in a
+    pandas batch run ~3× faster end-to-end. Tokenization replicates
+    Spark's ``split(trim(text), '\\s+')`` exactly: trim strips SPACES
+    only (Spark semantics), and the split class is Java's ASCII ``\\s``
+    = [ \\t\\n\\x0b\\f\\r]. Equality with the JVM path over the corpus
+    and edge docs is pinned by tests, not assumed."""
+    import re
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    splitter = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def one(text):
+        if text is None:
+            return None
+        th = []
+        for t in splitter.split(text.strip(" ")):
+            h = 0
+            for ch in t:
+                h = (h * 31 + ord(ch)) % MOD
+            th.append(h)
+        if len(th) < n:
+            return []
+        out: list[int] = []
+        seen: set[int] = set()
+        for i in range(len(th) - n + 1):
+            acc = th[i]
+            for j in range(1, n):
+                acc = (acc * 31 + th[i + j]) % MOD
+            if acc not in seen:
+                seen.add(acc)
+                out.append(acc)
+        return out
+
+    def f(s):
+        return s.map(one)
+
+    # explicit SCALAR form: the typehint variant can't resolve string
+    # annotations under `from __future__ import annotations`
+    return pandas_udf(f, "array<long>", PandasUDFType.SCALAR)
+
+
 def sql_hashed_word_shingles(tokens_expr: str, n: int = 3) -> str:
     """DuckDB twin of :func:`hashed_word_shingles` (the token-hash
     list is inlined everywhere it appears; the engine CSEs it)."""

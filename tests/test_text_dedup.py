@@ -160,3 +160,51 @@ def test_connected_components_nonconvergence_is_loud(spark):
 
     full = connected_components(chain, max_rounds=20)
     assert {r.cluster_id for r in full.collect()} == {0}
+
+
+def test_shingle_pandas_udf_matches_jvm_expressions(spark):
+    """The Arrow-batched shingle hasher must be bit-identical to the
+    JVM higher-order-function formulation it replaced (same char fold,
+    same composition, same tokenization edge semantics) — over the real
+    corpus AND adversarial edge docs."""
+    from etl_data_lake_spark.functions.text import (
+        compose_shingle_hashes,
+        poly_hash,
+        shingle_hashes_pandas_udf,
+        tokens,
+    )
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    edge = spark.createDataFrame(
+        [
+            (1000001, ""),
+            (1000002, "   "),
+            (1000003, "one"),
+            (1000004, "one two"),
+            (1000005, "one two three"),
+            (1000006, "  padded   with\tmixed\nwhitespace\rhere ok  "),
+            (1000007, "a b c d e f g"),
+            (1000008, "ünïcode tökens première 北京 déjà vu encore"),
+            (1000009, ("rep eat " * 50).strip()),
+        ],
+        "doc_id long, text string",
+    )
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .unionByName(edge)
+    )
+    jvm = docs.select(
+        "doc_id",
+        F.array_distinct(
+            compose_shingle_hashes(
+                F.transform(tokens("text"), lambda t: poly_hash(t)), 3
+            )
+        ).alias("sh"),
+    )
+    pnd = docs.select(
+        "doc_id", shingle_hashes_pandas_udf(3)(F.col("text")).alias("sh")
+    )
+    a = {r.doc_id: list(r.sh) for r in jvm.collect()}
+    b = {r.doc_id: list(r.sh) for r in pnd.collect()}
+    assert a == b
