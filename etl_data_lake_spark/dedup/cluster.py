@@ -31,6 +31,15 @@ At 100 TB: label propagation shuffles only |edges| + |touched nodes|
 per round; the parallelism formula scales back up with the graph. The
 large-diameter adversarial case (a long chain of near-dups) is
 bounded by ``max_rounds``.
+
+Pointer-doubling (label-of-label shortcutting, O(log diameter)
+rounds) was considered and measured AGAINST: the sf0.1 LSH graph —
+and any near-dup graph, since similarity is near-transitive —
+converges in 2 rounds (233 components, all size 2-4; one round to
+label, one to detect quiescence). Shortcutting adds a labels⋈labels
+join per round to save rounds that dense dup-cliques never need; it
+only wins on long chains, which the loud ``max_rounds`` guard already
+surfaces explicitly.
 """
 
 from __future__ import annotations

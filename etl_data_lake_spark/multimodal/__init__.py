@@ -26,4 +26,5 @@ from etl_data_lake_spark.multimodal.decode import (  # noqa: F401
     byte_histograms,
     decode_metadata,
     sample_frames,
+    select_keyframes,
 )

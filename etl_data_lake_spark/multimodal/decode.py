@@ -189,6 +189,78 @@ def resize_images(
     )
 
 
+_KEYFRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("signature", FloatType()),
+        StructField("reason", StringType()),
+    ]
+)
+
+
+def select_keyframes(
+    media: DataFrame, gop: int = 8, threshold: float = 8.0
+) -> DataFrame:
+    """GOP-style keyframe selection per video payload: keep frame 0,
+    every frame whose content signature jumps ≥ ``threshold`` from the
+    last KEPT frame (scene change), and a forced keyframe every ``gop``
+    frames since the last kept one (bounded seek distance, the I-frame
+    cadence contract of real codecs). Emits (frame_idx, signature,
+    reason ∈ first|scene_change|gop).
+
+    The stand-in signature is the frame slice's mean byte value; a real
+    pipeline swaps it for a perceptual hash / histogram distance on the
+    decoded frame — the sequential kept-frame scan, the kind filter
+    BEFORE decode, and the fan-out row shape are the production
+    plumbing. The scan is per-video sequential by nature (each decision
+    depends on the last KEPT frame, not a fixed lag, so it is not a
+    window function) but videos parallelize across the corpus — the
+    scale axis is |videos|, and a video's frame count is codec-bounded.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "signature": [], "reason": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _kind, _w, _h, n_frames, body = decode_payload(bytes(p))
+                raw = np.frombuffer(body, dtype=np.uint8)
+                per_frame = max(len(raw) // max(n_frames, 1), 1)
+                sigs = [
+                    float(seg.mean()) if len(seg := raw[i * per_frame : (i + 1) * per_frame]) else 0.0
+                    for i in range(n_frames)
+                ]
+                last_kept_idx, last_kept_sig = -1, 0.0
+                for i, sig in enumerate(sigs):
+                    if last_kept_idx < 0:
+                        reason = "first"
+                    elif abs(sig - last_kept_sig) >= threshold:
+                        reason = "scene_change"
+                    elif i - last_kept_idx >= gop:
+                        reason = "gop"
+                    else:
+                        continue
+                    last_kept_idx, last_kept_sig = i, sig
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(i)
+                    out["signature"].append(sig)
+                    out["reason"].append(reason)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.array(out["frame_idx"], dtype="int32"),
+                    "signature": pd.array(out["signature"], dtype="float32"),
+                    "reason": out["reason"],
+                }
+            )
+
+    return (
+        media.filter(media.kind == "video")
+        .select("media_id", "payload")
+        .mapInPandas(fn, _KEYFRAME_SCHEMA)
+    )
+
+
 _AUDIO_WIN_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -125,3 +125,60 @@ def test_audio_windows_framing_semantics(spark):
     # constant signal: RMS == the byte value for every window
     for r in rows:
         assert math.isclose(r.rms, float(ord("a")), rel_tol=1e-6)
+
+
+def test_select_keyframes_exact_semantics(spark):
+    """Crafted 6-frame video with frame means [10,10,50,50,50,10],
+    gop=2, threshold=8 → kept: 0(first), 2(scene_change, +40),
+    4(gop cadence), 5(scene_change, −40). Frame 1 and 3 are within
+    both bounds and must be dropped."""
+    import struct
+
+    from etl_data_lake_spark.multimodal.codec import FAKE_MAGIC
+    from etl_data_lake_spark.multimodal.decode import select_keyframes
+
+    body = bytes([10] * 8 + [50] * 12 + [10] * 4)  # 6 frames x 4 bytes
+    payload = FAKE_MAGIC + bytes([2]) + struct.pack("<iii", 16, 16, 6) + body
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(payload)), (8, "image", bytearray(payload))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = sorted(
+        select_keyframes(media, gop=2, threshold=8.0).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    # the image row must be filtered out before decode
+    assert {r.media_id for r in rows} == {7}
+    assert [(r.frame_idx, r.reason) for r in rows] == [
+        (0, "first"),
+        (2, "scene_change"),
+        (4, "gop"),
+        (5, "scene_change"),
+    ]
+    assert [round(r.signature) for r in rows] == [10, 50, 50, 10]
+
+
+def test_select_keyframes_invariants_on_corpus(spark):
+    """Over the generated media table: every video emits frame 0 as
+    'first'; consecutive kept frames are never more than gop apart;
+    every scene_change kept frame moved >= threshold from the last
+    kept signature."""
+    from etl_data_lake_spark.multimodal.codec import fake_media_table
+    from etl_data_lake_spark.multimodal.decode import select_keyframes
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(300)
+    media = fake_media_table(docs)
+    gop, threshold = 4, 6.0
+    kept = select_keyframes(media, gop=gop, threshold=threshold).collect()
+    by_vid: dict[int, list] = {}
+    for r in kept:
+        by_vid.setdefault(r.media_id, []).append(r)
+    assert by_vid, "corpus contains videos"
+    for vid, rows in by_vid.items():
+        rows.sort(key=lambda r: r.frame_idx)
+        assert rows[0].frame_idx == 0 and rows[0].reason == "first"
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.frame_idx - prev.frame_idx <= gop
+            if cur.reason == "scene_change":
+                assert abs(cur.signature - prev.signature) >= threshold - 1e-6
