@@ -83,3 +83,116 @@ def test_sessionize_invariants(spark, gaps_min):
     got_sessions = {r.session_id for r in sess}
     assert len(got_sessions) == expected_sessions
     assert len(sess) == len(ts)  # every event lands in exactly one session
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            # full unicode incl. multi-byte + every ASCII whitespace class,
+            # excluding surrogates (invalid in UTF-8 parquet/arrow transfer)
+            alphabet=st.characters(
+                max_codepoint=0x2FFF, exclude_categories=("Cs",)
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_shingle_pandas_udf_property(spark, texts):
+    """The Arrow-batched shingle hasher equals the JVM expression twin
+    for ARBITRARY unicode text, not just the corpus + curated edge docs
+    (tokenization whitespace classes, sub-n-token docs, repeats)."""
+    from pyspark.sql import functions as F
+
+    from etl_data_lake_spark.functions.text import (
+        compose_shingle_hashes,
+        poly_hash,
+        shingle_hashes_pandas_udf,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    jvm = {
+        r.doc_id: list(r.sh)
+        for r in df.select(
+            "doc_id",
+            F.array_distinct(
+                compose_shingle_hashes(
+                    F.transform(tokens("text"), lambda t: poly_hash(t)), 3
+                )
+            ).alias("sh"),
+        ).collect()
+    }
+    pnd = {
+        r.doc_id: list(r.sh)
+        for r in df.select(
+            "doc_id", shingle_hashes_pandas_udf(3)(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert jvm == pnd
+
+
+@given(
+    cents=st.lists(
+        st.integers(min_value=-10_000_000, max_value=10_000_000),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_sum_money_exactness(spark, cents):
+    """sum_money over any list of 2-decimal values equals the exact
+    integer-cent sum — no float accumulation error regardless of
+    magnitude mix or sign."""
+    from pyspark.sql import functions as F
+
+    from etl_data_lake_spark.functions.money import sum_money
+
+    df = spark.createDataFrame([(c / 100.0,) for c in cents], "x double")
+    got = df.agg(sum_money(F.col("x")).alias("s")).collect()[0].s
+    assert got == sum(cents) / 100.0
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed label propagation equals a sequential union-find on
+    arbitrary small graphs (chains, stars, cliques, disjoint unions —
+    whatever hypothesis shrinks to)."""
+    from etl_data_lake_spark.dedup.cluster import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(df, max_rounds=40).collect()
+    }
+    assert got == expected
