@@ -81,12 +81,16 @@ def connected_components(
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    edges = both.distinct().persist()
-    n_edges = edges.count()  # also materializes the persist
+    staged = both.distinct().persist()
+    n_edges = staged.count()  # also materializes the persist
     session = pairs.sparkSession
     default_par = int(session.conf.get("spark.sql.shuffle.partitions", "200"))
     n_part = max(1, min(default_par, n_edges // _EDGES_PER_PARTITION + 1))
-    edges = edges.repartition(n_part, "dst").persist()
+    # checkpoint the right-sized edge table eagerly so the sizing-stage
+    # cache can be dropped immediately (it would otherwise pin the
+    # un-repartitioned copy for the whole loop)
+    edges = staged.repartition(n_part, "dst").localCheckpoint(eager=True)
+    staged.unpersist()
 
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -125,7 +129,8 @@ def connected_components(
         labels = updated.drop("old_label")
         if changed == 0:
             break
-    edges.unpersist()
+    # (edges is a localCheckpoint — its blocks are released by the
+    # ContextCleaner once unreferenced; no explicit unpersist handle)
     if changed != 0:
         msg = (
             f"connected_components did not converge in {max_rounds} rounds "
