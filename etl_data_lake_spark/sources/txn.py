@@ -1,0 +1,331 @@
+"""Minimal transactional table layer over plain parquet (a la Delta).
+
+The reference writes bare parquet directories (``/root/reference/
+etl.py:74-76``): a rerun crashes (quirk Q9), a crash mid-write leaves
+torn state, concurrent writers corrupt each other, and readers see
+half-written tables. BASELINE.md records the decision to stay on plain
+parquet for the *query* tables (the container has no Delta/Iceberg
+jars); this module is the in-repo answer for the *pipeline* tables
+that actually need ACID: a log-structured commit protocol implementing
+the core of the Delta Lake design (Armbrust et al., "Delta Lake:
+High-Performance ACID Table Storage over Cloud Object Stores",
+VLDB 2020 — see PAPERS.md) with nothing but parquet + JSON manifests.
+
+Layout::
+
+    table/
+      _txnlog/v000000000001.json   # one manifest per committed version
+      data/<uuid>/part-*.parquet   # immutable data files, write-once
+
+Each manifest is a FULL snapshot: the list of data files that make up
+that version, the schema, the operation, and per-writer transaction
+watermarks. Readers resolve the highest ``v*.json`` and read exactly
+that file list — snapshot isolation for free, since data files are
+never mutated and manifests are published atomically. Time travel is
+"read an older manifest".
+
+Commit protocol (optimistic concurrency, object-store friendly):
+
+1. stage data files under ``data/<uuid>/`` (unique dir, write-once;
+   a crash here leaves an orphan dir that no manifest references —
+   invisible to readers, reclaimed by :meth:`TxnTable.vacuum`);
+2. build the next manifest and publish it with an atomic
+   create-if-absent (``os.link`` — fails with EEXIST if another
+   writer won the version);
+3. on losing the race: re-read the new latest snapshot and REBASE —
+   appends always rebase (their files conflict with nothing);
+   compaction rebases iff every file it rewrote still exists in the
+   winner's snapshot (else its input was concurrently replaced —
+   abort); overwrite aborts on any concurrent commit. This is the
+   Delta conflict matrix restricted to the operations shipped here.
+
+Idempotent writes: a commit may carry ``(app_id, txn_seq)``; the
+manifest tracks the highest seq applied per app_id, and a commit at or
+below the watermark becomes a no-op. `foreachBatch` sinks pass the
+Structured Streaming batch id as the seq, turning at-least-once batch
+replays into exactly-once table commits (:func:`txn_append_sink`).
+
+Scale notes (100 TB): manifests here carry the full file list — O(#
+files) JSON per commit. The production fix is Delta's: incremental
+log entries + periodic parquet checkpoints of the snapshot, plus
+per-file partition values and column min/max for file skipping. The
+COMMIT PROTOCOL — the part that makes it ACID — is unchanged; only
+manifest representation grows. Per-writer txn watermarks are already
+O(#writers), not O(#commits). ``os.link`` is the local-FS stand-in
+for the object store's put-if-absent (S3 conditional PUT, GCS
+if-generation-match); no data-file renames happen anywhere, so every
+code path is object-store safe except that one primitive.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_txnlog"
+_DATA_DIR = "data"
+_V_WIDTH = 12
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed a conflicting change; caller retries
+    the whole logical operation (re-read, re-compute, re-commit)."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    operation: str
+    files: tuple[str, ...]  # relative to the table root
+    schema_json: str
+    writer_txns: dict[str, int]  # app_id -> highest applied txn_seq
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.schema_json))
+
+
+def _manifest_path(root: Path, version: int) -> Path:
+    return root / _LOG_DIR / f"v{version:0{_V_WIDTH}d}.json"
+
+
+class TxnTable:
+    """Handle to a transactional parquet table rooted at ``path``.
+
+    Handles are stateless: every operation resolves the latest
+    committed version at commit time, so any number of handles (in any
+    number of processes) can target the same table.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.root = Path(path)
+
+    # ---------------------------------------------------------- log --
+
+    def latest_version(self) -> int:
+        """Highest committed version, 0 if the table doesn't exist."""
+        log = self.root / _LOG_DIR
+        if not log.is_dir():
+            return 0
+        best = 0
+        for p in log.iterdir():
+            name = p.name
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[1:-5]))
+                except ValueError:
+                    continue  # foreign file in the log dir
+        return best
+
+    def snapshot_meta(self, version: int | None = None) -> Snapshot | None:
+        v = self.latest_version() if version is None else version
+        if v <= 0:
+            return None
+        mp = _manifest_path(self.root, v)
+        m = json.loads(mp.read_text())
+        return Snapshot(
+            version=m["version"],
+            operation=m["operation"],
+            files=tuple(m["files"]),
+            schema_json=m["schema"],
+            writer_txns=dict(m.get("writer_txns", {})),
+        )
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in range(1, self.latest_version() + 1):
+            m = json.loads(_manifest_path(self.root, v).read_text())
+            out.append(
+                {
+                    "version": v,
+                    "operation": m["operation"],
+                    "n_files": len(m["files"]),
+                    "writer_txns": m.get("writer_txns", {}),
+                }
+            )
+        return out
+
+    # -------------------------------------------------------- reads --
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default: latest). Consistent
+        even while concurrent commits land: the file list was fixed at
+        publish time and data files are immutable."""
+        meta = self.snapshot_meta(version)
+        if meta is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        if not meta.files:
+            return self.spark.createDataFrame([], meta.schema())
+        paths = [str(self.root / f) for f in meta.files]
+        return self.spark.read.schema(meta.schema()).parquet(*paths)
+
+    # ------------------------------------------------------- writes --
+
+    def _stage(self, df: DataFrame) -> tuple[list[str], str]:
+        """Write ``df``'s files into a fresh write-once dir; return
+        (relative file paths, schema json)."""
+        stage_rel = f"{_DATA_DIR}/{uuid.uuid4().hex}"
+        stage_abs = self.root / stage_rel
+        df.write.mode("errorifexists").parquet(str(stage_abs))
+        files = sorted(
+            f"{stage_rel}/{p.name}"
+            for p in stage_abs.iterdir()
+            if p.name.endswith(".parquet")
+        )
+        return files, df.schema.json()
+
+    def _publish(self, manifest: dict, version: int) -> bool:
+        """Atomically create manifest ``version``; False if lost the
+        race. ``os.link`` of a completed temp file is create-if-absent:
+        either the full manifest appears under the final name or
+        nothing does — no reader ever sees a partial manifest."""
+        log = self.root / _LOG_DIR
+        log.mkdir(parents=True, exist_ok=True)
+        tmp = log / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(manifest))
+        try:
+            os.link(tmp, _manifest_path(self.root, version))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            tmp.unlink()
+
+    def _commit(
+        self,
+        operation: str,
+        staged: list[str],
+        schema_json: str,
+        app_id: str | None,
+        txn_seq: int | None,
+        replaced: tuple[str, ...] = (),
+        max_attempts: int = 20,
+    ) -> int:
+        """Optimistic-concurrency commit loop. Returns the committed
+        version (or the current one, for an idempotent no-op)."""
+        for _ in range(max_attempts):
+            base = self.snapshot_meta()
+            base_v = base.version if base else 0
+            txns = dict(base.writer_txns) if base else {}
+            if app_id is not None and txn_seq is not None:
+                if txns.get(app_id, -1) >= txn_seq:
+                    return base_v  # replayed transaction: no-op
+                txns[app_id] = txn_seq
+            if operation == "append":
+                files = (list(base.files) if base else []) + staged
+            elif operation == "overwrite":
+                if base is not None and base.version != self._expected_base:
+                    raise ConcurrentWriteError(
+                        f"overwrite based on v{self._expected_base} but "
+                        f"v{base.version} committed concurrently"
+                    )
+                files = staged
+            elif operation == "compact":
+                base_files = set(base.files) if base else set()
+                if not set(replaced) <= base_files:
+                    raise ConcurrentWriteError(
+                        "compaction input files were replaced concurrently"
+                    )
+                files = sorted(base_files - set(replaced)) + staged
+            else:  # pragma: no cover
+                raise ValueError(operation)
+            manifest = {
+                "version": base_v + 1,
+                "operation": operation,
+                "files": files,
+                "schema": schema_json,
+                "writer_txns": txns,
+            }
+            if self._publish(manifest, base_v + 1):
+                return base_v + 1
+            # lost the race -> loop rebases on the new latest snapshot
+        raise ConcurrentWriteError(
+            f"gave up after {max_attempts} contended commit attempts"
+        )
+
+    def append(
+        self,
+        df: DataFrame,
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+    ) -> int:
+        """Append ``df`` as a new version. With (app_id, txn_seq), the
+        append is idempotent: replaying an already-applied seq is a
+        no-op (exactly-once under at-least-once drivers)."""
+        staged, schema_json = self._stage(df)
+        return self._commit("append", staged, schema_json, app_id, txn_seq)
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+    ) -> int:
+        """Replace the table contents. Aborts with
+        :class:`ConcurrentWriteError` if ANY other commit lands between
+        reading the base version and publishing — an overwrite
+        logically invalidates every concurrent change, so it must not
+        silently clobber them (Delta's WriteSerializable rule)."""
+        self._expected_base = self.latest_version()
+        staged, schema_json = self._stage(df)
+        return self._commit("overwrite", staged, schema_json, app_id, txn_seq)
+
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the current snapshot into ``target_files`` files and
+        commit the swap. Readers are never disturbed (old files stay on
+        disk until vacuum); concurrent APPENDS are preserved by the
+        rebase (only the files actually rewritten are dropped from the
+        snapshot); a concurrent rewrite of the same files aborts."""
+        base = self.snapshot_meta()
+        if base is None or not base.files:
+            return self.latest_version()
+        df = self.snapshot(base.version).coalesce(target_files)
+        staged, schema_json = self._stage(df)
+        return self._commit(
+            "compact", staged, schema_json, None, None, replaced=base.files
+        )
+
+    # -------------------------------------------------- maintenance --
+
+    def vacuum(self, keep_versions: int = 1) -> int:
+        """Delete data dirs unreferenced by the ``keep_versions`` most
+        recent snapshots (orphans from crashed stages included).
+        Returns the number of dirs removed. Like Delta's VACUUM this
+        breaks time travel beyond the horizon and must outlast the
+        longest-running reader; at scale you gate it on a retention
+        interval rather than a version count."""
+        latest = self.latest_version()
+        keep = set()
+        for v in range(max(1, latest - keep_versions + 1), latest + 1):
+            meta = self.snapshot_meta(v)
+            keep.update(f.split("/")[1] for f in meta.files)
+        data = self.root / _DATA_DIR
+        removed = 0
+        if data.is_dir():
+            for d in data.iterdir():
+                if d.is_dir() and d.name not in keep:
+                    shutil.rmtree(d)
+                    removed += 1
+        return removed
+
+
+def txn_append_sink(path: str, app_id: str = "stream"):
+    """``foreachBatch`` function giving a stream an exactly-once,
+    atomically-published append sink: the batch id is the transaction
+    seq, so a replayed micro-batch (restart, retry) commits nothing
+    the second time. Contrast streaming/upsert.py, which rewrites the
+    table per batch for keyed latest-wins; this is the append path."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        TxnTable(batch.sparkSession, path).append(
+            batch, app_id=app_id, txn_seq=batch_id
+        )
+
+    return fn

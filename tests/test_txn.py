@@ -1,0 +1,186 @@
+"""Transactional table layer (sources/txn.py): atomic publish,
+optimistic concurrency, snapshot isolation, idempotent replays.
+
+The concurrency tests simulate races deterministically: writer B is
+forced to base its commit on a version that writer A has already
+superseded, by interleaving the internal steps rather than racing
+threads (same effect, no flakes)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.sources.txn import (
+    ConcurrentWriteError,
+    TxnTable,
+    txn_append_sink,
+)
+
+
+def _df(spark, *vals):
+    return spark.createDataFrame([(v, f"r{v}") for v in vals], "id int, s string")
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def test_append_read_roundtrip_and_history(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    assert t.latest_version() == 0
+    v1 = t.append(_df(spark, 1, 2))
+    v2 = t.append(_df(spark, 3))
+    assert (v1, v2) == (1, 2)
+    assert _ids(t.snapshot()) == [1, 2, 3]
+    # time travel: v1 unchanged after later commits
+    assert _ids(t.snapshot(version=1)) == [1, 2]
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["append", "append"]
+
+
+def test_overwrite_replaces_and_preserves_time_travel(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 1, 2))
+    t.overwrite(_df(spark, 9))
+    assert _ids(t.snapshot()) == [9]
+    assert _ids(t.snapshot(version=1)) == [1, 2]
+
+
+def test_snapshot_isolation_reader_pinned_across_commits(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 1))
+    pinned = t.snapshot()  # resolves the v1 file list NOW
+    t.overwrite(_df(spark, 2))
+    # the pinned plan still reads v1's (immutable, un-vacuumed) files
+    assert _ids(pinned) == [1]
+    assert _ids(t.snapshot()) == [2]
+
+
+def test_concurrent_appends_both_survive(spark, tmp_path):
+    """Two appends race; the loser rebases and keeps both file sets."""
+    path = str(tmp_path / "t")
+    a, b = TxnTable(spark, path), TxnTable(spark, path)
+    a.append(_df(spark, 1))
+    # B stages its files, then A commits first, then B publishes: B's
+    # commit loop re-reads the latest snapshot at publish time, so the
+    # interleaving below is exactly the lost-race retry path.
+    staged_b, schema_b = b._stage(_df(spark, 3))
+    a.append(_df(spark, 2))
+    vb = b._commit("append", staged_b, schema_b, None, None)
+    assert vb == 3
+    assert _ids(b.snapshot()) == [1, 2, 3]
+
+
+def test_overwrite_aborts_on_concurrent_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    a, b = TxnTable(spark, path), TxnTable(spark, path)
+    a.append(_df(spark, 1))
+    b._expected_base = b.latest_version()  # overwrite reads its base…
+    staged_b, schema_b = b._stage(_df(spark, 9))
+    a.append(_df(spark, 2))  # …and a concurrent commit lands
+    with pytest.raises(ConcurrentWriteError):
+        b._commit("overwrite", staged_b, schema_b, None, None)
+    # nothing from B leaked into the committed table
+    assert _ids(b.snapshot()) == [1, 2]
+
+
+def test_compact_rebases_over_concurrent_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(_df(spark, 1))
+    t.append(_df(spark, 2))
+    base = t.snapshot_meta()
+    staged, schema_json = t._stage(t.snapshot().coalesce(1))
+    TxnTable(spark, path).append(_df(spark, 3))  # lands mid-compaction
+    t._commit("compact", staged, schema_json, None, None, replaced=base.files)
+    assert _ids(t.snapshot()) == [1, 2, 3]  # append NOT lost
+    # the rewritten originals are out of the snapshot; the append's
+    # files and the compacted file are in
+    after = set(t.snapshot_meta().files)
+    assert after.isdisjoint(base.files)
+    assert set(staged) <= after
+
+
+def test_compact_aborts_if_inputs_replaced(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(_df(spark, 1))
+    base = t.snapshot_meta()
+    staged, schema_json = t._stage(t.snapshot().coalesce(1))
+    TxnTable(spark, path).overwrite(_df(spark, 9))  # rewrites t's inputs
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(
+            "compact", staged, schema_json, None, None, replaced=base.files
+        )
+
+
+def test_idempotent_txn_replay_is_noop(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 1), app_id="job", txn_seq=0)
+    v = t.append(_df(spark, 2), app_id="job", txn_seq=1)
+    # replay of seq 1 (and of the stale seq 0) commits nothing
+    assert t.append(_df(spark, 2), app_id="job", txn_seq=1) == v
+    assert t.append(_df(spark, 1), app_id="job", txn_seq=0) == v
+    assert _ids(t.snapshot()) == [1, 2]
+    # independent writers have independent watermarks
+    t.append(_df(spark, 3), app_id="other", txn_seq=0)
+    assert _ids(t.snapshot()) == [1, 2, 3]
+
+
+def test_crash_artifacts_invisible_and_vacuumed(spark, tmp_path):
+    path = tmp_path / "t"
+    t = TxnTable(spark, str(path))
+    t.append(_df(spark, 1))
+    # crashed stage: data dir written, no manifest references it
+    orphan, _ = t._stage(_df(spark, 99))
+    # crashed publish: temp manifest left in the log dir
+    (path / "_txnlog" / ".tmp-crashed").write_text(json.dumps({"junk": 1}))
+    assert _ids(t.snapshot()) == [1]
+    assert t.latest_version() == 1
+    removed = t.vacuum(keep_versions=1)
+    assert removed == 1  # the orphan dir
+    assert not (path / os.path.dirname(orphan[0])).exists()
+    assert _ids(t.snapshot()) == [1]
+
+
+def test_vacuum_respects_retained_versions(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 1))
+    t.overwrite(_df(spark, 2))
+    t.overwrite(_df(spark, 3))
+    assert t.vacuum(keep_versions=2) == 1  # only v1's dir goes
+    assert _ids(t.snapshot(version=2)) == [2]  # retained history readable
+    assert _ids(t.snapshot()) == [3]
+
+
+def test_empty_table_snapshot_keeps_schema(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark).limit(0))
+    got = t.snapshot()
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "s"]
+
+
+def test_streaming_exactly_once_append_sink(spark, tmp_path):
+    """At-least-once foreachBatch replays commit exactly once."""
+    path = str(tmp_path / "t")
+    sink = txn_append_sink(path, app_id="ingest")
+    sink(_df(spark, 1, 2), 0)
+    sink(_df(spark, 3), 1)
+    sink(_df(spark, 3), 1)  # replayed micro-batch (restart/retry)
+    t = TxnTable(spark, path)
+    assert _ids(t.snapshot()) == [1, 2, 3]
+    assert t.latest_version() == 2
+
+
+def test_schema_tracks_latest_commit(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 1))
+    widened = _df(spark, 2).withColumn("extra", F.lit(7))
+    t.overwrite(widened)
+    assert "extra" in t.snapshot().columns
+    assert "extra" not in t.snapshot(version=1).columns
