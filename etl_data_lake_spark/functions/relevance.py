@@ -1,0 +1,118 @@
+"""TF-IDF / BM25 relevance scoring over a document corpus.
+
+Lexical retrieval quality scores (Robertson & Zaragoza's BM25 — the
+public Okapi formulation) as DataFrame aggregations: the shapes a
+curation pipeline uses for query-based corpus slicing ("pull the docs
+most relevant to these seed terms") and for lightweight quality
+features (distinctive-term density).
+
+Plan shape, built for 100 TB: one explode → one (term, doc) count
+aggregation [shuffle on (doc, term)] → one doc-frequency aggregation
+over distinct (term, doc) rows [shuffle on term, map-side combined] →
+per-(doc, term) score with corpus constants attached via a broadcast
+1-row cross join (never a driver collect). Query scoring filters the
+term table to the query's terms FIRST (an `isin` filter that prunes
+at the scan when the term table is materialized parquet), so cost
+scales with |matching postings|, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.text import tokens
+from etl_data_lake_spark.operators.topk import top_k
+
+
+def term_doc_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, term, tf, dl): term frequency per document plus the
+    document length, the posting-list base table."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    return (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    )
+
+
+def corpus_stats(term_doc: DataFrame) -> DataFrame:
+    """1-row (n_docs, avgdl) — broadcast-joined onto scoring plans."""
+    per_doc = term_doc.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    return per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+
+def doc_frequencies(term_doc: DataFrame) -> DataFrame:
+    """→ (term, df): number of documents containing each term."""
+    return term_doc.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+
+
+def tfidf(term_doc: DataFrame) -> DataFrame:
+    """→ (doc_id, term, tf, tfidf) with the standard smooth idf
+    ``ln((1+N)/(1+df)) + 1`` (scikit-learn's public formulation, never
+    negative, defined for df=N)."""
+    stats = corpus_stats(term_doc)
+    dfreq = doc_frequencies(term_doc)
+    return (
+        term_doc.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * (
+                    F.log((1 + F.col("n_docs")) / (1 + F.col("df")))
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 10,
+) -> DataFrame:
+    """→ top-``limit`` (doc_id, score) for a bag-of-words query, Okapi
+    BM25: idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    score = Σ_t idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))."""
+    term_doc = term_doc_table(docs, text_col, id_col)
+    # prune to the query's postings before any corpus-wide aggregation
+    # EXCEPT df/N, which are corpus properties: df comes from the full
+    # term table filtered to query terms (still tiny), N/avgdl from
+    # corpus_stats.
+    postings = term_doc.where(F.col("term").isin(query_terms))
+    dfreq = doc_frequencies(term_doc).where(F.col("term").isin(query_terms))
+    stats = corpus_stats(term_doc)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score", idf * F.col("tf") * (k1 + 1) / denom)
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return top_k(scored, [F.desc("score"), F.asc("doc_id")], limit)

@@ -1,0 +1,128 @@
+"""Sequence packing: batch documents into fixed token-budget packs.
+
+Training consumes fixed-length sequences; feeding one short document
+per sequence wastes the budget on padding. Packing assigns documents
+to "packs" whose token totals never exceed a budget — the standard
+pre-tokenization batching step of an LLM data pipeline.
+
+Optimal bin packing is NP-hard; the practical algorithm is greedy
+sequential fill (close a pack when the next doc would overflow it).
+That recurrence RESETS at every pack boundary, which makes it
+non-associative — not expressible as a window aggregate. (The tempting
+one-pass alternative, segmenting a global running total at budget
+multiples, overflows whenever a segment boundary doesn't align with a
+document edge: budget 512 over docs 400 | 400, 200 puts 600 tokens in
+the second segment. A hard budget needs the reset.)
+
+So this is the textbook case for ``applyInPandas`` (per the Spark-
+first design rule: built-ins until the semantics genuinely need
+imperative state): documents are sharded by content hash, each shard
+is greedy-filled in one Arrow batch, and the per-shard loop is
+O(#packs · log n) — ``numpy.searchsorted`` on the shard's cumulative
+sum finds each pack's last member directly, so Python cost scales
+with packs, not documents.
+
+Scale: parallelism is ``n_shards`` (size shards to ~10⁶ docs at
+100 TB); one shuffle to co-locate shards, one Arrow round-trip, no
+driver participation. Deterministic: shard assignment and in-shard
+order derive from (seed, id) hashes only, so the same corpus packs
+identically on any cluster layout, any run. Docs longer than the
+budget become solo packs naturally (greedy closes the pack before and
+after them); they are flagged rather than split or dropped — chunk
+long docs upstream if they must be packed.
+
+Fill quality: waste is the unfilled gap at each pack close; expected
+utilization ≈ 1 − E[len]/(2·budget) (~97% for a 2k budget over
+128-token docs) — within a point of first-fit-decreasing, without
+FFD's global sort. :func:`packing_stats` measures it rather than
+assuming it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """→ input columns + (pack_id: string, pack_pos: int).
+
+    ``pack_id`` is globally unique ("shard:seq"); ``pack_pos`` is the
+    document's 1-based position within its pack. Every pack's token
+    total is ≤ ``budget`` unless the pack is a single over-budget
+    document. Deterministic for a given (corpus, budget, n_shards,
+    seed)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    tagged = docs.withColumn(
+        "_h", F.xxhash64(F.lit(seed), F.col(id_col))
+    ).withColumn("_shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+
+    out_schema = StructType(
+        list(docs.schema.fields)
+        + [
+            StructField("pack_id", StringType()),
+            StructField("pack_pos", IntegerType()),
+        ]
+    )
+    drop_cols = ["_h", "_shard"]
+
+    def fill_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values(["_h", id_col], kind="mergesort")
+        toks = pdf[token_col].to_numpy(dtype=np.int64)
+        cum = np.cumsum(toks)
+        n = len(toks)
+        pack_seq = np.empty(n, dtype=np.int64)
+        pack_pos = np.empty(n, dtype=np.int32)
+        i, k, base = 0, 0, 0
+        while i < n:
+            # last index whose cumulative fits in base+budget; always
+            # advance at least one doc (an oversize doc goes solo)
+            j = int(np.searchsorted(cum, base + budget, side="right"))
+            j = max(j, i + 1)
+            pack_seq[i:j] = k
+            pack_pos[i:j] = np.arange(1, j - i + 1, dtype=np.int32)
+            base = int(cum[j - 1])
+            i, k = j, k + 1
+        out = pdf.drop(columns=drop_cols)
+        out["pack_id"] = [f"{shard}:{s}" for s in pack_seq]
+        out["pack_pos"] = pack_pos
+        return out
+
+    return tagged.groupBy("_shard").applyInPandas(fill_shard, out_schema)
+
+
+def packing_stats(packed: DataFrame, token_col: str, budget: int) -> DataFrame:
+    """One row: pack count, docs/pack, token utilization vs budget,
+    and how many packs are over budget (only solo oversize docs can
+    be)."""
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum(token_col).alias("pack_tokens"),
+        F.count("*").alias("pack_docs"),
+    )
+    return per_pack.agg(
+        F.count("*").cast("long").alias("n_packs"),
+        F.avg("pack_docs").alias("avg_docs_per_pack"),
+        (F.sum("pack_tokens") / (F.count("*") * F.lit(budget))).alias(
+            "utilization"
+        ),
+        F.sum(
+            (F.col("pack_tokens") > budget).cast("long")
+        ).alias("n_overflow_packs"),
+    )

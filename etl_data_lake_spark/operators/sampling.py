@@ -1,0 +1,133 @@
+"""Deterministic sampling & dataset mixing for training-data curation.
+
+``df.sample()`` draws from a per-partition RNG: the selected rows
+change whenever partitioning, task retries, or Spark versions change —
+useless for reproducible corpus construction. Everything here samples
+by HASHING ROW CONTENT (``xxhash64`` of the id/key columns), so
+
+* the same row makes the same in/out decision on any cluster layout,
+  any retry, any engine run — the sample is a pure function of the
+  data and the seed;
+* samples at different rates NEST: keep(p=0.1) ⊂ keep(p=0.2) for the
+  same seed (both are prefix intervals of the same hash ring), which
+  gives consistent train/eval scaling curves;
+* disjoint splits are complementary hash intervals — no coordination,
+  no shuffle, a codegen-side filter that parquet scans evaluate after
+  pushdown of everything cheaper.
+
+No shuffle is introduced by any operator in this module: each is a
+filter (sampling/splitting) or a filter per stratum (mixture), so at
+100 TB they run at scan speed. (The reference has no sampling surface
+at all; this is north-star extension material.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# resolution of the hash ring: keep-fractions are quantized to 1/2^20
+_RING_BITS = 20
+_RING = 1 << _RING_BITS
+
+
+def _bucket(key_cols: tuple[str, ...], seed: int) -> Column:
+    """Uniform bucket in [0, _RING) from row content + seed."""
+    h = F.xxhash64(F.lit(seed), *[F.col(c) for c in key_cols])
+    return F.pmod(h, F.lit(_RING))
+
+
+def sample_deterministic(
+    df: DataFrame,
+    fraction: float,
+    key_cols: tuple[str, ...],
+    seed: int = 42,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by content hash — stable
+    under repartitioning, retries, and re-runs; nested across
+    fractions at the same seed."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    return df.where(_bucket(key_cols, seed) < int(round(fraction * _RING)))
+
+
+def split_deterministic(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_cols: tuple[str, ...],
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Partition into disjoint, exhaustive named splits (e.g.
+    train/val/test) by complementary hash intervals. Every row lands in
+    exactly one split, decided by its content."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights sum to {total}, expected 1.0")
+    bucket = _bucket(key_cols, seed)
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    names = list(weights)
+    for i, name in enumerate(names):
+        hi = lo + weights[name]
+        lo_t = int(round(lo * _RING))
+        # last interval absorbs rounding so the union is exhaustive
+        hi_t = _RING if i == len(names) - 1 else int(round(hi * _RING))
+        out[name] = df.where((bucket >= lo_t) & (bucket < hi_t))
+        lo = hi
+    return out
+
+
+def stratified_sample_deterministic(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str,
+    key_cols: tuple[str, ...],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum keep-fractions (e.g. downsample boilerplate-heavy
+    sources, keep all rare-language docs). Strata absent from
+    ``fractions`` are DROPPED — an explicit mixing recipe, not a
+    passthrough. Single filter expression; no shuffle, no per-stratum
+    jobs (contrast ``df.sampleBy``, which is also nondeterministic
+    under repartitioning)."""
+    bucket = _bucket(key_cols, seed)
+    thresh = F.element_at(
+        F.create_map(
+            *[
+                x
+                for k, v in fractions.items()
+                for x in (F.lit(k), F.lit(int(round(v * _RING))))
+            ]
+        ),
+        F.col(stratum_col),
+    )
+    return df.where(bucket < F.coalesce(thresh, F.lit(0)))
+
+
+def mix_sources(
+    sources: dict[str, DataFrame],
+    fractions: dict[str, float],
+    key_cols: tuple[str, ...],
+    seed: int = 42,
+    source_col: str = "source",
+) -> DataFrame:
+    """Weighted mixture of corpora: sample each source at its fraction
+    and union tagged with its name — the 'data mixing' step of a
+    training pipeline, with every per-source decision content-hashed
+    so the mixture is exactly reproducible."""
+    parts = []
+    for name, df in sources.items():
+        frac = fractions.get(name, 0.0)
+        if frac <= 0.0:
+            continue
+        parts.append(
+            sample_deterministic(df, frac, key_cols, seed).withColumn(
+                source_col, F.lit(name)
+            )
+        )
+    if not parts:
+        raise ValueError("no source has a positive fraction")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

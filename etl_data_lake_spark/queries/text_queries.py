@@ -155,25 +155,46 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Corpus-level token frequencies (explode → agg → top-k)
+# Corpus-level token frequencies (explode → agg → top-k) + smooth idf
+# (ln((1+N)/(1+df))+1, scikit-learn's public formulation) — the corpus
+# statistic behind functions/relevance's TF-IDF/BM25 scoring, verified
+# here against the oracle; the corpus size N rides in via a broadcast
+# 1-row cross join, never a driver collect.
 # --------------------------------------------------------------------------
 @register(
     "text_token_frequencies",
     oracle=f"""
         SELECT t AS token, COUNT(*) AS freq,
-               COUNT(DISTINCT doc_id) AS doc_freq
+               COUNT(DISTINCT doc_id) AS doc_freq,
+               ln((1.0 + (SELECT COUNT(*) FROM documents))
+                  / (1.0 + COUNT(DISTINCT doc_id))) + 1.0 AS idf
         FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
         GROUP BY t
         ORDER BY freq DESC, token
         LIMIT 20
     """,
-    tags=("text", "agg", "topk"),
+    tags=("text", "agg", "topk", "relevance"),
 )
 def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
     exploded = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    counts = exploded.groupBy("token").agg(
-        F.count("*").alias("freq"), F.countDistinct("doc_id").alias("doc_freq")
+    counts = (
+        exploded.groupBy("token")
+        .agg(
+            F.count("*").alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "freq",
+            "doc_freq",
+            (
+                F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("doc_freq")))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
     )
     return top_k(counts, [F.desc("freq"), F.asc("token")], 20)
 

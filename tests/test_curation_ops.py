@@ -1,0 +1,231 @@
+"""Training-data curation operators: deterministic sampling/mixing
+(operators/sampling.py), sequence packing (operators/packing.py),
+TF-IDF / BM25 relevance (functions/relevance.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.relevance import (
+    bm25_score,
+    term_doc_table,
+    tfidf,
+)
+from etl_data_lake_spark.operators.packing import pack_sequences, packing_stats
+from etl_data_lake_spark.operators.sampling import (
+    mix_sources,
+    sample_deterministic,
+    split_deterministic,
+    stratified_sample_deterministic,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 10_000).select(
+        F.col("id"), F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+
+
+# ----------------------------------------------------------- sampling --
+
+
+def test_sample_fraction_and_determinism(spark, ids):
+    s = sample_deterministic(ids, 0.25, ("key",))
+    n = s.count()
+    assert abs(n / 10_000 - 0.25) < 0.02
+    # pure function of content: same rows again, and same rows after
+    # an arbitrary repartition
+    again = sample_deterministic(ids.repartition(7), 0.25, ("key",))
+    assert s.select("id").exceptAll(again.select("id")).count() == 0
+    assert again.count() == n
+
+
+def test_samples_nest_across_fractions(spark, ids):
+    small = sample_deterministic(ids, 0.1, ("key",))
+    big = sample_deterministic(ids, 0.3, ("key",))
+    assert small.join(big, "id", "left_anti").count() == 0  # small ⊆ big
+
+
+def test_split_disjoint_exhaustive(spark, ids):
+    parts = split_deterministic(
+        ids, {"train": 0.8, "val": 0.1, "test": 0.1}, ("key",)
+    )
+    counts = {k: v.count() for k, v in parts.items()}
+    assert sum(counts.values()) == 10_000  # exhaustive
+    assert parts["train"].join(parts["val"], "id", "inner").count() == 0
+    assert parts["train"].join(parts["test"], "id", "inner").count() == 0
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+
+
+def test_split_weights_must_sum_to_one(spark, ids):
+    with pytest.raises(ValueError):
+        split_deterministic(ids, {"a": 0.5, "b": 0.4}, ("key",))
+
+
+def test_stratified_fractions_per_group(spark, ids):
+    strat = ids.withColumn(
+        "src", F.when(F.col("id") % 2 == 0, "web").otherwise("books")
+    )
+    out = stratified_sample_deterministic(
+        strat, {"web": 0.1, "books": 0.5}, "src", ("key",)
+    )
+    got = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(got["web"] / 5_000 - 0.1) < 0.03
+    assert abs(got["books"] / 5_000 - 0.5) < 0.03
+    # absent stratum would be dropped entirely
+    none_kept = stratified_sample_deterministic(
+        strat, {"web": 0.1}, "src", ("key",)
+    )
+    assert none_kept.where(F.col("src") == "books").count() == 0
+
+
+def test_mix_sources_weights_and_tags(spark, ids):
+    a = ids.withColumnRenamed("id", "doc_id")
+    b = ids.withColumnRenamed("id", "doc_id")
+    mixed = mix_sources(
+        {"web": a, "books": b}, {"web": 0.2, "books": 0.6}, ("key",)
+    )
+    got = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(got["web"] / 10_000 - 0.2) < 0.02
+    assert abs(got["books"] / 10_000 - 0.6) < 0.02
+
+
+# ------------------------------------------------------------ packing --
+
+
+@pytest.fixture(scope="module")
+def sized_docs(spark):
+    # 2000 docs, 10..250 tokens, plus two oversize outliers
+    base = spark.range(0, 2000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(241)) + 10).alias("n_tokens"),
+    )
+    big = spark.createDataFrame(
+        [("big1", 5000), ("big2", 9001)], "doc_id string, n_tokens long"
+    )
+    return base.unionByName(big)
+
+
+def test_pack_budget_never_exceeded(spark, sized_docs):
+    packed = pack_sequences(sized_docs, "n_tokens", budget=512)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n")
+    )
+    # the only over-budget packs are the two oversize docs, solo
+    over = per_pack.where(F.col("tot") > 512).collect()
+    assert sorted(r["n"] for r in over) == [1, 1]
+    over_ids = packed.join(
+        spark.createDataFrame(
+            [(r["pack_id"],) for r in over], "pack_id string"
+        ),
+        "pack_id",
+    )
+    assert sorted(r["doc_id"] for r in over_ids.collect()) == ["big1", "big2"]
+
+
+def test_pack_covers_all_docs_exactly_once(spark, sized_docs):
+    packed = pack_sequences(sized_docs, "n_tokens", budget=512)
+    assert packed.count() == sized_docs.count()
+    assert packed.select("doc_id").distinct().count() == sized_docs.count()
+    # pack_pos is 1..n within each pack
+    bad_pos = (
+        packed.groupBy("pack_id")
+        .agg(F.max("pack_pos").alias("mx"), F.count("*").alias("n"))
+        .where(F.col("mx") != F.col("n"))
+    )
+    assert bad_pos.count() == 0
+
+
+def test_pack_deterministic_and_well_utilized(spark, sized_docs):
+    a = pack_sequences(sized_docs, "n_tokens", budget=512)
+    b = pack_sequences(sized_docs.repartition(13), "n_tokens", budget=512)
+    assert (
+        a.select("doc_id", "pack_id")
+        .exceptAll(b.select("doc_id", "pack_id"))
+        .count()
+        == 0
+    )
+    stats = packing_stats(
+        a.where(~F.col("doc_id").isin("big1", "big2")), "n_tokens", 512
+    ).collect()[0]
+    # mean doc ~130 tokens → expected utilization ≈ 1 − 130/1024 ≈ .87
+    assert stats["utilization"] > 0.75
+    assert stats["n_overflow_packs"] == 0
+
+
+# ---------------------------------------------------------- relevance --
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    rows = [
+        ("d1", "apple banana apple"),
+        ("d2", "banana cherry"),
+        ("d3", "cherry cherry cherry durian"),
+        ("d4", "apple durian"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_term_doc_table_counts(spark, tiny_corpus):
+    td = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in term_doc_table(tiny_corpus).collect()
+    }
+    assert td[("d1", "apple")] == (2, 3)
+    assert td[("d3", "cherry")] == (3, 4)
+    assert ("d2", "apple") not in td
+
+
+def test_tfidf_matches_hand_computation(spark, tiny_corpus):
+    got = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in tfidf(term_doc_table(tiny_corpus)).collect()
+    }
+    # N=4; df(apple)=2 → idf = ln(5/3)+1; tf(d1,apple)=2
+    expect = 2 * (math.log(5 / 3) + 1)
+    assert got[("d1", "apple")] == pytest.approx(expect, rel=1e-9)
+    # df(banana)=2, tf(d2,banana)=1
+    assert got[("d2", "banana")] == pytest.approx(
+        math.log(5 / 3) + 1, rel=1e-9
+    )
+
+
+def test_bm25_hand_computed_ranking(spark, tiny_corpus):
+    got = bm25_score(tiny_corpus, ["cherry"], limit=4).collect()
+    # hand-compute: N=4, df(cherry)=2 → idf = ln(1 + 2.5/2.5) = ln 2
+    # avgdl = (3+2+4+2)/4 = 2.75; k1=1.2, b=0.75
+    def s(tf, dl):
+        return (
+            math.log(2.0)
+            * tf
+            * 2.2
+            / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.75))
+        )
+
+    expect = {"d3": s(3, 4), "d2": s(1, 2)}
+    assert [r["doc_id"] for r in got] == ["d3", "d2"]
+    for r in got:
+        assert r["score"] == pytest.approx(expect[r["doc_id"]], rel=1e-9)
+
+
+def test_bm25_multi_term_and_scale_smoke(spark):
+    from etl_data_lake_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    top = bm25_score(docs, ["the", "data"], limit=5)
+    rows = top.collect()
+    assert 0 < len(rows) <= 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
