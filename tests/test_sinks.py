@@ -154,3 +154,60 @@ def test_swap_into_place_replaces_and_restores(tmp_path):
     with pytest.raises(FileNotFoundError):
         swap_into_place(str(tmp_path / "missing"), str(table))
     assert (table / "data.parquet").read_bytes() == b"v2"
+
+
+def test_zorder_layout_skips_on_every_cluster_column(spark, tmp_path):
+    """Z-order must keep footer min/max tight for BOTH cluster columns
+    — the property the single-key range layout cannot give (its second
+    column's per-file span stays ~the full domain). Asserted from the
+    parquet metadata: average per-file span of each z-ordered column
+    must be a small fraction of its domain, enabling file skipping for
+    predicates on either column independently."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from etl_data_lake_spark.sources.sinks import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    # two INDEPENDENT uniform dimensions so clustering one says
+    # nothing about the other
+    df = spark.range(0, 40_000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)).alias("y"),
+    )
+
+    def spans(path, col):
+        out = []
+        for p in Path(path).rglob("*.parquet"):
+            md = pq.read_metadata(p)
+            idx = md.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((max(maxs) - min(mins)) / 10_000)
+        return out
+
+    zpath = str(tmp_path / "z")
+    write_zorder_clustered(df, zpath, ("x", "y"), n_files=16)
+    x_spans, y_spans = spans(zpath, "x"), spans(zpath, "y")
+    assert len(x_spans) > 4
+    # 16 files over a 2-D z-curve ~ 4x4 grid: each file covers about a
+    # quarter of each dimension (plus curve-boundary slack)
+    assert sum(x_spans) / len(x_spans) < 0.55
+    assert sum(y_spans) / len(y_spans) < 0.55
+
+    # contrast: single-key range clustering leaves y unclustered
+    rpath = str(tmp_path / "r")
+    write_range_clustered(df, rpath, ("x",), n_files=16)
+    y_unclustered = spans(rpath, "y")
+    assert sum(y_unclustered) / len(y_unclustered) > 0.9
+
+    # no rows lost, no helper columns leaked
+    got = spark.read.parquet(zpath)
+    assert got.count() == 40_000
+    assert set(got.columns) == {"id", "x", "y"}
