@@ -79,6 +79,30 @@ class ConcurrentWriteError(RuntimeError):
     the whole logical operation (re-read, re-compute, re-commit)."""
 
 
+class SchemaEvolutionError(ValueError):
+    """An append's schema conflicts with the table's (same column
+    name, different type). New columns are allowed — old files read
+    them as null; type changes are not."""
+
+
+def merge_schemas(base: StructType, incoming: StructType) -> StructType:
+    """Additive schema evolution: the union of both field lists, base
+    order first. Shared names must agree on type exactly — silent
+    widening/narrowing is how lakes corrupt themselves."""
+    by_name = {f.name: f for f in base.fields}
+    out = list(base.fields)
+    for f in incoming.fields:
+        have = by_name.get(f.name)
+        if have is None:
+            out.append(f)
+        elif have.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: table has {have.dataType.simpleString()}"
+                f", append has {f.dataType.simpleString()}"
+            )
+    return StructType(out)
+
+
 @dataclass(frozen=True)
 class Snapshot:
     version: int
@@ -86,6 +110,9 @@ class Snapshot:
     files: tuple[str, ...]  # relative to the table root
     schema_json: str
     writer_txns: dict[str, int]  # app_id -> highest applied txn_seq
+    # relpath -> {col -> [min, max]} for stats-tracked columns; files
+    # without an entry are never skipped
+    file_stats: dict[str, dict[str, list]]
 
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
@@ -136,6 +163,7 @@ class TxnTable:
             files=tuple(m["files"]),
             schema_json=m["schema"],
             writer_txns=dict(m.get("writer_txns", {})),
+            file_stats=dict(m.get("file_stats", {})),
         )
 
     def history(self) -> list[dict]:
@@ -166,11 +194,51 @@ class TxnTable:
         paths = [str(self.root / f) for f in meta.files]
         return self.spark.read.schema(meta.schema()).parquet(*paths)
 
+    def snapshot_where(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """The table filtered to ``lo <= col <= hi``, with MANIFEST-
+        level file skipping: files whose recorded [min, max] for
+        ``col`` (see ``stats_cols`` on the write path) don't intersect
+        the range never reach the Spark scan at all — pruning happens
+        before the reader lists a single footer, which at 100 TB is
+        the difference between planning over 10⁶ files and over the
+        handful that can match. Files without stats are conservatively
+        kept; the residual row-level filter is applied either way, so
+        the result is exact."""
+        from pyspark.sql import functions as F
+
+        meta = self.snapshot_meta(version)
+        if meta is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        keep = []
+        for f in meta.files:
+            rng = meta.file_stats.get(f, {}).get(col)
+            if rng is None or (rng[0] <= hi and rng[1] >= lo):
+                keep.append(f)
+        pred = F.col(col).between(lo, hi)
+        if not keep:
+            return (
+                self.spark.createDataFrame([], meta.schema()).where(pred)
+            )
+        paths = [str(self.root / f) for f in keep]
+        return (
+            self.spark.read.schema(meta.schema()).parquet(*paths).where(pred)
+        )
+
     # ------------------------------------------------------- writes --
 
-    def _stage(self, df: DataFrame) -> tuple[list[str], str]:
+    def _stage(
+        self, df: DataFrame, stats_cols: tuple[str, ...] = ()
+    ) -> tuple[list[str], str, dict[str, dict[str, list]]]:
         """Write ``df``'s files into a fresh write-once dir; return
-        (relative file paths, schema json)."""
+        (relative file paths, schema json, per-file column stats).
+
+        Stats come from the just-written parquet FOOTERS (one metadata
+        read per staged file, on the committer — the files are already
+        local to it), so skipping information costs no extra pass over
+        the data; only int/float/str mins and maxes are recorded, and
+        a file with no usable stats simply never skips."""
         stage_rel = f"{_DATA_DIR}/{uuid.uuid4().hex}"
         stage_abs = self.root / stage_rel
         df.write.mode("errorifexists").parquet(str(stage_abs))
@@ -179,7 +247,33 @@ class TxnTable:
             for p in stage_abs.iterdir()
             if p.name.endswith(".parquet")
         )
-        return files, df.schema.json()
+        stats: dict[str, dict[str, list]] = {}
+        if stats_cols:
+            import pyarrow.parquet as pq
+
+            for rel in files:
+                md = pq.read_metadata(self.root / rel)
+                per_col: dict[str, list] = {}
+                for col in stats_cols:
+                    if col not in md.schema.names:
+                        continue
+                    idx = md.schema.names.index(col)
+                    mins, maxs = [], []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            mins = []
+                            break
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                    if mins and all(
+                        isinstance(v, (int, float, str))
+                        for v in (min(mins), max(maxs))
+                    ):
+                        per_col[col] = [min(mins), max(maxs)]
+                if per_col:
+                    stats[rel] = per_col
+        return files, df.schema.json(), stats
 
     def _publish(self, manifest: dict, version: int) -> bool:
         """Atomically create manifest ``version``; False if lost the
@@ -206,10 +300,12 @@ class TxnTable:
         app_id: str | None,
         txn_seq: int | None,
         replaced: tuple[str, ...] = (),
+        staged_stats: dict[str, dict[str, list]] | None = None,
         max_attempts: int = 20,
     ) -> int:
         """Optimistic-concurrency commit loop. Returns the committed
         version (or the current one, for an idempotent no-op)."""
+        staged_stats = staged_stats or {}
         for _ in range(max_attempts):
             base = self.snapshot_meta()
             base_v = base.version if base else 0
@@ -220,6 +316,13 @@ class TxnTable:
                 txns[app_id] = txn_seq
             if operation == "append":
                 files = (list(base.files) if base else []) + staged
+                # additive evolution: committed schema is the union;
+                # a type conflict aborts BEFORE publish
+                if base is not None:
+                    schema_json = merge_schemas(
+                        base.schema(),
+                        StructType.fromJson(json.loads(schema_json)),
+                    ).json()
             elif operation == "overwrite":
                 if base is not None and base.version != self._expected_base:
                     raise ConcurrentWriteError(
@@ -236,12 +339,23 @@ class TxnTable:
                 files = sorted(base_files - set(replaced)) + staged
             else:  # pragma: no cover
                 raise ValueError(operation)
+            live = set(files)
+            carried = (
+                {
+                    f: s
+                    for f, s in base.file_stats.items()
+                    if f in live
+                }
+                if base
+                else {}
+            )
             manifest = {
                 "version": base_v + 1,
                 "operation": operation,
                 "files": files,
                 "schema": schema_json,
                 "writer_txns": txns,
+                "file_stats": {**carried, **staged_stats},
             }
             if self._publish(manifest, base_v + 1):
                 return base_v + 1
@@ -255,18 +369,26 @@ class TxnTable:
         df: DataFrame,
         app_id: str | None = None,
         txn_seq: int | None = None,
+        stats_cols: tuple[str, ...] = (),
     ) -> int:
         """Append ``df`` as a new version. With (app_id, txn_seq), the
         append is idempotent: replaying an already-applied seq is a
-        no-op (exactly-once under at-least-once drivers)."""
-        staged, schema_json = self._stage(df)
-        return self._commit("append", staged, schema_json, app_id, txn_seq)
+        no-op (exactly-once under at-least-once drivers). New columns
+        widen the table schema additively (old files read null);
+        changing a column's type raises SchemaEvolutionError.
+        ``stats_cols`` records per-file min/max in the manifest for
+        :meth:`snapshot_where` file skipping."""
+        staged, schema_json, stats = self._stage(df, stats_cols)
+        return self._commit(
+            "append", staged, schema_json, app_id, txn_seq, staged_stats=stats
+        )
 
     def overwrite(
         self,
         df: DataFrame,
         app_id: str | None = None,
         txn_seq: int | None = None,
+        stats_cols: tuple[str, ...] = (),
     ) -> int:
         """Replace the table contents. Aborts with
         :class:`ConcurrentWriteError` if ANY other commit lands between
@@ -274,10 +396,19 @@ class TxnTable:
         logically invalidates every concurrent change, so it must not
         silently clobber them (Delta's WriteSerializable rule)."""
         self._expected_base = self.latest_version()
-        staged, schema_json = self._stage(df)
-        return self._commit("overwrite", staged, schema_json, app_id, txn_seq)
+        staged, schema_json, stats = self._stage(df, stats_cols)
+        return self._commit(
+            "overwrite",
+            staged,
+            schema_json,
+            app_id,
+            txn_seq,
+            staged_stats=stats,
+        )
 
-    def compact(self, target_files: int = 1) -> int:
+    def compact(
+        self, target_files: int = 1, stats_cols: tuple[str, ...] = ()
+    ) -> int:
         """Rewrite the current snapshot into ``target_files`` files and
         commit the swap. Readers are never disturbed (old files stay on
         disk until vacuum); concurrent APPENDS are preserved by the
@@ -287,9 +418,15 @@ class TxnTable:
         if base is None or not base.files:
             return self.latest_version()
         df = self.snapshot(base.version).coalesce(target_files)
-        staged, schema_json = self._stage(df)
+        staged, schema_json, stats = self._stage(df, stats_cols)
         return self._commit(
-            "compact", staged, schema_json, None, None, replaced=base.files
+            "compact",
+            staged,
+            schema_json,
+            None,
+            None,
+            replaced=base.files,
+            staged_stats=stats,
         )
 
     # -------------------------------------------------- maintenance --
