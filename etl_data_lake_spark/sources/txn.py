@@ -226,6 +226,45 @@ class TxnTable:
             self.spark.read.schema(meta.schema()).parquet(*paths).where(pred)
         )
 
+    def table_changes(self, v_from: int, v_to: int) -> DataFrame:
+        """Change data feed between two committed versions: every row
+        with a ``_change_type`` column ('insert' | 'delete').
+
+        Computed from the MANIFEST file diff — only files added or
+        removed between the versions are read, so the cost scales with
+        the change, not the table (the property that makes CDF usable
+        for incremental downstream jobs at 100 TB). Rows present in
+        both the added and removed file sets (a compaction rewrite)
+        cancel via multiset difference, so a pure compact yields an
+        empty feed. Row identity is whole-row value equality — an
+        UPDATE therefore appears as delete + insert, like any
+        copy-on-write lake without a change-tracking column."""
+        from pyspark.sql import functions as F
+
+        a, b = self.snapshot_meta(v_from), self.snapshot_meta(v_to)
+        if a is None or b is None:
+            raise FileNotFoundError(
+                f"versions {v_from}..{v_to} not both committed"
+            )
+        schema = b.schema()  # widest: append-evolution is additive
+
+        def read(files: list[str]) -> DataFrame:
+            if not files:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(
+                *[str(self.root / f) for f in files]
+            )
+
+        added = read(sorted(set(b.files) - set(a.files)))
+        removed = read(sorted(set(a.files) - set(b.files)))
+        inserts = added.exceptAll(removed).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = removed.exceptAll(added).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)
+
     # ------------------------------------------------------- writes --
 
     def _stage(

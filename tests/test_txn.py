@@ -276,3 +276,23 @@ def test_manifest_stats_skip_files(spark, tmp_path):
     assert _ids(t.snapshot_where("id", 200, 209)) == list(range(200, 210))
     # out-of-range predicate over stats-tracked files → empty, no scan
     assert t.snapshot_where("id", 900, 999).count() == 0
+
+
+def test_change_data_feed(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 1, 2))          # v1
+    t.append(_df(spark, 3))             # v2
+    t.overwrite(_df(spark, 2, 3, 4))    # v3 (drops 1, re-adds 2/3, adds 4)
+    t.compact(target_files=1)           # v4 (pure rewrite)
+
+    def feed(v_from, v_to):
+        rows = t.table_changes(v_from, v_to).collect()
+        return sorted((r["_change_type"], r["id"]) for r in rows)
+
+    assert feed(1, 2) == [("insert", 3)]
+    assert feed(2, 3) == [("delete", 1), ("insert", 4)]
+    # pure compaction: adds and removes cancel exactly
+    assert feed(3, 4) == []
+    # spanning feed diffs endpoint MANIFESTS (net change), so the
+    # compaction in between contributes nothing
+    assert feed(1, 4) == [("delete", 1), ("insert", 3), ("insert", 4)]
