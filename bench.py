@@ -14,6 +14,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 HEADLINE = [
     "q01_top_parts_by_lineitems",
     "agg_pricing_summary",
@@ -33,10 +35,16 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_lsh_topk",
     "media_histogram_stats",
     "media_audio_windows",
     "stream_tumbling_window_1h",
     "stream_dedup_exactly_once",
+    "stream_stream_attribution_join",
+    # round-3 additions: curation operators under the driver oracle
+    "curation_split_assign",
+    "curation_pack_assign",
+    "text_bm25_topdocs",
 ]
 
 
@@ -68,10 +76,12 @@ def main() -> None:
     # per-query numbers then reflect steady-state, the shape a long-lived
     # cluster job has.
     run("q01_top_parts_by_lineitems")
-    import pandas as pd  # noqa: F401
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    _inc = pandas_udf(lambda s: s + 1, "long", PandasUDFType.SCALAR)
+    def _inc_fn(s: pd.Series) -> pd.Series:
+        return s + 1
+
+    _inc = pandas_udf(_inc_fn, "long")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     (
         spark.range(cpus * 100, numPartitions=cpus)

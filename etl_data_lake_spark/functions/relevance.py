@@ -92,14 +92,23 @@ def bm25_score(
 ) -> DataFrame:
     """→ top-``limit`` (doc_id, score) for a bag-of-words query, Okapi
     BM25: idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)),
-    score = Σ_t idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))."""
+    score = Σ_t idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    The per-doc score sums its term scores in SORTED-TERM order via
+    per-term conditional aggregates added left-to-right — each
+    aggregate covers exactly one (doc, term) row, so the float
+    summation order is fixed and the result is reproducible across
+    partitionings and engines (a plain ``sum`` leaves the order to the
+    shuffle). Queries are a handful of terms, so the fixed-width agg
+    costs nothing."""
     term_doc = term_doc_table(docs, text_col, id_col)
     # prune to the query's postings before any corpus-wide aggregation
     # EXCEPT df/N, which are corpus properties: df comes from the full
     # term table filtered to query terms (still tiny), N/avgdl from
     # corpus_stats.
-    postings = term_doc.where(F.col("term").isin(query_terms))
-    dfreq = doc_frequencies(term_doc).where(F.col("term").isin(query_terms))
+    terms = sorted(set(query_terms))
+    postings = term_doc.where(F.col("term").isin(terms))
+    dfreq = doc_frequencies(term_doc).where(F.col("term").isin(terms))
     stats = corpus_stats(term_doc)
     idf = F.log(
         F.lit(1.0)
@@ -108,11 +117,22 @@ def bm25_score(
     denom = F.col("tf") + k1 * (
         1 - b + b * F.col("dl") / F.col("avgdl")
     )
-    scored = (
+    per_term = (
         postings.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn("term_score", idf * F.col("tf") * (k1 + 1) / denom)
         .groupBy("doc_id")
-        .agg(F.sum("term_score").alias("score"))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("term") == t, F.col("term_score"))
+                ).alias(f"_s{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
     )
+    score = F.coalesce(F.col("_s0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        score = score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    scored = per_term.select("doc_id", score.alias("score"))
     return top_k(scored, [F.desc("score"), F.asc("doc_id")], limit)

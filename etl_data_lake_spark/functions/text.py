@@ -12,6 +12,7 @@ bit-identical in any engine that evaluates the same fold.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -116,7 +117,7 @@ def shingle_hashes_pandas_udf(n: int = 3):
     and edge docs is pinned by tests, not assumed."""
     import re
 
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     splitter = re.compile(r"[ \t\n\x0b\f\r]+")
 
@@ -142,12 +143,10 @@ def shingle_hashes_pandas_udf(n: int = 3):
                 out.append(acc)
         return out
 
-    def f(s):
+    def f(s: pd.Series) -> pd.Series:
         return s.map(one)
 
-    # explicit SCALAR form: the typehint variant can't resolve string
-    # annotations under `from __future__ import annotations`
-    return pandas_udf(f, "array<long>", PandasUDFType.SCALAR)
+    return pandas_udf(f, "array<long>")
 
 
 def sql_hashed_word_shingles(tokens_expr: str, n: int = 3) -> str:

@@ -13,6 +13,8 @@ dot) — the multimodal module shows that pattern.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -69,16 +71,13 @@ def cosine_pandas_udf():
     — keep the fold for oracle-checked queries, use this for throughput
     (tests/test_similarity.py pins the tolerance).
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.functions import PandasUDFType
 
-    def _cos(a, b):
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
         av = np.stack(a.to_numpy())
         bv = np.stack(b.to_numpy())
         num = np.einsum("ij,ij->i", av, bv)
         den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
         return pd.Series(num / den)
 
-    return pandas_udf(_cos, "double", PandasUDFType.SCALAR)
+    return pandas_udf(_cos, "double")

@@ -59,6 +59,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     n_shards: int = 32,
     seed: int = 42,
+    hash_expr=None,
 ) -> DataFrame:
     """→ input columns + (pack_id: string, pack_pos: int).
 
@@ -66,12 +67,22 @@ def pack_sequences(
     document's 1-based position within its pack. Every pack's token
     total is ≤ ``budget`` unless the pack is a single over-budget
     document. Deterministic for a given (corpus, budget, n_shards,
-    seed)."""
+    seed).
+
+    ``hash_expr`` overrides the shard/order hash Column (default
+    ``xxhash64(seed, id)``) — oracle-checked entries pass the
+    cross-engine polynomial hash so a SQL twin can reproduce the exact
+    shard assignment and in-shard fill order."""
     if budget <= 0:
         raise ValueError("budget must be positive")
-    tagged = docs.withColumn(
-        "_h", F.xxhash64(F.lit(seed), F.col(id_col))
-    ).withColumn("_shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+    h = (
+        hash_expr
+        if hash_expr is not None
+        else F.xxhash64(F.lit(seed), F.col(id_col))
+    )
+    tagged = docs.withColumn("_h", h).withColumn(
+        "_shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
+    )
 
     out_schema = StructType(
         list(docs.schema.fields)

@@ -37,18 +37,55 @@ def _bucket(key_cols: tuple[str, ...], seed: int) -> Column:
     return F.pmod(h, F.lit(_RING))
 
 
+def portable_bucket(key_cols: tuple[str, ...], seed: int) -> Column:
+    """Cross-engine twin of :func:`_bucket`: the repo's polynomial
+    rolling hash (functions.text.poly_hash) over ``seed:key1:key2:…``,
+    reduced mod the ring. Spark's ``xxhash64`` has no DuckDB
+    equivalent, so oracle-checked sampling entries pass this as the
+    ``bucket`` override; production callers keep the xxhash64 default
+    (JVM-codegen, better-mixed low bits). Same nesting/disjointness
+    properties — both are pure functions of (content, seed)."""
+    from etl_data_lake_spark.functions.text import poly_hash
+
+    key = F.concat_ws(
+        ":", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
+    )
+    # poly_hash is already in [0, MOD) — plain % is non-negative
+    return F.pmod(poly_hash(key), F.lit(_RING))
+
+
+def sql_portable_bucket(key_exprs: tuple[str, ...], seed: int) -> str:
+    """DuckDB twin of :func:`portable_bucket` (bit-identical)."""
+    from etl_data_lake_spark.functions.text import sql_poly_hash
+
+    key = "concat_ws(':', '%s', %s)" % (
+        seed,
+        ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs),
+    )
+    return f"(({sql_poly_hash(key)}) % {_RING})"
+
+
+def ring_threshold(fraction: float) -> int:
+    """The ring cutoff for a keep-fraction — exposed so SQL twins
+    quantize identically to the Spark side."""
+    return int(round(fraction * _RING))
+
+
 def sample_deterministic(
     df: DataFrame,
     fraction: float,
     key_cols: tuple[str, ...],
     seed: int = 42,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, decided by content hash — stable
     under repartitioning, retries, and re-runs; nested across
     fractions at the same seed."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction {fraction} outside [0, 1]")
-    return df.where(_bucket(key_cols, seed) < int(round(fraction * _RING)))
+    if bucket is None:
+        bucket = _bucket(key_cols, seed)
+    return df.where(bucket < ring_threshold(fraction))
 
 
 def split_deterministic(
@@ -56,6 +93,7 @@ def split_deterministic(
     weights: dict[str, float],
     key_cols: tuple[str, ...],
     seed: int = 42,
+    bucket: Column | None = None,
 ) -> dict[str, DataFrame]:
     """Partition into disjoint, exhaustive named splits (e.g.
     train/val/test) by complementary hash intervals. Every row lands in
@@ -63,7 +101,8 @@ def split_deterministic(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights sum to {total}, expected 1.0")
-    bucket = _bucket(key_cols, seed)
+    if bucket is None:
+        bucket = _bucket(key_cols, seed)
     out: dict[str, DataFrame] = {}
     lo = 0.0
     names = list(weights)

@@ -1,0 +1,255 @@
+"""Driver-oracle entries for the curation operator family: the
+deterministic train/val/test split (operators/sampling.py), sequence
+packing (operators/packing.py), and BM25 relevance scoring
+(functions/relevance.py).
+
+These are the round-2 verdict's #1/#3 asks: the operators were
+pytest-only because the driver catalog was full; they now hold the
+slots freed by merging the redundant relational projection entries.
+
+Cross-engine determinism: sampling and packing key every decision off
+the repo's polynomial rolling hash (functions/text.poly_hash) instead
+of the default ``xxhash64`` — same operator code path, pluggable hash
+Column — so the DuckDB twin reproduces shard assignment, fill order,
+and split intervals bit-for-bit. Packing's greedy fill recurrence is
+replayed in SQL with a recursive CTE over each shard's running token
+total (one row per pack per iteration; iterations = max packs/shard).
+BM25 sums term scores in sorted-term order on both engines (see
+functions/relevance.bm25_score), so the only cross-engine float risk
+is a 1-ulp ``ln`` difference — absorbed by rounding the emitted score
+to 6 decimals (ranking happens on the raw score, where near-ties are
+either exactly equal or far outside ulp range).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.relevance import bm25_score
+from etl_data_lake_spark.functions.text import poly_hash, sql_poly_hash
+from etl_data_lake_spark.operators.packing import pack_sequences
+from etl_data_lake_spark.operators.sampling import (
+    portable_bucket,
+    ring_threshold,
+    split_deterministic,
+    sql_portable_bucket,
+)
+from etl_data_lake_spark.queries.registry import register
+from etl_data_lake_spark.queries.text_queries import _TOK
+from etl_data_lake_spark.sources.catalog import load_table
+
+_SEED = 42
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split — every doc lands in exactly one
+# split, decided purely by hash(doc_id): stable under repartitioning,
+# retries, engines. Scan-speed filters, no shuffle (sampling.py).
+# --------------------------------------------------------------------------
+_T_TRAIN = ring_threshold(0.8)
+_T_VAL = ring_threshold(0.9)
+
+
+def _split_oracle() -> str:
+    bucket = sql_portable_bucket(("doc_id",), _SEED)
+    return f"""
+        WITH b AS (
+            SELECT doc_id, n_chars, {bucket} AS bucket FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN bucket < {_T_TRAIN} THEN 'train'
+                    WHEN bucket < {_T_VAL} THEN 'val'
+                    ELSE 'test' END AS split,
+               n_chars
+        FROM b
+    """
+
+
+@register(
+    "curation_split_assign",
+    oracle=_split_oracle(),
+    tags=("curation", "sampling"),
+)
+def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    splits = split_deterministic(
+        docs,
+        _SPLIT_WEIGHTS,
+        ("doc_id",),
+        seed=_SEED,
+        bucket=portable_bucket(("doc_id",), _SEED),
+    )
+    parts = [
+        d.select("doc_id", F.lit(name).alias("split"), "n_chars")
+        for name, d in splits.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — greedy fill of n_chars into a fixed budget per
+# pack, sharded by hash (applyInPandas; packing.py). The oracle
+# replays the same recurrence: per-shard prefix sums, then a recursive
+# CTE stepping one pack boundary per iteration (boundary = last index
+# whose running total fits, advancing at least one doc so oversize
+# docs go solo), then assignment by boundary interval.
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 1200
+_PACK_SHARDS = 8
+
+
+def _pack_hash_sql() -> str:
+    key = f"concat_ws(':', '{_SEED}', CAST(doc_id AS VARCHAR))"
+    return sql_poly_hash(key)
+
+
+def _pack_oracle() -> str:
+    h = _pack_hash_sql()
+    return f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, n_chars, {h} AS h, ({h}) % {_PACK_SHARDS} AS shard
+            FROM documents
+        ),
+        o AS (
+            SELECT shard, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY h, doc_id) AS i,
+                   sum(n_chars) OVER (PARTITION BY shard
+                                      ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        ),
+        bounds(shard, k, jend, base) AS (
+            SELECT shard, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            FROM (SELECT DISTINCT shard FROM o)
+            UNION ALL
+            SELECT b.shard, b.k + 1,
+                   greatest(coalesce((SELECT max(o.i) FROM o
+                                      WHERE o.shard = b.shard
+                                        AND o.cum <= b.base + {_PACK_BUDGET}),
+                                     0),
+                            b.jend + 1),
+                   CASE WHEN coalesce((SELECT max(o.i) FROM o
+                                       WHERE o.shard = b.shard
+                                         AND o.cum <= b.base + {_PACK_BUDGET}),
+                                      0) > b.jend
+                        THEN (SELECT max(o.cum) FROM o
+                              WHERE o.shard = b.shard
+                                AND o.cum <= b.base + {_PACK_BUDGET})
+                        ELSE (SELECT o2.cum FROM o o2
+                              WHERE o2.shard = b.shard
+                                AND o2.i = b.jend + 1)
+                   END
+            FROM bounds b
+            WHERE b.jend < (SELECT max(o3.i) FROM o o3
+                            WHERE o3.shard = b.shard)
+        ),
+        packs AS (
+            SELECT cur.shard, cur.k - 1 AS pack_seq,
+                   prev.jend AS j_lo, cur.jend AS j_hi
+            FROM bounds cur JOIN bounds prev
+              ON cur.shard = prev.shard AND cur.k = prev.k + 1
+        )
+        SELECT o.doc_id,
+               CAST(o.shard AS VARCHAR) || ':' ||
+                   CAST(p.pack_seq AS VARCHAR) AS pack_id,
+               CAST(o.i - p.j_lo AS INT) AS pack_pos
+        FROM o JOIN packs p
+          ON o.shard = p.shard AND o.i > p.j_lo AND o.i <= p.j_hi
+    """
+
+
+@register(
+    "curation_pack_assign",
+    oracle=_pack_oracle(),
+    tags=("curation", "packing"),
+)
+def curation_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = poly_hash(
+        F.concat_ws(":", F.lit(str(_SEED)), F.col("doc_id").cast("string"))
+    )
+    packed = pack_sequences(
+        docs,
+        "n_chars",
+        _PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+        seed=_SEED,
+        hash_expr=h,
+    )
+    return packed.select("doc_id", "pack_id", "pack_pos")
+
+
+# --------------------------------------------------------------------------
+# BM25 top docs for a fixed bag-of-words query over the corpus
+# (functions/relevance.py). The oracle mirrors the exact float
+# expression tree: same idf/denominator operand order, same
+# sorted-term fixed-order score sum; ranking on the raw score, the
+# emitted score rounded to 6.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("join", "spark", "window")  # sorted; present in corpus
+_BM25_LIMIT = 15
+_K1, _B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    terms_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    s_cols = ", ".join(
+        f"sum(CASE WHEN term = '{t}' THEN term_score END) AS _s{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    score = " + ".join(
+        f"coalesce(_s{i}, 0.0)" for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+        WITH td AS (
+            SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+            GROUP BY doc_id, t
+        ),
+        td2 AS (
+            SELECT *, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM td
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+            FROM (SELECT doc_id, max(dl) AS dl FROM td2 GROUP BY doc_id)
+        ),
+        dfreq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM td
+            WHERE term IN ({terms_list})
+            GROUP BY term
+        ),
+        scored AS (
+            SELECT p.doc_id, p.term,
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                     * p.tf * ({_K1} + 1)
+                     / (p.tf + {_K1} * (1 - {_B} + {_B} * p.dl / avgdl))
+                     AS term_score
+            FROM td2 p
+            JOIN dfreq USING (term)
+            CROSS JOIN stats
+            WHERE p.term IN ({terms_list})
+        ),
+        per_doc AS (
+            SELECT doc_id, {s_cols} FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, round(score, 6) AS bm25
+        FROM (SELECT doc_id, {score} AS score FROM per_doc)
+        ORDER BY score DESC, doc_id
+        LIMIT {_BM25_LIMIT}
+    """
+
+
+@register(
+    "text_bm25_topdocs",
+    oracle=_bm25_oracle(),
+    tags=("text", "relevance", "topk"),
+)
+def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    top = bm25_score(docs, list(_BM25_TERMS), k1=_K1, b=_B, limit=_BM25_LIMIT)
+    return top.select("doc_id", F.round("score", 6).alias("bm25"))

@@ -65,6 +65,7 @@ def _load_all() -> None:
         multimodal_queries,
         dedup_queries,
         curation,
+        curation_ops,
         golden,
         advanced_rel,
         relational,

@@ -102,9 +102,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_norm_stats",
-    oracle=f"""
+# Library surface only since round 3: its driver slot went to the
+# curation operators (round-2 verdict #1). The vector fold math it
+# exercised stays hash-verified through ann_cosine_topk and
+# embedding_near_dup_pairs; the DuckDB twin below remains for tests.
+EMBEDDING_NORM_STATS_SQL = f"""
         WITH e AS (
             SELECT label, round({sql_norm('CAST(embedding AS DOUBLE[])')}, 6)
                        AS nrm
@@ -115,9 +117,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(MIN(nrm), 6) AS min_norm,
                round(MAX(nrm), 6) AS max_norm
         FROM e GROUP BY label
-    """,
-    tags=("vector", "agg"),
-)
+    """
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     nrm = F.round(norm(as_double("embedding")), 6)

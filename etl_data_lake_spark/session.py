@@ -18,9 +18,11 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     # Oracle parity: all timestamp <-> wall-clock conversions in UTC.
     "spark.sql.session.timeZone": "UTC",
-    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark has
-    # no native type for; read as epoch-nanos long and convert ourselves
-    # (sources.catalog.load_table).
+    # testdata events.parquet stores TIMESTAMP(NANOS). Spark ≤4.0 has
+    # no native type for it: this conf reads it as epoch-nanos long and
+    # sources.catalog.load_table converts. Spark 4.1+ reads NANOS
+    # natively as timestamp_ntz and ignores this conf — load_table
+    # adapts to whichever type the scan yields.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
     # ones, auto-broadcast small join sides discovered at runtime.

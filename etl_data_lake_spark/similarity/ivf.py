@@ -10,7 +10,7 @@ bounded training sample — see ``refine_centroids``: on clustered
 corpora the seeds collapse onto cluster means, which is where IVF's
 recall advantage over random placement comes from; determinism is
 preserved throughout (hash-ordered samples, stable tie-breaks,
-scaled-long mean accumulation). Seed sampling orders by ``hash(id)``
+fixed-order float64 mean accumulation over the fixed sample). Seed sampling orders by ``hash(id)``
 (distributed top-k, TakeOrderedAndProject — one scan, no shuffle), so
 the sample spreads across the whole corpus instead of taking an id
 prefix, which at 100 TB would concentrate every centroid in whatever
@@ -46,6 +46,8 @@ caller turns per query-latency budget.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -58,14 +60,12 @@ def _probe_udf(centroids: list[list[float]], nprobe: int):
     descending; ties stable toward the lower cid). The normalized
     centroid matrix is captured in the closure and ships once per
     task, not per row."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     c = np.asarray(centroids, dtype=np.float64)
     cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
 
-    def probes(vs):
+    def probes(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
         v = np.stack(vs.to_numpy()).astype(np.float64)
@@ -73,7 +73,7 @@ def _probe_udf(centroids: list[list[float]], nprobe: int):
         order = np.argsort(-(vn @ cn.T), axis=1, kind="stable")
         return pd.Series(list(order[:, :nprobe].astype("int32")))
 
-    return pandas_udf(probes, "array<int>", PandasUDFType.SCALAR)
+    return pandas_udf(probes, "array<int>")
 
 
 def sample_centroids(
@@ -107,7 +107,6 @@ def refine_centroids(
     numpy summation. Empty cells keep their previous centroid."""
     if not seeds or iters <= 0 or not train:
         return seeds
-    import numpy as np
 
     t = np.asarray(train, dtype=np.float64)
     tn = t / np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-300)

@@ -34,6 +34,8 @@ cost — L is the recall/throughput knob, p the bucket-size knob.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -56,16 +58,14 @@ def _plane(table: int, plane: int, dims: int) -> list[float]:
 def _bucket_udf(dims: int, tables: int, planes: int):
     """Pandas UDF: vector → its bucket id in every table, one batch
     matmul against the (tables·planes × dims) plane matrix."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     plane_mat = np.asarray(
         [_plane(t, p, dims) for t in range(tables) for p in range(planes)]
     )
     bit_weights = np.array([1 << p for p in range(planes)])
 
-    def buckets(vs):
+    def buckets(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
         v = np.stack(vs.to_numpy()).astype(np.float64)
@@ -73,7 +73,7 @@ def _bucket_udf(dims: int, tables: int, planes: int):
         b = signs.reshape(len(v), tables, planes) @ bit_weights
         return pd.Series(list(b.astype("int32")))
 
-    return pandas_udf(buckets, "array<int>", PandasUDFType.SCALAR)
+    return pandas_udf(buckets, "array<int>")
 
 
 def with_lsh_buckets(

@@ -50,19 +50,26 @@ def fan_out(df: DataFrame) -> DataFrame:
     arrives as ONE task; exploding it 50x on one core wastes 31.
 
     The decision reads ``inputFiles()`` — file-index metadata, no RDD
-    conversion (the former ``df.rdd.getNumPartitions()`` probe forced
+    conversion (the ``df.rdd.getNumPartitions()`` probe forces
     physical planning on the driver per call). File count lower-bounds
     scan splits, so at 100 TB (thousands of files) this is a no-op;
     when files < cores the input is either small (shuffle is cheap by
     construction) or a few huge files feeding a CPU-heavy stage — the
     one case where paying the repartition is exactly right. Non-file
-    sources (test fixtures via createDataFrame) report zero files and
-    take the repartition, which is the safe default for them."""
+    sources (createDataFrame fixtures, derived/shuffled inputs) report
+    ZERO files — for those the file probe says nothing, so fall back
+    to the partition-count probe and only repartition when the input
+    is actually under-parallel (an unconditional shuffle here would
+    REDUCE the parallelism of already-wide derived inputs)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
+    if n_files == 0:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
     if n_files >= target:
         return df
     return df.repartition(target)
@@ -71,18 +78,29 @@ def fan_out(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing physical quirks.
 
-    ``events.ts``: TIMESTAMP(NANOS) → ntz timestamp (microsecond
-    truncation; the oracle compares at second granularity anyway).
-    Integer division keeps the conversion exact — epoch-nanos
-    (~1.7e18) does not fit a double mantissa.
+    ``events.ts``: parquet TIMESTAMP(NANOS) → ntz timestamp at
+    microsecond truncation, whatever the runtime hands us. Spark ≤4.0
+    honors ``nanosAsLong`` and yields an epoch-nanos BIGINT (integer
+    division keeps the conversion exact — epoch-nanos ~1.7e18 does not
+    fit a double mantissa); Spark 4.1+ reads TIMESTAMP(NANOS) natively
+    as ``timestamp_ntz``, already micros-truncated, and ignores the
+    legacy conf. Both paths land on the identical column type and
+    values, so downstream operators and the DuckDB oracle see one
+    schema regardless of the engine version.
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast(
+                    "timestamp_ntz"
+                ),
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

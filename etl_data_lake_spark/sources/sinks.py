@@ -63,8 +63,15 @@ def swap_into_place(tmp: str, path: str) -> None:
     between any two steps leaves either the old or the new table at a
     recoverable location — never neither (the rmtree-then-move it
     replaces stranded the new data in tmp with the table deleted).
-    Local-FS semantics; on an object store this whole function becomes
-    a table-format metadata commit (Delta/Iceberg)."""
+
+    ``tmp`` should live on the SAME filesystem as ``path`` (create it
+    as a sibling) so the move is an atomic rename; on a different
+    filesystem shutil.move degrades to copy+delete, and a crash
+    mid-copy leaves a partial target — which the except branch below
+    removes before restoring the backup, so the live path still never
+    holds a torn table. Local-FS semantics; on an object store this
+    whole function becomes a table-format metadata commit
+    (Delta/Iceberg)."""
     import shutil
 
     target = Path(path)
@@ -77,7 +84,12 @@ def swap_into_place(tmp: str, path: str) -> None:
     try:
         shutil.move(tmp, path)
     except BaseException:
-        if had_old and not target.exists():
+        if had_old:
+            # a cross-filesystem move that died mid-copy leaves a
+            # partial target; clear it so the backup restore isn't
+            # skipped and the live path never exposes torn data
+            if target.exists():
+                shutil.rmtree(target)
             backup.rename(target)
         raise
     if had_old:
@@ -163,7 +175,14 @@ def zorder_key(
     bucket occupancy, but file BALANCE is unaffected: the subsequent
     ``repartitionByRange(_z)`` samples the z distribution itself.
     Skew only coarsens skipping granularity inside hot buckets.
+
+    ``bits`` is auto-reduced so the interleaved key fits a signed
+    long: bits·len(cols) ≤ 63 (e.g. 10 cluster columns get 6 bits
+    each). Beyond that the Morton positions would silently overflow
+    and corrupt the clustering order.
     """
+    if bits * len(cols) > 63:
+        bits = max(63 // len(cols), 1)
     stats = df.agg(
         *[
             f
@@ -196,6 +215,25 @@ def zorder_key(
     return with_stats.select(*df.columns, z.alias("_z"))
 
 
+def zorder_clustered(
+    df: DataFrame,
+    cluster_cols: tuple[str, ...],
+    n_files: int = 8,
+    bits: int = 8,
+) -> DataFrame:
+    """The Z-order layout as a TRANSFORMATION: range-partitioned and
+    sorted by the Morton key, key dropped — ready for any sink. Both
+    :func:`write_zorder_clustered` (plain parquet) and
+    :func:`write_zorder_txn` (transactional commit) stage exactly
+    this."""
+    keyed = zorder_key(df, cluster_cols, bits)
+    return (
+        keyed.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
 def write_zorder_clustered(
     df: DataFrame,
     path: str,
@@ -210,14 +248,35 @@ def write_zorder_clustered(
     perfectly-clustered column and leaves the rest unclustered,
     while Z-order trades a little per-column tightness for tightness
     on all of them."""
-    keyed = zorder_key(df, cluster_cols, bits)
-    (
-        keyed.repartitionByRange(n_files, F.col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    zorder_clustered(df, cluster_cols, n_files, bits).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def write_zorder_txn(
+    table,
+    df: DataFrame,
+    cluster_cols: tuple[str, ...],
+    n_files: int = 8,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> int:
+    """Commit a Z-order-clustered layout INTO a transactional table
+    (sources.txn.TxnTable), recording per-file min/max for every
+    cluster column in the manifest. The combination stacks three
+    pruning levels for multi-column predicates: manifest stats (the
+    reader never lists non-matching files — TxnTable.snapshot_where_
+    ranges), parquet footer min/max, and row-group/page stats — with
+    ACID publish and time travel on top. ``mode`` is 'overwrite'
+    (re-cluster the table, the OPTIMIZE ZORDER shape) or 'append'.
+    Returns the committed version."""
+    clustered = zorder_clustered(df, cluster_cols, n_files, bits)
+    stats = tuple(cluster_cols)
+    if mode == "overwrite":
+        return table.overwrite(clustered, stats_cols=stats)
+    if mode == "append":
+        return table.append(clustered, stats_cols=stats)
+    raise ValueError(f"mode {mode!r} not in ('overwrite', 'append')")
 
 
 def overwrite_partitions_dynamic(

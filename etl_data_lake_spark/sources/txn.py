@@ -14,15 +14,21 @@ VLDB 2020 — see PAPERS.md) with nothing but parquet + JSON manifests.
 Layout::
 
     table/
-      _txnlog/v000000000001.json   # one manifest per committed version
-      data/<uuid>/part-*.parquet   # immutable data files, write-once
+      _txnlog/v000000000001.json        # INCREMENTAL manifest per commit
+      _txnlog/v000000000010.ckpt.json   # full-snapshot checkpoint
+      data/<uuid>/part-*.parquet        # immutable data files, write-once
 
-Each manifest is a FULL snapshot: the list of data files that make up
-that version, the schema, the operation, and per-writer transaction
-watermarks. Readers resolve the highest ``v*.json`` and read exactly
-that file list — snapshot isolation for free, since data files are
-never mutated and manifests are published atomically. Time travel is
-"read an older manifest".
+Each manifest is a DELTA: the files the commit adds and removes, the
+(merged) schema, the cumulative per-writer transaction watermarks, and
+per-added-file column stats — O(Δfiles) JSON per commit, never
+O(#files). Every ``checkpoint_interval`` commits the committer also
+publishes a checkpoint carrying the full reconstructed snapshot
+(Delta's parquet-checkpoint idea in JSON), so a reader resolves state
+from the newest checkpoint ≤ v plus at most ``checkpoint_interval``
+incremental manifests — at 100 TB / 10⁶ files the log replay cost is
+bounded by the interval, not the table's commit history. Data files
+are never mutated and manifests are published atomically, so snapshot
+isolation is unchanged; time travel is "reconstruct at an older v".
 
 Commit protocol (optimistic concurrency, object-store friendly):
 
@@ -39,18 +45,23 @@ Commit protocol (optimistic concurrency, object-store friendly):
    abort); overwrite aborts on any concurrent commit. This is the
    Delta conflict matrix restricted to the operations shipped here.
 
+Checkpoints are published with the same create-if-absent primitive
+AFTER the commit wins, and are advisory: a crash between manifest and
+checkpoint just means readers replay a longer tail until the next
+checkpointing commit; a duplicate attempt hits EEXIST and moves on.
+
 Idempotent writes: a commit may carry ``(app_id, txn_seq)``; the
 manifest tracks the highest seq applied per app_id, and a commit at or
 below the watermark becomes a no-op. `foreachBatch` sinks pass the
 Structured Streaming batch id as the seq, turning at-least-once batch
 replays into exactly-once table commits (:func:`txn_append_sink`).
 
-Scale notes (100 TB): manifests here carry the full file list — O(#
-files) JSON per commit. The production fix is Delta's: incremental
-log entries + periodic parquet checkpoints of the snapshot, plus
-per-file partition values and column min/max for file skipping. The
-COMMIT PROTOCOL — the part that makes it ACID — is unchanged; only
-manifest representation grows. Per-writer txn watermarks are already
+Scale notes (100 TB): commits and their manifests are O(Δfiles);
+reads are O(checkpoint + interval·Δ). The one remaining O(#versions)
+touch is the log-directory listing that finds the latest version —
+the production fix is Delta's ``_last_checkpoint`` pointer plus
+paged listing from it; local directory listing is cheap enough that
+we keep the simpler invariant here. Per-writer txn watermarks are
 O(#writers), not O(#commits). ``os.link`` is the local-FS stand-in
 for the object store's put-if-absent (S3 conditional PUT, GCS
 if-generation-match); no data-file renames happen anywhere, so every
@@ -72,6 +83,7 @@ from pyspark.sql.types import StructType
 _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
 _V_WIDTH = 12
+_CKPT_SUFFIX = ".ckpt.json"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -118,8 +130,23 @@ class Snapshot:
         return StructType.fromJson(json.loads(self.schema_json))
 
 
+@dataclass(frozen=True)
+class ReadPlan:
+    """How a snapshot was reconstructed — checkpoint used (0 = none)
+    and how many incremental manifests were replayed on top. Exposed
+    for tests and observability; bounded by ``checkpoint_interval``."""
+
+    version: int
+    checkpoint: int
+    n_manifests: int
+
+
 def _manifest_path(root: Path, version: int) -> Path:
     return root / _LOG_DIR / f"v{version:0{_V_WIDTH}d}.json"
+
+
+def _ckpt_path(root: Path, version: int) -> Path:
+    return root / _LOG_DIR / f"v{version:0{_V_WIDTH}d}{_CKPT_SUFFIX}"
 
 
 class TxnTable:
@@ -130,51 +157,130 @@ class TxnTable:
     number of processes) can target the same table.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint_interval: int = 10,
+    ):
         self.spark = spark
         self.root = Path(path)
+        self.checkpoint_interval = max(int(checkpoint_interval), 1)
 
     # ---------------------------------------------------------- log --
 
-    def latest_version(self) -> int:
-        """Highest committed version, 0 if the table doesn't exist."""
+    def _log_listing(self) -> tuple[int, list[int]]:
+        """One directory scan → (latest manifest version, sorted
+        committed checkpoint versions)."""
         log = self.root / _LOG_DIR
+        latest = 0
+        ckpts: list[int] = []
         if not log.is_dir():
-            return 0
-        best = 0
+            return latest, ckpts
         for p in log.iterdir():
             name = p.name
-            if name.startswith("v") and name.endswith(".json"):
+            if not name.startswith("v"):
+                continue
+            if name.endswith(_CKPT_SUFFIX):
                 try:
-                    best = max(best, int(name[1:-5]))
+                    ckpts.append(int(name[1 : -len(_CKPT_SUFFIX)]))
+                except ValueError:
+                    continue
+            elif name.endswith(".json"):
+                try:
+                    latest = max(latest, int(name[1:-5]))
                 except ValueError:
                     continue  # foreign file in the log dir
-        return best
+        ckpts.sort()
+        return latest, ckpts
+
+    def latest_version(self) -> int:
+        """Highest committed version, 0 if the table doesn't exist."""
+        return self._log_listing()[0]
+
+    def _read_manifest(self, version: int) -> dict:
+        return json.loads(_manifest_path(self.root, version).read_text())
+
+    def _reconstruct(
+        self, version: int, ckpts: list[int]
+    ) -> tuple[Snapshot, ReadPlan]:
+        """State at ``version`` = newest checkpoint ≤ version + replay
+        of the incremental manifests after it."""
+        start = 0
+        files: list[str] = []
+        stats: dict[str, dict[str, list]] = {}
+        txns: dict[str, int] = {}
+        schema_json = ""
+        operation = ""
+        usable = [c for c in ckpts if c <= version]
+        if usable:
+            start = usable[-1]
+            ck = json.loads(_ckpt_path(self.root, start).read_text())
+            files = list(ck["files"])
+            stats = dict(ck.get("file_stats", {}))
+            txns = dict(ck.get("writer_txns", {}))
+            schema_json = ck["schema"]
+            operation = ck["operation"]
+        n_replayed = 0
+        for v in range(start + 1, version + 1):
+            m = self._read_manifest(v)
+            n_replayed += 1
+            op = m["operation"]
+            add = list(m.get("add", ()))
+            if op == "append":
+                files = files + add
+            elif op == "overwrite":
+                files = add
+                stats = {}
+            elif op == "compact":
+                removed = set(m.get("remove", ()))
+                # same sorted(remaining)+add order the committer used
+                # when it built the post-commit checkpoint state
+                files = sorted(f for f in files if f not in removed) + add
+            else:  # pragma: no cover
+                raise ValueError(f"unknown operation {op!r} at v{v}")
+            live = set(files)
+            stats = {f: s for f, s in stats.items() if f in live}
+            stats.update(m.get("add_stats", {}))
+            txns = dict(m.get("writer_txns", txns))
+            schema_json = m["schema"]
+            operation = op
+        snap = Snapshot(
+            version=version,
+            operation=operation,
+            files=tuple(files),
+            schema_json=schema_json,
+            writer_txns=txns,
+            file_stats=stats,
+        )
+        return snap, ReadPlan(version, start, n_replayed)
 
     def snapshot_meta(self, version: int | None = None) -> Snapshot | None:
-        v = self.latest_version() if version is None else version
+        latest, ckpts = self._log_listing()
+        v = latest if version is None else version
         if v <= 0:
             return None
-        mp = _manifest_path(self.root, v)
-        m = json.loads(mp.read_text())
-        return Snapshot(
-            version=m["version"],
-            operation=m["operation"],
-            files=tuple(m["files"]),
-            schema_json=m["schema"],
-            writer_txns=dict(m.get("writer_txns", {})),
-            file_stats=dict(m.get("file_stats", {})),
-        )
+        return self._reconstruct(v, ckpts)[0]
+
+    def read_plan(self, version: int | None = None) -> ReadPlan | None:
+        """The reconstruction plan a read of ``version`` uses — lets
+        tests assert the checkpoint actually bounds log replay."""
+        latest, ckpts = self._log_listing()
+        v = latest if version is None else version
+        if v <= 0:
+            return None
+        return self._reconstruct(v, ckpts)[1]
 
     def history(self) -> list[dict]:
         out = []
         for v in range(1, self.latest_version() + 1):
-            m = json.loads(_manifest_path(self.root, v).read_text())
+            m = self._read_manifest(v)
             out.append(
                 {
                     "version": v,
                     "operation": m["operation"],
-                    "n_files": len(m["files"]),
+                    "n_add": len(m.get("add", ())),
+                    "n_remove": len(m.get("remove", ())),
                     "writer_txns": m.get("writer_txns", {}),
                 }
             )
@@ -194,29 +300,61 @@ class TxnTable:
         paths = [str(self.root / f) for f in meta.files]
         return self.spark.read.schema(meta.schema()).parquet(*paths)
 
-    def snapshot_where(
-        self, col: str, lo, hi, version: int | None = None
-    ) -> DataFrame:
-        """The table filtered to ``lo <= col <= hi``, with MANIFEST-
-        level file skipping: files whose recorded [min, max] for
-        ``col`` (see ``stats_cols`` on the write path) don't intersect
-        the range never reach the Spark scan at all — pruning happens
-        before the reader lists a single footer, which at 100 TB is
-        the difference between planning over 10⁶ files and over the
-        handful that can match. Files without stats are conservatively
-        kept; the residual row-level filter is applied either way, so
-        the result is exact."""
-        from pyspark.sql import functions as F
-
+    def files_matching(
+        self,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Manifest-stats pruning for a conjunction of between-
+        predicates: → (files that can match, total files in snapshot).
+        A file is kept unless SOME column's recorded [min, max] proves
+        it disjoint from that column's range; files without stats for
+        a column are conservatively kept on that column."""
         meta = self.snapshot_meta(version)
         if meta is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         keep = []
         for f in meta.files:
-            rng = meta.file_stats.get(f, {}).get(col)
-            if rng is None or (rng[0] <= hi and rng[1] >= lo):
+            ok = True
+            for col, (lo, hi) in ranges.items():
+                rng = meta.file_stats.get(f, {}).get(col)
+                if rng is not None and (rng[0] > hi or rng[1] < lo):
+                    ok = False
+                    break
+            if ok:
                 keep.append(f)
-        pred = F.col(col).between(lo, hi)
+        return keep, len(meta.files)
+
+    def snapshot_where_ranges(
+        self,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """The table filtered to the conjunction of ``lo <= col <= hi``
+        predicates, with MANIFEST-level file skipping on every range:
+        files whose recorded [min, max] (see ``stats_cols`` on the
+        write path) are disjoint from any predicate never reach the
+        Spark scan at all — pruning happens before the reader lists a
+        single footer, which at 100 TB is the difference between
+        planning over 10⁶ files and over the handful that can match.
+        Multi-column predicates are the Z-ORDER case: data clustered
+        with sinks.write_zorder_txn keeps every cluster column's
+        per-file span tight, so a 2-D box prunes on both dimensions.
+        Files without stats are conservatively kept; the residual
+        row-level filter is applied either way, so the result is
+        exact."""
+        from pyspark.sql import functions as F
+
+        meta = self.snapshot_meta(version)
+        if meta is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        keep, _ = self.files_matching(ranges, version)
+        pred = None
+        for col, (lo, hi) in ranges.items():
+            p = F.col(col).between(lo, hi)
+            pred = p if pred is None else (pred & p)
+        if pred is None:
+            pred = F.lit(True)
         if not keep:
             return (
                 self.spark.createDataFrame([], meta.schema()).where(pred)
@@ -225,6 +363,12 @@ class TxnTable:
         return (
             self.spark.read.schema(meta.schema()).parquet(*paths).where(pred)
         )
+
+    def snapshot_where(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Single-column form of :meth:`snapshot_where_ranges`."""
+        return self.snapshot_where_ranges({col: (lo, hi)}, version)
 
     def table_changes(self, v_from: int, v_to: int) -> DataFrame:
         """Change data feed between two committed versions: every row
@@ -314,22 +458,41 @@ class TxnTable:
                     stats[rel] = per_col
         return files, df.schema.json(), stats
 
-    def _publish(self, manifest: dict, version: int) -> bool:
-        """Atomically create manifest ``version``; False if lost the
-        race. ``os.link`` of a completed temp file is create-if-absent:
-        either the full manifest appears under the final name or
+    def _publish(self, payload: dict, path: Path) -> bool:
+        """Atomically create ``path``; False if lost the race.
+        ``os.link`` of a completed temp file is create-if-absent:
+        either the full document appears under the final name or
         nothing does — no reader ever sees a partial manifest."""
         log = self.root / _LOG_DIR
         log.mkdir(parents=True, exist_ok=True)
         tmp = log / f".tmp-{uuid.uuid4().hex}"
-        tmp.write_text(json.dumps(manifest))
+        tmp.write_text(json.dumps(payload))
         try:
-            os.link(tmp, _manifest_path(self.root, version))
+            os.link(tmp, path)
             return True
         except FileExistsError:
             return False
         finally:
             tmp.unlink()
+
+    def _maybe_checkpoint(self, version: int, state: Snapshot) -> None:
+        """Publish a full-snapshot checkpoint for ``version`` when the
+        interval divides it. Best-effort and idempotent: EEXIST means
+        another writer already checkpointed this version; a crash here
+        only lengthens the next reader's manifest tail."""
+        if version % self.checkpoint_interval != 0:
+            return
+        self._publish(
+            {
+                "version": version,
+                "operation": state.operation,
+                "files": list(state.files),
+                "schema": state.schema_json,
+                "writer_txns": state.writer_txns,
+                "file_stats": state.file_stats,
+            },
+            _ckpt_path(self.root, version),
+        )
 
     def _commit(
         self,
@@ -341,9 +504,12 @@ class TxnTable:
         replaced: tuple[str, ...] = (),
         staged_stats: dict[str, dict[str, list]] | None = None,
         max_attempts: int = 20,
+        expected_base: int | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop. Returns the committed
-        version (or the current one, for an idempotent no-op)."""
+        version (or the current one, for an idempotent no-op). The
+        published manifest is O(Δfiles): adds + (for compact) removes,
+        never the full file list."""
         staged_stats = staged_stats or {}
         for _ in range(max_attempts):
             base = self.snapshot_meta()
@@ -353,6 +519,7 @@ class TxnTable:
                 if txns.get(app_id, -1) >= txn_seq:
                     return base_v  # replayed transaction: no-op
                 txns[app_id] = txn_seq
+            remove: tuple[str, ...] = ()
             if operation == "append":
                 files = (list(base.files) if base else []) + staged
                 # additive evolution: committed schema is the union;
@@ -363,9 +530,9 @@ class TxnTable:
                         StructType.fromJson(json.loads(schema_json)),
                     ).json()
             elif operation == "overwrite":
-                if base is not None and base.version != self._expected_base:
+                if base is not None and base.version != expected_base:
                     raise ConcurrentWriteError(
-                        f"overwrite based on v{self._expected_base} but "
+                        f"overwrite based on v{expected_base} but "
                         f"v{base.version} committed concurrently"
                     )
                 files = staged
@@ -375,28 +542,37 @@ class TxnTable:
                     raise ConcurrentWriteError(
                         "compaction input files were replaced concurrently"
                     )
+                remove = tuple(replaced)
                 files = sorted(base_files - set(replaced)) + staged
             else:  # pragma: no cover
                 raise ValueError(operation)
-            live = set(files)
-            carried = (
-                {
-                    f: s
-                    for f, s in base.file_stats.items()
-                    if f in live
-                }
-                if base
-                else {}
-            )
             manifest = {
                 "version": base_v + 1,
                 "operation": operation,
-                "files": files,
+                "add": staged,
+                "remove": list(remove),
                 "schema": schema_json,
                 "writer_txns": txns,
-                "file_stats": {**carried, **staged_stats},
+                "add_stats": staged_stats,
             }
-            if self._publish(manifest, base_v + 1):
+            if self._publish(manifest, _manifest_path(self.root, base_v + 1)):
+                live = set(files)
+                carried = (
+                    {f: s for f, s in base.file_stats.items() if f in live}
+                    if base and operation != "overwrite"
+                    else {}
+                )
+                self._maybe_checkpoint(
+                    base_v + 1,
+                    Snapshot(
+                        version=base_v + 1,
+                        operation=operation,
+                        files=tuple(files),
+                        schema_json=schema_json,
+                        writer_txns=txns,
+                        file_stats={**carried, **staged_stats},
+                    ),
+                )
                 return base_v + 1
             # lost the race -> loop rebases on the new latest snapshot
         raise ConcurrentWriteError(
@@ -433,8 +609,13 @@ class TxnTable:
         :class:`ConcurrentWriteError` if ANY other commit lands between
         reading the base version and publishing — an overwrite
         logically invalidates every concurrent change, so it must not
-        silently clobber them (Delta's WriteSerializable rule)."""
-        self._expected_base = self.latest_version()
+        silently clobber them (Delta's WriteSerializable rule).
+
+        The base version is captured in a local and threaded through as
+        an explicit ``_commit`` argument — handles stay stateless, so
+        two threads sharing one handle each validate against their OWN
+        base rather than whichever one wrote the attribute last."""
+        expected_base = self.latest_version()
         staged, schema_json, stats = self._stage(df, stats_cols)
         return self._commit(
             "overwrite",
@@ -443,6 +624,7 @@ class TxnTable:
             app_id,
             txn_seq,
             staged_stats=stats,
+            expected_base=expected_base,
         )
 
     def compact(

@@ -33,27 +33,37 @@ from pyspark.sql.types import (
 from etl_data_lake_spark.functions.money import sum_money
 from etl_data_lake_spark.session import apply_runtime_confs
 
-# explicit schema: streaming sources cannot infer (and the physical
-# type of ts is epoch-nanos long under nanosAsLong — see sources.catalog)
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    """Explicit schema (streaming sources cannot infer). The physical
+    type of ``ts`` depends on the engine version — epoch-nanos long
+    under Spark ≤4.0's ``nanosAsLong``, native ``timestamp_ntz`` on
+    4.1+ — so the caller probes it and passes the type in (see
+    sources.catalog.load_table for the same adaptation in batch)."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def event_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """readStream over the events parquet with the batch-identical ts
-    normalization (epoch-nanos long → timestamp)."""
+    normalization (→ tz-aware timestamp under the UTC session)."""
     apply_runtime_confs(spark)
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    # one-file batch probe fixes the engine-dependent physical ts type;
+    # metadata-only (no rows read)
+    probe = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    ts_is_long = probe.schema["ts"].dataType.simpleString() == "bigint"
+    reader = spark.readStream.schema(
+        _events_schema(LongType() if ts_is_long else probe.schema["ts"].dataType)
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # glob, not the bare file path: the file-stream source requires a
@@ -61,7 +71,9 @@ def event_stream(
     df = reader.parquet(f"{sf_dir.rstrip('/')}/events.parq*")
     # watermark needs a tz-aware timestamp; UTC session makes it equal
     # to the ntz wall-clock used in batch
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

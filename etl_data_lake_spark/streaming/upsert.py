@@ -63,7 +63,14 @@ def upsert_sink(path: str, key_cols: list[str], order_col: str):
             else None
         )
         latest = merge_latest(existing, batch, key_cols, order_col)
-        tmp = tempfile.mkdtemp(prefix="upsert_")
+        # tmp is a SIBLING of the target so the swap is a same-
+        # filesystem atomic rename — mkdtemp's default /tmp could sit
+        # on another filesystem, degrading the move to a torn-on-crash
+        # copy (see sinks.swap_into_place)
+        target.parent.mkdir(parents=True, exist_ok=True)
+        tmp = tempfile.mkdtemp(
+            prefix=f".{target.name}_upsert_", dir=str(target.parent)
+        )
         latest.write.mode("overwrite").parquet(tmp)
         # backup-rename swap: no instant at which the table is deleted
         # with the new data stranded in tmp (sinks.swap_into_place)

@@ -211,3 +211,48 @@ def test_zorder_layout_skips_on_every_cluster_column(spark, tmp_path):
     got = spark.read.parquet(zpath)
     assert got.count() == 40_000
     assert set(got.columns) == {"id", "x", "y"}
+
+
+def test_zorder_into_txn_table_prunes_manifest_on_2d_predicate(
+    spark, tmp_path
+):
+    """write_zorder_txn commits the Z-order layout into a TxnTable
+    with per-file min/max for both cluster columns in the manifest, so
+    a 2-D box predicate prunes MOST files before the reader lists a
+    single footer — and the pruned read is still exact."""
+    from etl_data_lake_spark.sources.sinks import write_zorder_txn
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    df = spark.range(0, 40_000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)).alias("y"),
+    )
+    t = TxnTable(spark, str(tmp_path / "zt"))
+    v = write_zorder_txn(t, df, ("x", "y"), n_files=16)
+    assert v == 1
+
+    # a small 2-D box: a 4x4 z-grid should confine it to a few files
+    box = {"x": (1000, 2000), "y": (1000, 2000)}
+    kept, total = t.files_matching(box)
+    assert total >= 16
+    assert len(kept) <= total // 2, (len(kept), total)
+
+    # pruning on ONE dimension alone is strictly weaker than both —
+    # the 2-D manifest stats must actually compound
+    kept_x, _ = t.files_matching({"x": box["x"]})
+    assert len(kept) <= len(kept_x)
+
+    # exactness: pruned read == unpruned filter
+    got = sorted(
+        r.id for r in t.snapshot_where_ranges(box).select("id").collect()
+    )
+    want = sorted(
+        r.id
+        for r in df.where(
+            F.col("x").between(1000, 2000) & F.col("y").between(1000, 2000)
+        )
+        .select("id")
+        .collect()
+    )
+    assert got == want and len(got) > 0

@@ -79,11 +79,14 @@ def test_overwrite_aborts_on_concurrent_commit(spark, tmp_path):
     path = str(tmp_path / "t")
     a, b = TxnTable(spark, path), TxnTable(spark, path)
     a.append(_df(spark, 1))
-    b._expected_base = b.latest_version()  # overwrite reads its base…
+    expected = b.latest_version()  # overwrite reads its base…
     staged_b, schema_b, _ = b._stage(_df(spark, 9))
     a.append(_df(spark, 2))  # …and a concurrent commit lands
     with pytest.raises(ConcurrentWriteError):
-        b._commit("overwrite", staged_b, schema_b, None, None)
+        b._commit(
+            "overwrite", staged_b, schema_b, None, None,
+            expected_base=expected,
+        )
     # nothing from B leaked into the committed table
     assert _ids(b.snapshot()) == [1, 2]
 
@@ -296,3 +299,74 @@ def test_change_data_feed(spark, tmp_path):
     # spanning feed diffs endpoint MANIFESTS (net change), so the
     # compaction in between contributes nothing
     assert feed(1, 4) == [("delete", 1), ("insert", 3), ("insert", 4)]
+
+
+def test_checkpoint_bounds_log_replay(spark, tmp_path):
+    """25 commits at interval 10: a read resolves from the v20
+    checkpoint + ≤5 incremental manifests, never 25; manifests stay
+    O(Δfiles); time travel and vacuum still work across the horizon."""
+    from etl_data_lake_spark.sources.txn import _ckpt_path, _manifest_path
+
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    for i in range(1, 26):
+        t.append(_df(spark, i))
+    assert t.latest_version() == 25
+    # checkpoints exist exactly at the interval marks
+    assert _ckpt_path(t.root, 10).exists() and _ckpt_path(t.root, 20).exists()
+    assert not _ckpt_path(t.root, 25).exists()
+    # latest read: newest checkpoint + bounded tail
+    plan = t.read_plan()
+    assert plan.checkpoint == 20 and plan.n_manifests == 5
+    # time travel resolves against the older checkpoint
+    plan15 = t.read_plan(version=15)
+    assert plan15.checkpoint == 10 and plan15.n_manifests == 5
+    assert _ids(t.snapshot(version=15)) == list(range(1, 16))
+    # pre-checkpoint versions still reconstruct from manifests alone
+    plan3 = t.read_plan(version=3)
+    assert plan3.checkpoint == 0 and plan3.n_manifests == 3
+    # a manifest is O(Δfiles): v25's carries only its own adds
+    m25 = json.loads(_manifest_path(t.root, 25).read_text())
+    assert "files" not in m25 and len(m25["add"]) >= 1
+    early = json.loads(_manifest_path(t.root, 1).read_text())["add"]
+    assert set(early).isdisjoint(m25["add"])
+    # full state correct after checkpoint + tail replay
+    assert _ids(t.snapshot()) == list(range(1, 26))
+    # vacuum keeps the latest snapshot readable
+    t.compact(target_files=1)
+    removed = t.vacuum(keep_versions=1)
+    assert removed >= 25
+    assert _ids(t.snapshot()) == list(range(1, 26))
+
+
+def test_checkpoint_carries_stats_and_overwrite_resets(spark, tmp_path):
+    """file_stats survive checkpointing (snapshot_where still prunes)
+    and an overwrite resets the accumulated file list/stats."""
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path, checkpoint_interval=2)
+    for i in range(1, 5):
+        t.append(
+            spark.range(i * 100, i * 100 + 10).selectExpr("id"),
+            stats_cols=("id",),
+        )
+    assert t.read_plan().checkpoint == 4
+    meta = t.snapshot_meta()
+    assert len(meta.file_stats) > 0
+    hit = t.snapshot_where("id", 100, 105)
+    assert hit.count() == 6
+    # stats-based pruning really dropped non-matching files
+    kept = [
+        f
+        for f in meta.files
+        if meta.file_stats.get(f, {}).get("id") is None
+        or (
+            meta.file_stats[f]["id"][0] <= 105
+            and meta.file_stats[f]["id"][1] >= 100
+        )
+    ]
+    assert len(kept) < len(meta.files)
+    v = t.overwrite(spark.range(0, 5).selectExpr("id"))
+    meta2 = t.snapshot_meta()
+    assert meta2.version == v
+    assert len(meta2.files) < len(meta.files)
+    assert t.snapshot().count() == 5
