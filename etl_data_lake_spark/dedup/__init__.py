@@ -2,6 +2,10 @@ from etl_data_lake_spark.dedup.exact import canonicalize_exact
 from etl_data_lake_spark.dedup.jaccard import shingle_table, jaccard_pairs
 from etl_data_lake_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
 from etl_data_lake_spark.dedup.simhash import simhash_table
+from etl_data_lake_spark.dedup.substring import (
+    repeated_span_stats,
+    repeated_spans,
+)
 
 __all__ = [
     "canonicalize_exact",
@@ -10,4 +14,6 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_table",
+    "repeated_spans",
+    "repeated_span_stats",
 ]

@@ -1,0 +1,192 @@
+"""Exact-substring (repeated-span) dedup across a corpus.
+
+Whole-document dedup (exact.py, minhash.py) misses the common failure
+mode of web-scale training data: long VERBATIM passages (boilerplate,
+licenses, quoted articles) embedded inside otherwise-distinct
+documents. The remedy popularized for LLM corpora (Lee et al.,
+"Deduplicating Training Data Makes Language Models Better", ACL 2022)
+is suffix-array exact-substring matching; a suffix array is a
+sequential single-machine structure, so the distributed re-expression
+here keeps the same DETECTION semantics for a fixed window size:
+
+1. slide a ``w``-token window over each document (one explode — the
+   same |docs|·|tokens| fan-out every shingle operator here pays);
+2. hash each window with the repo's cross-engine polynomial hash
+   composed from per-token hashes (functions.text — no window strings
+   are materialized);
+3. a window hash seen in ≥2 documents (or ≥2 positions of one
+   document) marks every occurrence as duplicated text;
+4. per document, merge overlapping/adjacent marked windows into
+   MAXIMAL repeated spans ([start, end) in token positions) — a
+   span of k consecutive duplicated windows is a repeated substring
+   of k+w-1 tokens.
+
+Every duplicated substring of length ≥ w is found exactly (any such
+substring contains a duplicated w-window at every offset); substrings
+shorter than w are below the detection threshold by design — the same
+w-token floor the suffix-array formulation uses as its minimum match
+length.
+
+Scale shape: explode → one groupBy on the 64-bit-ish window hash with
+an early ``count ≤ 1`` prune (map-side combined; the overwhelmingly
+common unique window never shuffles twice) → per-doc sort-merge of the
+surviving marked positions (a window aggregate over positions, data
+volume = |duplicated windows| only). No self-joins, no quadratic
+term. Hash collisions (≈ |windows|²/2·1e-9 at the 1e9+7 modulus) can
+mark a false duplicate span; at 100 TB swap in xxhash64 (engine-local
+runs) or verify marked spans exactly downstream — the plan shape is
+unchanged.
+
+The span merge is gaps-and-islands in SQL (same pattern as the
+sessionize oracle), so the operator is fully oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.text import MOD, tokens
+from etl_data_lake_spark.sources.catalog import fan_out
+
+
+def window_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+) -> DataFrame:
+    """→ (doc_id, pos, whash): the composed polynomial hash of every
+    ``w``-token window, 0-based token position. Documents shorter than
+    ``w`` tokens emit nothing. One narrow projection + one explode —
+    the identical plan family as dedup.jaccard.shingle_table, kept
+    JVM-side (interpreted HOF lambdas are fine here because the window
+    COUNT, not the char count, drives the fold: per-token hashes are
+    computed once and composed per window)."""
+    docs = fan_out(docs)  # BEFORE the hashing projection, so the
+    # CPU-heavy fold runs post-exchange on full parallelism
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    th = F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(MOD),
+        ),
+    )
+    n_windows = F.greatest(F.size(th) - F.lit(w - 1), F.lit(0))
+    # compose the w token hashes starting at i (0-based) — same base-31
+    # composition as functions.text.compose_shingle_hashes
+    def compose(i):
+        acc = F.element_at(th, i + 1)
+        for j in range(1, w):
+            acc = (acc * 31 + F.element_at(th, i + F.lit(j) + 1)) % F.lit(MOD)
+        return acc
+
+    wins = F.transform(F.sequence(F.lit(0), n_windows - 1), compose)
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(n_windows > 0, wins)
+        .otherwise(F.array().cast("array<long>"))
+        .alias("_wh"),
+    )
+    return out.select("doc_id", F.posexplode("_wh").alias("pos", "whash"))
+
+
+def duplicated_windows(window_tbl: DataFrame) -> DataFrame:
+    """→ the (doc_id, pos, whash) rows whose hash occurs ≥2 times in
+    the corpus (across documents or repeated within one). The
+    ``count > 1`` prune happens in ONE aggregation on the hash — the
+    unique-window majority is dropped before any further shuffle."""
+    hot = (
+        window_tbl.groupBy("whash")
+        .agg(F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") > 1)
+        .select("whash")
+    )
+    return window_tbl.join(hot, "whash").select("doc_id", "pos")
+
+
+def repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+) -> DataFrame:
+    """→ (doc_id, span_start, span_end, span_tokens): maximal repeated
+    spans per document, in token positions; ``span_end`` exclusive,
+    ``span_tokens = span_end - span_start``. Every duplicated
+    substring of ≥ ``w`` tokens appears as (part of) exactly one span.
+
+    Merge rule: two duplicated windows at positions p, q (p < q)
+    belong to one span iff q − p ≤ w — i.e. their token ranges
+    overlap or touch — implemented as gaps-and-islands with a lag
+    window per document (state = |duplicated windows|, not |tokens|).
+    """
+    marked = duplicated_windows(window_hashes(docs, text_col, id_col, w))
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = marked.withColumn(
+        "new_span",
+        F.when(
+            F.col("pos") - F.lag("pos").over(by_doc) <= w, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    grouped = flagged.withColumn(
+        "span_id", F.sum("new_span").over(
+            by_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    return (
+        grouped.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(w)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def repeated_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+) -> DataFrame:
+    """Per-document contamination profile: how many tokens sit inside
+    repeated spans and what fraction of the document that is — the
+    number a curation pipeline thresholds on ("drop docs >50% verbatim
+    duplicate text") or uses to excise spans before training. Documents
+    with no repeated span report 0 (left join, not an inner filter)."""
+    spans = repeated_spans(docs, text_col, id_col, w)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.count("*").cast("long").alias("n_spans"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(tokens(text_col), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                * F.lit(1.0)
+                / F.greatest("n_tokens", F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

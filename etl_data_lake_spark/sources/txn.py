@@ -604,6 +604,7 @@ class TxnTable:
         app_id: str | None = None,
         txn_seq: int | None = None,
         stats_cols: tuple[str, ...] = (),
+        expected_base: int | None = None,
     ) -> int:
         """Replace the table contents. Aborts with
         :class:`ConcurrentWriteError` if ANY other commit lands between
@@ -614,8 +615,14 @@ class TxnTable:
         The base version is captured in a local and threaded through as
         an explicit ``_commit`` argument — handles stay stateless, so
         two threads sharing one handle each validate against their OWN
-        base rather than whichever one wrote the attribute last."""
-        expected_base = self.latest_version()
+        base rather than whichever one wrote the attribute last.
+        Callers whose ``df`` derives from an earlier read of THIS table
+        (read-modify-write, e.g. matview merges) pass that read's
+        version as ``expected_base`` so a commit that landed between
+        their read and this call conflicts instead of being silently
+        based on stale data."""
+        if expected_base is None:
+            expected_base = self.latest_version()
         staged, schema_json, stats = self._stage(df, stats_cols)
         return self._commit(
             "overwrite",

@@ -1,0 +1,175 @@
+"""Incrementally-maintained aggregates (sources/matview.py): refresh
+from the change feed must equal a full recompute at every step, stay
+idempotent, and detect concurrent refreshes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.sources.matview import MaterializedAgg
+from etl_data_lake_spark.sources.txn import ConcurrentWriteError, TxnTable
+
+
+def _rows(spark, *triples):
+    return spark.createDataFrame(
+        list(triples), "k string, v long, w double"
+    )
+
+
+def _agg_of(df):
+    return {
+        (r.k,): (r.n_rows, r.sum_v, r.sum_w)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.lit(1).cast("long")).alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+            F.sum("w").alias("sum_w"),
+        )
+        .collect()
+    }
+
+
+def _read_mv(mv):
+    return {
+        (r.k,): (r.n_rows, r.sum_v, r.sum_w) for r in mv.read().collect()
+    }
+
+
+def test_refresh_matches_full_recompute_across_commits(spark, tmp_path):
+    src = TxnTable(spark, str(tmp_path / "src"))
+    mv = MaterializedAgg(
+        spark, src, str(tmp_path / "mv"), keys=("k",), sum_cols=("v", "w")
+    )
+    src.append(_rows(spark, ("a", 1, 0.5), ("a", 2, 1.5), ("b", 3, 2.0)))
+    v = mv.refresh()
+    assert v == 1 and mv.refreshed_version() == 1
+    assert _read_mv(mv) == _agg_of(src.snapshot())
+
+    # incremental: appends touch only their groups' deltas
+    src.append(_rows(spark, ("b", 4, 0.0), ("c", 5, 5.0)))
+    src.append(_rows(spark, ("a", 10, 1.0)))
+    assert mv.refresh() == 3
+    assert _read_mv(mv) == _agg_of(src.snapshot())
+
+    # a pure compaction is a no-op change feed; the refresh must not
+    # double-count rewritten rows
+    src.compact(target_files=1)
+    assert mv.refresh() == 4
+    assert _read_mv(mv) == _agg_of(src.snapshot())
+
+    # overwrite shrinks groups; fully-deleted groups drop out
+    src.overwrite(_rows(spark, ("a", 7, 7.0)))
+    assert mv.refresh() == 5
+    got = _read_mv(mv)
+    assert got == _agg_of(src.snapshot())
+    assert set(got) == {("a",)}
+
+
+def test_refresh_is_idempotent_and_lazy(spark, tmp_path):
+    src = TxnTable(spark, str(tmp_path / "src"))
+    mv = MaterializedAgg(
+        spark, src, str(tmp_path / "mv"), keys=("k",), sum_cols=("v",)
+    )
+    src.append(_rows(spark, ("a", 1, 0.0)))
+    assert mv.refresh() == 1
+    target_v = mv.target.latest_version()
+    # nothing new in the source → no new target commit
+    assert mv.refresh() == 1
+    assert mv.target.latest_version() == target_v
+
+
+def test_concurrent_refresh_replay_and_conflict(spark, tmp_path):
+    """Two refreshers racing. Same-source-version race: the loser's
+    publish is absorbed as an idempotent replay (watermark no-op — the
+    refresh it wanted is already reflected). Stale-base race at a NEW
+    source version: ConcurrentWriteError, retry converges."""
+    import etl_data_lake_spark.sources.matview as m
+
+    src = TxnTable(spark, str(tmp_path / "src"))
+    path = str(tmp_path / "mv")
+    a = MaterializedAgg(
+        spark, src, path, keys=("k",), sum_cols=("v", "w")
+    )
+    b = MaterializedAgg(
+        spark, src, path, keys=("k",), sum_cols=("v", "w")
+    )
+    src.append(_rows(spark, ("a", 1, 0.0)))
+    a.refresh()
+    src.append(_rows(spark, ("a", 2, 0.0), ("b", 3, 0.0)))
+
+    # B computes its merge against target v1, A publishes first
+    fresh_b = b._aggregate(src.snapshot())
+    a.refresh()  # target v2, watermark src=2
+    target_v = b.target.latest_version()
+    # B's publish for the SAME source version: absorbed as replay
+    v = b.target.overwrite(
+        fresh_b, app_id=m._APP_ID, txn_seq=2, expected_base=1
+    )
+    assert v == target_v  # no new commit
+    assert _read_mv(b) == _agg_of(src.snapshot())
+
+    # a NEW source version computed against a stale target base must
+    # conflict, not silently clobber A's state
+    src.append(_rows(spark, ("c", 9, 0.0)))
+    fresh_b3 = b._aggregate(src.snapshot())
+    with pytest.raises(ConcurrentWriteError):
+        b.target.overwrite(
+            fresh_b3, app_id=m._APP_ID, txn_seq=3, expected_base=1
+        )
+    # normal retry path converges
+    assert b.refresh() == 3
+    assert _read_mv(b) == _agg_of(src.snapshot())
+
+
+def test_streaming_matview_exactly_once_across_replay(spark, tmp_path):
+    """availableNow file stream → matview_stream_sink. Wiping the
+    checkpoint and replaying every batch must leave the aggregate
+    unchanged — the append and refresh watermarks compose to
+    end-to-end exactly-once."""
+    import shutil
+
+    from etl_data_lake_spark.sources.matview import matview_stream_sink
+
+    src_files = tmp_path / "in"
+    src_files.mkdir()
+    _rows(spark, ("a", 1, 1.0), ("b", 2, 2.0)).write.parquet(
+        str(src_files / "f1")
+    )
+    _rows(spark, ("a", 3, 3.0)).write.parquet(str(src_files / "f2"))
+
+    source = TxnTable(spark, str(tmp_path / "src"))
+    mv = MaterializedAgg(
+        spark, source, str(tmp_path / "mv"), keys=("k",), sum_cols=("v",)
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.schema("k string, v long, w double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_files / "*"))
+            .writeStream.foreachBatch(matview_stream_sink(mv))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    expect = {("a",): (2, 4), ("b",): (1, 2)}
+    got = {
+        (r.k,): (r.n_rows, r.sum_v) for r in mv.read().collect()
+    }
+    assert got == expect
+    src_v = source.latest_version()
+    mv_v = mv.target.latest_version()
+
+    shutil.rmtree(ckpt)  # full replay with the same batch ids
+    run()
+    assert source.latest_version() == src_v
+    assert mv.target.latest_version() == mv_v
+    got2 = {
+        (r.k,): (r.n_rows, r.sum_v) for r in mv.read().collect()
+    }
+    assert got2 == expect

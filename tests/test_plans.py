@@ -137,3 +137,40 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     )
     plan = plan_string(joined, "formatted")
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_deterministic_split_is_exchange_free(spark):
+    """split_deterministic is a pure filter per split — the plan must
+    contain NO Exchange (the whole point: train/val/test selection at
+    scan speed on 100 TB, zero shuffle). Same for the sampler."""
+    from etl_data_lake_spark.operators.sampling import (
+        sample_deterministic,
+        split_deterministic,
+    )
+    from etl_data_lake_spark.plans import assert_no_exchange
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    splits = split_deterministic(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, ("doc_id",)
+    )
+    for part in splits.values():
+        assert_no_exchange(part.select("doc_id"))
+    assert_no_exchange(
+        sample_deterministic(docs, 0.25, ("doc_id",)).select("doc_id")
+    )
+
+
+def test_packing_single_shuffle_on_shard(spark):
+    """pack_sequences co-locates shards with exactly ONE Exchange (the
+    groupBy(_shard) for applyInPandas) — no hidden extra shuffles."""
+    from etl_data_lake_spark.operators.packing import pack_sequences
+    from etl_data_lake_spark.plans import plan_string
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    packed = pack_sequences(docs, "n_chars", 1200, n_shards=8)
+    # executed mode: each physical node prints once (formatted repeats
+    # node names in the per-node detail section)
+    plan = plan_string(packed.select("doc_id", "pack_id"), "executed")
+    assert plan.count("Exchange") == 1, plan
