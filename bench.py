@@ -22,7 +22,6 @@ HEADLINE = [
     "multiway_join_revenue",
     "golden_q2_top_customers",
     "window_surrogate_key",
-    "window_lag_rank_running",
     "asof_join_latest_order",
     "time_dimension",
     "events_session_window_agg",
@@ -45,6 +44,7 @@ HEADLINE = [
     "curation_split_assign",
     "curation_pack_assign",
     "text_bm25_topdocs",
+    "dedup_substring_spans",
 ]
 
 

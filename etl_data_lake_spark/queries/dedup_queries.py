@@ -249,3 +249,80 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.5)
     return connected_components(pairs)
+
+
+# --------------------------------------------------------------------------
+# Exact-substring repeated spans (dedup/substring.py): verbatim
+# passages ≥ w tokens shared across (or repeated within) documents,
+# merged to maximal spans. The oracle replays the identical pipeline:
+# positional composed window hashes (same base-31 fold as the shingle
+# family), hot-hash prune, lag/running-sum gaps-and-islands merge.
+# Registered round 3 in the slot freed by demoting
+# window_lag_rank_running (lag/rank/running analytics stay covered by
+# window_frame_trailing_spend + window_surrogate_key + the session
+# aggregates — and this oracle itself exercises lag + running sum).
+# --------------------------------------------------------------------------
+_SPAN_W = 8
+
+
+def _substring_oracle(w: int = _SPAN_W) -> str:
+    tk = f"list_filter({_TOK}, t -> t != '')"
+    th = f"list_transform(tk, t -> {sql_poly_hash('t')})"
+    acc = "th[i]"
+    for j in range(1, w):
+        acc = f"(({acc}) * 31 + th[i+{j}]) % {MOD}"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {tk} AS tk FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, {th} AS th FROM toks
+        ),
+        flat AS (
+            SELECT doc_id, w.pos AS pos, w.wh AS whash
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(th) - {w - 2}),
+                              i -> struct_pack(pos := i - 1, wh := {acc})))
+                           AS w
+                FROM hashed
+            )
+        ),
+        hot AS (
+            SELECT whash FROM flat GROUP BY whash HAVING COUNT(*) > 1
+        ),
+        marked AS (
+            SELECT f.doc_id, f.pos FROM flat f JOIN hot USING (whash)
+        ),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER
+                            (PARTITION BY doc_id ORDER BY pos) <= {w}
+                        THEN 0 ELSE 1 END AS new_span
+            FROM marked
+        ),
+        islands AS (
+            SELECT doc_id, pos,
+                   sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS span_id
+            FROM flagged
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {w} AS BIGINT) AS span_end,
+               CAST(max(pos) + {w} - min(pos) AS BIGINT) AS span_tokens
+        FROM islands
+        GROUP BY doc_id, span_id
+    """
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=_substring_oracle(),
+    tags=("dedup", "text", "spans"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_lake_spark.dedup.substring import repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_spans(docs, w=_SPAN_W)

@@ -344,23 +344,25 @@ def window_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Window analytics beyond the reference: lag / rank / running sum
-# (running sum uses exact-integer money — see functions.money)
+# (running sum uses exact-integer money — see functions.money).
+# Library surface since round 3: its slot went to dedup_substring_spans
+# (whose oracle itself exercises lag + running sum); rank/frame
+# analytics stay driver-checked via window_frame_trailing_spend,
+# window_surrogate_key, and events_session_window_agg.
 # --------------------------------------------------------------------------
-@register(
-    "window_lag_rank_running",
-    oracle="""
-        SELECT event_id, user_id, value,
-               lag(value) OVER w AS prev_value,
-               CAST(ROW_NUMBER() OVER w AS BIGINT) AS event_seq,
-               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
-                   AS running_value
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-    tags=("window",),
-)
+_WINDOW_LAG_RANK_RUNNING_SQL = """
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS event_seq,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+               AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def window_lag_rank_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
