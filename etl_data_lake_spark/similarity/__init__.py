@@ -1,4 +1,13 @@
 from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+from etl_data_lake_spark.similarity.ivf import ivf_topk
 from etl_data_lake_spark.similarity.lsh import lsh_bucket_topk, with_lsh_buckets
+from etl_data_lake_spark.similarity.pq import pq_encode, pq_topk
 
-__all__ = ["cosine_topk", "with_lsh_buckets", "lsh_bucket_topk"]
+__all__ = [
+    "cosine_topk",
+    "with_lsh_buckets",
+    "lsh_bucket_topk",
+    "ivf_topk",
+    "pq_encode",
+    "pq_topk",
+]
