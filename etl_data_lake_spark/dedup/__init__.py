@@ -2,6 +2,10 @@ from etl_data_lake_spark.dedup.exact import canonicalize_exact
 from etl_data_lake_spark.dedup.jaccard import shingle_table, jaccard_pairs
 from etl_data_lake_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
 from etl_data_lake_spark.dedup.simhash import simhash_table
+from etl_data_lake_spark.dedup.semantic import (
+    blocked_near_dup_pairs,
+    semantic_dedup_keep,
+)
 from etl_data_lake_spark.dedup.substring import (
     repeated_span_stats,
     repeated_spans,
@@ -16,4 +20,6 @@ __all__ = [
     "simhash_table",
     "repeated_spans",
     "repeated_span_stats",
+    "blocked_near_dup_pairs",
+    "semantic_dedup_keep",
 ]

@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_data_lake_spark.functions.text import MOD, tokens
+from etl_data_lake_spark.functions.text import tokens
 from etl_data_lake_spark.sources.catalog import fan_out
 
 
@@ -59,36 +59,20 @@ def window_hashes(
     """→ (doc_id, pos, whash): the composed polynomial hash of every
     ``w``-token window, 0-based token position. Documents shorter than
     ``w`` tokens emit nothing. One narrow projection + one explode —
-    the identical plan family as dedup.jaccard.shingle_table, kept
-    JVM-side (interpreted HOF lambdas are fine here because the window
-    COUNT, not the char count, drives the fold: per-token hashes are
-    computed once and composed per window)."""
+    the identical plan family as dedup.jaccard.shingle_table, hashed
+    by the Arrow-batched positional window hasher (functions.text
+    .window_hashes_pandas_udf — the pure-expression form of this fold
+    gets re-inlined per window reference by the optimizer and was
+    measured at O(windows·w·tokens·chars) interpreted calls: 139 s at
+    sf0.1 vs <1 s batched; same bottleneck the shingle family hit)."""
+    from etl_data_lake_spark.functions.text import window_hashes_pandas_udf
+
     docs = fan_out(docs)  # BEFORE the hashing projection, so the
     # CPU-heavy fold runs post-exchange on full parallelism
-    toks = F.filter(tokens(text_col), lambda t: t != "")
-    th = F.transform(
-        toks,
-        lambda t: F.aggregate(
-            F.split(t, ""),
-            F.lit(0).cast("long"),
-            lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(MOD),
-        ),
-    )
-    n_windows = F.greatest(F.size(th) - F.lit(w - 1), F.lit(0))
-    # compose the w token hashes starting at i (0-based) — same base-31
-    # composition as functions.text.compose_shingle_hashes
-    def compose(i):
-        acc = F.element_at(th, i + 1)
-        for j in range(1, w):
-            acc = (acc * 31 + F.element_at(th, i + F.lit(j) + 1)) % F.lit(MOD)
-        return acc
-
-    wins = F.transform(F.sequence(F.lit(0), n_windows - 1), compose)
+    hasher = window_hashes_pandas_udf(w)
     out = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.when(n_windows > 0, wins)
-        .otherwise(F.array().cast("array<long>"))
-        .alias("_wh"),
+        hasher(F.col(text_col)).alias("_wh"),
     )
     return out.select("doc_id", F.posexplode("_wh").alias("pos", "whash"))
 

@@ -149,6 +149,54 @@ def shingle_hashes_pandas_udf(n: int = 3):
     return pandas_udf(f, "array<long>")
 
 
+def window_hashes_pandas_udf(w: int):
+    """Arrow-batched POSITIONAL window hashes: text → the composed
+    hash of every w-token window in order (no dedup — position IS the
+    payload; contrast :func:`shingle_hashes_pandas_udf`, which
+    first-occurrence-dedups for set semantics). Same tokenization
+    (trim spaces, ASCII ``\\s`` split, empty tokens dropped) and the
+    same base-31 char-fold + window composition, so the DuckDB twin in
+    queries/dedup_queries reproduces it bit-for-bit.
+
+    Exists because the pure-expression version of this math (a
+    ``transform`` whose lambda re-references the token-hash array) is
+    re-inlined by the optimizer into every element_at — measured
+    O(windows·w·tokens·chars) interpreted closure calls per document,
+    139 s for the sf0.1 corpus vs <1 s here."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    splitter = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def one(text):
+        if text is None:
+            return None
+        th = []
+        for t in splitter.split(text.strip(" ")):
+            if not t:
+                continue
+            h = 0
+            for ch in t:
+                h = (h * 31 + ord(ch)) % MOD
+            th.append(h)
+        n = len(th)
+        if n < w:
+            return []
+        out: list[int] = []
+        for i in range(n - w + 1):
+            acc = th[i]
+            for j in range(1, w):
+                acc = (acc * 31 + th[i + j]) % MOD
+            out.append(acc)
+        return out
+
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(one)
+
+    return pandas_udf(f, "array<long>")
+
+
 def sql_hashed_word_shingles(tokens_expr: str, n: int = 3) -> str:
     """DuckDB twin of :func:`hashed_word_shingles` (the token-hash
     list is inlined everywhere it appears; the engine CSEs it)."""

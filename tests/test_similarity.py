@@ -283,3 +283,91 @@ def test_pq_codes_are_compact_and_bounded(spark):
     assert arr.min() >= 0 and arr.max() < 16
     # codes actually discriminate: not all vectors share one code word
     assert len({tuple(c) for c in arr}) > len(arr) // 2
+
+
+def test_blocked_near_dup_full_assign_equals_exact(spark):
+    """n_assign = n_cells ⇒ every pair shares a cell ⇒ the blocked
+    join is exactly the all-pairs baseline (same pairs, same rounded
+    scores — the emitted cosine is the exact JVM fold either way)."""
+    from etl_data_lake_spark.dedup.semantic import blocked_near_dup_pairs
+    from etl_data_lake_spark.queries.registry import queries
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in queries()["embedding_near_dup_pairs"](spark, SF_DIR).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in blocked_near_dup_pairs(
+            emb, threshold=0.45, n_cells=8, n_assign=8
+        ).collect()
+    }
+    assert blocked == exact and len(exact) > 0
+
+
+def test_blocked_near_dup_is_subset_with_useful_recall(spark):
+    """Partial assignment blocks pairs: results are a SUBSET of the
+    exact baseline (no false positives — scores are exact), with
+    recall above the fixture floor at n_assign=2."""
+    from etl_data_lake_spark.dedup.semantic import blocked_near_dup_pairs
+    from etl_data_lake_spark.queries.registry import queries
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in queries()["embedding_near_dup_pairs"](spark, SF_DIR).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b)
+        for r in blocked_near_dup_pairs(
+            emb, threshold=0.45, n_cells=8, n_assign=2
+        ).collect()
+    }
+    assert blocked <= exact
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.5, f"blocked recall collapsed: {recall:.2f}"
+
+
+def test_semantic_dedup_keep_canonical_per_cluster(spark):
+    """Survivors = corpus minus non-canonical members of each
+    near-dup cluster; cluster membership derived independently with
+    a union-find over the full-assignment pairs."""
+    from etl_data_lake_spark.dedup.semantic import (
+        blocked_near_dup_pairs,
+        semantic_dedup_keep,
+    )
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in blocked_near_dup_pairs(
+            emb, threshold=0.45, n_cells=8, n_assign=8
+        ).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    losers = {x for x in parent if find(x) != x}
+    survivors = {
+        r.vec_id
+        for r in semantic_dedup_keep(
+            emb, threshold=0.45, n_cells=8, n_assign=8
+        ).collect()
+    }
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert survivors == all_ids - losers
+    assert len(losers) > 0  # the fixture really has semantic dups
