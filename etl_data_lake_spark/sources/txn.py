@@ -634,6 +634,72 @@ class TxnTable:
             expected_base=expected_base,
         )
 
+    def replace_where(
+        self,
+        df: DataFrame,
+        col: str,
+        lo,
+        hi,
+        stats_cols: tuple[str, ...] = (),
+    ) -> int:
+        """Predicate-scoped overwrite (Delta's ``replaceWhere``): all
+        existing rows with ``lo <= col <= hi`` are replaced by ``df``,
+        rows outside the range are untouched — the idempotent
+        'reprocess one day/partition' backfill, with ACID publish.
+
+        ``df`` must itself satisfy the predicate (checked with one
+        aggregate over the staged data; violating rows would silently
+        widen the replaced range). File handling composes the manifest
+        stats with the commit protocol: files whose recorded [min, max]
+        is DISJOINT from the range survive untouched; every other file
+        (intersecting, or without stats for ``col``) is read, its
+        out-of-range rows rewritten alongside the new data, and the
+        originals dropped — exactly a compact of the affected files
+        plus the new rows, so the CONFLICT RULE is compaction's: if a
+        concurrent commit replaced any affected file, abort and let
+        the caller recompute. Appends of disjoint data rebase cleanly
+        underneath, like any compact.
+
+        At 100 TB the stats pruning is the point: a one-day backfill
+        touches the files that can contain that day, not the table."""
+        from pyspark.sql import functions as F
+
+        base = self.snapshot_meta()
+        pred = F.col(col).between(lo, hi)
+        bad = df.where(~pred | F.col(col).isNull()).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"replace_where data contains rows outside "
+                f"{col} in [{lo}, {hi}]"
+            )
+        if base is None or not base.files:
+            staged, schema_json, stats = self._stage(df, stats_cols)
+            return self._commit(
+                "append", staged, schema_json, None, None, staged_stats=stats
+            )
+        affected, _ = self.files_matching({col: (lo, hi)}, base.version)
+        keep_rows = None
+        if affected:
+            old = self.spark.read.schema(base.schema()).parquet(
+                *[str(self.root / f) for f in affected]
+            )
+            keep_rows = old.where(~pred | F.col(col).isNull())
+        out = (
+            df if keep_rows is None else keep_rows.unionByName(
+                df, allowMissingColumns=True
+            )
+        )
+        staged, schema_json, stats = self._stage(out, stats_cols)
+        return self._commit(
+            "compact",
+            staged,
+            schema_json,
+            None,
+            None,
+            replaced=tuple(affected),
+            staged_stats=stats,
+        )
+
     def compact(
         self, target_files: int = 1, stats_cols: tuple[str, ...] = ()
     ) -> int:

@@ -370,3 +370,92 @@ def test_checkpoint_carries_stats_and_overwrite_resets(spark, tmp_path):
     assert meta2.version == v
     assert len(meta2.files) < len(meta.files)
     assert t.snapshot().count() == 5
+
+
+def test_replace_where_scoped_backfill(spark, tmp_path):
+    """replace_where swaps only the rows in range; files provably
+    disjoint (by manifest stats) survive untouched; out-of-range rows
+    in affected files are preserved."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    # three stats-tracked appends: [0,99], [100,199], [200,299]
+    for base in (0, 100, 200):
+        t.append(
+            spark.range(base, base + 100).selectExpr("id"),
+            stats_cols=("id",),
+        )
+    before = set(t.snapshot_meta().files)
+    # replace [120, 179] with a sparser backfill
+    v = t.replace_where(
+        spark.range(120, 180, 2).selectExpr("id"), "id", 120, 179,
+        stats_cols=("id",),
+    )
+    assert v == 4
+    got = sorted(r.id for r in t.snapshot().select("id").collect())
+    want = sorted(
+        list(range(0, 120)) + list(range(120, 180, 2))
+        + list(range(180, 300))
+    )
+    assert got == want
+    # the disjoint files ([0,99] and [200,299]) survived byte-identical
+    after = set(t.snapshot_meta().files)
+    survivors = before & after
+    meta = t.snapshot_meta()
+    for f in survivors:
+        rng = meta.file_stats[f]["id"]
+        assert rng[1] < 120 or rng[0] > 179
+    assert len(survivors) > 0
+    # time travel still shows the pre-backfill state
+    assert t.snapshot(version=3).count() == 300
+
+
+def test_replace_where_rejects_out_of_range_data(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 50).selectExpr("id"), stats_cols=("id",))
+    with pytest.raises(ValueError):
+        t.replace_where(
+            spark.range(0, 100).selectExpr("id"), "id", 0, 49
+        )
+
+
+def test_replace_where_conflicts_like_compact(spark, tmp_path):
+    """A concurrent overwrite invalidates the files the backfill read
+    → ConcurrentWriteError; a concurrent DISJOINT append rebases
+    cleanly underneath."""
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(spark.range(0, 100).selectExpr("id"), stats_cols=("id",))
+
+    # disjoint concurrent append: stage the replace, let the append
+    # land, then publish — both changes must survive
+    base = t.snapshot_meta()
+    affected, _ = t.files_matching({"id": (0, 49)}, base.version)
+    old = spark.read.schema(base.schema()).parquet(
+        *[str(t.root / f) for f in affected]
+    )
+    out = old.where("id > 49 or id is null").unionByName(
+        spark.range(0, 25).selectExpr("id")
+    )
+    staged, schema_json, stats = t._stage(out, ("id",))
+    TxnTable(spark, path).append(
+        spark.range(1000, 1010).selectExpr("id"), stats_cols=("id",)
+    )
+    t._commit(
+        "compact", staged, schema_json, None, None,
+        replaced=tuple(affected), staged_stats=stats,
+    )
+    got = sorted(r.id for r in t.snapshot().select("id").collect())
+    assert got == sorted(list(range(0, 25)) + list(range(50, 100))
+                         + list(range(1000, 1010)))
+
+    # conflicting overwrite: the backfill's inputs are gone → abort
+    base2 = t.snapshot_meta()
+    affected2, _ = t.files_matching({"id": (0, 9)}, base2.version)
+    staged2, schema2, stats2 = t._stage(
+        spark.range(0, 5).selectExpr("id"), ("id",)
+    )
+    TxnTable(spark, path).overwrite(spark.range(0, 3).selectExpr("id"))
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(
+            "compact", staged2, schema2, None, None,
+            replaced=tuple(affected2), staged_stats=stats2,
+        )
