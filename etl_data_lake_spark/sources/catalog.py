@@ -58,15 +58,39 @@ def fan_out(df: DataFrame) -> DataFrame:
     one case where paying the repartition is exactly right. Non-file
     sources (createDataFrame fixtures, derived/shuffled inputs) report
     ZERO files — for those the file probe says nothing, so fall back
-    to the partition-count probe and only repartition when the input
-    is actually under-parallel (an unconditional shuffle here would
-    REDUCE the parallelism of already-wide derived inputs)."""
+    to cheaper probes (an unconditional shuffle here would REDUCE the
+    parallelism of already-wide derived inputs): a file-less plan that
+    already contains a shuffle-inducing operator (Join / Aggregate /
+    Window / Sort / Repartition / Deduplicate) is governed by
+    ``spark.sql.shuffle.partitions`` + AQE and is left alone — the
+    ANALYZED logical plan is already materialized on the DataFrame, so
+    inspecting it costs a tree walk, not the physical planning that
+    ``df.rdd.getNumPartitions()`` forces per call. The rdd probe
+    remains only as the last resort for narrow file-less leaves
+    (createDataFrame fixtures), where the plan says nothing about
+    parallelism."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
     if n_files == 0:
+        try:
+            plan = df._jdf.queryExecution().analyzed().toString()
+            if any(
+                op in plan
+                for op in (
+                    "Join",
+                    "Aggregate",
+                    "Window",
+                    "Sort",
+                    "Repartition",
+                    "Deduplicate",
+                )
+            ):
+                return df
+        except Exception:
+            pass
         if df.rdd.getNumPartitions() >= target:
             return df
         return df.repartition(target)

@@ -84,12 +84,14 @@ def swap_into_place(tmp: str, path: str) -> None:
     try:
         shutil.move(tmp, path)
     except BaseException:
+        # a cross-filesystem move that died mid-copy leaves a partial
+        # target; clear it so the live path never exposes torn data —
+        # on a first-ever publish (no backup to restore) an empty live
+        # path is the recoverable state, on a replace the backup then
+        # moves back in
+        if target.exists():
+            shutil.rmtree(target)
         if had_old:
-            # a cross-filesystem move that died mid-copy leaves a
-            # partial target; clear it so the backup restore isn't
-            # skipped and the live path never exposes torn data
-            if target.exists():
-                shutil.rmtree(target)
             backup.rename(target)
         raise
     if had_old:

@@ -505,11 +505,22 @@ class TxnTable:
         staged_stats: dict[str, dict[str, list]] | None = None,
         max_attempts: int = 20,
         expected_base: int | None = None,
+        guard_range: tuple | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop. Returns the committed
         version (or the current one, for an idempotent no-op). The
         published manifest is O(Δfiles): adds + (for compact) removes,
-        never the full file list."""
+        never the full file list.
+
+        ``guard_range`` = (col, lo, hi) extends the compact conflict
+        rule for predicate-scoped overwrites: every base file NOT in
+        ``replaced`` must be provably disjoint from the range via its
+        manifest stats, re-checked against the CURRENT base on every
+        attempt — so a concurrent append of in-range rows (landing
+        between the caller's snapshot and publish) conflicts instead
+        of rebasing cleanly underneath with rows that were never
+        replaced. Files without stats for ``col`` conservatively
+        conflict."""
         staged_stats = staged_stats or {}
         for _ in range(max_attempts):
             base = self.snapshot_meta()
@@ -542,6 +553,17 @@ class TxnTable:
                     raise ConcurrentWriteError(
                         "compaction input files were replaced concurrently"
                     )
+                if guard_range is not None:
+                    gcol, glo, ghi = guard_range
+                    fstats = base.file_stats if base else {}
+                    for f in sorted(base_files - set(replaced)):
+                        rng = fstats.get(f, {}).get(gcol)
+                        if rng is None or not (rng[0] > ghi or rng[1] < glo):
+                            raise ConcurrentWriteError(
+                                f"concurrent commit added {f!r} which may "
+                                f"contain rows in replace_where range "
+                                f"{gcol} in [{glo}, {ghi}]"
+                            )
                 remove = tuple(replaced)
                 files = sorted(base_files - set(replaced)) + staged
             else:  # pragma: no cover
@@ -647,18 +669,30 @@ class TxnTable:
         rows outside the range are untouched — the idempotent
         'reprocess one day/partition' backfill, with ACID publish.
 
-        ``df`` must itself satisfy the predicate (checked with one
-        aggregate over the staged data; violating rows would silently
-        widen the replaced range). File handling composes the manifest
-        stats with the commit protocol: files whose recorded [min, max]
-        is DISJOINT from the range survive untouched; every other file
-        (intersecting, or without stats for ``col``) is read, its
-        out-of-range rows rewritten alongside the new data, and the
-        originals dropped — exactly a compact of the affected files
-        plus the new rows, so the CONFLICT RULE is compaction's: if a
-        concurrent commit replaced any affected file, abort and let
-        the caller recompute. Appends of disjoint data rebase cleanly
-        underneath, like any compact.
+        ``df`` must itself satisfy the predicate. The check runs over
+        the STAGED parquet, not ``df``: a non-deterministic input
+        (sampled / rand-derived) could pass a pre-stage check yet
+        stage different rows, silently widening the replaced range —
+        staging first pins the exact rows being published, and the
+        validation read is one ``limit(1)`` over files local to the
+        committer (no second evaluation of ``df``).
+
+        File handling composes the manifest stats with the commit
+        protocol: files whose recorded [min, max] is DISJOINT from the
+        range survive untouched; every other file (intersecting, or
+        without stats for ``col``) is read, its out-of-range rows
+        rewritten alongside the new data, and the originals dropped —
+        a compact of the affected files plus the new rows. The
+        CONFLICT RULE is compaction's PLUS a predicate guard
+        re-checked on every (re)base: any concurrent commit that added
+        a file which may contain rows in [lo, hi] (intersecting stats,
+        or no stats for ``col`` — conservatively conflicting) aborts
+        with :class:`ConcurrentWriteError`, because those rows would
+        survive unreplaced and silently break the "all existing rows
+        in range are replaced" contract (Delta raises
+        ConcurrentAppendException for exactly this). Appends of
+        provably disjoint data rebase cleanly underneath, like any
+        compact.
 
         At 100 TB the stats pruning is the point: a one-day backfill
         touches the files that can contain that day, not the table."""
@@ -666,38 +700,57 @@ class TxnTable:
 
         base = self.snapshot_meta()
         pred = F.col(col).between(lo, hi)
-        bad = df.where(~pred | F.col(col).isNull()).limit(1).count()
-        if bad:
-            raise ValueError(
-                f"replace_where data contains rows outside "
-                f"{col} in [{lo}, {hi}]"
+        staged_new, schema_new, stats_new = self._stage(df, stats_cols)
+        if staged_new:
+            new_schema = StructType.fromJson(json.loads(schema_new))
+            staged_df = self.spark.read.schema(new_schema).parquet(
+                *[str(self.root / f) for f in staged_new]
             )
-        if base is None or not base.files:
-            staged, schema_json, stats = self._stage(df, stats_cols)
-            return self._commit(
-                "append", staged, schema_json, None, None, staged_stats=stats
+            bad = (
+                staged_df.where(~pred | F.col(col).isNull()).limit(1).count()
             )
-        affected, _ = self.files_matching({col: (lo, hi)}, base.version)
+            if bad:
+                shutil.rmtree((self.root / staged_new[0]).parent)
+                raise ValueError(
+                    f"replace_where data contains rows outside "
+                    f"{col} in [{lo}, {hi}]"
+                )
+        guard = (col, lo, hi)
+        affected: list[str] = []
         keep_rows = None
-        if affected:
-            old = self.spark.read.schema(base.schema()).parquet(
-                *[str(self.root / f) for f in affected]
+        if base is not None and base.files:
+            affected, _ = self.files_matching({col: (lo, hi)}, base.version)
+            if affected:
+                old = self.spark.read.schema(base.schema()).parquet(
+                    *[str(self.root / f) for f in affected]
+                )
+                keep_rows = old.where(~pred | F.col(col).isNull())
+        if keep_rows is None:
+            return self._commit(
+                "compact",
+                staged_new,
+                schema_new,
+                None,
+                None,
+                staged_stats=stats_new,
+                guard_range=guard,
             )
-            keep_rows = old.where(~pred | F.col(col).isNull())
-        out = (
-            df if keep_rows is None else keep_rows.unionByName(
-                df, allowMissingColumns=True
-            )
+        staged_keep, schema_keep, stats_keep = self._stage(
+            keep_rows, stats_cols
         )
-        staged, schema_json, stats = self._stage(out, stats_cols)
+        schema_json = merge_schemas(
+            StructType.fromJson(json.loads(schema_keep)),
+            StructType.fromJson(json.loads(schema_new)),
+        ).json()
         return self._commit(
             "compact",
-            staged,
+            staged_keep + staged_new,
             schema_json,
             None,
             None,
             replaced=tuple(affected),
-            staged_stats=stats,
+            staged_stats={**stats_keep, **stats_new},
+            guard_range=guard,
         )
 
     def compact(

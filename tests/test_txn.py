@@ -459,3 +459,101 @@ def test_replace_where_conflicts_like_compact(spark, tmp_path):
             "compact", staged2, schema2, None, None,
             replaced=tuple(affected2), staged_stats=stats2,
         )
+
+
+def test_replace_where_concurrent_inrange_append_conflicts(
+    spark, tmp_path
+):
+    """ADVICE r3: an append of rows INSIDE the replaced range landing
+    between the backfill's snapshot and its publish must abort — those
+    rows would otherwise survive unreplaced, silently violating the
+    'all existing rows in range are replaced' contract (Delta raises
+    ConcurrentAppendException here)."""
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(spark.range(0, 100).selectExpr("id"), stats_cols=("id",))
+    base = t.snapshot_meta()
+    affected, _ = t.files_matching({"id": (0, 49)}, base.version)
+    staged, schema_json, stats = t._stage(
+        spark.range(0, 10).selectExpr("id"), ("id",)
+    )
+    # concurrent append whose stats PROVE overlap with [0, 49]
+    TxnTable(spark, path).append(
+        spark.range(20, 30).selectExpr("id"), stats_cols=("id",)
+    )
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(
+            "compact", staged, schema_json, None, None,
+            replaced=tuple(affected), staged_stats=stats,
+            guard_range=("id", 0, 49),
+        )
+
+
+def test_replace_where_concurrent_statless_append_conflicts(
+    spark, tmp_path
+):
+    """A concurrent append WITHOUT stats for the predicate column
+    cannot prove disjointness → conservatively conflicts, even though
+    its values happen to be out of range."""
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(spark.range(0, 100).selectExpr("id"), stats_cols=("id",))
+    base = t.snapshot_meta()
+    affected, _ = t.files_matching({"id": (0, 49)}, base.version)
+    staged, schema_json, stats = t._stage(
+        spark.range(0, 10).selectExpr("id"), ("id",)
+    )
+    TxnTable(spark, path).append(
+        spark.range(1000, 1010).selectExpr("id")  # no stats recorded
+    )
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(
+            "compact", staged, schema_json, None, None,
+            replaced=tuple(affected), staged_stats=stats,
+            guard_range=("id", 0, 49),
+        )
+
+
+def test_replace_where_concurrent_disjoint_append_rebases(
+    spark, tmp_path
+):
+    """A concurrent append provably disjoint by stats still rebases
+    cleanly under the guarded commit — the guard only kills appends
+    that MAY intersect the range."""
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(spark.range(0, 100).selectExpr("id"), stats_cols=("id",))
+    base = t.snapshot_meta()
+    affected, _ = t.files_matching({"id": (0, 49)}, base.version)
+    old = spark.read.schema(base.schema()).parquet(
+        *[str(t.root / f) for f in affected]
+    )
+    out = old.where("id > 49 or id is null").unionByName(
+        spark.range(0, 25).selectExpr("id")
+    )
+    staged, schema_json, stats = t._stage(out, ("id",))
+    TxnTable(spark, path).append(
+        spark.range(1000, 1010).selectExpr("id"), stats_cols=("id",)
+    )
+    t._commit(
+        "compact", staged, schema_json, None, None,
+        replaced=tuple(affected), staged_stats=stats,
+        guard_range=("id", 0, 49),
+    )
+    got = sorted(r.id for r in t.snapshot().select("id").collect())
+    assert got == sorted(
+        list(range(0, 25)) + list(range(50, 100)) + list(range(1000, 1010))
+    )
+
+
+def test_replace_where_empty_table_guarded(spark, tmp_path):
+    """First-ever replace_where on an empty/nonexistent table commits
+    the new rows; the guard makes a concurrent unprovable append
+    conflict rather than coexist unreplaced."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    v = t.replace_where(
+        spark.range(10, 20).selectExpr("id"), "id", 10, 19,
+        stats_cols=("id",),
+    )
+    assert v == 1
+    assert t.snapshot().count() == 10
