@@ -26,6 +26,7 @@ from etl_data_lake_spark.functions.text import (
     sql_hashed_word_shingles,
     sql_poly_hash,
 )
+from etl_data_lake_spark.functions.vectors import sql_cosine
 from etl_data_lake_spark.queries.registry import register
 from etl_data_lake_spark.sources.catalog import load_table
 
@@ -326,3 +327,50 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repeated_spans(docs, w=_SPAN_W)
+
+
+# --------------------------------------------------------------------------
+# Blocked semantic dedup (dedup/semantic.py): IVF-cell blocking over
+# the embedding space, exact within-cell cosine, SemDeDup-style pair
+# emission. Registered round 4 in the slot freed by demoting
+# json_extract_props (round-3 verdict #1).
+#
+# Oracle strategy: the k-means coarse quantizer is not reproducible in
+# SQL, but the operator carries a PROVABLE identity — with full
+# multi-assignment (n_assign = n_cells) every pair shares a cell, so
+# the blocked result equals the exact all-pairs baseline by
+# construction, while the ENTIRE scale machinery (centroid training,
+# probe UDF, cell explode, per-cell join, multi-assign pair dedup,
+# JVM-fold cosine) still executes and is hash-checked end to end. The
+# production configuration (partial assignment, Σ|cell|² pair work)
+# is pinned separately in tests/test_text_dedup.py: recall at
+# n_assign ∈ {1, 2} and full-assignment ≡ exact.
+# --------------------------------------------------------------------------
+_SEM_THRESHOLD = 0.4
+_SEM_CELLS = 4
+_SEM_SIM = sql_cosine("a.v", "b.v")
+
+
+@register(
+    "dedup_semantic_pairs",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_SEM_SIM}, 6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round({_SEM_SIM}, 6) >= {_SEM_THRESHOLD}
+    """,
+    tags=("vector", "dedup", "semantic"),
+)
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_lake_spark.dedup.semantic import blocked_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return blocked_near_dup_pairs(
+        emb,
+        threshold=_SEM_THRESHOLD,
+        n_cells=_SEM_CELLS,
+        n_assign=_SEM_CELLS,
+    )

@@ -152,7 +152,9 @@ def groupby_count_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sql_avg_money('l_quantity')} AS avg_qty,
                {sql_avg_money('l_extendedprice')} AS avg_price,
                COUNT(*) AS count_order,
-               COUNT(NULLIF(l_returnflag, 'N')) AS n_flagged
+               COUNT(NULLIF(l_returnflag, 'N')) AS n_flagged,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -161,6 +163,14 @@ def groupby_count_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 # n_flagged carries A5 (COUNT(col) null-skipping vs COUNT(*),
 # README.md:257) — folded in here under the 50-entry driver cap.
+# median_price/p90_price carry the exact-percentile operator (Spark
+# `percentile` and DuckDB `quantile_cont` implement the same linear-
+# interpolation estimator, verified to 6 decimals) — folded in round 4
+# when percentile_prices' slot went to ann_pq_topk; the standalone
+# query stays as library surface in advanced_rel.py. Exact percentile
+# buffers each group's values; at 100 TB swap in approx_percentile
+# (t-digest, mergeable, bounded memory), which can't be oracle-matched
+# by construction.
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
@@ -177,6 +187,12 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             avg_money(F.col("l_extendedprice")).alias("avg_price"),
             F.count("*").alias("count_order"),
             F.count(F.nullif(F.col("l_returnflag"), F.lit("N"))).alias("n_flagged"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias(
+                "median_price"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias(
+                "p90_price"
+            ),
         )
     )
 
@@ -483,19 +499,22 @@ def time_dimension_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# JSON extraction (extension surface: events.props is a JSON string)
+# JSON extraction (extension surface: events.props is a JSON string).
+# Library surface only since round 4 (50-entry driver cap): its slot
+# went to dedup_semantic_pairs (round-3 verdict #1). The scalar-
+# function family stays driver-covered by time_dimension/golden_q4's
+# date functions and text_token_counts' string machinery; the DuckDB
+# twin below remains for tests.
 # --------------------------------------------------------------------------
-@register(
-    "json_extract_props",
-    oracle="""
+JSON_EXTRACT_PROPS_SQL = """
         SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
                COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS n_users
         FROM events
         GROUP BY 1
-    """,
-    tags=("json", "agg"),
-)
+    """
+
+
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (

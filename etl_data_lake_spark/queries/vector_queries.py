@@ -69,6 +69,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10)
 
 
+@register("ann_pq_topk", tags=("vector", "topk", "pq"))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (product quantization + exact refine,
+    similarity/pq.py — the memory-residency scale path: m bytes per
+    vector, ADC scoring with map-side partial top-k) — rows-only
+    check beside its two approximate siblings; full-refine ≡ brute
+    force and the recall curve are pinned in tests/test_similarity.py.
+    Registered round 4 in the slot freed by demoting
+    percentile_prices (round-3 verdict #1)."""
+    from etl_data_lake_spark.similarity.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return pq_topk(emb, queries, k=10, m=16, ks=32)
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""

@@ -50,6 +50,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from etl_data_lake_spark.functions.vectors import as_double, cosine
 from etl_data_lake_spark.sources.catalog import fan_out
@@ -124,31 +131,67 @@ def _encode_udf(books: np.ndarray):
     return pandas_udf(encode, "array<int>")
 
 
-def _adc_udf(books: np.ndarray, query_mat: np.ndarray):
-    """codes → array<double> of ADC scores against every query: per
-    query an m × ks inner-product table, per corpus code a sum of m
-    gathers. The table ships once per task in the closure."""
-    from pyspark.sql.functions import pandas_udf
-
+def _adc_tables(books: np.ndarray, query_mat: np.ndarray) -> np.ndarray:
+    """→ tabs[qi, s, code] = <q_s, c_{s,code}>: per query an m × ks
+    inner-product table; each corpus code then scores as a sum of m
+    gathers. Ships once per task in the UDF closure."""
     m, ks, sd = books.shape
     q = _normalize(query_mat)
-    # tabs[qi, s, code] = <q_s, c_{s,code}>
-    tabs = np.stack(
+    return np.stack(
         [q[:, s * sd : (s + 1) * sd] @ books[s].T for s in range(m)], axis=1
     )
 
-    def adc(cs: pd.Series) -> pd.Series:
-        if len(cs) == 0:
-            return pd.Series([], dtype=object)
-        codes = np.stack(cs.to_numpy()).astype(np.int64)  # n × m
-        n_q = tabs.shape[0]
-        out = np.zeros((len(codes), n_q))
-        for s in range(m):
-            # tabs[:, s, codes[:, s]] → (n_q, n); accumulate transposed
-            out += tabs[:, s, :][:, codes[:, s]].T
-        return pd.Series(list(out))
 
-    return pandas_udf(adc, "array<double>")
+def _adc_partial_topk(
+    tabs: np.ndarray, m: int, n_keep: int
+):
+    """mapInPandas generator: (neighbor_id, codes) batches → the
+    per-batch top-``n_keep`` ADC candidates PER QUERY as
+    (neighbor_id, q_i, adc) rows.
+
+    This is the map-side partial top-k that makes PQ scale-safe: the
+    ADC score of every corpus code is computed HERE, inside the narrow
+    Arrow pass, and only ≤ batches × n_queries × n_keep candidate rows
+    ever reach the downstream exchange — the shuffle carries
+    candidates, not the corpus (at 100 TB the difference between
+    shuffling kilobytes and shuffling the index). Per-batch top-n is a
+    correct partial for the global top-n because batch membership
+    partitions the corpus; ties break exactly like the global cut
+    (adc desc, neighbor_id asc), so union-of-partials ⊇ global top-n
+    deterministically."""
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            n_q = tabs.shape[0]
+            scores = np.zeros((len(codes), n_q))
+            for s in range(m):
+                # tabs[:, s, codes[:, s]] → (n_q, n); accumulate
+                # transposed, fixed subspace order (determinism)
+                scores += tabs[:, s, :][:, codes[:, s]].T
+            long = pd.DataFrame(
+                {
+                    "neighbor_id": np.tile(
+                        pdf["neighbor_id"].to_numpy(), n_q
+                    ),
+                    "q_i": np.repeat(
+                        np.arange(n_q, dtype=np.int32), len(codes)
+                    ),
+                    "adc": scores.T.reshape(-1),
+                }
+            )
+            yield (
+                long.sort_values(
+                    ["q_i", "adc", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("q_i", sort=False)
+                .head(n_keep)
+            )
+
+    return gen
 
 
 def pq_encode(
@@ -212,15 +255,35 @@ def pq_topk(
     query_mat = np.asarray([list(r.qv) for r in q_rows], dtype=np.float64)
     q_ids = [r.query_id for r in q_rows]
     spark = corpus.sparkSession
+    # id type follows the caller's schema (string ids are as valid as
+    # longs — lsh/ivf are type-agnostic, so is this)
+    id_type = queries.schema[id_col].dataType
     q_idx = spark.createDataFrame(
-        [(i, qid) for i, qid in enumerate(q_ids)], "q_i int, query_id long"
+        [(i, qid) for i, qid in enumerate(q_ids)],
+        StructType(
+            [
+                StructField("q_i", IntegerType()),
+                StructField("query_id", id_type),
+            ]
+        ),
     )
 
     encoded = pq_encode(corpus, books, id_col, vec_col)
-    adc = _adc_udf(books, query_mat)
-    scored = encoded.select(
-        "neighbor_id", F.posexplode(adc(F.col("codes"))).alias("q_i", "adc")
-    ).join(F.broadcast(q_idx), "q_i")
+    tabs = _adc_tables(books, query_mat)
+    # +1 keeps a full candidate set even when a query's own row wins a
+    # partial slot (self-matches are dropped after the partial)
+    n_keep = k * refine_factor + 1
+    partial = encoded.mapInPandas(
+        _adc_partial_topk(tabs, m, n_keep),
+        schema=StructType(
+            [
+                StructField("neighbor_id", id_type),
+                StructField("q_i", IntegerType()),
+                StructField("adc", DoubleType()),
+            ]
+        ),
+    )
+    scored = partial.join(F.broadcast(q_idx), "q_i")
     cand_w = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
     )
@@ -237,7 +300,12 @@ def pq_topk(
     )
     qv = spark.createDataFrame(
         [(qid, list(map(float, query_mat[i]))) for i, qid in enumerate(q_ids)],
-        "query_id long, qv array<double>",
+        StructType(
+            [
+                StructField("query_id", id_type),
+                StructField("qv", ArrayType(DoubleType())),
+            ]
+        ),
     )
     exact = (
         cands.join(cv, "neighbor_id")

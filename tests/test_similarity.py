@@ -371,3 +371,52 @@ def test_semantic_dedup_keep_canonical_per_cluster(spark):
     all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
     assert survivors == all_ids - losers
     assert len(losers) > 0  # the fixture really has semantic dups
+
+
+def test_pq_shuffle_carries_candidates_not_corpus(spark):
+    """Round-4 scale fix: ADC scoring + per-batch partial top-k happen
+    inside one MapInPandas over the narrow codes column; the exchange
+    feeding the per-query ranking window reads the partial's candidate
+    rows, never a corpus-sized posexplode (there is no Generate node
+    in the plan at all)."""
+    from etl_data_lake_spark.similarity.pq import pq_topk
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    plan = (
+        pq_topk(emb, queries, k=5, m=8, ks=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "Generate" not in plan and "PosExplode" not in plan
+
+
+def test_pq_non_long_ids(spark):
+    """ADVICE r3: the id type follows the caller's schema — string
+    vector ids must work end-to-end like they do in lsh/ivf."""
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+    from etl_data_lake_spark.similarity.pq import pq_topk
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        F.concat(F.lit("doc-"), F.format_string("%05d", "vec_id")).alias(
+            "vec_id"
+        ),
+        "embedding",
+    )
+    queries = emb.where(F.col("vec_id") < "doc-00003")
+    n = emb.count()
+    want = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in pq_topk(
+            emb, queries, k=5, m=8, ks=16, refine_factor=n
+        ).collect()
+    }
+    assert got == want
