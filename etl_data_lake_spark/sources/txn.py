@@ -16,6 +16,7 @@ Layout::
     table/
       _txnlog/v000000000001.json        # INCREMENTAL manifest per commit
       _txnlog/v000000000010.ckpt.json   # full-snapshot checkpoint
+      _txnlog/_last_checkpoint          # advisory pointer to newest ckpt
       data/<uuid>/part-*.parquet        # immutable data files, write-once
 
 Each manifest is a DELTA: the files the commit adds and removes, the
@@ -57,15 +58,20 @@ Structured Streaming batch id as the seq, turning at-least-once batch
 replays into exactly-once table commits (:func:`txn_append_sink`).
 
 Scale notes (100 TB): commits and their manifests are O(Δfiles);
-reads are O(checkpoint + interval·Δ). The one remaining O(#versions)
-touch is the log-directory listing that finds the latest version —
-the production fix is Delta's ``_last_checkpoint`` pointer plus
-paged listing from it; local directory listing is cheap enough that
-we keep the simpler invariant here. Per-writer txn watermarks are
-O(#writers), not O(#commits). ``os.link`` is the local-FS stand-in
-for the object store's put-if-absent (S3 conditional PUT, GCS
-if-generation-match); no data-file renames happen anywhere, so every
-code path is object-store safe except that one primitive.
+reads are O(checkpoint + interval·Δ). Latest-version resolution is
+pointer-based (Delta's ``_last_checkpoint``): an advisory
+``_txnlog/_last_checkpoint`` document names the newest checkpoint,
+and because versions are dense the reader probes manifests FORWARD
+from it by existence — O(interval) point lookups, no directory
+listing anywhere on the read path (at 10⁵ commits on an object store
+this replaces a paged LIST of the whole log prefix with a few GETs).
+Per-writer txn watermarks are O(#writers), not O(#commits).
+``os.link`` is the local-FS stand-in for the object store's
+put-if-absent (S3 conditional PUT, GCS if-generation-match); the
+pointer uses atomic replace (its object-store analog is a plain
+overwrite PUT — safe because it is advisory). No data-file renames
+happen anywhere, so every code path is object-store safe modulo
+those primitives.
 """
 
 from __future__ import annotations
@@ -149,6 +155,10 @@ def _ckpt_path(root: Path, version: int) -> Path:
     return root / _LOG_DIR / f"v{version:0{_V_WIDTH}d}{_CKPT_SUFFIX}"
 
 
+def _pointer_path(root: Path) -> Path:
+    return root / _LOG_DIR / "_last_checkpoint"
+
+
 class TxnTable:
     """Handle to a transactional parquet table rooted at ``path``.
 
@@ -168,53 +178,91 @@ class TxnTable:
         self.checkpoint_interval = max(int(checkpoint_interval), 1)
 
     # ---------------------------------------------------------- log --
+    #
+    # No directory listings anywhere on the read path: versions are
+    # DENSE integers (every commit is base+1), so the latest version is
+    # found by reading the advisory ``_last_checkpoint`` pointer and
+    # probing manifests FORWARD from it by existence — O(commits since
+    # the pointed checkpoint) point lookups, which the pointer keeps at
+    # ~checkpoint_interval. On an object store at 10⁵ commits this is
+    # the difference between a paged LIST over the whole log prefix and
+    # a handful of GETs (Delta's ``_last_checkpoint`` design). The
+    # pointer is ADVISORY: last-writer-wins, monotonically advanced
+    # after a checkpoint publishes, and a stale/missing pointer (crash
+    # between checkpoint and pointer update, a table that has never
+    # checkpointed) only lengthens the probe walk — never changes the
+    # resolved state.
 
-    def _log_listing(self) -> tuple[int, list[int]]:
-        """One directory scan → (latest manifest version, sorted
-        committed checkpoint versions)."""
+    def _read_pointer(self) -> int | None:
+        """The pointed checkpoint version, or None when absent/stale.
+        The checkpoint's existence is verified (one stat) so a torn or
+        bogus pointer degrades to the no-pointer walk."""
+        try:
+            v = int(
+                json.loads(_pointer_path(self.root).read_text())["version"]
+            )
+        except (OSError, ValueError, KeyError):
+            return None
+        if v > 0 and _ckpt_path(self.root, v).is_file():
+            return v
+        return None
+
+    def _advance_pointer(self, version: int) -> None:
+        """Monotonic last-writer-wins pointer update (atomic replace —
+        readers see the old or the new document, never a partial one).
+        The read-check keeps a slow old checkpointer from moving the
+        pointer backwards; the residual race is harmless because the
+        pointer is advisory."""
+        cur = self._read_pointer()
+        if cur is not None and cur >= version:
+            return
         log = self.root / _LOG_DIR
-        latest = 0
-        ckpts: list[int] = []
-        if not log.is_dir():
-            return latest, ckpts
-        for p in log.iterdir():
-            name = p.name
-            if not name.startswith("v"):
-                continue
-            if name.endswith(_CKPT_SUFFIX):
-                try:
-                    ckpts.append(int(name[1 : -len(_CKPT_SUFFIX)]))
-                except ValueError:
-                    continue
-            elif name.endswith(".json"):
-                try:
-                    latest = max(latest, int(name[1:-5]))
-                except ValueError:
-                    continue  # foreign file in the log dir
-        ckpts.sort()
-        return latest, ckpts
+        tmp = log / f".ptr-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps({"version": version}))
+        os.replace(tmp, _pointer_path(self.root))
+
+    def _resolve(self, version: int | None) -> tuple[int, int]:
+        """→ (target version, newest known checkpoint ≤ target; 0 =
+        none). Latest-version resolution probes manifests forward from
+        the pointer; the checkpoint for TIME TRAVEL is found by
+        probing interval multiples backward from the target (bounded
+        below by the pointer when it applies, so a fresh pointer makes
+        both directions O(interval))."""
+        ptr = self._read_pointer()
+        if version is None:
+            target = ptr or 0
+            while _manifest_path(self.root, target + 1).is_file():
+                target += 1
+        else:
+            target = version
+        ck = ptr if ptr is not None and ptr <= target else 0
+        step = self.checkpoint_interval
+        c = (target // step) * step
+        while c > ck:
+            if _ckpt_path(self.root, c).is_file():
+                ck = c
+                break
+            c -= step
+        return target, ck
 
     def latest_version(self) -> int:
         """Highest committed version, 0 if the table doesn't exist."""
-        return self._log_listing()[0]
+        return self._resolve(None)[0]
 
     def _read_manifest(self, version: int) -> dict:
         return json.loads(_manifest_path(self.root, version).read_text())
 
     def _reconstruct(
-        self, version: int, ckpts: list[int]
+        self, version: int, start: int
     ) -> tuple[Snapshot, ReadPlan]:
-        """State at ``version`` = newest checkpoint ≤ version + replay
-        of the incremental manifests after it."""
-        start = 0
+        """State at ``version`` = the checkpoint at ``start`` (0 =
+        none) + replay of the incremental manifests after it."""
         files: list[str] = []
         stats: dict[str, dict[str, list]] = {}
         txns: dict[str, int] = {}
         schema_json = ""
         operation = ""
-        usable = [c for c in ckpts if c <= version]
-        if usable:
-            start = usable[-1]
+        if start:
             ck = json.loads(_ckpt_path(self.root, start).read_text())
             files = list(ck["files"])
             stats = dict(ck.get("file_stats", {}))
@@ -256,20 +304,18 @@ class TxnTable:
         return snap, ReadPlan(version, start, n_replayed)
 
     def snapshot_meta(self, version: int | None = None) -> Snapshot | None:
-        latest, ckpts = self._log_listing()
-        v = latest if version is None else version
+        v, ck = self._resolve(version)
         if v <= 0:
             return None
-        return self._reconstruct(v, ckpts)[0]
+        return self._reconstruct(v, ck)[0]
 
     def read_plan(self, version: int | None = None) -> ReadPlan | None:
         """The reconstruction plan a read of ``version`` uses — lets
         tests assert the checkpoint actually bounds log replay."""
-        latest, ckpts = self._log_listing()
-        v = latest if version is None else version
+        v, ck = self._resolve(version)
         if v <= 0:
             return None
-        return self._reconstruct(v, ckpts)[1]
+        return self._reconstruct(v, ck)[1]
 
     def history(self) -> list[dict]:
         out = []
@@ -493,6 +539,9 @@ class TxnTable:
             },
             _ckpt_path(self.root, version),
         )
+        # EEXIST still advances: the checkpoint exists either way, and
+        # readers resolve latest from the pointer + forward probing
+        self._advance_pointer(version)
 
     def _commit(
         self,

@@ -557,3 +557,49 @@ def test_replace_where_empty_table_guarded(spark, tmp_path):
     )
     assert v == 1
     assert t.snapshot().count() == 10
+
+
+def test_last_checkpoint_pointer_bounds_resolution(spark, tmp_path):
+    """Round-3 verdict #3: latest-version resolution reads the
+    advisory _last_checkpoint pointer and probes manifests forward —
+    O(interval) log entries touched at ~100 committed versions, no
+    directory listing. A deleted pointer degrades gracefully (slower,
+    same answer); conflict matrix and time travel are exercised by the
+    surrounding suite on the same machinery."""
+    from etl_data_lake_spark.sources import txn as txn_mod
+
+    t = TxnTable(spark, str(tmp_path / "t"), checkpoint_interval=10)
+    one = spark.range(0, 1).selectExpr("id")
+    for _ in range(103):
+        t.append(one)
+    assert t.latest_version() == 103
+    # pointer names the newest checkpoint (v100)
+    assert t._read_pointer() == 100
+
+    probes = []
+    real = txn_mod._manifest_path
+
+    def counting(root, version):
+        probes.append(version)
+        return real(root, version)
+
+    txn_mod._manifest_path = counting
+    try:
+        assert t.latest_version() == 103
+        resolution_probes = [v for v in probes if v > 100]
+        # forward walk from the pointer: 101, 102, 103, 104(miss)
+        assert len(probes) <= t.checkpoint_interval + 2
+        assert resolution_probes == [101, 102, 103, 104]
+    finally:
+        txn_mod._manifest_path = real
+
+    # read path reconstructs from the pointed checkpoint + short tail
+    plan = t.read_plan()
+    assert plan.checkpoint == 100 and plan.n_manifests == 3
+    # stale/missing pointer: same state, longer walk
+    (t.root / "_txnlog" / "_last_checkpoint").unlink()
+    assert t.latest_version() == 103
+    assert t.read_plan().checkpoint == 100
+    # time travel unaffected by the pointer (checkpoint probed ≤ v)
+    assert t.snapshot(version=95).count() == 95
+    assert t.read_plan(version=95).checkpoint == 90
