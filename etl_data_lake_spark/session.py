@@ -17,13 +17,12 @@ from pyspark.sql import SparkSession
 # including the verify driver's. Safe to set after startup.
 RUNTIME_CONFS: dict[str, str] = {
     # Oracle parity: all timestamp <-> wall-clock conversions in UTC.
+    # (Spark 4.1+ reads the testdata's parquet TIMESTAMP(NANOS) ts
+    # column natively as timestamp_ntz; the ≤4.0 nanosAsLong shim and
+    # its bigint branch were removed in round 4 once the environment
+    # settled on 4.1 — sources/catalog.load_table still probes the
+    # scanned type and fails loudly on an unsupported engine.)
     "spark.sql.session.timeZone": "UTC",
-    # testdata events.parquet stores TIMESTAMP(NANOS). Spark ≤4.0 has
-    # no native type for it: this conf reads it as epoch-nanos long and
-    # sources.catalog.load_table converts. Spark 4.1+ reads NANOS
-    # natively as timestamp_ntz and ignores this conf — load_table
-    # adapts to whichever type the scan yields.
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
     # ones, auto-broadcast small join sides discovered at runtime.
     "spark.sql.adaptive.enabled": "true",

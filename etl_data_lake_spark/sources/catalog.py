@@ -4,9 +4,9 @@ The reference reads schemaless JSON (etl.py:61-64, 120-124), paying a
 schema-inference job per read; we pin explicit schemas so the scan
 starts immediately and column pruning reaches the parser. Our testdata
 is Parquet (self-describing), but we still normalize the one awkward
-physical type — ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark
-reads (under ``nanosAsLong``) as an epoch-nanos long; ``load_table``
-converts it to a proper ``timestamp_ntz`` column so every downstream
+physical type — ``events.ts`` is parquet TIMESTAMP(NANOS), which
+Spark 4.1+ reads natively as ``timestamp_ntz``; ``load_table`` pins
+exactly that type (and rejects older engines) so every downstream
 operator sees wall-clock semantics identical to the DuckDB oracle.
 """
 
@@ -102,29 +102,26 @@ def fan_out(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing physical quirks.
 
-    ``events.ts``: parquet TIMESTAMP(NANOS) → ntz timestamp at
-    microsecond truncation, whatever the runtime hands us. Spark ≤4.0
-    honors ``nanosAsLong`` and yields an epoch-nanos BIGINT (integer
-    division keeps the conversion exact — epoch-nanos ~1.7e18 does not
-    fit a double mantissa); Spark 4.1+ reads TIMESTAMP(NANOS) natively
-    as ``timestamp_ntz``, already micros-truncated, and ignores the
-    legacy conf. Both paths land on the identical column type and
-    values, so downstream operators and the DuckDB oracle see one
-    schema regardless of the engine version.
+    ``events.ts``: parquet TIMESTAMP(NANOS), which Spark 4.1+ reads
+    natively as ``timestamp_ntz`` (micros-truncated) — normalized to
+    exactly that type so downstream operators and the DuckDB oracle
+    see one schema. The probe stays (one schema lookup, no data read)
+    so an engine that yields anything else — e.g. Spark ≤4.0, which
+    only exposes NANOS through the ``nanosAsLong`` bigint shim this
+    repo dropped in round 4 — fails loudly here instead of feeding
+    epoch-longs into timestamp logic.
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
         ts_type = df.schema["ts"].dataType.simpleString()
-        if ts_type == "bigint":
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast(
-                    "timestamp_ntz"
-                ),
+        if ts_type not in ("timestamp_ntz", "timestamp"):
+            raise TypeError(
+                f"events.ts scanned as {ts_type}; this build expects "
+                "Spark 4.1+'s native TIMESTAMP(NANOS) read "
+                "(timestamp_ntz)"
             )
-        else:
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

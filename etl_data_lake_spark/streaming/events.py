@@ -34,11 +34,10 @@ from etl_data_lake_spark.functions.money import sum_money
 from etl_data_lake_spark.session import apply_runtime_confs
 
 def _events_schema(ts_type) -> StructType:
-    """Explicit schema (streaming sources cannot infer). The physical
-    type of ``ts`` depends on the engine version — epoch-nanos long
-    under Spark ≤4.0's ``nanosAsLong``, native ``timestamp_ntz`` on
-    4.1+ — so the caller probes it and passes the type in (see
-    sources.catalog.load_table for the same adaptation in batch)."""
+    """Explicit schema (streaming sources cannot infer). ``ts`` is the
+    probed scan type — ``timestamp_ntz`` on Spark 4.1+'s native
+    TIMESTAMP(NANOS) read (see sources.catalog.load_table, which also
+    rejects anything else)."""
     return StructType(
         [
             StructField("event_id", LongType()),
@@ -57,13 +56,16 @@ def event_stream(
     """readStream over the events parquet with the batch-identical ts
     normalization (→ tz-aware timestamp under the UTC session)."""
     apply_runtime_confs(spark)
-    # one-file batch probe fixes the engine-dependent physical ts type;
-    # metadata-only (no rows read)
+    # one-file batch probe fixes the physical ts type (and rejects
+    # pre-4.1 engines); metadata-only, no rows read
     probe = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    ts_is_long = probe.schema["ts"].dataType.simpleString() == "bigint"
-    reader = spark.readStream.schema(
-        _events_schema(LongType() if ts_is_long else probe.schema["ts"].dataType)
-    )
+    ts_type = probe.schema["ts"].dataType
+    if ts_type.simpleString() not in ("timestamp_ntz", "timestamp"):
+        raise TypeError(
+            f"events.ts scanned as {ts_type.simpleString()}; this build "
+            "expects Spark 4.1+'s native TIMESTAMP(NANOS) read"
+        )
+    reader = spark.readStream.schema(_events_schema(ts_type))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # glob, not the bare file path: the file-stream source requires a
@@ -71,8 +73,6 @@ def event_stream(
     df = reader.parquet(f"{sf_dir.rstrip('/')}/events.parq*")
     # watermark needs a tz-aware timestamp; UTC session makes it equal
     # to the ntz wall-clock used in batch
-    if ts_is_long:
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
