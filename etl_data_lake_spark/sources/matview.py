@@ -6,6 +6,13 @@ two committed versions instead of rescanning the source — at 100 TB
 the refresh cost is ∝ |rows changed since last refresh| (table_changes
 reads only the files the manifests added/removed), not table size.
 
+With ``range_key`` set the WRITE side is incremental too: the stored
+aggregate is range-clustered on that key with per-file manifest
+stats, and each refresh publishes through ``TxnTable.replace_where``
+over [min, max] of the keys the change feed touched — files disjoint
+from the touched range survive byte-identical, so a one-partition
+delta rewrites one partition's files, not the whole aggregate.
+
 Maintained aggregates are sums and counts per key — the self-inverse
 family (a delete is a negative insert), so the merge is
 
@@ -48,12 +55,27 @@ class MaterializedAgg:
         path: str,
         keys: tuple[str, ...],
         sum_cols: tuple[str, ...] = (),
+        range_key: str | None = None,
+        range_files: int = 4,
     ):
+        """``range_key`` (one of ``keys``, orderable) turns refresh
+        into a PARTITIONED refresh: the stored aggregate is range-
+        clustered on that key with per-file manifest stats, and each
+        incremental refresh publishes via ``replace_where`` over
+        [min, max] of the keys the change feed actually touched — so
+        the WRITE side is O(changed key range) in files rewritten,
+        matching the already-incremental read side (without it, every
+        refresh rewrote the whole aggregate table even for a
+        one-group delta)."""
+        if range_key is not None and range_key not in keys:
+            raise ValueError(f"range_key {range_key!r} not in keys {keys}")
         self.spark = spark
         self.source = source
         self.target = TxnTable(spark, path)
         self.keys = list(keys)
         self.sum_cols = list(sum_cols)
+        self.range_key = range_key
+        self.range_files = max(int(range_files), 1)
 
     # ------------------------------------------------------- state --
 
@@ -92,32 +114,126 @@ class MaterializedAgg:
             return last
         if last == 0:
             fresh = self._aggregate(self.source.snapshot(src_v))
-        else:
-            changes = self.source.table_changes(last, src_v)
-            delta = self._aggregate(
-                changes.withColumn(
-                    "_sign",
-                    F.when(F.col("_change_type") == "insert", 1)
-                    .otherwise(-1)
-                    .cast("long"),
-                ),
-                sign_col="_sign",
+            if self.range_key is not None:
+                lo, hi, has_null = self._bounds(fresh)
+                if lo is not None and not has_null:
+                    self.target.replace_where(
+                        self._cluster(fresh),
+                        self.range_key,
+                        lo,
+                        hi,
+                        stats_cols=(self.range_key,),
+                        app_id=_APP_ID,
+                        txn_seq=src_v,
+                        expected_base=base_v,
+                    )
+                    return src_v
+            self.target.overwrite(
+                fresh, app_id=_APP_ID, txn_seq=src_v, expected_base=base_v
             )
-            prev = self.target.snapshot(base_v)
-            merged = prev.unionByName(delta)
-            fresh = (
-                merged.groupBy(*self.keys)
-                .agg(
-                    F.sum("n_rows").alias("n_rows"),
-                    *[
-                        F.sum(f"sum_{c}").alias(f"sum_{c}")
-                        for c in self.sum_cols
-                    ],
-                )
-                .where(F.col("n_rows") > 0)  # fully-deleted groups drop
-            )
+            return src_v
+        changes = self.source.table_changes(last, src_v)
+        delta = self._aggregate(
+            changes.withColumn(
+                "_sign",
+                F.when(F.col("_change_type") == "insert", 1)
+                .otherwise(-1)
+                .cast("long"),
+            ),
+            sign_col="_sign",
+        )
+        if self.range_key is not None:
+            return self._refresh_range(delta, base_v, src_v)
+        prev = self.target.snapshot(base_v)
+        fresh = self._merge(prev, delta)
         self.target.overwrite(
             fresh, app_id=_APP_ID, txn_seq=src_v, expected_base=base_v
+        )
+        return src_v
+
+    def _merge(self, prev: DataFrame, delta: DataFrame) -> DataFrame:
+        merged = prev.unionByName(delta)
+        return (
+            merged.groupBy(*self.keys)
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                *[
+                    F.sum(f"sum_{c}").alias(f"sum_{c}")
+                    for c in self.sum_cols
+                ],
+            )
+            .where(F.col("n_rows") > 0)  # fully-deleted groups drop
+        )
+
+    def _cluster(self, df: DataFrame) -> DataFrame:
+        """Range-cluster on the refresh key so each published file has
+        a tight, (mostly) disjoint key span — the manifest stats that
+        make the NEXT refresh's replace_where prune to the touched
+        files only."""
+        return df.repartitionByRange(
+            self.range_files, F.col(self.range_key)
+        ).sortWithinPartitions(self.range_key)
+
+    def _bounds(self, df: DataFrame):
+        """→ (min, max, has_null_keys) of the refresh key, one small
+        aggregate. Null group keys can't ride a between-predicate, so
+        their presence routes the refresh to the full-overwrite path."""
+        k = self.range_key
+        row = df.agg(
+            F.min(k).alias("lo"),
+            F.max(k).alias("hi"),
+            F.count("*").alias("n"),
+            F.count(k).alias("nk"),
+        ).first()
+        return row.lo, row.hi, row.n > row.nk
+
+    def _refresh_range(
+        self, delta: DataFrame, base_v: int, src_v: int
+    ) -> int:
+        """Partitioned refresh: merge the delta against ONLY the
+        stored groups inside [min, max] of the touched keys, publish
+        with replace_where — disjoint files survive untouched, the
+        watermark rides the same commit, and expected_base +
+        replace_where's predicate guard turn every stale-read race
+        into a clean ConcurrentWriteError retry."""
+        lo, hi, has_null = self._bounds(delta)
+        if lo is None and not has_null:
+            # the change feed cancelled out (e.g. pure compaction
+            # between the versions): nothing to merge, but the
+            # watermark must still advance — an empty-feed append
+            # commits no files and records the seq
+            self.target.append(
+                self.target.snapshot(base_v).limit(0),
+                app_id=_APP_ID,
+                txn_seq=src_v,
+            )
+            return src_v
+        if has_null:
+            # null group keys can't ride the between-predicate; this
+            # refresh pays a full overwrite (still range-clustered +
+            # stats-tracked so later refreshes prune again)
+            fresh = self._merge(self.target.snapshot(base_v), delta)
+            self.target.overwrite(
+                self._cluster(fresh),
+                app_id=_APP_ID,
+                txn_seq=src_v,
+                stats_cols=(self.range_key,),
+                expected_base=base_v,
+            )
+            return src_v
+        prev_range = self.target.snapshot_where(
+            self.range_key, lo, hi, version=base_v
+        )
+        fresh_range = self._merge(prev_range, delta)
+        self.target.replace_where(
+            self._cluster(fresh_range),
+            self.range_key,
+            lo,
+            hi,
+            stats_cols=(self.range_key,),
+            app_id=_APP_ID,
+            txn_seq=src_v,
+            expected_base=base_v,
         )
         return src_v
 

@@ -712,6 +712,9 @@ class TxnTable:
         lo,
         hi,
         stats_cols: tuple[str, ...] = (),
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+        expected_base: int | None = None,
     ) -> int:
         """Predicate-scoped overwrite (Delta's ``replaceWhere``): all
         existing rows with ``lo <= col <= hi`` are replaced by ``df``,
@@ -744,10 +747,26 @@ class TxnTable:
         compact.
 
         At 100 TB the stats pruning is the point: a one-day backfill
-        touches the files that can contain that day, not the table."""
+        touches the files that can contain that day, not the table.
+
+        ``(app_id, txn_seq)`` gives the commit the same idempotent-
+        writer watermark as append/overwrite (a replayed seq no-ops).
+        ``expected_base`` closes the read-modify-write window for
+        callers whose ``df`` derives from an earlier read of THIS
+        table (e.g. a matview range refresh): if any commit landed
+        between that read and this call, abort instead of silently
+        merging against stale in-range contents — from the captured
+        base onward, the file-conflict machinery takes over."""
         from pyspark.sql import functions as F
 
         base = self.snapshot_meta()
+        if expected_base is not None and (
+            base.version if base else 0
+        ) != expected_base:
+            raise ConcurrentWriteError(
+                f"replace_where based on v{expected_base} but "
+                f"v{base.version if base else 0} is committed"
+            )
         pred = F.col(col).between(lo, hi)
         staged_new, schema_new, stats_new = self._stage(df, stats_cols)
         if staged_new:
@@ -779,8 +798,8 @@ class TxnTable:
                 "compact",
                 staged_new,
                 schema_new,
-                None,
-                None,
+                app_id,
+                txn_seq,
                 staged_stats=stats_new,
                 guard_range=guard,
             )
@@ -795,8 +814,8 @@ class TxnTable:
             "compact",
             staged_keep + staged_new,
             schema_json,
-            None,
-            None,
+            app_id,
+            txn_seq,
             replaced=tuple(affected),
             staged_stats={**stats_keep, **stats_new},
             guard_range=guard,

@@ -173,3 +173,124 @@ def test_streaming_matview_exactly_once_across_replay(spark, tmp_path):
         (r.k,): (r.n_rows, r.sum_v) for r in mv.read().collect()
     }
     assert got2 == expect
+
+
+def _int_rows(spark, *pairs):
+    return spark.createDataFrame(list(pairs), "k long, v long")
+
+
+def _int_agg_of(df):
+    return {
+        r.k: (r.n_rows, r.sum_v)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.lit(1).cast("long")).alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+        )
+        .collect()
+    }
+
+
+def test_range_refresh_rewrites_only_touched_range(spark, tmp_path):
+    """Round-3 verdict #6: with range_key set, a refresh after
+    touching one key range publishes via replace_where — files whose
+    manifest stats are disjoint from the touched range survive
+    byte-identical, and the result still equals a full recompute."""
+    src = TxnTable(spark, str(tmp_path / "src"))
+    mv = MaterializedAgg(
+        spark, src, str(tmp_path / "mv"), keys=("k",), sum_cols=("v",),
+        range_key="k", range_files=4,
+    )
+    src.append(_int_rows(spark, *[(k, k * 10) for k in range(80)]))
+    assert mv.refresh() == 1
+    meta0 = mv.target.snapshot_meta()
+    assert len(meta0.files) >= 3  # range-clustered into several files
+    assert all("k" in meta0.file_stats.get(f, {}) for f in meta0.files)
+
+    # touch ONLY keys [10, 19]
+    src.append(_int_rows(spark, *[(k, 1) for k in range(10, 20)]))
+    assert mv.refresh() == 2
+    meta1 = mv.target.snapshot_meta()
+    survivors = set(meta0.files) & set(meta1.files)
+    rewritten = set(meta0.files) - set(meta1.files)
+    assert survivors, "disjoint files must survive untouched"
+    assert rewritten, "the touched range's file must be rewritten"
+    # every survivor is provably disjoint from [10, 19]
+    for f in survivors:
+        lo, hi = meta0.file_stats[f]["k"]
+        assert hi < 10 or lo > 19
+    # every file NOT rewritten-or-added intersects nothing; result exact
+    assert {
+        r.k: (r.n_rows, r.sum_v) for r in mv.read().collect()
+    } == _int_agg_of(src.snapshot())
+
+    # a second disjoint touch prunes again (stats carried forward)
+    src.append(_int_rows(spark, (70, 5), (75, 5)))
+    assert mv.refresh() == 3
+    meta2 = mv.target.snapshot_meta()
+    assert set(meta1.files) & set(meta2.files), "pruning persists"
+    assert {
+        r.k: (r.n_rows, r.sum_v) for r in mv.read().collect()
+    } == _int_agg_of(src.snapshot())
+
+
+def test_range_refresh_stale_base_conflicts(spark, tmp_path):
+    """The race matrix holds on the range path: a refresh whose merge
+    was computed against a stale target base conflicts instead of
+    silently merging stale in-range contents; retry converges."""
+    import etl_data_lake_spark.sources.matview as m
+
+    src = TxnTable(spark, str(tmp_path / "src"))
+    path = str(tmp_path / "mv")
+    a = MaterializedAgg(
+        spark, src, path, keys=("k",), sum_cols=("v",), range_key="k"
+    )
+    b = MaterializedAgg(
+        spark, src, path, keys=("k",), sum_cols=("v",), range_key="k"
+    )
+    src.append(_int_rows(spark, *[(k, 1) for k in range(20)]))
+    a.refresh()
+    src.append(_int_rows(spark, (5, 100)))
+    base_b = b.target.snapshot_meta().version
+    a.refresh()  # A lands first
+    src.append(_int_rows(spark, (6, 100)))
+    delta = b._aggregate(
+        src.table_changes(2, 3).withColumn(
+            "_sign",
+            F.when(F.col("_change_type") == "insert", 1)
+            .otherwise(-1)
+            .cast("long"),
+        ),
+        sign_col="_sign",
+    )
+    with pytest.raises(ConcurrentWriteError):
+        b.target.replace_where(
+            delta, "k", 6, 6,
+            stats_cols=("k",), app_id=m._APP_ID, txn_seq=3,
+            expected_base=base_b,
+        )
+    assert b.refresh() == 3
+    assert {
+        r.k: (r.n_rows, r.sum_v) for r in b.read().collect()
+    } == _int_agg_of(src.snapshot())
+
+
+def test_range_refresh_watermark_advances_on_cancelled_feed(
+    spark, tmp_path
+):
+    """A pure compaction between refreshes yields an empty change
+    feed; the watermark still advances (no-file append) so the next
+    refresh doesn't replay the compacted versions."""
+    src = TxnTable(spark, str(tmp_path / "src"))
+    mv = MaterializedAgg(
+        spark, src, str(tmp_path / "mv"), keys=("k",), sum_cols=("v",),
+        range_key="k",
+    )
+    src.append(_int_rows(spark, (1, 1), (2, 2)))
+    assert mv.refresh() == 1
+    src.compact(target_files=1)
+    assert mv.refresh() == 2
+    assert mv.refreshed_version() == 2
+    assert {
+        r.k: (r.n_rows, r.sum_v) for r in mv.read().collect()
+    } == _int_agg_of(src.snapshot())
