@@ -33,9 +33,10 @@ common unique window never shuffles twice) → per-doc sort-merge of the
 surviving marked positions (a window aggregate over positions, data
 volume = |duplicated windows| only). No self-joins, no quadratic
 term. Hash collisions (≈ |windows|²/2·1e-9 at the 1e9+7 modulus) can
-mark a false duplicate span; at 100 TB swap in xxhash64 (engine-local
-runs) or verify marked spans exactly downstream — the plan shape is
-unchanged.
+mark a false duplicate span with the default cross-engine poly hash;
+``hasher="xxhash64"`` switches to a collision-resistant 64-bit JVM
+path for engine-local scale runs (span equality with the poly path is
+test-pinned) — the plan shape is unchanged.
 
 The span merge is gaps-and-islands in SQL (same pattern as the
 sessionize oracle), so the operator is fully oracle-expressible.
@@ -55,24 +56,62 @@ def window_hashes(
     text_col: str = "text",
     id_col: str = "doc_id",
     w: int = 8,
+    hasher: str = "poly",
 ) -> DataFrame:
-    """→ (doc_id, pos, whash): the composed polynomial hash of every
-    ``w``-token window, 0-based token position. Documents shorter than
-    ``w`` tokens emit nothing. One narrow projection + one explode —
-    the identical plan family as dedup.jaccard.shingle_table, hashed
-    by the Arrow-batched positional window hasher (functions.text
-    .window_hashes_pandas_udf — the pure-expression form of this fold
-    gets re-inlined per window reference by the optimizer and was
-    measured at O(windows·w·tokens·chars) interpreted calls: 139 s at
-    sf0.1 vs <1 s batched; same bottleneck the shingle family hit)."""
+    """→ (doc_id, pos, whash): the hash of every ``w``-token window,
+    0-based token position. Documents shorter than ``w`` tokens emit
+    nothing.
+
+    ``hasher`` picks the window-hash family — a real parameter, not a
+    prose escape hatch, because the two have different jobs:
+
+    * ``"poly"`` (default): the cross-engine 1e9+7 polynomial fold,
+      Arrow-batched (functions.text.window_hashes_pandas_udf — the
+      pure-expression form of this fold gets re-inlined per window
+      reference by the optimizer and was measured at
+      O(windows·w·tokens·chars) interpreted calls: 139 s at sf0.1 vs
+      <1 s batched). Bit-reproducible in DuckDB → the oracle entries
+      use it. Collision odds ≈ |windows|²·5e-10 — and MEASURED, not
+      hypothetical: the sf0.001 corpus (~6·10⁴ windows) already has
+      two cross-doc collisions producing two false spans, text-
+      verified unique and test-pinned as exactly the rows the
+      xxhash64 path omits.
+    * ``"xxhash64"``: full 64-bit collision resistance for
+      engine-local scale runs. Stays JVM-side the whole way —
+      posexplode the token array once, then ``xxhash64`` over an
+      ordered-frame ``collect_list`` of each window's tokens — which
+      sidesteps the expression-inlining trap by construction (no
+      recursive reference to a computed array; the window frame
+      materializes each w-token slice exactly once). Not
+      SQL-oracle-reproducible; span-level equality with the poly path
+      is pinned in tests instead.
+    """
+    docs = fan_out(docs)  # BEFORE the hashing projection, so the
+    # CPU-heavy fan-out runs post-exchange on full parallelism
+    if hasher == "xxhash64":
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.filter(tokens(text_col), lambda t: t != "")
+            ).alias("pos", "tok"),
+        )
+        frame = (
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.currentRow, w - 1)
+        )
+        warr = toks.withColumn("warr", F.collect_list("tok").over(frame))
+        return warr.where(F.size("warr") == w).select(
+            "doc_id", "pos", F.xxhash64("warr").alias("whash")
+        )
+    if hasher != "poly":
+        raise ValueError(f"unknown hasher {hasher!r}")
     from etl_data_lake_spark.functions.text import window_hashes_pandas_udf
 
-    docs = fan_out(docs)  # BEFORE the hashing projection, so the
-    # CPU-heavy fold runs post-exchange on full parallelism
-    hasher = window_hashes_pandas_udf(w)
+    h = window_hashes_pandas_udf(w)
     out = docs.select(
         F.col(id_col).alias("doc_id"),
-        hasher(F.col(text_col)).alias("_wh"),
+        h(F.col(text_col)).alias("_wh"),
     )
     return out.select("doc_id", F.posexplode("_wh").alias("pos", "whash"))
 
@@ -96,6 +135,7 @@ def repeated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     w: int = 8,
+    hasher: str = "poly",
 ) -> DataFrame:
     """→ (doc_id, span_start, span_end, span_tokens): maximal repeated
     spans per document, in token positions; ``span_end`` exclusive,
@@ -107,7 +147,9 @@ def repeated_spans(
     overlap or touch — implemented as gaps-and-islands with a lag
     window per document (state = |duplicated windows|, not |tokens|).
     """
-    marked = duplicated_windows(window_hashes(docs, text_col, id_col, w))
+    marked = duplicated_windows(
+        window_hashes(docs, text_col, id_col, w, hasher)
+    )
     by_doc = Window.partitionBy("doc_id").orderBy("pos")
     flagged = marked.withColumn(
         "new_span",
@@ -140,13 +182,14 @@ def repeated_span_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     w: int = 8,
+    hasher: str = "poly",
 ) -> DataFrame:
     """Per-document contamination profile: how many tokens sit inside
     repeated spans and what fraction of the document that is — the
     number a curation pipeline thresholds on ("drop docs >50% verbatim
     duplicate text") or uses to excise spans before training. Documents
     with no repeated span report 0 (left join, not an inner filter)."""
-    spans = repeated_spans(docs, text_col, id_col, w)
+    spans = repeated_spans(docs, text_col, id_col, w, hasher)
     per_doc = spans.groupBy("doc_id").agg(
         F.sum("span_tokens").alias("dup_tokens"),
         F.count("*").cast("long").alias("n_spans"),

@@ -117,3 +117,65 @@ def test_dup_ratio_thresholding_on_corpus(spark):
     )
     assert bad.count() == 0
     assert stats.count() == docs.count()
+
+
+def test_xxhash64_hasher_spans_equal_poly_on_corpus(spark):
+    """Round-3 verdict #5: the hash family is a parameter, not prose.
+
+    The xxhash64 path must find every TRUE span the poly path finds
+    (xxh ⊆ poly — poly can only over-mark: a collision merges two
+    distinct windows into one hash, it never hides a real duplicate).
+    On this corpus the 1e9+7 poly hash ALREADY collides — it emits
+    exactly two false spans (docs 159 and 275, every window of which
+    was text-verified unique in the corpus) that the 64-bit path
+    correctly omits: the documented |windows|²·5e-10 risk is real at
+    mere sf0.001, which is precisely why the scale path exists.
+    Unknown hasher names fail fast."""
+    import pytest as _pytest
+
+    from etl_data_lake_spark.dedup.substring import repeated_spans
+    from etl_data_lake_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    poly = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in repeated_spans(docs, w=8).collect()
+    }
+    xxh = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in repeated_spans(docs, w=8, hasher="xxhash64").collect()
+    }
+    assert len(xxh) > 0
+    assert xxh <= poly
+    false_spans = poly - xxh
+    assert {d for d, *_ in false_spans} == {159, 275}
+    with _pytest.raises(ValueError):
+        repeated_spans(docs, w=8, hasher="md5").collect()
+
+
+def test_xxhash64_hasher_equal_on_planted_docs(planted):
+    """On the small planted corpus (collision-free for both hash
+    families) the two paths agree span-for-span, including the
+    per-document contamination stats."""
+    from etl_data_lake_spark.dedup.substring import (
+        repeated_span_stats,
+        repeated_spans,
+    )
+
+    poly = {
+        tuple(r) for r in repeated_spans(planted, w=4).collect()
+    }
+    xxh = {
+        tuple(r)
+        for r in repeated_spans(planted, w=4, hasher="xxhash64").collect()
+    }
+    assert poly == xxh and poly
+    sp = {tuple(r) for r in repeated_span_stats(planted, w=4).collect()}
+    sx = {
+        tuple(r)
+        for r in repeated_span_stats(
+            planted, w=4, hasher="xxhash64"
+        ).collect()
+    }
+    assert sp == sx
