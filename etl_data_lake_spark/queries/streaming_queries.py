@@ -6,10 +6,13 @@ cluster pattern for backfills) and returns the materialized result, so
 the driver can hash-compare it like any batch query. The tumbling
 window carries the SAME oracle as its batch twin
 ``events_tumbling_window_1h``: the driver thereby checks
-batch ≡ stream, not just rows>0. The stateful sessionizer's trailing
-sessions depend on the final watermark, which SQL can't express — it
-stays a rows-only check (the pytest suite covers its semantics against
-the batch sessionizer).
+batch ≡ stream, not just rows>0. As of round 4 the stateful
+sessionizer is hash-checked too: its emitted set (successor-closed
+sessions plus final-watermark timeouts) turned out to be fully
+deterministic under availableNow and therefore SQL-characterizable —
+the oracle replays the gap logic AND the event-time-timeout rule,
+including the seconds-vs-milliseconds granularity split the operator
+actually uses (see the entry's comment).
 """
 
 from __future__ import annotations
@@ -53,7 +56,52 @@ def stream_tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream, _unique("tumble"))
 
 
-@register("stream_sessionize_closed", tags=("streaming", "stateful"))
+@register(
+    "stream_sessionize_closed",
+    # Hash oracle since round 4 (round-3 verdict #8 stretch): the
+    # emitted set IS deterministic and SQL-characterizable. A session
+    # is emitted iff (a) a successor event for the same user opened a
+    # newer session, or (b) the FINAL event-time watermark (max event
+    # ts, 0s delay, availableNow runs the timer-flush batch) strictly
+    # passed last_event + gap — clause (b) is the state-timeout rule
+    # of sessionize_stream replayed in SQL. Granularity matters and is
+    # mirrored exactly: the stream sessionizes on unix_timestamp
+    # SECONDS (floor), the timeout compares MILLISECONDS of the raw
+    # watermark, hence floor(epoch(ts)) vs epoch_ms(max(ts)).
+    oracle="""
+        WITH e AS (
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+            FROM events
+        ),
+        lagged AS (
+            SELECT user_id, t,
+                   CASE WHEN lag(t) OVER w IS NULL
+                             OR t - lag(t) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        ),
+        sess AS (
+            SELECT user_id, t,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM lagged
+        ),
+        agg AS (
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_events, MAX(t) AS last_t
+            FROM sess GROUP BY user_id, session_id
+        ),
+        wm AS (SELECT epoch_ms(MAX(ts)) AS wm_ms FROM events)
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM agg, wm
+        WHERE session_id < (SELECT MAX(a2.session_id) FROM agg a2
+                            WHERE a2.user_id = agg.user_id)
+           OR (last_t + 1800) * 1000 < wm_ms
+    """,
+    tags=("streaming", "stateful"),
+)
 def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions from the applyInPandasWithState operator;
     emitted set = sessions closed by a successor event or by the final
