@@ -130,26 +130,13 @@ def duplicated_windows(window_tbl: DataFrame) -> DataFrame:
     return window_tbl.join(hot, "whash").select("doc_id", "pos")
 
 
-def repeated_spans(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    w: int = 8,
-    hasher: str = "poly",
-) -> DataFrame:
-    """→ (doc_id, span_start, span_end, span_tokens): maximal repeated
-    spans per document, in token positions; ``span_end`` exclusive,
-    ``span_tokens = span_end - span_start``. Every duplicated
-    substring of ≥ ``w`` tokens appears as (part of) exactly one span.
-
-    Merge rule: two duplicated windows at positions p, q (p < q)
-    belong to one span iff q − p ≤ w — i.e. their token ranges
-    overlap or touch — implemented as gaps-and-islands with a lag
-    window per document (state = |duplicated windows|, not |tokens|).
-    """
-    marked = duplicated_windows(
-        window_hashes(docs, text_col, id_col, w, hasher)
-    )
+def merge_spans(marked: DataFrame, w: int) -> DataFrame:
+    """(doc_id, pos) marked windows → maximal merged spans. Two marked
+    windows at positions p, q (p < q) belong to one span iff q − p ≤ w
+    — their token ranges overlap or touch — implemented as
+    gaps-and-islands with a lag window per document (state =
+    |marked windows|, not |tokens|). Shared by within-corpus repeated
+    spans and cross-corpus contamination spans."""
     by_doc = Window.partitionBy("doc_id").orderBy("pos")
     flagged = marked.withColumn(
         "new_span",
@@ -177,6 +164,24 @@ def repeated_spans(
     )
 
 
+def repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    hasher: str = "poly",
+) -> DataFrame:
+    """→ (doc_id, span_start, span_end, span_tokens): maximal repeated
+    spans per document, in token positions; ``span_end`` exclusive,
+    ``span_tokens = span_end - span_start``. Every duplicated
+    substring of ≥ ``w`` tokens appears as (part of) exactly one span
+    (see :func:`merge_spans` for the merge rule)."""
+    marked = duplicated_windows(
+        window_hashes(docs, text_col, id_col, w, hasher)
+    )
+    return merge_spans(marked, w)
+
+
 def repeated_span_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -190,6 +195,20 @@ def repeated_span_stats(
     duplicate text") or uses to excise spans before training. Documents
     with no repeated span report 0 (left join, not an inner filter)."""
     spans = repeated_spans(docs, text_col, id_col, w, hasher)
+    return span_doc_stats(docs, spans, text_col, id_col)
+
+
+def span_doc_stats(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document profile of ANY span table (repeated spans,
+    cross-corpus contamination spans): tokens inside spans, span
+    count, and the dup_ratio a curation pipeline thresholds on.
+    Documents with no span report 0 (left join, not an inner
+    filter)."""
     per_doc = spans.groupBy("doc_id").agg(
         F.sum("span_tokens").alias("dup_tokens"),
         F.count("*").cast("long").alias("n_spans"),
