@@ -72,3 +72,28 @@ def test_pipeline_builders_on_empty(spark):
     assert build_users(log).count() == 0
     assert build_time(log).count() == 0
     assert build_songplays(log, songs, artists).count() == 0
+
+
+def test_contamination_on_empty_sides(spark, empty_docs):
+    """Decontamination degrades cleanly when either corpus side is
+    empty: no spans, zero-ratio stats, excision passes text through."""
+    from etl_data_lake_spark.dedup.contamination import (
+        contaminated_spans,
+        contamination_stats,
+        excise_spans,
+    )
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    # empty reference: nothing to leak from
+    spans = contaminated_spans(docs, empty_docs, w=8)
+    assert spans.count() == 0
+    assert contamination_stats(docs, empty_docs, w=8).where(
+        F.col("dup_ratio") != 0.0
+    ).count() == 0
+    # empty train: nothing to mark
+    assert contaminated_spans(empty_docs, docs, w=8).count() == 0
+    # excision with an empty span table is the identity on text
+    out = {r.doc_id: r.text for r in excise_spans(docs, spans).collect()}
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    assert out == orig
