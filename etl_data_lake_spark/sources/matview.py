@@ -57,16 +57,28 @@ class MaterializedAgg:
         sum_cols: tuple[str, ...] = (),
         range_key: str | None = None,
         range_files: int = 4,
+        max_ranges: int = 4,
+        max_split_keys: int = 10_000,
     ):
         """``range_key`` (one of ``keys``, orderable) turns refresh
         into a PARTITIONED refresh: the stored aggregate is range-
         clustered on that key with per-file manifest stats, and each
-        incremental refresh publishes via ``replace_where`` over
-        [min, max] of the keys the change feed actually touched — so
-        the WRITE side is O(changed key range) in files rewritten,
-        matching the already-incremental read side (without it, every
-        refresh rewrote the whole aggregate table even for a
-        one-group delta)."""
+        incremental refresh publishes via ``replace_where_ranges``
+        over up to ``max_ranges`` TIGHT ranges covering the keys the
+        change feed actually touched — so the WRITE side is O(changed
+        key ranges) in files rewritten, matching the already-
+        incremental read side (without it, every refresh rewrote the
+        whole aggregate table even for a one-group delta).
+
+        The ranges come from a driver-side gap split: when the delta
+        touches ≤ ``max_split_keys`` distinct NUMERIC keys, they are
+        collected (bounded — the delta is the changed groups, which is
+        exactly what incremental maintenance keeps small) and cut at
+        the ``max_ranges − 1`` largest gaps, so a scattered delta
+        (keys {5, 6} and {10⁹}) replaces two tight ranges instead of
+        the hull between them. Non-numeric keys or over-cap deltas
+        fall back to the single [min, max] hull — correct, just
+        coarser."""
         if range_key is not None and range_key not in keys:
             raise ValueError(f"range_key {range_key!r} not in keys {keys}")
         self.spark = spark
@@ -76,6 +88,8 @@ class MaterializedAgg:
         self.sum_cols = list(sum_cols)
         self.range_key = range_key
         self.range_files = max(int(range_files), 1)
+        self.max_ranges = max(int(max_ranges), 1)
+        self.max_split_keys = max(int(max_split_keys), 1)
 
     # ------------------------------------------------------- state --
 
@@ -221,21 +235,59 @@ class MaterializedAgg:
                 expected_base=base_v,
             )
             return src_v
-        prev_range = self.target.snapshot_where(
-            self.range_key, lo, hi, version=base_v
+        ranges = self._touched_ranges(delta, lo, hi)
+        prev_range = self.target.snapshot_where_any(
+            self.range_key, ranges, version=base_v
         )
         fresh_range = self._merge(prev_range, delta)
-        self.target.replace_where(
+        self.target.replace_where_ranges(
             self._cluster(fresh_range),
             self.range_key,
-            lo,
-            hi,
+            ranges,
             stats_cols=(self.range_key,),
             app_id=_APP_ID,
             txn_seq=src_v,
             expected_base=base_v,
         )
         return src_v
+
+    def _touched_ranges(self, delta: DataFrame, lo, hi):
+        """Gap-split the delta's distinct keys into ≤ ``max_ranges``
+        tight [lo, hi] ranges (largest-gap cuts). Falls back to the
+        single hull for non-numeric keys or deltas touching more than
+        ``max_split_keys`` distinct keys (the collect stays bounded by
+        construction)."""
+        hull = [(lo, hi)]
+        if self.max_ranges <= 1:
+            return hull
+        distinct = delta.select(self.range_key).distinct()
+        keys = [r[0] for r in distinct.limit(self.max_split_keys + 1).collect()]
+        if len(keys) > self.max_split_keys:
+            return hull
+        # numeric VALUES only: a string key that merely parses as a
+        # number would gap-split in numeric order but range-compare in
+        # string order inside the between-predicate — wrong ranges
+        if not all(
+            isinstance(k, (int, float)) and not isinstance(k, bool)
+            for k in keys
+        ):
+            return hull
+        ks = sorted(keys)
+        gaps = [
+            (b - a, i) for i, (a, b) in enumerate(zip(ks, ks[1:]))
+        ]
+        if not gaps:
+            return hull
+        n_cuts = min(self.max_ranges - 1, len(gaps))
+        cuts = sorted(
+            i for _, i in sorted(gaps, key=lambda g: -g[0])[:n_cuts]
+        )
+        ranges, start = [], 0
+        for c in cuts:
+            ranges.append((ks[start], ks[c]))
+            start = c + 1
+        ranges.append((ks[start], ks[-1]))
+        return ranges
 
 
 def matview_stream_sink(mv: MaterializedAgg, app_id: str = "__mv_ingest__"):

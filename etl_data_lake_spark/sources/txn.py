@@ -371,6 +371,53 @@ class TxnTable:
                 keep.append(f)
         return keep, len(meta.files)
 
+    def files_matching_any(
+        self,
+        col: str,
+        ranges,
+        version: int | None = None,
+    ) -> list[str]:
+        """Disjunctive stats pruning on ONE column: files that can
+        contain a row with ``col`` in ANY of the [lo, hi] ranges
+        (files without stats conservatively kept). The multi-range
+        companion of :meth:`files_matching`'s conjunction."""
+        meta = self.snapshot_meta(version)
+        if meta is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        keep = []
+        for f in meta.files:
+            rng = meta.file_stats.get(f, {}).get(col)
+            if rng is None or any(
+                not (rng[0] > hi or rng[1] < lo) for lo, hi in ranges
+            ):
+                keep.append(f)
+        return keep
+
+    def snapshot_where_any(
+        self, col: str, ranges, version: int | None = None
+    ) -> DataFrame:
+        """The table filtered to ``col`` in ANY of the ranges, with
+        manifest-level file skipping (disjunctive form of
+        :meth:`snapshot_where`); exact via the residual row filter."""
+        from functools import reduce
+        from operator import or_
+
+        from pyspark.sql import functions as F
+
+        meta = self.snapshot_meta(version)
+        if meta is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        keep = self.files_matching_any(col, ranges, version)
+        pred = reduce(
+            or_, [F.col(col).between(lo, hi) for lo, hi in ranges]
+        )
+        if not keep:
+            return self.spark.createDataFrame([], meta.schema()).where(pred)
+        paths = [str(self.root / f) for f in keep]
+        return (
+            self.spark.read.schema(meta.schema()).parquet(*paths).where(pred)
+        )
+
     def snapshot_where_ranges(
         self,
         ranges: dict[str, tuple],
@@ -561,14 +608,15 @@ class TxnTable:
         published manifest is O(Δfiles): adds + (for compact) removes,
         never the full file list.
 
-        ``guard_range`` = (col, lo, hi) extends the compact conflict
-        rule for predicate-scoped overwrites: every base file NOT in
-        ``replaced`` must be provably disjoint from the range via its
-        manifest stats, re-checked against the CURRENT base on every
-        attempt — so a concurrent append of in-range rows (landing
-        between the caller's snapshot and publish) conflicts instead
-        of rebasing cleanly underneath with rows that were never
-        replaced. Files without stats for ``col`` conservatively
+        ``guard_range`` — (col, [(lo, hi), ...]) or the legacy
+        (col, lo, hi) — extends the compact conflict rule for
+        predicate-scoped overwrites: every base file NOT in
+        ``replaced`` must be provably disjoint from EVERY range via
+        its manifest stats, re-checked against the CURRENT base on
+        every attempt — so a concurrent append of in-range rows
+        (landing between the caller's snapshot and publish) conflicts
+        instead of rebasing cleanly underneath with rows that were
+        never replaced. Files without stats for ``col`` conservatively
         conflict."""
         staged_stats = staged_stats or {}
         for _ in range(max_attempts):
@@ -603,15 +651,22 @@ class TxnTable:
                         "compaction input files were replaced concurrently"
                     )
                 if guard_range is not None:
-                    gcol, glo, ghi = guard_range
+                    if len(guard_range) == 3:  # legacy (col, lo, hi)
+                        gcol, glo, ghi = guard_range
+                        granges = [(glo, ghi)]
+                    else:
+                        gcol, granges = guard_range
                     fstats = base.file_stats if base else {}
                     for f in sorted(base_files - set(replaced)):
                         rng = fstats.get(f, {}).get(gcol)
-                        if rng is None or not (rng[0] > ghi or rng[1] < glo):
+                        if rng is None or any(
+                            not (rng[0] > hi or rng[1] < lo)
+                            for lo, hi in granges
+                        ):
                             raise ConcurrentWriteError(
                                 f"concurrent commit added {f!r} which may "
-                                f"contain rows in replace_where range "
-                                f"{gcol} in [{glo}, {ghi}]"
+                                f"contain rows in replace_where ranges "
+                                f"{gcol} in {granges}"
                             )
                 remove = tuple(replaced)
                 files = sorted(base_files - set(replaced)) + staged
@@ -757,8 +812,45 @@ class TxnTable:
         between that read and this call, abort instead of silently
         merging against stale in-range contents — from the captured
         base onward, the file-conflict machinery takes over."""
+        return self.replace_where_ranges(
+            df,
+            col,
+            [(lo, hi)],
+            stats_cols=stats_cols,
+            app_id=app_id,
+            txn_seq=txn_seq,
+            expected_base=expected_base,
+        )
+
+    def replace_where_ranges(
+        self,
+        df: DataFrame,
+        col: str,
+        ranges,
+        stats_cols: tuple[str, ...] = (),
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+        expected_base: int | None = None,
+    ) -> int:
+        """Multi-range form of :meth:`replace_where`: rows with
+        ``col`` inside ANY of the [lo, hi] ``ranges`` are replaced by
+        ``df`` in ONE atomic commit (one watermark, one conflict
+        scope). This is what a scattered backfill needs: a delta
+        touching keys {5, 6} and {10⁹, 10⁹+1} replaces two tight
+        ranges instead of the hull between them — files in the
+        untouched middle band are never read, rewritten, or guarded
+        against. Validation, file pruning, and the concurrent-append
+        guard all operate on the UNION of ranges; everything else
+        (stage-first validation, compaction conflict rule, idempotent
+        watermark, expected_base) is inherited unchanged."""
+        from functools import reduce
+        from operator import or_
+
         from pyspark.sql import functions as F
 
+        ranges = [tuple(r) for r in ranges]
+        if not ranges:
+            raise ValueError("replace_where_ranges needs >= 1 range")
         base = self.snapshot_meta()
         if expected_base is not None and (
             base.version if base else 0
@@ -767,7 +859,9 @@ class TxnTable:
                 f"replace_where based on v{expected_base} but "
                 f"v{base.version if base else 0} is committed"
             )
-        pred = F.col(col).between(lo, hi)
+        pred = reduce(
+            or_, [F.col(col).between(lo, hi) for lo, hi in ranges]
+        )
         staged_new, schema_new, stats_new = self._stage(df, stats_cols)
         if staged_new:
             new_schema = StructType.fromJson(json.loads(schema_new))
@@ -781,13 +875,13 @@ class TxnTable:
                 shutil.rmtree((self.root / staged_new[0]).parent)
                 raise ValueError(
                     f"replace_where data contains rows outside "
-                    f"{col} in [{lo}, {hi}]"
+                    f"{col} in {ranges}"
                 )
-        guard = (col, lo, hi)
+        guard = (col, ranges)
         affected: list[str] = []
         keep_rows = None
         if base is not None and base.files:
-            affected, _ = self.files_matching({col: (lo, hi)}, base.version)
+            affected = self.files_matching_any(col, ranges, base.version)
             if affected:
                 old = self.spark.read.schema(base.schema()).parquet(
                     *[str(self.root / f) for f in affected]

@@ -294,3 +294,50 @@ def test_range_refresh_watermark_advances_on_cancelled_feed(
     assert {
         r.k: (r.n_rows, r.sum_v) for r in mv.read().collect()
     } == _int_agg_of(src.snapshot())
+
+
+def test_scattered_delta_refreshes_tight_ranges_not_hull(spark, tmp_path):
+    """A delta touching two far-apart key clusters must leave the
+    files of the untouched middle band in place — the gap split
+    publishes tight ranges, not the [min, max] hull."""
+    src = TxnTable(spark, str(tmp_path / "src"))
+    mv = MaterializedAgg(
+        spark, src, str(tmp_path / "mv"), keys=("k",), sum_cols=("v",),
+        range_key="k", range_files=8, max_ranges=4,
+    )
+    src.append(_int_rows(spark, *[(k, k) for k in range(0, 800, 1)]))
+    assert mv.refresh() == 1
+    meta0 = mv.target.snapshot_meta()
+    assert len(meta0.files) >= 6
+    # touch keys {5, 6} and {790, 791} — nothing in between
+    src.append(_int_rows(spark, (5, 1), (6, 1), (790, 1), (791, 1)))
+    assert mv.refresh() == 2
+    meta1 = mv.target.snapshot_meta()
+    survivors = set(meta0.files) & set(meta1.files)
+    # every file fully inside the middle band must survive; under the
+    # single-hull behavior [5, 791] NOTHING would have survived
+    middle = [
+        f for f in meta0.files
+        if meta0.file_stats[f]["k"][0] > 6
+        and meta0.file_stats[f]["k"][1] < 790
+    ]
+    assert middle, "fixture must produce middle-band files"
+    assert set(middle) <= survivors
+    assert {
+        r.k: (r.n_rows, r.sum_v) for r in mv.read().collect()
+    } == _int_agg_of(src.snapshot())
+
+
+def test_string_range_key_falls_back_to_hull(spark, tmp_path):
+    """String keys never gap-split (between() compares strings); the
+    hull fallback stays correct."""
+    src = TxnTable(spark, str(tmp_path / "src"))
+    mv = MaterializedAgg(
+        spark, src, str(tmp_path / "mv"), keys=("k",), sum_cols=("v", "w"),
+        range_key="k",
+    )
+    src.append(_rows(spark, ("a", 1, 1.0), ("b", 2, 2.0), ("z", 3, 3.0)))
+    assert mv.refresh() == 1
+    src.append(_rows(spark, ("a", 10, 0.0), ("z", 10, 0.0)))
+    assert mv.refresh() == 2
+    assert _read_mv(mv) == _agg_of(src.snapshot())

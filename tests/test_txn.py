@@ -603,3 +603,75 @@ def test_last_checkpoint_pointer_bounds_resolution(spark, tmp_path):
     # time travel unaffected by the pointer (checkpoint probed ≤ v)
     assert t.snapshot(version=95).count() == 95
     assert t.read_plan(version=95).checkpoint == 90
+
+
+def test_replace_where_ranges_scattered_backfill(spark, tmp_path):
+    """Multi-range replaceWhere: two tight ranges replaced in ONE
+    commit; files between the ranges survive byte-identical (the
+    single-range hull would have rewritten them)."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for base in (0, 100, 200, 300):
+        t.append(
+            spark.range(base, base + 100).selectExpr("id"),
+            stats_cols=("id",),
+        )
+    before = set(t.snapshot_meta().files)
+    new = spark.range(0, 1000).where(
+        "(id >= 20 and id <= 29) or (id >= 320 and id <= 329)"
+    ).selectExpr("id", "id * 2 as v")
+    v = t.replace_where_ranges(
+        new, "id", [(20, 29), (320, 329)], stats_cols=("id",)
+    )
+    assert v == 5
+    got = t.snapshot()
+    assert got.count() == 400
+    assert got.where("v is not null").count() == 20
+    # every survivor is provably disjoint from BOTH ranges, and the
+    # middle band between them (which the single-range hull [20, 329]
+    # would have rewritten wholesale) kept files untouched
+    after = set(t.snapshot_meta().files)
+    survivors = before & after
+    meta = t.snapshot_meta()
+    surv_ranges = sorted(
+        tuple(meta.file_stats[f]["id"]) for f in survivors
+    )
+    assert survivors
+    for lo_f, hi_f in surv_ranges:
+        assert (hi_f < 20 or lo_f > 29) and (hi_f < 320 or lo_f > 329)
+    middle_survivors = [
+        (lo_f, hi_f) for lo_f, hi_f in surv_ranges
+        if lo_f > 29 and hi_f < 320
+    ]
+    assert middle_survivors
+    # out-of-union rows are rejected
+    with pytest.raises(ValueError):
+        t.replace_where_ranges(
+            spark.range(50, 60).selectExpr("id"),
+            "id",
+            [(20, 29), (320, 329)],
+        )
+
+
+def test_replace_where_ranges_guard_covers_every_range(spark, tmp_path):
+    """The concurrent-append guard applies to ALL ranges of a
+    multi-range backfill, not just the first."""
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(spark.range(0, 400).selectExpr("id"), stats_cols=("id",))
+    base = t.snapshot_meta()
+    affected = t.files_matching_any(
+        "id", [(20, 29), (320, 329)], base.version
+    )
+    staged, schema_json, stats = t._stage(
+        spark.range(20, 30).selectExpr("id"), ("id",)
+    )
+    # concurrent append inside the SECOND range
+    TxnTable(spark, path).append(
+        spark.range(325, 326).selectExpr("id"), stats_cols=("id",)
+    )
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(
+            "compact", staged, schema_json, None, None,
+            replaced=tuple(affected), staged_stats=stats,
+            guard_range=("id", [(20, 29), (320, 329)]),
+        )
