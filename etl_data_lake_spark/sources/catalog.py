@@ -76,17 +76,17 @@ def fan_out(df: DataFrame) -> DataFrame:
         n_files = 0
     if n_files == 0:
         try:
+            import re as _re
+
             plan = df._jdf.queryExecution().analyzed().toString()
-            if any(
-                op in plan
-                for op in (
-                    "Join",
-                    "Aggregate",
-                    "Window",
-                    "Sort",
-                    "Repartition",
-                    "Deduplicate",
-                )
+            # operator NODES only: anchored to the start of a tree
+            # line (after the +-/:- branch art), so a column alias
+            # like `SortKey#12` or a view named `Joined` can't
+            # false-positive the probe
+            if _re.search(
+                r"(?m)^[\s+:|-]*(Join|Aggregate|Window|Sort|"
+                r"Repartition|RepartitionByExpression|Deduplicate)\b",
+                plan,
             ):
                 return df
         except Exception:

@@ -127,23 +127,23 @@ class MaterializedAgg:
         if src_v == 0 or src_v == last:
             return last
         if last == 0:
+            # first refresh is ALWAYS a full overwrite, even in range
+            # mode: the target may hold foreign rows (adopted path,
+            # another writer) that a range-scoped publish would
+            # silently retain outside the hull — overwrite purges
+            # them, and the range-clustered stats still land for the
+            # incremental refreshes that follow
             fresh = self._aggregate(self.source.snapshot(src_v))
             if self.range_key is not None:
-                lo, hi, has_null = self._bounds(fresh)
-                if lo is not None and not has_null:
-                    self.target.replace_where(
-                        self._cluster(fresh),
-                        self.range_key,
-                        lo,
-                        hi,
-                        stats_cols=(self.range_key,),
-                        app_id=_APP_ID,
-                        txn_seq=src_v,
-                        expected_base=base_v,
-                    )
-                    return src_v
+                fresh = self._cluster(fresh)
             self.target.overwrite(
-                fresh, app_id=_APP_ID, txn_seq=src_v, expected_base=base_v
+                fresh,
+                app_id=_APP_ID,
+                txn_seq=src_v,
+                stats_cols=(
+                    (self.range_key,) if self.range_key is not None else ()
+                ),
+                expected_base=base_v,
             )
             return src_v
         changes = self.source.table_changes(last, src_v)
@@ -189,17 +189,27 @@ class MaterializedAgg:
         ).sortWithinPartitions(self.range_key)
 
     def _bounds(self, df: DataFrame):
-        """→ (min, max, has_null_keys) of the refresh key, one small
-        aggregate. Null group keys can't ride a between-predicate, so
-        their presence routes the refresh to the full-overwrite path."""
+        """→ (min, max, has_unrangeable_keys) of the refresh key, one
+        small aggregate. Null group keys can't ride a
+        between-predicate, and float NaN keys break both the ordering
+        (Python sort is undefined under NaN) and parquet min/max
+        stats — either routes the refresh to the full-overwrite
+        path."""
         k = self.range_key
-        row = df.agg(
+        aggs = [
             F.min(k).alias("lo"),
             F.max(k).alias("hi"),
             F.count("*").alias("n"),
             F.count(k).alias("nk"),
-        ).first()
-        return row.lo, row.hi, row.n > row.nk
+        ]
+        dt = df.schema[k].dataType.simpleString()
+        if dt in ("float", "double"):
+            aggs.append(
+                F.count(F.when(F.isnan(k), F.lit(1))).alias("n_nan")
+            )
+        row = df.agg(*aggs).first()
+        bad = row.n > row.nk or (dt in ("float", "double") and row.n_nan > 0)
+        return row.lo, row.hi, bad
 
     def _refresh_range(
         self, delta: DataFrame, base_v: int, src_v: int
@@ -209,47 +219,57 @@ class MaterializedAgg:
         with replace_where — disjoint files survive untouched, the
         watermark rides the same commit, and expected_base +
         replace_where's predicate guard turn every stale-read race
-        into a clean ConcurrentWriteError retry."""
-        lo, hi, has_null = self._bounds(delta)
-        if lo is None and not has_null:
-            # the change feed cancelled out (e.g. pure compaction
-            # between the versions): nothing to merge, but the
-            # watermark must still advance — an empty-feed append
-            # commits no files and records the seq
-            self.target.append(
-                self.target.snapshot(base_v).limit(0),
-                app_id=_APP_ID,
-                txn_seq=src_v,
+        into a clean ConcurrentWriteError retry.
+
+        The delta is persisted for the duration: it feeds the bounds
+        aggregate, the gap-split key collect, AND the staged merge —
+        and its lineage contains table_changes' two exceptAll scans,
+        which would otherwise re-run per consumer."""
+        delta = delta.persist()
+        try:
+            lo, hi, unrangeable = self._bounds(delta)
+            if lo is None and not unrangeable:
+                # the change feed cancelled out (e.g. pure compaction
+                # between the versions): nothing to merge, but the
+                # watermark must still advance — an empty-feed append
+                # commits no files and records the seq
+                self.target.append(
+                    self.target.snapshot(base_v).limit(0),
+                    app_id=_APP_ID,
+                    txn_seq=src_v,
+                )
+                return src_v
+            if unrangeable:
+                # null or NaN group keys can't ride the
+                # between-predicate; this refresh pays a full
+                # overwrite (still range-clustered + stats-tracked so
+                # later refreshes prune again)
+                fresh = self._merge(self.target.snapshot(base_v), delta)
+                self.target.overwrite(
+                    self._cluster(fresh),
+                    app_id=_APP_ID,
+                    txn_seq=src_v,
+                    stats_cols=(self.range_key,),
+                    expected_base=base_v,
+                )
+                return src_v
+            ranges = self._touched_ranges(delta, lo, hi)
+            prev_range = self.target.snapshot_where_any(
+                self.range_key, ranges, version=base_v
             )
-            return src_v
-        if has_null:
-            # null group keys can't ride the between-predicate; this
-            # refresh pays a full overwrite (still range-clustered +
-            # stats-tracked so later refreshes prune again)
-            fresh = self._merge(self.target.snapshot(base_v), delta)
-            self.target.overwrite(
-                self._cluster(fresh),
+            fresh_range = self._merge(prev_range, delta)
+            self.target.replace_where_ranges(
+                self._cluster(fresh_range),
+                self.range_key,
+                ranges,
+                stats_cols=(self.range_key,),
                 app_id=_APP_ID,
                 txn_seq=src_v,
-                stats_cols=(self.range_key,),
                 expected_base=base_v,
             )
             return src_v
-        ranges = self._touched_ranges(delta, lo, hi)
-        prev_range = self.target.snapshot_where_any(
-            self.range_key, ranges, version=base_v
-        )
-        fresh_range = self._merge(prev_range, delta)
-        self.target.replace_where_ranges(
-            self._cluster(fresh_range),
-            self.range_key,
-            ranges,
-            stats_cols=(self.range_key,),
-            app_id=_APP_ID,
-            txn_seq=src_v,
-            expected_base=base_v,
-        )
-        return src_v
+        finally:
+            delta.unpersist()
 
     def _touched_ranges(self, delta: DataFrame, lo, hi):
         """Gap-split the delta's distinct keys into ≤ ``max_ranges``

@@ -193,18 +193,23 @@ class TxnTable:
     # checkpointed) only lengthens the probe walk — never changes the
     # resolved state.
 
-    def _read_pointer(self) -> int | None:
-        """The pointed checkpoint version, or None when absent/stale.
-        The checkpoint's existence is verified (one stat) so a torn or
-        bogus pointer degrades to the no-pointer walk."""
+    def _read_pointer(self) -> tuple[int, int] | None:
+        """→ (pointed checkpoint version, writer's checkpoint
+        interval), or None when absent/stale. ANY malformed document
+        (torn write, wrong types, wrong shape) degrades to the
+        no-pointer walk rather than erroring — the pointer is
+        advisory; the checkpoint's existence is verified with one
+        stat. The recorded interval lets a reader opened with a
+        DIFFERENT checkpoint_interval still find the writer's
+        checkpoints during backward probing."""
         try:
-            v = int(
-                json.loads(_pointer_path(self.root).read_text())["version"]
-            )
-        except (OSError, ValueError, KeyError):
+            doc = json.loads(_pointer_path(self.root).read_text())
+            v = int(doc["version"])
+            interval = int(doc.get("interval", self.checkpoint_interval))
+        except (OSError, ValueError, KeyError, TypeError):
             return None
-        if v > 0 and _ckpt_path(self.root, v).is_file():
-            return v
+        if v > 0 and interval > 0 and _ckpt_path(self.root, v).is_file():
+            return v, interval
         return None
 
     def _advance_pointer(self, version: int) -> None:
@@ -214,11 +219,15 @@ class TxnTable:
         pointer backwards; the residual race is harmless because the
         pointer is advisory."""
         cur = self._read_pointer()
-        if cur is not None and cur >= version:
+        if cur is not None and cur[0] >= version:
             return
         log = self.root / _LOG_DIR
         tmp = log / f".ptr-{uuid.uuid4().hex}"
-        tmp.write_text(json.dumps({"version": version}))
+        tmp.write_text(
+            json.dumps(
+                {"version": version, "interval": self.checkpoint_interval}
+            )
+        )
         os.replace(tmp, _pointer_path(self.root))
 
     def _resolve(self, version: int | None) -> tuple[int, int]:
@@ -229,14 +238,18 @@ class TxnTable:
         below by the pointer when it applies, so a fresh pointer makes
         both directions O(interval))."""
         ptr = self._read_pointer()
+        ptr_v = ptr[0] if ptr else 0
         if version is None:
-            target = ptr or 0
+            target = ptr_v
             while _manifest_path(self.root, target + 1).is_file():
                 target += 1
         else:
             target = version
-        ck = ptr if ptr is not None and ptr <= target else 0
-        step = self.checkpoint_interval
+        ck = ptr_v if ptr_v and ptr_v <= target else 0
+        # probe with the WRITER's interval (recorded in the pointer)
+        # so a handle opened with a different checkpoint_interval
+        # still finds the checkpoints that actually exist
+        step = ptr[1] if ptr else self.checkpoint_interval
         c = (target // step) * step
         while c > ck:
             if _ckpt_path(self.root, c).is_file():
@@ -888,6 +901,16 @@ class TxnTable:
                 )
                 keep_rows = old.where(~pred | F.col(col).isNull())
         if keep_rows is None:
+            # even with no affected files the committed schema must be
+            # the MERGE with the base: a 'compact' manifest's schema is
+            # what every reader uses for ALL files, and publishing only
+            # df's (possibly narrower) schema would silently drop the
+            # base's other columns from every subsequent read
+            if base is not None:
+                schema_new = merge_schemas(
+                    base.schema(),
+                    StructType.fromJson(json.loads(schema_new)),
+                ).json()
             return self._commit(
                 "compact",
                 staged_new,

@@ -341,3 +341,57 @@ def test_string_range_key_falls_back_to_hull(spark, tmp_path):
     src.append(_rows(spark, ("a", 10, 0.0), ("z", 10, 0.0)))
     assert mv.refresh() == 2
     assert _read_mv(mv) == _agg_of(src.snapshot())
+
+
+def test_first_range_refresh_purges_foreign_rows(spark, tmp_path):
+    """The first refresh overwrites even in range mode: pre-existing
+    foreign rows at the target path (adopted table) must not survive
+    outside the fresh aggregate's key hull."""
+    src = TxnTable(spark, str(tmp_path / "src"))
+    path = str(tmp_path / "mv")
+    # foreign writer left rows at the target with far-away keys
+    TxnTable(spark, path).append(
+        spark.createDataFrame(
+            [(99999, 1, 1)], "k long, n_rows long, sum_v long"
+        )
+    )
+    mv = MaterializedAgg(
+        spark, src, path, keys=("k",), sum_cols=("v",), range_key="k"
+    )
+    src.append(_int_rows(spark, (1, 10), (2, 20)))
+    assert mv.refresh() == 1
+    got = {r.k: (r.n_rows, r.sum_v) for r in mv.read().collect()}
+    assert got == {1: (1, 10), 2: (1, 20)}  # 99999 purged
+
+
+def test_nan_range_key_falls_back_to_overwrite(spark, tmp_path):
+    """Float NaN group keys can't ride a between-predicate or a gap
+    split; the refresh must fall back to a full overwrite and stay
+    exact (NaN groups like Spark's NaN-normalized grouping)."""
+    src = TxnTable(spark, str(tmp_path / "src"))
+    mv = MaterializedAgg(
+        spark, src, str(tmp_path / "mv"), keys=("k",), sum_cols=("v",),
+        range_key="k",
+    )
+    rows = spark.createDataFrame(
+        [(1.0, 1), (2.0, 2)], "k double, v long"
+    )
+    src.append(rows)
+    assert mv.refresh() == 1
+    nan_rows = spark.createDataFrame(
+        [(float("nan"), 5), (2.0, 7)], "k double, v long"
+    )
+    src.append(nan_rows)
+    assert mv.refresh() == 2
+    got = {
+        (str(r.k)): (r.n_rows, r.sum_v) for r in mv.read().collect()
+    }
+    assert got["1.0"] == (1, 1)
+    assert got["2.0"] == (2, 9)
+    assert got["nan"] == (1, 5)
+    # subsequent numeric-only delta goes back to the range path
+    src.append(spark.createDataFrame([(1.0, 100)], "k double, v long"))
+    assert mv.refresh() == 3
+    assert {
+        (str(r.k)): (r.n_rows, r.sum_v) for r in mv.read().collect()
+    }["1.0"] == (2, 101)

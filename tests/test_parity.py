@@ -106,3 +106,40 @@ def test_registry_within_driver_cap():
         f"{DRIVER_QUERY_CAP}-entry CORRECTNESS cap; merge or demote "
         "the overflow to library surface"
     )
+
+
+# Library twins: operators demoted out of the 50-entry driver catalog
+# keep their DuckDB SQL and are parity-checked HERE instead — the
+# "remains for tests" promise in their demotion comments, made real.
+_LIBRARY_TWINS = [
+    (
+        "json_extract_props",
+        "etl_data_lake_spark.queries.relational",
+        "JSON_EXTRACT_PROPS_SQL",
+    ),
+    (
+        "percentile_prices",
+        "etl_data_lake_spark.queries.advanced_rel",
+        "PERCENTILE_PRICES_SQL",
+    ),
+    (
+        "embedding_norm_stats",
+        "etl_data_lake_spark.queries.vector_queries",
+        "EMBEDDING_NORM_STATS_SQL",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "fn_name,module,sql_name", _LIBRARY_TWINS, ids=[t[0] for t in _LIBRARY_TWINS]
+)
+def test_library_twin_parity(fn_name, module, sql_name, spark, duck):
+    import importlib
+
+    mod = importlib.import_module(module)
+    fn, sql = getattr(mod, fn_name), getattr(mod, sql_name)
+    got = fn(spark, SF_DIR).toPandas()
+    want = duck.sql(sql).df()
+    assert len(got) == len(want)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _canon(got) == _canon(want)

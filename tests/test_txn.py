@@ -573,8 +573,8 @@ def test_last_checkpoint_pointer_bounds_resolution(spark, tmp_path):
     for _ in range(103):
         t.append(one)
     assert t.latest_version() == 103
-    # pointer names the newest checkpoint (v100)
-    assert t._read_pointer() == 100
+    # pointer names the newest checkpoint (v100) + writer's interval
+    assert t._read_pointer() == (100, 10)
 
     probes = []
     real = txn_mod._manifest_path
@@ -675,3 +675,52 @@ def test_replace_where_ranges_guard_covers_every_range(spark, tmp_path):
             replaced=tuple(affected), staged_stats=stats,
             guard_range=("id", [(20, 29), (320, 329)]),
         )
+
+
+def test_pointer_robust_to_bogus_documents_and_foreign_intervals(
+    spark, tmp_path
+):
+    """Malformed _last_checkpoint documents (wrong types/shape) must
+    degrade to the no-pointer walk, never error; and a reader opened
+    with a DIFFERENT checkpoint_interval still finds the writer's
+    checkpoints via the interval recorded in the pointer."""
+    path = str(tmp_path / "t")
+    w = TxnTable(spark, path, checkpoint_interval=5)
+    one = spark.range(0, 1).selectExpr("id")
+    for _ in range(12):
+        w.append(one)
+    ptr = w.root / "_txnlog" / "_last_checkpoint"
+    # reader with a mismatched interval resolves the v10 checkpoint
+    r = TxnTable(spark, path, checkpoint_interval=7)
+    plan = r.read_plan()
+    assert plan.checkpoint == 10 and plan.n_manifests == 2
+    assert r.snapshot().count() == 12
+    # bogus pointer documents: degrade, same answers
+    for bogus in ('{"version": null}', "[1,2]", '"x"', "{}", "nonsense"):
+        ptr.write_text(bogus)
+        assert r._read_pointer() is None
+        assert r.latest_version() == 12
+        assert r.snapshot().count() == 12
+
+
+def test_replace_where_no_affected_files_keeps_table_schema(
+    spark, tmp_path
+):
+    """A range-scoped publish that touches NO existing file must still
+    commit the MERGED schema — publishing only df's narrower schema
+    would silently drop the table's other columns from every read."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.range(0, 10).selectExpr("id", "id * 2 as extra"),
+        stats_cols=("id",),
+    )
+    # new range [100, 109] is disjoint from every file; df lacks
+    # the 'extra' column
+    t.replace_where(
+        spark.range(100, 110).selectExpr("id"), "id", 100, 109,
+        stats_cols=("id",),
+    )
+    snap = t.snapshot()
+    assert set(snap.columns) == {"id", "extra"}
+    assert snap.where("extra is not null").count() == 10
+    assert snap.count() == 20
