@@ -374,3 +374,79 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=_SEM_CELLS,
         n_assign=_SEM_CELLS,
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus decontamination as a ready-to-register entry (library
+# for now — catalog at the 50-slot cap; ROUND_NOTES nominates this for
+# the next freed slot, and test_parity::test_library_twin_parity keeps
+# the pair verified meanwhile). The split makes it self-contained on
+# the fixed tables: documents with doc_id % 20 == 0 play the
+# "benchmark" corpus, the rest the training corpus.
+# --------------------------------------------------------------------------
+def _contamination_oracle(w: int = _SPAN_W) -> str:
+    tk = f"list_filter({_TOK}, t -> t != '')"
+    th = f"list_transform(tk, t -> {sql_poly_hash('t')})"
+    acc = "th[i]"
+    for j in range(1, w):
+        acc = f"(({acc}) * 31 + th[i+{j}]) % {MOD}"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {tk} AS tk FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, {th} AS th FROM toks
+        ),
+        flat AS (
+            SELECT doc_id, w.pos AS pos, w.wh AS whash
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(th) - {w - 2}),
+                              i -> struct_pack(pos := i - 1, wh := {acc})))
+                           AS w
+                FROM hashed
+            )
+        ),
+        ref AS (
+            SELECT DISTINCT whash FROM flat WHERE doc_id % 20 = 0
+        ),
+        marked AS (
+            SELECT f.doc_id, f.pos
+            FROM flat f JOIN ref USING (whash)
+            WHERE f.doc_id % 20 != 0
+        ),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER
+                            (PARTITION BY doc_id ORDER BY pos) <= {w}
+                        THEN 0 ELSE 1 END AS new_span
+            FROM marked
+        ),
+        islands AS (
+            SELECT doc_id, pos,
+                   sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS span_id
+            FROM flagged
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {w} AS BIGINT) AS span_end,
+               CAST(max(pos) + {w} - min(pos) AS BIGINT) AS span_tokens
+        FROM islands
+        GROUP BY doc_id, span_id
+    """
+
+
+TEXT_CONTAMINATION_SPANS_SQL = _contamination_oracle()
+
+
+def text_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training↔benchmark verbatim-overlap spans
+    (dedup/contamination.py) over the documents table, benchmark =
+    every 20th doc. Library twin of TEXT_CONTAMINATION_SPANS_SQL."""
+    from etl_data_lake_spark.dedup.contamination import contaminated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    reference = docs.where(F.col("doc_id") % 20 == 0)
+    return contaminated_spans(train, reference, w=_SPAN_W)

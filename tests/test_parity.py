@@ -127,6 +127,11 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.vector_queries",
         "EMBEDDING_NORM_STATS_SQL",
     ),
+    (
+        "text_contamination_spans",
+        "etl_data_lake_spark.queries.dedup_queries",
+        "TEXT_CONTAMINATION_SPANS_SQL",
+    ),
 ]
 
 
