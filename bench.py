@@ -45,6 +45,8 @@ HEADLINE = [
     "curation_pack_assign",
     "text_bm25_topdocs",
     "dedup_substring_spans",
+    # round-4 addition: cross-corpus decontamination flagship
+    "text_contamination_spans",
 ]
 
 

@@ -96,19 +96,22 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Distinct aggregates: COUNT(DISTINCT) alongside plain aggregates —
 # Spark plans this as a two-phase Expand aggregation; keep it exact
 # (approx_count_distinct can't oracle-match by construction).
+# Library surface only as of round 4 (50-entry driver cap): the exact
+# COUNT(DISTINCT) driver signal rides on grouping_sets_revenue (same
+# two-phase distinct rewrite, under an Expand lattice as well), and
+# this twin stays parity-checked in test_parity::test_library_twin_parity.
+# The freed slot went to text_contamination_spans (dedup_queries.py).
 # --------------------------------------------------------------------------
-@register(
-    "distinct_agg_per_status",
-    oracle=f"""
-        SELECT o_orderstatus,
-               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
-               {sql_sum_money('o_totalprice')} AS total_price
-        FROM orders
-        GROUP BY o_orderstatus
-    """,
-    tags=("agg", "distinct"),
-)
+DISTINCT_AGG_PER_STATUS_SQL = f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_sum_money('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
 def distinct_agg_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
@@ -435,19 +438,25 @@ def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
                COALESCE(o_orderpriority, '<all>') AS orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
                {sql_sum_money('o_totalprice')} AS revenue
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
-    tags=("agg", "grouping-sets", "sql"),
+    tags=("agg", "grouping-sets", "distinct", "sql"),
 )
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # COUNT(DISTINCT) rides here since round 4 (was its own entry,
+    # distinct_agg_per_status, demoted to library twin): the exact
+    # two-phase distinct rewrite now runs under the Expand lattice —
+    # one entry, both driver signals.
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
     return spark.sql(
         """
         SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
                COALESCE(o_orderpriority, '<all>') AS orderpriority,
                COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers,
                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
                    / 100.0 AS revenue
         FROM orders_gs

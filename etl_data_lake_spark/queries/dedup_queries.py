@@ -377,11 +377,10 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Cross-corpus decontamination as a ready-to-register entry (library
-# for now — catalog at the 50-slot cap; ROUND_NOTES nominates this for
-# the next freed slot, and test_parity::test_library_twin_parity keeps
-# the pair verified meanwhile). The split makes it self-contained on
-# the fixed tables: documents with doc_id % 20 == 0 play the
+# Cross-corpus decontamination — registered round 4 in the slot freed
+# by distinct_agg_per_status (whose exact-COUNT(DISTINCT) signal now
+# rides on grouping_sets_revenue). The split makes it self-contained
+# on the fixed tables: documents with doc_id % 20 == 0 play the
 # "benchmark" corpus, the rest the training corpus.
 # --------------------------------------------------------------------------
 def _contamination_oracle(w: int = _SPAN_W) -> str:
@@ -437,16 +436,28 @@ def _contamination_oracle(w: int = _SPAN_W) -> str:
     """
 
 
-TEXT_CONTAMINATION_SPANS_SQL = _contamination_oracle()
+# The catalog entry runs at w=4, not the substring-dedup default of 8:
+# the synthetic corpus has almost no verbatim 8-gram train↔benchmark
+# overlap (2 spans at sf0.01 — a near-empty hash check), while 4-grams
+# yield ~51 spans whose gaps-and-islands merging is actually exercised.
+# Production decontamination uses longer windows; the OPERATOR takes w
+# as a parameter and the planted-leak tests pin w=8 behavior.
+_CONTAM_W = 4
+TEXT_CONTAMINATION_SPANS_SQL = _contamination_oracle(_CONTAM_W)
 
 
+@register(
+    "text_contamination_spans",
+    oracle=TEXT_CONTAMINATION_SPANS_SQL,
+    tags=("dedup", "contamination", "flagship"),
+)
 def text_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training↔benchmark verbatim-overlap spans
     (dedup/contamination.py) over the documents table, benchmark =
-    every 20th doc. Library twin of TEXT_CONTAMINATION_SPANS_SQL."""
+    every 20th doc. Oracle: TEXT_CONTAMINATION_SPANS_SQL."""
     from etl_data_lake_spark.dedup.contamination import contaminated_spans
 
     docs = load_table(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 20 != 0)
     reference = docs.where(F.col("doc_id") % 20 == 0)
-    return contaminated_spans(train, reference, w=_SPAN_W)
+    return contaminated_spans(train, reference, w=_CONTAM_W)

@@ -293,7 +293,11 @@ class TxnTable:
             elif op == "overwrite":
                 files = add
                 stats = {}
-            elif op == "compact":
+            elif op in ("compact", "merge", "delete"):
+                # one replay rule for every rewrite-shaped commit:
+                # drop `remove`, append `add` (merge/delete are
+                # compacts with different conflict rules at WRITE time;
+                # by replay time only the file diff matters)
                 removed = set(m.get("remove", ()))
                 # same sorted(remaining)+add order the committer used
                 # when it built the post-commit checkpoint state
@@ -528,18 +532,24 @@ class TxnTable:
         local to it), so skipping information costs no extra pass over
         the data; only int/float/str mins and maxes are recorded, and
         a file with no usable stats simply never skips."""
+        import pyarrow.parquet as pq
+
         stage_rel = f"{_DATA_DIR}/{uuid.uuid4().hex}"
         stage_abs = self.root / stage_rel
         df.write.mode("errorifexists").parquet(str(stage_abs))
+        # ZERO-ROW part files (empty upstream partitions) are dropped
+        # from the manifest: they carry no data but — having no row
+        # groups, hence no stats — would conservatively defeat every
+        # stats-based skip and conflict guard that touches them. One
+        # footer read per staged file, local to the committer.
         files = sorted(
             f"{stage_rel}/{p.name}"
             for p in stage_abs.iterdir()
             if p.name.endswith(".parquet")
+            and pq.read_metadata(p).num_rows > 0
         )
         stats: dict[str, dict[str, list]] = {}
         if stats_cols:
-            import pyarrow.parquet as pq
-
             for rel in files:
                 md = pq.read_metadata(self.root / rel)
                 per_col: dict[str, list] = {}
@@ -615,6 +625,7 @@ class TxnTable:
         max_attempts: int = 20,
         expected_base: int | None = None,
         guard_range: tuple | None = None,
+        guard_exempt: tuple[str, ...] = (),
     ) -> int:
         """Optimistic-concurrency commit loop. Returns the committed
         version (or the current one, for an idempotent no-op). The
@@ -630,7 +641,15 @@ class TxnTable:
         (landing between the caller's snapshot and publish) conflicts
         instead of rebasing cleanly underneath with rows that were
         never replaced. Files without stats for ``col`` conservatively
-        conflict."""
+        conflict.
+
+        ``guard_exempt`` — files the CALLER already examined in its own
+        base snapshot and proved clean by stronger means than stats
+        (e.g. merge_into's exact key probe: a file may intersect the
+        source's key hull yet contain no matching key). Exempt files
+        skip the stats guard; anything that appears AFTER the caller's
+        snapshot (the genuinely concurrent commits the guard exists
+        for) is still checked."""
         staged_stats = staged_stats or {}
         for _ in range(max_attempts):
             base = self.snapshot_meta()
@@ -657,7 +676,7 @@ class TxnTable:
                         f"v{base.version} committed concurrently"
                     )
                 files = staged
-            elif operation == "compact":
+            elif operation in ("compact", "merge", "delete"):
                 base_files = set(base.files) if base else set()
                 if not set(replaced) <= base_files:
                     raise ConcurrentWriteError(
@@ -670,7 +689,9 @@ class TxnTable:
                     else:
                         gcol, granges = guard_range
                     fstats = base.file_stats if base else {}
-                    for f in sorted(base_files - set(replaced)):
+                    for f in sorted(
+                        base_files - set(replaced) - set(guard_exempt)
+                    ):
                         rng = fstats.get(f, {}).get(gcol)
                         if rng is None or any(
                             not (rng[0] > hi or rng[1] < lo)
@@ -936,6 +957,82 @@ class TxnTable:
             replaced=tuple(affected),
             staged_stats={**stats_keep, **stats_new},
             guard_range=guard,
+        )
+
+    def delete_where(
+        self,
+        col: str,
+        lo,
+        hi,
+        stats_cols: tuple[str, ...] = (),
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+    ) -> int:
+        """Row-level DELETE of ``lo <= col <= hi`` (single-range form
+        of :meth:`delete_where_ranges`)."""
+        return self.delete_where_ranges(
+            col, [(lo, hi)], stats_cols=stats_cols, app_id=app_id,
+            txn_seq=txn_seq,
+        )
+
+    def delete_where_ranges(
+        self,
+        col: str,
+        ranges,
+        stats_cols: tuple[str, ...] = (),
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+    ) -> int:
+        """Row-level DELETE: remove every row with ``col`` inside ANY
+        of the [lo, hi] ``ranges``, copy-on-write. Manifest stats prune
+        first — only files whose [min, max] can intersect a range are
+        read and rewritten (their surviving rows re-staged, originals
+        dropped); disjoint files are never touched, so a delete of one
+        day from a 100 TB table costs O(that day's files).
+
+        CONFLICT RULE is plain compaction's, deliberately WITHOUT
+        replace_where's append guard: DELETE removes the matching rows
+        *as of its snapshot* — a concurrent append of in-range rows is
+        a later change that legitimately survives (Delta's DELETE
+        rebases over blind appends too; only writers that rewrote the
+        same files conflict). Contrast replace_where, whose contract
+        ("range content == df afterward") is violated by exactly such
+        appends and therefore must conflict with them.
+
+        Files without stats for ``col`` are conservatively read and
+        rewritten (their non-matching rows survive verbatim), so the
+        result is exact either way. A delete matching no file is a
+        no-op that commits nothing and records no watermark."""
+        from functools import reduce
+        from operator import or_
+
+        from pyspark.sql import functions as F
+
+        ranges = [tuple(r) for r in ranges]
+        if not ranges:
+            raise ValueError("delete_where_ranges needs >= 1 range")
+        base = self.snapshot_meta()
+        if base is None or not base.files:
+            return self.latest_version()
+        affected = self.files_matching_any(col, ranges, base.version)
+        if not affected:
+            return base.version
+        pred = reduce(
+            or_, [F.col(col).between(lo, hi) for lo, hi in ranges]
+        )
+        old = self.spark.read.schema(base.schema()).parquet(
+            *[str(self.root / f) for f in affected]
+        )
+        keep_rows = old.where(~pred | F.col(col).isNull())
+        staged, schema_json, stats = self._stage(keep_rows, stats_cols)
+        return self._commit(
+            "delete",
+            staged,
+            base.schema().json(),  # a delete never narrows the schema
+            app_id,
+            txn_seq,
+            replaced=tuple(affected),
+            staged_stats=stats,
         )
 
     def compact(

@@ -128,9 +128,9 @@ _LIBRARY_TWINS = [
         "EMBEDDING_NORM_STATS_SQL",
     ),
     (
-        "text_contamination_spans",
-        "etl_data_lake_spark.queries.dedup_queries",
-        "TEXT_CONTAMINATION_SPANS_SQL",
+        "distinct_agg_per_status",
+        "etl_data_lake_spark.queries.advanced_rel",
+        "DISTINCT_AGG_PER_STATUS_SQL",
     ),
 ]
 
