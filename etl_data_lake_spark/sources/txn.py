@@ -1060,6 +1060,54 @@ class TxnTable:
 
     # -------------------------------------------------- maintenance --
 
+    def optimize_small_files(
+        self,
+        target_bytes: int = 128 << 20,
+        min_files: int = 2,
+        stats_cols: tuple[str, ...] = (),
+    ) -> int:
+        """OPTIMIZE: coalesce the snapshot's SMALL files (< ``target_
+        bytes``) into ~target-sized ones and commit the swap; files
+        already at target size are left alone — unlike :meth:`compact`,
+        which rewrites everything. This is the small-file maintenance a
+        streaming or merge-heavy table needs: micro-batch appends and
+        touched-file merges each add a few small files, and at 100 TB
+        an unmaintained table degenerates into millions of them (footer
+        reads and task scheduling dominate the scan). Rewriting ONLY
+        the small tail keeps the maintenance cost proportional to the
+        recent write activity, not the table.
+
+        Concurrency inherits compaction's rule: concurrent appends
+        rebase cleanly (their files aren't among the replaced); a
+        concurrent rewrite of the same files aborts. Sizes come from
+        one stat per file on the committer — no data read for the
+        decision, only for the rewrite. Returns the committed (or
+        current, when fewer than ``min_files`` qualify) version."""
+        import math
+
+        base = self.snapshot_meta()
+        if base is None or not base.files:
+            return self.latest_version()
+        sizes = {f: (self.root / f).stat().st_size for f in base.files}
+        small = [f for f in base.files if sizes[f] < target_bytes]
+        if len(small) < max(min_files, 2):
+            return base.version
+        total = sum(sizes[f] for f in small)
+        n_out = max(1, math.ceil(total / target_bytes))
+        df = self.spark.read.schema(base.schema()).parquet(
+            *[str(self.root / f) for f in small]
+        ).coalesce(n_out)
+        staged, schema_json, stats = self._stage(df, stats_cols)
+        return self._commit(
+            "compact",
+            staged,
+            base.schema().json(),  # maintenance never narrows schema
+            None,
+            None,
+            replaced=tuple(small),
+            staged_stats=stats,
+        )
+
     def vacuum(self, keep_versions: int = 1) -> int:
         """Delete data dirs unreferenced by the ``keep_versions`` most
         recent snapshots (orphans from crashed stages included).

@@ -369,3 +369,41 @@ def test_delete_where_conflicts_if_inputs_replaced(spark, tmp_path):
             "delete", staged, base.schema().json(), None, None,
             replaced=tuple(affected), staged_stats=stats,
         )
+
+
+# ---------------------------------------------------- optimize (OPTIMIZE) --
+
+
+def test_optimize_small_files_coalesces_only_small(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    # one big-ish file, then a tail of tiny single-row appends
+    t.append(
+        spark.range(0, 20000).selectExpr("id", "repeat('x', 64) AS pad")
+        .coalesce(1),
+        stats_cols=("id",),
+    )
+    big = set(t.snapshot_meta().files)
+    for i in range(4):
+        t.append(
+            spark.createDataFrame([(100000 + i, "p")], "id long, pad string")
+            .coalesce(1),
+            stats_cols=("id",),
+        )
+    assert len(t.snapshot_meta().files) == 5
+    big_size = max((t.root / f).stat().st_size for f in t.snapshot_meta().files)
+    v = t.optimize_small_files(target_bytes=big_size, stats_cols=("id",))
+    after = set(t.snapshot_meta().files)
+    # the big file survived verbatim; the 4 tiny ones became 1
+    assert big <= after
+    assert len(after) == 2
+    assert t.snapshot().count() == 20004
+    assert t.latest_version() == v
+    # idempotent: nothing small left to do
+    assert t.optimize_small_files(target_bytes=big_size) == v
+
+
+def test_optimize_noop_below_min_files(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(5).selectExpr("id").coalesce(1))
+    v = t.latest_version()
+    assert t.optimize_small_files(target_bytes=1 << 30) == v
