@@ -1,0 +1,127 @@
+"""Incremental change-data-feed consumption for txn tables.
+
+``TxnTable.table_changes(a, b)`` answers "what changed between two
+versions" as one batch. This module turns that into a CONSUMER
+PIPELINE: a durable offset, per-commit-version change attribution,
+and an exactly-once downstream pattern — the way a 100 TB lake feeds
+its derived tables without ever rescanning the base (the same role
+Delta's CDF + streaming reads play; matview.py is the specialized
+aggregate instance of this general mechanism).
+
+Cost model: each consumed version reads only the files its manifest
+added/removed (O(Δ) — the property that makes CDC usable at scale);
+the offset is one tiny JSON document, atomically replaced.
+
+Delivery is at-least-once (crash between processing and offset write
+replays the span); EFFECTS become exactly-once when the processor
+writes through a txn commit carrying ``(app_id, v_to)`` — the replay
+hits the writer watermark and no-ops. :func:`process_changes` wires
+exactly that composition; the end-to-end crash-replay property is
+pinned in tests/test_cdf.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from etl_data_lake_spark.sources.txn import TxnTable
+
+
+def read_offset(state_path: str) -> int:
+    """Last fully-processed version recorded at ``state_path``
+    (0 = never consumed / fresh consumer)."""
+    try:
+        return int(json.loads(Path(state_path).read_text())["version"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return 0
+
+
+def write_offset(state_path: str, version: int) -> None:
+    """Atomically record ``version`` as fully processed."""
+    p = Path(state_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.parent / f".tmp-{uuid.uuid4().hex}"
+    tmp.write_text(json.dumps({"version": int(version)}))
+    os.replace(tmp, p)
+
+
+def changes_between(
+    table: TxnTable, v_from: int, v_to: int
+) -> DataFrame | None:
+    """Row-level changes over (``v_from``, ``v_to``] with per-commit
+    attribution: ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version`` — each version's diff comes straight from its
+    own manifest's add/remove file lists, so a consumer sees changes
+    in commit order and a pure compaction contributes nothing. None
+    when the span is empty. Schema-evolution-safe: spans are unioned
+    by name (missing columns null)."""
+    if v_to <= v_from:
+        return None
+    out = None
+    for v in range(v_from + 1, v_to + 1):
+        d = table.table_changes(v - 1, v).withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        )
+        out = d if out is None else out.unionByName(
+            d, allowMissingColumns=True
+        )
+    return out
+
+
+def incremental_changes(
+    table: TxnTable,
+    state_path: str,
+    max_versions: int | None = None,
+) -> tuple[DataFrame | None, int, int]:
+    """→ (changes, v_from, v_to): everything committed since this
+    consumer's offset, optionally capped at ``max_versions`` commits
+    per call (bounded batches under backlog). Does NOT advance the
+    offset — call :func:`write_offset` after the changes are durably
+    processed, or use :func:`process_changes` for the full loop."""
+    v_from = read_offset(state_path)
+    v_to = table.latest_version()
+    if max_versions is not None:
+        v_to = min(v_to, v_from + max_versions)
+    return changes_between(table, v_from, v_to), v_from, v_to
+
+
+def process_changes(
+    table: TxnTable,
+    state_path: str,
+    fn: Callable[[DataFrame, int], None],
+    max_versions: int | None = None,
+) -> int:
+    """Consume one batch: ``fn(changes, v_to)`` then advance the
+    offset. At-least-once delivery; pass ``v_to`` as the txn seq of
+    any commit ``fn`` makes (with a stable app_id) and effects are
+    exactly-once under replay. Returns the new offset (unchanged when
+    there was nothing to consume)."""
+    changes, v_from, v_to = incremental_changes(
+        table, state_path, max_versions
+    )
+    if changes is None:
+        return v_from
+    fn(changes, v_to)
+    write_offset(state_path, v_to)
+    return v_to
+
+
+def cdc_mirror_sink(target_path: str, app_id: str = "cdc-mirror"):
+    """Processor for :func:`process_changes` that maintains an
+    append-only MIRROR-WITH-HISTORY of the source's change stream in a
+    downstream txn table (every insert/delete event, with its commit
+    version — an audit log you can aggregate later). Exactly-once via
+    the (app_id, v_to) watermark."""
+
+    def fn(changes: DataFrame, v_to: int) -> None:
+        TxnTable(changes.sparkSession, target_path).append(
+            changes, app_id=app_id, txn_seq=v_to
+        )
+
+    return fn

@@ -496,10 +496,11 @@ class TxnTable:
         from pyspark.sql import functions as F
 
         a, b = self.snapshot_meta(v_from), self.snapshot_meta(v_to)
-        if a is None or b is None:
+        if b is None or (a is None and v_from != 0):
             raise FileNotFoundError(
                 f"versions {v_from}..{v_to} not both committed"
             )
+        a_files: tuple[str, ...] = a.files if a is not None else ()
         schema = b.schema()  # widest: append-evolution is additive
 
         def read(files: list[str]) -> DataFrame:
@@ -509,8 +510,8 @@ class TxnTable:
                 *[str(self.root / f) for f in files]
             )
 
-        added = read(sorted(set(b.files) - set(a.files)))
-        removed = read(sorted(set(a.files) - set(b.files)))
+        added = read(sorted(set(b.files) - set(a_files)))
+        removed = read(sorted(set(a_files) - set(b.files)))
         inserts = added.exceptAll(removed).withColumn(
             "_change_type", F.lit("insert")
         )
