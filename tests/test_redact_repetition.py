@@ -1,0 +1,134 @@
+"""PII redaction (functions/redact.py) and repetition signals
+(functions/repetition.py): planted-PII exactness, audit stats,
+Gopher-signal arithmetic, and composition with Arrow-batched stages
+(the lambda-inlining trap regression)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.redact import (
+    PII_PATTERNS,
+    pii_stats,
+    redact_pii,
+)
+from etl_data_lake_spark.functions.repetition import (
+    repetition_filter,
+    repetition_signals,
+)
+
+
+@pytest.fixture()
+def pii_docs(spark):
+    rows = [
+        (1, "contact john.doe+x@example.co.uk or call +1 555-123-4567 now"),
+        (2, "server at 192.168.1.254 responded; card 4111111111111111 used"),
+        (3, "clean text with number 42 and version 3.14 only"),
+        (4, "a123456789@b.com mailed twice: a123456789@b.com"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_redact_planted_pii_exact(spark, pii_docs):
+    got = {r.doc_id: r for r in redact_pii(pii_docs).collect()}
+    assert got[1].text == "contact <EMAIL> or call <PHONE> now"
+    assert got[2].text == "server at <IPV4> responded; card <ID_NUMBER> used"
+    # false-positive guard: versions / small numbers untouched
+    assert got[3].text == "clean text with number 42 and version 3.14 only"
+    # email swallows its digits BEFORE the id pattern can hole it
+    assert got[4].text == "<EMAIL> mailed twice: <EMAIL>"
+    assert got[1].n_email == 1 and got[1].n_phone == 1
+    assert got[2].n_ipv4 == 1 and got[2].n_id_number == 1
+    assert got[4].n_email == 2
+    assert got[3].n_email == got[3].n_ipv4 == got[3].n_phone == 0
+
+
+def test_redact_keep_original_and_custom_patterns(spark, pii_docs):
+    got = redact_pii(
+        pii_docs,
+        patterns={"email": PII_PATTERNS["email"]},
+        token_fmt="[{kind}]",
+        keep_original=True,
+    )
+    row = {r.doc_id: r for r in got.collect()}[1]
+    assert "[EMAIL]" in row.text and "@example.co.uk" in row.text_raw
+    assert "555-123-4567" in row.text  # phone class not requested
+
+
+def test_pii_stats_audit(spark, pii_docs):
+    s = pii_stats(pii_docs).collect()[0]
+    assert s.n_docs == 4
+    assert s.total_email == 3 and s.docs_with_email == 2
+    assert s.total_ipv4 == 1 and s.docs_with_ipv4 == 1
+    grouped = pii_stats(
+        pii_docs.withColumn("src", F.col("doc_id") % 2), by="src"
+    )
+    assert grouped.count() == 2
+
+
+def test_redact_plan_stays_codegen(spark, pii_docs):
+    plan = redact_pii(pii_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_signals_arithmetic(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 2 distinct -> dup_line 0.5; one paragraph
+            (1, "spam line\nspam line\nother\nother"),
+            # 3 paragraphs, 2 distinct -> dup_para 1/3
+            (2, "para one\n\npara one\n\npara two"),
+            # 'loop' 4 of 5 words: top-word chars 16/(16+5)
+            (3, "loop loop loop loop largo"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert got[1].dup_line_fraction == pytest.approx(0.5)
+    assert got[1].dup_paragraph_fraction == pytest.approx(0.0)
+    assert got[2].dup_paragraph_fraction == pytest.approx(1 / 3)
+    assert got[2].dup_line_fraction == pytest.approx(1 / 3)  # collapsed \n\n
+    assert got[3].top_word_char_fraction == pytest.approx(16 / 21)
+    assert got[4].dup_line_fraction == 0.0
+    assert got[4].top_word_char_fraction == 0.0
+
+
+def test_repetition_filter_drops_degenerate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a healthy document with varied words and several lines\n"
+                "another different line here\nand one more distinct line"),
+            (2, "buy now\nbuy now\nbuy now\nbuy now\nbuy now"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = [r.doc_id for r in repetition_filter(docs).collect()]
+    assert kept == [1]
+
+
+def test_signals_on_real_documents_in_range(spark):
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sig = repetition_signals(docs).collect()
+    assert len(sig) == docs.count()
+    for r in sig:
+        for c in ("dup_line_fraction", "dup_paragraph_fraction",
+                  "top_word_char_fraction"):
+            assert 0.0 <= r[c] <= 1.0, (r.doc_id, c, r[c])
+
+
+def test_redacted_text_composes_with_arrow_stages(spark, pii_docs):
+    """Regression for the projection-collapse lambda trap: redacted
+    text must be safely consumable by a downstream pandas UDF."""
+    from etl_data_lake_spark.functions.text import window_hashes_pandas_udf
+
+    red = redact_pii(pii_docs)
+    hashed = red.select(
+        "doc_id", window_hashes_pandas_udf(2)(F.col("text")).alias("wh")
+    )
+    assert hashed.count() == 4
