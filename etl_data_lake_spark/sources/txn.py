@@ -79,6 +79,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass
 from pathlib import Path
@@ -342,12 +343,39 @@ class TxnTable:
                 {
                     "version": v,
                     "operation": m["operation"],
+                    "ts_ms": m.get("ts_ms"),  # None on pre-round-4 logs
                     "n_add": len(m.get("add", ())),
                     "n_remove": len(m.get("remove", ())),
                     "writer_txns": m.get("writer_txns", {}),
                 }
             )
         return out
+
+    def version_as_of(self, ts_ms: int) -> int:
+        """Newest version committed at or before wall-clock ``ts_ms``
+        (TIMESTAMP AS OF). Walks manifests BACKWARD from latest until
+        the first stamp <= ts_ms — O(commits after the target), the
+        cheap direction for the common "recent point in time" query;
+        no directory listing. Commit stamps are advisory (writer
+        clocks can disagree), so like Delta the walk takes the first
+        qualifying stamp rather than assuming global monotonicity;
+        unstamped manifests (pre-feature logs) qualify conservatively.
+        Raises FileNotFoundError when the table is empty or every
+        commit is newer than ``ts_ms``."""
+        v = self.latest_version()
+        while v >= 1:
+            ts = self._read_manifest(v).get("ts_ms")
+            if ts is None or ts <= ts_ms:
+                return v
+            v -= 1
+        raise FileNotFoundError(
+            f"no version committed at or before ts_ms={ts_ms}"
+        )
+
+    def snapshot_as_of(self, ts_ms: int) -> DataFrame:
+        """The table as of wall-clock ``ts_ms`` — time travel without
+        knowing version numbers."""
+        return self.snapshot(self.version_as_of(ts_ms))
 
     # -------------------------------------------------------- reads --
 
@@ -661,12 +689,20 @@ class TxnTable:
                     return base_v  # replayed transaction: no-op
                 txns[app_id] = txn_seq
             remove: tuple[str, ...] = ()
+            # the schema this ATTEMPT would publish. Recomputed from
+            # the CURRENT base every time for append AND the rewrite
+            # ops: a compact/merge/delete that rebases over a
+            # concurrent schema-evolving append must publish the
+            # union, or readers would silently lose the new column
+            # for every file (the replace_where no-affected-files bug
+            # from the round-4 self-review, in its rebase form).
+            attempt_schema = schema_json
             if operation == "append":
                 files = (list(base.files) if base else []) + staged
                 # additive evolution: committed schema is the union;
                 # a type conflict aborts BEFORE publish
                 if base is not None:
-                    schema_json = merge_schemas(
+                    attempt_schema = merge_schemas(
                         base.schema(),
                         StructType.fromJson(json.loads(schema_json)),
                     ).json()
@@ -678,6 +714,11 @@ class TxnTable:
                     )
                 files = staged
             elif operation in ("compact", "merge", "delete"):
+                if base is not None:
+                    attempt_schema = merge_schemas(
+                        base.schema(),
+                        StructType.fromJson(json.loads(schema_json)),
+                    ).json()
                 base_files = set(base.files) if base else set()
                 if not set(replaced) <= base_files:
                     raise ConcurrentWriteError(
@@ -710,9 +751,13 @@ class TxnTable:
             manifest = {
                 "version": base_v + 1,
                 "operation": operation,
+                # wall-clock commit time for TIMESTAMP AS OF reads;
+                # advisory like Delta's (writer clocks can disagree —
+                # version_as_of tolerates non-monotone stamps)
+                "ts_ms": int(time.time() * 1000),
                 "add": staged,
                 "remove": list(remove),
-                "schema": schema_json,
+                "schema": attempt_schema,
                 "writer_txns": txns,
                 "add_stats": staged_stats,
             }
@@ -729,7 +774,7 @@ class TxnTable:
                         version=base_v + 1,
                         operation=operation,
                         files=tuple(files),
-                        schema_json=schema_json,
+                        schema_json=attempt_schema,
                         writer_txns=txns,
                         file_stats={**carried, **staged_stats},
                     ),

@@ -109,3 +109,65 @@ def test_changes_union_is_schema_evolution_safe(spark, tmp_path):
     ch = changes_between(t, 0, 2)
     rows = {r.id: (r.v, r.extra) for r in ch.collect()}
     assert rows[1] == ("a", None) and rows[2] == ("b", 9)
+
+
+# ----------------------------------------------- TIMESTAMP AS OF reads --
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import json
+
+    from etl_data_lake_spark.sources.txn import _manifest_path
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, (1, "a")))
+    t.append(_kv(spark, (2, "b")))
+    t.append(_kv(spark, (3, "c")))
+    # pin deterministic, gapped stamps (wall clock is too fast/flaky)
+    for v, ts in ((1, 1000), (2, 2000), (3, 3000)):
+        p = _manifest_path(t.root, v)
+        m = json.loads(p.read_text())
+        m["ts_ms"] = ts
+        p.write_text(json.dumps(m))
+    assert t.version_as_of(2500) == 2
+    assert t.version_as_of(2000) == 2  # inclusive
+    assert t.version_as_of(99999) == 3
+    assert sorted(r.id for r in t.snapshot_as_of(1500).collect()) == [1]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.version_as_of(500)
+    # history carries the stamps
+    assert [h["ts_ms"] for h in t.history()] == [1000, 2000, 3000]
+    # unstamped (pre-feature) manifests qualify conservatively
+    m = json.loads(_manifest_path(t.root, 1).read_text())
+    del m["ts_ms"]
+    _manifest_path(t.root, 1).write_text(json.dumps(m))
+    assert t.version_as_of(500) == 1
+
+
+def test_rewrite_rebase_preserves_concurrently_evolved_schema(spark, tmp_path):
+    """A compact/merge/delete that rebases over a concurrent schema-
+    evolving append must publish the UNION schema — otherwise readers
+    silently lose the new column for every file (rebase form of the
+    round-4 replace_where schema bug)."""
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(_kv(spark, (1, "a"), (2, "b")))
+    base = t.snapshot_meta()
+    df = spark.read.schema(base.schema()).parquet(
+        *[str(t.root / f) for f in base.files]
+    ).coalesce(1)
+    staged, schema_json, stats = t._stage(df)
+    # concurrent append widens the schema while our compact is staged
+    TxnTable(spark, path).append(
+        spark.createDataFrame([(3, "c", 9)], "id long, v string, extra long")
+    )
+    t._commit(
+        "compact", staged, schema_json, None, None,
+        replaced=tuple(base.files), staged_stats=stats,
+    )
+    snap = t.snapshot()
+    assert "extra" in snap.columns
+    got = {r.id: r.extra for r in snap.collect()}
+    assert got == {1: None, 2: None, 3: 9}
