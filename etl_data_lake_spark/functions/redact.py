@@ -30,10 +30,18 @@ PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
             r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b",
-    # +country / (area) / separator-grouped digit shapes, >= 7 digits
-    "phone": r"(?<![0-9A-Za-z])(?:\+[0-9]{1,3}[ .-]?)?"
-             r"(?:\([0-9]{2,4}\)[ .-]?)?[0-9]{2,4}(?:[ .-][0-9]{2,4}){2,}"
-             r"(?![0-9A-Za-z])",
+    # phone shapes must carry an EXPLICIT phone marker — +country code,
+    # (area) code, or the strict dashed 3-3-4 NANP form. A bare
+    # "digit groups with separators" rule is how ISO dates
+    # (2026-08-14), dotted dates (14.08.2026) and version strings
+    # (10.15.70) get destroyed as <PHONE> across a whole corpus —
+    # the precision-over-recall contract forbids exactly that, and
+    # the date/version negatives are test-pinned.
+    "phone": r"(?<![0-9A-Za-z.-])(?:"
+             r"\+[0-9]{1,3}[ .-]?(?:\(?[0-9]{1,4}\)?[ .-]?){1,4}[0-9]{2,4}"
+             r"|\([0-9]{2,4}\)[ .-]?[0-9]{3,4}[ .-]?[0-9]{3,4}"
+             r"|[0-9]{3}-[0-9]{3}-[0-9]{4}"
+             r")(?![0-9A-Za-z-])",
     # bare long digit runs (account / card / SSN-shaped), 9-19 digits
     "id_number": r"(?<![0-9A-Za-z.])[0-9]{9,19}(?![0-9A-Za-z.])",
 }

@@ -7,28 +7,42 @@ assignment and querying run for months against it. This module
 persists the index as two transactional tables and turns the classic
 "inverted lists" into something Spark-native:
 
-* ``<path>/centroids`` — (cell, centroid) rows, n_cells of them; the
-  whole quantizer is a driver-side collect.
-* ``<path>/postings`` — (id, cell, vector), written RANGE-CLUSTERED
-  BY CELL with per-file manifest stats on ``cell``. The inverted
-  list for a cell is therefore not a bespoke data structure but a
-  contiguous run of parquet files, and "scan only the probed cells"
-  is exactly :meth:`TxnTable.snapshot_where_any` manifest pruning —
-  a query planning over 10⁶ files opens only the handful owning its
+* ``<path>/centroids`` — (build, cell, centroid) rows; the whole
+  quantizer is a driver-side collect.
+* ``<path>/postings`` — (build, id, cell, vector), written
+  RANGE-CLUSTERED BY CELL with per-file manifest stats on ``cell``
+  and ``build``. The inverted list for a cell is therefore not a
+  bespoke data structure but a contiguous run of parquet files, and
+  "scan only the probed cells" is manifest-stats file pruning — a
+  query planning over 10⁶ files opens only the handful owning its
   probed cells, before a single footer is read.
+
+Rebuild atomicity across the two tables comes from BUILD EPOCHS, not
+a cross-table transaction (which no lake offers): a rebuild first
+APPENDS postings under a fresh build number — invisible, because
+readers resolve the current build from the centroids table — and
+publishes the centroids for that build last, in one atomic commit.
+A crash (or a concurrent reader) between the two commits sees the
+complete OLD index; the new one appears only when its centroid
+commit lands. Old builds are garbage-collected by :meth:`gc` (a
+stats-pruned ``delete_where`` on the build column).
 
 Querying reuses the ivf.py scoring contract (deterministic JVM-fold
 cosine on candidates, rounded scores, id tiebreaks), so
 ``IvfIndex.build(...).query(q, k, nprobe)`` is bit-identical to
 ``ivf_topk(corpus, q, ...)`` at the same parameters — pinned in
-tests/test_vector_index.py.
+tests/test_vector_index.py. The query batch is materialized ONCE
+(one bounded collect serves both cell probing and the candidate
+join), so a non-deterministic queries DataFrame cannot probe one set
+of cells and join another; batch size is bounded by
+``max_query_batch`` to keep that collect honest.
 
 Incremental maintenance: :meth:`add` assigns new vectors against the
 FROZEN quantizer and appends them (ACID, stats-tracked, idempotent
 with (app_id, txn_seq)) — no retrain, no rewrite of existing
 postings; cells drift only as far as real-world distribution drift,
 the standard served-IVF trade (rebuild when recall decays, which
-:meth:`cell_sizes` makes observable). ``optimize_small_files`` keeps
+:meth:`cell_sizes` makes observable). ``optimize`` keeps
 append-heavy postings compact.
 """
 
@@ -72,11 +86,13 @@ class IvfIndex:
     ) -> "IvfIndex":
         """Train the quantizer on a bounded hash-spread sample (same
         deterministic rule as ivf_topk — one scan, tiny collect),
-        persist it, and write the cell-clustered postings. ``shards``
-        bounds the posting file count (default min(n_cells, 32));
-        range-partitioning by cell + within-file sort keeps every
-        file's cell-span tight, which is what makes probe-time
-        manifest pruning sharp."""
+        write the cell-clustered postings under a fresh build epoch,
+        then publish the quantizer — the commit order that makes the
+        rebuild atomic to every reader (see module docstring).
+        ``shards`` bounds the posting file count (default
+        min(n_cells, 32)); range-partitioning by cell + within-file
+        sort keeps every file's cell-span tight, which is what makes
+        probe-time manifest pruning sharp."""
         idx = IvfIndex(spark, path, id_col)
         train = sample_centroids(
             corpus, n_cells * max(train_factor, 1), id_col, vec_col
@@ -86,30 +102,79 @@ class IvfIndex:
         )
         if not centroids:
             raise ValueError("cannot build an IVF index over an empty corpus")
-        cdf = spark.createDataFrame(
-            [(i, list(c)) for i, c in enumerate(centroids)],
-            "cell int, centroid array<double>",
-        )
-        idx.centroids_tbl.overwrite(cdf)
-        assigned = idx._assign(corpus, centroids, vec_col)
+        build_no = idx._next_build()
+        assigned = idx._assign(corpus, centroids, vec_col, build_no)
         shards = shards if shards is not None else min(max(n_cells, 1), 32)
-        idx.postings_tbl.overwrite(
+        idx.postings_tbl.append(
             assigned.repartitionByRange(shards, "cell")
             .sortWithinPartitions("cell"),
-            stats_cols=("cell",),
+            stats_cols=("cell", "build"),
         )
+        cdf = spark.createDataFrame(
+            [(build_no, i, list(c)) for i, c in enumerate(centroids)],
+            "build long, cell int, centroid array<double>",
+        )
+        idx.centroids_tbl.overwrite(cdf)  # the publish point
         return idx
 
-    def _assign(self, df: DataFrame, centroids, vec_col: str) -> DataFrame:
+    def _next_build(self) -> int:
+        """Next build epoch: one past the highest ever STAGED into
+        postings (not the highest published — a crashed build left
+        orphan postings whose number must not be reused)."""
+        if self.postings_tbl.latest_version() == 0:
+            return 1
+        row = self.postings_tbl.snapshot().agg(
+            F.max("build").alias("b")
+        ).collect()[0]
+        return int(row.b or 0) + 1
+
+    def _assign(
+        self, df: DataFrame, centroids, vec_col: str, build_no: int
+    ) -> DataFrame:
         assign = _probe_udf(centroids, 1)
-        return df.select(
-            F.col(self.id_col).alias("id"),
-            as_double(vec_col).alias("vec"),
-        ).withColumn("cell", F.element_at(assign(F.col("vec")), 1))
+        return (
+            df.select(
+                F.col(self.id_col).alias("id"),
+                as_double(vec_col).alias("vec"),
+            )
+            .withColumn("cell", F.element_at(assign(F.col("vec")), 1))
+            .withColumn("build", F.lit(build_no).cast("long"))
+        )
+
+    def _quantizer(self) -> tuple[int, list[list[float]]]:
+        """(current build, centroids) — resolved from the centroids
+        table, the single publish point."""
+        rows = self.centroids_tbl.snapshot().orderBy("cell").collect()
+        if not rows:
+            raise FileNotFoundError(f"no published index at {self.path}")
+        return int(rows[0].build), [list(r.centroid) for r in rows]
 
     def centroids(self) -> list[list[float]]:
-        rows = self.centroids_tbl.snapshot().orderBy("cell").collect()
-        return [list(r.centroid) for r in rows]
+        return self._quantizer()[1]
+
+    def current_build(self) -> int:
+        return self._quantizer()[0]
+
+    def _postings(self, build_no: int, cells: list[int]) -> DataFrame:
+        """Current-build postings restricted — at the manifest level —
+        to files that can hold any probed cell AND the build."""
+        cell_files = set(
+            self.postings_tbl.files_matching_any(
+                "cell", [(c, c) for c in sorted(set(cells))]
+            )
+        )
+        build_files, _ = self.postings_tbl.files_matching(
+            {"build": (build_no, build_no)}
+        )
+        keep = sorted(cell_files & set(build_files))
+        meta = self.postings_tbl.snapshot_meta()
+        if not keep:
+            return self.spark.createDataFrame([], meta.schema())
+        return (
+            self.spark.read.schema(meta.schema())
+            .parquet(*[str(self.postings_tbl.root / f) for f in keep])
+            .where(F.col("build") == build_no)
+        )
 
     # ------------------------------------------------- maintenance --
 
@@ -121,25 +186,42 @@ class IvfIndex:
         txn_seq: int | None = None,
     ) -> int:
         """Assign ``vectors`` against the frozen quantizer and append
-        them — O(new vectors), existing postings untouched. Idempotent
-        under (app_id, txn_seq) like any txn append, so a streaming
-        foreachBatch can maintain the index exactly-once."""
-        assigned = self._assign(vectors, self.centroids(), vec_col)
+        them under the CURRENT build — O(new vectors), existing
+        postings untouched. Idempotent under (app_id, txn_seq) like
+        any txn append, so a streaming foreachBatch can maintain the
+        index exactly-once."""
+        build_no, centroids = self._quantizer()
+        assigned = self._assign(vectors, centroids, vec_col, build_no)
         return self.postings_tbl.append(
-            assigned, app_id=app_id, txn_seq=txn_seq, stats_cols=("cell",)
+            assigned,
+            app_id=app_id,
+            txn_seq=txn_seq,
+            stats_cols=("cell", "build"),
         )
 
     def optimize(self, target_bytes: int = 128 << 20) -> int:
-        """Re-compact append-fragmented postings (cell stats kept)."""
+        """Re-compact append-fragmented postings (stats kept)."""
         return self.postings_tbl.optimize_small_files(
-            target_bytes=target_bytes, stats_cols=("cell",)
+            target_bytes=target_bytes, stats_cols=("cell", "build")
+        )
+
+    def gc(self) -> int:
+        """Drop postings of superseded builds (stats-pruned row-level
+        delete — only files of old builds are rewritten/removed).
+        Run after a rebuild settles; readers of the current build are
+        untouched."""
+        cur = self.current_build()
+        return self.postings_tbl.delete_where(
+            "build", 0, cur - 1, stats_cols=("cell", "build")
         )
 
     def cell_sizes(self) -> DataFrame:
-        """(cell, n_vectors) — the skew/drift observability that tells
-        an operator when a rebuild is due."""
+        """(cell, n_vectors) for the current build — the skew/drift
+        observability that tells an operator when a rebuild is due."""
+        cur = self.current_build()
         return (
             self.postings_tbl.snapshot()
+            .where(F.col("build") == cur)
             .groupBy("cell")
             .agg(F.count("*").alias("n_vectors"))
         )
@@ -147,14 +229,18 @@ class IvfIndex:
     # ------------------------------------------------------- query --
 
     def probed_files(self, cells: list[int]) -> tuple[list[str], int]:
-        """(files any probed cell can live in, total files) — the
-        manifest-pruning readout tests assert on."""
-        return (
+        """(files any probed current-build cell can live in, total
+        files) — the manifest-pruning readout tests assert on."""
+        cur = self.current_build()
+        cell_files = set(
             self.postings_tbl.files_matching_any(
                 "cell", [(c, c) for c in sorted(set(cells))]
-            ),
-            len(self.postings_tbl.snapshot_meta().files),
+            )
         )
+        build_files, total = self.postings_tbl.files_matching(
+            {"build": (cur, cur)}
+        )
+        return sorted(cell_files & set(build_files)), total
 
     def query(
         self,
@@ -162,27 +248,53 @@ class IvfIndex:
         k: int = 10,
         nprobe: int = 4,
         vec_col: str = "embedding",
+        max_query_batch: int = 100_000,
     ) -> DataFrame:
         """→ (query_id, neighbor_id, cos_sim, rank); same contract and
         same bit-deterministic scoring as ivf.ivf_topk, but the corpus
         scan is restricted — at the FILE level, via manifest stats —
-        to the cells this query batch probes."""
-        centroids = self.centroids()
+        to the cells this query batch probes. The batch is collected
+        ONCE (cells and join side come from the same materialized
+        rows, so a non-deterministic input cannot probe one cell set
+        and join another); batches beyond ``max_query_batch`` rows
+        raise rather than silently ballooning the driver."""
+        build_no, centroids = self._quantizer()
         probe = _probe_udf(centroids, nprobe)
         q = queries.select(
             F.col(self.id_col).alias("query_id"),
             as_double(vec_col).alias("qv"),
         )
-        qb = q.select(
-            "query_id", "qv", F.explode(probe(F.col("qv"))).alias("cell")
-        )
-        probed = sorted(
-            r.cell for r in qb.select("cell").distinct().collect()
-        )
-        postings = self.postings_tbl.snapshot_where_any(
-            "cell", [(c, c) for c in probed]
-        ).select(
-            F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "cell"
+        qrows = q.select(
+            "query_id", "qv", probe(F.col("qv")).alias("cells")
+        ).limit(max_query_batch + 1).collect()
+        if len(qrows) > max_query_batch:
+            raise ValueError(
+                f"query batch exceeds max_query_batch={max_query_batch}; "
+                "split the batch (or raise the bound)"
+            )
+        if not qrows:
+            # empty batch: empty result with the contract schema
+            # (query-id-typed like the caller's id column)
+            sch = q.select(
+                F.col("query_id"),
+                F.col("query_id").alias("neighbor_id"),
+                F.lit(0.0).alias("cos_sim"),
+                F.lit(0).cast("long").alias("rank"),
+            ).schema
+            return self.spark.createDataFrame([], sch)
+        probed = sorted({c for r in qrows for c in r.cells})
+        from pyspark.sql.types import ArrayType, IntegerType
+
+        qb_schema = q.schema.add("cells", ArrayType(IntegerType()))
+        qb = self.spark.createDataFrame(
+            [(r.query_id, list(r.qv), [int(c) for c in r.cells])
+             for r in qrows],
+            qb_schema,
+        ).select("query_id", "qv", F.explode("cells").alias("cell"))
+        postings = self._postings(build_no, probed).select(
+            F.col("id").alias("neighbor_id"),
+            F.col("vec").alias("cv"),
+            "cell",
         )
         cand = (
             postings.join(F.broadcast(qb), "cell")

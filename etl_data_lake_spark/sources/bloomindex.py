@@ -11,11 +11,13 @@ Bloom filter consulted at planning time: a file whose filter says
 Design — sized for 100 TB, not for the manifest:
 
 * Filters live in SIDECAR JSON documents under ``table/_bloom/``,
-  mirroring the data layout (one doc per data file, one entry per
-  indexed column) — NOT inside the commit manifests, which must stay
-  O(Δfiles)-small. Data files are immutable, so a sidecar is
-  write-once-valid-forever; a file without one is conservatively
-  scanned (exactly like a file without min/max stats).
+  mirroring the data layout, ONE DOCUMENT PER (file, column) — NOT
+  inside the commit manifests, which must stay O(Δfiles)-small, and
+  not in shared per-file docs, whose read-modify-write would let
+  concurrent per-column builds drop each other's filters. Data files
+  are immutable, so a sidecar is write-once-valid-forever; a
+  (file, column) without one is conservatively scanned (exactly like
+  a file without min/max stats).
 * Building is DISTRIBUTED: one Spark job per column hashes every row
   JVM-side (``xxhash64`` inside whole-stage codegen — no Python in
   the per-row path) and ships only the 64-bit hashes into an
@@ -57,11 +59,15 @@ from etl_data_lake_spark.sources.txn import TxnTable
 _BLOOM_DIR = "_bloom"
 
 
-def _sidecar_path(root: Path, rel_file: str) -> Path:
-    # rel_file is "data/<uuid>/part-*.parquet" — mirror under _bloom/
+def _sidecar_path(root: Path, rel_file: str, col: str) -> Path:
+    # rel_file is "data/<uuid>/part-*.parquet" — mirrored under
+    # _bloom/, ONE DOCUMENT PER (file, column): concurrent builds for
+    # different columns never read-modify-write a shared doc (a
+    # last-writer-wins merge would silently drop the other column's
+    # filter), and a (file, col) doc is write-once like its data file.
     parts = rel_file.split("/")
-    return root / _BLOOM_DIR / "/".join(parts[1:]) if parts[0] == "data" \
-        else root / _BLOOM_DIR / rel_file
+    rel = "/".join(parts[1:]) if parts[0] == "data" else rel_file
+    return root / _BLOOM_DIR / f"{rel}.{col}.json"
 
 
 def _size_filter(n_distinct: int, fpp: float, max_bits: int) -> tuple[int, int]:
@@ -128,16 +134,10 @@ def build_bloom_index(
     cols = [c for c in cols if c in have]
     built = 0
     for col in cols:
-        todo = []
-        for f in meta.files:
-            p = _sidecar_path(table.root, f)
-            if p.is_file():
-                try:
-                    if col in json.loads(p.read_text()):
-                        continue
-                except (ValueError, OSError):
-                    pass
-            todo.append(f)
+        todo = [
+            f for f in meta.files
+            if not _sidecar_path(table.root, f, col).is_file()
+        ]
         if not todo:
             continue
 
@@ -187,18 +187,14 @@ def build_bloom_index(
                 }
             else:
                 entry = {"m": hit["m"], "k": hit["k"], "bits": hit["bits"]}
-            p = _sidecar_path(table.root, f)
+            p = _sidecar_path(table.root, f, col)
             p.parent.mkdir(parents=True, exist_ok=True)
-            doc = {}
-            if p.is_file():
-                try:
-                    doc = json.loads(p.read_text())
-                except (ValueError, OSError):
-                    doc = {}
-            doc[col] = entry
             tmp = p.parent / f".tmp-{uuid.uuid4().hex}"
-            tmp.write_text(json.dumps(doc))
-            os.replace(tmp, p)  # atomic: readers see old or new doc
+            tmp.write_text(json.dumps(entry))
+            # atomic replace; concurrent builders of the SAME (file,
+            # col) write identical content, so last-wins is benign —
+            # cross-column races no longer share a document at all
+            os.replace(tmp, p)
             built += 1
     return built
 
@@ -247,10 +243,12 @@ def files_matching_eq(
             else:
                 if not vs_h:
                     continue
-        p = _sidecar_path(table.root, f)
+        p = _sidecar_path(table.root, f, col)
         if p.is_file():
             try:
-                doc = json.loads(p.read_text()).get(col)
+                doc = json.loads(p.read_text())
+                if not {"m", "k", "bits"} <= set(doc):
+                    doc = None
             except (ValueError, OSError):
                 doc = None
             if doc is not None and not any(

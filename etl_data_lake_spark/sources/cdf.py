@@ -63,14 +63,32 @@ def changes_between(
     by name (missing columns null)."""
     if v_to <= v_from:
         return None
+    # ONE snapshot reconstruction + one manifest read per version
+    # (TxnTable.file_diffs), not two reconstructions per step; the
+    # widest schema (at v_to) reads every span, since evolution is
+    # additive. Plan size still grows with the span — bounded
+    # consumers pass max_versions via incremental_changes.
+    end = table.snapshot_meta(v_to)
+    schema = end.schema()
+
+    def read(files: list[str]) -> DataFrame:
+        if not files:
+            return table.spark.createDataFrame([], schema)
+        return table.spark.read.schema(schema).parquet(
+            *[str(table.root / f) for f in files]
+        )
+
     out = None
-    for v in range(v_from + 1, v_to + 1):
-        d = table.table_changes(v - 1, v).withColumn(
-            "_commit_version", F.lit(v).cast("long")
+    for v, added, removed in table.file_diffs(v_from, v_to):
+        a, r = read(added), read(removed)
+        d = (
+            a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                r.exceptAll(a).withColumn("_change_type", F.lit("delete"))
+            )
+            .withColumn("_commit_version", F.lit(v).cast("long"))
         )
-        out = d if out is None else out.unionByName(
-            d, allowMissingColumns=True
-        )
+        out = d if out is None else out.unionByName(d)
     return out
 
 

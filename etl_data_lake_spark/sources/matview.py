@@ -292,22 +292,9 @@ class MaterializedAgg:
             for k in keys
         ):
             return hull
-        ks = sorted(keys)
-        gaps = [
-            (b - a, i) for i, (a, b) in enumerate(zip(ks, ks[1:]))
-        ]
-        if not gaps:
-            return hull
-        n_cuts = min(self.max_ranges - 1, len(gaps))
-        cuts = sorted(
-            i for _, i in sorted(gaps, key=lambda g: -g[0])[:n_cuts]
-        )
-        ranges, start = [], 0
-        for c in cuts:
-            ranges.append((ks[start], ks[c]))
-            start = c + 1
-        ranges.append((ks[start], ks[-1]))
-        return ranges
+        from etl_data_lake_spark.sources.txn import largest_gap_ranges
+
+        return largest_gap_ranges(keys, self.max_ranges) or hull
 
 
 def matview_stream_sink(mv: MaterializedAgg, app_id: str = "__mv_ingest__"):

@@ -62,7 +62,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructType
 
-from etl_data_lake_spark.sources.txn import TxnTable, merge_schemas
+from etl_data_lake_spark.sources.txn import (
+    TxnTable,
+    largest_gap_ranges,
+    merge_schemas,
+)
 
 
 class MergeAmbiguityError(ValueError):
@@ -79,27 +83,6 @@ class MergeResult:
     files_rewritten: int  # touched files replaced by the commit
     files_candidate: int  # files surviving the stats prune (pass 1 input)
     files_total: int  # files in the base snapshot
-
-
-def _tight_ranges(values: list, max_ranges: int) -> list[tuple]:
-    """Gap-split distinct numeric values into <= max_ranges tight
-    [lo, hi] ranges (largest-gap cuts) — same policy as the matview
-    range refresh: scattered keys guard scattered ranges, not the
-    hull between them."""
-    ks = sorted(values)
-    if not ks:
-        return []
-    gaps = sorted(
-        ((b - a, i) for i, (a, b) in enumerate(zip(ks, ks[1:]))),
-        key=lambda g: -g[0],
-    )
-    cuts = sorted(i for _, i in gaps[: max(0, min(max_ranges - 1, len(gaps)))])
-    out, start = [], 0
-    for c in cuts:
-        out.append((ks[start], ks[c]))
-        start = c + 1
-    out.append((ks[start], ks[-1]))
-    return out
 
 
 def _is_num(v) -> bool:
@@ -163,11 +146,17 @@ def merge_into(
     if missing:
         raise ValueError(f"source lacks key columns {missing}")
 
-    spark = table.spark
     base = table.snapshot_meta()
 
     if base is None or not base.files:
-        # empty / absent target: everything is NOT MATCHED
+        # empty / absent target: everything is NOT MATCHED. Validate
+        # update_exprs against the only schema there is (a typo must
+        # fail fast here too, not become data-dependent)
+        bad = set(update_exprs or ()) - set(source.columns)
+        if bad:
+            raise ValueError(
+                f"update_exprs for unknown columns {sorted(bad)}"
+            )
         if when_not_matched is None:
             return MergeResult(table.latest_version(), False, 0, 0, 0)
         v = table.append(
@@ -179,8 +168,13 @@ def merge_into(
     missing = [k for k in keys if k not in target_schema.fieldNames()]
     if missing:
         raise ValueError(f"target lacks key columns {missing}")
-    # fail fast on type conflicts, before any job runs
+    # fail fast on type conflicts AND update_exprs typos, before any
+    # job runs — a config error must not be data-dependent (it used
+    # to surface only when at least one file was touched)
     final_schema = merge_schemas(target_schema, source.schema)
+    bad = set(update_exprs or ()) - set(final_schema.fieldNames())
+    if bad:
+        raise ValueError(f"update_exprs for unknown columns {sorted(bad)}")
 
     source = source.persist()
     try:
@@ -347,10 +341,7 @@ def _merge_against(
             hit = is_matched
         t_row = [t_or_null(f) for f in fields]
         if when_matched == "update":
-            upd = []
-            bad = set(update_exprs or ()) - {f.name for f in fields}
-            if bad:
-                raise ValueError(f"update_exprs for unknown columns {sorted(bad)}")
+            upd = []  # update_exprs validated up-front in merge_into
             for f in fields:
                 if update_exprs and f.name in update_exprs:
                     upd.append(
@@ -423,7 +414,7 @@ def _merge_against(
                 .collect()
             ]
             if 0 < len(vals) <= max_guard_keys and all(_is_num(v) for v in vals):
-                guard_ranges = _tight_ranges(vals, max_guard_ranges)
+                guard_ranges = largest_gap_ranges(vals, max_guard_ranges)
         guard = (k0, guard_ranges)
 
     v = table._commit(

@@ -104,6 +104,30 @@ class SchemaEvolutionError(ValueError):
     them as null; type changes are not."""
 
 
+def largest_gap_ranges(values, max_ranges: int) -> list[tuple]:
+    """Gap-split distinct numeric ``values`` into <= ``max_ranges``
+    tight [lo, hi] ranges by cutting at the largest gaps — the shared
+    policy behind matview range refreshes and merge concurrency
+    guards (one implementation, so the two can't drift): scattered
+    keys produce scattered tight ranges, not the hull between them."""
+    ks = sorted(values)
+    if not ks:
+        return []
+    gaps = sorted(
+        ((b - a, i) for i, (a, b) in enumerate(zip(ks, ks[1:]))),
+        key=lambda g: -g[0],
+    )
+    cuts = sorted(
+        i for _, i in gaps[: max(0, min(max_ranges - 1, len(gaps)))]
+    )
+    out, start = [], 0
+    for c in cuts:
+        out.append((ks[start], ks[c]))
+        start = c + 1
+    out.append((ks[start], ks[-1]))
+    return out
+
+
 def merge_schemas(base: StructType, incoming: StructType) -> StructType:
     """Additive schema evolution: the union of both field lists, base
     order first. Shared names must agree on type exactly — silent
@@ -429,6 +453,8 @@ class TxnTable:
         meta = self.snapshot_meta(version)
         if meta is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
+        if not ranges:
+            return []  # "in ANY of no ranges" is vacuously false
         keep = []
         for f in meta.files:
             rng = meta.file_stats.get(f, {}).get(col)
@@ -453,8 +479,10 @@ class TxnTable:
         if meta is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         keep = self.files_matching_any(col, ranges, version)
-        pred = reduce(
-            or_, [F.col(col).between(lo, hi) for lo, hi in ranges]
+        pred = (
+            reduce(or_, [F.col(col).between(lo, hi) for lo, hi in ranges])
+            if ranges
+            else F.lit(False)  # empty disjunction: no row matches
         )
         if not keep:
             return self.spark.createDataFrame([], meta.schema()).where(pred)
@@ -507,6 +535,40 @@ class TxnTable:
     ) -> DataFrame:
         """Single-column form of :meth:`snapshot_where_ranges`."""
         return self.snapshot_where_ranges({col: (lo, hi)}, version)
+
+    def file_diffs(
+        self, v_from: int, v_to: int
+    ) -> list[tuple[int, list[str], list[str]]]:
+        """Per-version manifest file diffs over (``v_from``,
+        ``v_to``]: [(version, added files, removed files), ...].
+        Costs ONE snapshot reconstruction (at ``v_from``) plus one
+        manifest read per version — the incremental-consumer shape; a
+        naive per-version ``table_changes`` loop would reconstruct two
+        full snapshots (checkpoint + tail replay) for every step.
+        ``v_from=0`` starts from the empty pre-table state."""
+        meta = self.snapshot_meta(v_from) if v_from else None
+        if meta is None and v_from != 0:
+            raise FileNotFoundError(f"version {v_from} not committed")
+        files: list[str] = list(meta.files) if meta else []
+        out = []
+        for v in range(v_from + 1, v_to + 1):
+            m = self._read_manifest(v)
+            op, add = m["operation"], list(m.get("add", ()))
+            if op == "append":
+                new = files + add
+            elif op == "overwrite":
+                new = add
+            elif op in ("compact", "merge", "delete"):
+                removed = set(m.get("remove", ()))
+                new = sorted(f for f in files if f not in removed) + add
+            else:  # pragma: no cover
+                raise ValueError(f"unknown operation {op!r} at v{v}")
+            out.append(
+                (v, sorted(set(new) - set(files)),
+                 sorted(set(files) - set(new)))
+            )
+            files = new
+        return out
 
     def table_changes(self, v_from: int, v_to: int) -> DataFrame:
         """Change data feed between two committed versions: every row

@@ -100,14 +100,17 @@ def test_bloom_incremental_build_touches_only_new_files(spark, tmp_path):
     assert build_bloom_index(t, ["uid"]) == 0  # idempotent
 
 
-def test_bloom_second_column_extends_sidecar_doc(spark, tmp_path):
+def test_bloom_second_column_independent_sidecars(spark, tmp_path):
     t = _interleaved_table(spark, str(tmp_path / "t"), n_files=2)
     build_bloom_index(t, ["uid"])
     built = build_bloom_index(t, ["n"])
     assert built == 2
+    # one document per (file, column): concurrent per-column builds
+    # can never clobber each other through a shared doc
     f = t.snapshot_meta().files[0]
-    doc = json.loads(_sidecar_path(t.root, f).read_text())
-    assert set(doc) == {"uid", "n"}
+    for col in ("uid", "n"):
+        doc = json.loads(_sidecar_path(t.root, f, col).read_text())
+        assert {"m", "k", "bits"} <= set(doc)
     # numeric column probes work too
     got = snapshot_where_eq(t, "n", [5]).collect()
     assert len(got) == 1 and got[0].uid == "user-5"

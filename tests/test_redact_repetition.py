@@ -26,6 +26,9 @@ def pii_docs(spark):
         (2, "server at 192.168.1.254 responded; card 4111111111111111 used"),
         (3, "clean text with number 42 and version 3.14 only"),
         (4, "a123456789@b.com mailed twice: a123456789@b.com"),
+        (5, "Released on 2026-08-14, meet 14.08.2026, build 10.15.70, "
+            "window 2026-08-14T10:15:00, ids 123-456, order 123-456-7890-1"),
+        (6, "ring (212) 555-0123 or +44 20 7946 0958"),
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -42,6 +45,11 @@ def test_redact_planted_pii_exact(spark, pii_docs):
     assert got[2].n_ipv4 == 1 and got[2].n_id_number == 1
     assert got[4].n_email == 2
     assert got[3].n_email == got[3].n_ipv4 == got[3].n_phone == 0
+    # precision contract: dates / versions / id pairs are NOT phones
+    assert got[5].text == got[5].text and got[5].n_phone == 0
+    assert "2026-08-14" in got[5].text and "10.15.70" in got[5].text
+    # marker-bearing shapes (area code, +country) still redact
+    assert got[6].text == "ring <PHONE> or <PHONE>" and got[6].n_phone == 2
 
 
 def test_redact_keep_original_and_custom_patterns(spark, pii_docs):
@@ -58,7 +66,7 @@ def test_redact_keep_original_and_custom_patterns(spark, pii_docs):
 
 def test_pii_stats_audit(spark, pii_docs):
     s = pii_stats(pii_docs).collect()[0]
-    assert s.n_docs == 4
+    assert s.n_docs == 6
     assert s.total_email == 3 and s.docs_with_email == 2
     assert s.total_ipv4 == 1 and s.docs_with_ipv4 == 1
     grouped = pii_stats(
@@ -131,4 +139,4 @@ def test_redacted_text_composes_with_arrow_stages(spark, pii_docs):
     hashed = red.select(
         "doc_id", window_hashes_pandas_udf(2)(F.col("text")).alias("wh")
     )
-    assert hashed.count() == 4
+    assert hashed.count() == 6

@@ -112,3 +112,56 @@ def test_index_optimize_compacts_append_tail(spark, emb, tmp_path):
     files_after = len(idx.postings_tbl.snapshot_meta().files)
     assert files_after < files_before
     assert idx.postings_tbl.snapshot().count() == emb.count() + 3
+
+
+def test_index_rebuild_atomic_and_gc(spark, emb, tmp_path):
+    """Rebuilds are atomic via build epochs: postings land first
+    (invisible), centroids publish last; a crash between the two
+    leaves readers on the complete OLD index; gc reclaims old
+    builds."""
+    path = str(tmp_path / "ivf")
+    IvfIndex.build(spark, path, emb, id_col="vec_id", n_cells=4)
+    idx = IvfIndex(spark, path, id_col="vec_id")
+    assert idx.current_build() == 1
+    n = emb.count()
+
+    # simulate a crashed rebuild: postings appended for build 2,
+    # centroids never published
+    centroids = idx.centroids()
+    orphan = idx._assign(emb.limit(7), centroids, "embedding", 2)
+    idx.postings_tbl.append(orphan, stats_cols=("cell", "build"))
+    assert idx.current_build() == 1  # readers still on build 1
+    assert idx.cell_sizes().agg(F.sum("n_vectors")).collect()[0][0] == n
+    q = emb.where(F.col("vec_id") < 2)
+    before = _rows(idx.query(q, k=5, nprobe=4))
+
+    # a later rebuild must SKIP the orphaned epoch (no reuse)
+    idx2 = IvfIndex.build(spark, path, emb, id_col="vec_id", n_cells=4)
+    assert idx2.current_build() == 3
+    after = _rows(idx2.query(q, k=5, nprobe=4))
+    assert after == before  # same corpus, same deterministic quantizer
+    # gc drops builds 1 and 2; current results unchanged
+    idx2.gc()
+    builds = [
+        r.build for r in
+        idx2.postings_tbl.snapshot().select("build").distinct().collect()
+    ]
+    assert builds == [3]
+    assert _rows(idx2.query(q, k=5, nprobe=4)) == after
+
+
+def test_index_empty_query_batch(spark, emb, tmp_path):
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "ivf"), emb, id_col="vec_id", n_cells=4
+    )
+    got = idx.query(emb.where(F.col("vec_id") < 0), k=5, nprobe=2)
+    assert got.count() == 0
+    assert got.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+
+
+def test_index_query_batch_bound(spark, emb, tmp_path):
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "ivf"), emb, id_col="vec_id", n_cells=4
+    )
+    with pytest.raises(ValueError, match="max_query_batch"):
+        idx.query(emb, k=5, nprobe=2, max_query_batch=3)
