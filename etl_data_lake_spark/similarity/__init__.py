@@ -1,4 +1,5 @@
 from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+from etl_data_lake_spark.similarity.index import IvfIndex
 from etl_data_lake_spark.similarity.ivf import ivf_topk
 from etl_data_lake_spark.similarity.lsh import lsh_bucket_topk, with_lsh_buckets
 from etl_data_lake_spark.similarity.pq import pq_encode, pq_topk
@@ -10,4 +11,5 @@ __all__ = [
     "ivf_topk",
     "pq_encode",
     "pq_topk",
+    "IvfIndex",
 ]

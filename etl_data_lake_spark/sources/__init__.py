@@ -1,3 +1,13 @@
 from etl_data_lake_spark.sources.catalog import TABLES, load_table, load_tables
+from etl_data_lake_spark.sources.merge import MergeResult, merge_into
+from etl_data_lake_spark.sources.txn import ConcurrentWriteError, TxnTable
 
-__all__ = ["TABLES", "load_table", "load_tables"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "TxnTable",
+    "ConcurrentWriteError",
+    "merge_into",
+    "MergeResult",
+]

@@ -359,9 +359,18 @@ class TxnTable:
             return None
         return self._reconstruct(v, ck)[1]
 
-    def history(self) -> list[dict]:
+    def history(
+        self, limit: int | None = None, before: int | None = None
+    ) -> list[dict]:
+        """Commit log, oldest first. ``limit``/``before`` page it from
+        the newest end (``before`` exclusive): at 10⁵ commits
+        ``history(limit=20)`` reads 20 manifests, not the whole log —
+        the full walk is only the cost of actually asking for
+        everything."""
+        hi = self.latest_version() if before is None else before - 1
+        lo = 1 if limit is None else max(1, hi - limit + 1)
         out = []
-        for v in range(1, self.latest_version() + 1):
+        for v in range(lo, hi + 1):
             m = self._read_manifest(v)
             out.append(
                 {

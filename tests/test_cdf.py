@@ -171,3 +171,14 @@ def test_rewrite_rebase_preserves_concurrently_evolved_schema(spark, tmp_path):
     assert "extra" in snap.columns
     got = {r.id: r.extra for r in snap.collect()}
     assert got == {1: None, 2: None, 3: 9}
+
+
+def test_history_paging(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for i in range(5):
+        t.append(_kv(spark, (i, f"r{i}")))
+    full = t.history()
+    assert [h["version"] for h in full] == [1, 2, 3, 4, 5]
+    assert [h["version"] for h in t.history(limit=2)] == [4, 5]
+    assert [h["version"] for h in t.history(limit=2, before=4)] == [2, 3]
+    assert t.history(limit=10) == full
