@@ -153,8 +153,12 @@ class Snapshot:
     files: tuple[str, ...]  # relative to the table root
     schema_json: str
     writer_txns: dict[str, int]  # app_id -> highest applied txn_seq
-    # relpath -> {col -> [min, max]} for stats-tracked columns; files
-    # without an entry are never skipped
+    # relpath -> {col -> entry} for stats-tracked columns, where entry
+    # is [min, max] (ranges only), [min, max, null_count, num_rows]
+    # (both), or [None, None, null_count, num_rows] (all-null column —
+    # nulls known, no range). Readers index [0]/[1] for range proofs
+    # (treating a None min as unknown) and [2]/[3] for null skipping;
+    # files without an entry are never skipped
     file_stats: dict[str, dict[str, list]]
 
     def schema(self) -> StructType:
@@ -442,7 +446,13 @@ class TxnTable:
             ok = True
             for col, (lo, hi) in ranges.items():
                 rng = meta.file_stats.get(f, {}).get(col)
-                if rng is not None and (rng[0] > hi or rng[1] < lo):
+                # rng[0] is None for a nulls-only entry (all-null
+                # column): no range knowledge -> conservatively kept
+                if (
+                    rng is not None
+                    and rng[0] is not None
+                    and (rng[0] > hi or rng[1] < lo)
+                ):
                     ok = False
                     break
             if ok:
@@ -467,7 +477,7 @@ class TxnTable:
         keep = []
         for f in meta.files:
             rng = meta.file_stats.get(f, {}).get(col)
-            if rng is None or any(
+            if rng is None or rng[0] is None or any(
                 not (rng[0] > hi or rng[1] < lo) for lo, hi in ranges
             ):
                 keep.append(f)
@@ -544,6 +554,51 @@ class TxnTable:
     ) -> DataFrame:
         """Single-column form of :meth:`snapshot_where_ranges`."""
         return self.snapshot_where_ranges({col: (lo, hi)}, version)
+
+    def files_matching_null(
+        self, col: str, is_null: bool = True, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Null-predicate file skipping → (files that can contain a
+        matching row, total). Stats entries carry the footer's
+        null_count and row count (when the footer knows them), so
+        ``IS NULL`` skips files with zero nulls and ``IS NOT NULL``
+        skips all-null files — the two shapes min/max ranges cannot
+        see. Files without null knowledge are conservatively kept."""
+        meta = self.snapshot_meta(version)
+        if meta is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        keep = []
+        for f in meta.files:
+            rng = meta.file_stats.get(f, {}).get(col)
+            nc = rng[2] if rng is not None and len(rng) >= 4 else None
+            rows = rng[3] if rng is not None and len(rng) >= 4 else None
+            if nc is None:
+                keep.append(f)  # unknown -> conservative
+            elif is_null and nc > 0:
+                keep.append(f)
+            elif not is_null and nc < rows:
+                keep.append(f)
+        return keep, len(meta.files)
+
+    def snapshot_where_null(
+        self, col: str, is_null: bool = True, version: int | None = None
+    ) -> DataFrame:
+        """The table filtered to ``col IS [NOT] NULL`` with null-count
+        file skipping; exact via the residual row filter."""
+        from pyspark.sql import functions as F
+
+        meta = self.snapshot_meta(version)
+        if meta is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        keep, _ = self.files_matching_null(col, is_null, version)
+        pred = F.col(col).isNull() if is_null else F.col(col).isNotNull()
+        if not keep:
+            return self.spark.createDataFrame([], meta.schema()).where(pred)
+        return (
+            self.spark.read.schema(meta.schema())
+            .parquet(*[str(self.root / f) for f in keep])
+            .where(pred)
+        )
 
     def file_diffs(
         self, v_from: int, v_to: int
@@ -657,19 +712,40 @@ class TxnTable:
                     if col not in md.schema.names:
                         continue
                     idx = md.schema.names.index(col)
-                    mins, maxs = [], []
+                    # min/max and null counts tracked INDEPENDENTLY: a
+                    # footer can know one without the other (an
+                    # all-null column has null counts but no min/max)
+                    mins, maxs, nulls = [], [], []
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(idx).statistics
-                        if st is None or not st.has_min_max:
-                            mins = []
-                            break
-                        mins.append(st.min)
-                        maxs.append(st.max)
-                    if mins and all(
-                        isinstance(v, (int, float, str))
-                        for v in (min(mins), max(maxs))
-                    ):
+                        if st is not None and st.has_min_max:
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                        if st is not None and st.null_count is not None:
+                            nulls.append(st.null_count)
+                    have_mm = (
+                        len(mins) == md.num_row_groups
+                        and all(
+                            isinstance(v, (int, float, str))
+                            for v in (min(mins), max(maxs))
+                        )
+                        if mins
+                        else False
+                    )
+                    have_nc = len(nulls) == md.num_row_groups
+                    # entry shapes (readers index [0]/[1] for ranges
+                    # and, when len >= 4, [2]/[3] for null skipping):
+                    #   [min, max]                   ranges only
+                    #   [min, max, nulls, rows]      both
+                    #   [None, None, nulls, rows]    nulls only
+                    if have_mm and have_nc:
+                        per_col[col] = [
+                            min(mins), max(maxs), sum(nulls), md.num_rows,
+                        ]
+                    elif have_mm:
                         per_col[col] = [min(mins), max(maxs)]
+                    elif have_nc:
+                        per_col[col] = [None, None, sum(nulls), md.num_rows]
                 if per_col:
                     stats[rel] = per_col
         return files, df.schema.json(), stats
@@ -806,7 +882,10 @@ class TxnTable:
                         base_files - set(replaced) - set(guard_exempt)
                     ):
                         rng = fstats.get(f, {}).get(gcol)
-                        if rng is None or any(
+                        # a nulls-only entry ([None, None, ...]) gives
+                        # no range proof -> conservatively conflicts,
+                        # same as a file with no stats at all
+                        if rng is None or rng[0] is None or any(
                             not (rng[0] > hi or rng[1] < lo)
                             for lo, hi in granges
                         ):

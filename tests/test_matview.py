@@ -217,7 +217,7 @@ def test_range_refresh_rewrites_only_touched_range(spark, tmp_path):
     assert rewritten, "the touched range's file must be rewritten"
     # every survivor is provably disjoint from [10, 19]
     for f in survivors:
-        lo, hi = meta0.file_stats[f]["k"]
+        lo, hi = meta0.file_stats[f]["k"][:2]
         assert hi < 10 or lo > 19
     # every file NOT rewritten-or-added intersects nothing; result exact
     assert {

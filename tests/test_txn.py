@@ -633,7 +633,7 @@ def test_replace_where_ranges_scattered_backfill(spark, tmp_path):
     survivors = before & after
     meta = t.snapshot_meta()
     surv_ranges = sorted(
-        tuple(meta.file_stats[f]["id"]) for f in survivors
+        tuple(meta.file_stats[f]["id"][:2]) for f in survivors
     )
     assert survivors
     for lo_f, hi_f in surv_ranges:
@@ -724,3 +724,43 @@ def test_replace_where_no_affected_files_keeps_table_schema(
     assert set(snap.columns) == {"id", "extra"}
     assert snap.where("extra is not null").count() == 10
     assert snap.count() == 20
+
+
+def test_null_count_stats_skip_files(spark, tmp_path):
+    """Null-count stats ([min, max, nulls, rows] / [None, None, nulls,
+    rows] entries): IS NULL skips zero-null files, IS NOT NULL skips
+    all-null files, and every range reader treats nulls-only entries
+    as conservatively unknown."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "id int, s string").coalesce(1)
+    t.append(mk([(1, "a"), (2, "b")]), stats_cols=("id",))            # no nulls
+    t.append(mk([(10, "c"), (None, "d")]), stats_cols=("id",))        # mixed
+    t.append(mk([(None, "e"), (None, "f")]), stats_cols=("id",))      # all null
+    meta = t.snapshot_meta()
+    assert len(meta.files) == 3
+
+    keep, total = t.files_matching_null("id", is_null=True)
+    assert total == 3 and len(keep) == 2  # zero-null file skipped
+    keep, _ = t.files_matching_null("id", is_null=False)
+    assert len(keep) == 2  # all-null file skipped
+
+    assert sorted(
+        r.s for r in t.snapshot_where_null("id", is_null=True).collect()
+    ) == ["d", "e", "f"]
+    assert sorted(
+        r.s for r in t.snapshot_where_null("id", is_null=False).collect()
+    ) == ["a", "b", "c"]
+
+    # the all-null file has a nulls-only entry: range readers keep it
+    # conservatively (it could never match, but they cannot prove it)
+    keep, _ = t.files_matching({"id": (0, 100)})
+    assert len(keep) == 3
+    # file [1,2] intersects (0,5): kept; file [10,10] disjoint:
+    # skipped; all-null file kept conservatively -> 2
+    assert len(t.files_matching_any("id", [(0, 5)])) == 2
+
+    # stats survive a checkpointed read (ride the same structures)
+    for i in range(10):
+        t.append(mk([(100 + i, "x")]), stats_cols=("id",))
+    keep, _ = t.files_matching_null("id", is_null=True)
+    assert len(keep) == 2  # still only mixed + all-null can hold nulls
