@@ -32,6 +32,17 @@ from etl_data_lake_spark.streaming.events import (
 
 _run_seq = count()
 
+# State-store partitions for these BOUNDED availableNow replays. The
+# emitted results are partition-count-invariant; what the setting
+# controls is the fixed floor of initializing one HDFS-backed state
+# store per partition per stateful operator PER RUN, which at test
+# scale dominates the actual work (a two-sided stream-stream join at
+# 32 partitions pays 64 store inits for kilobytes of state). A
+# long-lived cluster job sizes this to sustained throughput via the
+# same conf; 8 keeps local[8..32] fully parallel while cutting the
+# per-run floor 4x.
+_STATE_PARTS = 8
+
 
 def _unique(name: str) -> str:
     # memory-sink table names are session-global; never reuse one
@@ -53,7 +64,9 @@ def _unique(name: str) -> str:
 )
 def stream_tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = tumbling_counts(event_stream(spark, sf_dir))
-    return run_available_now(stream, _unique("tumble"))
+    return run_available_now(
+        stream, _unique("tumble"), shuffle_partitions=_STATE_PARTS
+    )
 
 
 @register(
@@ -107,7 +120,10 @@ def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted set = sessions closed by a successor event or by the final
     event-time watermark."""
     stream = sessionize_stream(event_stream(spark, sf_dir), gap_minutes=30)
-    return run_available_now(stream, _unique("sess"), output_mode="append")
+    return run_available_now(
+        stream, _unique("sess"), output_mode="append",
+        shuffle_partitions=_STATE_PARTS,
+    )
 
 
 @register(
@@ -134,7 +150,9 @@ def stream_sliding_window_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_lake_spark.streaming.events import sliding_counts
 
     stream = sliding_counts(event_stream(spark, sf_dir))
-    return run_available_now(stream, _unique("slide"))
+    return run_available_now(
+        stream, _unique("slide"), shuffle_partitions=_STATE_PARTS
+    )
 
 
 _ATTRIBUTION_ORACLE = """
@@ -165,7 +183,10 @@ def stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFram
     from etl_data_lake_spark.streaming.events import attribution_join
 
     stream = attribution_join(event_stream(spark, sf_dir))
-    return run_available_now(stream, _unique("attr"), output_mode="append")
+    return run_available_now(
+        stream, _unique("attr"), output_mode="append",
+        shuffle_partitions=_STATE_PARTS,
+    )
 
 
 @register(
@@ -185,4 +206,7 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = event_stream(spark, sf_dir)
     redelivered = s.union(event_stream(spark, sf_dir))
     stream = dedup_exactly_once(redelivered)
-    return run_available_now(stream, _unique("dedup"), output_mode="append")
+    return run_available_now(
+        stream, _unique("dedup"), output_mode="append",
+        shuffle_partitions=_STATE_PARTS,
+    )

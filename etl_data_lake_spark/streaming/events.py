@@ -225,7 +225,10 @@ def dedup_exactly_once(events: DataFrame, watermark: str = "1 hour") -> DataFram
 
 
 def run_available_now(
-    result: DataFrame, query_name: str = "snap", output_mode: str = "complete"
+    result: DataFrame,
+    query_name: str = "snap",
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over the currently
     available data (availableNow trigger → memory sink) and return the
@@ -234,18 +237,37 @@ def run_available_now(
     ``complete`` for windowed aggregations (append would hold back
     windows the watermark hasn't closed); ``append`` for stateful
     flatMap-style operators which mandate it.
-    """
+
+    ``shuffle_partitions`` overrides the STATE-STORE partition count
+    for this stream only (the conf is read at stream start and then
+    frozen into the checkpoint; restored afterwards). Stateful-op
+    results are partition-count-invariant — what changes is the fixed
+    per-run floor of initializing one HDFS-backed state store per
+    partition per stateful operator, which dominates a bounded
+    availableNow replay at test scale. A long-lived cluster deployment
+    sizes this to throughput instead (it is a conf, not a code
+    shape)."""
     spark = result.sparkSession
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    prev = None
+    try:
+        if shuffle_partitions is not None:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                result.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
 
 
