@@ -114,3 +114,80 @@ def test_merge_matview_cdc_pipeline(spark, tmp_path):
     assert src.snapshot(version=1).count() == 2
     ops = [h["operation"] for h in src.history()]
     assert ops[0] in ("append", "merge") and "delete" in ops
+
+
+def test_txn_true_concurrent_appends_stress(spark, tmp_path):
+    """Deterministic interleavings are pinned in test_txn; this is the
+    real thing: 6 threads x 4 appends race os.link-published commits.
+    Every commit must land (dense versions, no lost rows, per-file
+    stats present), exercising the rebase loop under genuine
+    contention."""
+    import threading
+
+    path = str(tmp_path / "t")
+    errs = []
+
+    def writer(wid: int):
+        try:
+            t = TxnTable(spark, path)
+            for j in range(4):
+                t.append(
+                    spark.createDataFrame(
+                        [(wid * 100 + j, wid)], "id long, w long"
+                    ).coalesce(1),
+                    stats_cols=("id",),
+                )
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    t = TxnTable(spark, path)
+    assert t.latest_version() == 24  # every commit won exactly one slot
+    rows = sorted(r.id for r in t.snapshot().collect())
+    assert rows == sorted(w * 100 + j for w in range(6) for j in range(4))
+    meta = t.snapshot_meta()
+    assert len(meta.files) == 24
+    assert all("id" in meta.file_stats.get(f, {}) for f in meta.files)
+
+
+def test_merge_concurrent_disjoint_merges_stress(spark, tmp_path):
+    """Two threads merge key ranges living in DISJOINT FILES
+    concurrently: tight guards + rebase must let both land without
+    conflict and without losing either's rows. (Merges rewriting the
+    SAME file conflict by design — that case is pinned in
+    test_merge.)"""
+    import threading
+
+    path = str(tmp_path / "t")
+    t0 = TxnTable(spark, path)
+    t0.append(_batch(spark, (1, 10, 1)).coalesce(1), stats_cols=("user_id",))
+    t0.append(
+        _batch(spark, (1000, 20, 1)).coalesce(1), stats_cols=("user_id",)
+    )
+    errs = []
+
+    def do_merge(lo: int):
+        try:
+            merge_into(
+                TxnTable(spark, path),
+                _batch(spark, (lo, 77, 1), (lo + 1, 88, 1)),
+                ["user_id", "day"],
+                stats_cols=("user_id",),
+            )
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    a = threading.Thread(target=do_merge, args=(1,))
+    b = threading.Thread(target=do_merge, args=(1000,))
+    a.start(); b.start(); a.join(); b.join()
+    assert not errs
+    got = {
+        r.user_id: r.amount
+        for r in TxnTable(spark, path).snapshot().collect()
+    }
+    assert got == {1: 77, 2: 88, 1000: 77, 1001: 88}
