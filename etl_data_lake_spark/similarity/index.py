@@ -57,6 +57,12 @@ from etl_data_lake_spark.similarity.ivf import (
     refine_centroids,
     sample_centroids,
 )
+from etl_data_lake_spark.similarity.pq import (
+    _adc_partial_topk,
+    _adc_tables,
+    _encode_udf,
+    train_codebooks,
+)
 from etl_data_lake_spark.sources.txn import TxnTable
 
 
@@ -69,6 +75,7 @@ class IvfIndex:
         self.id_col = id_col
         self.centroids_tbl = TxnTable(spark, f"{self.path}/centroids")
         self.postings_tbl = TxnTable(spark, f"{self.path}/postings")
+        self.books_tbl = TxnTable(spark, f"{self.path}/codebooks")
 
     # ------------------------------------------------------- build --
 
@@ -83,6 +90,9 @@ class IvfIndex:
         kmeans_iters: int = 2,
         train_factor: int = 64,
         shards: int | None = None,
+        pq_m: int | None = None,
+        pq_ks: int = 32,
+        pq_iters: int = 8,
     ) -> "IvfIndex":
         """Train the quantizer on a bounded hash-spread sample (same
         deterministic rule as ivf_topk — one scan, tiny collect),
@@ -92,7 +102,18 @@ class IvfIndex:
         ``shards`` bounds the posting file count (default
         min(n_cells, 32)); range-partitioning by cell + within-file
         sort keeps every file's cell-span tight, which is what makes
-        probe-time manifest pruning sharp."""
+        probe-time manifest pruning sharp.
+
+        ``pq_m`` turns the index into IVF-PQ (the FAISS composite,
+        Jégou 2011): product-quantization codebooks train on the SAME
+        bounded sample and every posting also stores its ``pq_m``-byte
+        code, so ADC queries scan probed cells reading ONLY
+        (id, cell, codes) — the fat vector column stays unread until
+        the exact refine touches the few candidates. Codebooks publish
+        between postings and centroids; the centroid commit remains
+        the single atomic switch."""
+        import numpy as np
+
         idx = IvfIndex(spark, path, id_col)
         train = sample_centroids(
             corpus, n_cells * max(train_factor, 1), id_col, vec_col
@@ -102,14 +123,35 @@ class IvfIndex:
         )
         if not centroids:
             raise ValueError("cannot build an IVF index over an empty corpus")
+        books = None
+        if pq_m is not None:
+            books = train_codebooks(
+                np.asarray(train, dtype=np.float64), pq_m, pq_ks,
+                iters=pq_iters,
+            )
         build_no = idx._next_build()
-        assigned = idx._assign(corpus, centroids, vec_col, build_no)
+        assigned = idx._assign(corpus, centroids, vec_col, build_no, books)
         shards = shards if shards is not None else min(max(n_cells, 1), 32)
         idx.postings_tbl.append(
             assigned.repartitionByRange(shards, "cell")
             .sortWithinPartitions("cell"),
             stats_cols=("cell", "build"),
         )
+        if books is not None:
+            m, ks, _ = books.shape
+            bdf = spark.createDataFrame(
+                [
+                    (build_no, s, c, [float(x) for x in books[s, c]])
+                    for s in range(m)
+                    for c in range(ks)
+                ],
+                "build long, s int, code int, centroid array<double>",
+            )
+            # APPEND per epoch (not overwrite): a crash before the
+            # centroid publish must leave the OLD build's codebooks
+            # intact, or its ADC path would break — same epoch rule as
+            # postings; gc() reclaims superseded builds' books
+            idx.books_tbl.append(bdf, stats_cols=("build",))
         cdf = spark.createDataFrame(
             [(build_no, i, list(c)) for i, c in enumerate(centroids)],
             "build long, cell int, centroid array<double>",
@@ -129,10 +171,11 @@ class IvfIndex:
         return int(row.b or 0) + 1
 
     def _assign(
-        self, df: DataFrame, centroids, vec_col: str, build_no: int
+        self, df: DataFrame, centroids, vec_col: str, build_no: int,
+        books=None,
     ) -> DataFrame:
         assign = _probe_udf(centroids, 1)
-        return (
+        out = (
             df.select(
                 F.col(self.id_col).alias("id"),
                 as_double(vec_col).alias("vec"),
@@ -140,6 +183,32 @@ class IvfIndex:
             .withColumn("cell", F.element_at(assign(F.col("vec")), 1))
             .withColumn("build", F.lit(build_no).cast("long"))
         )
+        if books is not None:
+            out = out.withColumn("codes", _encode_udf(books)(F.col("vec")))
+        return out
+
+    def _codebooks(self, build_no: int):
+        """PQ codebooks for ``build_no`` as an (m, ks, sd) array, or
+        None for a plain-IVF index."""
+        import numpy as np
+
+        if self.books_tbl.latest_version() == 0:
+            return None
+        rows = (
+            self.books_tbl.snapshot()
+            .where(F.col("build") == build_no)
+            .orderBy("s", "code")
+            .collect()
+        )
+        if not rows:
+            return None
+        m = rows[-1].s + 1
+        ks = rows[-1].code + 1
+        sd = len(rows[0].centroid)
+        books = np.empty((m, ks, sd))
+        for r in rows:
+            books[r.s, r.code] = r.centroid
+        return books
 
     def _quantizer(self) -> tuple[int, list[list[float]]]:
         """(current build, centroids) — resolved from the centroids
@@ -191,7 +260,10 @@ class IvfIndex:
         any txn append, so a streaming foreachBatch can maintain the
         index exactly-once."""
         build_no, centroids = self._quantizer()
-        assigned = self._assign(vectors, centroids, vec_col, build_no)
+        assigned = self._assign(
+            vectors, centroids, vec_col, build_no,
+            books=self._codebooks(build_no),
+        )
         return self.postings_tbl.append(
             assigned,
             app_id=app_id,
@@ -206,14 +278,19 @@ class IvfIndex:
         )
 
     def gc(self) -> int:
-        """Drop postings of superseded builds (stats-pruned row-level
-        delete — only files of old builds are rewritten/removed).
-        Run after a rebuild settles; readers of the current build are
-        untouched."""
+        """Drop postings (and codebooks) of superseded builds —
+        stats-pruned row-level deletes, only old builds' files are
+        rewritten/removed. Run after a rebuild settles; readers of the
+        current build are untouched."""
         cur = self.current_build()
-        return self.postings_tbl.delete_where(
+        v = self.postings_tbl.delete_where(
             "build", 0, cur - 1, stats_cols=("cell", "build")
         )
+        if self.books_tbl.latest_version() > 0:
+            self.books_tbl.delete_where(
+                "build", 0, cur - 1, stats_cols=("build",)
+            )
+        return v
 
     def cell_sizes(self) -> DataFrame:
         """(cell, n_vectors) for the current build — the skew/drift
@@ -310,5 +387,134 @@ class IvfIndex:
             F.desc("cos_sim"), F.asc("neighbor_id")
         )
         return scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).where(F.col("rank") <= k)
+
+    def query_adc(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        refine_factor: int = 4,
+        vec_col: str = "embedding",
+        max_query_batch: int = 100_000,
+    ) -> DataFrame:
+        """IVF-PQ query (requires a ``pq_m`` build): probed cells are
+        scanned reading ONLY (id, cell, codes) — the fat vector column
+        is untouched by scoring — and each Arrow batch emits its
+        per-query ADC top-(k·refine_factor) partial, so the exchange
+        carries candidates, not postings (pq.py's map-side-partial
+        contract, now composed under the cell pruning). The exact
+        JVM-fold cosine re-scores the candidates from the postings'
+        vector column, so emitted scores keep the bit-deterministic
+        contract of every ANN path here. refine_factor covering the
+        probed cells ⇒ identical to :meth:`query` at equal nprobe
+        (test-pinned)."""
+        import numpy as np
+
+        build_no, centroids = self._quantizer()
+        books = self._codebooks(build_no)
+        if books is None:
+            raise ValueError(
+                "query_adc needs an IVF-PQ build (pq_m=...); this index "
+                "has no codebooks"
+            )
+        probe = _probe_udf(centroids, nprobe)
+        q = queries.select(
+            F.col(self.id_col).alias("query_id"),
+            as_double(vec_col).alias("qv"),
+        )
+        qrows = q.select(
+            "query_id", "qv", probe(F.col("qv")).alias("cells")
+        ).limit(max_query_batch + 1).collect()
+        if len(qrows) > max_query_batch:
+            raise ValueError(
+                f"query batch exceeds max_query_batch={max_query_batch}"
+            )
+        if not qrows:
+            sch = q.select(
+                F.col("query_id"),
+                F.col("query_id").alias("neighbor_id"),
+                F.lit(0.0).alias("cos_sim"),
+                F.lit(0).cast("long").alias("rank"),
+            ).schema
+            return self.spark.createDataFrame([], sch)
+        probed = sorted({c for r in qrows for c in r.cells})
+        query_mat = np.asarray([list(r.qv) for r in qrows], dtype=np.float64)
+
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        id_type = q.schema["query_id"].dataType
+        q_idx = self.spark.createDataFrame(
+            [(i, r.query_id) for i, r in enumerate(qrows)],
+            StructType(
+                [
+                    StructField("q_i", IntegerType()),
+                    StructField("query_id", id_type),
+                ]
+            ),
+        )
+        # narrow scan: column pruning drops `vec` at the parquet read;
+        # `cell` rides along so the partial can enforce PER-QUERY
+        # probe sets (a query scores its cells, not the batch union)
+        codes = self._postings(build_no, probed).select(
+            F.col("id").alias("neighbor_id"), "codes", "cell"
+        )
+        tabs = _adc_tables(books, query_mat)
+        m = books.shape[0]
+        n_keep = k * refine_factor + 1
+        cell_sets = [set(int(c) for c in r.cells) for r in qrows]
+        partial = codes.mapInPandas(
+            _adc_partial_topk(tabs, m, n_keep, cell_sets=cell_sets),
+            schema=StructType(
+                [
+                    StructField("neighbor_id", id_type),
+                    StructField("q_i", IntegerType()),
+                    StructField("adc", DoubleType()),
+                ]
+            ),
+        )
+        cand_w = Window.partitionBy("query_id").orderBy(
+            F.desc("adc"), F.asc("neighbor_id")
+        )
+        cands = (
+            partial.join(F.broadcast(q_idx), "q_i")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("_r", F.row_number().over(cand_w))
+            .where(F.col("_r") <= k * refine_factor)
+            .select("query_id", "neighbor_id")
+        )
+        cv = self._postings(build_no, probed).select(
+            F.col("id").alias("neighbor_id"), F.col("vec").alias("cv")
+        )
+        from pyspark.sql.types import ArrayType
+
+        qv = self.spark.createDataFrame(
+            [(r.query_id, [float(x) for x in r.qv]) for r in qrows],
+            StructType(
+                [
+                    StructField("query_id", id_type),
+                    StructField("qv", ArrayType(DoubleType())),
+                ]
+            ),
+        )
+        exact = (
+            cands.join(cv, "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return exact.withColumn(
             "rank", F.row_number().over(w).cast("long")
         ).where(F.col("rank") <= k)

@@ -143,7 +143,7 @@ def _adc_tables(books: np.ndarray, query_mat: np.ndarray) -> np.ndarray:
 
 
 def _adc_partial_topk(
-    tabs: np.ndarray, m: int, n_keep: int
+    tabs: np.ndarray, m: int, n_keep: int, cell_sets=None
 ):
     """mapInPandas generator: (neighbor_id, codes) batches → the
     per-batch top-``n_keep`` ADC candidates PER QUERY as
@@ -158,7 +158,13 @@ def _adc_partial_topk(
     correct partial for the global top-n because batch membership
     partitions the corpus; ties break exactly like the global cut
     (adc desc, neighbor_id asc), so union-of-partials ⊇ global top-n
-    deterministically."""
+    deterministically.
+
+    ``cell_sets`` (IVF-PQ composition): per-query sets of probed IVF
+    cells; batches must then carry a ``cell`` column, and a row only
+    scores for the queries whose probe set owns its cell — each query
+    sees ITS cells, not the batch union (index.query_adc's per-query
+    semantics, matching plain `IvfIndex.query`)."""
 
     def gen(batches):
         for pdf in batches:
@@ -171,6 +177,11 @@ def _adc_partial_topk(
                 # tabs[:, s, codes[:, s]] → (n_q, n); accumulate
                 # transposed, fixed subspace order (determinism)
                 scores += tabs[:, s, :][:, codes[:, s]].T
+            sc_t = scores.T  # (n_q, n)
+            if cell_sets is not None:
+                cells = pdf["cell"].to_numpy()
+                for qi, cs in enumerate(cell_sets):
+                    sc_t[qi, ~np.isin(cells, sorted(cs))] = -np.inf
             long = pd.DataFrame(
                 {
                     "neighbor_id": np.tile(
@@ -179,9 +190,11 @@ def _adc_partial_topk(
                     "q_i": np.repeat(
                         np.arange(n_q, dtype=np.int32), len(codes)
                     ),
-                    "adc": scores.T.reshape(-1),
+                    "adc": sc_t.reshape(-1),
                 }
             )
+            if cell_sets is not None:
+                long = long[np.isfinite(long["adc"].to_numpy())]
             yield (
                 long.sort_values(
                     ["q_i", "adc", "neighbor_id"],

@@ -165,3 +165,74 @@ def test_index_query_batch_bound(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="max_query_batch"):
         idx.query(emb, k=5, nprobe=2, max_query_batch=3)
+
+
+# ------------------------------------------------------------ IVF-PQ --
+
+
+def test_ivfpq_full_refine_matches_exact_query(spark, emb, tmp_path):
+    """ADC candidates + exact refine with refine_factor covering the
+    probed cells must equal the exact query at the same nprobe — the
+    composition-level analog of pq_topk's full-refine ≡ brute force."""
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "ivf"), emb, id_col="vec_id",
+        n_cells=4, pq_m=8, pq_ks=16,
+    )
+    queries = emb.where(F.col("vec_id") < 4)
+    got = _rows(idx.query_adc(queries, k=5, nprobe=2, refine_factor=10_000))
+    want = _rows(idx.query(queries, k=5, nprobe=2))
+    assert got == want and len(got) > 0
+
+
+def test_ivfpq_adc_scan_never_reads_vectors(spark, emb, tmp_path):
+    """The scoring scan must be NARROW: its parquet ReadSchema carries
+    (id, codes), never the fat vector column — the residency win that
+    is IVF-PQ's whole point."""
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "ivf"), emb, id_col="vec_id",
+        n_cells=4, pq_m=8, pq_ks=16,
+    )
+    plan = (
+        idx.query_adc(emb.where(F.col("vec_id") < 2), k=5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    code_scans = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "codes" in ln
+    ]
+    assert code_scans and all("vec" not in ln.split("ReadSchema")[1]
+                              or "vec:" not in ln for ln in code_scans)
+    # stronger: at least one scan reads codes WITHOUT vec
+    assert any("vec:" not in ln.split("ReadSchema")[1] for ln in code_scans)
+
+
+def test_ivfpq_add_encodes_and_finds(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    IvfIndex.build(
+        spark, path, emb, id_col="vec_id", n_cells=4, pq_m=8, pq_ks=16,
+    )
+    idx = IvfIndex(spark, path, id_col="vec_id")
+    dims = len(idx.centroids()[0])
+    new = spark.createDataFrame(
+        [(300001, [1.0] * dims)], "vec_id long, embedding array<double>"
+    )
+    idx.add(new)
+    row = (
+        idx.postings_tbl.snapshot()
+        .where(F.col("id") == 300001)
+        .collect()[0]
+    )
+    assert row.codes is not None and len(row.codes) == 8
+    probe = new.withColumn("vec_id", F.lit(300002))
+    got = idx.query_adc(probe, k=3, nprobe=4, refine_factor=50)
+    assert any(
+        r.neighbor_id == 300001 and r.rank == 1 for r in got.collect()
+    )
+
+
+def test_ivfpq_plain_index_rejects_adc(spark, emb, tmp_path):
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "ivf"), emb, id_col="vec_id", n_cells=4
+    )
+    with pytest.raises(ValueError, match="codebooks"):
+        idx.query_adc(emb.where(F.col("vec_id") < 2), k=3)
