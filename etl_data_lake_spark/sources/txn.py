@@ -1304,13 +1304,32 @@ class TxnTable:
             staged_stats=stats,
         )
 
+    def vacuum_older_than(self, retention_ms: int, now_ms: int | None = None) -> int:
+        """Time-based VACUUM (the production gate Delta uses): keep
+        every snapshot a reader pinned within the last ``retention_ms``
+        could still be reading — i.e. all versions committed inside
+        the retention window plus the newest one at-or-before its
+        start (what a reader who resolved 'latest' just before the
+        window opened sees). Composes :meth:`version_as_of` with
+        :meth:`vacuum`; returns dirs removed. Must outlast the
+        longest-running reader, like any vacuum."""
+        if now_ms is None:
+            now_ms = int(time.time() * 1000)
+        try:
+            horizon = self.version_as_of(now_ms - retention_ms)
+        except FileNotFoundError:
+            # every commit is inside the window: nothing to reclaim
+            # beyond crash orphans, which version-1 retention handles
+            horizon = max(1, self.latest_version())
+        return self.vacuum(self.latest_version() - horizon + 1)
+
     def vacuum(self, keep_versions: int = 1) -> int:
         """Delete data dirs unreferenced by the ``keep_versions`` most
         recent snapshots (orphans from crashed stages included).
         Returns the number of dirs removed. Like Delta's VACUUM this
         breaks time travel beyond the horizon and must outlast the
-        longest-running reader; at scale you gate it on a retention
-        interval rather than a version count."""
+        longest-running reader; time-based gating is
+        :meth:`vacuum_older_than`."""
         latest = self.latest_version()
         keep = set()
         for v in range(max(1, latest - keep_versions + 1), latest + 1):

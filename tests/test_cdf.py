@@ -182,3 +182,28 @@ def test_history_paging(spark, tmp_path):
     assert [h["version"] for h in t.history(limit=2)] == [4, 5]
     assert [h["version"] for h in t.history(limit=2, before=4)] == [2, 3]
     assert t.history(limit=10) == full
+
+
+def test_vacuum_older_than_keeps_retention_window(spark, tmp_path):
+    import json
+
+    from etl_data_lake_spark.sources.txn import _manifest_path
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, (0, "r0")))   # v1
+    t.append(_kv(spark, (1, "r1")))   # v2
+    t.compact()                       # v3: old dirs now unreferenced
+    t.append(_kv(spark, (2, "r2")))   # v4
+    for v, ts in ((1, 1000), (2, 2000), (3, 3000), (4, 4000)):
+        p = _manifest_path(t.root, v)
+        m = json.loads(p.read_text())
+        m["ts_ms"] = ts
+        p.write_text(json.dumps(m))
+    # retention window opens at 3500: keep v4 and v3 (newest snapshot
+    # at-or-before the window start); v1/v2's pre-compact dirs go
+    removed = t.vacuum_older_than(retention_ms=500, now_ms=4000)
+    assert removed == 2
+    assert sorted(r.id for r in t.snapshot(version=3).collect()) == [0, 1]
+    assert sorted(r.id for r in t.snapshot().collect()) == [0, 1, 2]
+    # everything inside the window -> nothing further reclaimed
+    assert t.vacuum_older_than(retention_ms=10_000, now_ms=4000) == 0
