@@ -429,6 +429,11 @@ def _merge_against(
         # base-snapshot files were probed EXACTLY in pass 1; only files
         # committed after our snapshot get the (conservative) stats guard
         guard_exempt=tuple(base.files),
+        op_params={
+            "keys": keys,
+            "when_matched": when_matched,
+            "when_not_matched": when_not_matched,
+        },
     )
     return MergeResult(v, True, len(touched), len(candidates), len(base.files))
 

@@ -381,6 +381,7 @@ class TxnTable:
                     "version": v,
                     "operation": m["operation"],
                     "ts_ms": m.get("ts_ms"),  # None on pre-round-4 logs
+                    "params": m.get("params", {}),
                     "n_add": len(m.get("add", ())),
                     "n_remove": len(m.get("remove", ())),
                     "writer_txns": m.get("writer_txns", {}),
@@ -802,6 +803,7 @@ class TxnTable:
         expected_base: int | None = None,
         guard_range: tuple | None = None,
         guard_exempt: tuple[str, ...] = (),
+        op_params: dict | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop. Returns the committed
         version (or the current one, for an idempotent no-op). The
@@ -910,6 +912,10 @@ class TxnTable:
                 "schema": attempt_schema,
                 "writer_txns": txns,
                 "add_stats": staged_stats,
+                # audit trail (Delta's operationParameters): WHAT the
+                # operation was scoped to, for history() readers —
+                # purely informational, never consulted on replay
+                "params": op_params or {},
             }
             if self._publish(manifest, _manifest_path(self.root, base_v + 1)):
                 live = set(files)
@@ -1136,6 +1142,7 @@ class TxnTable:
                 txn_seq,
                 staged_stats=stats_new,
                 guard_range=guard,
+                op_params={"replace_where": {"col": col, "ranges": ranges}},
             )
         staged_keep, schema_keep, stats_keep = self._stage(
             keep_rows, stats_cols
@@ -1153,6 +1160,7 @@ class TxnTable:
             replaced=tuple(affected),
             staged_stats={**stats_keep, **stats_new},
             guard_range=guard,
+            op_params={"replace_where": {"col": col, "ranges": ranges}},
         )
 
     def delete_where(
@@ -1229,6 +1237,7 @@ class TxnTable:
             txn_seq,
             replaced=tuple(affected),
             staged_stats=stats,
+            op_params={"col": col, "ranges": ranges},
         )
 
     def compact(

@@ -207,3 +207,16 @@ def test_vacuum_older_than_keeps_retention_window(spark, tmp_path):
     assert sorted(r.id for r in t.snapshot().collect()) == [0, 1, 2]
     # everything inside the window -> nothing further reclaimed
     assert t.vacuum_older_than(retention_ms=10_000, now_ms=4000) == 0
+
+
+def test_history_records_operation_params(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, (1, "a"), (50, "b")), stats_cols=("id",))
+    merge_into(t, _kv(spark, (1, "A")), "id", stats_cols=("id",))
+    t.delete_where("id", 40, 60, stats_cols=("id",))
+    h = t.history()
+    assert h[1]["operation"] == "merge"
+    assert h[1]["params"]["keys"] == ["id"]
+    assert h[1]["params"]["when_matched"] == "update"
+    assert h[2]["operation"] == "delete"
+    assert h[2]["params"] == {"col": "id", "ranges": [[40, 60]]}
