@@ -292,6 +292,19 @@ class IvfIndex:
             )
         return v
 
+    def upsert_sink(self, vec_col: str = "embedding", app_id: str = "idx"):
+        """``foreachBatch`` function that maintains this index from a
+        vector stream: each micro-batch is assigned against the frozen
+        quantizer (codes included for PQ builds) and appended with the
+        batch id as the txn seq — replayed batches no-op, so the index
+        stays exactly-once under at-least-once drivers (the same
+        composition as txn_append_sink / merge_upsert_sink)."""
+
+        def fn(batch: DataFrame, batch_id: int) -> None:
+            self.add(batch, vec_col=vec_col, app_id=app_id, txn_seq=batch_id)
+
+        return fn
+
     def cell_sizes(self) -> DataFrame:
         """(cell, n_vectors) for the current build — the skew/drift
         observability that tells an operator when a rebuild is due."""

@@ -236,3 +236,18 @@ def test_ivfpq_plain_index_rejects_adc(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="codebooks"):
         idx.query_adc(emb.where(F.col("vec_id") < 2), k=3)
+
+
+def test_index_upsert_sink_exactly_once(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    IvfIndex.build(spark, path, emb, id_col="vec_id", n_cells=4)
+    idx = IvfIndex(spark, path, id_col="vec_id")
+    dims = len(idx.centroids()[0])
+    fn = idx.upsert_sink()
+    batch = spark.createDataFrame(
+        [(400001, [0.5] * dims)], "vec_id long, embedding array<double>"
+    )
+    n0 = idx.postings_tbl.snapshot().count()
+    fn(batch, 0)
+    fn(batch, 0)  # replayed micro-batch: no-op
+    assert idx.postings_tbl.snapshot().count() == n0 + 1
