@@ -556,6 +556,36 @@ class TxnTable:
         """Single-column form of :meth:`snapshot_where_ranges`."""
         return self.snapshot_where_ranges({col: (lo, hi)}, version)
 
+    def snapshot_where_prefix(
+        self, col: str, prefix: str, version: int | None = None
+    ) -> DataFrame:
+        """The table filtered to ``col LIKE '<prefix>%'`` with
+        manifest file skipping: a prefix predicate IS a range
+        predicate — [prefix, prefix + U+10FFFF) — so string min/max
+        stats prune it like any between (the trick query engines play
+        for LIKE with a literal prefix; works best on data range-
+        clustered by the string column). Exact via the residual
+        ``startswith`` filter; empty prefix degrades to a full scan."""
+        from pyspark.sql import functions as F
+
+        meta = self.snapshot_meta(version)
+        if meta is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        pred = F.col(col).startswith(prefix)
+        if prefix:
+            keep, _ = self.files_matching(
+                {col: (prefix, prefix + "\U0010ffff")}, version
+            )
+        else:
+            keep = list(meta.files)
+        if not keep:
+            return self.spark.createDataFrame([], meta.schema()).where(pred)
+        return (
+            self.spark.read.schema(meta.schema())
+            .parquet(*[str(self.root / f) for f in keep])
+            .where(pred)
+        )
+
     def files_matching_null(
         self, col: str, is_null: bool = True, version: int | None = None
     ) -> tuple[list[str], int]:

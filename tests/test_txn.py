@@ -764,3 +764,23 @@ def test_null_count_stats_skip_files(spark, tmp_path):
         t.append(mk([(100 + i, "x")]), stats_cols=("id",))
     keep, _ = t.files_matching_null("id", is_null=True)
     assert len(keep) == 2  # still only mixed + all-null can hold nulls
+
+
+def test_prefix_predicate_file_skipping(spark, tmp_path):
+    """LIKE 'abc%' as a range over string min/max stats: clustered
+    string data prunes at the manifest, results stay exact."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v int").coalesce(1)
+    t.append(mk([("apple", 1), ("apricot", 2)]), stats_cols=("k",))
+    t.append(mk([("banana", 3), ("blueberry", 4)]), stats_cols=("k",))
+    t.append(mk([("cherry", 5)]), stats_cols=("k",))
+    keep, total = t.files_matching({"k": ("b", "b\U0010ffff")})
+    assert total == 3 and len(keep) == 1
+    got = sorted(r.k for r in t.snapshot_where_prefix("k", "b").collect())
+    assert got == ["banana", "blueberry"]
+    # prefix spanning a file boundary value still exact
+    assert [r.v for r in t.snapshot_where_prefix("k", "apr").collect()] == [2]
+    # empty prefix = full table
+    assert t.snapshot_where_prefix("k", "").count() == 5
+    # no matching file -> empty with schema
+    assert t.snapshot_where_prefix("k", "zz").count() == 0
