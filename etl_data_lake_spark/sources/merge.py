@@ -120,10 +120,13 @@ def merge_into(
     widen the table (existing rows read null); a type conflict raises
     SchemaEvolutionError before anything is staged.
 
-    The first key column's source values feed the concurrency guard:
-    up to ``max_guard_keys`` distinct numeric keys gap-split into
-    <= ``max_guard_ranges`` tight ranges; more (or non-numeric) keys
-    degrade to the [min, max] hull — wider guard, same safety.
+    EVERY key column feeds the concurrency guard as a conjunction
+    (a concurrent file conflicts only if it may intersect the source
+    key space on all keys at once): the first key's source values
+    gap-split into <= ``max_guard_ranges`` tight ranges when there
+    are at most ``max_guard_keys`` distinct numeric values (hull
+    otherwise); later keys contribute their [min, max] hull, which
+    under conjunction can only remove false conflicts.
 
     ``(app_id, txn_seq)`` makes the commit idempotent under replay,
     exactly like append — a MERGE-per-micro-batch ``foreachBatch``
@@ -400,22 +403,34 @@ def _merge_against(
             base.version, False, 0, len(candidates), len(base.files)
         )
 
+    # Conjunction guard over EVERY key column: a concurrent file
+    # conflicts only if its stats may intersect the source's key space
+    # on ALL keys at once — a file overlapping key 1's hull but
+    # provably disjoint on key 2 rebases cleanly. The first key gets
+    # tight gap-split ranges (it is the clustering key in practice);
+    # later keys contribute their [min, max] hull, which under
+    # conjunction semantics can only REMOVE false conflicts.
     guard = None
-    k0 = keys[0]
-    if k0 in ranges:
-        lo, hi = ranges[k0]
-        guard_ranges = [(lo, hi)]
-        if _is_num(lo) and _is_num(hi):
-            vals = [
-                r[0]
-                for r in src_keys.select(k0)
-                .distinct()
-                .limit(max_guard_keys + 1)
-                .collect()
-            ]
-            if 0 < len(vals) <= max_guard_keys and all(_is_num(v) for v in vals):
-                guard_ranges = largest_gap_ranges(vals, max_guard_ranges)
-        guard = (k0, guard_ranges)
+    if ranges:
+        gspec: dict[str, list[tuple]] = {
+            k: [r] for k, r in ranges.items()
+        }
+        k0 = keys[0]
+        if k0 in ranges:
+            lo, hi = ranges[k0]
+            if _is_num(lo) and _is_num(hi):
+                vals = [
+                    r[0]
+                    for r in src_keys.select(k0)
+                    .distinct()
+                    .limit(max_guard_keys + 1)
+                    .collect()
+                ]
+                if 0 < len(vals) <= max_guard_keys and all(
+                    _is_num(v) for v in vals
+                ):
+                    gspec[k0] = largest_gap_ranges(vals, max_guard_ranges)
+        guard = gspec
 
     v = table._commit(
         "merge",

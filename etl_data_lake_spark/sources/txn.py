@@ -840,16 +840,23 @@ class TxnTable:
         published manifest is O(Δfiles): adds + (for compact) removes,
         never the full file list.
 
-        ``guard_range`` — (col, [(lo, hi), ...]) or the legacy
-        (col, lo, hi) — extends the compact conflict rule for
-        predicate-scoped overwrites: every base file NOT in
-        ``replaced`` must be provably disjoint from EVERY range via
-        its manifest stats, re-checked against the CURRENT base on
-        every attempt — so a concurrent append of in-range rows
-        (landing between the caller's snapshot and publish) conflicts
-        instead of rebasing cleanly underneath with rows that were
-        never replaced. Files without stats for ``col`` conservatively
-        conflict.
+        ``guard_range`` — (col, [(lo, hi), ...]), the legacy
+        (col, lo, hi), or a dict ``{col: [(lo, hi), ...], ...}``
+        meaning the CONJUNCTION of per-column range sets — extends the
+        compact conflict rule for predicate-scoped overwrites: every
+        base file NOT in ``replaced`` must be provably disjoint from
+        the guarded region via its manifest stats, re-checked against
+        the CURRENT base on every attempt — so a concurrent append of
+        in-range rows (landing between the caller's snapshot and
+        publish) conflicts instead of rebasing cleanly underneath with
+        rows that were never replaced. Under the dict form a file is
+        safe when ANY ONE guarded column's stats prove it disjoint
+        from that column's ranges (it then cannot hold a row inside
+        the cross-product region) — the multi-key form composite-key
+        MERGE uses so a concurrent file overlapping the first key but
+        provably disjoint on a later key rebases instead of spuriously
+        conflicting. Files without stats for any guarded column
+        conservatively conflict.
 
         ``guard_exempt`` — files the CALLER already examined in its own
         base snapshot and proved clean by stronger means than stats
@@ -904,27 +911,38 @@ class TxnTable:
                         "compaction input files were replaced concurrently"
                     )
                 if guard_range is not None:
-                    if len(guard_range) == 3:  # legacy (col, lo, hi)
+                    if isinstance(guard_range, dict):
+                        gspec = {c: list(rs) for c, rs in guard_range.items()}
+                    elif len(guard_range) == 3:  # legacy (col, lo, hi)
                         gcol, glo, ghi = guard_range
-                        granges = [(glo, ghi)]
+                        gspec = {gcol: [(glo, ghi)]}
                     else:
                         gcol, granges = guard_range
+                        gspec = {gcol: list(granges)}
                     fstats = base.file_stats if base else {}
                     for f in sorted(
                         base_files - set(replaced) - set(guard_exempt)
                     ):
-                        rng = fstats.get(f, {}).get(gcol)
-                        # a nulls-only entry ([None, None, ...]) gives
-                        # no range proof -> conservatively conflicts,
-                        # same as a file with no stats at all
-                        if rng is None or rng[0] is None or any(
-                            not (rng[0] > hi or rng[1] < lo)
-                            for lo, hi in granges
-                        ):
+                        st = fstats.get(f, {})
+                        # the file is safe iff SOME guarded column's
+                        # stats prove it disjoint from that column's
+                        # ranges — then no row can sit inside the
+                        # conjunction region. A missing entry or a
+                        # nulls-only entry ([None, None, ...]) gives no
+                        # range proof for that column.
+                        safe = False
+                        for c, rs in gspec.items():
+                            rng = st.get(c)
+                            if rng is not None and rng[0] is not None and all(
+                                rng[0] > hi or rng[1] < lo for lo, hi in rs
+                            ):
+                                safe = True
+                                break
+                        if not safe:
                             raise ConcurrentWriteError(
                                 f"concurrent commit added {f!r} which may "
                                 f"contain rows in replace_where ranges "
-                                f"{gcol} in {granges}"
+                                f"{gspec}"
                             )
                 remove = tuple(replaced)
                 files = sorted(base_files - set(replaced)) + staged

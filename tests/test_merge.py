@@ -407,3 +407,93 @@ def test_optimize_noop_below_min_files(spark, tmp_path):
     t.append(spark.range(5).selectExpr("id").coalesce(1))
     v = t.latest_version()
     assert t.optimize_small_files(target_bytes=1 << 30) == v
+
+
+# ---------------------------------------------------------------------------
+# composite-key conjunction guard
+# ---------------------------------------------------------------------------
+
+
+def _kv2(spark, *rows):
+    return spark.createDataFrame(list(rows), "id long, part long, v string")
+
+
+def _two_key_table(spark, path):
+    t = TxnTable(spark, path)
+    t.append(
+        _kv2(spark, (0, 10, "a0"), (1, 10, "a1")).coalesce(1),
+        stats_cols=("id", "part"),
+    )
+    t.append(
+        _kv2(spark, (0, 20, "b0"), (1, 20, "b1")).coalesce(1),
+        stats_cols=("id", "part"),
+    )
+    return t
+
+
+def test_merge_multikey_guard_rebases_when_any_key_disjoint(spark, tmp_path):
+    """Composite keys guard as a CONJUNCTION: a concurrent append whose
+    id overlaps the source hull but whose part is provably disjoint on
+    stats cannot contain a row the merge should have matched, so the
+    merge rebases instead of spuriously conflicting (the single-key
+    guard used to abort here)."""
+    from etl_data_lake_spark.sources import merge as m
+    from etl_data_lake_spark.sources.txn import merge_schemas
+
+    path = str(tmp_path / "t")
+    t = _two_key_table(spark, path)
+    base = t.snapshot_meta()
+    source = _kv2(spark, (1, 10, "A1")).persist()
+    # id=1 is inside the source id range, but part=99 is outside [10, 10]
+    TxnTable(spark, path).append(
+        _kv2(spark, (1, 99, "other-part")), stats_cols=("id", "part")
+    )
+    res = m._merge_against(
+        t, base, source, ["id", "part"], "update", "insert", None, None,
+        merge_schemas(base.schema(), source.schema),
+        ("id", "part"), None, None, 4096, 8,
+    )
+    source.unpersist()
+    assert res.committed
+    rows = sorted((r.id, r.part, r.v) for r in t.snapshot().collect())
+    assert (1, 10, "A1") in rows and (1, 99, "other-part") in rows
+
+
+def test_merge_multikey_guard_conflicts_when_all_keys_overlap(spark, tmp_path):
+    from etl_data_lake_spark.sources import merge as m
+    from etl_data_lake_spark.sources.txn import merge_schemas
+
+    path = str(tmp_path / "t")
+    t = _two_key_table(spark, path)
+    base = t.snapshot_meta()
+    source = _kv2(spark, (1, 10, "A1")).persist()
+    TxnTable(spark, path).append(
+        _kv2(spark, (1, 10, "dup")), stats_cols=("id", "part")
+    )
+    with pytest.raises(ConcurrentWriteError):
+        m._merge_against(
+            t, base, source, ["id", "part"], "update", "insert", None, None,
+            merge_schemas(base.schema(), source.schema),
+            ("id", "part"), None, None, 4096, 8,
+        )
+    source.unpersist()
+
+
+def test_merge_multikey_guard_missing_stats_conflicts(spark, tmp_path):
+    """A concurrent file with NO stats on any guarded key gives no
+    disjointness proof on any conjunct -> conservative conflict."""
+    from etl_data_lake_spark.sources import merge as m
+    from etl_data_lake_spark.sources.txn import merge_schemas
+
+    path = str(tmp_path / "t")
+    t = _two_key_table(spark, path)
+    base = t.snapshot_meta()
+    source = _kv2(spark, (1, 10, "A1")).persist()
+    TxnTable(spark, path).append(_kv2(spark, (500, 500, "nostats")))
+    with pytest.raises(ConcurrentWriteError):
+        m._merge_against(
+            t, base, source, ["id", "part"], "update", "insert", None, None,
+            merge_schemas(base.schema(), source.schema),
+            ("id", "part"), None, None, 4096, 8,
+        )
+    source.unpersist()
