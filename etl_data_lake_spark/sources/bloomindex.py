@@ -199,6 +199,13 @@ def build_bloom_index(
     return built
 
 
+def sidecar_exists(table: TxnTable, rel_file: str, col: str) -> bool:
+    """True when ``rel_file`` has a Bloom sidecar for ``col`` — the
+    cheap existence probe callers (e.g. MERGE pass 1) use to decide
+    whether a bloom pruning tier can help at all."""
+    return _sidecar_path(table.root, rel_file, col).is_file()
+
+
 def _probe_hashes(table: TxnTable, col, values, schema) -> list[int]:
     """xxhash64 of each probe value, computed BY SPARK with the
     column's table type — bit-identical to what the builder hashed."""
@@ -216,12 +223,16 @@ def files_matching_eq(
     col: str,
     values,
     version: int | None = None,
+    files: list[str] | None = None,
 ) -> tuple[list[str], int]:
     """Files that can contain a row with ``col`` equal to ANY of
     ``values`` → (kept files, total files). Composes both pruning
     tiers: manifest [min, max] first (free — already in memory), then
     the Bloom sidecar (one small read per surviving file). Files
-    missing either tier of metadata are conservatively kept by it."""
+    missing either tier of metadata are conservatively kept by it.
+    ``files`` restricts the probe to a pre-pruned subset of the
+    snapshot's files (e.g. MERGE's stats-surviving candidates); the
+    returned total still counts the whole snapshot."""
     meta = table.snapshot_meta(version)
     if meta is None:
         raise FileNotFoundError(f"no committed version at {table.root}")
@@ -230,7 +241,7 @@ def files_matching_eq(
         return [], len(meta.files)
     hashes = _probe_hashes(table, col, values, meta.schema())
     keep = []
-    for f in meta.files:
+    for f in meta.files if files is None else files:
         rng = meta.file_stats.get(f, {}).get(col)
         vs_h = list(zip(values, hashes))
         if rng is not None:

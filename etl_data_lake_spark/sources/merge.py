@@ -62,6 +62,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructType
 
+from etl_data_lake_spark.sources import bloomindex
 from etl_data_lake_spark.sources.txn import (
     TxnTable,
     largest_gap_ranges,
@@ -102,6 +103,7 @@ def merge_into(
     txn_seq: int | None = None,
     max_guard_keys: int = 4096,
     max_guard_ranges: int = 8,
+    use_bloom: bool = True,
 ) -> MergeResult:
     """MERGE ``source`` into ``table`` on equality of ``keys``.
 
@@ -127,6 +129,16 @@ def merge_into(
     are at most ``max_guard_keys`` distinct numeric values (hull
     otherwise); later keys contribute their [min, max] hull, which
     under conjunction can only remove false conflicts.
+
+    ``use_bloom``: when the table carries Bloom sidecars for the first
+    key column (sources/bloomindex.py — the unclustered-point-lookup
+    tier), pass 1 probes them with the source's distinct first-key
+    values (bounded by ``max_guard_keys``) to shrink the candidate
+    file set BEFORE the exact key scan — on a CDC batch against a big
+    unclustered table, where every file's [min, max] hull overlaps,
+    this is the tier that keeps pass 1 from scanning the table. A file
+    without a sidecar is conservatively kept; correctness never
+    depends on the filter (no false negatives by construction).
 
     ``(app_id, txn_seq)`` makes the commit idempotent under replay,
     exactly like append — a MERGE-per-micro-batch ``foreachBatch``
@@ -196,6 +208,7 @@ def merge_into(
             txn_seq,
             max_guard_keys,
             max_guard_ranges,
+            use_bloom,
         )
     finally:
         source.unpersist()
@@ -216,6 +229,7 @@ def _merge_against(
     txn_seq: int | None,
     max_guard_keys: int,
     max_guard_ranges: int,
+    use_bloom: bool = True,
 ) -> MergeResult:
     spark = table.spark
 
@@ -244,6 +258,37 @@ def _merge_against(
         .where(F.expr(" AND ".join(f"{k} IS NOT NULL" for k in keys)))
         .distinct()
     )
+
+    # ---- bloom tier: shrink candidates before the exact scan --------
+    # On an UNCLUSTERED table every file's [min, max] hull overlaps the
+    # source keys and the stats prune keeps everything; per-file Bloom
+    # sidecars on the first key (if built) drop files that provably
+    # contain none of the source's first-key values — a file with no
+    # first-key match cannot match on the full composite key either.
+    # The probe needs the distinct values driver-side, so it only runs
+    # for CDC-shaped batches (<= max_guard_keys distinct keys); the
+    # collected values are reused by the commit guard below.
+    k0 = keys[0]
+    k0_vals: list | None = None
+    if (
+        use_bloom
+        and candidates
+        and k0 in ranges
+        and any(bloomindex.sidecar_exists(table, f, k0) for f in candidates)
+    ):
+        vals = [
+            r[0]
+            for r in src_keys.select(k0)
+            .distinct()
+            .limit(max_guard_keys + 1)
+            .collect()
+        ]
+        if 0 < len(vals) <= max_guard_keys:
+            k0_vals = vals
+            candidates = bloomindex.files_matching_eq(
+                table, k0, vals, base.version, files=candidates
+            )[0]
+
     touched: list[str] = []
     if candidates:
         cand = (
@@ -415,17 +460,18 @@ def _merge_against(
         gspec: dict[str, list[tuple]] = {
             k: [r] for k, r in ranges.items()
         }
-        k0 = keys[0]
         if k0 in ranges:
             lo, hi = ranges[k0]
             if _is_num(lo) and _is_num(hi):
-                vals = [
-                    r[0]
-                    for r in src_keys.select(k0)
-                    .distinct()
-                    .limit(max_guard_keys + 1)
-                    .collect()
-                ]
+                vals = k0_vals
+                if vals is None:
+                    vals = [
+                        r[0]
+                        for r in src_keys.select(k0)
+                        .distinct()
+                        .limit(max_guard_keys + 1)
+                        .collect()
+                    ]
                 if 0 < len(vals) <= max_guard_keys and all(
                     _is_num(v) for v in vals
                 ):

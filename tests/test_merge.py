@@ -497,3 +497,68 @@ def test_merge_multikey_guard_missing_stats_conflicts(spark, tmp_path):
             ("id", "part"), None, None, 4096, 8,
         )
     source.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# bloom tier in pass 1
+# ---------------------------------------------------------------------------
+
+
+def test_merge_bloom_tier_prunes_unclustered_candidates(spark, tmp_path):
+    """On an UNCLUSTERED table (every file's id hull spans the key
+    space) the stats prune keeps everything; with Bloom sidecars built
+    the same merge's candidate set shrinks to the files that can
+    actually hold the key — and the result is identical."""
+    from etl_data_lake_spark.sources.bloomindex import build_bloom_index
+
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    # 3 files, overlapping hulls: [0,1000], [1,1001], [2,1002]
+    for base in (0, 1, 2):
+        t.append(
+            _kv(spark, (base, f"x{base}"), (base + 1000, f"y{base}")).coalesce(1),
+            stats_cols=("id",),
+        )
+    src = _kv(spark, (1000, "HIT"), (5000, "NEW"))
+
+    res_plain = merge_into(
+        t, src, "id", stats_cols=("id",), use_bloom=False
+    )
+    assert res_plain.files_candidate == 3 and res_plain.files_rewritten == 1
+
+    assert build_bloom_index(t, ("id",)) >= 4  # new merged files too
+    res_bloom = merge_into(
+        t, _kv(spark, (1000, "HIT2"), (6000, "NEW2")), "id",
+        stats_cols=("id",),
+    )
+    # only the file(s) whose bloom may contain 1000 survive pass 0/1
+    assert res_bloom.files_candidate < len(t.snapshot_meta(
+        res_bloom.version - 1).files)
+    assert res_bloom.files_rewritten == 1
+    rows = dict(_rows(t.snapshot()))
+    assert rows[1000] == "HIT2" and rows[5000] == "NEW" and rows[6000] == "NEW2"
+
+
+def test_merge_bloom_tier_never_false_negative(spark, tmp_path):
+    """Every key the merge should match is matched even with the bloom
+    tier active (no false negatives by construction)."""
+    from etl_data_lake_spark.sources.bloomindex import build_bloom_index
+
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    for base in (0, 100, 200):
+        t.append(
+            _kv(spark, *[(base + i, f"v{base + i}") for i in range(50)]).coalesce(1),
+            stats_cols=("id",),
+        )
+    build_bloom_index(t, ("id",))
+    src = _kv(spark, *[(i, f"U{i}") for i in range(0, 250, 7)])
+    res = merge_into(t, src, "id", stats_cols=("id",))
+    assert res.committed
+    rows = dict(_rows(t.snapshot()))
+    for i in range(0, 250, 7):
+        want = f"U{i}"
+        have = rows[i]
+        in_table = (0 <= i < 50) or (100 <= i < 150) or (200 <= i < 250)
+        assert have == want, (i, have)
+        assert in_table or have.startswith("U")
