@@ -433,12 +433,19 @@ class TxnTable:
         self,
         ranges: dict[str, tuple],
         version: int | None = None,
+        null_cols: dict[str, bool] | None = None,
     ) -> tuple[list[str], int]:
         """Manifest-stats pruning for a conjunction of between-
         predicates: → (files that can match, total files in snapshot).
         A file is kept unless SOME column's recorded [min, max] proves
         it disjoint from that column's range; files without stats for
-        a column are conservatively kept on that column."""
+        a column are conservatively kept on that column.
+
+        ``null_cols`` adds ``col IS NULL`` (True) / ``col IS NOT
+        NULL`` (False) conjuncts pruned via the per-file null counts
+        (the two predicate shapes min/max ranges cannot see), so one
+        call plans a mixed predicate like ``ts BETWEEN ... AND ref IS
+        NULL`` with every skipping tier the manifest has."""
         meta = self.snapshot_meta(version)
         if meta is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
@@ -454,6 +461,15 @@ class TxnTable:
                     and rng[0] is not None
                     and (rng[0] > hi or rng[1] < lo)
                 ):
+                    ok = False
+                    break
+            for col, is_null in (null_cols or {}).items() if ok else ():
+                rng = meta.file_stats.get(f, {}).get(col)
+                nc = rng[2] if rng is not None and len(rng) >= 4 else None
+                rows = rng[3] if rng is not None and len(rng) >= 4 else None
+                if nc is None:
+                    continue  # unknown -> conservatively kept
+                if (is_null and nc == 0) or (not is_null and nc >= rows):
                     ok = False
                     break
             if ok:
@@ -515,6 +531,7 @@ class TxnTable:
         self,
         ranges: dict[str, tuple],
         version: int | None = None,
+        null_cols: dict[str, bool] | None = None,
     ) -> DataFrame:
         """The table filtered to the conjunction of ``lo <= col <= hi``
         predicates, with MANIFEST-level file skipping on every range:
@@ -528,16 +545,20 @@ class TxnTable:
         per-file span tight, so a 2-D box prunes on both dimensions.
         Files without stats are conservatively kept; the residual
         row-level filter is applied either way, so the result is
-        exact."""
+        exact. ``null_cols`` adds IS [NOT] NULL conjuncts with
+        null-count file skipping (see :meth:`files_matching`)."""
         from pyspark.sql import functions as F
 
         meta = self.snapshot_meta(version)
         if meta is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
-        keep, _ = self.files_matching(ranges, version)
+        keep, _ = self.files_matching(ranges, version, null_cols)
         pred = None
         for col, (lo, hi) in ranges.items():
             p = F.col(col).between(lo, hi)
+            pred = p if pred is None else (pred & p)
+        for col, is_null in (null_cols or {}).items():
+            p = F.col(col).isNull() if is_null else F.col(col).isNotNull()
             pred = p if pred is None else (pred & p)
         if pred is None:
             pred = F.lit(True)

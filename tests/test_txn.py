@@ -784,3 +784,42 @@ def test_prefix_predicate_file_skipping(spark, tmp_path):
     assert t.snapshot_where_prefix("k", "").count() == 5
     # no matching file -> empty with schema
     assert t.snapshot_where_prefix("k", "zz").count() == 0
+
+
+def test_mixed_range_and_null_pruning_one_read(spark, tmp_path):
+    """snapshot_where_ranges(null_cols=...) plans a mixed predicate
+    (range conjuncts + IS [NOT] NULL conjuncts) with BOTH skipping
+    tiers in one call: a file pruned by either tier never reaches the
+    scan, the residual filter keeps the result exact."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id int, ref int, s string"
+    ).coalesce(1)
+    t.append(mk([(1, 7, "a"), (2, None, "b")]), stats_cols=("id", "ref"))
+    t.append(mk([(50, 8, "c"), (51, 9, "d")]), stats_cols=("id", "ref"))  # no ref nulls
+    t.append(mk([(90, None, "e"), (91, None, "f")]), stats_cols=("id", "ref"))
+
+    # id BETWEEN 0 AND 60 AND ref IS NULL:
+    #   file 2 pruned by null tier (zero ref nulls),
+    #   file 3 pruned by range tier (id 90..91)
+    keep, total = t.files_matching(
+        {"id": (0, 60)}, null_cols={"ref": True}
+    )
+    assert total == 3 and len(keep) == 1
+
+    got = sorted(
+        r.s
+        for r in t.snapshot_where_ranges(
+            {"id": (0, 60)}, null_cols={"ref": True}
+        ).collect()
+    )
+    assert got == ["b"]
+
+    # IS NOT NULL alone through the same entry point (no ranges)
+    got = sorted(
+        r.s
+        for r in t.snapshot_where_ranges({}, null_cols={"ref": False}).collect()
+    )
+    assert got == ["a", "c", "d"]
+    keep, _ = t.files_matching({}, null_cols={"ref": False})
+    assert len(keep) == 2  # all-null ref file skipped
