@@ -159,8 +159,39 @@ def write_range_clustered(
     )
 
 
+def _string_cut_points(
+    df: DataFrame, col: str, n_buckets: int, max_sample: int
+) -> list[str]:
+    """Up to ``n_buckets - 1`` sorted boundary values for a string
+    cluster column, from a bounded deterministic sample: distinct
+    values ordered by their xxhash64 (a seedless pseudo-random but
+    reproducible order) with a pushed-down LIMIT, so the driver holds
+    at most ``max_sample`` strings regardless of table size — the same
+    bounded-training-collect pattern as IVF centroid fitting. The
+    sample's sorted order yields EQUAL-FREQUENCY buckets, which for
+    skewed string data keeps per-file stats tighter than any
+    uniform-width scheme could."""
+    vals = [
+        r[0]
+        for r in df.select(col)
+        .where(F.col(col).isNotNull())
+        .distinct()
+        .orderBy(F.xxhash64(F.col(col)))
+        .limit(max_sample)
+        .collect()
+    ]
+    vals.sort()
+    cuts: list[str] = []
+    for i in range(1, n_buckets):
+        c = vals[min(len(vals) - 1, (i * len(vals)) // n_buckets)] if vals else None
+        if c is not None and (not cuts or c > cuts[-1]):
+            cuts.append(c)
+    return cuts
+
+
 def zorder_key(
-    df: DataFrame, cols: tuple[str, ...], bits: int = 8
+    df: DataFrame, cols: tuple[str, ...], bits: int = 8,
+    max_sample: int = 4096,
 ) -> DataFrame:
     """Add a ``_z`` column: the Morton (Z-order) interleaving of each
     cluster column's ``bits``-bit bucket index — the multi-column
@@ -171,34 +202,70 @@ def zorder_key(
     curve layout, public since Morton 1966 and used by every lakehouse
     OPTIMIZE ZORDER implementation).
 
-    Buckets are uniform-width over each column's observed [min, max]
-    (``width_bucket``, JVM codegen; min/max ride in via a broadcast
-    1-row cross join — no driver collect). Value skew therefore skews
-    bucket occupancy, but file BALANCE is unaffected: the subsequent
-    ``repartitionByRange(_z)`` samples the z distribution itself.
-    Skew only coarsens skipping granularity inside hot buckets.
+    Numeric (and timestamp) buckets are uniform-width over each
+    column's observed [min, max] (``width_bucket``, JVM codegen;
+    min/max ride in via a broadcast 1-row cross join — no driver
+    collect). Value skew therefore skews bucket occupancy, but file
+    BALANCE is unaffected: the subsequent ``repartitionByRange(_z)``
+    samples the z distribution itself. Skew only coarsens skipping
+    granularity inside hot buckets.
+
+    STRING columns bucket by RANK-INTERLEAVE instead: order-preserving
+    equal-frequency buckets against sampled cut points (see
+    :func:`_string_cut_points`; the sample is bounded by
+    ``max_sample`` values collected once per string column), assigned
+    JVM-side as "number of cut points <= value" over a literal sorted
+    array — nulls land in bucket 0. Order preservation is what keeps
+    string min/max stats tight per file, so prefix predicates
+    (``snapshot_where_prefix``) and range predicates prune; a hash
+    bucket would destroy exactly that.
 
     ``bits`` is auto-reduced so the interleaved key fits a signed
     long: bits·len(cols) ≤ 63 (e.g. 10 cluster columns get 6 bits
     each). Beyond that the Morton positions would silently overflow
     and corrupt the clustering order.
     """
+    from pyspark.sql.types import StringType
+
     if bits * len(cols) > 63:
         bits = max(63 // len(cols), 1)
-    stats = df.agg(
-        *[
-            f
-            for c in cols
-            for f in (
-                F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
-            )
-        ]
-    )
+    str_cols = {
+        c for c in cols if isinstance(df.schema[c].dataType, StringType)
+    }
+    num_cols = [c for c in cols if c not in str_cols]
+    cut_points = {
+        c: _string_cut_points(df, c, 1 << bits, max_sample)
+        for c in str_cols
+    }
     n = len(cols)
-    with_stats = df.crossJoin(F.broadcast(stats))
+    if num_cols:
+        stats = df.agg(
+            *[
+                f
+                for c in num_cols
+                for f in (
+                    F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+                )
+            ]
+        )
+        with_stats = df.crossJoin(F.broadcast(stats))
+    else:
+        with_stats = df
     buckets = []
     for c in cols:
+        if c in str_cols:
+            cuts = cut_points[c]
+            if not cuts:
+                buckets.append(F.lit(0))
+                continue
+            # bucket = |{cut : cut <= value}| over the sorted literal
+            # array — 0..len(cuts) <= 2^bits - 1, order-preserving,
+            # evaluated in codegen; null value -> no cut qualifies -> 0
+            arr = F.array(*[F.lit(v) for v in cuts])
+            b = F.size(F.filter(arr, lambda cut: cut <= F.col(c)))
+            buckets.append(b.cast("long"))
+            continue
         lo, hi = F.col(f"_min_{c}"), F.col(f"_max_{c}")
         # width_bucket returns 1..2^bits inside [lo, hi); clamp the
         # hi endpoint (returns 2^bits+1) and degenerate lo==hi tables

@@ -256,3 +256,73 @@ def test_zorder_into_txn_table_prunes_manifest_on_2d_predicate(
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_zorder_string_column_rank_interleave(spark, tmp_path):
+    """String cluster columns Z-order by rank-interleave (sampled
+    equal-frequency cut points, order-preserving): per-file string
+    min/max stay tight alongside the numeric dimension, so both a 2-D
+    box with a string range and a prefix predicate prune at the
+    manifest — and reads stay exact."""
+    from etl_data_lake_spark.sources.sinks import write_zorder_txn
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    df = spark.range(0, 40_000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("x"),
+        F.format_string(
+            "k%05d", F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10_000))
+        ).alias("s"),
+    )
+    t = TxnTable(spark, str(tmp_path / "zs"))
+    v = write_zorder_txn(t, df, ("x", "s"), n_files=16)
+    assert v == 1
+
+    # per-file span of the string dimension, via the embedded number
+    meta = t.snapshot_meta()
+    spans = []
+    for f in meta.files:
+        rng = meta.file_stats[f]["s"]
+        spans.append((int(rng[1][1:]) - int(rng[0][1:])) / 10_000)
+    assert len(spans) >= 8
+    assert sum(spans) / len(spans) < 0.55, spans
+
+    # 2-D box: numeric range AND string range compound at the manifest
+    box = {"x": (1000, 2000), "s": ("k01000", "k02000")}
+    kept, total = t.files_matching(box)
+    assert len(kept) <= total // 2, (len(kept), total)
+    got = sorted(
+        r.id for r in t.snapshot_where_ranges(box).select("id").collect()
+    )
+    want = sorted(
+        r.id
+        for r in df.where(
+            "x between 1000 and 2000 and s between 'k01000' and 'k02000'"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # prefix predicate prunes through the same stats
+    kept_p, _ = t.files_matching({"s": ("k09", "k09\U0010ffff")})
+    assert len(kept_p) < total
+    got_p = t.snapshot_where_prefix("s", "k09").count()
+    assert got_p == df.where("s like 'k09%'").count() > 0
+
+
+def test_zorder_string_nulls_and_low_cardinality(spark, tmp_path):
+    """Null strings land in bucket 0 (no crash, no row loss); a
+    constant string column yields no cut points and degrades to a
+    single bucket."""
+    from etl_data_lake_spark.sources.sinks import zorder_clustered
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.format_string("v%03d", F.pmod(F.col("id"), F.lit(500))))
+        .alias("s"),
+        F.lit("const").alias("c"),
+    )
+    out = zorder_clustered(df, ("s", "c"), n_files=4)
+    assert out.count() == 1000
+    assert set(out.columns) == {"id", "s", "c"}
+    assert out.where("s is null").count() == 100
