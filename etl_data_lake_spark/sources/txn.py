@@ -81,7 +81,7 @@ import os
 import shutil
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -102,6 +102,11 @@ class SchemaEvolutionError(ValueError):
     """An append's schema conflicts with the table's (same column
     name, different type). New columns are allowed — old files read
     them as null; type changes are not."""
+
+
+class ConstraintViolationError(ValueError):
+    """Staged rows violate a table CHECK constraint; nothing was
+    committed (the orphan stage dir is invisible and vacuumed)."""
 
 
 def largest_gap_ranges(values, max_ranges: int) -> list[tuple]:
@@ -160,6 +165,9 @@ class Snapshot:
     # (treating a None min as unknown) and [2]/[3] for null skipping;
     # files without an entry are never skipped
     file_stats: dict[str, dict[str, list]]
+    # name -> SQL CHECK expression every committed row must satisfy
+    # (SQL semantics: TRUE or UNKNOWN passes, FALSE violates)
+    constraints: dict[str, str] = field(default_factory=dict)
 
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
@@ -302,6 +310,7 @@ class TxnTable:
         files: list[str] = []
         stats: dict[str, dict[str, list]] = {}
         txns: dict[str, int] = {}
+        cons: dict[str, str] = {}
         schema_json = ""
         operation = ""
         if start:
@@ -309,6 +318,7 @@ class TxnTable:
             files = list(ck["files"])
             stats = dict(ck.get("file_stats", {}))
             txns = dict(ck.get("writer_txns", {}))
+            cons = dict(ck.get("constraints", {}))
             schema_json = ck["schema"]
             operation = ck["operation"]
         n_replayed = 0
@@ -322,7 +332,7 @@ class TxnTable:
             elif op == "overwrite":
                 files = add
                 stats = {}
-            elif op in ("compact", "merge", "delete"):
+            elif op in ("compact", "merge", "delete", "update"):
                 # one replay rule for every rewrite-shaped commit:
                 # drop `remove`, append `add` (merge/delete are
                 # compacts with different conflict rules at WRITE time;
@@ -331,12 +341,16 @@ class TxnTable:
                 # same sorted(remaining)+add order the committer used
                 # when it built the post-commit checkpoint state
                 files = sorted(f for f in files if f not in removed) + add
+            elif op == "constraint":
+                pass  # metadata-only: file set unchanged
             else:  # pragma: no cover
                 raise ValueError(f"unknown operation {op!r} at v{v}")
             live = set(files)
             stats = {f: s for f, s in stats.items() if f in live}
             stats.update(m.get("add_stats", {}))
             txns = dict(m.get("writer_txns", txns))
+            # pre-feature manifests lack the key: carry forward
+            cons = dict(m.get("constraints", cons))
             schema_json = m["schema"]
             operation = op
         snap = Snapshot(
@@ -346,6 +360,7 @@ class TxnTable:
             schema_json=schema_json,
             writer_txns=txns,
             file_stats=stats,
+            constraints=cons,
         )
         return snap, ReadPlan(version, start, n_replayed)
 
@@ -674,9 +689,11 @@ class TxnTable:
                 new = files + add
             elif op == "overwrite":
                 new = add
-            elif op in ("compact", "merge", "delete"):
+            elif op in ("compact", "merge", "delete", "update"):
                 removed = set(m.get("remove", ()))
                 new = sorted(f for f in files if f not in removed) + add
+            elif op == "constraint":
+                new = files
             else:  # pragma: no cover
                 raise ValueError(f"unknown operation {op!r} at v{v}")
             out.append(
@@ -802,6 +819,42 @@ class TxnTable:
                     stats[rel] = per_col
         return files, df.schema.json(), stats
 
+    def _enforce_constraints(
+        self, staged: list[str], schema_json: str, exprs: dict[str, str]
+    ) -> None:
+        """Count CHECK violations in the staged files (read with the
+        schema that will be published, so append-evolution columns the
+        stage lacks read as null) — one aggregate job over Δ data
+        only. SQL semantics: a row violates when the expression is
+        FALSE; UNKNOWN (null) passes, like the standard's CHECK."""
+        from pyspark.sql import functions as F
+
+        df = self.spark.read.schema(
+            StructType.fromJson(json.loads(schema_json))
+        ).parquet(*[str(self.root / f) for f in staged])
+        names = sorted(exprs)
+        row = df.agg(
+            *[
+                F.count(
+                    F.when(
+                        ~F.coalesce(
+                            F.expr(exprs[n]).cast("boolean"), F.lit(True)
+                        ),
+                        1,
+                    )
+                ).alias(f"c{i}")
+                for i, n in enumerate(names)
+            ]
+        ).collect()[0]
+        bad = {
+            n: row[f"c{i}"] for i, n in enumerate(names) if row[f"c{i}"]
+        }
+        if bad:
+            raise ConstraintViolationError(
+                f"CHECK constraint(s) violated by staged rows "
+                f"(name -> violating rows): {bad}"
+            )
+
     def _publish(self, payload: dict, path: Path) -> bool:
         """Atomically create ``path``; False if lost the race.
         ``os.link`` of a completed temp file is create-if-absent:
@@ -834,6 +887,7 @@ class TxnTable:
                 "schema": state.schema_json,
                 "writer_txns": state.writer_txns,
                 "file_stats": state.file_stats,
+                "constraints": state.constraints,
             },
             _ckpt_path(self.root, version),
         )
@@ -855,6 +909,7 @@ class TxnTable:
         guard_range: tuple | None = None,
         guard_exempt: tuple[str, ...] = (),
         op_params: dict | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop. Returns the committed
         version (or the current one, for an idempotent no-op). The
@@ -885,8 +940,16 @@ class TxnTable:
         source's key hull yet contain no matching key). Exempt files
         skip the stats guard; anything that appears AFTER the caller's
         snapshot (the genuinely concurrent commits the guard exists
-        for) is still checked."""
+        for) is still checked.
+
+        ``constraints`` — publish THIS name->CHECK-expr set (the
+        add/drop_constraint path); None carries the current base's set
+        forward. Either way the staged files are validated against the
+        set that will be published (one Spark job over Δ files only,
+        cached across commit attempts), so no commit can introduce a
+        violating row."""
         staged_stats = staged_stats or {}
+        validated: set[str] = set()
         for _ in range(max_attempts):
             base = self.snapshot_meta()
             base_v = base.version if base else 0
@@ -920,7 +983,7 @@ class TxnTable:
                         f"v{base.version} committed concurrently"
                     )
                 files = staged
-            elif operation in ("compact", "merge", "delete"):
+            elif operation in ("compact", "merge", "delete", "update"):
                 if base is not None:
                     attempt_schema = merge_schemas(
                         base.schema(),
@@ -967,8 +1030,36 @@ class TxnTable:
                             )
                 remove = tuple(replaced)
                 files = sorted(base_files - set(replaced)) + staged
+            elif operation == "constraint":
+                # metadata-only commit. expected_base pins the add
+                # path (validation covered exactly that snapshot — a
+                # concurrent append's rows were never checked, so the
+                # caller must re-validate and retry); drop passes None
+                if expected_base is not None and (
+                    (base.version if base else 0) != expected_base
+                ):
+                    raise ConcurrentWriteError(
+                        f"constraint change based on v{expected_base} but "
+                        f"v{base.version if base else 0} committed "
+                        f"concurrently"
+                    )
+                files = list(base.files) if base else []
+                attempt_schema = base.schema_json if base else schema_json
             else:  # pragma: no cover
                 raise ValueError(operation)
+            attempt_cons = (
+                constraints
+                if constraints is not None
+                else (dict(base.constraints) if base else {})
+            )
+            if staged and attempt_cons:
+                todo = {
+                    n: e for n, e in attempt_cons.items()
+                    if n not in validated
+                }
+                if todo:
+                    self._enforce_constraints(staged, attempt_schema, todo)
+                    validated |= set(todo)
             manifest = {
                 "version": base_v + 1,
                 "operation": operation,
@@ -985,6 +1076,7 @@ class TxnTable:
                 # operation was scoped to, for history() readers —
                 # purely informational, never consulted on replay
                 "params": op_params or {},
+                "constraints": attempt_cons,
             }
             if self._publish(manifest, _manifest_path(self.root, base_v + 1)):
                 live = set(files)
@@ -1002,6 +1094,7 @@ class TxnTable:
                         schema_json=attempt_schema,
                         writer_txns=txns,
                         file_stats={**carried, **staged_stats},
+                        constraints=attempt_cons,
                     ),
                 )
                 return base_v + 1
@@ -1307,6 +1400,188 @@ class TxnTable:
             replaced=tuple(affected),
             staged_stats=stats,
             op_params={"col": col, "ranges": ranges},
+        )
+
+    def update_where(
+        self,
+        col: str,
+        lo,
+        hi,
+        set_exprs: dict[str, str],
+        stats_cols: tuple[str, ...] = (),
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+    ) -> int:
+        """Row-level UPDATE of ``lo <= col <= hi`` (single-range form
+        of :meth:`update_where_ranges`)."""
+        return self.update_where_ranges(
+            col, [(lo, hi)], set_exprs, stats_cols=stats_cols,
+            app_id=app_id, txn_seq=txn_seq,
+        )
+
+    def update_where_ranges(
+        self,
+        col: str,
+        ranges,
+        set_exprs: dict[str, str],
+        stats_cols: tuple[str, ...] = (),
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+    ) -> int:
+        """Row-level UPDATE: apply ``set_exprs`` ({column: SQL expr
+        over the row}) to every row with ``col`` inside ANY of the
+        [lo, hi] ``ranges``, copy-on-write — SQL's ``UPDATE t SET ...
+        WHERE col IN ranges`` (Delta's UPDATE shape). Manifest stats
+        prune first, exactly like :meth:`delete_where_ranges`: only
+        files whose [min, max] can intersect a range are read and
+        rewritten; non-matching rows inside them survive verbatim;
+        disjoint files are never touched.
+
+        CONFLICT RULE is delete's (plain compaction, no append guard):
+        UPDATE transforms the matching rows *as of its snapshot*; a
+        concurrent append of in-range rows legitimately survives
+        un-updated, while a concurrent rewrite of the same files
+        conflicts. Expressions are validated against the schema before
+        any job runs; results cast back to each column's type, so a
+        commit can never silently change the schema. No matching file
+        -> no-op, nothing committed."""
+        from functools import reduce
+        from operator import or_
+
+        from pyspark.sql import functions as F
+
+        ranges = [tuple(r) for r in ranges]
+        if not ranges:
+            raise ValueError("update_where_ranges needs >= 1 range")
+        if not set_exprs:
+            raise ValueError("update_where_ranges needs >= 1 SET expr")
+        base = self.snapshot_meta()
+        if base is None or not base.files:
+            return self.latest_version()
+        schema = base.schema()
+        bad = set(set_exprs) - set(schema.fieldNames())
+        if bad:
+            raise ValueError(f"SET exprs for unknown columns {sorted(bad)}")
+        affected = self.files_matching_any(col, ranges, base.version)
+        if not affected:
+            return base.version
+        hit = reduce(
+            or_, [F.col(col).between(lo, hi) for lo, hi in ranges]
+        ) & F.col(col).isNotNull()
+        old = self.spark.read.schema(schema).parquet(
+            *[str(self.root / f) for f in affected]
+        )
+        out = old.select(
+            *[
+                F.when(
+                    hit, F.expr(set_exprs[f.name]).cast(f.dataType)
+                ).otherwise(F.col(f.name)).alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+        staged, _schema_json, stats = self._stage(out, stats_cols)
+        return self._commit(
+            "update",
+            staged,
+            schema.json(),  # SET exprs cast back: schema is invariant
+            app_id,
+            txn_seq,
+            replaced=tuple(affected),
+            staged_stats=stats,
+            op_params={
+                "col": col,
+                "ranges": ranges,
+                "set": sorted(set_exprs),
+            },
+        )
+
+    def add_constraint(
+        self, name: str, expr: str, max_attempts: int = 5
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT ``name`` CHECK (``expr``) —
+        Delta's CHECK-constraint surface (NOT NULL is just
+        ``"col IS NOT NULL"``). EVERY EXISTING ROW is validated first
+        (one aggregate job over the snapshot), then the constraint
+        commits as a metadata-only 'constraint' operation pinned to
+        the validated version — a concurrent append (whose rows the
+        scan never saw) forces re-validation and retry, so the
+        invariant "all committed rows satisfy all committed
+        constraints" holds without locks. From then on every commit's
+        staged files are validated in :meth:`_commit` before publish.
+
+        SQL CHECK semantics: FALSE violates, UNKNOWN passes. Re-adding
+        an identical (name, expr) is an idempotent no-op; a different
+        expr under an existing name raises ValueError (drop first)."""
+        for _ in range(max_attempts):
+            base = self.snapshot_meta()
+            if base is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root} — append the "
+                    f"table's first data (or schema) before constraining it"
+                )
+            if base.constraints.get(name) == expr:
+                return base.version
+            if name in base.constraints:
+                raise ValueError(
+                    f"constraint {name!r} already exists with a different "
+                    f"expression; drop_constraint first"
+                )
+            if base.files:
+                self._enforce_constraints(
+                    list(base.files), base.schema_json, {name: expr}
+                )
+            else:
+                # empty table: still fail fast on an unanalyzable expr
+                self.spark.createDataFrame([], base.schema()).where(expr)
+            try:
+                return self._commit(
+                    "constraint",
+                    [],
+                    base.schema_json,
+                    None,
+                    None,
+                    expected_base=base.version,
+                    constraints={**base.constraints, name: expr},
+                    op_params={"action": "add", "name": name, "expr": expr},
+                )
+            except ConcurrentWriteError:
+                continue  # base moved: re-validate the new rows
+        raise ConcurrentWriteError(
+            f"gave up adding constraint {name!r} after {max_attempts} "
+            f"contended attempts"
+        )
+
+    def drop_constraint(self, name: str, max_attempts: int = 5) -> int:
+        """ALTER TABLE DROP CONSTRAINT — metadata-only. Unknown names
+        no-op (idempotent). Pinned to the base version like add: the
+        published set is recomputed from a fresh snapshot on every
+        attempt, so a racing add_constraint of a DIFFERENT name is
+        never silently erased by this drop's stale copy of the set."""
+        for _ in range(max_attempts):
+            base = self.snapshot_meta()
+            if base is None or name not in base.constraints:
+                return self.latest_version()
+            cons = {
+                n: e for n, e in base.constraints.items() if n != name
+            }
+            try:
+                return self._commit(
+                    "constraint",
+                    [],
+                    base.schema_json,
+                    None,
+                    None,
+                    expected_base=base.version,
+                    constraints=cons,
+                    op_params={"action": "drop", "name": name},
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"gave up dropping constraint {name!r} after {max_attempts} "
+            f"contended attempts"
         )
 
     def compact(

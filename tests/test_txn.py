@@ -823,3 +823,161 @@ def test_mixed_range_and_null_pruning_one_read(spark, tmp_path):
     assert got == ["a", "c", "d"]
     keep, _ = t.files_matching({}, null_cols={"ref": False})
     assert len(keep) == 2  # all-null ref file skipped
+
+
+def test_update_where_rewrites_only_intersecting_files(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v int, s string").coalesce(1)
+    t.append(mk([(1, 10, "a"), (2, 20, "b")]), stats_cols=("id",))
+    t.append(mk([(100, 30, "c"), (101, 40, "d")]), stats_cols=("id",))
+    before = set(t.snapshot_meta().files)
+
+    v = t.update_where(
+        "id", 0, 50, {"v": "v * 10", "s": "concat(s, '!')"},
+        stats_cols=("id",),
+    )
+    assert v == 3
+    after = t.snapshot_meta()
+    # the disjoint file survived byte-identical (never rewritten)
+    assert len(set(after.files) & before) == 1
+    rows = sorted((r.id, r.v, r.s) for r in t.snapshot().collect())
+    assert rows == [(1, 100, "a!"), (2, 200, "b!"), (100, 30, "c"), (101, 40, "d")]
+    # schema invariant, history truthful, time travel intact
+    assert after.schema() == t.snapshot_meta(2).schema()
+    assert t.history()[-1]["operation"] == "update"
+    assert sorted(r.v for r in t.snapshot(2).collect()) == [10, 20, 30, 40]
+
+
+def test_update_where_noop_and_validation(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v int").coalesce(1)
+    t.append(mk([(1, 10)]), stats_cols=("id",))
+    # disjoint range: no commit
+    assert t.update_where("id", 500, 600, {"v": "0"}) == 1
+    with pytest.raises(ValueError):
+        t.update_where("id", 0, 5, {"nope": "1"})
+    with pytest.raises(ValueError):
+        t.update_where("id", 0, 5, {})
+    # null predicate col rows are never updated
+    t.append(
+        spark.createDataFrame([(None, 7)], "id int, v int").coalesce(1),
+        stats_cols=("id",),
+    )
+    t.update_where("id", 0, 5, {"v": "v + 1"}, stats_cols=("id",))
+    assert sorted(r.v for r in t.snapshot().collect()) == [7, 11]
+
+
+def test_update_where_exactly_once_replay(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v int").coalesce(1)
+    t.append(mk([(1, 1)]), stats_cols=("id",))
+    v = t.update_where("id", 0, 5, {"v": "v + 1"}, app_id="u", txn_seq=0)
+    # replay: same (app_id, txn_seq) must no-op, not double-increment
+    assert t.update_where("id", 0, 5, {"v": "v + 1"}, app_id="u", txn_seq=0) == v
+    assert [r.v for r in t.snapshot().collect()] == [2]
+
+
+def test_update_where_appears_as_delete_insert_in_cdf(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v int").coalesce(1)
+    t.append(mk([(1, 1), (2, 2)]), stats_cols=("id",))
+    t.update_where("id", 1, 1, {"v": "v + 100"}, stats_cols=("id",))
+    ch = sorted(
+        (r.id, r.v, r._change_type) for r in t.table_changes(1, 2).collect()
+    )
+    assert ch == [(1, 1, "delete"), (1, 101, "insert")]
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints
+# ---------------------------------------------------------------------------
+
+
+def test_constraint_blocks_violating_append(spark, tmp_path):
+    from etl_data_lake_spark.sources.txn import ConstraintViolationError
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v int").coalesce(1)
+    t.append(mk([(1, 10)]))
+    v = t.add_constraint("v_positive", "v > 0")
+    assert t.history()[-1]["operation"] == "constraint"
+    with pytest.raises(ConstraintViolationError):
+        t.append(mk([(2, -5)]))
+    # nothing committed; good rows still land
+    assert t.latest_version() == v
+    t.append(mk([(2, 5)]))
+    assert sorted(r.v for r in t.snapshot().collect()) == [5, 10]
+    # SQL CHECK: UNKNOWN (null) passes
+    t.append(mk([(3, None)]))
+    assert t.snapshot().count() == 3
+    # NOT NULL is a CHECK too, and the existing null row blocks adding it
+    with pytest.raises(ConstraintViolationError):
+        t.add_constraint("v_not_null", "v IS NOT NULL")
+
+
+def test_constraint_validates_existing_rows_on_add(spark, tmp_path):
+    from etl_data_lake_spark.sources.txn import ConstraintViolationError
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, -1)], "id int, v int"))
+    before = t.latest_version()
+    with pytest.raises(ConstraintViolationError):
+        t.add_constraint("v_pos", "v > 0")
+    assert t.latest_version() == before  # nothing committed
+
+
+def test_constraint_add_drop_idempotence_and_conflicts(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 1)], "id int, v int"))
+    v = t.add_constraint("c", "v > 0")
+    assert t.add_constraint("c", "v > 0") == v  # same expr: no-op
+    with pytest.raises(ValueError):
+        t.add_constraint("c", "v > 1")  # different expr under same name
+    v2 = t.drop_constraint("c")
+    assert v2 == v + 1
+    assert t.drop_constraint("c") == v2  # unknown name: no-op
+    t.append(spark.createDataFrame([(2, -9)], "id int, v int"))  # now fine
+    assert t.snapshot().count() == 2
+
+
+def test_constraint_survives_checkpoint_and_guards_all_ops(spark, tmp_path):
+    from etl_data_lake_spark.sources.txn import ConstraintViolationError
+    from etl_data_lake_spark.sources.merge import merge_into
+
+    t = TxnTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v int").coalesce(1)
+    t.append(mk([(1, 1)]), stats_cols=("id",))
+    t.add_constraint("v_pos", "v > 0")
+    for i in range(12):  # cross at least two checkpoints
+        t.append(mk([(10 + i, i + 1)]), stats_cols=("id",))
+    assert t.read_plan().checkpoint > 0
+    assert t.snapshot_meta().constraints == {"v_pos": "v > 0"}
+    # a fresh handle reconstructing from the checkpoint still enforces
+    t2 = TxnTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    with pytest.raises(ConstraintViolationError):
+        t2.append(mk([(99, 0)]))
+    # merge's staged rewrite is validated too
+    with pytest.raises(ConstraintViolationError):
+        merge_into(t2, mk([(1, -7)]), "id", stats_cols=("id",))
+    # update_where producing a violation is blocked as well
+    with pytest.raises(ConstraintViolationError):
+        t2.update_where("id", 1, 1, {"v": "-v"}, stats_cols=("id",))
+
+
+def test_constraint_add_pinned_to_validated_version(spark, tmp_path):
+    """The metadata commit is pinned to the snapshot the validation
+    scan covered: a concurrent append forces ConcurrentWriteError at
+    the _commit layer (add_constraint's public loop then re-validates
+    the new rows — here we pin the layer-level behavior)."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 1)], "id int, v int"))
+    base = t.snapshot_meta()
+    t.append(spark.createDataFrame([(2, 2)], "id int, v int"))
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(
+            "constraint", [], base.schema_json, None, None,
+            expected_base=base.version,
+            constraints={"c": "v > 0"},
+        )
+    # and the public API succeeds by re-validating on the moved base
+    assert t.add_constraint("c", "v > 0") == 3
