@@ -1,6 +1,10 @@
 from etl_data_lake_spark.sources.catalog import TABLES, load_table, load_tables
 from etl_data_lake_spark.sources.merge import MergeResult, merge_into
-from etl_data_lake_spark.sources.txn import ConcurrentWriteError, TxnTable
+from etl_data_lake_spark.sources.txn import (
+    ConcurrentWriteError,
+    ConstraintViolationError,
+    TxnTable,
+)
 
 __all__ = [
     "TABLES",
@@ -8,6 +12,7 @@ __all__ = [
     "load_tables",
     "TxnTable",
     "ConcurrentWriteError",
+    "ConstraintViolationError",
     "merge_into",
     "MergeResult",
 ]
