@@ -332,7 +332,7 @@ class TxnTable:
             elif op == "overwrite":
                 files = add
                 stats = {}
-            elif op in ("compact", "merge", "delete", "update"):
+            elif op in ("compact", "merge", "delete", "update", "restore"):
                 # one replay rule for every rewrite-shaped commit:
                 # drop `remove`, append `add` (merge/delete are
                 # compacts with different conflict rules at WRITE time;
@@ -689,7 +689,7 @@ class TxnTable:
                 new = files + add
             elif op == "overwrite":
                 new = add
-            elif op in ("compact", "merge", "delete", "update"):
+            elif op in ("compact", "merge", "delete", "update", "restore"):
                 removed = set(m.get("remove", ()))
                 new = sorted(f for f in files if f not in removed) + add
             elif op == "constraint":
@@ -983,8 +983,20 @@ class TxnTable:
                         f"v{base.version} committed concurrently"
                     )
                 files = staged
-            elif operation in ("compact", "merge", "delete", "update"):
-                if base is not None:
+            elif operation in ("compact", "merge", "delete", "update", "restore"):
+                if operation == "restore":
+                    # RESTORE pins its base (any concurrent commit is
+                    # state the rollback would silently erase) and
+                    # publishes the restored version's schema EXACTLY
+                    # (the file set becomes exactly that version's, so
+                    # no union with the current schema is needed)
+                    if base is None or base.version != expected_base:
+                        raise ConcurrentWriteError(
+                            f"restore based on v{expected_base} but "
+                            f"v{base.version if base else 0} committed "
+                            f"concurrently"
+                        )
+                elif base is not None:
                     attempt_schema = merge_schemas(
                         base.schema(),
                         StructType.fromJson(json.loads(schema_json)),
@@ -1582,6 +1594,61 @@ class TxnTable:
         raise ConcurrentWriteError(
             f"gave up dropping constraint {name!r} after {max_attempts} "
             f"contended attempts"
+        )
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION — roll the CURRENT state back to
+        ``version`` with a METADATA-ONLY commit (Delta's RESTORE): no
+        data is copied, the commit just re-references that version's
+        files and un-references everything newer. History is append-
+        only — the rollback is itself a new version, every intermediate
+        version stays time-travelable, and un-referenced files stay on
+        disk for older readers until vacuum. Conversely a file the
+        restore needs may already be VACUUMED away; that fails fast
+        here with FileNotFoundError before anything commits.
+
+        Concurrency: pinned to the caller-visible latest version —
+        ANY concurrent commit aborts with ConcurrentWriteError (it is
+        state this rollback would silently erase; re-read and decide
+        again). Schema is restored exactly along with the file set.
+        Writer transaction watermarks are NOT rolled back (a replayed
+        (app_id, txn_seq) must still no-op after a restore, or
+        exactly-once sinks would double-apply). Files the restore
+        re-introduces are validated against the CURRENT constraint
+        set — a constraint added after ``version`` still holds.
+        Restoring to the current version is a no-op."""
+        base = self.snapshot_meta()
+        if base is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        if version == base.version:
+            return base.version
+        old = self.snapshot_meta(version)
+        if old is None:
+            raise FileNotFoundError(
+                f"version {version} does not exist at {self.root}"
+            )
+        missing = [
+            f for f in old.files if not (self.root / f).is_file()
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore v{version}: {len(missing)} data file(s) "
+                f"already vacuumed, e.g. {missing[0]!r}"
+            )
+        replaced = tuple(sorted(set(base.files) - set(old.files)))
+        staged = sorted(set(old.files) - set(base.files))
+        return self._commit(
+            "restore",
+            staged,
+            old.schema_json,
+            None,
+            None,
+            replaced=replaced,
+            staged_stats={
+                f: old.file_stats[f] for f in staged if f in old.file_stats
+            },
+            expected_base=base.version,
+            op_params={"to_version": version},
         )
 
     def compact(

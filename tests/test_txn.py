@@ -981,3 +981,91 @@ def test_constraint_add_pinned_to_validated_version(spark, tmp_path):
         )
     # and the public API succeeds by re-validating on the moved base
     assert t.add_constraint("c", "v > 0") == 3
+
+
+# ---------------------------------------------------------------------------
+# RESTORE
+# ---------------------------------------------------------------------------
+
+
+def test_restore_rolls_back_metadata_only(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v int").coalesce(1)
+    t.append(mk([(1, 1)]), stats_cols=("id",))
+    t.append(mk([(2, 2)]), stats_cols=("id",))
+    files_v2 = set(t.snapshot_meta().files)
+    t.delete_where("id", 1, 1, stats_cols=("id",))
+    t.append(mk([(3, 3)]), stats_cols=("id",))
+    assert sorted(r.id for r in t.snapshot().collect()) == [2, 3]
+
+    v = t.restore(2)
+    assert v == 5
+    assert t.history()[-1]["operation"] == "restore"
+    assert t.history()[-1]["params"] == {"to_version": 2}
+    # exact file set of v2 — no data copied, just re-referenced
+    assert set(t.snapshot_meta().files) == files_v2
+    assert sorted(r.id for r in t.snapshot().collect()) == [1, 2]
+    # every intermediate version still time-travels
+    assert sorted(r.id for r in t.snapshot(4).collect()) == [2, 3]
+    # stats rode along: pruning still works on restored files
+    keep, total = t.files_matching({"id": (2, 2)})
+    assert total == 2 and len(keep) == 1
+    # restore to current version: no-op
+    assert t.restore(5) == 5
+
+
+def test_restore_conflicts_with_concurrent_commit(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v int").coalesce(1)
+    t.append(mk([(1, 1)]))
+    t.append(mk([(2, 2)]))
+    base = t.snapshot_meta()
+    TxnTable(spark, str(tmp_path / "t")).append(mk([(3, 3)]))
+    # deterministic race: commit pinned to the stale base
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(
+            "restore", [], t.snapshot_meta(1).schema_json, None, None,
+            replaced=tuple(sorted(set(base.files) - set(t.snapshot_meta(1).files))),
+            expected_base=base.version,
+        )
+
+
+def test_restore_fails_fast_on_vacuumed_files(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v int").coalesce(1)
+    t.append(mk([(1, 1)]))
+    t.overwrite(mk([(2, 2)]))
+    t.vacuum(keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        t.restore(1)
+    assert t.latest_version() == 2  # nothing committed
+
+
+def test_restore_validates_against_current_constraints(spark, tmp_path):
+    """A constraint added AFTER the target version still guards the
+    files a restore re-introduces."""
+    from etl_data_lake_spark.sources.txn import ConstraintViolationError
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v int").coalesce(1)
+    t.append(mk([(1, -1)]))                      # v1: negative row
+    t.delete_where("id", 1, 1)                   # v2: gone
+    t.append(mk([(2, 5)]))                       # v3
+    t.add_constraint("v_pos", "v > 0")           # v4: valid now
+    with pytest.raises(ConstraintViolationError):
+        t.restore(1)                             # would resurrect v=-1
+    assert t.latest_version() == 4
+
+
+def test_restore_keeps_writer_watermarks(spark, tmp_path):
+    """Exactly-once watermarks survive a restore: a replayed txn_seq
+    still no-ops afterwards."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v int").coalesce(1)
+    t.append(mk([(1, 1)]), app_id="s", txn_seq=0)
+    t.append(mk([(2, 2)]), app_id="s", txn_seq=1)
+    t.restore(1)
+    v = t.latest_version()
+    # replay of seq 1 must NOT re-apply after the rollback
+    assert t.append(mk([(2, 2)]), app_id="s", txn_seq=1) == v
+    assert sorted(r.id for r in t.snapshot().collect()) == [1]
