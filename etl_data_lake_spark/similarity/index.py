@@ -237,12 +237,8 @@ class IvfIndex:
         )
         keep = sorted(cell_files & set(build_files))
         meta = self.postings_tbl.snapshot_meta()
-        if not keep:
-            return self.spark.createDataFrame([], meta.schema())
-        return (
-            self.spark.read.schema(meta.schema())
-            .parquet(*[str(self.postings_tbl.root / f) for f in keep])
-            .where(F.col("build") == build_no)
+        return self.postings_tbl.read_files(meta, keep).where(
+            F.col("build") == build_no
         )
 
     # ------------------------------------------------- maintenance --

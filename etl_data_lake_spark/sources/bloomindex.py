@@ -284,13 +284,7 @@ def snapshot_where_eq(
     values = [v for v in values if v is not None]
     keep, _ = files_matching_eq(table, col, values, version)
     pred = F.col(col).isin(values) if values else F.lit(False)
-    if not keep:
-        return table.spark.createDataFrame([], meta.schema()).where(pred)
-    return (
-        table.spark.read.schema(meta.schema())
-        .parquet(*[str(table.root / f) for f in keep])
-        .where(pred)
-    )
+    return table.read_files(meta, keep).where(pred)
 
 
 def vacuum_bloom(table: TxnTable) -> int:

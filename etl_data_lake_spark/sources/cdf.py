@@ -64,23 +64,39 @@ def changes_between(
     if v_to <= v_from:
         return None
     # ONE snapshot reconstruction + one manifest read per version
-    # (TxnTable.file_diffs), not two reconstructions per step; the
-    # widest schema (at v_to) reads every span, since evolution is
+    # (TxnTable.file_and_dv_diffs), not two reconstructions per step;
+    # the widest schema (at v_to) reads every span, since evolution is
     # additive. Plan size still grows with the span — bounded
     # consumers pass max_versions via incremental_changes.
+    from etl_data_lake_spark.sources.txn import Snapshot
+
     end = table.snapshot_meta(v_to)
     schema = end.schema()
 
-    def read(files: list[str]) -> DataFrame:
+    def read(files: list[str], dvs: dict[str, str]) -> DataFrame:
         if not files:
             return table.spark.createDataFrame([], schema)
-        return table.spark.read.schema(schema).parquet(
-            *[str(table.root / f) for f in files]
+        # a synthetic snapshot carries exactly the DV state this side
+        # of the version boundary should see
+        side = Snapshot(
+            version=-1, operation="", files=tuple(files),
+            schema_json=end.schema_json, writer_txns={}, file_stats={},
+            file_dvs={f: dvs[f] for f in files if f in dvs},
         )
+        return table.read_files(side, files, schema=schema)
 
     out = None
-    for v, added, removed in table.file_diffs(v_from, v_to):
-        a, r = read(added), read(removed)
+    for v, added, removed, dv_changed in table.file_and_dv_diffs(
+        v_from, v_to
+    ):
+        # a file live on both sides with a changed deletion vector
+        # contributes rows on both sides (old-DV view vs new-DV view);
+        # the multiset difference surfaces exactly the MOR deletes
+        before_dvs = {f: p for f, (p, _n) in dv_changed.items() if p}
+        after_dvs = {f: p for f, (_o, p) in dv_changed.items() if p}
+        both = sorted(set(dv_changed) - set(added))
+        a = read(added + both, after_dvs)
+        r = read(removed + both, before_dvs)
         d = (
             a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
             .unionByName(

@@ -291,28 +291,23 @@ def _merge_against(
 
     touched: list[str] = []
     if candidates:
-        cand = (
-            spark.read.schema(base.schema())
-            .parquet(*[str(table.root / f) for f in candidates])
-            .select(*keys)
-            .withColumn("__file", F.input_file_name())
-        )
+        # DV-aware read (a row deleted by a deletion vector must not
+        # mark its file as touched); keep_file_col carries the
+        # manifest-relative path, so no URI mapping is needed
+        cand = table.read_files(
+            base, candidates, keep_file_col="__file"
+        ).select(*keys, "__file")
         probed = (
             cand.join(src_keys, on=keys, how="left_semi")
             .select("__file")
             .distinct()
             .collect()
         )
-        # input_file_name yields URIs; map back to manifest-relative
-        by_suffix = {f: f for f in candidates}
+        cand_set = set(candidates)
         for r in probed:
-            uri = r["__file"]
-            rel = next(
-                (f for f in by_suffix if uri.endswith("/" + f) or uri.endswith(f)),
-                None,
-            )
-            if rel is None:  # pragma: no cover - layout invariant
-                raise RuntimeError(f"probed file {uri!r} not in candidates")
+            rel = r["__file"]
+            if rel not in cand_set:  # pragma: no cover - layout invariant
+                raise RuntimeError(f"probed file {rel!r} not in candidates")
             touched.append(rel)
         touched.sort()
 
@@ -321,11 +316,7 @@ def _merge_against(
         dup_keys = (
             source.groupBy(*keys).count().where(F.col("count") > 1).drop("count")
         )
-        t_keys = (
-            spark.read.schema(base.schema())
-            .parquet(*[str(table.root / f) for f in touched])
-            .select(*keys)
-        )
+        t_keys = table.read_files(base, touched).select(*keys)
         amb = dup_keys.join(t_keys, on=keys, how="left_semi").limit(1).count()
         if amb:
             raise MergeAmbiguityError(
@@ -357,11 +348,7 @@ def _merge_against(
         # is a guarded pure-add of the unmatched source rows
         if when_not_matched == "insert":
             if touched:
-                t_keys = (
-                    spark.read.schema(base.schema())
-                    .parquet(*[str(table.root / f) for f in touched])
-                    .select(*keys)
-                )
+                t_keys = table.read_files(base, touched).select(*keys)
                 inserts = source.join(t_keys, on=keys, how="left_anti")
             else:
                 inserts = source
@@ -371,8 +358,7 @@ def _merge_against(
         touched = []
     elif touched:
         t = (
-            spark.read.schema(base.schema())
-            .parquet(*[str(table.root / f) for f in touched])
+            table.read_files(base, touched)
             .withColumn("__t", F.lit(True))
             .alias("t")
         )

@@ -89,6 +89,7 @@ from pyspark.sql.types import StructType
 
 _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
+_DV_DIR = "_dv"
 _V_WIDTH = 12
 _CKPT_SUFFIX = ".ckpt.json"
 
@@ -168,6 +169,11 @@ class Snapshot:
     # name -> SQL CHECK expression every committed row must satisfy
     # (SQL semantics: TRUE or UNKNOWN passes, FALSE violates)
     constraints: dict[str, str] = field(default_factory=dict)
+    # data file -> deletion-vector sidecar (relative, under _dv/):
+    # positions listed there are DELETED rows readers must drop
+    # (merge-on-read). Entries vanish with their data file; a file
+    # without one has no deleted rows.
+    file_dvs: dict[str, str] = field(default_factory=dict)
 
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
@@ -311,6 +317,7 @@ class TxnTable:
         stats: dict[str, dict[str, list]] = {}
         txns: dict[str, int] = {}
         cons: dict[str, str] = {}
+        dvs: dict[str, str] = {}
         schema_json = ""
         operation = ""
         if start:
@@ -319,6 +326,7 @@ class TxnTable:
             stats = dict(ck.get("file_stats", {}))
             txns = dict(ck.get("writer_txns", {}))
             cons = dict(ck.get("constraints", {}))
+            dvs = dict(ck.get("file_dvs", {}))
             schema_json = ck["schema"]
             operation = ck["operation"]
         n_replayed = 0
@@ -351,6 +359,16 @@ class TxnTable:
             txns = dict(m.get("writer_txns", txns))
             # pre-feature manifests lack the key: carry forward
             cons = dict(m.get("constraints", cons))
+            # deletion vectors: a dropped data file takes its DV with
+            # it (live filter); an overwrite reset files -> same rule.
+            # A null value is an explicit CLEAR (restore rolling back
+            # to a pre-delete vector state for a still-live file)
+            dvs = {f: p for f, p in dvs.items() if f in live}
+            for f, p in m.get("dv", {}).items():
+                if p is None:
+                    dvs.pop(f, None)
+                else:
+                    dvs[f] = p
             schema_json = m["schema"]
             operation = op
         snap = Snapshot(
@@ -361,6 +379,7 @@ class TxnTable:
             writer_txns=txns,
             file_stats=stats,
             constraints=cons,
+            file_dvs=dvs,
         )
         return snap, ReadPlan(version, start, n_replayed)
 
@@ -435,14 +454,96 @@ class TxnTable:
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest). Consistent
         even while concurrent commits land: the file list was fixed at
-        publish time and data files are immutable."""
+        publish time and data files are immutable (merge-on-read
+        deletes only ever ADD deletion-vector sidecars, which this
+        read applies)."""
         meta = self.snapshot_meta(version)
         if meta is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
-        if not meta.files:
-            return self.spark.createDataFrame([], meta.schema())
-        paths = [str(self.root / f) for f in meta.files]
-        return self.spark.read.schema(meta.schema()).parquet(*paths)
+        return self.read_files(meta, list(meta.files))
+
+    def read_files(
+        self,
+        meta: Snapshot,
+        files: list[str],
+        keep_file_col: str | None = None,
+        schema: StructType | None = None,
+    ) -> DataFrame:
+        """THE read path: a subset of ``meta``'s files with that
+        snapshot's deletion vectors applied. Files without a DV (the
+        overwhelmingly common case) take the plain scan with zero
+        overhead; when any requested file has one, rows are read with
+        their file/position metadata and the deleted positions are
+        dropped via a broadcast anti join against the DV sidecars
+        (read BY SPARK as JSON — the driver never loads a vector).
+        ``keep_file_col`` optionally retains each row's
+        manifest-relative file path under that name (pass 1 of MERGE
+        uses it for touched-file attribution). ``schema`` overrides
+        the read schema (CDF reads an old snapshot's files with the
+        newest, widest schema so spans union cleanly)."""
+        from pyspark.sql import functions as F
+
+        if schema is None:
+            schema = meta.schema()
+        cols = schema.fieldNames()
+        rel_expr = F.concat_ws(
+            "/", F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3)
+        )
+        if not files:
+            out = self.spark.createDataFrame([], schema)
+            if keep_file_col is not None:
+                out = out.withColumn(keep_file_col, F.lit(None).cast("string"))
+            return out
+        paths = [str(self.root / f) for f in files]
+        dv_files = [f for f in files if f in meta.file_dvs]
+        if not dv_files:
+            plain = self.spark.read.schema(schema).parquet(*paths)
+            if keep_file_col is not None:
+                plain = plain.select(*cols, rel_expr.alias(keep_file_col))
+            return plain
+        out = self._read_with_positions(meta, files, schema)
+        if keep_file_col is not None:
+            return out.select(
+                *cols, F.col("__dv_file").alias(keep_file_col)
+            )
+        return out.select(*cols)
+
+    def _read_with_positions(
+        self, meta: Snapshot, files: list[str], schema: StructType
+    ):
+        """Rows of ``files`` with ``__dv_file`` (manifest-relative
+        path — the last 3 segments of the fixed ``data/<uuid>/<part>``
+        layout _stage writes) and ``__dv_pos`` (row position in file)
+        attached, and ``meta``'s deletion vectors ALREADY APPLIED via
+        a broadcast anti join against the sidecars (read by Spark as
+        JSON — the driver never loads a vector)."""
+        from pyspark.sql import functions as F
+
+        cols = schema.fieldNames()
+        with_pos = self.spark.read.schema(schema).parquet(
+            *[str(self.root / f) for f in files]
+        ).select(
+            *cols,
+            F.concat_ws(
+                "/",
+                F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3),
+            ).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        dv_files = [f for f in files if f in meta.file_dvs]
+        if not dv_files:
+            return with_pos
+        dv = (
+            self.spark.read.schema("file string, indices array<long>")
+            .json([str(self.root / meta.file_dvs[f]) for f in dv_files])
+            .select(
+                F.col("file").alias("__dv_file"),
+                F.explode("indices").alias("__dv_pos"),
+            )
+        )
+        return with_pos.join(
+            F.broadcast(dv), on=["__dv_file", "__dv_pos"], how="left_anti"
+        )
 
     def files_matching(
         self,
@@ -535,12 +636,7 @@ class TxnTable:
             if ranges
             else F.lit(False)  # empty disjunction: no row matches
         )
-        if not keep:
-            return self.spark.createDataFrame([], meta.schema()).where(pred)
-        paths = [str(self.root / f) for f in keep]
-        return (
-            self.spark.read.schema(meta.schema()).parquet(*paths).where(pred)
-        )
+        return self.read_files(meta, keep).where(pred)
 
     def snapshot_where_ranges(
         self,
@@ -577,14 +673,7 @@ class TxnTable:
             pred = p if pred is None else (pred & p)
         if pred is None:
             pred = F.lit(True)
-        if not keep:
-            return (
-                self.spark.createDataFrame([], meta.schema()).where(pred)
-            )
-        paths = [str(self.root / f) for f in keep]
-        return (
-            self.spark.read.schema(meta.schema()).parquet(*paths).where(pred)
-        )
+        return self.read_files(meta, keep).where(pred)
 
     def snapshot_where(
         self, col: str, lo, hi, version: int | None = None
@@ -614,13 +703,7 @@ class TxnTable:
             )
         else:
             keep = list(meta.files)
-        if not keep:
-            return self.spark.createDataFrame([], meta.schema()).where(pred)
-        return (
-            self.spark.read.schema(meta.schema())
-            .parquet(*[str(self.root / f) for f in keep])
-            .where(pred)
-        )
+        return self.read_files(meta, keep).where(pred)
 
     def files_matching_null(
         self, col: str, is_null: bool = True, version: int | None = None
@@ -659,13 +742,7 @@ class TxnTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         keep, _ = self.files_matching_null(col, is_null, version)
         pred = F.col(col).isNull() if is_null else F.col(col).isNotNull()
-        if not keep:
-            return self.spark.createDataFrame([], meta.schema()).where(pred)
-        return (
-            self.spark.read.schema(meta.schema())
-            .parquet(*[str(self.root / f) for f in keep])
-            .where(pred)
-        )
+        return self.read_files(meta, keep).where(pred)
 
     def file_diffs(
         self, v_from: int, v_to: int
@@ -677,10 +754,30 @@ class TxnTable:
         naive per-version ``table_changes`` loop would reconstruct two
         full snapshots (checkpoint + tail replay) for every step.
         ``v_from=0`` starts from the empty pre-table state."""
+        return [
+            (v, added, removed)
+            for v, added, removed, _dv in self.file_and_dv_diffs(
+                v_from, v_to
+            )
+        ]
+
+    def file_and_dv_diffs(
+        self, v_from: int, v_to: int
+    ) -> list[tuple[int, list[str], list[str], dict]]:
+        """:meth:`file_diffs` plus per-version DELETION-VECTOR deltas:
+        each entry is (version, added, removed, dv_changed) where
+        ``dv_changed`` maps a file whose vector state changed to
+        ``(old dv path | None, new dv path | None)`` — files live on
+        BOTH sides whose vector moved (the merge-on-read deletes a
+        file-level diff alone cannot see) AND newly-added files that
+        arrive carrying a vector (a restore re-referencing them).
+        Same cost shape: one reconstruction at ``v_from`` plus one
+        manifest read per version."""
         meta = self.snapshot_meta(v_from) if v_from else None
         if meta is None and v_from != 0:
             raise FileNotFoundError(f"version {v_from} not committed")
         files: list[str] = list(meta.files) if meta else []
+        dvs: dict[str, str] = dict(meta.file_dvs) if meta else {}
         out = []
         for v in range(v_from + 1, v_to + 1):
             m = self._read_manifest(v)
@@ -696,11 +793,29 @@ class TxnTable:
                 new = files
             else:  # pragma: no cover
                 raise ValueError(f"unknown operation {op!r} at v{v}")
+            new_dvs = {f: p for f, p in dvs.items() if f in set(new)}
+            for f, p in m.get("dv", {}).items():
+                if p is None:
+                    new_dvs.pop(f, None)
+                else:
+                    new_dvs[f] = p
+            dv_changed = {
+                f: (dvs.get(f), new_dvs.get(f))
+                for f in set(files) & set(new)
+                if dvs.get(f) != new_dvs.get(f)
+            }
+            dv_changed.update(
+                {
+                    f: (None, new_dvs[f])
+                    for f in set(new) - set(files)
+                    if f in new_dvs
+                }
+            )
             out.append(
                 (v, sorted(set(new) - set(files)),
-                 sorted(set(files) - set(new)))
+                 sorted(set(files) - set(new)), dv_changed)
             )
-            files = new
+            files, dvs = new, new_dvs
         return out
 
     def table_changes(self, v_from: int, v_to: int) -> DataFrame:
@@ -724,17 +839,25 @@ class TxnTable:
                 f"versions {v_from}..{v_to} not both committed"
             )
         a_files: tuple[str, ...] = a.files if a is not None else ()
+
+        # a file live at BOTH ends whose deletion vector changed still
+        # contributes a delta (the merge-on-read rows deleted between
+        # the versions): read it on both sides with each side's DV
+        # applied and let the multiset difference surface the rows
+        dv_changed = sorted(
+            f
+            for f in set(a_files) & set(b.files)
+            if (a.file_dvs.get(f) if a else None) != b.file_dvs.get(f)
+        )
         schema = b.schema()  # widest: append-evolution is additive
-
-        def read(files: list[str]) -> DataFrame:
-            if not files:
-                return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(
-                *[str(self.root / f) for f in files]
-            )
-
-        added = read(sorted(set(b.files) - set(a_files)))
-        removed = read(sorted(set(a_files) - set(b.files)))
+        added = self.read_files(
+            b, sorted(set(b.files) - set(a_files)) + dv_changed,
+            schema=schema,
+        )
+        removed = self.read_files(
+            a, sorted(set(a_files) - set(b.files)) + dv_changed,
+            schema=schema,
+        ) if a is not None else self.spark.createDataFrame([], schema)
         inserts = added.exceptAll(removed).withColumn(
             "_change_type", F.lit("insert")
         )
@@ -888,6 +1011,7 @@ class TxnTable:
                 "writer_txns": state.writer_txns,
                 "file_stats": state.file_stats,
                 "constraints": state.constraints,
+                "file_dvs": state.file_dvs,
             },
             _ckpt_path(self.root, version),
         )
@@ -910,6 +1034,8 @@ class TxnTable:
         guard_exempt: tuple[str, ...] = (),
         op_params: dict | None = None,
         constraints: dict[str, str] | None = None,
+        dv_updates: dict[str, str] | None = None,
+        expected_dvs: dict[str, str | None] | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop. Returns the committed
         version (or the current one, for an idempotent no-op). The
@@ -947,7 +1073,17 @@ class TxnTable:
         forward. Either way the staged files are validated against the
         set that will be published (one Spark job over Δ files only,
         cached across commit attempts), so no commit can introduce a
-        violating row."""
+        violating row.
+
+        ``dv_updates`` — {data file: new deletion-vector sidecar} for
+        merge-on-read deletes. Re-checked per attempt: every target
+        must still be in the base file list (a concurrent rewrite of
+        it wins — its output no longer contains the positions this DV
+        names) AND carry exactly the DV recorded in ``expected_dvs``
+        (the one the caller unioned into its new vector; a DV that
+        moved underneath would make last-writer-wins LOSE the other
+        delete's rows). Violations raise ConcurrentWriteError; the
+        caller re-reads and recomputes."""
         staged_stats = staged_stats or {}
         validated: set[str] = set()
         for _ in range(max_attempts):
@@ -1072,6 +1208,25 @@ class TxnTable:
                 if todo:
                     self._enforce_constraints(staged, attempt_schema, todo)
                     validated |= set(todo)
+            if dv_updates and operation != "restore":
+                # (restore is exempt: its base is pinned via
+                # expected_base, so no concurrent DV can move, and its
+                # targets may legitimately be newly re-referenced)
+                base_file_set = set(base.files) if base else set()
+                base_dvs = base.file_dvs if base else {}
+                exp = expected_dvs or {}
+                for f in sorted(dv_updates):
+                    if f not in base_file_set:
+                        raise ConcurrentWriteError(
+                            f"deletion-vector target {f!r} was rewritten "
+                            f"or removed concurrently"
+                        )
+                    if base_dvs.get(f) != exp.get(f):
+                        raise ConcurrentWriteError(
+                            f"deletion vector of {f!r} changed "
+                            f"concurrently; recompute the union against "
+                            f"the new vector"
+                        )
             manifest = {
                 "version": base_v + 1,
                 "operation": operation,
@@ -1089,6 +1244,7 @@ class TxnTable:
                 # purely informational, never consulted on replay
                 "params": op_params or {},
                 "constraints": attempt_cons,
+                "dv": dv_updates or {},
             }
             if self._publish(manifest, _manifest_path(self.root, base_v + 1)):
                 live = set(files)
@@ -1097,6 +1253,16 @@ class TxnTable:
                     if base and operation != "overwrite"
                     else {}
                 )
+                carried_dvs = (
+                    {f: p for f, p in base.file_dvs.items() if f in live}
+                    if base and operation != "overwrite"
+                    else {}
+                )
+                for f, p in (dv_updates or {}).items():
+                    if p is None:
+                        carried_dvs.pop(f, None)
+                    else:
+                        carried_dvs[f] = p
                 self._maybe_checkpoint(
                     base_v + 1,
                     Snapshot(
@@ -1107,6 +1273,7 @@ class TxnTable:
                         writer_txns=txns,
                         file_stats={**carried, **staged_stats},
                         constraints=attempt_cons,
+                        file_dvs=carried_dvs,
                     ),
                 )
                 return base_v + 1
@@ -1293,9 +1460,7 @@ class TxnTable:
         if base is not None and base.files:
             affected = self.files_matching_any(col, ranges, base.version)
             if affected:
-                old = self.spark.read.schema(base.schema()).parquet(
-                    *[str(self.root / f) for f in affected]
-                )
+                old = self.read_files(base, affected)
                 keep_rows = old.where(~pred | F.col(col).isNull())
         if keep_rows is None:
             # even with no affected files the committed schema must be
@@ -1398,9 +1563,7 @@ class TxnTable:
         pred = reduce(
             or_, [F.col(col).between(lo, hi) for lo, hi in ranges]
         )
-        old = self.spark.read.schema(base.schema()).parquet(
-            *[str(self.root / f) for f in affected]
-        )
+        old = self.read_files(base, affected)
         keep_rows = old.where(~pred | F.col(col).isNull())
         staged, schema_json, stats = self._stage(keep_rows, stats_cols)
         return self._commit(
@@ -1480,9 +1643,7 @@ class TxnTable:
         hit = reduce(
             or_, [F.col(col).between(lo, hi) for lo, hi in ranges]
         ) & F.col(col).isNotNull()
-        old = self.spark.read.schema(schema).parquet(
-            *[str(self.root / f) for f in affected]
-        )
+        old = self.read_files(base, affected)
         out = old.select(
             *[
                 F.when(
@@ -1629,14 +1790,28 @@ class TxnTable:
             )
         missing = [
             f for f in old.files if not (self.root / f).is_file()
+        ] + [
+            p for p in old.file_dvs.values()
+            if not (self.root / p).is_file()
         ]
         if missing:
             raise FileNotFoundError(
-                f"cannot restore v{version}: {len(missing)} data file(s) "
-                f"already vacuumed, e.g. {missing[0]!r}"
+                f"cannot restore v{version}: {len(missing)} data/DV "
+                f"file(s) already vacuumed, e.g. {missing[0]!r}"
             )
-        replaced = tuple(sorted(set(base.files) - set(old.files)))
-        staged = sorted(set(old.files) - set(base.files))
+        base_set = set(base.files)
+        replaced = tuple(sorted(base_set - set(old.files)))
+        staged = sorted(set(old.files) - base_set)
+        # deletion vectors roll back with the files: every old file
+        # whose DV state differs from what the carry-forward would
+        # produce gets an explicit set (or null = clear, for a vector
+        # added after the target version on a still-live file)
+        dv_updates: dict[str, str | None] = {}
+        for f in old.files:
+            want = old.file_dvs.get(f)
+            have = base.file_dvs.get(f) if f in base_set else None
+            if want != have:
+                dv_updates[f] = want
         return self._commit(
             "restore",
             staged,
@@ -1648,7 +1823,258 @@ class TxnTable:
                 f: old.file_stats[f] for f in staged if f in old.file_stats
             },
             expected_base=base.version,
+            dv_updates=dv_updates or None,
             op_params={"to_version": version},
+        )
+
+    def _build_dv_updates(
+        self, base: Snapshot, matched
+    ) -> tuple[dict[str, str], dict[str, str | None]]:
+        """Union newly-deleted positions (``matched``: a DataFrame
+        with ``__dv_file``/``__dv_pos``) into per-file deletion-vector
+        documents → (dv_updates, expected_dvs) for :meth:`_commit`.
+        Files whose union adds nothing are omitted; sidecars are
+        written write-once under ``_dv/`` (orphans from a lost commit
+        race stay invisible and are vacuumed)."""
+        from pyspark.sql import functions as F
+
+        per_file = matched.groupBy("__dv_file").agg(
+            F.sort_array(F.collect_list("__dv_pos")).alias("idx")
+        ).collect()
+        updates: dict[str, str] = {}
+        expected: dict[str, str | None] = {}
+        for r in per_file:
+            f, new_idx = r["__dv_file"], set(r["idx"])
+            old_rel = base.file_dvs.get(f)
+            old_idx: set[int] = set()
+            if old_rel is not None:
+                old_idx = set(
+                    json.loads((self.root / old_rel).read_text())["indices"]
+                )
+            union = old_idx | new_idx
+            if union == old_idx:
+                continue  # nothing newly deleted in this file
+            dv_rel = f"{_DV_DIR}/{uuid.uuid4().hex}.json"
+            p = self.root / dv_rel
+            p.parent.mkdir(parents=True, exist_ok=True)
+            tmp = p.parent / f".tmp-{uuid.uuid4().hex}"
+            tmp.write_text(
+                json.dumps(
+                    {"file": f, "indices": sorted(int(i) for i in union)}
+                )
+            )
+            os.replace(tmp, p)
+            updates[f] = dv_rel
+            expected[f] = old_rel
+        return updates, expected
+
+    def delete_where_mor(
+        self,
+        col: str,
+        lo,
+        hi,
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+        max_dv_rows: int = 1_000_000,
+    ) -> int:
+        """Single-range form of :meth:`delete_where_mor_ranges`."""
+        return self.delete_where_mor_ranges(
+            col, [(lo, hi)], app_id=app_id, txn_seq=txn_seq,
+            max_dv_rows=max_dv_rows,
+        )
+
+    def delete_where_mor_ranges(
+        self,
+        col: str,
+        ranges,
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+        max_dv_rows: int = 1_000_000,
+        max_attempts: int = 5,
+    ) -> int:
+        """MERGE-ON-READ row-level DELETE (deletion vectors — Delta's
+        DV / Iceberg's position-delete design): instead of rewriting
+        every file that contains a matching row, record the matching
+        ROW POSITIONS in per-file sidecars under ``_dv/`` and commit
+        the pointers. A delete of 100 rows scattered across 100
+        near-gigabyte files writes ~100 tiny JSON documents instead of
+        ~100 GB of parquet — the write amplification fix for small
+        scattered deletes. Readers drop the positions via
+        :meth:`read_files` (every read path routes through it);
+        any REWRITE of the file (compact / OPTIMIZE / merge / COW
+        delete or update) applies the vector physically and retires
+        it, exactly like Delta's DV lifecycle.
+
+        Sized for the intended workload: matched positions are
+        collected to the committer, bounded by ``max_dv_rows`` —
+        beyond that the rewrite amortizes and :meth:`delete_where` is
+        the right tool (the same guidance Delta gives). Vectors are
+        write-once documents; a re-delete unions against the current
+        vector and commits a NEW document, with _commit's
+        expected-DV check turning a concurrent union-union race into
+        ConcurrentWriteError + retry instead of lost deletes.
+        Exactly-once under ``(app_id, txn_seq)`` replay like every
+        commit. Deletes matching nothing new commit nothing."""
+        from functools import reduce
+        from operator import or_
+
+        from pyspark.sql import functions as F
+
+        ranges = [tuple(r) for r in ranges]
+        if not ranges:
+            raise ValueError("delete_where_mor_ranges needs >= 1 range")
+        pred = reduce(
+            or_, [F.col(col).between(lo, hi) for lo, hi in ranges]
+        )
+        for _ in range(max_attempts):
+            base = self.snapshot_meta()
+            if base is None or not base.files:
+                return self.latest_version()
+            affected = self.files_matching_any(col, ranges, base.version)
+            if not affected:
+                return base.version
+            # RAW positions (no DV applied): the union below absorbs
+            # already-deleted positions idempotently
+            schema = base.schema()
+            matched = (
+                self.spark.read.schema(schema)
+                .parquet(*[str(self.root / f) for f in affected])
+                .where(pred)
+                .select(
+                    F.concat_ws(
+                        "/",
+                        F.slice(
+                            F.split(F.col("_metadata.file_path"), "/"), -3, 3
+                        ),
+                    ).alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_pos"),
+                )
+            )
+            n = matched.count()
+            if n > max_dv_rows:
+                raise ValueError(
+                    f"{n} matching rows exceed max_dv_rows={max_dv_rows}; "
+                    f"use delete_where (copy-on-write) for bulk deletes"
+                )
+            updates, expected = self._build_dv_updates(base, matched)
+            if not updates:
+                return base.version
+            try:
+                return self._commit(
+                    "delete",
+                    [],
+                    base.schema_json,
+                    app_id,
+                    txn_seq,
+                    dv_updates=updates,
+                    expected_dvs=expected,
+                    op_params={
+                        "col": col, "ranges": ranges, "mor": True,
+                    },
+                )
+            except ConcurrentWriteError:
+                continue  # recompute against the moved state;
+                # orphaned DV docs are invisible and vacuumed
+        raise ConcurrentWriteError(
+            f"gave up merge-on-read delete after {max_attempts} "
+            f"contended attempts"
+        )
+
+    def update_where_mor(
+        self,
+        col: str,
+        lo,
+        hi,
+        set_exprs: dict[str, str],
+        stats_cols: tuple[str, ...] = (),
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+        max_dv_rows: int = 1_000_000,
+        max_attempts: int = 5,
+    ) -> int:
+        """MERGE-ON-READ row-level UPDATE: deletion-vector the matched
+        positions and APPEND the transformed rows in the same atomic
+        commit — write cost O(matched rows), not O(files containing
+        them) (the position-delete + re-insert shape Iceberg's MOR
+        updates use). Matched rows are read WITH the current vectors
+        applied, so an already-deleted row is never resurrected as an
+        updated copy. Same validation, bounds, concurrency and replay
+        rules as :meth:`delete_where_mor_ranges` /
+        :meth:`update_where`; any later rewrite of the files applies
+        the vectors physically and retires them."""
+        from pyspark.sql import functions as F
+
+        if not set_exprs:
+            raise ValueError("update_where_mor needs >= 1 SET expr")
+        pred = F.col(col).between(lo, hi) & F.col(col).isNotNull()
+        for _ in range(max_attempts):
+            base = self.snapshot_meta()
+            if base is None or not base.files:
+                return self.latest_version()
+            schema = base.schema()
+            bad = set(set_exprs) - set(schema.fieldNames())
+            if bad:
+                raise ValueError(
+                    f"SET exprs for unknown columns {sorted(bad)}"
+                )
+            affected = self.files_matching_any(
+                col, [(lo, hi)], base.version
+            )
+            if not affected:
+                return base.version
+            matched = self._read_with_positions(
+                base, affected, schema
+            ).where(pred)
+            n = matched.count()
+            if n == 0:
+                return base.version
+            if n > max_dv_rows:
+                raise ValueError(
+                    f"{n} matching rows exceed max_dv_rows="
+                    f"{max_dv_rows}; use update_where (copy-on-write) "
+                    f"for bulk updates"
+                )
+            matched = matched.persist()
+            try:
+                updated = matched.select(
+                    *[
+                        F.expr(set_exprs[f.name]).cast(f.dataType)
+                        .alias(f.name)
+                        if f.name in set_exprs
+                        else F.col(f.name)
+                        for f in schema.fields
+                    ]
+                )
+                staged, _sj, stats = self._stage(updated, stats_cols)
+                updates, expected = self._build_dv_updates(
+                    base, matched.select("__dv_file", "__dv_pos")
+                )
+            finally:
+                matched.unpersist()
+            if not updates and not staged:
+                return base.version
+            try:
+                return self._commit(
+                    "update",
+                    staged,
+                    schema.json(),  # SET exprs cast back: invariant
+                    app_id,
+                    txn_seq,
+                    staged_stats=stats,
+                    dv_updates=updates,
+                    expected_dvs=expected,
+                    op_params={
+                        "col": col,
+                        "ranges": [(lo, hi)],
+                        "set": sorted(set_exprs),
+                        "mor": True,
+                    },
+                )
+            except ConcurrentWriteError:
+                continue  # recompute; orphan stage/DV docs are vacuumed
+        raise ConcurrentWriteError(
+            f"gave up merge-on-read update after {max_attempts} "
+            f"contended attempts"
         )
 
     def compact(
@@ -1710,9 +2136,7 @@ class TxnTable:
             return base.version
         total = sum(sizes[f] for f in small)
         n_out = max(1, math.ceil(total / target_bytes))
-        df = self.spark.read.schema(base.schema()).parquet(
-            *[str(self.root / f) for f in small]
-        ).coalesce(n_out)
+        df = self.read_files(base, small).coalesce(n_out)
         staged, schema_json, stats = self._stage(df, stats_cols)
         return self._commit(
             "compact",
@@ -1752,15 +2176,25 @@ class TxnTable:
         :meth:`vacuum_older_than`."""
         latest = self.latest_version()
         keep = set()
+        keep_dvs = set()
         for v in range(max(1, latest - keep_versions + 1), latest + 1):
             meta = self.snapshot_meta(v)
             keep.update(f.split("/")[1] for f in meta.files)
+            keep_dvs.update(meta.file_dvs.values())
         data = self.root / _DATA_DIR
         removed = 0
         if data.is_dir():
             for d in data.iterdir():
                 if d.is_dir() and d.name not in keep:
                     shutil.rmtree(d)
+                    removed += 1
+        # deletion-vector sidecars: drop documents no retained version
+        # references (superseded unions, crash orphans)
+        dv_dir = self.root / _DV_DIR
+        if dv_dir.is_dir():
+            for p in dv_dir.iterdir():
+                if p.is_file() and f"{_DV_DIR}/{p.name}" not in keep_dvs:
+                    p.unlink()
                     removed += 1
         return removed
 

@@ -1,0 +1,256 @@
+"""Deletion vectors (merge-on-read deletes) on txn tables.
+
+delete_where_mor records deleted ROW POSITIONS in per-file sidecars
+instead of rewriting files (Delta's deletion vectors / Iceberg's
+position deletes). These tests pin the full lifecycle: reads on every
+path, idempotent unions, exactly-once replay, rewrite retirement
+(compact/COW/merge), CDF visibility, time travel + restore, vacuum,
+checkpoint survival, and the concurrency rules that keep two racing
+deletes from losing rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.sources.merge import merge_into
+from etl_data_lake_spark.sources.txn import ConcurrentWriteError, TxnTable
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id int, v string").coalesce(1)
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def _table(spark, path):
+    """Two files: ids 0..4 and 100..104, stats on id."""
+    t = TxnTable(spark, path)
+    t.append(_mk(spark, [(i, f"a{i}") for i in range(5)]), stats_cols=("id",))
+    t.append(
+        _mk(spark, [(100 + i, f"b{i}") for i in range(5)]),
+        stats_cols=("id",),
+    )
+    return t
+
+
+def test_mor_delete_hides_rows_without_rewriting(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    files_before = set(t.snapshot_meta().files)
+    v = t.delete_where_mor("id", 1, 2)
+    meta = t.snapshot_meta()
+    # NO file was rewritten — only a vector was attached
+    assert set(meta.files) == files_before
+    assert len(meta.file_dvs) == 1
+    assert _ids(t.snapshot()) == [0, 3, 4, 100, 101, 102, 103, 104]
+    assert t.history()[-1]["operation"] == "delete"
+    assert t.history()[-1]["params"]["mor"] is True
+    # time travel: the pre-delete snapshot still shows the rows
+    assert len(_ids(t.snapshot(v - 1))) == 10
+    # every pruned read path applies the vector
+    assert _ids(t.snapshot_where("id", 0, 10)) == [0, 3, 4]
+    assert t.snapshot_where_ranges({"id": (1, 1)}).count() == 0
+    assert _ids(t.snapshot_where_any("id", [(1, 3)])) == [3]
+    assert t.snapshot_where_null("id", is_null=False).count() == 8
+
+
+def test_mor_delete_union_replay_and_noop(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    v1 = t.delete_where_mor("id", 1, 1, app_id="d", txn_seq=0)
+    # replay of the same txn seq: no-op, no new commit
+    assert t.delete_where_mor("id", 1, 1, app_id="d", txn_seq=0) == v1
+    # overlapping second delete UNIONS into a new vector
+    v2 = t.delete_where_mor("id", 1, 3, app_id="d", txn_seq=1)
+    assert v2 == v1 + 1
+    assert _ids(t.snapshot()) == [0, 4, 100, 101, 102, 103, 104]
+    # deleting already-deleted rows only: nothing new, no commit
+    assert t.delete_where_mor("id", 2, 3) == v2
+    # disjoint range: no files affected, no commit
+    assert t.delete_where_mor("id", 500, 600) == v2
+
+
+def test_mor_delete_rewrites_retire_vectors(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    t.delete_where_mor("id", 1, 2)
+    # compaction applies the vector physically and retires it
+    t.compact(target_files=1, stats_cols=("id",))
+    meta = t.snapshot_meta()
+    assert meta.file_dvs == {}
+    assert _ids(t.snapshot()) == [0, 3, 4, 100, 101, 102, 103, 104]
+    # vacuum now reclaims the orphaned DV document
+    removed = t.vacuum(keep_versions=1)
+    assert removed >= 1
+    assert _ids(t.snapshot()) == [0, 3, 4, 100, 101, 102, 103, 104]
+
+
+def test_mor_delete_then_cow_ops_compose(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    t.delete_where_mor("id", 1, 1)
+    # COW delete on the SAME file must not resurrect id=1
+    t.delete_where("id", 2, 2, stats_cols=("id",))
+    assert _ids(t.snapshot()) == [0, 3, 4, 100, 101, 102, 103, 104]
+    # the rewrite retired the file's vector
+    assert t.snapshot_meta().file_dvs == {}
+    # update_where after a fresh MOR delete skips deleted rows
+    t.delete_where_mor("id", 3, 3)
+    t.update_where("id", 0, 10, {"v": "'U'"}, stats_cols=("id",))
+    got = {r.id: r.v for r in t.snapshot().collect()}
+    assert 3 not in got and 1 not in got
+    assert got[0] == "U" and got[4] == "U" and got[100] == "b0"
+
+
+def test_mor_delete_merge_does_not_resurrect(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    t.delete_where_mor("id", 1, 1)
+    # a merge keyed on the deleted id must INSERT (no hidden match),
+    # and the untouched deleted row must stay deleted
+    res = merge_into(
+        t, _mk(spark, [(1, "NEW"), (4, "UPD")]), "id", stats_cols=("id",)
+    )
+    assert res.committed
+    got = {r.id: r.v for r in t.snapshot().collect()}
+    assert got[1] == "NEW" and got[4] == "UPD" and got[0] == "a0"
+    assert t.snapshot().count() == 10  # 9 survivors + 1 insert
+
+
+def test_mor_delete_cdf_visibility(spark, tmp_path):
+    from etl_data_lake_spark.sources.cdf import changes_between
+
+    t = _table(spark, str(tmp_path / "t"))
+    v = t.delete_where_mor("id", 1, 2)
+    ch = t.table_changes(v - 1, v)
+    rows = sorted((r.id, r._change_type) for r in ch.collect())
+    assert rows == [(1, "delete"), (2, "delete")]
+    # per-commit attribution through the consumer path too
+    ch2 = changes_between(t, v - 1, v)
+    rows2 = sorted(
+        (r.id, r._change_type, r._commit_version) for r in ch2.collect()
+    )
+    assert rows2 == [(1, "delete", v), (2, "delete", v)]
+    # and a span covering the appends + the MOR delete nets correctly
+    net = changes_between(t, 0, v)
+    assert net.where("_change_type = 'insert'").count() == 10
+    assert net.where("_change_type = 'delete'").count() == 2
+
+
+def test_mor_delete_restore_resurrects(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    pre = t.latest_version()
+    t.delete_where_mor("id", 1, 3)
+    assert len(_ids(t.snapshot())) == 7
+    t.restore(pre)
+    # the restore cleared the vector on the still-live file
+    assert t.snapshot_meta().file_dvs == {}
+    assert len(_ids(t.snapshot())) == 10
+    # and restoring BACK to the post-delete version re-applies it
+    t.restore(pre + 1)
+    assert _ids(t.snapshot()) == [0, 4, 100, 101, 102, 103, 104]
+
+
+def test_mor_delete_concurrency_rules(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    t.delete_where_mor("id", 1, 1)
+    meta = t.snapshot_meta()
+    f = next(iter(meta.file_dvs))
+    # (a) a second DV commit that unioned against a STALE vector:
+    # expected-DV mismatch -> conflict, not lost deletes
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(
+            "delete", [], meta.schema_json, None, None,
+            dv_updates={f: "_dv/bogus.json"},
+            expected_dvs={f: None},  # stale: a vector exists now
+        )
+    # (b) the target file was rewritten concurrently -> conflict
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(
+            "delete", [], meta.schema_json, None, None,
+            dv_updates={"data/gone/part-0.parquet": "_dv/bogus.json"},
+            expected_dvs={"data/gone/part-0.parquet": None},
+        )
+    # (c) the public API retries from fresh state and succeeds
+    assert t.delete_where_mor("id", 2, 2) == meta.version + 1
+    assert _ids(t.snapshot()) == [0, 3, 4, 100, 101, 102, 103, 104]
+
+
+def test_mor_delete_checkpoint_survival(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"), checkpoint_interval=4)
+    t.append(_mk(spark, [(i, f"a{i}") for i in range(5)]), stats_cols=("id",))
+    t.delete_where_mor("id", 1, 1)
+    for i in range(6):  # cross a checkpoint boundary
+        t.append(_mk(spark, [(50 + i, "x")]), stats_cols=("id",))
+    assert t.read_plan().checkpoint > 0
+    t2 = TxnTable(spark, str(tmp_path / "t"), checkpoint_interval=4)
+    assert len(t2.snapshot_meta().file_dvs) == 1
+    assert 1 not in _ids(t2.snapshot())
+
+
+def test_mor_delete_bounds_and_bloom_read(spark, tmp_path):
+    from etl_data_lake_spark.sources.bloomindex import (
+        build_bloom_index,
+        snapshot_where_eq,
+    )
+
+    t = _table(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError):
+        t.delete_where_mor("id", 0, 1000, max_dv_rows=3)
+    t.delete_where_mor("id", 1, 1)
+    build_bloom_index(t, ("id",))
+    assert snapshot_where_eq(t, "id", [1]).count() == 0
+    assert snapshot_where_eq(t, "id", [0, 100]).count() == 2
+
+
+def test_mor_update_appends_and_vectors(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    files_before = set(t.snapshot_meta().files)
+    v = t.update_where_mor(
+        "id", 1, 2, {"v": "concat(v, '!')"}, stats_cols=("id",)
+    )
+    meta = t.snapshot_meta()
+    # original files untouched; ONE new file (the updated rows) added
+    assert files_before <= set(meta.files)
+    assert len(set(meta.files) - files_before) == 1
+    assert len(meta.file_dvs) == 1
+    got = {r.id: r.v for r in t.snapshot().collect()}
+    assert got[1] == "a1!" and got[2] == "a2!" and got[0] == "a0"
+    assert t.snapshot().count() == 10  # no dup, no loss
+    assert t.history()[-1]["operation"] == "update"
+    assert t.history()[-1]["params"]["mor"] is True
+    # time travel pre-update intact
+    assert {r.v for r in t.snapshot(v - 1).collect()} >= {"a1", "a2"}
+    # updating again composes (reads DV-applied: no resurrect/dup)
+    t.update_where_mor("id", 1, 1, {"v": "upper(v)"}, stats_cols=("id",))
+    got = {r.id: r.v for r in t.snapshot().collect()}
+    assert got[1] == "A1!" and t.snapshot().count() == 10
+    # CDF sees the update as delete + insert
+    ch = sorted(
+        (r.id, r.v, r._change_type)
+        for r in t.table_changes(v - 1, v).collect()
+    )
+    assert ch == [
+        (1, "a1", "delete"), (1, "a1!", "insert"),
+        (2, "a2", "delete"), (2, "a2!", "insert"),
+    ]
+
+
+def test_mor_update_noop_validation_replay(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    v = t.latest_version()
+    assert t.update_where_mor("id", 500, 600, {"v": "'x'"}) == v
+    with pytest.raises(ValueError):
+        t.update_where_mor("id", 0, 1, {"nope": "'x'"})
+    with pytest.raises(ValueError):
+        t.update_where_mor("id", 0, 1, {})
+    v1 = t.update_where_mor(
+        "id", 0, 0, {"v": "concat(v, '+')"}, app_id="u", txn_seq=0
+    )
+    assert t.update_where_mor(
+        "id", 0, 0, {"v": "concat(v, '+')"}, app_id="u", txn_seq=0
+    ) == v1
+    assert {r.v for r in t.snapshot().where("id = 0").collect()} == {"a0+"}
+    # compaction applies + retires everything
+    t.compact(target_files=1, stats_cols=("id",))
+    assert t.snapshot_meta().file_dvs == {}
+    assert t.snapshot().count() == 10
