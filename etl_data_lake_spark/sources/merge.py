@@ -84,6 +84,7 @@ class MergeResult:
     files_rewritten: int  # touched files replaced by the commit
     files_candidate: int  # files surviving the stats prune (pass 1 input)
     files_total: int  # files in the base snapshot
+    files_vectored: int = 0  # files that got a deletion vector (MOR)
 
 
 def _is_num(v) -> bool:
@@ -104,6 +105,8 @@ def merge_into(
     max_guard_keys: int = 4096,
     max_guard_ranges: int = 8,
     use_bloom: bool = True,
+    mor: bool = False,
+    max_dv_rows: int = 1_000_000,
 ) -> MergeResult:
     """MERGE ``source`` into ``table`` on equality of ``keys``.
 
@@ -139,6 +142,18 @@ def merge_into(
     this is the tier that keeps pass 1 from scanning the table. A file
     without a sidecar is conservatively kept; correctness never
     depends on the filter (no false negatives by construction).
+
+    ``mor=True`` switches pass 2 to MERGE-ON-READ (Delta's deletion-
+    vector merge): instead of rewriting every touched file, the
+    matched-and-hit rows are recorded in per-file deletion vectors and
+    (for update) their transformed versions appended — a CDC batch
+    brushing K near-gigabyte files writes K tiny sidecars plus one
+    data file. Unmatched rows of touched files are never read twice
+    nor rewritten, and their manifest stats survive. Bounded by
+    ``max_dv_rows`` matched rows (beyond that the copy-on-write
+    rewrite amortizes — same guidance as delete_where_mor); the commit
+    carries the expected per-file vectors, so racing vector writers
+    conflict instead of losing deletes.
 
     ``(app_id, txn_seq)`` makes the commit idempotent under replay,
     exactly like append — a MERGE-per-micro-batch ``foreachBatch``
@@ -209,6 +224,8 @@ def merge_into(
             max_guard_keys,
             max_guard_ranges,
             use_bloom,
+            mor,
+            max_dv_rows,
         )
     finally:
         source.unpersist()
@@ -230,6 +247,8 @@ def _merge_against(
     max_guard_keys: int,
     max_guard_ranges: int,
     use_bloom: bool = True,
+    mor: bool = False,
+    max_dv_rows: int = 1_000_000,
 ) -> MergeResult:
     spark = table.spark
 
@@ -342,7 +361,69 @@ def _merge_against(
         ).alias(f.name)
 
     pieces: list[DataFrame] = []
-    if when_matched is None:
+    replaced_files: tuple[str, ...] = tuple(touched)
+    dv_updates: dict[str, str] = {}
+    expected_dvs: dict[str, str | None] = {}
+    to_unpersist = None
+    if when_matched is not None and touched and mor:
+        # ---- merge-on-read pass 2: vector + append, no rewrites -----
+        t = (
+            table._read_with_positions(base, touched, base.schema())
+            .withColumn("__t", F.lit(True))
+            .alias("t")
+        )
+        s = source.withColumn("__s", F.lit(True)).alias("s")
+        cond = None
+        for k in keys:
+            c = F.col(f"t.{k}") == F.col(f"s.{k}")
+            cond = c if cond is None else (cond & c)
+        joined = t.join(s, on=cond, how="full_outer")
+        is_matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+        hit = (
+            is_matched & F.expr(matched_condition)
+            if matched_condition is not None
+            else is_matched
+        )
+        # persisted through staging: the DV build collects the hit
+        # positions and the staged update rows must be the same rows
+        hit_rows = joined.where(F.coalesce(hit, F.lit(False))).persist()
+        to_unpersist = hit_rows
+        n = hit_rows.count()
+        if n > max_dv_rows:
+            hit_rows.unpersist()
+            raise ValueError(
+                f"{n} matched rows exceed max_dv_rows={max_dv_rows}; "
+                f"use mor=False (copy-on-write) for bulk merges"
+            )
+        dv_updates, expected_dvs = table._build_dv_updates(
+            base,
+            hit_rows.select(
+                F.col("t.__dv_file").alias("__dv_file"),
+                F.col("t.__dv_pos").alias("__dv_pos"),
+            ),
+        )
+        if when_matched == "update":
+            upd = []
+            for f in fields:
+                if update_exprs and f.name in update_exprs:
+                    upd.append(
+                        F.expr(update_exprs[f.name])
+                        .cast(f.dataType).alias(f.name)
+                    )
+                elif f.name in s_cols:
+                    upd.append(s_or_null(f))
+                else:
+                    upd.append(t_or_null(f))
+            pieces.append(hit_rows.select(*upd))
+        # when_matched == "delete": the vector IS the change
+        if when_not_matched == "insert":
+            pieces.append(
+                joined.where(F.col("t.__t").isNull()).select(
+                    *[s_or_null(f) for f in fields]
+                )
+            )
+        replaced_files = ()
+    elif when_matched is None:
         # insert-only fast path (Delta's optimization): matched rows
         # are untouched, so no file is rewritten at all — the commit
         # is a guarded pure-add of the unmatched source rows
@@ -356,6 +437,7 @@ def _merge_against(
                 inserts.alias("s").select(*[s_or_null(f) for f in fields])
             )
         touched = []
+        replaced_files = ()
     elif touched:
         t = (
             table.read_files(base, touched)
@@ -414,18 +496,22 @@ def _merge_against(
             source.alias("s").select(*[s_or_null(f) for f in fields])
         )
 
-    if not pieces:
+    if not pieces and not dv_updates:
         return MergeResult(
             base.version, False, 0, len(candidates), len(base.files)
         )
 
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-
     # ---- commit ------------------------------------------------------
-    staged, _schema_json, stats = table._stage(out, stats_cols)
-    if not touched and not staged:
+    if pieces:
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        staged, _schema_json, stats = table._stage(out, stats_cols)
+    else:  # MOR delete-only merge: the vectors are the whole change
+        staged, stats = [], {}
+    if to_unpersist is not None:
+        to_unpersist.unpersist()
+    if not replaced_files and not staged and not dv_updates:
         # insert-only merge that inserted nothing: _stage drops
         # zero-row part files, so an empty `staged` IS the row check —
         # no re-evaluation of `source`, nothing to commit (the orphan
@@ -470,19 +556,25 @@ def _merge_against(
         final_schema.json(),
         app_id,
         txn_seq,
-        replaced=tuple(touched),
+        replaced=replaced_files,
         staged_stats=stats,
         guard_range=guard,
         # base-snapshot files were probed EXACTLY in pass 1; only files
         # committed after our snapshot get the (conservative) stats guard
         guard_exempt=tuple(base.files),
+        dv_updates=dv_updates or None,
+        expected_dvs=expected_dvs or None,
         op_params={
             "keys": keys,
             "when_matched": when_matched,
             "when_not_matched": when_not_matched,
+            **({"mor": True} if mor else {}),
         },
     )
-    return MergeResult(v, True, len(touched), len(candidates), len(base.files))
+    return MergeResult(
+        v, True, len(replaced_files), len(candidates), len(base.files),
+        len(dv_updates),
+    )
 
 
 def merge_upsert_sink(

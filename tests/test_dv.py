@@ -254,3 +254,70 @@ def test_mor_update_noop_validation_replay(spark, tmp_path):
     t.compact(target_files=1, stats_cols=("id",))
     assert t.snapshot_meta().file_dvs == {}
     assert t.snapshot().count() == 10
+
+
+def test_mor_merge_vectors_instead_of_rewrites(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    files_before = set(t.snapshot_meta().files)
+    res = merge_into(
+        t, _mk(spark, [(1, "U1"), (101, "U101"), (999, "NEW")]), "id",
+        stats_cols=("id",), mor=True,
+    )
+    assert res.committed and res.files_rewritten == 0
+    assert res.files_vectored == 2  # one vector per touched file
+    meta = t.snapshot_meta()
+    # originals untouched (nothing replaced), small append, two vectors
+    assert files_before <= set(meta.files)
+    assert 1 <= len(set(meta.files) - files_before) <= 3
+    assert len(meta.file_dvs) == 2
+    got = {r.id: r.v for r in t.snapshot().collect()}
+    assert got[1] == "U1" and got[101] == "U101" and got[999] == "NEW"
+    assert got[0] == "a0" and t.snapshot().count() == 11
+    assert t.history()[-1]["params"]["mor"] is True
+    # equivalent COW merge on a twin table gives identical rows
+    t2 = _table(spark, str(tmp_path / "t2"))
+    merge_into(
+        t2, _mk(spark, [(1, "U1"), (101, "U101"), (999, "NEW")]), "id",
+        stats_cols=("id",),
+    )
+    assert sorted((r.id, r.v) for r in t.snapshot().collect()) == sorted(
+        (r.id, r.v) for r in t2.snapshot().collect()
+    )
+
+
+def test_mor_merge_delete_clause_and_condition(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    # delete-only MOR merge: zero staged files, vectors carry it all
+    res = merge_into(
+        t, _mk(spark, [(1, None), (3, None)]), "id",
+        when_matched="delete", when_not_matched=None,
+        stats_cols=("id",), mor=True,
+    )
+    assert res.committed and res.files_rewritten == 0
+    assert res.files_vectored == 1
+    assert _ids(t.snapshot()) == [0, 2, 4, 100, 101, 102, 103, 104]
+    # matched_condition gates the vectoring: only v='a2' qualifies
+    res = merge_into(
+        t, _mk(spark, [(2, "x"), (4, "x")]), "id",
+        when_matched="delete", when_not_matched=None,
+        matched_condition="t.v = 'a2'",
+        stats_cols=("id",), mor=True,
+    )
+    assert res.committed
+    assert _ids(t.snapshot()) == [0, 4, 100, 101, 102, 103, 104]
+
+
+def test_mor_merge_bound_and_compaction_roundtrip(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError):
+        merge_into(
+            t, _mk(spark, [(i, "x") for i in range(5)]), "id",
+            stats_cols=("id",), mor=True, max_dv_rows=2,
+        )
+    merge_into(
+        t, _mk(spark, [(0, "Z")]), "id", stats_cols=("id",), mor=True
+    )
+    t.compact(target_files=1, stats_cols=("id",))
+    assert t.snapshot_meta().file_dvs == {}
+    got = {r.id: r.v for r in t.snapshot().collect()}
+    assert got[0] == "Z" and t.snapshot().count() == 10
