@@ -582,13 +582,17 @@ def merge_upsert_sink(
     keys: list[str] | str,
     app_id: str = "merge-stream",
     stats_cols: tuple[str, ...] = (),
+    mor: bool = False,
 ):
     """``foreachBatch`` function turning a micro-batch stream into
     exactly-once keyed upserts on a txn table: the batch id is the
     transaction seq, so a replayed batch's merge no-ops instead of
     double-applying. The scalable sibling of streaming/upsert.py's
     whole-table rewrite — each batch rewrites only the files its keys
-    actually live in."""
+    actually live in; ``mor=True`` goes further and writes deletion
+    vectors instead of rewrites (schedule ``purge_vectors`` /
+    ``optimize_small_files`` as the compaction companion, the
+    standard streaming-CDC pairing)."""
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         merge_into(
@@ -598,6 +602,7 @@ def merge_upsert_sink(
             app_id=app_id,
             txn_seq=batch_id,
             stats_cols=stats_cols,
+            mor=mor,
         )
 
     return fn

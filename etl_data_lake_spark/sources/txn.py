@@ -744,6 +744,96 @@ class TxnTable:
         pred = F.col(col).isNull() if is_null else F.col(col).isNotNull()
         return self.read_files(meta, keep).where(pred)
 
+    # ---------------------------------------------- metadata tables --
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The snapshot's FILES as a queryable DataFrame (Iceberg's
+        ``.files`` metadata table / Delta's ``inputFiles``): path,
+        size, row count, per-column [min, max] stats (as strings, the
+        manifest's knowledge), deletion-vector path and deleted-row
+        count. Driver-side from the already-reconstructed manifest —
+        no data files are opened except DV sidecars (tiny JSON)."""
+        meta = self.snapshot_meta(version)
+        if meta is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        rows = []
+        for f in meta.files:
+            st = meta.file_stats.get(f, {})
+            dv = meta.file_dvs.get(f)
+            n_deleted = (
+                len(json.loads((self.root / dv).read_text())["indices"])
+                if dv is not None
+                else 0
+            )
+            n_rows = next(
+                (e[3] for e in st.values() if len(e) >= 4 and e[3] is not None),
+                None,
+            )
+            rows.append(
+                (
+                    f,
+                    (self.root / f).stat().st_size
+                    if (self.root / f).is_file()
+                    else None,
+                    n_rows,
+                    {
+                        c: [None if v is None else str(v) for v in e[:2]]
+                        for c, e in st.items()
+                    },
+                    dv,
+                    n_deleted,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, size_bytes long, num_rows long, "
+            "stats map<string, array<string>>, dv_path string, "
+            "dv_deleted_rows long",
+        )
+
+    def history_df(self, limit: int | None = None) -> DataFrame:
+        """DESCRIBE HISTORY as a DataFrame: version, operation,
+        timestamp, files added/removed, operation parameters (JSON
+        string — heterogeneous across operations)."""
+        rows = [
+            (
+                h["version"],
+                h["operation"],
+                h["ts_ms"],
+                h["n_add"],
+                h["n_remove"],
+                json.dumps(h["params"], sort_keys=True),
+            )
+            for h in self.history(limit=limit)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version long, operation string, ts_ms long, "
+            "n_added long, n_removed long, params string",
+        )
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: one dict of table-level facts (driver-side
+        — the manifest is already in memory)."""
+        meta = self.snapshot_meta()
+        if meta is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        return {
+            "location": str(self.root),
+            "version": meta.version,
+            "num_files": len(meta.files),
+            "size_bytes": sum(
+                (self.root / f).stat().st_size
+                for f in meta.files
+                if (self.root / f).is_file()
+            ),
+            "num_deletion_vectors": len(meta.file_dvs),
+            "constraints": dict(meta.constraints),
+            "schema": meta.schema().simpleString(),
+            "checkpoint_interval": self.checkpoint_interval,
+            "last_operation": meta.operation,
+        }
+
     def file_diffs(
         self, v_from: int, v_to: int
     ) -> list[tuple[int, list[str], list[str]]]:
@@ -2075,6 +2165,50 @@ class TxnTable:
         raise ConcurrentWriteError(
             f"gave up merge-on-read update after {max_attempts} "
             f"contended attempts"
+        )
+
+    def purge_vectors(
+        self,
+        min_deleted_ratio: float = 0.0,
+        stats_cols: tuple[str, ...] = (),
+    ) -> int:
+        """REORG-style maintenance (Delta's ``REORG TABLE ... APPLY
+        (PURGE)``): physically rewrite ONLY the files whose deletion
+        vector marks at least ``min_deleted_ratio`` of their rows,
+        retiring those vectors — bounds the read-time anti-join debt
+        merge-on-read accumulates without paying a full compaction.
+        Ratios come from the vector sizes and the parquet footers'
+        row counts (local metadata reads, no data scan). Returns the
+        committed version (current one when nothing qualifies)."""
+        import pyarrow.parquet as pq
+
+        base = self.snapshot_meta()
+        if base is None or not base.file_dvs:
+            return self.latest_version()
+        todo = []
+        for f, dv_rel in sorted(base.file_dvs.items()):
+            n_deleted = len(
+                json.loads((self.root / dv_rel).read_text())["indices"]
+            )
+            rows = pq.read_metadata(self.root / f).num_rows
+            if rows and n_deleted / rows >= min_deleted_ratio:
+                todo.append(f)
+        if not todo:
+            return base.version
+        df = self.read_files(base, todo)  # vectors applied
+        staged, _sj, stats = self._stage(df, stats_cols)
+        return self._commit(
+            "compact",
+            staged,
+            base.schema_json,  # maintenance never narrows schema
+            None,
+            None,
+            replaced=tuple(todo),
+            staged_stats=stats,
+            op_params={
+                "purge_vectors": True,
+                "min_deleted_ratio": min_deleted_ratio,
+            },
         )
 
     def compact(

@@ -321,3 +321,57 @@ def test_mor_merge_bound_and_compaction_roundtrip(spark, tmp_path):
     assert t.snapshot_meta().file_dvs == {}
     got = {r.id: r.v for r in t.snapshot().collect()}
     assert got[0] == "Z" and t.snapshot().count() == 10
+
+
+def test_purge_vectors_rewrites_only_heavy_files(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    # file A: 3/5 rows deleted (60%); file B: 1/5 (20%)
+    t.delete_where_mor("id", 1, 3)
+    t.delete_where_mor("id", 100, 100)
+    files_before = set(t.snapshot_meta().files)
+    v = t.purge_vectors(min_deleted_ratio=0.5, stats_cols=("id",))
+    meta = t.snapshot_meta()
+    assert v == meta.version
+    # only the 60% file was rewritten; the 20% one keeps its vector
+    assert len(files_before & set(meta.files)) == 1
+    assert len(meta.file_dvs) == 1
+    assert _ids(t.snapshot()) == [0, 4, 101, 102, 103, 104]
+    # ratio 0 purges everything
+    t.purge_vectors(min_deleted_ratio=0.0, stats_cols=("id",))
+    assert t.snapshot_meta().file_dvs == {}
+    assert _ids(t.snapshot()) == [0, 4, 101, 102, 103, 104]
+    # idempotent: nothing left to purge, no commit
+    assert t.purge_vectors() == t.latest_version()
+
+
+def test_read_files_fast_path_has_no_join(spark, tmp_path):
+    """The zero-overhead claim, pinned in the plan: without deletion
+    vectors, read_files plans a plain scan (no Join, no _metadata
+    projection); with one, the anti join appears."""
+    t = _table(spark, str(tmp_path / "t"))
+    plan = t.snapshot()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    t.delete_where_mor("id", 1, 1)
+    plan = t.snapshot()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+
+
+def test_metadata_tables(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    t.delete_where_mor("id", 1, 1)
+    files = {r.path: r for r in t.files_df().collect()}
+    assert len(files) == 2
+    dv_rows = [r for r in files.values() if r.dv_path is not None]
+    assert len(dv_rows) == 1 and dv_rows[0].dv_deleted_rows == 1
+    assert all(r.size_bytes > 0 and r.num_rows == 5 for r in files.values())
+    assert all(r.stats["id"][0] is not None for r in files.values())
+
+    hist = t.history_df().collect()
+    assert [r.operation for r in hist] == ["append", "append", "delete"]
+    assert hist[-1].n_added == 0 and hist[-1].n_removed == 0
+    assert '"mor": true' in hist[-1].params
+
+    d = t.detail()
+    assert d["version"] == 3 and d["num_files"] == 2
+    assert d["num_deletion_vectors"] == 1
+    assert d["size_bytes"] > 0 and "id" in d["schema"]
