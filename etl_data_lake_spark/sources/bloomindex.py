@@ -134,19 +134,21 @@ def build_bloom_index(
     cols = [c for c in cols if c in have]
     built = 0
     for col in cols:
+        # sidecars are keyed by the PHYSICAL column name (stable
+        # across renames, like manifest stats)
+        phys = meta.phys(col)
         todo = [
             f for f in meta.files
-            if not _sidecar_path(table.root, f, col).is_file()
+            if not _sidecar_path(table.root, f, phys).is_file()
         ]
         if not todo:
             continue
 
         hashed = (
-            table.spark.read.schema(schema)
-            .parquet(*[str(table.root / f) for f in todo])
+            table.read_files(meta, todo, keep_file_col="__file")
             .where(F.col(col).isNotNull())
             .select(
-                F.col("_metadata.file_path").alias("__file"),
+                "__file",
                 F.xxhash64(F.col(col)).alias("__h"),
             )
         )
@@ -170,13 +172,9 @@ def build_bloom_index(
             .applyInPandas(make, "file string, m long, k long, bits string")
             .collect()
         )
-        by_uri = {r["file"]: r for r in rows}
+        by_rel = {r["file"]: r for r in rows}  # keep_file_col: rel paths
         for f in todo:
-            hit = next(
-                (r for u, r in by_uri.items()
-                 if u.endswith("/" + f) or u.endswith(f)),
-                None,
-            )
+            hit = by_rel.get(f)
             if hit is None:
                 # file had only nulls for col (or no rows): an empty
                 # filter is still exact — nothing can match
@@ -187,7 +185,7 @@ def build_bloom_index(
                 }
             else:
                 entry = {"m": hit["m"], "k": hit["k"], "bits": hit["bits"]}
-            p = _sidecar_path(table.root, f, col)
+            p = _sidecar_path(table.root, f, phys)
             p.parent.mkdir(parents=True, exist_ok=True)
             tmp = p.parent / f".tmp-{uuid.uuid4().hex}"
             tmp.write_text(json.dumps(entry))
@@ -199,11 +197,15 @@ def build_bloom_index(
     return built
 
 
-def sidecar_exists(table: TxnTable, rel_file: str, col: str) -> bool:
+def sidecar_exists(table: TxnTable, rel_file: str, col: str, meta=None) -> bool:
     """True when ``rel_file`` has a Bloom sidecar for ``col`` — the
     cheap existence probe callers (e.g. MERGE pass 1) use to decide
-    whether a bloom pruning tier can help at all."""
-    return _sidecar_path(table.root, rel_file, col).is_file()
+    whether a bloom pruning tier can help at all. Pass ``meta`` to
+    resolve the physical column name without re-reading the log."""
+    if meta is None:
+        meta = table.snapshot_meta()
+    phys = meta.phys(col) if meta is not None else col
+    return _sidecar_path(table.root, rel_file, phys).is_file()
 
 
 def _probe_hashes(table: TxnTable, col, values, schema) -> list[int]:
@@ -240,9 +242,10 @@ def files_matching_eq(
     if not values:
         return [], len(meta.files)
     hashes = _probe_hashes(table, col, values, meta.schema())
+    phys = meta.phys(col)
     keep = []
     for f in meta.files if files is None else files:
-        rng = meta.file_stats.get(f, {}).get(col)
+        rng = meta.file_stats.get(f, {}).get(phys)
         vs_h = list(zip(values, hashes))
         if rng is not None:
             try:
@@ -254,7 +257,7 @@ def files_matching_eq(
             else:
                 if not vs_h:
                     continue
-        p = _sidecar_path(table.root, f, col)
+        p = _sidecar_path(table.root, f, phys)
         if p.is_file():
             try:
                 doc = json.loads(p.read_text())

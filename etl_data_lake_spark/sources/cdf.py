@@ -82,6 +82,9 @@ def changes_between(
             version=-1, operation="", files=tuple(files),
             schema_json=end.schema_json, writer_txns={}, file_stats={},
             file_dvs={f: dvs[f] for f in files if f in dvs},
+            # physical names are stable, so the END map resolves every
+            # span's files even if a rename happened mid-span
+            column_map=dict(end.column_map),
         )
         return table.read_files(side, files, schema=schema)
 

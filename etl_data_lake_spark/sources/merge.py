@@ -293,7 +293,10 @@ def _merge_against(
         use_bloom
         and candidates
         and k0 in ranges
-        and any(bloomindex.sidecar_exists(table, f, k0) for f in candidates)
+        and any(
+            bloomindex.sidecar_exists(table, f, k0, meta=base)
+            for f in candidates
+        )
     ):
         vals = [
             r[0]

@@ -85,7 +85,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
@@ -174,9 +174,40 @@ class Snapshot:
     # (merge-on-read). Entries vanish with their data file; a file
     # without one has no deleted rows.
     file_dvs: dict[str, str] = field(default_factory=dict)
+    # COLUMN MAPPING (rename/drop without data rewrites): logical
+    # column name -> PHYSICAL name as written in parquet. Physical
+    # names are immutable for a column's lifetime; a column absent
+    # from the map is physical==logical (every pre-mapping table).
+    # Manifest stats and bloom sidecars are keyed by PHYSICAL names.
+    column_map: dict[str, str] = field(default_factory=dict)
+    # physical names of DROPPED columns: their data still sits in old
+    # files, so no new column may claim the name (resurrection guard)
+    retired_cols: tuple[str, ...] = ()
 
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
+
+    def phys(self, col: str) -> str:
+        """Physical parquet name of logical column ``col``."""
+        return self.column_map.get(col, col)
+
+    def phys_schema(self, schema: StructType | None = None) -> StructType:
+        """``schema`` (default: the snapshot's) with every field under
+        its physical name — what the parquet reader must be given."""
+        if schema is None:
+            schema = self.schema()
+        if not self.column_map:
+            return schema
+        return StructType(
+            [
+                StructField(
+                    self.column_map.get(f.name, f.name),
+                    f.dataType,
+                    f.nullable,
+                )
+                for f in schema.fields
+            ]
+        )
 
 
 @dataclass(frozen=True)
@@ -318,6 +349,8 @@ class TxnTable:
         txns: dict[str, int] = {}
         cons: dict[str, str] = {}
         dvs: dict[str, str] = {}
+        cmap: dict[str, str] = {}
+        retired: tuple[str, ...] = ()
         schema_json = ""
         operation = ""
         if start:
@@ -327,6 +360,8 @@ class TxnTable:
             txns = dict(ck.get("writer_txns", {}))
             cons = dict(ck.get("constraints", {}))
             dvs = dict(ck.get("file_dvs", {}))
+            cmap = dict(ck.get("column_map", {}))
+            retired = tuple(ck.get("retired_cols", ()))
             schema_json = ck["schema"]
             operation = ck["operation"]
         n_replayed = 0
@@ -349,7 +384,7 @@ class TxnTable:
                 # same sorted(remaining)+add order the committer used
                 # when it built the post-commit checkpoint state
                 files = sorted(f for f in files if f not in removed) + add
-            elif op == "constraint":
+            elif op in ("constraint", "schema"):
                 pass  # metadata-only: file set unchanged
             else:  # pragma: no cover
                 raise ValueError(f"unknown operation {op!r} at v{v}")
@@ -359,6 +394,8 @@ class TxnTable:
             txns = dict(m.get("writer_txns", txns))
             # pre-feature manifests lack the key: carry forward
             cons = dict(m.get("constraints", cons))
+            cmap = dict(m.get("column_map", cmap))
+            retired = tuple(m.get("retired_cols", retired))
             # deletion vectors: a dropped data file takes its DV with
             # it (live filter); an overwrite reset files -> same rule.
             # A null value is an explicit CLEAR (restore rolling back
@@ -380,6 +417,8 @@ class TxnTable:
             file_stats=stats,
             constraints=cons,
             file_dvs=dvs,
+            column_map=cmap,
+            retired_cols=retired,
         )
         return snap, ReadPlan(version, start, n_replayed)
 
@@ -497,7 +536,22 @@ class TxnTable:
         paths = [str(self.root / f) for f in files]
         dv_files = [f for f in files if f in meta.file_dvs]
         if not dv_files:
-            plain = self.spark.read.schema(schema).parquet(*paths)
+            plain = self.spark.read.schema(
+                meta.phys_schema(schema)
+            ).parquet(*paths)
+            if meta.column_map:
+                # logical view: physical parquet names aliased back
+                plain = plain.select(
+                    *[
+                        F.col(meta.phys(c)).alias(c) for c in cols
+                    ],
+                    *(
+                        [rel_expr.alias(keep_file_col)]
+                        if keep_file_col is not None
+                        else []
+                    ),
+                )
+                return plain
             if keep_file_col is not None:
                 plain = plain.select(*cols, rel_expr.alias(keep_file_col))
             return plain
@@ -520,10 +574,12 @@ class TxnTable:
         from pyspark.sql import functions as F
 
         cols = schema.fieldNames()
-        with_pos = self.spark.read.schema(schema).parquet(
+        with_pos = self.spark.read.schema(
+            meta.phys_schema(schema)
+        ).parquet(
             *[str(self.root / f) for f in files]
         ).select(
-            *cols,
+            *[F.col(meta.phys(c)).alias(c) for c in cols],
             F.concat_ws(
                 "/",
                 F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3),
@@ -569,7 +625,7 @@ class TxnTable:
         for f in meta.files:
             ok = True
             for col, (lo, hi) in ranges.items():
-                rng = meta.file_stats.get(f, {}).get(col)
+                rng = meta.file_stats.get(f, {}).get(meta.phys(col))
                 # rng[0] is None for a nulls-only entry (all-null
                 # column): no range knowledge -> conservatively kept
                 if (
@@ -580,7 +636,7 @@ class TxnTable:
                     ok = False
                     break
             for col, is_null in (null_cols or {}).items() if ok else ():
-                rng = meta.file_stats.get(f, {}).get(col)
+                rng = meta.file_stats.get(f, {}).get(meta.phys(col))
                 nc = rng[2] if rng is not None and len(rng) >= 4 else None
                 rows = rng[3] if rng is not None and len(rng) >= 4 else None
                 if nc is None:
@@ -609,7 +665,7 @@ class TxnTable:
             return []  # "in ANY of no ranges" is vacuously false
         keep = []
         for f in meta.files:
-            rng = meta.file_stats.get(f, {}).get(col)
+            rng = meta.file_stats.get(f, {}).get(meta.phys(col))
             if rng is None or rng[0] is None or any(
                 not (rng[0] > hi or rng[1] < lo) for lo, hi in ranges
             ):
@@ -719,7 +775,7 @@ class TxnTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         keep = []
         for f in meta.files:
-            rng = meta.file_stats.get(f, {}).get(col)
+            rng = meta.file_stats.get(f, {}).get(meta.phys(col))
             nc = rng[2] if rng is not None and len(rng) >= 4 else None
             rows = rng[3] if rng is not None and len(rng) >= 4 else None
             if nc is None:
@@ -757,8 +813,12 @@ class TxnTable:
         if meta is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         rows = []
+        to_logical = {v: k for k, v in meta.column_map.items()}
         for f in meta.files:
-            st = meta.file_stats.get(f, {})
+            st = {
+                to_logical.get(c, c): e
+                for c, e in meta.file_stats.get(f, {}).items()
+            }
             dv = meta.file_dvs.get(f)
             n_deleted = (
                 len(json.loads((self.root / dv).read_text())["indices"])
@@ -879,7 +939,7 @@ class TxnTable:
             elif op in ("compact", "merge", "delete", "update", "restore"):
                 removed = set(m.get("remove", ()))
                 new = sorted(f for f in files if f not in removed) + add
-            elif op == "constraint":
+            elif op in ("constraint", "schema"):
                 new = files
             else:  # pragma: no cover
                 raise ValueError(f"unknown operation {op!r} at v{v}")
@@ -968,9 +1028,27 @@ class TxnTable:
         read per staged file, on the committer — the files are already
         local to it), so skipping information costs no extra pass over
         the data; only int/float/str mins and maxes are recorded, and
-        a file with no usable stats simply never skips."""
+        a file with no usable stats simply never skips.
+
+        Under COLUMN MAPPING the dataframe's LOGICAL columns are
+        written under their PHYSICAL parquet names (stable for a
+        column's lifetime, so every file — pre- or post-rename —
+        agrees), the returned schema stays logical, and stats are
+        keyed by physical names like every manifest entry."""
         import pyarrow.parquet as pq
 
+        from pyspark.sql import functions as F
+
+        logical_schema_json = df.schema.json()
+        base = self.snapshot_meta()
+        cmap = dict(base.column_map) if base else {}
+        if cmap:
+            df = df.select(
+                *[
+                    F.col(c).alias(cmap.get(c, c)) for c in df.columns
+                ]
+            )
+            stats_cols = tuple(cmap.get(c, c) for c in stats_cols)
         stage_rel = f"{_DATA_DIR}/{uuid.uuid4().hex}"
         stage_abs = self.root / stage_rel
         df.write.mode("errorifexists").parquet(str(stage_abs))
@@ -1030,21 +1108,42 @@ class TxnTable:
                         per_col[col] = [None, None, sum(nulls), md.num_rows]
                 if per_col:
                     stats[rel] = per_col
-        return files, df.schema.json(), stats
+        return files, logical_schema_json, stats
 
     def _enforce_constraints(
-        self, staged: list[str], schema_json: str, exprs: dict[str, str]
+        self,
+        staged: list[str],
+        schema_json: str,
+        exprs: dict[str, str],
+        column_map: dict[str, str] | None = None,
     ) -> None:
         """Count CHECK violations in the staged files (read with the
         schema that will be published, so append-evolution columns the
         stage lacks read as null) — one aggregate job over Δ data
         only. SQL semantics: a row violates when the expression is
-        FALSE; UNKNOWN (null) passes, like the standard's CHECK."""
+        FALSE; UNKNOWN (null) passes, like the standard's CHECK.
+        ``column_map`` translates to the physical parquet names; the
+        expressions see LOGICAL names."""
         from pyspark.sql import functions as F
 
-        df = self.spark.read.schema(
-            StructType.fromJson(json.loads(schema_json))
-        ).parquet(*[str(self.root / f) for f in staged])
+        schema = StructType.fromJson(json.loads(schema_json))
+        cmap = column_map or {}
+        read_schema = StructType(
+            [
+                StructField(cmap.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        ) if cmap else schema
+        df = self.spark.read.schema(read_schema).parquet(
+            *[str(self.root / f) for f in staged]
+        )
+        if cmap:
+            df = df.select(
+                *[
+                    F.col(cmap.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
         names = sorted(exprs)
         row = df.agg(
             *[
@@ -1102,6 +1201,8 @@ class TxnTable:
                 "file_stats": state.file_stats,
                 "constraints": state.constraints,
                 "file_dvs": state.file_dvs,
+                "column_map": state.column_map,
+                "retired_cols": list(state.retired_cols),
             },
             _ckpt_path(self.root, version),
         )
@@ -1126,6 +1227,8 @@ class TxnTable:
         constraints: dict[str, str] | None = None,
         dv_updates: dict[str, str] | None = None,
         expected_dvs: dict[str, str | None] | None = None,
+        column_map: dict[str, str] | None = None,
+        retired_cols: tuple[str, ...] | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop. Returns the committed
         version (or the current one, for an idempotent no-op). The
@@ -1198,10 +1301,31 @@ class TxnTable:
                 # additive evolution: committed schema is the union;
                 # a type conflict aborts BEFORE publish
                 if base is not None:
-                    attempt_schema = merge_schemas(
+                    merged = merge_schemas(
                         base.schema(),
                         StructType.fromJson(json.loads(schema_json)),
-                    ).json()
+                    )
+                    # resurrection guard: a NEW logical column's
+                    # default physical name (== itself) must collide
+                    # with neither a dropped column's physical (its
+                    # old data would silently reappear under the new
+                    # column) nor an existing column's physical
+                    if base.retired_cols or base.column_map:
+                        have = set(base.schema().fieldNames())
+                        taken = {
+                            base.phys(c)
+                            for c in have
+                        } | set(base.retired_cols)
+                        for f in merged.fields:
+                            if f.name not in have and f.name in taken:
+                                raise SchemaEvolutionError(
+                                    f"column name {f.name!r} collides "
+                                    f"with the physical name of a "
+                                    f"dropped or renamed column; pick "
+                                    f"another name (old data would "
+                                    f"resurrect under it)"
+                                )
+                    attempt_schema = merged.json()
             elif operation == "overwrite":
                 if base is not None and base.version != expected_base:
                     raise ConcurrentWriteError(
@@ -1254,7 +1378,7 @@ class TxnTable:
                         # range proof for that column.
                         safe = False
                         for c, rs in gspec.items():
-                            rng = st.get(c)
+                            rng = st.get(base.phys(c) if base else c)
                             if rng is not None and rng[0] is not None and all(
                                 rng[0] > hi or rng[1] < lo for lo, hi in rs
                             ):
@@ -1268,21 +1392,25 @@ class TxnTable:
                             )
                 remove = tuple(replaced)
                 files = sorted(base_files - set(replaced)) + staged
-            elif operation == "constraint":
-                # metadata-only commit. expected_base pins the add
-                # path (validation covered exactly that snapshot — a
-                # concurrent append's rows were never checked, so the
-                # caller must re-validate and retry); drop passes None
+            elif operation in ("constraint", "schema"):
+                # metadata-only commits. expected_base pins the paths
+                # whose validation covered exactly that snapshot
+                # (constraint add; rename/drop, whose published schema
+                # and map were derived from it); constraint drop
+                # passes None and rebases
                 if expected_base is not None and (
                     (base.version if base else 0) != expected_base
                 ):
                     raise ConcurrentWriteError(
-                        f"constraint change based on v{expected_base} but "
-                        f"v{base.version if base else 0} committed "
+                        f"{operation} change based on v{expected_base} "
+                        f"but v{base.version if base else 0} committed "
                         f"concurrently"
                     )
                 files = list(base.files) if base else []
-                attempt_schema = base.schema_json if base else schema_json
+                if operation == "constraint":
+                    attempt_schema = base.schema_json if base else schema_json
+                # op "schema" publishes the NEW logical schema passed
+                # by rename/drop (attempt_schema stays schema_json)
             else:  # pragma: no cover
                 raise ValueError(operation)
             attempt_cons = (
@@ -1290,13 +1418,25 @@ class TxnTable:
                 if constraints is not None
                 else (dict(base.constraints) if base else {})
             )
+            attempt_cmap = (
+                column_map
+                if column_map is not None
+                else (dict(base.column_map) if base else {})
+            )
+            attempt_retired = (
+                retired_cols
+                if retired_cols is not None
+                else (base.retired_cols if base else ())
+            )
             if staged and attempt_cons:
                 todo = {
                     n: e for n, e in attempt_cons.items()
                     if n not in validated
                 }
                 if todo:
-                    self._enforce_constraints(staged, attempt_schema, todo)
+                    self._enforce_constraints(
+                        staged, attempt_schema, todo, attempt_cmap
+                    )
                     validated |= set(todo)
             if dv_updates and operation != "restore":
                 # (restore is exempt: its base is pinned via
@@ -1335,6 +1475,8 @@ class TxnTable:
                 "params": op_params or {},
                 "constraints": attempt_cons,
                 "dv": dv_updates or {},
+                "column_map": attempt_cmap,
+                "retired_cols": list(attempt_retired),
             }
             if self._publish(manifest, _manifest_path(self.root, base_v + 1)):
                 live = set(files)
@@ -1364,6 +1506,8 @@ class TxnTable:
                         file_stats={**carried, **staged_stats},
                         constraints=attempt_cons,
                         file_dvs=carried_dvs,
+                        column_map=attempt_cmap,
+                        retired_cols=tuple(attempt_retired),
                     ),
                 )
                 return base_v + 1
@@ -1847,6 +1991,129 @@ class TxnTable:
             f"contended attempts"
         )
 
+    def rename_column(
+        self, old: str, new: str, max_attempts: int = 5
+    ) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only (Delta's column
+        mapping): the LOGICAL name changes; the PHYSICAL parquet name
+        stays what it always was, so no file is rewritten and every
+        old file keeps reading correctly. Rejected while any CHECK
+        constraint references the column (drop it first — renaming
+        under it would silently break enforcement). Stats, bloom
+        sidecars and deletion vectors are keyed by physical names and
+        are unaffected. Pinned to the derived-from version; retries on
+        contention."""
+        import re
+
+        if old == new:
+            raise ValueError("rename to the same name")
+        for _ in range(max_attempts):
+            base = self.snapshot_meta()
+            if base is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            schema = base.schema()
+            names = schema.fieldNames()
+            if old not in names:
+                raise ValueError(f"column {old!r} does not exist")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            referenced = [
+                n for n, e in base.constraints.items()
+                if re.search(rf"\b{re.escape(old)}\b", e)
+            ]
+            if referenced:
+                raise ValueError(
+                    f"constraint(s) {referenced} reference {old!r}; "
+                    f"drop them before renaming"
+                )
+            phys = base.phys(old)
+            new_fields = [
+                StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+            cmap = {
+                k: v for k, v in base.column_map.items() if k != old
+            }
+            if phys != new:
+                cmap[new] = phys
+            try:
+                return self._commit(
+                    "schema",
+                    [],
+                    StructType(new_fields).json(),
+                    None,
+                    None,
+                    expected_base=base.version,
+                    column_map=cmap,
+                    op_params={
+                        "action": "rename", "from": old, "to": new,
+                    },
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"gave up renaming {old!r} after {max_attempts} attempts"
+        )
+
+    def drop_column(self, col: str, max_attempts: int = 5) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only: the column leaves
+        the logical schema and its PHYSICAL name is RETIRED (old files
+        still carry the bytes; readers never select them; a later
+        append may not introduce a column whose physical name would
+        collide — the data would resurrect). Rejected while a CHECK
+        constraint references the column. Idempotent for unknown
+        names."""
+        import re
+
+        for _ in range(max_attempts):
+            base = self.snapshot_meta()
+            if base is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.root}"
+                )
+            schema = base.schema()
+            if col not in schema.fieldNames():
+                return base.version
+            if len(schema.fields) == 1:
+                raise ValueError("cannot drop the only column")
+            referenced = [
+                n for n, e in base.constraints.items()
+                if re.search(rf"\b{re.escape(col)}\b", e)
+            ]
+            if referenced:
+                raise ValueError(
+                    f"constraint(s) {referenced} reference {col!r}; "
+                    f"drop them before dropping the column"
+                )
+            phys = base.phys(col)
+            new_fields = [f for f in schema.fields if f.name != col]
+            cmap = {
+                k: v for k, v in base.column_map.items() if k != col
+            }
+            try:
+                return self._commit(
+                    "schema",
+                    [],
+                    StructType(new_fields).json(),
+                    None,
+                    None,
+                    expected_base=base.version,
+                    column_map=cmap,
+                    retired_cols=tuple(
+                        dict.fromkeys(base.retired_cols + (phys,))
+                    ),
+                    op_params={"action": "drop", "column": col},
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"gave up dropping {col!r} after {max_attempts} attempts"
+        )
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE TO VERSION — roll the CURRENT state back to
         ``version`` with a METADATA-ONLY commit (Delta's RESTORE): no
@@ -1914,6 +2181,11 @@ class TxnTable:
             },
             expected_base=base.version,
             dv_updates=dv_updates or None,
+            # schema metadata rolls back with the data: the target
+            # version's logical->physical map and retired set (a
+            # column restored into the schema reclaims its physical)
+            column_map=dict(old.column_map),
+            retired_cols=old.retired_cols,
             op_params={"to_version": version},
         )
 
@@ -2027,10 +2299,13 @@ class TxnTable:
             # already-deleted positions idempotently
             schema = base.schema()
             matched = (
-                self.spark.read.schema(schema)
+                self.spark.read.schema(base.phys_schema())
                 .parquet(*[str(self.root / f) for f in affected])
-                .where(pred)
                 .select(
+                    *[
+                        F.col(base.phys(c)).alias(c)
+                        for c in schema.fieldNames()
+                    ],
                     F.concat_ws(
                         "/",
                         F.slice(
@@ -2039,6 +2314,8 @@ class TxnTable:
                     ).alias("__dv_file"),
                     F.col("_metadata.row_index").alias("__dv_pos"),
                 )
+                .where(pred)
+                .select("__dv_file", "__dv_pos")
             )
             n = matched.count()
             if n > max_dv_rows:
