@@ -144,11 +144,17 @@ def build_bloom_index(
         if not todo:
             continue
 
+        # RAW read, deletion vectors NOT applied: a vector can be
+        # cleared later (restore), and a sidecar missing those rows'
+        # hashes would then give bloom FALSE NEGATIVES — extra hashes
+        # for currently-deleted rows are merely conservative
         hashed = (
-            table.read_files(meta, todo, keep_file_col="__file")
+            table._read_with_positions(
+                meta, todo, meta.schema(), apply_dvs=False
+            )
             .where(F.col(col).isNotNull())
             .select(
-                "__file",
+                F.col("__dv_file").alias("__file"),
                 F.xxhash64(F.col(col)).alias("__h"),
             )
         )

@@ -94,10 +94,14 @@ def changes_between(
     ):
         # a file live on both sides with a changed deletion vector
         # contributes rows on both sides (old-DV view vs new-DV view);
-        # the multiset difference surfaces exactly the MOR deletes
+        # the multiset difference surfaces exactly the MOR deletes.
+        # dv_changed also carries added/removed files' vector state so
+        # each side reads them with the vectors it actually had —
+        # without the removed side's, a compaction of a previously
+        # MOR-deleted file would re-report those rows as deletes
         before_dvs = {f: p for f, (p, _n) in dv_changed.items() if p}
         after_dvs = {f: p for f, (_o, p) in dv_changed.items() if p}
-        both = sorted(set(dv_changed) - set(added))
+        both = sorted(set(dv_changed) - set(added) - set(removed))
         a = read(added + both, after_dvs)
         r = read(removed + both, before_dvs)
         d = (

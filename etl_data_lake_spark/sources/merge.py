@@ -561,12 +561,21 @@ def _merge_against(
         txn_seq,
         replaced=replaced_files,
         staged_stats=stats,
+        # COW path: declare the deletion-vector view the rewrite was
+        # built from, so a concurrent MOR delete on a touched file
+        # conflicts instead of being silently resurrected (MOR path:
+        # replaced_files is empty and expected_dvs carries the
+        # vectored files' view from _build_dv_updates)
         guard_range=guard,
         # base-snapshot files were probed EXACTLY in pass 1; only files
         # committed after our snapshot get the (conservative) stats guard
         guard_exempt=tuple(base.files),
         dv_updates=dv_updates or None,
-        expected_dvs=expected_dvs or None,
+        expected_dvs=(
+            expected_dvs
+            or {f: base.file_dvs.get(f) for f in replaced_files}
+            or None
+        ),
         op_params={
             "keys": keys,
             "when_matched": when_matched,

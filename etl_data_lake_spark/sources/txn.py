@@ -233,6 +233,18 @@ def _pointer_path(root: Path) -> Path:
     return root / _LOG_DIR / "_last_checkpoint"
 
 
+def _rel_path_expr():
+    """Manifest-relative path of each row's source file — the last 3
+    segments of ``_metadata.file_path``, matching the fixed
+    ``data/<uuid>/<part>.parquet`` layout ``_stage`` writes. The ONE
+    place that layout assumption is encoded for readers."""
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(
+        "/", F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3)
+    )
+
+
 class TxnTable:
     """Handle to a transactional parquet table rooted at ``path``.
 
@@ -525,9 +537,7 @@ class TxnTable:
         if schema is None:
             schema = meta.schema()
         cols = schema.fieldNames()
-        rel_expr = F.concat_ws(
-            "/", F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3)
-        )
+        rel_expr = _rel_path_expr()
         if not files:
             out = self.spark.createDataFrame([], schema)
             if keep_file_col is not None:
@@ -563,14 +573,19 @@ class TxnTable:
         return out.select(*cols)
 
     def _read_with_positions(
-        self, meta: Snapshot, files: list[str], schema: StructType
+        self,
+        meta: Snapshot,
+        files: list[str],
+        schema: StructType,
+        apply_dvs: bool = True,
     ):
         """Rows of ``files`` with ``__dv_file`` (manifest-relative
-        path — the last 3 segments of the fixed ``data/<uuid>/<part>``
-        layout _stage writes) and ``__dv_pos`` (row position in file)
-        attached, and ``meta``'s deletion vectors ALREADY APPLIED via
-        a broadcast anti join against the sidecars (read by Spark as
-        JSON — the driver never loads a vector)."""
+        path, :func:`_rel_path_expr`) and ``__dv_pos`` (row position
+        in file) attached, and — unless ``apply_dvs=False`` (the RAW
+        view MOR delete unions from and bloom building hashes) —
+        ``meta``'s deletion vectors applied via a broadcast anti join
+        against the sidecars (read by Spark as JSON — the driver
+        never loads a vector)."""
         from pyspark.sql import functions as F
 
         cols = schema.fieldNames()
@@ -580,14 +595,11 @@ class TxnTable:
             *[str(self.root / f) for f in files]
         ).select(
             *[F.col(meta.phys(c)).alias(c) for c in cols],
-            F.concat_ws(
-                "/",
-                F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3),
-            ).alias("__dv_file"),
+            _rel_path_expr().alias("__dv_file"),
             F.col("_metadata.row_index").alias("__dv_pos"),
         )
         dv_files = [f for f in files if f in meta.file_dvs]
-        if not dv_files:
+        if not dv_files or not apply_dvs:
             return with_pos
         dv = (
             self.spark.read.schema("file string, indices array<long>")
@@ -919,8 +931,11 @@ class TxnTable:
         ``dv_changed`` maps a file whose vector state changed to
         ``(old dv path | None, new dv path | None)`` — files live on
         BOTH sides whose vector moved (the merge-on-read deletes a
-        file-level diff alone cannot see) AND newly-added files that
-        arrive carrying a vector (a restore re-referencing them).
+        file-level diff alone cannot see), newly-added files that
+        arrive carrying a vector (a restore re-referencing them), AND
+        removed files that HAD a vector (the removed side must be
+        read with it applied, or rows already MOR-deleted would be
+        re-reported as deletes when their file is compacted away).
         Same cost shape: one reconstruction at ``v_from`` plus one
         manifest read per version."""
         meta = self.snapshot_meta(v_from) if v_from else None
@@ -959,6 +974,13 @@ class TxnTable:
                     f: (None, new_dvs[f])
                     for f in set(new) - set(files)
                     if f in new_dvs
+                }
+            )
+            dv_changed.update(
+                {
+                    f: (dvs[f], None)
+                    for f in set(files) - set(new)
+                    if f in dvs
                 }
             )
             out.append(
@@ -1278,7 +1300,9 @@ class TxnTable:
         delete's rows). Violations raise ConcurrentWriteError; the
         caller re-reads and recomputes."""
         staged_stats = staged_stats or {}
-        validated: set[str] = set()
+        # cache key is (name, expr): a concurrent drop + re-add of the
+        # SAME name with a different expression must re-validate
+        validated: set[tuple[str, str]] = set()
         for _ in range(max_attempts):
             base = self.snapshot_meta()
             base_v = base.version if base else 0
@@ -1390,6 +1414,25 @@ class TxnTable:
                                 f"contain rows in replace_where ranges "
                                 f"{gspec}"
                             )
+                # a rewrite was BUILT from its base's deletion-vector
+                # view of the replaced files; if a concurrent MOR
+                # delete moved a vector underneath, publishing would
+                # resurrect those deleted rows (the rewrite read the
+                # old view and drops the DV entry). Callers declare
+                # the vectors they saw via expected_dvs; an undeclared
+                # vector on a replaced file conservatively conflicts.
+                # restore is exempt: its expected_base pin already
+                # freezes the whole base.
+                if operation != "restore":
+                    base_dvs_now = base.file_dvs if base else {}
+                    exp_r = expected_dvs or {}
+                    for f in sorted(replaced):
+                        if base_dvs_now.get(f) != exp_r.get(f):
+                            raise ConcurrentWriteError(
+                                f"deletion vector of rewrite input {f!r} "
+                                f"changed concurrently; re-read and "
+                                f"rebuild the rewrite"
+                            )
                 remove = tuple(replaced)
                 files = sorted(base_files - set(replaced)) + staged
             elif operation in ("constraint", "schema"):
@@ -1431,13 +1474,13 @@ class TxnTable:
             if staged and attempt_cons:
                 todo = {
                     n: e for n, e in attempt_cons.items()
-                    if n not in validated
+                    if (n, e) not in validated
                 }
                 if todo:
                     self._enforce_constraints(
                         staged, attempt_schema, todo, attempt_cmap
                     )
-                    validated |= set(todo)
+                    validated |= set(todo.items())
             if dv_updates and operation != "restore":
                 # (restore is exempt: its base is pinned via
                 # expected_base, so no concurrent DV can move, and its
@@ -1731,6 +1774,7 @@ class TxnTable:
             app_id,
             txn_seq,
             replaced=tuple(affected),
+            expected_dvs={f: base.file_dvs.get(f) for f in affected},
             staged_stats={**stats_keep, **stats_new},
             guard_range=guard,
             op_params={"replace_where": {"col": col, "ranges": ranges}},
@@ -1807,6 +1851,7 @@ class TxnTable:
             app_id,
             txn_seq,
             replaced=tuple(affected),
+            expected_dvs={f: base.file_dvs.get(f) for f in affected},
             staged_stats=stats,
             op_params={"col": col, "ranges": ranges},
         )
@@ -1896,6 +1941,7 @@ class TxnTable:
             app_id,
             txn_seq,
             replaced=tuple(affected),
+            expected_dvs={f: base.file_dvs.get(f) for f in affected},
             staged_stats=stats,
             op_params={
                 "col": col,
@@ -1937,7 +1983,8 @@ class TxnTable:
                 )
             if base.files:
                 self._enforce_constraints(
-                    list(base.files), base.schema_json, {name: expr}
+                    list(base.files), base.schema_json, {name: expr},
+                    base.column_map,
                 )
             else:
                 # empty table: still fail fast on an unanalyzable expr
@@ -2156,6 +2203,19 @@ class TxnTable:
                 f"cannot restore v{version}: {len(missing)} data/DV "
                 f"file(s) already vacuumed, e.g. {missing[0]!r}"
             )
+        # the CURRENT constraint set carries across the restore (like
+        # rename/drop, data rollback does not waive invariants); one
+        # referencing a column the target schema lacks would wedge
+        # every later write with an analysis error — fail fast with
+        # guidance instead, mirroring rename/drop's blocking rule
+        for n, e in base.constraints.items():
+            try:
+                self.spark.createDataFrame([], old.schema()).where(e)
+            except Exception:
+                raise ValueError(
+                    f"constraint {n!r} ({e!r}) references columns absent "
+                    f"at version {version}; drop it before restoring"
+                ) from None
         base_set = set(base.files)
         replaced = tuple(sorted(base_set - set(old.files)))
         staged = sorted(set(old.files) - base_set)
@@ -2297,22 +2357,9 @@ class TxnTable:
                 return base.version
             # RAW positions (no DV applied): the union below absorbs
             # already-deleted positions idempotently
-            schema = base.schema()
             matched = (
-                self.spark.read.schema(base.phys_schema())
-                .parquet(*[str(self.root / f) for f in affected])
-                .select(
-                    *[
-                        F.col(base.phys(c)).alias(c)
-                        for c in schema.fieldNames()
-                    ],
-                    F.concat_ws(
-                        "/",
-                        F.slice(
-                            F.split(F.col("_metadata.file_path"), "/"), -3, 3
-                        ),
-                    ).alias("__dv_file"),
-                    F.col("_metadata.row_index").alias("__dv_pos"),
+                self._read_with_positions(
+                    base, affected, base.schema(), apply_dvs=False
                 )
                 .where(pred)
                 .select("__dv_file", "__dv_pos")
@@ -2389,19 +2436,23 @@ class TxnTable:
             )
             if not affected:
                 return base.version
+            # persist BEFORE counting: the count materializes the
+            # cache, so the DV build and the staged rewrite reuse it
+            # instead of rescanning every affected file
             matched = self._read_with_positions(
                 base, affected, schema
-            ).where(pred)
+            ).where(pred).persist()
             n = matched.count()
             if n == 0:
+                matched.unpersist()
                 return base.version
             if n > max_dv_rows:
+                matched.unpersist()
                 raise ValueError(
                     f"{n} matching rows exceed max_dv_rows="
                     f"{max_dv_rows}; use update_where (copy-on-write) "
                     f"for bulk updates"
                 )
-            matched = matched.persist()
             try:
                 updated = matched.select(
                     *[
@@ -2481,6 +2532,7 @@ class TxnTable:
             None,
             None,
             replaced=tuple(todo),
+            expected_dvs={f: base.file_dvs.get(f) for f in todo},
             staged_stats=stats,
             op_params={
                 "purge_vectors": True,
@@ -2508,6 +2560,7 @@ class TxnTable:
             None,
             None,
             replaced=base.files,
+            expected_dvs={f: base.file_dvs.get(f) for f in base.files},
             staged_stats=stats,
         )
 
@@ -2556,6 +2609,7 @@ class TxnTable:
             None,
             None,
             replaced=tuple(small),
+            expected_dvs={f: base.file_dvs.get(f) for f in small},
             staged_stats=stats,
         )
 

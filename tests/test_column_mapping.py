@@ -196,3 +196,20 @@ def test_mapping_cdf_bloom_files_df(spark, tmp_path):
     # files_df shows stats under logical keys
     for r in t.files_df().collect():
         assert "doc_id" in r.stats and "id" not in r.stats
+
+
+def test_add_constraint_sees_real_values_under_mapping(spark, tmp_path):
+    """Validation reads the physical parquet names: a violating row in
+    a RENAMED column must block the constraint (it used to read as
+    all-null under mapping and pass vacuously)."""
+    from etl_data_lake_spark.sources.txn import ConstraintViolationError
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, -5)], "id int, val int"))
+    t.rename_column("val", "amount")
+    with pytest.raises(ConstraintViolationError):
+        t.add_constraint("amount_pos", "amount > 0")
+    # and a satisfiable one both adds and then enforces appends
+    t.add_constraint("amount_gt_min", "amount > -10")
+    with pytest.raises(ConstraintViolationError):
+        t.append(_mk(spark, [(2, -50)], "id int, amount int"))

@@ -375,3 +375,74 @@ def test_metadata_tables(spark, tmp_path):
     assert d["version"] == 3 and d["num_files"] == 2
     assert d["num_deletion_vectors"] == 1
     assert d["size_bytes"] > 0 and "id" in d["schema"]
+
+
+def test_cow_rewrite_conflicts_with_concurrent_mor_delete(spark, tmp_path):
+    """The lost-update race: a rewrite built from a base WITHOUT a
+    vector must conflict when a MOR delete lands before it publishes —
+    otherwise the rewrite resurrects the deleted rows and drops the
+    vector. (Self-review finding, round 4 part 3.)"""
+    path = str(tmp_path / "t")
+    t = _table(spark, path)
+    base = t.snapshot_meta()
+    # the rewrite is BUILT from `base` (no vectors yet)
+    staged, _sj, stats = t._stage(t.read_files(base, list(base.files)), ("id",))
+    # concurrent MOR delete lands in between
+    TxnTable(spark, path).delete_where_mor("id", 1, 1)
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(
+            "compact", staged, base.schema_json, None, None,
+            replaced=base.files, staged_stats=stats,
+            expected_dvs={f: base.file_dvs.get(f) for f in base.files},
+        )
+    # the delete survived
+    assert 1 not in _ids(t.snapshot())
+    # and a fresh rewrite from CURRENT state succeeds and retires it
+    t.compact(target_files=1, stats_cols=("id",))
+    assert 1 not in _ids(t.snapshot()) and t.snapshot_meta().file_dvs == {}
+
+
+def test_cdf_empty_for_compaction_of_mor_deleted_file(spark, tmp_path):
+    """Compacting a file whose rows were already MOR-deleted is a pure
+    layout change: the incremental consumer must see NOTHING at the
+    compact version (the removed side reads with its before-vector)."""
+    from etl_data_lake_spark.sources.cdf import changes_between
+
+    t = _table(spark, str(tmp_path / "t"))
+    t.delete_where_mor("id", 1, 2)
+    v_before = t.latest_version()
+    t.compact(target_files=1, stats_cols=("id",))
+    ch = changes_between(t, v_before, t.latest_version())
+    assert ch.count() == 0
+
+
+def test_bloom_no_false_negative_after_restore(spark, tmp_path):
+    """Sidecars are built from the RAW file, so a restore that clears
+    a vector cannot leave a stale filter missing resurrected values."""
+    from etl_data_lake_spark.sources.bloomindex import (
+        build_bloom_index,
+        snapshot_where_eq,
+    )
+
+    t = _table(spark, str(tmp_path / "t"))
+    pre = t.latest_version()
+    t.delete_where_mor("id", 1, 1)
+    build_bloom_index(t, ("id",))  # built while the vector is active
+    assert snapshot_where_eq(t, "id", [1]).count() == 0
+    t.restore(pre)  # clears the vector; sidecar survives
+    assert snapshot_where_eq(t, "id", [1]).count() == 1
+
+
+def test_restore_blocked_by_constraint_on_later_column(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(1, "a")]))
+    pre = t.latest_version()
+    t.append(
+        spark.createDataFrame([(2, "b", 5)], "id int, v string, c int")
+    )
+    t.add_constraint("c_pos", "c > 0")
+    with pytest.raises(ValueError):
+        t.restore(pre)  # pre-c schema cannot host the constraint
+    t.drop_constraint("c_pos")
+    t.restore(pre)
+    assert t.snapshot().columns == ["id", "v"]
