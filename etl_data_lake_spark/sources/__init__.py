@@ -1,5 +1,6 @@
 from etl_data_lake_spark.sources.catalog import TABLES, load_table, load_tables
 from etl_data_lake_spark.sources.merge import MergeResult, merge_into
+from etl_data_lake_spark.sources.lake_datasource import register_lake_source
 from etl_data_lake_spark.sources.txn import (
     ConcurrentWriteError,
     ConstraintViolationError,
@@ -15,4 +16,5 @@ __all__ = [
     "ConstraintViolationError",
     "merge_into",
     "MergeResult",
+    "register_lake_source",
 ]

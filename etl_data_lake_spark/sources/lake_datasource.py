@@ -1,0 +1,318 @@
+"""``txnlake`` — a Spark Python DataSource over transactional tables.
+
+The native integration surface for :class:`~.txn.TxnTable`: after
+``register_lake_source(spark)``, the lakehouse reads like any other
+format —
+
+    spark.read.format("txnlake").load(path)                  # latest
+    spark.read.format("txnlake").option("version", 3).load(path)
+    (spark.readStream.format("txnlake")
+        .option("startingVersion", 0).load(path))            # CDC-ish
+
+built on Spark 4's Python DataSource API (the public
+``pyspark.sql.datasource`` ABCs — batch ``DataSourceReader`` with
+``pushFilters`` and the partition-based ``DataSourceStreamReader``).
+Everything the table layer guarantees carries over:
+
+* **Snapshot isolation** — the reader pins its version at planning
+  time; concurrent commits never tear a scan.
+* **One partition per data file** — Spark schedules file-granular
+  tasks; executors read parquet via pyarrow directly and never touch
+  the driver's log state (partitions ship absolute paths + the
+  per-file deletion-vector sidecar path + the physical→logical
+  rename).
+* **Filter pushdown → manifest pruning** — ``pushFilters`` keeps
+  range/equality/null/prefix predicates, prunes FILES through the
+  manifest stats (the same tiers ``snapshot_where_ranges`` uses), and
+  still reports every filter as unsupported so Spark re-applies them
+  row-exactly: pruning is a pure optimization, never a correctness
+  dependency.
+* **Deletion vectors & column mapping** — each partition drops its
+  file's deleted positions and renames physical→logical before
+  emitting Arrow batches.
+
+Streaming follows Delta's source semantics: offsets are COMMIT
+VERSIONS; each micro-batch reads the files its manifests appended;
+pure layout changes (compact) contribute nothing; data-changing
+rewrites (merge/delete/update/overwrite/restore) fail the stream
+unless ``ignoreChanges=true``, which emits their added files (possible
+re-deliveries, exactly Delta's contract).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+from pyspark.sql.types import StructType
+
+from etl_data_lake_spark.sources.txn import TxnTable
+
+
+@dataclass
+class _FilePart(InputPartition):
+    """Everything an executor needs — no driver state, no Spark."""
+
+    file_path: str  # absolute parquet path
+    dv_path: str | None  # absolute deletion-vector sidecar, if any
+    renames: tuple  # ((physical, logical), ...) for mapped columns
+    schema_json: str  # LOGICAL schema to emit
+
+
+def _read_partition(part: _FilePart):
+    """Executor-side: parquet → (drop DV positions) → (rename
+    physical→logical, null-fill missing columns) → Arrow batches cast
+    to the logical schema. Pure pyarrow; runs in the Python worker."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = StructType.fromJson(json.loads(part.schema_json))
+    target = to_arrow_schema(schema)
+    to_logical = dict(part.renames)
+    table = pq.read_table(part.file_path)
+    if part.dv_path is not None:
+        deleted = set(
+            json.loads(Path(part.dv_path).read_text())["indices"]
+        )
+        mask = pa.array(
+            [i not in deleted for i in range(table.num_rows)]
+        )
+        table = table.filter(mask)
+    cols = []
+    names = set(table.schema.names)
+    logical_of = {p: l for p, l in to_logical.items()}
+    for field in schema.fields:
+        phys = next(
+            (p for p, l in logical_of.items() if l == field.name),
+            field.name,
+        )
+        if phys in names:
+            cols.append(table.column(phys))
+        else:  # schema evolution: column newer than this file
+            cols.append(pa.nulls(table.num_rows))
+    out = pa.table(cols, names=[f.name for f in schema.fields])
+    out = out.cast(target)
+    for batch in out.to_batches():
+        yield batch
+
+
+def _overlaps(rng, flt) -> bool:
+    """Can a file with manifest stats entry ``rng`` contain a row
+    matching ``flt``? Conservative: unknown → True."""
+    if rng is None:
+        return True
+    lo, hi = rng[0], rng[1]
+    nulls = rng[2] if len(rng) >= 4 else None
+    rows = rng[3] if len(rng) >= 4 else None
+    if isinstance(flt, IsNull):
+        return nulls is None or nulls > 0
+    if isinstance(flt, IsNotNull):
+        return nulls is None or rows is None or nulls < rows
+    if lo is None:
+        return True  # nulls-only entry: no range proof
+    try:
+        if isinstance(flt, EqualTo):
+            return lo <= flt.value <= hi
+        if isinstance(flt, In):
+            return any(lo <= v <= hi for v in flt.value)
+        if isinstance(flt, GreaterThan):
+            return hi > flt.value
+        if isinstance(flt, GreaterThanOrEqual):
+            return hi >= flt.value
+        if isinstance(flt, LessThan):
+            return lo < flt.value
+        if isinstance(flt, LessThanOrEqual):
+            return lo <= flt.value
+        if isinstance(flt, StringStartsWith):
+            return lo <= flt.value + "\U0010ffff" and hi >= flt.value
+    except TypeError:
+        return True  # incomparable stats type
+    return True
+
+
+class TxnLakeBatchReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        path = options["path"]
+        version = options.get("version")
+        self._table = TxnTable(None, path)
+        self._meta = self._table.snapshot_meta(
+            int(version) if version is not None else None
+        )
+        if self._meta is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        self._schema = schema
+        self._filters = []
+
+    def planned_files(self) -> list[str]:
+        """Manifest-pruned file list (exposed for tests)."""
+        meta = self._meta
+        keep = []
+        for fl in meta.files:
+            st = meta.file_stats.get(fl, {})
+            if all(
+                _overlaps(st.get(meta.phys(f.attribute[0])), f)
+                for f in self._filters
+            ):
+                keep.append(fl)
+        return keep
+
+    def partitions(self):
+        meta = self._meta
+        root = self._table.root
+        renames = tuple(
+            (meta.phys(c), c)
+            for c in self._schema.fieldNames()
+            if meta.phys(c) != c
+        )
+        sj = self._schema.json()
+        return [
+            _FilePart(
+                str(root / fl),
+                str(root / meta.file_dvs[fl])
+                if fl in meta.file_dvs
+                else None,
+                renames,
+                sj,
+            )
+            for fl in self.planned_files()
+        ]
+
+    def read(self, partition):
+        return _read_partition(partition)
+
+
+class TxnLakePushdownReader(TxnLakeBatchReader):
+    """The batch reader with ``pushFilters`` — selected via
+    ``.option("pushdown", "true")``. Split from the base class
+    because Spark REJECTS any reader that merely implements
+    pushFilters while ``spark.sql.python.filterPushdown.enabled`` is
+    false (the default), and a vanilla session must still read the
+    format. Enable both the conf and the option to get manifest-level
+    file pruning from query predicates."""
+
+    def pushFilters(self, filters):
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if (
+                attr is not None
+                and len(attr) == 1
+                and attr[0] in self._schema.fieldNames()
+            ):
+                self._filters.append(f)
+            yield f  # Spark re-applies EVERYTHING; pruning is bonus
+
+
+_SKIP_OPS = {"compact", "constraint", "schema"}
+_CHANGE_OPS = {"merge", "delete", "update", "overwrite", "restore"}
+
+
+class TxnLakeStreamReader(DataSourceStreamReader):
+    """Versions are offsets; each batch = the files appended in
+    (start, end]. Partition-based (the scale path): executors read
+    file-granular like the batch side."""
+
+    def __init__(self, options, schema: StructType):
+        self._path = options["path"]
+        self._table = TxnTable(None, self._path)
+        self._schema = schema
+        self._start = int(options.get("startingVersion", 0))
+        self._ignore_changes = (
+            str(options.get("ignoreChanges", "false")).lower() == "true"
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._table.latest_version()}
+
+    def partitions(self, start: dict, end: dict):
+        meta = self._table.snapshot_meta(end["version"])
+        root = self._table.root
+        renames = tuple(
+            (meta.phys(c), c)
+            for c in self._schema.fieldNames()
+            if meta.phys(c) != c
+        )
+        sj = self._schema.json()
+        parts = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            m = self._table._read_manifest(v)
+            op = m["operation"]
+            if op == "append":
+                added = list(m.get("add", ()))
+            elif op in _SKIP_OPS:
+                continue
+            elif op in _CHANGE_OPS:
+                if not self._ignore_changes:
+                    raise ValueError(
+                        f"version {v} is a data-changing {op!r} commit; "
+                        f"streaming a txn table follows append-only "
+                        f"semantics (set ignoreChanges=true to emit its "
+                        f"added files, with possible re-deliveries)"
+                    )
+                added = list(m.get("add", ()))
+            else:  # pragma: no cover
+                raise ValueError(f"unknown operation {op!r} at v{v}")
+            parts.extend(
+                _FilePart(str(root / fl), None, renames, sj)
+                for fl in added
+            )
+        return parts
+
+    def read(self, partition):
+        return _read_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the stream's checkpoint
+
+
+class TxnLakeDataSource(DataSource):
+    """``spark.read.format("txnlake")`` /
+    ``spark.readStream.format("txnlake")`` over a TxnTable path."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txnlake"
+
+    def schema(self) -> StructType:
+        version = self.options.get("version")
+        meta = TxnTable(None, self.options["path"]).snapshot_meta(
+            int(version) if version is not None else None
+        )
+        if meta is None:
+            raise FileNotFoundError(
+                f"no committed version at {self.options['path']}"
+            )
+        return meta.schema()
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return TxnLakePushdownReader(self.options, schema)
+        return TxnLakeBatchReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return TxnLakeStreamReader(self.options, schema)
+
+
+def register_lake_source(spark) -> None:
+    """Register the ``txnlake`` format on this session (idempotent)."""
+    spark.dataSource.register(TxnLakeDataSource)
