@@ -45,10 +45,14 @@ import json
 from dataclasses import dataclass
 from pathlib import Path
 
+import uuid
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -59,10 +63,11 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
-from etl_data_lake_spark.sources.txn import TxnTable
+from etl_data_lake_spark.sources.txn import TxnTable, footer_stats
 
 
 @dataclass
@@ -285,6 +290,135 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         pass  # offsets are durable in the stream's checkpoint
 
 
+@dataclass
+class _WroteFiles(WriterCommitMessage):
+    files: tuple  # manifest-relative paths this task staged
+
+
+class TxnLakeBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("txnlake").mode("append"|"overwrite")`` —
+    executor tasks stage one parquet file each into a fresh
+    write-once stage dir (pyarrow, Arrow batches straight from
+    Spark), and the driver-side ``commit`` publishes them through
+    the table's optimistic commit protocol: append evolution rules,
+    CHECK-constraint validation, column mapping, manifest stats (via
+    the ``statsCols`` option) and crash atomicity all apply exactly
+    as they do for ``TxnTable.append`` — a failed job leaves only an
+    invisible stage dir for vacuum."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self._path = options["path"]
+        self._stats_cols = tuple(
+            c.strip()
+            for c in str(options.get("statsCols", "")).split(",")
+            if c.strip()
+        )
+        self._overwrite = overwrite
+        self._schema = schema
+        meta = TxnTable(None, self._path).snapshot_meta()
+        self._renames = tuple(
+            (c, meta.phys(c)) for c in schema.fieldNames()
+        ) if meta is not None and meta.column_map else ()
+        self._stage_rel = f"data/{uuid.uuid4().hex}"
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _WroteFiles(())  # zero-row task: stage nothing
+        table = pa.Table.from_batches(batches)
+        if self._renames:
+            phys = dict(self._renames)
+            table = table.rename_columns(
+                [phys.get(n, n) for n in table.schema.names]
+            )
+        rel = f"{self._stage_rel}/part-{uuid.uuid4().hex}.parquet"
+        p = Path(self._path) / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(table, p)
+        return _WroteFiles((rel,))
+
+    def commit(self, messages):
+        from pyspark.sql import SparkSession
+
+        staged = sorted(
+            f for m in messages if m is not None for f in m.files
+        )
+        table = TxnTable(SparkSession.getActiveSession(), self._path)
+        meta = table.snapshot_meta()
+        phys_stats = tuple(
+            dict(self._renames).get(c, c) for c in self._stats_cols
+        )
+        stats = footer_stats(table.root, staged, phys_stats)
+        if self._overwrite:
+            table._commit(
+                "overwrite",
+                staged,
+                self._schema.json(),
+                None,
+                None,
+                staged_stats=stats,
+                expected_base=meta.version if meta else None,
+            )
+        else:
+            table._commit(
+                "append",
+                staged,
+                self._schema.json(),
+                None,
+                None,
+                staged_stats=stats,
+            )
+
+    def abort(self, messages):
+        # delete exactly the files the messages name (a task that died
+        # before reporting leaves an invisible orphan for vacuum);
+        # never rmtree a dir — a long-lived stream writer can reuse
+        # its stage dir across batches and earlier batches' files are
+        # already committed
+        for m in messages:
+            if m is not None:
+                for rel in m.files:
+                    (Path(self._path) / rel).unlink(missing_ok=True)
+
+
+class TxnLakeStreamWriter(TxnLakeBatchWriter, DataSourceStreamWriter):
+    """``writeStream.format("txnlake")`` — EXACTLY-ONCE by
+    construction: the micro-batch id is the transaction sequence for
+    the stream's ``appId`` option (default 'txnlake-stream'), so a
+    replayed batch's commit no-ops at the writer watermark, the same
+    guarantee ``txn_append_sink`` gives foreachBatch users but as a
+    first-class sink format."""
+
+    def __init__(self, options, schema: StructType):
+        super().__init__(options, schema, overwrite=False)
+        self._app_id = str(options.get("appId", "txnlake-stream"))
+
+    def commit(self, messages, batchId: int) -> None:
+        from pyspark.sql import SparkSession
+
+        staged = sorted(
+            f for m in messages if m is not None for f in m.files
+        )
+        table = TxnTable(SparkSession.getActiveSession(), self._path)
+        phys_stats = tuple(
+            dict(self._renames).get(c, c) for c in self._stats_cols
+        )
+        table._commit(
+            "append",
+            staged,
+            self._schema.json(),
+            self._app_id,
+            batchId,
+            staged_stats=footer_stats(table.root, staged, phys_stats),
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        super().abort(messages)
+
+
 class TxnLakeDataSource(DataSource):
     """``spark.read.format("txnlake")`` /
     ``spark.readStream.format("txnlake")`` over a TxnTable path."""
@@ -311,6 +445,12 @@ class TxnLakeDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return TxnLakeStreamReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return TxnLakeBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return TxnLakeStreamWriter(self.options, schema)
 
 
 def register_lake_source(spark) -> None:

@@ -233,6 +233,65 @@ def _pointer_path(root: Path) -> Path:
     return root / _LOG_DIR / "_last_checkpoint"
 
 
+def footer_stats(
+    root: Path, files: list[str], stats_cols: tuple[str, ...]
+) -> dict[str, dict[str, list]]:
+    """Per-file column stats from the just-written parquet FOOTERS
+    (one metadata read per file, local to the committer) — shared by
+    ``_stage`` and the ``txnlake`` DataSource writer. ``stats_cols``
+    are PHYSICAL column names. Only int/float/str mins and maxes are
+    recorded; a file with no usable stats simply never skips."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict[str, list]] = {}
+    if not stats_cols:
+        return stats
+    for rel in files:
+        md = pq.read_metadata(root / rel)
+        per_col: dict[str, list] = {}
+        for col in stats_cols:
+            if col not in md.schema.names:
+                continue
+            idx = md.schema.names.index(col)
+            # min/max and null counts tracked INDEPENDENTLY: a footer
+            # can know one without the other (an all-null column has
+            # null counts but no min/max)
+            mins, maxs, nulls = [], [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if st is not None and st.null_count is not None:
+                    nulls.append(st.null_count)
+            have_mm = (
+                len(mins) == md.num_row_groups
+                and all(
+                    isinstance(v, (int, float, str))
+                    for v in (min(mins), max(maxs))
+                )
+                if mins
+                else False
+            )
+            have_nc = len(nulls) == md.num_row_groups
+            # entry shapes (readers index [0]/[1] for ranges and,
+            # when len >= 4, [2]/[3] for null skipping):
+            #   [min, max]                   ranges only
+            #   [min, max, nulls, rows]      both
+            #   [None, None, nulls, rows]    nulls only
+            if have_mm and have_nc:
+                per_col[col] = [
+                    min(mins), max(maxs), sum(nulls), md.num_rows,
+                ]
+            elif have_mm:
+                per_col[col] = [min(mins), max(maxs)]
+            elif have_nc:
+                per_col[col] = [None, None, sum(nulls), md.num_rows]
+        if per_col:
+            stats[rel] = per_col
+    return stats
+
+
 def _rel_path_expr():
     """Manifest-relative path of each row's source file — the last 3
     segments of ``_metadata.file_path``, matching the fixed
@@ -1085,52 +1144,9 @@ class TxnTable:
             if p.name.endswith(".parquet")
             and pq.read_metadata(p).num_rows > 0
         )
-        stats: dict[str, dict[str, list]] = {}
-        if stats_cols:
-            for rel in files:
-                md = pq.read_metadata(self.root / rel)
-                per_col: dict[str, list] = {}
-                for col in stats_cols:
-                    if col not in md.schema.names:
-                        continue
-                    idx = md.schema.names.index(col)
-                    # min/max and null counts tracked INDEPENDENTLY: a
-                    # footer can know one without the other (an
-                    # all-null column has null counts but no min/max)
-                    mins, maxs, nulls = [], [], []
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(idx).statistics
-                        if st is not None and st.has_min_max:
-                            mins.append(st.min)
-                            maxs.append(st.max)
-                        if st is not None and st.null_count is not None:
-                            nulls.append(st.null_count)
-                    have_mm = (
-                        len(mins) == md.num_row_groups
-                        and all(
-                            isinstance(v, (int, float, str))
-                            for v in (min(mins), max(maxs))
-                        )
-                        if mins
-                        else False
-                    )
-                    have_nc = len(nulls) == md.num_row_groups
-                    # entry shapes (readers index [0]/[1] for ranges
-                    # and, when len >= 4, [2]/[3] for null skipping):
-                    #   [min, max]                   ranges only
-                    #   [min, max, nulls, rows]      both
-                    #   [None, None, nulls, rows]    nulls only
-                    if have_mm and have_nc:
-                        per_col[col] = [
-                            min(mins), max(maxs), sum(nulls), md.num_rows,
-                        ]
-                    elif have_mm:
-                        per_col[col] = [min(mins), max(maxs)]
-                    elif have_nc:
-                        per_col[col] = [None, None, sum(nulls), md.num_rows]
-                if per_col:
-                    stats[rel] = per_col
-        return files, logical_schema_json, stats
+        return files, logical_schema_json, footer_stats(
+            self.root, files, stats_cols
+        )
 
     def _enforce_constraints(
         self,
@@ -1145,11 +1161,20 @@ class TxnTable:
         only. SQL semantics: a row violates when the expression is
         FALSE; UNKNOWN (null) passes, like the standard's CHECK.
         ``column_map`` translates to the physical parquet names; the
-        expressions see LOGICAL names."""
-        from pyspark.sql import functions as F
+        expressions see LOGICAL names.
 
+        When the handle has NO SparkSession (the txnlake DataSource
+        writer's commit runs in a session-less Python worker), the
+        same counts are evaluated with DuckDB over the staged parquet
+        — constraint expressions should stick to portable SQL, the
+        discipline the repo's oracle harness enforces everywhere."""
         schema = StructType.fromJson(json.loads(schema_json))
         cmap = column_map or {}
+        if self.spark is None:
+            self._enforce_constraints_duckdb(staged, schema, exprs, cmap)
+            return
+        from pyspark.sql import functions as F
+
         read_schema = StructType(
             [
                 StructField(cmap.get(f.name, f.name), f.dataType, f.nullable)
@@ -1183,6 +1208,47 @@ class TxnTable:
         bad = {
             n: row[f"c{i}"] for i, n in enumerate(names) if row[f"c{i}"]
         }
+        if bad:
+            raise ConstraintViolationError(
+                f"CHECK constraint(s) violated by staged rows "
+                f"(name -> violating rows): {bad}"
+            )
+
+    def _enforce_constraints_duckdb(
+        self,
+        staged: list[str],
+        schema: StructType,
+        exprs: dict[str, str],
+        cmap: dict[str, str],
+    ) -> None:
+        """Session-less CHECK validation (same semantics: FALSE
+        violates, UNKNOWN passes) over the staged files via DuckDB."""
+        import duckdb
+        import pyarrow.parquet as pq
+
+        paths = [str(self.root / f) for f in staged]
+        present: set[str] = set()
+        for p in paths:
+            present.update(pq.read_metadata(p).schema.names)
+        proj = ", ".join(
+            (
+                f'"{cmap.get(f.name, f.name)}" AS "{f.name}"'
+                if cmap.get(f.name, f.name) in present
+                else f'NULL AS "{f.name}"'
+            )
+            for f in schema.fields
+        )
+        con = duckdb.connect()
+        bad = {}
+        for n in sorted(exprs):
+            cnt = con.sql(
+                f"SELECT count(*) FROM (SELECT {proj} FROM "
+                f"read_parquet($files, union_by_name=true)) "
+                f"WHERE NOT coalesce(CAST(({exprs[n]}) AS BOOLEAN), true)",
+                params={"files": paths},
+            ).fetchone()[0]
+            if cnt:
+                bad[n] = cnt
         if bad:
             raise ConstraintViolationError(
                 f"CHECK constraint(s) violated by staged rows "

@@ -124,3 +124,83 @@ def test_stream_versions_as_offsets(spark, lake, tmp_path):
     run({"ignoreChanges": "true"})
     ids = sorted(r.id for r in spark.read.parquet(out).collect())
     assert 3 in ids and 100 in ids  # re-delivery allowed, no loss
+
+
+def test_batch_writer_append_overwrite_stats_evolution(spark, tmp_path):
+    register_lake_source(spark)
+    p = str(tmp_path / "w")
+    _mk(spark, [(1, "a"), (2, "b")]).write.format("txnlake").option(
+        "statsCols", "id"
+    ).mode("append").save(p)
+    t = TxnTable(spark, p)
+    assert sorted(r.id for r in t.snapshot().collect()) == [1, 2]
+    # manifest stats from the writer's footers: pruning works
+    _mk(spark, [(100, "c")]).write.format("txnlake").option(
+        "statsCols", "id"
+    ).mode("append").save(p)
+    keep, total = t.files_matching({"id": (100, 100)})
+    assert len(keep) < total
+    # additive evolution through the writer
+    _mk(spark, [(5, "d", 7)], "id int, v string, extra int").write.format(
+        "txnlake"
+    ).mode("append").save(p)
+    assert t.snapshot().columns == ["id", "v", "extra"]
+    assert t.snapshot().where("extra is not null").count() == 1
+    # overwrite replaces everything in one atomic commit
+    _mk(spark, [(9, "z")]).write.format("txnlake").mode("overwrite").save(p)
+    assert sorted(r.id for r in t.snapshot().collect()) == [9]
+    assert t.history()[-1]["operation"] == "overwrite"
+    # CHECK constraints gate the writer like any commit
+    t.add_constraint("id_pos", "id > 0")
+    v = t.latest_version()
+    with pytest.raises(Exception, match="violated"):
+        _mk(spark, [(-1, "bad")]).write.format("txnlake").mode(
+            "append"
+        ).save(p)
+    assert t.latest_version() == v and t.snapshot().count() == 1
+
+
+def test_batch_writer_respects_column_mapping(spark, tmp_path):
+    register_lake_source(spark)
+    p = str(tmp_path / "w")
+    t = TxnTable(spark, p)
+    t.append(_mk(spark, [(1, "a")]), stats_cols=("id",))
+    t.rename_column("v", "txt")
+    # the writer stages under the stable PHYSICAL name
+    _mk(spark, [(2, "b")], "id int, txt string").write.format(
+        "txnlake"
+    ).mode("append").save(p)
+    assert sorted((r.id, r.txt) for r in t.snapshot().collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+
+
+def test_stream_writer_exactly_once(spark, tmp_path):
+    register_lake_source(spark)
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    s = TxnTable(spark, src)
+    s.append(_mk(spark, [(1, "a")]))
+
+    def run():
+        q = (
+            spark.readStream.format("txnlake").load(src)
+            .writeStream.format("txnlake")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    o = TxnTable(spark, out)
+    assert sorted(r.id for r in o.snapshot().collect()) == [1]
+    assert o.snapshot_meta().writer_txns == {"txnlake-stream": 0}
+    s.append(_mk(spark, [(2, "b")]))
+    run()
+    assert sorted(r.id for r in o.snapshot().collect()) == [1, 2]
+    # replaying batch 0's commit directly must no-op (the watermark)
+    v = o.latest_version()
+    assert o.append(_mk(spark, [(1, "a")]), app_id="txnlake-stream",
+                    txn_seq=0) == v
