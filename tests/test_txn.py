@@ -1069,3 +1069,41 @@ def test_restore_keeps_writer_watermarks(spark, tmp_path):
     # replay of seq 1 must NOT re-apply after the rollback
     assert t.append(mk([(2, 2)]), app_id="s", txn_seq=1) == v
     assert sorted(r.id for r in t.snapshot().collect()) == [1]
+
+
+def test_constraint_duckdb_fallback_matches_spark_semantics(spark, tmp_path):
+    """The session-less validation path (txnlake writer commits) must
+    agree with the Spark path: FALSE violates, UNKNOWN (null) passes,
+    column mapping resolves, absent columns read null."""
+    from etl_data_lake_spark.sources.txn import ConstraintViolationError
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    mk = lambda rows, s="id int, v int": spark.createDataFrame(rows, s).coalesce(1)
+    t.append(mk([(1, 5), (2, None)]))  # null v: UNKNOWN passes
+    t.rename_column("v", "val")
+    staged, schema_json, _ = t._stage(
+        spark.createDataFrame([(3, 7), (4, None)], "id int, val int")
+    )
+    meta = t.snapshot_meta()
+    sessionless = TxnTable(None, str(tmp_path / "t"))
+    # passing set: no raise from either engine
+    for handle in (t, sessionless):
+        handle._enforce_constraints(
+            staged, schema_json, {"pos": "val > 0"}, meta.column_map
+        )
+    # violating set: both engines raise with the same count
+    staged_bad, schema_bad, _ = t._stage(
+        spark.createDataFrame([(5, -1), (6, -2)], "id int, val int")
+    )
+    for handle in (t, sessionless):
+        with pytest.raises(ConstraintViolationError, match="2"):
+            handle._enforce_constraints(
+                staged_bad, schema_bad, {"pos": "val > 0"}, meta.column_map
+            )
+    # a constraint on a column the staged files LACK evaluates null
+    from pyspark.sql.types import IntegerType
+    wider = meta.schema().add("extra", IntegerType()).json()
+    for handle in (t, sessionless):
+        handle._enforce_constraints(
+            staged, wider, {"x": "extra > 0"}, meta.column_map
+        )  # UNKNOWN everywhere: passes in both engines
