@@ -156,11 +156,10 @@ def _overlaps(rng, flt) -> bool:
 class TxnLakeBatchReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         path = options["path"]
-        version = options.get("version")
         self._table = TxnTable(None, path)
-        self._meta = self._table.snapshot_meta(
-            int(version) if version is not None else None
-        )
+        self._meta = self._table.snapshot_meta(_resolve_version(
+            self._table, options
+        ))
         if self._meta is None:
             raise FileNotFoundError(f"no committed version at {path}")
         self._schema = schema
@@ -288,6 +287,18 @@ class TxnLakeStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the stream's checkpoint
+
+
+def _resolve_version(table: TxnTable, options) -> int | None:
+    """``version`` / ``timestampAsOf`` (epoch ms) options → pinned
+    version (None = latest). Mutually exclusive, like Delta's."""
+    version = options.get("version")
+    ts = options.get("timestampAsOf")
+    if version is not None and ts is not None:
+        raise ValueError("set either version or timestampAsOf, not both")
+    if ts is not None:
+        return table.version_as_of(int(ts))
+    return int(version) if version is not None else None
 
 
 @dataclass
@@ -428,10 +439,8 @@ class TxnLakeDataSource(DataSource):
         return "txnlake"
 
     def schema(self) -> StructType:
-        version = self.options.get("version")
-        meta = TxnTable(None, self.options["path"]).snapshot_meta(
-            int(version) if version is not None else None
-        )
+        table = TxnTable(None, self.options["path"])
+        meta = table.snapshot_meta(_resolve_version(table, self.options))
         if meta is None:
             raise FileNotFoundError(
                 f"no committed version at {self.options['path']}"

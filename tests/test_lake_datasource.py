@@ -50,12 +50,27 @@ def test_batch_read_applies_dv_mapping_and_evolution(spark, lake, tmp_path):
 
 
 def test_batch_version_time_travel(spark, lake):
+    import time
+
+    ts_after_v2 = int(time.time() * 1000)
     lake.delete_where("id", 1, 1, stats_cols=("id",))
     df_old = spark.read.format("txnlake").option("version", "2").load(
         str(lake.root)
     )
     assert df_old.count() == 4
     assert spark.read.format("txnlake").load(str(lake.root)).count() == 3
+    # TIMESTAMP AS OF resolves through version_as_of
+    assert (
+        spark.read.format("txnlake")
+        .option("timestampAsOf", str(ts_after_v2))
+        .load(str(lake.root))
+        .count()
+        == 4
+    )
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("txnlake").option("version", "1").option(
+            "timestampAsOf", "0"
+        ).load(str(lake.root)).count()
 
 
 def test_pushdown_prunes_files_and_stays_exact(spark, lake):
