@@ -83,7 +83,12 @@ class _FilePart(InputPartition):
 def _read_partition(part: _FilePart):
     """Executor-side: parquet → (drop DV positions) → (rename
     physical→logical, null-fill missing columns) → Arrow batches cast
-    to the logical schema. Pure pyarrow; runs in the Python worker."""
+    to the logical schema. Pure pyarrow; runs in the Python worker.
+    Only the schema's physical columns are read from the file
+    (column pruning reaches the parquet footer — dropped/retired
+    columns' bytes are never decoded), and the deletion-vector mask
+    is built vectorized."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -91,24 +96,24 @@ def _read_partition(part: _FilePart):
 
     schema = StructType.fromJson(json.loads(part.schema_json))
     target = to_arrow_schema(schema)
-    to_logical = dict(part.renames)
-    table = pq.read_table(part.file_path)
+    logical_of = dict(part.renames)  # physical -> logical
+    phys_of = {l: p for p, l in logical_of.items()}
+    wanted = [phys_of.get(f.name, f.name) for f in schema.fields]
+    available = set(pq.read_schema(part.file_path).names)
+    table = pq.read_table(
+        part.file_path, columns=[c for c in wanted if c in available]
+    )
     if part.dv_path is not None:
-        deleted = set(
-            json.loads(Path(part.dv_path).read_text())["indices"]
+        deleted = np.asarray(
+            json.loads(Path(part.dv_path).read_text())["indices"],
+            dtype=np.int64,
         )
-        mask = pa.array(
-            [i not in deleted for i in range(table.num_rows)]
-        )
-        table = table.filter(mask)
+        keep = np.ones(table.num_rows, dtype=bool)
+        keep[deleted[deleted < table.num_rows]] = False
+        table = table.filter(pa.array(keep))
     cols = []
     names = set(table.schema.names)
-    logical_of = {p: l for p, l in to_logical.items()}
-    for field in schema.fields:
-        phys = next(
-            (p for p, l in logical_of.items() if l == field.name),
-            field.name,
-        )
+    for field, phys in zip(schema.fields, wanted):
         if phys in names:
             cols.append(table.column(phys))
         else:  # schema evolution: column newer than this file
@@ -121,7 +126,14 @@ def _read_partition(part: _FilePart):
 
 def _overlaps(rng, flt) -> bool:
     """Can a file with manifest stats entry ``rng`` contain a row
-    matching ``flt``? Conservative: unknown → True."""
+    matching ``flt``? Conservative: unknown → True.
+
+    FLOAT stats never prune: parquet footers omit NaN from min/max
+    (verified against pyarrow), while Spark SQL sorts NaN above every
+    double — so a file holding [1.0, NaN] reports hi=1.0 yet its NaN
+    row matches ``> 5.0``. Range knowledge over floats is therefore
+    unsound for pruning and is ignored, like the engines that disable
+    float pushdown for exactly this reason."""
     if rng is None:
         return True
     lo, hi = rng[0], rng[1]
@@ -133,6 +145,8 @@ def _overlaps(rng, flt) -> bool:
         return nulls is None or rows is None or nulls < rows
     if lo is None:
         return True  # nulls-only entry: no range proof
+    if isinstance(lo, float) or isinstance(hi, float):
+        return True  # NaN-blind stats: see docstring
     try:
         if isinstance(flt, EqualTo):
             return lo <= flt.value <= hi
@@ -147,7 +161,13 @@ def _overlaps(rng, flt) -> bool:
         if isinstance(flt, LessThanOrEqual):
             return lo <= flt.value
         if isinstance(flt, StringStartsWith):
-            return lo <= flt.value + "\U0010ffff" and hi >= flt.value
+            # lo may itself start with the prefix while sorting above
+            # prefix+U+10FFFF (a U+10FFFF inside lo) — startswith
+            # catches that case exactly
+            return hi >= flt.value and (
+                lo.startswith(flt.value)
+                or lo <= flt.value + "\U0010ffff"
+            )
     except TypeError:
         return True  # incomparable stats type
     return True
@@ -237,7 +257,10 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         self._path = options["path"]
         self._table = TxnTable(None, self._path)
         self._schema = schema
-        self._start = int(options.get("startingVersion", 0))
+        # Delta semantics: startingVersion is INCLUSIVE — the offset
+        # is "last consumed version", so version N itself is read
+        # (0 and 1 both mean "from the table's beginning")
+        self._start = max(0, int(options.get("startingVersion", 1)) - 1)
         self._ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
         )
@@ -261,6 +284,12 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         for v in range(start["version"] + 1, end["version"] + 1):
             m = self._table._read_manifest(v)
             op = m["operation"]
+            # replace_where publishes as 'compact' (rewrite-family
+            # replay) but is a DATA CHANGE — the op_params audit
+            # trail distinguishes it from pure layout compaction,
+            # which really does contribute nothing to a stream
+            if op == "compact" and "replace_where" in m.get("params", {}):
+                op = "overwrite"  # route to the data-change branch
             if op == "append":
                 added = list(m.get("add", ()))
             elif op in _SKIP_OPS:
@@ -327,6 +356,11 @@ class TxnLakeBatchWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._schema = schema
         meta = TxnTable(None, self._path).snapshot_meta()
+        # overwrite pins its base HERE, before any task stages — a
+        # commit landing during the write job must abort the
+        # overwrite (WriteSerializable), not be silently clobbered by
+        # a version re-read at commit time
+        self._expected_base = meta.version if meta is not None else None
         self._renames = tuple(
             (c, meta.phys(c)) for c in schema.fieldNames()
         ) if meta is not None and meta.column_map else ()
@@ -358,7 +392,6 @@ class TxnLakeBatchWriter(DataSourceArrowWriter):
             f for m in messages if m is not None for f in m.files
         )
         table = TxnTable(SparkSession.getActiveSession(), self._path)
-        meta = table.snapshot_meta()
         phys_stats = tuple(
             dict(self._renames).get(c, c) for c in self._stats_cols
         )
@@ -371,7 +404,7 @@ class TxnLakeBatchWriter(DataSourceArrowWriter):
                 None,
                 None,
                 staged_stats=stats,
-                expected_base=meta.version if meta else None,
+                expected_base=self._expected_base,
             )
         else:
             table._commit(
@@ -440,17 +473,38 @@ class TxnLakeDataSource(DataSource):
 
     def schema(self) -> StructType:
         table = TxnTable(None, self.options["path"])
-        meta = table.snapshot_meta(_resolve_version(table, self.options))
+        v = _resolve_version(table, self.options)
+        if v is None:
+            # pin 'latest' HERE: schema negotiation and reader
+            # planning must see the SAME snapshot, or a concurrent
+            # overwrite between the two could pair version-N's schema
+            # with version-N+1's files (torn read)
+            v = table.latest_version()
+        self._pinned_version = v
+        meta = table.snapshot_meta(v)
         if meta is None:
             raise FileNotFoundError(
                 f"no committed version at {self.options['path']}"
             )
         return meta.schema()
 
+    def _reader_options(self):
+        from pyspark.sql.datasource import CaseInsensitiveDict
+
+        opts = CaseInsensitiveDict(dict(self.options))
+        if (
+            opts.get("version") is None
+            and opts.get("timestampAsOf") is None
+            and getattr(self, "_pinned_version", None) is not None
+        ):
+            opts["version"] = str(self._pinned_version)
+        return opts
+
     def reader(self, schema: StructType) -> DataSourceReader:
-        if str(self.options.get("pushdown", "false")).lower() == "true":
-            return TxnLakePushdownReader(self.options, schema)
-        return TxnLakeBatchReader(self.options, schema)
+        opts = self._reader_options()
+        if str(opts.get("pushdown", "false")).lower() == "true":
+            return TxnLakePushdownReader(opts, schema)
+        return TxnLakeBatchReader(opts, schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return TxnLakeStreamReader(self.options, schema)
@@ -459,6 +513,15 @@ class TxnLakeDataSource(DataSource):
         return TxnLakeBatchWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            # Complete/Truncate output mode would need every batch to
+            # replace the table; silently appending would accumulate
+            # stale aggregate rows — refuse honestly
+            raise ValueError(
+                "txnlake streaming sink supports append output mode "
+                "only; for complete-mode aggregates use foreachBatch "
+                "with TxnTable.overwrite or merge_upsert_sink"
+            )
         return TxnLakeStreamWriter(self.options, schema)
 
 

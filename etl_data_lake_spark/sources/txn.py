@@ -825,9 +825,31 @@ class TxnTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         pred = F.col(col).startswith(prefix)
         if prefix:
-            keep, _ = self.files_matching(
-                {col: (prefix, prefix + "\U0010ffff")}, version
-            )
+            phys = meta.phys(col)
+            keep = []
+            for f in meta.files:
+                rng = meta.file_stats.get(f, {}).get(phys)
+                if rng is None or rng[0] is None:
+                    keep.append(f)  # no range proof: conservative
+                    continue
+                lo, hi = rng[0], rng[1]
+                # a file can hold a prefix match iff hi >= prefix and
+                # lo is not past the prefix block. lo itself starting
+                # with the prefix counts even when a U+10FFFF inside
+                # lo sorts it above prefix+U+10FFFF (the naive range
+                # check would falsely prune exactly that file)
+                if (
+                    not isinstance(lo, str)
+                    or not isinstance(hi, str)
+                    or (
+                        hi >= prefix
+                        and (
+                            lo.startswith(prefix)
+                            or lo <= prefix + "\U0010ffff"
+                        )
+                    )
+                ):
+                    keep.append(f)
         else:
             keep = list(meta.files)
         return self.read_files(meta, keep).where(pred)

@@ -12,7 +12,7 @@ from etl_data_lake_spark.sources.lake_datasource import (
     TxnLakePushdownReader,
     register_lake_source,
 )
-from etl_data_lake_spark.sources.txn import TxnTable
+from etl_data_lake_spark.sources.txn import ConcurrentWriteError, TxnTable
 
 
 def _mk(spark, rows, schema="id int, v string"):
@@ -219,3 +219,133 @@ def test_stream_writer_exactly_once(spark, tmp_path):
     v = o.latest_version()
     assert o.append(_mk(spark, [(1, "a")]), app_id="txnlake-stream",
                     txn_seq=0) == v
+
+
+def test_stream_flags_replace_where_and_inclusive_start(spark, tmp_path):
+    """replace_where publishes as 'compact' but IS a data change: the
+    stream must flag it (and deliver its added files under
+    ignoreChanges), never skip it like real compaction. Also pins
+    Delta's INCLUSIVE startingVersion."""
+    register_lake_source(spark)
+    p = str(tmp_path / "t")
+    t = TxnTable(spark, p)
+    t.append(_mk(spark, [(1, "a")]), stats_cols=("id",))
+    t.append(_mk(spark, [(50, "b")]), stats_cols=("id",))
+    t.replace_where(
+        _mk(spark, [(50, "B2"), (51, "B3")]), "id", 40, 60,
+        stats_cols=("id",),
+    )
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run(opts):
+        r = spark.readStream.format("txnlake")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load(p).writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="data-changing"):
+        run({})
+    run({"ignoreChanges": "true"})
+    ids = sorted(r.id for r in spark.read.parquet(out).collect())
+    # v1's append, v2's append, and the backfill's added file (50
+    # re-delivered — exactly ignoreChanges' documented contract);
+    # nothing lost
+    assert ids == [1, 50, 50, 51]
+
+    # inclusive startingVersion: starting at 2 includes version 2
+    ck2, out2 = str(tmp_path / "ck2"), str(tmp_path / "out2")
+    q = (
+        spark.readStream.format("txnlake")
+        .option("startingVersion", "2")
+        .option("ignoreChanges", "true")
+        .load(p)
+        .writeStream.format("parquet")
+        .option("path", out2).option("checkpointLocation", ck2)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    ids2 = sorted(r.id for r in spark.read.parquet(out2).collect())
+    assert ids2 == [50, 50, 51]  # v2's file + v3's backfill, not v1
+
+
+def test_pushdown_float_and_prefix_soundness(spark, lake, tmp_path):
+    """Float stats never prune (parquet footers omit NaN while Spark
+    sorts it above every double); a string file whose min starts with
+    the prefix but contains U+10FFFF is kept."""
+    from pyspark.sql.datasource import GreaterThan, StringStartsWith
+
+    from etl_data_lake_spark.sources.lake_datasource import _overlaps
+
+    # float entry: even hi < value must NOT prune (NaN-blind stats)
+    assert _overlaps([1.0, 1.0], GreaterThan(("x",), 5.0)) is True
+    # int entry with the same shape DOES prune
+    assert _overlaps([1, 1], GreaterThan(("x",), 5)) is False
+    # prefix: min starts with 'ab' but sorts above 'ab'+U+10FFFF
+    tricky = "ab\U0010ffffx"
+    assert _overlaps([tricky, tricky], StringStartsWith(("s",), "ab"))
+    assert not _overlaps(["zz", "zz"], StringStartsWith(("s",), "ab"))
+
+    # end-to-end NaN correctness through the pushdown reader
+    p = str(tmp_path / "nan")
+    t = TxnTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(1, 1.0), (2, float("nan"))], "id int, x double"
+        ).coalesce(1),
+        stats_cols=("x",),
+    )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (
+            spark.read.format("txnlake").option("pushdown", "true")
+            .load(p).where("x > 5.0").collect()
+        )
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+    assert [r.id for r in got] == [2]  # NaN > 5.0 in Spark SQL
+
+
+def test_batch_writer_overwrite_pins_plan_time_base(spark, tmp_path):
+    """An overwrite job must abort when any commit lands between
+    planning and publish — not silently erase it."""
+    from etl_data_lake_spark.sources.lake_datasource import (
+        TxnLakeBatchWriter,
+        _WroteFiles,
+    )
+
+    register_lake_source(spark)
+    p = str(tmp_path / "t")
+    t = TxnTable(spark, p)
+    t.append(_mk(spark, [(1, "a")]))
+    w = TxnLakeBatchWriter(
+        {"path": p}, t.snapshot_meta().schema(), overwrite=True
+    )
+    # concurrent append lands while the job "runs"
+    t.append(_mk(spark, [(2, "b")]))
+    staged, _sj, _st = t._stage(_mk(spark, [(9, "z")]))
+    with pytest.raises(ConcurrentWriteError):
+        w.commit([_WroteFiles(tuple(staged))])
+    assert sorted(r.id for r in t.snapshot().collect()) == [1, 2]
+
+
+def test_stream_writer_rejects_complete_mode(spark, tmp_path):
+    register_lake_source(spark)
+    p, src = str(tmp_path / "t"), str(tmp_path / "src")
+    TxnTable(spark, src).append(_mk(spark, [(1, "a")]))
+    with pytest.raises(Exception, match="append output mode"):
+        q = (
+            spark.readStream.format("txnlake").load(src)
+            .groupBy("id").count()
+            .writeStream.format("txnlake")
+            .outputMode("complete")
+            .option("path", p)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
