@@ -33,8 +33,11 @@ HEADLINE = [
     "dedup_minhash_clusters",
     "corpus_curation_pipeline",
     "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
+    # round 5: ann_ivf_topk/ann_lsh_topk consolidated into
+    # ann_recall_summary (runs lsh+ivf+pq+baseline in one plan);
+    # ann_pq_topk benched on its own.
+    "ann_recall_summary",
+    "ann_pq_topk",
     "media_histogram_stats",
     "media_audio_windows",
     "stream_tumbling_window_1h",
@@ -115,6 +118,26 @@ def main() -> None:
         per_query[name], per_query_raw[name] = run(name)
 
     total = round(sum(per_query.values()), 3)
+    # The driver tail-captures stdout and parses the LAST JSON line; in
+    # round 4 the single emitted object carried queries_raw and grew past
+    # the capture window, truncating its head — the official artifact
+    # recorded "parsed": null. The audit detail (raw runs per query)
+    # therefore goes to a side file + a PRECEDING line, and the final
+    # line is the compact summary only (a few KB, never truncated).
+    audit = {
+        "metric": "headline_queries_raw",
+        "queries_raw": per_query_raw,
+        "runs_per_query": runs_per_query,
+        "selection": "best",
+        "sf": sf,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_raw.json"), "w") as f:
+            json.dump(audit, f)
+    except OSError:
+        pass
+    print(json.dumps(audit))
     print(
         json.dumps(
             {
@@ -122,7 +145,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
-                "queries_raw": per_query_raw,
                 "runs_per_query": runs_per_query,
                 "selection": "best",
                 "sf": sf,

@@ -231,14 +231,15 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decimals). Exact percentile buffers each group's values; at 100 TB
 # swap in approx_percentile (t-digest, mergeable, bounded memory) and
 # accept the documented error bound — the approx variant can't be
-# oracle-matched by construction, which is why the EXACT one is
-# registered.
-# Library surface only since round 4 (50-entry driver cap): its slot
-# went to ann_pq_topk (round-3 verdict #1). The exact-percentile
-# estimator stays driver-verified through agg_pricing_summary's
-# median_price/p90_price columns (same percentile ≡ quantile_cont
-# equivalence, folded in like A5's n_flagged); the DuckDB twin below
-# remains for tests.
+# oracle-matched by construction, which is why the EXACT one stays a
+# parity-tested library twin (test_library_twin_parity) while the
+# approx form below is the REGISTERED entry.
+# History: registered in rounds 1-3; slot went to ann_pq_topk in
+# round 4, with the exact columns folded into agg_pricing_summary;
+# round 5 removed that fold (round-4 verdict #2 — exact percentile's
+# per-group value buffering is a 100 TB executor OOM) and registered
+# approx_percentile_prices in a slot freed by the ANN recall
+# consolidation.
 # --------------------------------------------------------------------------
 PERCENTILE_PRICES_SQL = """
         SELECT o_orderpriority,
@@ -255,6 +256,31 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate percentiles (Greenwald-Khanna sketch): the 100 TB
+# percentile path — mergeable map-side partials, memory bounded by the
+# accuracy parameter (rank error <= 1/accuracy), never by group size.
+# Like approx_distinct_customers this cannot be oracle-matched
+# bit-for-bit (the sketch returns a dataset element within the rank
+# bound, DuckDB's quantile_cont interpolates), so it is a rows-only
+# driver entry with the error bound pinned in
+# tests/test_operators.py::test_approx_percentile_within_tolerance.
+# Registered round 5 per round-4 verdict #2.
+# --------------------------------------------------------------------------
+@register("approx_percentile_prices", tags=("agg", "approx"))
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 6
+        ).alias("median_price_approx"),
+        F.round(
+            F.expr("approx_percentile(o_totalprice, 0.9, 10000)"), 6
+        ).alias("p90_price_approx"),
         F.count("*").alias("n_orders"),
     )
 

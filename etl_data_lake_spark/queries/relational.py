@@ -152,9 +152,7 @@ def groupby_count_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sql_avg_money('l_quantity')} AS avg_qty,
                {sql_avg_money('l_extendedprice')} AS avg_price,
                COUNT(*) AS count_order,
-               COUNT(NULLIF(l_returnflag, 'N')) AS n_flagged,
-               round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
-               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+               COUNT(NULLIF(l_returnflag, 'N')) AS n_flagged
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -163,14 +161,15 @@ def groupby_count_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 # n_flagged carries A5 (COUNT(col) null-skipping vs COUNT(*),
 # README.md:257) — folded in here under the 50-entry driver cap.
-# median_price/p90_price carry the exact-percentile operator (Spark
-# `percentile` and DuckDB `quantile_cont` implement the same linear-
-# interpolation estimator, verified to 6 decimals) — folded in round 4
-# when percentile_prices' slot went to ann_pq_topk; the standalone
-# query stays as library surface in advanced_rel.py. Exact percentile
-# buffers each group's values; at 100 TB swap in approx_percentile
-# (t-digest, mergeable, bounded memory), which can't be oracle-matched
-# by construction.
+# Round 5 removed the round-4 exact-percentile columns
+# (median_price/p90_price): exact percentile buffers every value of a
+# group in one aggregation buffer — an executor OOM at 100 TB, not a
+# slow query — so the headline entry no longer runs it (round-4
+# verdict #2). The scale-safe form is the registered
+# approx_percentile_prices entry (GK sketch, mergeable, bounded
+# memory; tolerance-pinned in tests); the exact estimator stays as
+# the parity-tested library twin percentile_prices
+# (queries/advanced_rel.py).
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
@@ -187,12 +186,6 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             avg_money(F.col("l_extendedprice")).alias("avg_price"),
             F.count("*").alias("count_order"),
             F.count(F.nullif(F.col("l_returnflag"), F.lit("N"))).alias("n_flagged"),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias(
-                "median_price"
-            ),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias(
-                "p90_price"
-            ),
         )
     )
 

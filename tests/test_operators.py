@@ -123,3 +123,45 @@ def test_approx_distinct_within_tolerance(spark):
     assert approx.keys() == exact.keys()
     for k in exact:
         assert abs(approx[k] - exact[k]) <= max(0.05 * exact[k], 2), k
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """approx_percentile_prices (GK sketch, the 100 TB percentile
+    path) stays within the sketch's rank-error bound of the exact
+    library twin: with accuracy=10000 the rank error is <= n/10000,
+    so on this fixture the returned element's VALUE must sit between
+    the exact quantile_cont values at p +/- 2%."""
+    from etl_data_lake_spark.queries.advanced_rel import percentile_prices
+    from etl_data_lake_spark.queries.registry import queries
+    from etl_data_lake_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    approx = {
+        r.o_orderpriority: (r.median_price_approx, r.p90_price_approx, r.n_orders)
+        for r in queries()["approx_percentile_prices"](spark, SF_DIR).collect()
+    }
+    orders = load_table(spark, SF_DIR, "orders")
+    bounds = {
+        r.o_orderpriority: r.b
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "percentile(o_totalprice,"
+                " array(0.48, 0.52, 0.88, 0.92))"
+            ).alias("b")
+        )
+        .collect()
+    }
+    exact_n = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == bounds.keys()
+    for k, (p50, p90, n) in approx.items():
+        lo50, hi50, lo90, hi90 = bounds[k]
+        assert lo50 <= p50 <= hi50, (k, p50, lo50, hi50)
+        assert lo90 <= p90 <= hi90, (k, p90, lo90, hi90)
+        assert n == exact_n[k]

@@ -420,3 +420,27 @@ def test_pq_non_long_ids(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ann_recall_summary_thresholds(spark):
+    """The registered ann_recall_summary entry (round-4 verdict #6):
+    one row per approximate method, recall over the SAME thresholds
+    the per-method tests above pin, and deterministic across runs."""
+    from etl_data_lake_spark.queries.registry import queries
+
+    rows1 = {
+        r.method: (r.hits, r.possible, r.recall_at_10)
+        for r in queries()["ann_recall_summary"](spark, SF_DIR).collect()
+    }
+    assert set(rows1) == {"lsh", "ivf", "pq"}
+    floors = {"lsh": 0.4, "ivf": 0.2, "pq": 0.5}
+    for method, (hits, possible, recall) in rows1.items():
+        assert possible > 0
+        assert 0 <= hits <= possible, (method, hits, possible)
+        assert recall >= floors[method], f"{method} recall {recall}"
+        assert abs(recall - hits / possible) < 1e-3
+    rows2 = {
+        r.method: (r.hits, r.possible, r.recall_at_10)
+        for r in queries()["ann_recall_summary"](spark, SF_DIR).collect()
+    }
+    assert rows1 == rows2
