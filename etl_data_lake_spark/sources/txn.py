@@ -2038,6 +2038,200 @@ class TxnTable:
             },
         )
 
+    def _expr_dml_candidates(
+        self,
+        base: Snapshot,
+        predicate: str,
+        prune_hints: dict | None,
+    ):
+        """Shared planning for arbitrary-SQL-predicate DML
+        (:meth:`delete_where_expr` / :meth:`update_where_expr`):
+        validate the predicate against the snapshot schema (analysis
+        errors raise BEFORE any job runs), apply optional prune
+        hints, and return (pred, candidate_files).
+
+        ``prune_hints`` is ``{col: [(lo, hi), ...]}`` — a promise by
+        the caller that every row satisfying ``predicate`` has, for
+        EACH hinted column, its value inside one of that column's
+        ranges. Candidates are then manifest-stats pruned per column
+        (disjunction of ranges within a column, conjunction across
+        columns) exactly like :meth:`files_matching`; without hints
+        every file is a candidate (conservative — an arbitrary
+        expression can't be evaluated against min/max stats), and the
+        touched-file probe in the caller still bounds the REWRITE to
+        files actually containing a match, so the conservative cost
+        is one scan, not a table rewrite. A WRONG hint (ranges the
+        predicate does not imply) silently misses rows — it is a
+        pruning contract, not a filter."""
+        from pyspark.sql import functions as F
+
+        schema = base.schema()
+        known = set(schema.fieldNames())
+        bad = set(prune_hints or {}) - known
+        if bad:
+            raise ValueError(f"prune hints for unknown columns {sorted(bad)}")
+        pred = F.expr(predicate)
+        # force analysis against the logical schema now, so a typo'd
+        # column or non-boolean expression fails fast and client-side
+        probe = self.spark.createDataFrame([], schema).where(pred)
+        if probe.schema.fieldNames() != schema.fieldNames():
+            raise ValueError("predicate altered the schema")  # unreachable
+        candidates = list(base.files)
+        for col, ranges in (prune_hints or {}).items():
+            per_col = set(
+                self.files_matching_any(
+                    col, [tuple(r) for r in ranges], base.version
+                )
+            )
+            candidates = [f for f in candidates if f in per_col]
+        return pred, candidates
+
+    def delete_where_expr(
+        self,
+        predicate: str,
+        prune_hints: dict | None = None,
+        stats_cols: tuple[str, ...] = (),
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+    ) -> int:
+        """Row-level DELETE with an ARBITRARY SQL predicate — the
+        general form a user types first (``DELETE FROM t WHERE
+        <expr>``, Delta's semantics; round-4 verdict #3). Two-pass,
+        like MERGE:
+
+        1. **Prune + probe.** Candidate files (all files, or the
+           ``prune_hints`` stats-pruned subset — see
+           :meth:`_expr_dml_candidates`) are scanned ONCE with the
+           predicate; files containing at least one TRUE row are the
+           touched set. The probe projects only the file column after
+           the filter, so column pruning keeps it cheap.
+        2. **Rewrite.** Only touched files are rewritten (surviving
+           rows = predicate FALSE or NULL, SQL's DELETE semantics);
+           untouched candidates keep their bytes and their manifest
+           stats.
+
+        Conflict rule, replay, and CDF shape are exactly
+        :meth:`delete_where_ranges`'s (no append guard — DELETE
+        applies to its snapshot). Matching no rows commits nothing."""
+        from pyspark.sql import functions as F
+
+        base = self.snapshot_meta()
+        if base is None or not base.files:
+            return self.latest_version()
+        pred, candidates = self._expr_dml_candidates(
+            base, predicate, prune_hints
+        )
+        if not candidates:
+            return base.version
+        touched_rows = (
+            self.read_files(base, candidates, keep_file_col="__file")
+            .where(pred)
+            .select("__file")
+            .distinct()
+            .collect()
+        )  # bounded by the candidate FILE count, not row count
+        touched_set = {r["__file"] for r in touched_rows}
+        if not touched_set:
+            return base.version
+        touched = [f for f in candidates if f in touched_set]
+        old = self.read_files(base, touched)
+        keep_rows = old.where(~pred | pred.isNull())
+        staged, _schema_json, stats = self._stage(keep_rows, stats_cols)
+        return self._commit(
+            "delete",
+            staged,
+            base.schema().json(),  # a delete never narrows the schema
+            app_id,
+            txn_seq,
+            replaced=tuple(touched),
+            expected_dvs={f: base.file_dvs.get(f) for f in touched},
+            staged_stats=stats,
+            op_params={
+                "predicate": predicate,
+                "hints": {
+                    c: [list(r) for r in rs]
+                    for c, rs in (prune_hints or {}).items()
+                },
+            },
+        )
+
+    def update_where_expr(
+        self,
+        predicate: str,
+        set_exprs: dict[str, str],
+        prune_hints: dict | None = None,
+        stats_cols: tuple[str, ...] = (),
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+    ) -> int:
+        """Row-level UPDATE with an ARBITRARY SQL predicate (``UPDATE
+        t SET ... WHERE <expr>``; round-4 verdict #3): the
+        generalized companion of :meth:`update_where_ranges`, planned
+        exactly like :meth:`delete_where_expr` (prune hints →
+        touched-file probe → rewrite only files containing a TRUE
+        row). Rows where the predicate is FALSE or NULL survive
+        verbatim — including inside rewritten files. ``set_exprs``
+        results are cast back to each column's type (schema
+        invariant); validation happens before any job. Conflict rule
+        and replay are :meth:`update_where_ranges`'s."""
+        from pyspark.sql import functions as F
+
+        if not set_exprs:
+            raise ValueError("update_where_expr needs >= 1 SET expr")
+        base = self.snapshot_meta()
+        if base is None or not base.files:
+            return self.latest_version()
+        schema = base.schema()
+        bad = set(set_exprs) - set(schema.fieldNames())
+        if bad:
+            raise ValueError(f"SET exprs for unknown columns {sorted(bad)}")
+        pred, candidates = self._expr_dml_candidates(
+            base, predicate, prune_hints
+        )
+        if not candidates:
+            return base.version
+        touched_rows = (
+            self.read_files(base, candidates, keep_file_col="__file")
+            .where(pred)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        touched_set = {r["__file"] for r in touched_rows}
+        if not touched_set:
+            return base.version
+        touched = [f for f in candidates if f in touched_set]
+        old = self.read_files(base, touched)
+        out = old.select(
+            *[
+                F.when(
+                    pred, F.expr(set_exprs[f.name]).cast(f.dataType)
+                ).otherwise(F.col(f.name)).alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+        staged, _schema_json, stats = self._stage(out, stats_cols)
+        return self._commit(
+            "update",
+            staged,
+            schema.json(),  # SET exprs cast back: schema is invariant
+            app_id,
+            txn_seq,
+            replaced=tuple(touched),
+            expected_dvs={f: base.file_dvs.get(f) for f in touched},
+            staged_stats=stats,
+            op_params={
+                "predicate": predicate,
+                "set": sorted(set_exprs),
+                "hints": {
+                    c: [list(r) for r in rs]
+                    for c, rs in (prune_hints or {}).items()
+                },
+            },
+        )
+
     def add_constraint(
         self, name: str, expr: str, max_attempts: int = 5
     ) -> int:
