@@ -251,7 +251,33 @@ _CHANGE_OPS = {"merge", "delete", "update", "overwrite", "restore"}
 class TxnLakeStreamReader(DataSourceStreamReader):
     """Versions are offsets; each batch = the files appended in
     (start, end]. Partition-based (the scale path): executors read
-    file-granular like the batch side."""
+    file-granular like the batch side.
+
+    RATE LIMITING (``maxVersionsPerBatch``, round-4 verdict #4): an
+    unbounded backlog after downtime otherwise lands in ONE
+    micro-batch — Delta throttles with maxFilesPerTrigger for the same
+    reason. Each ``latestOffset`` advances at most N versions past the
+    planning high-water mark. The Python stream API never shows
+    ``latestOffset`` the start offset — measured on this engine it
+    fires BEFORE ``initialOffset`` even on a fresh checkpoint
+    (Trigger.AvailableNow captures the offset at prepare time) — so
+    the mark cannot be reconstructed from in-process call order alone
+    and MUST be durable: ``maxVersionsPerBatch`` therefore requires a
+    ``consumerId`` option naming this consumer, and the mark persists
+    atomically under ``<table>/_stream_progress/<consumerId>.json``.
+    A virgin consumer (no marker) seeds from ``startingVersion``;
+    restarts resume from the marker, never below it, so a throttled
+    end can never regress Spark's committed offset (the failure mode
+    that re-emits versions). The mark may run AHEAD of Spark's
+    committed offset by planned-but-uncommitted windows; recovery
+    batches then span (committed, mark + N] — bounded, monotone,
+    never a duplicate or a loss. Deleting a live consumer's marker
+    file breaks that invariant — treat it like deleting a checkpoint.
+
+    PREFETCH: planning an end offset eagerly reads the window's
+    manifests into an in-memory cache that ``partitions`` drains, so
+    each manifest is read once per batch even though two hooks need
+    it."""
 
     def __init__(self, options, schema: StructType):
         self._path = options["path"]
@@ -264,14 +290,82 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         self._ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
         )
+        mv = options.get("maxVersionsPerBatch")
+        self._max_versions = int(mv) if mv is not None else None
+        if self._max_versions is not None and self._max_versions < 1:
+            raise ValueError("maxVersionsPerBatch must be >= 1")
+        self._consumer = options.get("consumerId")
+        if self._max_versions is not None and self._consumer is None:
+            raise ValueError(
+                "maxVersionsPerBatch requires a consumerId option: the "
+                "throttle's planning mark must survive restarts (see "
+                "TxnLakeStreamReader docstring) or a restarted stream "
+                "could re-emit versions"
+            )
+        self._planned: int | None = self._load_marker()
+        self._manifests: dict[int, dict] = {}
+
+    # ------------------------------ durable planning high-water mark --
+
+    def _marker_path(self) -> Path:
+        return (
+            Path(self._path)
+            / "_stream_progress"
+            / f"{self._consumer}.json"
+        )
+
+    def _load_marker(self) -> int | None:
+        if self._consumer is None:
+            return None
+        try:
+            return int(
+                json.loads(self._marker_path().read_text())["planned"]
+            )
+        except (OSError, ValueError, KeyError, TypeError):
+            return None  # absent/corrupt marker: degrade, never fail
+
+    def _advance_mark(self, version: int) -> None:
+        if self._planned is not None and version <= self._planned:
+            return
+        self._planned = version
+        if self._consumer is None:
+            return
+        p = self._marker_path()
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.parent / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps({"planned": version}))
+        tmp.replace(p)
 
     def initialOffset(self) -> dict:
+        self._advance_mark(self._start)
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": self._table.latest_version()}
+        latest = self._table.latest_version()
+        if self._max_versions is None:
+            return {"version": latest}
+        # virgin consumer (no marker yet): the stream has never
+        # planned a batch, so startingVersion is the true base
+        base = self._planned if self._planned is not None else self._start
+        end = max(base, min(latest, base + self._max_versions))
+        self._advance_mark(end)
+        self._prefetch(base, end)
+        return {"version": end}
+
+    def _prefetch(self, base: int | None, end: int) -> None:
+        if base is None:
+            return
+        for v in range(base + 1, end + 1):
+            if v not in self._manifests:
+                try:
+                    self._manifests[v] = self._table._read_manifest(v)
+                except OSError:  # pragma: no cover - vacuumed mid-plan
+                    return  # partitions() will fail loudly instead
 
     def partitions(self, start: dict, end: dict):
+        # a replayed batch after restart reaches here without a
+        # latestOffset call — its end is a planning fact too
+        self._advance_mark(end["version"])
         meta = self._table.snapshot_meta(end["version"])
         root = self._table.root
         renames = tuple(
@@ -282,7 +376,7 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         sj = self._schema.json()
         parts = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            m = self._table._read_manifest(v)
+            m = self._manifests.pop(v, None) or self._table._read_manifest(v)
             op = m["operation"]
             # replace_where publishes as 'compact' (rewrite-family
             # replay) but is a DATA CHANGE — the op_params audit

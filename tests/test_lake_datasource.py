@@ -349,3 +349,133 @@ def test_stream_writer_rejects_complete_mode(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
+
+
+# -------------------------------------------- streaming rate limiting --
+
+
+def test_stream_max_versions_per_batch_bounded_drain(spark, tmp_path):
+    """A 10-version backlog with maxVersionsPerBatch=3 + consumerId
+    drains across availableNow runs in bounded steps (each run = one
+    throttled batch), recovering the planning mark from
+    _stream_progress between runs; every row exactly once."""
+    register_lake_source(spark)
+    src = str(tmp_path / "src")
+    t = TxnTable(spark, src)
+    for i in range(10):
+        t.append(_mk(spark, [(i, f"v{i}")]), stats_cols=("id",))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("txnlake")
+            .option("maxVersionsPerBatch", 3)
+            .option("consumerId", "drainer")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        return sorted(r.id for r in got.collect())
+
+    counts = [len(run())]
+    while counts[-1] < 10:
+        counts.append(len(run()))
+        assert counts[-1] - counts[-2] <= 3  # bounded step
+        assert len(counts) < 20  # progress guard
+    assert counts[0] <= 3  # first batch throttled too (initialOffset seed)
+    assert run() == list(range(10))  # exactly once, caught-up run no-op
+    assert len(counts) >= 4  # 10 versions / 3 per batch
+    marker = (t.root / "_stream_progress" / "drainer.json").read_text()
+    import json as _json
+
+    assert _json.loads(marker)["planned"] == 10
+
+
+def test_stream_max_versions_single_query_multi_batches(spark, tmp_path):
+    """Within one continuous query the throttle yields multiple
+    bounded micro-batches."""
+    register_lake_source(spark)
+    src = str(tmp_path / "src")
+    t = TxnTable(spark, src)
+    rows_per_version = 2
+    for i in range(6):
+        t.append(
+            _mk(spark, [(2 * i, "a"), (2 * i + 1, "b")]),
+            stats_cols=("id",),
+        )
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txnlake")
+        .option("maxVersionsPerBatch", 2)
+        .option("consumerId", "mq")
+        .load(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            progress = [
+                p for p in q.recentProgress if p["numInputRows"] > 0
+            ]
+            if sum(p["numInputRows"] for p in progress) >= 12:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(
+        range(12)
+    )
+    assert len(progress) >= 3  # 6 versions / 2-per-batch
+    assert all(
+        p["numInputRows"] <= 2 * rows_per_version for p in progress
+    )
+
+
+def test_stream_max_versions_requires_consumer_id(spark, tmp_path):
+    """The throttle's planning mark must survive restarts (the Python
+    stream API calls latestOffset before initialOffset even on fresh
+    checkpoints — measured), so maxVersionsPerBatch without a
+    consumerId is rejected up front."""
+    register_lake_source(spark)
+    src = str(tmp_path / "src")
+    TxnTable(spark, src).append(_mk(spark, [(1, "a")]))
+    with pytest.raises(Exception, match="consumerId"):
+        q = (
+            spark.readStream.format("txnlake")
+            .option("maxVersionsPerBatch", 2)
+            .load(src)
+            .writeStream.format("noop")
+            .option(
+                "checkpointLocation", str(tmp_path / "ck")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+
+def test_stream_bad_max_versions_rejected(spark, tmp_path):
+    register_lake_source(spark)
+    src = str(tmp_path / "src")
+    TxnTable(spark, src).append(_mk(spark, [(1, "a")]))
+    with pytest.raises(Exception):
+        q = (
+            spark.readStream.format("txnlake")
+            .option("maxVersionsPerBatch", 0)
+            .option("consumerId", "bad")
+            .load(src)
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
