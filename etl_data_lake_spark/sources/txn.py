@@ -85,7 +85,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
@@ -183,6 +183,13 @@ class Snapshot:
     # physical names of DROPPED columns: their data still sits in old
     # files, so no new column may claim the name (resurrection guard)
     retired_cols: tuple[str, ...] = ()
+    # IDENTITY columns (GENERATED ALWAYS AS IDENTITY): col ->
+    # {"start": int, "step": int, "high": int | None} where "high" is
+    # the furthest value ever allocated in step direction (None until
+    # the first assignment). Appends allocate past it and CAS it
+    # forward; values are unique but NOT dense (failed attempts and
+    # partition-sparse allocation burn ranges, like Delta's identity)
+    identity: dict = field(default_factory=dict)
 
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
@@ -422,6 +429,7 @@ class TxnTable:
         dvs: dict[str, str] = {}
         cmap: dict[str, str] = {}
         retired: tuple[str, ...] = ()
+        ident: dict = {}
         schema_json = ""
         operation = ""
         if start:
@@ -433,6 +441,7 @@ class TxnTable:
             dvs = dict(ck.get("file_dvs", {}))
             cmap = dict(ck.get("column_map", {}))
             retired = tuple(ck.get("retired_cols", ()))
+            ident = dict(ck.get("identity", {}))
             schema_json = ck["schema"]
             operation = ck["operation"]
         n_replayed = 0
@@ -467,6 +476,7 @@ class TxnTable:
             cons = dict(m.get("constraints", cons))
             cmap = dict(m.get("column_map", cmap))
             retired = tuple(m.get("retired_cols", retired))
+            ident = dict(m.get("identity", ident))
             # deletion vectors: a dropped data file takes its DV with
             # it (live filter); an overwrite reset files -> same rule.
             # A null value is an explicit CLEAR (restore rolling back
@@ -490,6 +500,7 @@ class TxnTable:
             file_dvs=dvs,
             column_map=cmap,
             retired_cols=retired,
+            identity=ident,
         )
         return snap, ReadPlan(version, start, n_replayed)
 
@@ -985,6 +996,7 @@ class TxnTable:
             "schema": meta.schema().simpleString(),
             "checkpoint_interval": self.checkpoint_interval,
             "last_operation": meta.operation,
+            "identity": dict(meta.identity),
         }
 
     def file_diffs(
@@ -1313,6 +1325,7 @@ class TxnTable:
                 "file_dvs": state.file_dvs,
                 "column_map": state.column_map,
                 "retired_cols": list(state.retired_cols),
+                "identity": state.identity,
             },
             _ckpt_path(self.root, version),
         )
@@ -1339,6 +1352,8 @@ class TxnTable:
         expected_dvs: dict[str, str | None] | None = None,
         column_map: dict[str, str] | None = None,
         retired_cols: tuple[str, ...] | None = None,
+        identity: dict | None = None,
+        expected_identity: dict | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop. Returns the committed
         version (or the current one, for an idempotent no-op). The
@@ -1559,6 +1574,41 @@ class TxnTable:
                 if retired_cols is not None
                 else (base.retired_cols if base else ())
             )
+            attempt_identity = (
+                identity
+                if identity is not None
+                else (dict(base.identity) if base else {})
+            )
+            # IDENTITY watermark CAS: an append that allocated IDs
+            # past watermark W conflicts if any concurrent commit
+            # advanced it (its staged values would collide with the
+            # other allocation) — the caller re-reads, re-assigns and
+            # re-stages. Non-identity concurrent commits rebase fine.
+            if expected_identity is not None:
+                base_ident = base.identity if base else {}
+                for c, exp_high in expected_identity.items():
+                    cur = (base_ident.get(c) or {}).get("high")
+                    if cur != exp_high:
+                        raise ConcurrentWriteError(
+                            f"identity watermark of {c!r} moved "
+                            f"concurrently ({exp_high!r} -> {cur!r}); "
+                            f"re-allocate and retry"
+                        )
+            elif (
+                operation == "append"
+                and staged
+                and attempt_identity
+                and identity is None
+            ):
+                # a raw append on an identity table that did not come
+                # through TxnTable.append would bypass allocation —
+                # its values could silently collide. Fail loudly.
+                raise ValueError(
+                    "table has identity columns "
+                    f"{sorted(attempt_identity)}; append through "
+                    "TxnTable.append so values are allocated against "
+                    "the watermark"
+                )
             if staged and attempt_cons:
                 todo = {
                     n: e for n, e in attempt_cons.items()
@@ -1608,6 +1658,7 @@ class TxnTable:
                 "dv": dv_updates or {},
                 "column_map": attempt_cmap,
                 "retired_cols": list(attempt_retired),
+                "identity": attempt_identity,
             }
             if self._publish(manifest, _manifest_path(self.root, base_v + 1)):
                 live = set(files)
@@ -1639,6 +1690,7 @@ class TxnTable:
                         file_dvs=carried_dvs,
                         column_map=attempt_cmap,
                         retired_cols=tuple(attempt_retired),
+                        identity=attempt_identity,
                     ),
                 )
                 return base_v + 1
@@ -1660,11 +1712,118 @@ class TxnTable:
         widen the table schema additively (old files read null);
         changing a column's type raises SchemaEvolutionError.
         ``stats_cols`` records per-file min/max in the manifest for
-        :meth:`snapshot_where` file skipping."""
-        staged, schema_json, stats = self._stage(df, stats_cols)
-        return self._commit(
-            "append", staged, schema_json, app_id, txn_seq, staged_stats=stats
+        :meth:`snapshot_where` file skipping.
+
+        On a table with IDENTITY columns (see
+        :meth:`add_identity_column`) the values are GENERATED ALWAYS:
+        ``df`` must not contain the column; the append allocates
+        values past the watermark shuffle-free
+        (``monotonically_increasing_id`` offsets — unique, not dense)
+        and CAS-advances the watermark at commit. A concurrent
+        identity-advancing append triggers re-allocation + re-stage
+        (bounded retries); any other concurrent commit rebases as
+        usual. The new watermark comes from the staged parquet
+        FOOTERS (the identity column is forced into ``stats_cols``),
+        so allocation costs no extra job."""
+        base = self.snapshot_meta()
+        ident = dict(base.identity) if base is not None else {}
+        if not ident:
+            staged, schema_json, stats = self._stage(df, stats_cols)
+            return self._commit(
+                "append", staged, schema_json, app_id, txn_seq,
+                staged_stats=stats,
+            )
+        return self._append_identity(
+            df, ident, app_id, txn_seq, stats_cols
         )
+
+    def _append_identity(
+        self,
+        df: DataFrame,
+        ident: dict,
+        app_id: str | None,
+        txn_seq: int | None,
+        stats_cols: tuple[str, ...],
+        max_attempts: int = 20,
+    ) -> int:
+        from pyspark.sql import functions as F
+
+        clash = [c for c in ident if c in df.columns]
+        if clash:
+            raise ValueError(
+                f"identity columns {sorted(clash)} are GENERATED "
+                f"ALWAYS; the appended dataframe must not provide them"
+            )
+        eff_stats = tuple(dict.fromkeys(tuple(stats_cols) + tuple(ident)))
+        last_err: ConcurrentWriteError | None = None
+        for attempt in range(max_attempts):
+            if attempt:
+                # each retry re-runs a staging job, so contention is
+                # expensive; a short linear backoff decorrelates
+                # racing writers (jitter comes from job scheduling)
+                time.sleep(min(0.05 * attempt, 1.0))
+            meta = self.snapshot_meta()
+            cur = dict(meta.identity) if meta is not None else dict(ident)
+            out = df
+            expected: dict = {}
+            for col, spec in cur.items():
+                start, step = int(spec["start"]), int(spec["step"])
+                high = spec.get("high")
+                expected[col] = high
+                # first allocation lands at-or-past `start` (mid 0
+                # belongs to whichever row sits first in partition 0,
+                # which may be empty); later ones step past the
+                # recorded watermark. mid is unique per row
+                # (partition << 33 | row), so values are unique and
+                # monotone in step direction — with gaps, like Delta.
+                base_val = start - step if high is None else int(high)
+                out = out.withColumn(
+                    col,
+                    (
+                        F.lit(base_val)
+                        + F.lit(step)
+                        * (F.monotonically_increasing_id() + 1)
+                    ).cast("long"),
+                )
+            staged, schema_json, stats = self._stage(out, eff_stats)
+            new_ident = dict(cur)
+            for col, spec in cur.items():
+                step = int(spec["step"])
+                phys = meta.phys(col) if meta is not None else col
+                seen = [
+                    st[phys][1 if step > 0 else 0]
+                    for st in stats.values()
+                    if st.get(phys) is not None
+                    and st[phys][0] is not None
+                ]
+                if not seen:
+                    continue  # zero-row append: watermark unchanged
+                far = max(seen) if step > 0 else min(seen)
+                old = spec.get("high")
+                new_ident[col] = {
+                    **spec,
+                    "high": far
+                    if old is None
+                    else (max(old, far) if step > 0 else min(old, far)),
+                }
+            try:
+                return self._commit(
+                    "append",
+                    staged,
+                    schema_json,
+                    app_id,
+                    txn_seq,
+                    staged_stats=stats,
+                    identity=new_ident,
+                    expected_identity=expected,
+                )
+            except ConcurrentWriteError as e:
+                last_err = e  # stale allocation: orphaned stage files
+                continue  # are invisible and vacuumed; re-allocate
+        raise ConcurrentWriteError(
+            f"gave up identity append after {max_attempts} contended "
+            f"attempts"
+        ) from last_err
 
     def overwrite(
         self,
@@ -2229,6 +2388,73 @@ class TxnTable:
                     c: [list(r) for r in rs]
                     for c, rs in (prune_hints or {}).items()
                 },
+            },
+        )
+
+    def add_identity_column(
+        self, name: str, start: int = 1, step: int = 1
+    ) -> int:
+        """ALTER TABLE ADD COLUMN ``name`` BIGINT GENERATED ALWAYS AS
+        IDENTITY (START WITH ``start`` STEP ``step``) — the 100 TB
+        surrogate-key answer (quirk Q8, round-4 verdict #5): appends
+        allocate unique keys SHUFFLE-FREE (no row_number sort, no
+        per-group hotspot), with uniqueness guaranteed across
+        concurrent writers by the manifest watermark CAS instead of a
+        global sort. Values are unique and monotone in step direction
+        but NOT dense — failed attempts and partition-sparse
+        allocation burn ranges, exactly Delta's identity contract.
+
+        The column is added to the schema as a nullable BIGINT; rows
+        in EXISTING files read NULL for it (this engine allows adding
+        identity to a non-empty table, unlike Delta which requires it
+        at CREATE — the tradeoff is documented nulls for pre-existing
+        rows; add it at version 1 to avoid them). Metadata rides
+        manifests and checkpoints like constraints; a rewrite
+        (compact/merge/delete) carries values verbatim and never
+        re-allocates."""
+        if int(step) == 0:
+            raise ValueError("identity step must be nonzero")
+        base = self.snapshot_meta()
+        if base is None:
+            raise FileNotFoundError(
+                "add_identity_column needs a committed table (append "
+                "an empty dataframe with the base schema first)"
+            )
+        schema = base.schema()
+        if name in schema.fieldNames():
+            raise ValueError(
+                f"column {name!r} already exists; identity must own "
+                f"a fresh column"
+            )
+        taken = {base.phys(c) for c in schema.fieldNames()} | set(
+            base.retired_cols
+        )
+        if name in taken:
+            raise SchemaEvolutionError(
+                f"column name {name!r} collides with the physical "
+                f"name of a dropped or renamed column"
+            )
+        if name in base.identity:
+            raise ValueError(f"{name!r} is already an identity column")
+        new_schema = StructType(
+            list(schema.fields) + [StructField(name, LongType(), True)]
+        )
+        new_ident = dict(base.identity)
+        new_ident[name] = {
+            "start": int(start), "step": int(step), "high": None,
+        }
+        return self._commit(
+            "schema",
+            [],
+            new_schema.json(),
+            None,
+            None,
+            expected_base=base.version,
+            identity=new_ident,
+            op_params={
+                "add_identity": {
+                    "col": name, "start": int(start), "step": int(step),
+                }
             },
         )
 
