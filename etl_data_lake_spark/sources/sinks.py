@@ -189,6 +189,88 @@ def _string_cut_points(
     return cuts
 
 
+def compute_zorder_spec(
+    df: DataFrame, cols: tuple[str, ...], bits: int = 8,
+    max_sample: int = 4096,
+) -> dict:
+    """Freeze the bucketing parameters a Morton key needs — per-column
+    numeric [lo, hi] (one bounded agg job) and string cut points (one
+    bounded collect per string column) — as a JSON-able spec. Keys
+    computed under the SAME spec are comparable across commits, which
+    is what makes incremental OPTIMIZE ZORDER sound: per-file z-ranges
+    recorded at write time can be interval-compared forever after.
+    Values outside the frozen numeric range clamp into the edge
+    buckets (clustering granularity degrades at the edges as data
+    drifts; recompute the spec with a full recluster to re-tighten)."""
+    from pyspark.sql.types import StringType
+
+    if bits * len(cols) > 63:
+        bits = max(63 // len(cols), 1)
+    str_cols = {
+        c for c in cols if isinstance(df.schema[c].dataType, StringType)
+    }
+    num_cols = [c for c in cols if c not in str_cols]
+    spec: dict = {"cols": list(cols), "bits": bits, "num": {}, "cuts": {}}
+    for c in str_cols:
+        spec["cuts"][c] = _string_cut_points(df, c, 1 << bits, max_sample)
+    if num_cols:
+        row = df.agg(
+            *[
+                f
+                for c in num_cols
+                for f in (
+                    F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+                )
+            ]
+        ).collect()[0]
+        for c in num_cols:
+            spec["num"][c] = [row[f"_min_{c}"], row[f"_max_{c}"]]
+    return spec
+
+
+def zorder_key_with_spec(df: DataFrame, spec: dict) -> DataFrame:
+    """Morton ``_z`` column from a FROZEN spec (see
+    :func:`compute_zorder_spec`): every bucket boundary is a literal,
+    so the whole key evaluates in codegen with no stats job and no
+    broadcast — and two dataframes keyed under the same spec get
+    comparable z values."""
+    bits, cols = int(spec["bits"]), list(spec["cols"])
+    n = len(cols)
+    buckets = []
+    for c in cols:
+        if c in spec["cuts"]:
+            cuts = spec["cuts"][c]
+            if not cuts:
+                buckets.append(F.lit(0).cast("long"))
+                continue
+            arr = F.array(*[F.lit(v) for v in cuts])
+            b = F.size(F.filter(arr, lambda cut: cut <= F.col(c)))
+            buckets.append(b.cast("long"))
+            continue
+        lo, hi = spec["num"][c]
+        if lo is None or hi is None:
+            buckets.append(F.lit(0).cast("long"))  # all-null column
+            continue
+        b = F.width_bucket(
+            F.col(c).cast("double"),
+            F.lit(float(lo)),
+            F.lit(float(hi) + 1e-9),
+            F.lit(1 << bits),
+        ) - F.lit(1)
+        clamped = F.least(F.greatest(b, F.lit(0)), F.lit((1 << bits) - 1))
+        # nulls -> bucket 0 (string path's rule), so _z is never null
+        # and per-file z-ranges stay interval-comparable
+        buckets.append(F.coalesce(clamped, F.lit(0)).cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for ci, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + ci
+            ).cast("long")
+    return df.select(*df.columns, z.alias("_z"))
+
+
 def zorder_key(
     df: DataFrame, cols: tuple[str, ...], bits: int = 8,
     max_sample: int = 4096,

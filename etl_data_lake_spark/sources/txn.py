@@ -190,6 +190,12 @@ class Snapshot:
     # forward; values are unique but NOT dense (failed attempts and
     # partition-sparse allocation burn ranges, like Delta's identity)
     identity: dict = field(default_factory=dict)
+    # frozen Z-order spec (sinks.compute_zorder_spec): bucket bounds
+    # and cut points under which every clustered file's _z footer
+    # stats were computed — frozen so z-ranges from different commits
+    # are interval-comparable (incremental OPTIMIZE ZORDER's
+    # soundness condition). Empty until the first optimize_zorder.
+    zorder_spec: dict = field(default_factory=dict)
 
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
@@ -430,6 +436,7 @@ class TxnTable:
         cmap: dict[str, str] = {}
         retired: tuple[str, ...] = ()
         ident: dict = {}
+        zspec: dict = {}
         schema_json = ""
         operation = ""
         if start:
@@ -442,6 +449,7 @@ class TxnTable:
             cmap = dict(ck.get("column_map", {}))
             retired = tuple(ck.get("retired_cols", ()))
             ident = dict(ck.get("identity", {}))
+            zspec = dict(ck.get("zorder_spec", {}))
             schema_json = ck["schema"]
             operation = ck["operation"]
         n_replayed = 0
@@ -477,6 +485,7 @@ class TxnTable:
             cmap = dict(m.get("column_map", cmap))
             retired = tuple(m.get("retired_cols", retired))
             ident = dict(m.get("identity", ident))
+            zspec = dict(m.get("zorder_spec", zspec))
             # deletion vectors: a dropped data file takes its DV with
             # it (live filter); an overwrite reset files -> same rule.
             # A null value is an explicit CLEAR (restore rolling back
@@ -501,6 +510,7 @@ class TxnTable:
             column_map=cmap,
             retired_cols=retired,
             identity=ident,
+            zorder_spec=zspec,
         )
         return snap, ReadPlan(version, start, n_replayed)
 
@@ -1326,6 +1336,7 @@ class TxnTable:
                 "column_map": state.column_map,
                 "retired_cols": list(state.retired_cols),
                 "identity": state.identity,
+                "zorder_spec": state.zorder_spec,
             },
             _ckpt_path(self.root, version),
         )
@@ -1354,6 +1365,7 @@ class TxnTable:
         retired_cols: tuple[str, ...] | None = None,
         identity: dict | None = None,
         expected_identity: dict | None = None,
+        zorder_spec: dict | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop. Returns the committed
         version (or the current one, for an idempotent no-op). The
@@ -1579,6 +1591,11 @@ class TxnTable:
                 if identity is not None
                 else (dict(base.identity) if base else {})
             )
+            attempt_zspec = (
+                zorder_spec
+                if zorder_spec is not None
+                else (dict(base.zorder_spec) if base else {})
+            )
             # IDENTITY watermark CAS: an append that allocated IDs
             # past watermark W conflicts if any concurrent commit
             # advanced it (its staged values would collide with the
@@ -1659,6 +1676,7 @@ class TxnTable:
                 "column_map": attempt_cmap,
                 "retired_cols": list(attempt_retired),
                 "identity": attempt_identity,
+                "zorder_spec": attempt_zspec,
             }
             if self._publish(manifest, _manifest_path(self.root, base_v + 1)):
                 live = set(files)
@@ -1691,6 +1709,7 @@ class TxnTable:
                         column_map=attempt_cmap,
                         retired_cols=tuple(attempt_retired),
                         identity=attempt_identity,
+                        zorder_spec=attempt_zspec,
                     ),
                 )
                 return base_v + 1
@@ -2914,21 +2933,53 @@ class TxnTable:
         max_dv_rows: int = 1_000_000,
         max_attempts: int = 5,
     ) -> int:
-        """MERGE-ON-READ row-level UPDATE: deletion-vector the matched
+        """Single-range form of :meth:`update_where_mor_ranges`."""
+        return self.update_where_mor_ranges(
+            col, [(lo, hi)], set_exprs, stats_cols=stats_cols,
+            app_id=app_id, txn_seq=txn_seq, max_dv_rows=max_dv_rows,
+            max_attempts=max_attempts,
+        )
+
+    def update_where_mor_ranges(
+        self,
+        col: str,
+        ranges,
+        set_exprs: dict[str, str],
+        stats_cols: tuple[str, ...] = (),
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+        max_dv_rows: int = 1_000_000,
+        max_attempts: int = 5,
+    ) -> int:
+        """MERGE-ON-READ row-level UPDATE of rows with ``col`` in ANY
+        of the [lo, hi] ``ranges`` (round-4 verdict #8 — symmetry with
+        :meth:`update_where_ranges` and
+        :meth:`delete_where_mor_ranges`): deletion-vector the matched
         positions and APPEND the transformed rows in the same atomic
         commit — write cost O(matched rows), not O(files containing
         them) (the position-delete + re-insert shape Iceberg's MOR
-        updates use). Matched rows are read WITH the current vectors
-        applied, so an already-deleted row is never resurrected as an
-        updated copy. Same validation, bounds, concurrency and replay
-        rules as :meth:`delete_where_mor_ranges` /
-        :meth:`update_where`; any later rewrite of the files applies
-        the vectors physically and retires them."""
+        updates use). A scattered multi-range update touches only the
+        intersecting files' sidecars; untouched files keep their
+        bytes AND their stats. Matched rows are read WITH the current
+        vectors applied, so an already-deleted row is never
+        resurrected as an updated copy. Same validation, bounds,
+        concurrency and replay rules as
+        :meth:`delete_where_mor_ranges` / :meth:`update_where`; any
+        later rewrite of the files applies the vectors physically and
+        retires them."""
+        from functools import reduce
+        from operator import or_
+
         from pyspark.sql import functions as F
 
+        ranges = [tuple(r) for r in ranges]
+        if not ranges:
+            raise ValueError("update_where_mor_ranges needs >= 1 range")
         if not set_exprs:
             raise ValueError("update_where_mor needs >= 1 SET expr")
-        pred = F.col(col).between(lo, hi) & F.col(col).isNotNull()
+        pred = reduce(
+            or_, [F.col(col).between(lo, hi) for lo, hi in ranges]
+        ) & F.col(col).isNotNull()
         for _ in range(max_attempts):
             base = self.snapshot_meta()
             if base is None or not base.files:
@@ -2940,7 +2991,7 @@ class TxnTable:
                     f"SET exprs for unknown columns {sorted(bad)}"
                 )
             affected = self.files_matching_any(
-                col, [(lo, hi)], base.version
+                col, ranges, base.version
             )
             if not affected:
                 return base.version
@@ -2991,7 +3042,7 @@ class TxnTable:
                     expected_dvs=expected,
                     op_params={
                         "col": col,
-                        "ranges": [(lo, hi)],
+                        "ranges": ranges,
                         "set": sorted(set_exprs),
                         "mor": True,
                     },
@@ -3070,6 +3121,173 @@ class TxnTable:
             replaced=base.files,
             expected_dvs={f: base.file_dvs.get(f) for f in base.files},
             staged_stats=stats,
+        )
+
+    def optimize_zorder(
+        self,
+        cluster_cols: tuple[str, ...],
+        bits: int = 8,
+        stats_cols: tuple[str, ...] = (),
+        files_per_component: int | None = None,
+        max_sample: int = 4096,
+    ) -> int:
+        """Incremental, MOR-aware OPTIMIZE ZORDER (round-4 verdict
+        #7): recluster ONLY the file runs whose Morton-key ranges
+        overlap, instead of rewriting the table.
+
+        Mechanics that make "incremental" sound:
+
+        * The bucketing parameters (numeric bounds, string cut
+          points) are FROZEN as table metadata (``zorder_spec``) on
+          the first call, so ``_z`` values from different commits are
+          comparable — without that, every write's data-driven
+          buckets would define a different curve and per-file
+          z-ranges could not be interval-compared. Data drifting
+          outside the frozen bounds clamps into edge buckets
+          (granularity degrades at the edges; a full recluster after
+          recomputing the spec re-tightens).
+        * Rewrites stage ``_z`` as a PHYSICAL parquet column whose
+          footer stats ride the manifest like any stats column, but
+          the committed schema never includes it — readers project it
+          away, and every future optimize can interval-compare files
+          without reading data. (~8 bytes/row of storage, the price
+          of O(changed files) maintenance.)
+        * Selection = connected components of the z-interval overlap
+          graph over [z_min, z_max] per file. Files never clustered
+          under the spec get their z-range computed by ONE bounded
+          scan of just those files (per-file min/max of the key).
+          A component is rewritten when it has >= 2 files, contains
+          an unclustered file, or contains a file with a DELETION
+          VECTOR — the rewrite reads through :meth:`read_files` (DVs
+          applied physically) and the commit retires the vectors, so
+          clustering maintenance also pays down merge-on-read debt.
+          Clean singleton files are untouched — a second call right
+          after a first is a NO-OP (idempotent).
+
+        Commits as a ``compact`` (same conflict rules: concurrent
+        appends rebase, concurrent rewrites of the inputs abort).
+        ``files_per_component`` bounds each component's output width
+        (default: as many files as it had)."""
+        from pyspark.sql import functions as F
+
+        from etl_data_lake_spark.sources.sinks import (
+            compute_zorder_spec,
+            zorder_key_with_spec,
+        )
+
+        cluster_cols = tuple(cluster_cols)
+        if not cluster_cols:
+            raise ValueError("optimize_zorder needs >= 1 cluster column")
+        base = self.snapshot_meta()
+        if base is None or not base.files:
+            return self.latest_version()
+        schema = base.schema()
+        missing = set(cluster_cols) - set(schema.fieldNames())
+        if missing:
+            raise ValueError(f"unknown cluster columns {sorted(missing)}")
+        if "_z" in schema.fieldNames() or "_z" in {
+            base.phys(c) for c in schema.fieldNames()
+        }:
+            raise ValueError(
+                "table already has a column named '_z'; optimize_zorder "
+                "reserves that physical name for the Morton key"
+            )
+        spec = dict(base.zorder_spec)
+        if spec and list(spec.get("cols", ())) != list(cluster_cols):
+            raise ValueError(
+                f"table is z-ordered on {spec.get('cols')}; pass the "
+                f"same columns (re-cluster with write_zorder_txn to "
+                f"change the curve)"
+            )
+        if not spec:
+            spec = compute_zorder_spec(
+                self.snapshot(base.version), cluster_cols, bits, max_sample
+            )
+
+        # per-file z-intervals: clustered files from manifest stats,
+        # unclustered ones from one bounded scan of exactly those files
+        zranges: dict[str, tuple[int, int]] = {}
+        unclustered: list[str] = []
+        for f in base.files:
+            st = base.file_stats.get(f, {}).get("_z")
+            if st is not None and st[0] is not None:
+                zranges[f] = (int(st[0]), int(st[1]))
+            else:
+                unclustered.append(f)
+        if unclustered:
+            keyed = zorder_key_with_spec(
+                self._read_with_positions(
+                    base, unclustered, schema, apply_dvs=False
+                ),
+                spec,
+            )
+            for r in (
+                keyed.groupBy("__dv_file")
+                .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
+                .collect()
+            ):  # bounded by the unclustered FILE count
+                zranges[r["__dv_file"]] = (int(r["lo"]), int(r["hi"]))
+        must = set(unclustered) | {
+            f for f in base.files if f in base.file_dvs
+        }
+
+        # connected components of the interval-overlap graph via one
+        # sweep over files sorted by z_min
+        comps: list[list[str]] = []
+        cur: list[str] = []
+        cur_hi: int | None = None
+        for f in sorted(zranges, key=lambda f: zranges[f][0]):
+            lo, hi = zranges[f]
+            if cur and cur_hi is not None and lo <= cur_hi:
+                cur.append(f)
+                cur_hi = max(cur_hi, hi)
+            else:
+                if cur:
+                    comps.append(cur)
+                cur, cur_hi = [f], hi
+        if cur:
+            comps.append(cur)
+
+        selected = [
+            comp
+            for comp in comps
+            if len(comp) > 1 or any(f in must for f in comp)
+        ]
+        if not selected:
+            return base.version
+        eff_stats = tuple(
+            dict.fromkeys(tuple(cluster_cols) + tuple(stats_cols) + ("_z",))
+        )
+        all_staged: list[str] = []
+        all_stats: dict = {}
+        replaced: list[str] = []
+        for comp in selected:
+            width = files_per_component or max(len(comp), 1)
+            clustered = (
+                zorder_key_with_spec(
+                    self.read_files(base, comp), spec
+                )
+                .repartitionByRange(width, F.col("_z"))
+                .sortWithinPartitions("_z")
+            )
+            staged, _sj, stats = self._stage(clustered, eff_stats)
+            all_staged.extend(staged)
+            all_stats.update(stats)
+            replaced.extend(comp)
+        return self._commit(
+            "compact",
+            all_staged,
+            schema.json(),  # _z stays physical-only, never in schema
+            None,
+            None,
+            replaced=tuple(replaced),
+            expected_dvs={f: base.file_dvs.get(f) for f in replaced},
+            staged_stats=all_stats,
+            zorder_spec=spec,
+            op_params={
+                "zorder": list(cluster_cols),
+                "components": len(selected),
+            },
         )
 
     # -------------------------------------------------- maintenance --

@@ -446,3 +446,63 @@ def test_restore_blocked_by_constraint_on_later_column(spark, tmp_path):
     t.drop_constraint("c_pos")
     t.restore(pre)
     assert t.snapshot().columns == ["id", "v"]
+
+
+def test_mor_update_multi_range_touches_only_intersecting_files(
+    spark, tmp_path
+):
+    """update_where_mor_ranges (round-4 verdict #8): a scattered
+    multi-range update vectors only the intersecting files; the
+    middle file keeps its bytes, stats, and no sidecar; CDF sees
+    delete+insert per updated row."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [(i, f"a{i}") for i in range(3)]), stats_cols=("id",))
+    t.append(
+        _mk(spark, [(50 + i, f"m{i}") for i in range(3)]),
+        stats_cols=("id",),
+    )
+    t.append(
+        _mk(spark, [(100 + i, f"b{i}") for i in range(3)]),
+        stats_cols=("id",),
+    )
+    before = list(t.snapshot_meta().files)
+    v = t.update_where_mor_ranges(
+        "id",
+        [(1, 1), (101, 101)],
+        {"v": "upper(v)"},
+        stats_cols=("id",),
+    )
+    meta = t.snapshot_meta()
+    # original files all still live (plus the appended update file)
+    assert set(before) <= set(meta.files)
+    # vectors only on the two intersecting files; middle untouched
+    assert len(meta.file_dvs) == 2
+    middle = [f for f in before if meta.file_stats[f]["id"][0] == 50][0]
+    assert middle not in meta.file_dvs
+    rows = {r.id: r.v for r in t.snapshot().collect()}
+    assert rows[1] == "A1" and rows[101] == "B1" and rows[50] == "m0"
+    assert len(rows) == 9
+    ch = t.table_changes(v - 1, v)
+    kinds = sorted(
+        (r.id, r._change_type)
+        for r in ch.select("id", "_change_type").collect()
+    )
+    assert kinds == [
+        (1, "delete"), (1, "insert"), (101, "delete"), (101, "insert"),
+    ]
+
+
+def test_mor_update_multi_range_validation_and_replay(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="range"):
+        t.update_where_mor_ranges("id", [], {"v": "'x'"})
+    v1 = t.update_where_mor_ranges(
+        "id", [(0, 0), (104, 104)], {"v": "'U'"},
+        app_id="u", txn_seq=1,
+    )
+    v2 = t.update_where_mor_ranges(
+        "id", [(1, 1)], {"v": "'W'"}, app_id="u", txn_seq=1,
+    )
+    assert v1 == v2  # replayed
+    rows = {r.id: r.v for r in t.snapshot().collect()}
+    assert rows[0] == "U" and rows[104] == "U" and rows[1] == "a1"

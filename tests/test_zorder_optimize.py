@@ -1,0 +1,126 @@
+"""Incremental MOR-aware OPTIMIZE ZORDER (round-4 verdict #7):
+frozen-spec Morton keys, z-interval component selection, pruning on
+the reclustered table, deletion-vector retirement, idempotency."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.sources.txn import TxnTable
+
+
+def _grid(spark, x0, x1, y0, y1, tag):
+    rows = [
+        (x, y, f"{tag}-{x}-{y}")
+        for x in range(x0, x1)
+        for y in range(y0, y1)
+    ]
+    return spark.createDataFrame(rows, "x int, y int, v string").coalesce(1)
+
+
+def _rows(t):
+    return sorted(
+        (r.x, r.y, r.v) for r in t.snapshot().select("x", "y", "v").collect()
+    )
+
+
+def test_first_optimize_clusters_prunes_and_freezes_spec(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    # 4 appends each spanning the FULL x range: no append-level file
+    # ever prunes an x predicate before clustering
+    for i in range(4):
+        t.append(_grid(spark, 0, 16, 4 * i, 4 * i + 4, f"a{i}"),
+                 stats_cols=("x", "y"))
+    before = _rows(t)
+    keep_before, total_before = t.files_matching({"x": (0, 1)})
+    assert len(keep_before) == total_before  # nothing prunes yet
+    t.optimize_zorder(("x", "y"), bits=4)
+    assert _rows(t) == before  # pure layout change
+    meta = t.snapshot_meta()
+    assert meta.zorder_spec["cols"] == ["x", "y"]
+    # every file now carries a _z footer range in the manifest
+    assert all(
+        meta.file_stats.get(f, {}).get("_z") is not None
+        for f in meta.files
+    )
+    keep, total = t.files_matching({"x": (0, 1)})
+    assert len(keep) < total  # clustering made x-pruning real
+    keep_y, _ = t.files_matching({"y": (0, 1)})
+    assert len(keep_y) < total  # and y-pruning too (the z-order point)
+    # _z never leaks into the logical schema
+    assert "_z" not in meta.schema().fieldNames()
+    assert t.snapshot().columns == ["x", "y", "v"]
+
+
+def test_optimize_zorder_idempotent_and_incremental(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.append(_grid(spark, 0, 16, 4 * i, 4 * i + 4, f"a{i}"),
+                 stats_cols=("x", "y"))
+    v1 = t.optimize_zorder(("x", "y"), bits=4)
+    assert t.optimize_zorder(("x", "y"), bits=4) == v1  # no-op
+    clustered_files = set(t.snapshot_meta().files)
+    # a NARROW corner append overlaps only part of the curve
+    t.append(_grid(spark, 0, 2, 0, 2, "new"), stats_cols=("x", "y"))
+    t.optimize_zorder(("x", "y"), bits=4)
+    after = set(t.snapshot_meta().files)
+    survivors = clustered_files & after
+    assert survivors  # disjoint runs kept their bytes
+    assert len(after - clustered_files) >= 1  # the touched run rewrote
+    # and the result still prunes + kept every row
+    keep, total = t.files_matching({"x": (15, 15)})
+    assert len(keep) < total
+    assert len(_rows(t)) == 16 * 16 + 4
+
+
+def test_optimize_zorder_applies_and_retires_deletion_vectors(
+    spark, tmp_path
+):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for i in range(2):
+        t.append(_grid(spark, 0, 8, 4 * i, 4 * i + 4, f"a{i}"),
+                 stats_cols=("x", "y"))
+    t.delete_where_mor("x", 3, 3)  # vectors 8 rows across both files
+    assert t.snapshot_meta().file_dvs
+    expect = [(x, y, v) for x, y, v in _rows(t)]
+    assert all(x != 3 for x, _, _ in expect)
+    t.optimize_zorder(("x", "y"), bits=4)
+    meta = t.snapshot_meta()
+    assert not meta.file_dvs  # applied physically, retired
+    assert _rows(t) == expect  # nothing resurrected, nothing lost
+
+
+def test_optimize_zorder_validation(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_grid(spark, 0, 2, 0, 2, "a"), stats_cols=("x",))
+    with pytest.raises(ValueError, match="cluster column"):
+        t.optimize_zorder(("ghost",))
+    with pytest.raises(ValueError, match=">= 1"):
+        t.optimize_zorder(())
+    t.optimize_zorder(("x", "y"), bits=4)
+    with pytest.raises(ValueError, match="z-ordered on"):
+        t.optimize_zorder(("y",))
+    t2 = TxnTable(spark, str(tmp_path / "z"))
+    t2.append(
+        spark.createDataFrame([(1, 2)], "a int, _z long").coalesce(1)
+    )
+    with pytest.raises(ValueError, match="_z"):
+        t2.optimize_zorder(("a",))
+
+
+def test_optimize_zorder_string_column(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    rows = [(i, chr(ord("a") + i % 26) * 3) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, name string")
+    t.append(df.repartition(4), stats_cols=("id", "name"))
+    before = sorted(
+        (r.id, r.name) for r in t.snapshot().select("id", "name").collect()
+    )
+    t.optimize_zorder(("id", "name"), bits=4)
+    after = sorted(
+        (r.id, r.name) for r in t.snapshot().select("id", "name").collect()
+    )
+    assert after == before
+    keep, total = t.files_matching({"name": ("aaa", "bbb")})
+    assert len(keep) < total  # order-preserving string buckets prune
