@@ -91,7 +91,16 @@ def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
-    base = cosine_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    # the exact baseline feeds BOTH the hits semi-join and the
+    # `possible` count; persist so the most expensive subplan (full
+    # corpus x queries scoring) runs once, not per consumer. Cache
+    # ownership is the caller's, per the bench contract (clearCache
+    # between queries).
+    base = (
+        cosine_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
     methods = {
         "lsh": lsh_bucket_topk(emb, queries, k=10),
         "ivf": ivf_topk(emb, queries, k=10),

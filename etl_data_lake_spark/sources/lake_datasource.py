@@ -318,11 +318,27 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         if self._consumer is None:
             return None
         try:
-            return int(
-                json.loads(self._marker_path().read_text())["planned"]
-            )
-        except (OSError, ValueError, KeyError, TypeError):
-            return None  # absent/corrupt marker: degrade, never fail
+            text = self._marker_path().read_text()
+        except FileNotFoundError:
+            return None  # virgin consumer — the only safe degrade
+        except OSError as e:
+            # a transient read failure must NOT look like a virgin
+            # consumer: seeding from startingVersion could return a
+            # latestOffset below Spark's committed offset and poison
+            # the offset log (re-emission). Fail loudly instead.
+            raise RuntimeError(
+                f"cannot read stream-progress marker "
+                f"{self._marker_path()}: {e}"
+            ) from e
+        try:
+            return int(json.loads(text)["planned"])
+        except (ValueError, KeyError, TypeError) as e:
+            raise RuntimeError(
+                f"corrupt stream-progress marker "
+                f"{self._marker_path()!s}; refusing to guess (a wrong "
+                f"seed can regress the committed offset). Restore or "
+                f"delete it ONLY together with the checkpoint."
+            ) from e
 
     def _advance_mark(self, version: int) -> None:
         if self._planned is not None and version <= self._planned:

@@ -178,6 +178,18 @@ def merge_into(
 
     base = table.snapshot_meta()
 
+    if base is not None and base.identity:
+        # pass 2 would append matched rewrites AND inserted source
+        # rows in one staged set — inserts need watermark allocation,
+        # rewrites must carry values verbatim, and _commit cannot
+        # tell them apart. Until merge grows an allocating insert
+        # path, fail loudly rather than mint colliding keys.
+        raise ValueError(
+            f"merge into a table with identity columns "
+            f"{sorted(base.identity)} is not supported; append new "
+            f"rows through TxnTable.append and update in place"
+        )
+
     if base is None or not base.files:
         # empty / absent target: everything is NOT MATCHED. Validate
         # update_exprs against the only schema there is (a typo must

@@ -1586,11 +1586,19 @@ class TxnTable:
                 if retired_cols is not None
                 else (base.retired_cols if base else ())
             )
-            attempt_identity = (
-                identity
-                if identity is not None
-                else (dict(base.identity) if base else {})
-            )
+            # identity metadata MERGES over the current base instead
+            # of replacing it: an appender's snapshot may predate a
+            # concurrent add_identity_column, and publishing its stale
+            # dict verbatim would silently erase the new column's
+            # registration. A None value is an explicit REMOVAL
+            # (drop/rename of an identity column).
+            attempt_identity = dict(base.identity) if base else {}
+            if identity is not None:
+                for _ic, _ispec in identity.items():
+                    if _ispec is None:
+                        attempt_identity.pop(_ic, None)
+                    else:
+                        attempt_identity[_ic] = _ispec
             attempt_zspec = (
                 zorder_spec
                 if zorder_spec is not None
@@ -1612,19 +1620,21 @@ class TxnTable:
                             f"re-allocate and retry"
                         )
             elif (
-                operation == "append"
+                operation in ("append", "overwrite")
                 and staged
                 and attempt_identity
                 and identity is None
             ):
-                # a raw append on an identity table that did not come
-                # through TxnTable.append would bypass allocation —
-                # its values could silently collide. Fail loudly.
+                # a raw append/overwrite on an identity table that did
+                # not come through an allocating path would write
+                # arbitrary values for a GENERATED ALWAYS column
+                # without advancing the watermark — later appends
+                # would silently allocate duplicates. Fail loudly.
                 raise ValueError(
                     "table has identity columns "
-                    f"{sorted(attempt_identity)}; append through "
-                    "TxnTable.append so values are allocated against "
-                    "the watermark"
+                    f"{sorted(attempt_identity)}; new rows must come "
+                    "through TxnTable.append so values are allocated "
+                    "against the watermark"
                 )
             if staged and attempt_cons:
                 todo = {
@@ -1744,8 +1754,16 @@ class TxnTable:
         usual. The new watermark comes from the staged parquet
         FOOTERS (the identity column is forced into ``stats_cols``),
         so allocation costs no extra job."""
-        base = self.snapshot_meta()
-        ident = dict(base.identity) if base is not None else {}
+        # cheap identity peek: every round-5+ manifest carries the
+        # FULL identity dict, so one manifest read answers "does this
+        # table allocate keys" without a snapshot reconstruction —
+        # the non-identity append hot path costs one extra small GET,
+        # not a checkpoint replay. (Pre-feature manifests lack the
+        # key, and identity could not exist then.)
+        v = self.latest_version()
+        ident: dict = {}
+        if v > 0:
+            ident = dict(self._read_manifest(v).get("identity") or {})
         if not ident:
             staged, schema_json, stats = self._stage(df, stats_cols)
             return self._commit(
@@ -1818,6 +1836,27 @@ class TxnTable:
                 if not seen:
                     continue  # zero-row append: watermark unchanged
                 far = max(seen) if step > 0 else min(seen)
+                near = min(seen) if step > 0 else max(seen)
+                start = int(spec["start"])
+                base_val = (
+                    start - step if spec.get("high") is None
+                    else int(spec["high"])
+                )
+                # wraparound/exhaustion guard: every allocated value
+                # must sit strictly PAST the watermark in step
+                # direction (a 64-bit wrap lands on the wrong side),
+                # and the key space must not approach Long.MAX — fail
+                # loudly instead of committing colliding "unique" keys
+                if (
+                    (step > 0 and (near <= base_val or far > (1 << 62)))
+                    or (step < 0 and (near >= base_val or far < -(1 << 62)))
+                ):
+                    raise ValueError(
+                        f"identity allocation for {col!r} overflowed "
+                        f"or nearly exhausted the 64-bit key space "
+                        f"(watermark {base_val}, allocated "
+                        f"[{min(seen)}, {max(seen)}])"
+                    )
                 old = spec.get("high")
                 new_ident[col] = {
                     **spec,
@@ -1972,6 +2011,13 @@ class TxnTable:
         if not ranges:
             raise ValueError("replace_where_ranges needs >= 1 range")
         base = self.snapshot_meta()
+        if base is not None and base.identity:
+            raise ValueError(
+                "replace_where on a table with identity columns "
+                f"{sorted(base.identity)} would write arbitrary "
+                "values for a GENERATED ALWAYS column; drop the "
+                "identity column or use delete + append"
+            )
         if expected_base is not None and (
             base.version if base else 0
         ) != expected_base:
@@ -2182,6 +2228,12 @@ class TxnTable:
         bad = set(set_exprs) - set(schema.fieldNames())
         if bad:
             raise ValueError(f"SET exprs for unknown columns {sorted(bad)}")
+        id_set = set(set_exprs) & set(base.identity)
+        if id_set:
+            raise ValueError(
+                f"identity columns {sorted(id_set)} are GENERATED "
+                f"ALWAYS and cannot be SET"
+            )
         affected = self.files_matching_any(col, ranges, base.version)
         if not affected:
             return base.version
@@ -2254,6 +2306,26 @@ class TxnTable:
         probe = self.spark.createDataFrame([], schema).where(pred)
         if probe.schema.fieldNames() != schema.fieldNames():
             raise ValueError("predicate altered the schema")  # unreachable
+        # DML evaluates the predicate in TWO jobs (touched-file probe,
+        # then rewrite); a nondeterministic predicate would delete or
+        # update a row set matching no single evaluation — reject it,
+        # like Delta. (Time-valued functions such as current_timestamp
+        # are query-deterministic and pass this check, but each
+        # internal job resolves its own clock: pass a literal instead.)
+        try:
+            exprs = probe._jdf.queryExecution().analyzed().expressions()
+            deterministic = all(
+                exprs.apply(i).deterministic()
+                for i in range(exprs.size())
+            )
+        except Exception:  # pragma: no cover - introspection moved
+            deterministic = True  # best-effort: never block analysis
+        if not deterministic:
+            raise ValueError(
+                f"nondeterministic predicate {predicate!r} is not "
+                f"allowed in DELETE/UPDATE (it would evaluate "
+                f"differently in the probe and rewrite passes)"
+            )
         candidates = list(base.files)
         for col, ranges in (prune_hints or {}).items():
             per_col = set(
@@ -2263,6 +2335,23 @@ class TxnTable:
             )
             candidates = [f for f in candidates if f in per_col]
         return pred, candidates
+
+    def _expr_touched_files(
+        self, base: Snapshot, pred, candidates: list[str]
+    ) -> list[str]:
+        """One scan of the candidate files: which contain at least one
+        row where ``pred`` is TRUE (the files a predicate DML must
+        rewrite). The collect is bounded by the candidate FILE count,
+        not row count; manifest order is preserved."""
+        touched_rows = (
+            self.read_files(base, candidates, keep_file_col="__file")
+            .where(pred)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        touched_set = {r["__file"] for r in touched_rows}
+        return [f for f in candidates if f in touched_set]
 
     def delete_where_expr(
         self,
@@ -2301,17 +2390,9 @@ class TxnTable:
         )
         if not candidates:
             return base.version
-        touched_rows = (
-            self.read_files(base, candidates, keep_file_col="__file")
-            .where(pred)
-            .select("__file")
-            .distinct()
-            .collect()
-        )  # bounded by the candidate FILE count, not row count
-        touched_set = {r["__file"] for r in touched_rows}
-        if not touched_set:
+        touched = self._expr_touched_files(base, pred, candidates)
+        if not touched:
             return base.version
-        touched = [f for f in candidates if f in touched_set]
         old = self.read_files(base, touched)
         keep_rows = old.where(~pred | pred.isNull())
         staged, _schema_json, stats = self._stage(keep_rows, stats_cols)
@@ -2363,22 +2444,20 @@ class TxnTable:
         bad = set(set_exprs) - set(schema.fieldNames())
         if bad:
             raise ValueError(f"SET exprs for unknown columns {sorted(bad)}")
+        id_set = set(set_exprs) & set(base.identity)
+        if id_set:
+            raise ValueError(
+                f"identity columns {sorted(id_set)} are GENERATED "
+                f"ALWAYS and cannot be SET"
+            )
         pred, candidates = self._expr_dml_candidates(
             base, predicate, prune_hints
         )
         if not candidates:
             return base.version
-        touched_rows = (
-            self.read_files(base, candidates, keep_file_col="__file")
-            .where(pred)
-            .select("__file")
-            .distinct()
-            .collect()
-        )
-        touched_set = {r["__file"] for r in touched_rows}
-        if not touched_set:
+        touched = self._expr_touched_files(base, pred, candidates)
+        if not touched:
             return base.version
-        touched = [f for f in candidates if f in touched_set]
         old = self.read_files(base, touched)
         out = old.select(
             *[
@@ -2614,6 +2693,13 @@ class TxnTable:
             }
             if phys != new:
                 cmap[new] = phys
+            ident_change = None
+            if old in base.identity:
+                # identity follows the LOGICAL name: the allocator
+                # writes by logical column, so the spec must move with
+                # the rename or every later append would re-add the
+                # old name and collide with its retired physical
+                ident_change = {old: None, new: dict(base.identity[old])}
             try:
                 return self._commit(
                     "schema",
@@ -2623,6 +2709,7 @@ class TxnTable:
                     None,
                     expected_base=base.version,
                     column_map=cmap,
+                    identity=ident_change,
                     op_params={
                         "action": "rename", "from": old, "to": new,
                     },
@@ -2679,6 +2766,13 @@ class TxnTable:
                     column_map=cmap,
                     retired_cols=tuple(
                         dict.fromkeys(base.retired_cols + (phys,))
+                    ),
+                    # a dropped identity column stops being identity —
+                    # without this removal every later append would
+                    # try to allocate for it, re-add the column, and
+                    # hit the resurrection guard forever
+                    identity=(
+                        {col: None} if col in base.identity else None
                     ),
                     op_params={"action": "drop", "column": col},
                 )
@@ -2989,6 +3083,12 @@ class TxnTable:
             if bad:
                 raise ValueError(
                     f"SET exprs for unknown columns {sorted(bad)}"
+                )
+            id_set = set(set_exprs) & set(base.identity)
+            if id_set:
+                raise ValueError(
+                    f"identity columns {sorted(id_set)} are GENERATED "
+                    f"ALWAYS and cannot be SET"
                 )
             affected = self.files_matching_any(
                 col, ranges, base.version

@@ -218,3 +218,16 @@ def test_update_expr_cdf_delete_insert_pairs(spark, tmp_path):
     )
     assert (2, "delete") in kinds and (2, "insert") in kinds
     assert all(i == 2 for i, _ in kinds)  # untouched row 1 not re-reported
+
+
+def test_expr_dml_rejects_nondeterministic_predicate(spark, tmp_path):
+    """Probe and rewrite are separate jobs; a nondeterministic
+    predicate would match no single row set (Delta rejects these
+    too)."""
+    t = _three_file_table(spark, str(tmp_path / "t"))
+    v = t.latest_version()
+    with pytest.raises(ValueError, match="[Nn]ondeterministic"):
+        t.delete_where_expr("rand() < 0.5")
+    with pytest.raises(ValueError, match="[Nn]ondeterministic"):
+        t.update_where_expr("id > 0 AND rand() < 0.5", {"v": "'x'"})
+    assert t.latest_version() == v

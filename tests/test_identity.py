@@ -185,3 +185,85 @@ def test_identity_zero_row_append_keeps_watermark(spark, it):
     high = it.snapshot_meta().identity["pk"]["high"]
     it.append(_df(spark))
     assert it.snapshot_meta().identity["pk"]["high"] == high
+
+
+# ------------------------- round-5 self-review regression pins --
+
+
+def test_identity_overwrite_and_replace_where_rejected(spark, it):
+    with pytest.raises(ValueError, match="identity"):
+        it.overwrite(
+            it.spark.createDataFrame([("x", 1)], "v string, pk long")
+        )
+    with pytest.raises(ValueError, match="identity"):
+        it.replace_where(
+            it.spark.createDataFrame([("y", 2)], "v string, pk long"),
+            "pk", 0, 10,
+        )
+
+
+def test_identity_merge_rejected(spark, it):
+    from etl_data_lake_spark.sources.merge import merge_into
+
+    it.append(_df(spark, "a"))
+    src = it.spark.createDataFrame([("b", 99)], "v string, pk long")
+    with pytest.raises(ValueError, match="identity"):
+        merge_into(it, src, "pk")
+
+
+def test_identity_set_exprs_rejected_everywhere(spark, it):
+    it.append(_df(spark, "a"))
+    with pytest.raises(ValueError, match="GENERATED"):
+        it.update_where("pk", 0, 10, {"pk": "0"}, stats_cols=("pk",))
+    with pytest.raises(ValueError, match="GENERATED"):
+        it.update_where_expr("v = 'a'", {"pk": "0"})
+    with pytest.raises(ValueError, match="GENERATED"):
+        it.update_where_mor("pk", 0, 10, {"pk": "0"})
+
+
+def test_identity_drop_column_unbricks_appends(spark, it):
+    it.append(_df(spark, "a"))
+    it.drop_column("pk")
+    assert "pk" not in it.snapshot_meta().schema().fieldNames()
+    assert not it.snapshot_meta().identity
+    it.append(_df(spark, "b"))  # plain append again, no allocation
+    assert sorted(r.v for r in it.snapshot().collect()) == ["a", "b"]
+
+
+def test_identity_rename_column_keeps_allocating(spark, it):
+    it.append(_df(spark, "a"))
+    old_high = it.snapshot_meta().identity["pk"]["high"]
+    it.rename_column("pk", "row_id")
+    meta = it.snapshot_meta()
+    assert "pk" not in meta.identity
+    assert meta.identity["row_id"]["high"] == old_high
+    it.append(_df(spark, "b"))
+    rows = {r.v: r.row_id for r in it.snapshot().collect()}
+    assert rows["b"] > rows["a"]  # allocation continued past watermark
+    with pytest.raises(ValueError, match="GENERATED"):
+        it.append(
+            it.spark.createDataFrame([("c", 1)], "v string, row_id long")
+        )
+
+
+def test_identity_concurrent_registration_not_erased(spark, tmp_path):
+    """_commit merges identity metadata over the current base: an
+    append whose snapshot predates a concurrent add_identity_column
+    must not erase the new column's registration."""
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(_df(spark))
+    t.add_identity_column("pk")
+    meta = t.snapshot_meta()
+    out = _df(spark, "a").withColumn("pk", F.lit(1).cast("long"))
+    staged, sj, stats = t._stage(out, ("pk",))
+    # concurrent second identity column lands after the stage
+    TxnTable(spark, path).add_identity_column("pk2", start=500)
+    t._commit(
+        "append", staged, sj, None, None, staged_stats=stats,
+        identity={"pk": {"start": 1, "step": 1, "high": 1}},
+        expected_identity={"pk": None},
+    )
+    ident = t.snapshot_meta().identity
+    assert set(ident) == {"pk", "pk2"}  # pk2 survived the merge
+    assert ident["pk"]["high"] == 1
