@@ -3154,6 +3154,185 @@ class TxnTable:
             f"contended attempts"
         )
 
+    def delete_where_expr_mor(
+        self,
+        predicate: str,
+        prune_hints: dict | None = None,
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+        max_dv_rows: int = 1_000_000,
+        max_attempts: int = 5,
+    ) -> int:
+        """MERGE-ON-READ DELETE with an ARBITRARY SQL predicate — the
+        expr x MOR corner of the DML matrix: matching row positions go
+        into deletion-vector sidecars instead of rewriting files, so a
+        scattered predicate delete over 100 near-GB files writes ~100
+        tiny documents. Planning (validation, determinism rejection,
+        prune hints) is :meth:`delete_where_expr`'s; vector mechanics,
+        ``max_dv_rows`` bound, union idempotence, concurrency CAS and
+        replay are :meth:`delete_where_mor_ranges`'s. The predicate
+        evaluates ONCE per attempt (a single job marks positions), so
+        the two-pass skew the COW form guards against cannot occur —
+        but nondeterministic predicates are still rejected for replay
+        sanity."""
+        for _ in range(max_attempts):
+            base = self.snapshot_meta()
+            if base is None or not base.files:
+                return self.latest_version()
+            pred, candidates = self._expr_dml_candidates(
+                base, predicate, prune_hints
+            )
+            if not candidates:
+                return base.version
+            # RAW positions (no DV applied): the union below absorbs
+            # already-deleted positions idempotently
+            matched = (
+                self._read_with_positions(
+                    base, candidates, base.schema(), apply_dvs=False
+                )
+                .where(pred)
+                .select("__dv_file", "__dv_pos")
+            )
+            n = matched.count()
+            if n > max_dv_rows:
+                raise ValueError(
+                    f"{n} matching rows exceed max_dv_rows="
+                    f"{max_dv_rows}; use delete_where_expr "
+                    f"(copy-on-write) for bulk deletes"
+                )
+            updates, expected = self._build_dv_updates(base, matched)
+            if not updates:
+                return base.version
+            try:
+                return self._commit(
+                    "delete",
+                    [],
+                    base.schema_json,
+                    app_id,
+                    txn_seq,
+                    dv_updates=updates,
+                    expected_dvs=expected,
+                    op_params={
+                        "predicate": predicate,
+                        "mor": True,
+                        "hints": {
+                            c: [list(r) for r in rs]
+                            for c, rs in (prune_hints or {}).items()
+                        },
+                    },
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"gave up merge-on-read delete after {max_attempts} "
+            f"contended attempts"
+        )
+
+    def update_where_expr_mor(
+        self,
+        predicate: str,
+        set_exprs: dict[str, str],
+        prune_hints: dict | None = None,
+        stats_cols: tuple[str, ...] = (),
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+        max_dv_rows: int = 1_000_000,
+        max_attempts: int = 5,
+    ) -> int:
+        """MERGE-ON-READ UPDATE with an ARBITRARY SQL predicate:
+        vector the matched positions and append the transformed rows
+        in one atomic commit — write cost O(matched rows). Planning is
+        :meth:`update_where_expr`'s (validation, identity guard,
+        determinism rejection, prune hints); vector mechanics, bounds
+        and concurrency are :meth:`update_where_mor_ranges`'s. Matched
+        rows read WITH current vectors applied, so an already-deleted
+        row never resurrects as an updated copy."""
+        from pyspark.sql import functions as F
+
+        if not set_exprs:
+            raise ValueError("update_where_expr_mor needs >= 1 SET expr")
+        for _ in range(max_attempts):
+            base = self.snapshot_meta()
+            if base is None or not base.files:
+                return self.latest_version()
+            schema = base.schema()
+            bad = set(set_exprs) - set(schema.fieldNames())
+            if bad:
+                raise ValueError(
+                    f"SET exprs for unknown columns {sorted(bad)}"
+                )
+            id_set = set(set_exprs) & set(base.identity)
+            if id_set:
+                raise ValueError(
+                    f"identity columns {sorted(id_set)} are GENERATED "
+                    f"ALWAYS and cannot be SET"
+                )
+            pred, candidates = self._expr_dml_candidates(
+                base, predicate, prune_hints
+            )
+            if not candidates:
+                return base.version
+            matched = (
+                self._read_with_positions(base, candidates, schema)
+                .where(pred)
+                .persist()
+            )
+            n = matched.count()
+            if n == 0:
+                matched.unpersist()
+                return base.version
+            if n > max_dv_rows:
+                matched.unpersist()
+                raise ValueError(
+                    f"{n} matching rows exceed max_dv_rows="
+                    f"{max_dv_rows}; use update_where_expr "
+                    f"(copy-on-write) for bulk updates"
+                )
+            try:
+                updated = matched.select(
+                    *[
+                        F.expr(set_exprs[f.name]).cast(f.dataType)
+                        .alias(f.name)
+                        if f.name in set_exprs
+                        else F.col(f.name)
+                        for f in schema.fields
+                    ]
+                )
+                staged, _sj, stats = self._stage(updated, stats_cols)
+                updates, expected = self._build_dv_updates(
+                    base, matched.select("__dv_file", "__dv_pos")
+                )
+            finally:
+                matched.unpersist()
+            if not updates and not staged:
+                return base.version
+            try:
+                return self._commit(
+                    "update",
+                    staged,
+                    schema.json(),  # SET exprs cast back: invariant
+                    app_id,
+                    txn_seq,
+                    staged_stats=stats,
+                    dv_updates=updates,
+                    expected_dvs=expected,
+                    op_params={
+                        "predicate": predicate,
+                        "set": sorted(set_exprs),
+                        "mor": True,
+                        "hints": {
+                            c: [list(r) for r in rs]
+                            for c, rs in (prune_hints or {}).items()
+                        },
+                    },
+                )
+            except ConcurrentWriteError:
+                continue  # recompute; orphan stage/DV docs are vacuumed
+        raise ConcurrentWriteError(
+            f"gave up merge-on-read update after {max_attempts} "
+            f"contended attempts"
+        )
+
     def purge_vectors(
         self,
         min_deleted_ratio: float = 0.0,

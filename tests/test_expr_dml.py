@@ -231,3 +231,81 @@ def test_expr_dml_rejects_nondeterministic_predicate(spark, tmp_path):
     with pytest.raises(ValueError, match="[Nn]ondeterministic"):
         t.update_where_expr("id > 0 AND rand() < 0.5", {"v": "'x'"})
     assert t.latest_version() == v
+
+
+# ------------------------------------------------- expr x MOR forms --
+
+
+def test_delete_expr_mor_vectors_without_rewrite(spark, tmp_path):
+    t = _three_file_table(spark, str(tmp_path / "t"))
+    before = set(t.snapshot_meta().files)
+    t.delete_where_expr_mor("v LIKE 'b%' AND id % 2 = 0")
+    meta = t.snapshot_meta()
+    assert set(meta.files) == before  # zero rewrites
+    assert len(meta.file_dvs) == 1  # only file b vectored
+    assert _rows(t.snapshot()) == [
+        (0, "a0"), (1, "a1"), (101, "b1"), (200, "c0"), (201, "c1"),
+    ]
+    assert t.history()[-1]["params"]["mor"] is True
+    # idempotent union: re-delete matches nothing new, commits nothing
+    v = t.latest_version()
+    assert t.delete_where_expr_mor("v LIKE 'b%' AND id % 2 = 0") == v
+
+
+def test_delete_expr_mor_null_rows_survive_and_replay(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "del")], "id long, v string"
+        ).coalesce(1),
+        stats_cols=("id",),
+    )
+    v1 = t.delete_where_expr_mor("v = 'del'", app_id="m", txn_seq=1)
+    v2 = t.delete_where_expr_mor("v = 'a'", app_id="m", txn_seq=1)
+    assert v1 == v2  # replayed
+    assert _rows(t.snapshot()) == [(1, "a"), (2, None)]
+
+
+def test_update_expr_mor_appends_and_vectors(spark, tmp_path):
+    t = _three_file_table(spark, str(tmp_path / "t"))
+    before = set(t.snapshot_meta().files)
+    v = t.update_where_expr_mor(
+        "v IN ('a1', 'c0')", {"v": "upper(v)"}, stats_cols=("id",)
+    )
+    meta = t.snapshot_meta()
+    assert before <= set(meta.files)  # originals all live
+    assert len(set(meta.files) - before) >= 1  # plus the update file
+    assert len(meta.file_dvs) == 2
+    assert _rows(t.snapshot()) == [
+        (0, "a0"), (1, "A1"), (100, "b0"), (101, "b1"),
+        (200, "C0"), (201, "c1"),
+    ]
+    ch = t.table_changes(v - 1, v)
+    kinds = sorted(
+        (r.id, r._change_type)
+        for r in ch.select("id", "_change_type").collect()
+    )
+    assert kinds == [
+        (1, "delete"), (1, "insert"), (200, "delete"), (200, "insert"),
+    ]
+
+
+def test_update_expr_mor_skips_mor_deleted_rows(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, (1, "a"), (2, "b"), (3, "c")).coalesce(1),
+             stats_cols=("id",))
+    t.delete_where_mor("id", 2, 2)
+    t.update_where_expr_mor("id >= 1", {"v": "upper(v)"})
+    assert _rows(t.snapshot()) == [(1, "A"), (3, "C")]  # no resurrection
+
+
+def test_expr_mor_validation(spark, tmp_path):
+    t = _three_file_table(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="[Nn]ondeterministic"):
+        t.delete_where_expr_mor("rand() < 0.5")
+    with pytest.raises(ValueError, match="SET"):
+        t.update_where_expr_mor("id = 1", {})
+    with pytest.raises(AnalysisException):
+        t.update_where_expr_mor("ghost = 1", {"v": "'x'"})
+    with pytest.raises(ValueError, match="max_dv_rows"):
+        t.delete_where_expr_mor("id >= 0", max_dv_rows=1)
