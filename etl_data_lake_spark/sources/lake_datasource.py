@@ -244,7 +244,7 @@ class TxnLakePushdownReader(TxnLakeBatchReader):
             yield f  # Spark re-applies EVERYTHING; pruning is bonus
 
 
-_SKIP_OPS = {"compact", "constraint", "schema"}
+_SKIP_OPS = {"compact", "constraint", "schema", "stats"}
 _CHANGE_OPS = {"merge", "delete", "update", "overwrite", "restore"}
 
 

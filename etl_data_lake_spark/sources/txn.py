@@ -472,8 +472,10 @@ class TxnTable:
                 # same sorted(remaining)+add order the committer used
                 # when it built the post-commit checkpoint state
                 files = sorted(f for f in files if f not in removed) + add
-            elif op in ("constraint", "schema"):
+            elif op in ("constraint", "schema", "stats"):
                 pass  # metadata-only: file set unchanged
+                # ("stats" backfills add_stats for existing files via
+                # the generic stats.update below)
             else:  # pragma: no cover
                 raise ValueError(f"unknown operation {op!r} at v{v}")
             live = set(files)
@@ -828,6 +830,29 @@ class TxnTable:
     ) -> DataFrame:
         """Single-column form of :meth:`snapshot_where_ranges`."""
         return self.snapshot_where_ranges({col: (lo, hi)}, version)
+
+    def snapshot_where_expr(
+        self,
+        predicate: str,
+        prune_hints: dict | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """The table filtered by an ARBITRARY SQL predicate — the
+        read-side companion of :meth:`delete_where_expr`, same
+        planning: the predicate validates against the snapshot schema
+        before any job, optional ``prune_hints`` ranges skip files
+        through manifest stats (the caller's promise that the
+        predicate implies them), and the predicate is re-applied
+        row-exactly so pruning is never a correctness dependency.
+        Unlike the DML forms, nondeterministic predicates are allowed
+        here (one evaluation, ordinary query semantics)."""
+        meta = self.snapshot_meta(version)
+        if meta is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        pred, candidates = self._expr_dml_candidates(
+            meta, predicate, prune_hints, require_deterministic=False
+        )
+        return self.read_files(meta, candidates).where(pred)
 
     def snapshot_where_prefix(
         self, col: str, prefix: str, version: int | None = None
@@ -1550,7 +1575,7 @@ class TxnTable:
                             )
                 remove = tuple(replaced)
                 files = sorted(base_files - set(replaced)) + staged
-            elif operation in ("constraint", "schema"):
+            elif operation in ("constraint", "schema", "stats"):
                 # metadata-only commits. expected_base pins the paths
                 # whose validation covered exactly that snapshot
                 # (constraint add; rename/drop, whose published schema
@@ -1565,7 +1590,7 @@ class TxnTable:
                         f"concurrently"
                     )
                 files = list(base.files) if base else []
-                if operation == "constraint":
+                if operation in ("constraint", "stats"):
                     attempt_schema = base.schema_json if base else schema_json
                 # op "schema" publishes the NEW logical schema passed
                 # by rename/drop (attempt_schema stays schema_json)
@@ -2273,6 +2298,7 @@ class TxnTable:
         base: Snapshot,
         predicate: str,
         prune_hints: dict | None,
+        require_deterministic: bool = True,
     ):
         """Shared planning for arbitrary-SQL-predicate DML
         (:meth:`delete_where_expr` / :meth:`update_where_expr`):
@@ -2320,6 +2346,8 @@ class TxnTable:
             )
         except Exception:  # pragma: no cover - introspection moved
             deterministic = True  # best-effort: never block analysis
+        if not require_deterministic:
+            deterministic = True  # reads evaluate once: anything goes
         if not deterministic:
             raise ValueError(
                 f"nondeterministic predicate {predicate!r} is not "
@@ -3567,6 +3595,123 @@ class TxnTable:
                 "zorder": list(cluster_cols),
                 "components": len(selected),
             },
+        )
+
+    def analyze_stats(
+        self,
+        cols: tuple[str, ...],
+        max_attempts: int = 5,
+    ) -> int:
+        """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS — backfill
+        manifest stats for files that lack them on any of ``cols``
+        (appends made without ``stats_cols``, pre-feature files), so
+        range/null/prefix pruning, DML file skipping, and
+        optimize_zorder's interval logic work retroactively. Reads
+        ONLY parquet FOOTERS of exactly the files missing an entry —
+        one metadata GET per file, no data scan, no Spark job — and
+        publishes a metadata-only ``stats`` commit (file set, schema,
+        everything else unchanged; replayed like constraint commits;
+        the streaming source skips it). Existing per-file entries for
+        OTHER columns are preserved (entries merge, not replace).
+        No-op when nothing is missing."""
+        cols = tuple(cols)
+        if not cols:
+            raise ValueError("analyze_stats needs >= 1 column")
+        for _ in range(max_attempts):
+            base = self.snapshot_meta()
+            if base is None or not base.files:
+                return self.latest_version()
+            known = set(base.schema().fieldNames())
+            bad = set(cols) - known
+            if bad:
+                raise ValueError(f"unknown columns {sorted(bad)}")
+            phys = tuple(base.phys(c) for c in cols)
+            todo = [
+                f
+                for f in base.files
+                if any(
+                    p not in base.file_stats.get(f, {}) for p in phys
+                )
+            ]
+            if not todo:
+                return base.version
+            computed = footer_stats(self.root, todo, phys)
+            merged = {
+                f: {**base.file_stats.get(f, {}), **computed.get(f, {})}
+                for f in todo
+            }
+            try:
+                return self._commit(
+                    "stats",
+                    [],
+                    base.schema_json,
+                    None,
+                    None,
+                    expected_base=base.version,
+                    staged_stats=merged,
+                    op_params={"analyze": list(cols)},
+                )
+            except ConcurrentWriteError:
+                continue  # files may have moved; recompute the todo set
+        raise ConcurrentWriteError(
+            f"gave up analyze_stats after {max_attempts} contended "
+            f"attempts"
+        )
+
+    def append_clustered(
+        self,
+        df: DataFrame,
+        stats_cols: tuple[str, ...] = (),
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+        n_files: int = 8,
+    ) -> int:
+        """Append ``df`` ON the table's frozen Z-order curve (requires
+        one prior :meth:`optimize_zorder`): the batch is Morton-keyed
+        under the SAME ``zorder_spec``, range-partitioned and sorted by
+        ``_z``, and staged WITH ``_z`` footer stats — so the new files
+        land as already-clustered citizens of the curve and the next
+        optimize_zorder merges only genuine overlaps instead of
+        re-ranging them from scratch. The committed schema never
+        includes ``_z`` (physical-only, like the optimizer's rewrites).
+        Identity tables reject this path (allocation lives in
+        :meth:`append`); everything else matches ``append``."""
+        from pyspark.sql import functions as F
+
+        from etl_data_lake_spark.sources.sinks import zorder_key_with_spec
+
+        base = self.snapshot_meta()
+        if base is None or not base.zorder_spec:
+            raise ValueError(
+                "append_clustered needs a frozen zorder_spec; run "
+                "optimize_zorder(cluster_cols) once first"
+            )
+        if base.identity:
+            raise ValueError(
+                "append_clustered does not allocate identity columns; "
+                "use TxnTable.append"
+            )
+        spec = base.zorder_spec
+        missing = set(spec["cols"]) - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"dataframe lacks cluster columns {sorted(missing)}"
+            )
+        schema_json = df.schema.json()  # WITHOUT _z: append-evolution
+        clustered = (
+            zorder_key_with_spec(df, spec)
+            .repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+        )
+        eff_stats = tuple(
+            dict.fromkeys(
+                tuple(spec["cols"]) + tuple(stats_cols) + ("_z",)
+            )
+        )
+        staged, _sj, stats = self._stage(clustered, eff_stats)
+        return self._commit(
+            "append", staged, schema_json, app_id, txn_seq,
+            staged_stats=stats,
         )
 
     # -------------------------------------------------- maintenance --

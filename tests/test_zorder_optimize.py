@@ -124,3 +124,86 @@ def test_optimize_zorder_string_column(spark, tmp_path):
     assert after == before
     keep, total = t.files_matching({"name": ("aaa", "bbb")})
     assert len(keep) < total  # order-preserving string buckets prune
+
+
+def test_append_clustered_lands_on_curve(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for i in range(2):
+        t.append(_grid(spark, 0, 16, 8 * i, 8 * i + 8, f"a{i}"),
+                 stats_cols=("x", "y"))
+    t.optimize_zorder(("x", "y"), bits=4)
+    v_clustered = set(t.snapshot_meta().files)
+    # clustered append: new files carry _z stats immediately
+    t.append_clustered(
+        _grid(spark, 0, 16, 0, 16, "n"), n_files=4, stats_cols=("x", "y")
+    )
+    meta = t.snapshot_meta()
+    new_files = set(meta.files) - v_clustered
+    assert len(new_files) >= 2
+    assert all(
+        meta.file_stats.get(f, {}).get("_z") is not None
+        for f in new_files
+    )
+    assert "_z" not in meta.schema().fieldNames()
+    # next optimize treats them as clustered: it merges overlaps (the
+    # new batch spans the whole grid) without a from-scratch re-range
+    # of an unclustered set — i.e. no file is in the "must" set
+    t.optimize_zorder(("x", "y"), bits=4)
+    assert len(sorted((r.x, r.y, r.v) for r in t.snapshot().collect())) \
+        == 16 * 16 * 2
+
+
+def test_append_clustered_requires_spec_and_rejects_identity(
+    spark, tmp_path
+):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_grid(spark, 0, 2, 0, 2, "a"), stats_cols=("x",))
+    with pytest.raises(ValueError, match="zorder_spec"):
+        t.append_clustered(_grid(spark, 0, 2, 0, 2, "b"))
+    t.optimize_zorder(("x", "y"), bits=4)
+    with pytest.raises(ValueError, match="cluster columns"):
+        t.append_clustered(
+            spark.createDataFrame([(1,)], "x int")
+        )
+
+
+def test_analyze_stats_backfills_pruning(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    # appends WITHOUT stats: nothing prunes
+    t.append(_grid(spark, 0, 4, 0, 4, "a"))
+    t.append(_grid(spark, 100, 104, 0, 4, "b"))
+    keep, total = t.files_matching({"x": (0, 1)})
+    assert len(keep) == total
+    v = t.analyze_stats(("x", "y"))
+    keep, total = t.files_matching({"x": (0, 1)})
+    assert len(keep) < total  # retroactive pruning
+    assert t.history()[-1]["operation"] == "stats"
+    # idempotent no-op when nothing is missing
+    assert t.analyze_stats(("x", "y")) == v
+    # merge, not replace: add stats for v later, x entries survive
+    t2 = TxnTable(spark, str(tmp_path / "u"))
+    t2.append(_grid(spark, 0, 4, 0, 4, "a"))
+    t2.analyze_stats(("x",))
+    t2.analyze_stats(("v",))
+    st = t2.snapshot_meta().file_stats
+    f = list(st)[0]
+    assert "x" in st[f] and "v" in st[f]
+    with pytest.raises(ValueError, match="unknown"):
+        t.analyze_stats(("ghost",))
+
+
+def test_snapshot_where_expr_reads_with_hints(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_grid(spark, 0, 4, 0, 4, "a"), stats_cols=("x",))
+    t.append(_grid(spark, 100, 104, 0, 4, "b"), stats_cols=("x",))
+    got = sorted(
+        (r.x, r.y)
+        for r in t.snapshot_where_expr(
+            "x >= 100 AND y < 2", prune_hints={"x": [(100, 200)]}
+        ).collect()
+    )
+    want = [(x, y) for x in range(100, 104) for y in range(2)]
+    assert got == want
+    # nondeterministic predicates are allowed on the read side
+    n = t.snapshot_where_expr("rand() >= 0").count()
+    assert n == 32
