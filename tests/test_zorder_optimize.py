@@ -207,3 +207,71 @@ def test_snapshot_where_expr_reads_with_hints(spark, tmp_path):
     # nondeterministic predicates are allowed on the read side
     n = t.snapshot_where_expr("rand() >= 0").count()
     assert n == 32
+
+
+def test_optimize_zorder_rebases_over_concurrent_append(spark, tmp_path):
+    """Compaction conflict rules apply: an append landing between
+    selection and publish rebases cleanly; its (unclustered) file
+    survives and the NEXT optimize folds it in."""
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    for i in range(3):
+        t.append(_grid(spark, 0, 8, 2 * i, 2 * i + 2, f"a{i}"),
+                 stats_cols=("x", "y"))
+    # drive the optimize by hand against a pre-race snapshot
+    from etl_data_lake_spark.sources.sinks import (
+        compute_zorder_spec,
+        zorder_key_with_spec,
+    )
+
+    base = t.snapshot_meta()
+    spec = compute_zorder_spec(t.snapshot(base.version), ("x", "y"), 4)
+    clustered = (
+        zorder_key_with_spec(t.read_files(base, list(base.files)), spec)
+        .repartitionByRange(3, F.col("_z"))
+        .sortWithinPartitions("_z")
+    )
+    staged, _sj, stats = t._stage(clustered, ("x", "y", "_z"))
+    late = _grid(spark, 0, 8, 6, 8, "late")
+    TxnTable(spark, path).append(late, stats_cols=("x", "y"))
+    v = t._commit(
+        "compact", staged, base.schema().json(), None, None,
+        replaced=tuple(base.files),
+        expected_dvs={f: None for f in base.files},
+        staged_stats=stats, zorder_spec=spec,
+    )
+    assert v == base.version + 2  # rebased over the append
+    assert len(_rows(t)) == 8 * 6 + 8 * 2
+    # the late file is unclustered; the next optimize folds it in
+    t.optimize_zorder(("x", "y"), bits=4)
+    meta = t.snapshot_meta()
+    assert all(
+        meta.file_stats.get(f, {}).get("_z") is not None
+        for f in meta.files
+    )
+    assert len(_rows(t)) == 8 * 6 + 8 * 2
+
+
+def test_restore_keeps_identity_watermark_and_respec_safe(spark, tmp_path):
+    """RESTORE pins file/schema state; identity and zorder metadata
+    ride FORWARD (the newest watermark can only over-allocate, never
+    collide — and a stale spec would mis-compare z ranges)."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([("a",)], "v string").coalesce(1)
+    )
+    t.add_identity_column("pk")
+    t.append(spark.createDataFrame([("b",)], "v string").coalesce(1))
+    t.append(spark.createDataFrame([("c",)], "v string").coalesce(1))
+    high = t.snapshot_meta().identity["pk"]["high"]
+    v_before_c = t.latest_version() - 1
+    t.restore(v_before_c)
+    meta = t.snapshot_meta()
+    # watermark kept (>= the pre-restore high): new ids never collide
+    # with the rolled-away version's rows even if restored forward
+    assert meta.identity["pk"]["high"] == high
+    t.append(spark.createDataFrame([("d",)], "v string").coalesce(1))
+    ids = [r.pk for r in t.snapshot().select("pk").collect()
+           if r.pk is not None]
+    assert len(ids) == len(set(ids))
+    assert max(ids) > high
