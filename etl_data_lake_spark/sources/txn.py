@@ -1082,7 +1082,7 @@ class TxnTable:
             elif op in ("compact", "merge", "delete", "update", "restore"):
                 removed = set(m.get("remove", ()))
                 new = sorted(f for f in files if f not in removed) + add
-            elif op in ("constraint", "schema"):
+            elif op in ("constraint", "schema", "stats"):
                 new = files
             else:  # pragma: no cover
                 raise ValueError(f"unknown operation {op!r} at v{v}")
@@ -2338,16 +2338,18 @@ class TxnTable:
         # like Delta. (Time-valued functions such as current_timestamp
         # are query-deterministic and pass this check, but each
         # internal job resolves its own clock: pass a literal instead.)
-        try:
-            exprs = probe._jdf.queryExecution().analyzed().expressions()
-            deterministic = all(
-                exprs.apply(i).deterministic()
-                for i in range(exprs.size())
-            )
-        except Exception:  # pragma: no cover - introspection moved
-            deterministic = True  # best-effort: never block analysis
-        if not require_deterministic:
-            deterministic = True  # reads evaluate once: anything goes
+        deterministic = True
+        if require_deterministic:  # reads evaluate once: anything goes
+            try:
+                exprs = (
+                    probe._jdf.queryExecution().analyzed().expressions()
+                )
+                deterministic = all(
+                    exprs.apply(i).deterministic()
+                    for i in range(exprs.size())
+                )
+            except Exception:  # pragma: no cover - introspection moved
+                deterministic = True  # best-effort: never block analysis
         if not deterministic:
             raise ValueError(
                 f"nondeterministic predicate {predicate!r} is not "
@@ -2997,29 +2999,97 @@ class TxnTable:
         pred = reduce(
             or_, [F.col(col).between(lo, hi) for lo, hi in ranges]
         )
+        return self._mor_delete_core(
+            lambda base: (
+                pred, self.files_matching_any(col, ranges, base.version)
+            ),
+            app_id, txn_seq, max_dv_rows, max_attempts,
+            op_params={"col": col, "ranges": ranges, "mor": True},
+            cow_hint="delete_where",
+        )
+
+    def delete_where_expr_mor(
+        self,
+        predicate: str,
+        prune_hints: dict | None = None,
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+        max_dv_rows: int = 1_000_000,
+        max_attempts: int = 5,
+    ) -> int:
+        """MERGE-ON-READ DELETE with an ARBITRARY SQL predicate — the
+        expr x MOR corner of the DML matrix: matching row positions go
+        into deletion-vector sidecars instead of rewriting files, so a
+        scattered predicate delete over 100 near-GB files writes ~100
+        tiny documents. Planning (validation, determinism rejection,
+        prune hints) is :meth:`delete_where_expr`'s; vector mechanics,
+        ``max_dv_rows`` bound, union idempotence, concurrency CAS and
+        replay are :meth:`delete_where_mor_ranges`'s. The predicate
+        evaluates ONCE per attempt (a single persisted job marks
+        positions), so the two-pass skew the COW form guards against
+        cannot occur — but nondeterministic predicates are still
+        rejected for replay sanity."""
+        return self._mor_delete_core(
+            lambda base: self._expr_dml_candidates(
+                base, predicate, prune_hints
+            ),
+            app_id, txn_seq, max_dv_rows, max_attempts,
+            op_params={
+                "predicate": predicate,
+                "mor": True,
+                "hints": {
+                    c: [list(r) for r in rs]
+                    for c, rs in (prune_hints or {}).items()
+                },
+            },
+            cow_hint="delete_where_expr",
+        )
+
+    def _mor_delete_core(
+        self,
+        plan,
+        app_id: str | None,
+        txn_seq: int | None,
+        max_dv_rows: int,
+        max_attempts: int,
+        op_params: dict,
+        cow_hint: str,
+    ) -> int:
+        """Shared merge-on-read DELETE loop: ``plan(base) -> (pred,
+        candidate_files)`` supplies the predicate and the stats-pruned
+        candidates; everything else (raw-position scan, bound, vector
+        union, CAS + retry) is identical across the range and expr
+        forms."""
         for _ in range(max_attempts):
             base = self.snapshot_meta()
             if base is None or not base.files:
                 return self.latest_version()
-            affected = self.files_matching_any(col, ranges, base.version)
+            pred, affected = plan(base)
             if not affected:
                 return base.version
             # RAW positions (no DV applied): the union below absorbs
-            # already-deleted positions idempotently
+            # already-deleted positions idempotently. Persisted: the
+            # bound count and the per-file vector build would
+            # otherwise each rescan every candidate file.
             matched = (
                 self._read_with_positions(
-                    base, affected, base.schema(), apply_dvs=False
+                    base, list(affected), base.schema(), apply_dvs=False
                 )
                 .where(pred)
                 .select("__dv_file", "__dv_pos")
+                .persist()
             )
-            n = matched.count()
-            if n > max_dv_rows:
-                raise ValueError(
-                    f"{n} matching rows exceed max_dv_rows={max_dv_rows}; "
-                    f"use delete_where (copy-on-write) for bulk deletes"
-                )
-            updates, expected = self._build_dv_updates(base, matched)
+            try:
+                n = matched.count()
+                if n > max_dv_rows:
+                    raise ValueError(
+                        f"{n} matching rows exceed max_dv_rows="
+                        f"{max_dv_rows}; use {cow_hint} (copy-on-write) "
+                        f"for bulk deletes"
+                    )
+                updates, expected = self._build_dv_updates(base, matched)
+            finally:
+                matched.unpersist()
             if not updates:
                 return base.version
             try:
@@ -3031,9 +3101,7 @@ class TxnTable:
                     txn_seq,
                     dv_updates=updates,
                     expected_dvs=expected,
-                    op_params={
-                        "col": col, "ranges": ranges, "mor": True,
-                    },
+                    op_params=op_params,
                 )
             except ConcurrentWriteError:
                 continue  # recompute against the moved state;
@@ -3097,11 +3165,82 @@ class TxnTable:
         ranges = [tuple(r) for r in ranges]
         if not ranges:
             raise ValueError("update_where_mor_ranges needs >= 1 range")
-        if not set_exprs:
-            raise ValueError("update_where_mor needs >= 1 SET expr")
         pred = reduce(
             or_, [F.col(col).between(lo, hi) for lo, hi in ranges]
         ) & F.col(col).isNotNull()
+        return self._mor_update_core(
+            lambda base: (
+                pred, self.files_matching_any(col, ranges, base.version)
+            ),
+            set_exprs, stats_cols, app_id, txn_seq, max_dv_rows,
+            max_attempts,
+            op_params={
+                "col": col,
+                "ranges": ranges,
+                "set": sorted(set_exprs),
+                "mor": True,
+            },
+            cow_hint="update_where",
+        )
+
+    def update_where_expr_mor(
+        self,
+        predicate: str,
+        set_exprs: dict[str, str],
+        prune_hints: dict | None = None,
+        stats_cols: tuple[str, ...] = (),
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+        max_dv_rows: int = 1_000_000,
+        max_attempts: int = 5,
+    ) -> int:
+        """MERGE-ON-READ UPDATE with an ARBITRARY SQL predicate:
+        vector the matched positions and append the transformed rows
+        in one atomic commit — write cost O(matched rows). Planning is
+        :meth:`update_where_expr`'s (validation, identity guard,
+        determinism rejection, prune hints); vector mechanics, bounds
+        and concurrency are :meth:`update_where_mor_ranges`'s. Matched
+        rows read WITH current vectors applied, so an already-deleted
+        row never resurrects as an updated copy."""
+        return self._mor_update_core(
+            lambda base: self._expr_dml_candidates(
+                base, predicate, prune_hints
+            ),
+            set_exprs, stats_cols, app_id, txn_seq, max_dv_rows,
+            max_attempts,
+            op_params={
+                "predicate": predicate,
+                "set": sorted(set_exprs),
+                "mor": True,
+                "hints": {
+                    c: [list(r) for r in rs]
+                    for c, rs in (prune_hints or {}).items()
+                },
+            },
+            cow_hint="update_where_expr",
+        )
+
+    def _mor_update_core(
+        self,
+        plan,
+        set_exprs: dict[str, str],
+        stats_cols: tuple[str, ...],
+        app_id: str | None,
+        txn_seq: int | None,
+        max_dv_rows: int,
+        max_attempts: int,
+        op_params: dict,
+        cow_hint: str,
+    ) -> int:
+        """Shared merge-on-read UPDATE loop (see
+        :meth:`_mor_delete_core` for the plan contract): validates SET
+        exprs against each attempt's schema (identity columns
+        rejected), vectors the matched positions, appends the
+        transformed rows, commits both atomically."""
+        from pyspark.sql import functions as F
+
+        if not set_exprs:
+            raise ValueError(f"{cow_hint}_mor needs >= 1 SET expr")
         for _ in range(max_attempts):
             base = self.snapshot_meta()
             if base is None or not base.files:
@@ -3118,17 +3257,17 @@ class TxnTable:
                     f"identity columns {sorted(id_set)} are GENERATED "
                     f"ALWAYS and cannot be SET"
                 )
-            affected = self.files_matching_any(
-                col, ranges, base.version
-            )
+            pred, affected = plan(base)
             if not affected:
                 return base.version
             # persist BEFORE counting: the count materializes the
             # cache, so the DV build and the staged rewrite reuse it
             # instead of rescanning every affected file
-            matched = self._read_with_positions(
-                base, affected, schema
-            ).where(pred).persist()
+            matched = (
+                self._read_with_positions(base, list(affected), schema)
+                .where(pred)
+                .persist()
+            )
             n = matched.count()
             if n == 0:
                 matched.unpersist()
@@ -3137,7 +3276,7 @@ class TxnTable:
                 matched.unpersist()
                 raise ValueError(
                     f"{n} matching rows exceed max_dv_rows="
-                    f"{max_dv_rows}; use update_where (copy-on-write) "
+                    f"{max_dv_rows}; use {cow_hint} (copy-on-write) "
                     f"for bulk updates"
                 )
             try:
@@ -3168,191 +3307,7 @@ class TxnTable:
                     staged_stats=stats,
                     dv_updates=updates,
                     expected_dvs=expected,
-                    op_params={
-                        "col": col,
-                        "ranges": ranges,
-                        "set": sorted(set_exprs),
-                        "mor": True,
-                    },
-                )
-            except ConcurrentWriteError:
-                continue  # recompute; orphan stage/DV docs are vacuumed
-        raise ConcurrentWriteError(
-            f"gave up merge-on-read update after {max_attempts} "
-            f"contended attempts"
-        )
-
-    def delete_where_expr_mor(
-        self,
-        predicate: str,
-        prune_hints: dict | None = None,
-        app_id: str | None = None,
-        txn_seq: int | None = None,
-        max_dv_rows: int = 1_000_000,
-        max_attempts: int = 5,
-    ) -> int:
-        """MERGE-ON-READ DELETE with an ARBITRARY SQL predicate — the
-        expr x MOR corner of the DML matrix: matching row positions go
-        into deletion-vector sidecars instead of rewriting files, so a
-        scattered predicate delete over 100 near-GB files writes ~100
-        tiny documents. Planning (validation, determinism rejection,
-        prune hints) is :meth:`delete_where_expr`'s; vector mechanics,
-        ``max_dv_rows`` bound, union idempotence, concurrency CAS and
-        replay are :meth:`delete_where_mor_ranges`'s. The predicate
-        evaluates ONCE per attempt (a single job marks positions), so
-        the two-pass skew the COW form guards against cannot occur —
-        but nondeterministic predicates are still rejected for replay
-        sanity."""
-        for _ in range(max_attempts):
-            base = self.snapshot_meta()
-            if base is None or not base.files:
-                return self.latest_version()
-            pred, candidates = self._expr_dml_candidates(
-                base, predicate, prune_hints
-            )
-            if not candidates:
-                return base.version
-            # RAW positions (no DV applied): the union below absorbs
-            # already-deleted positions idempotently
-            matched = (
-                self._read_with_positions(
-                    base, candidates, base.schema(), apply_dvs=False
-                )
-                .where(pred)
-                .select("__dv_file", "__dv_pos")
-            )
-            n = matched.count()
-            if n > max_dv_rows:
-                raise ValueError(
-                    f"{n} matching rows exceed max_dv_rows="
-                    f"{max_dv_rows}; use delete_where_expr "
-                    f"(copy-on-write) for bulk deletes"
-                )
-            updates, expected = self._build_dv_updates(base, matched)
-            if not updates:
-                return base.version
-            try:
-                return self._commit(
-                    "delete",
-                    [],
-                    base.schema_json,
-                    app_id,
-                    txn_seq,
-                    dv_updates=updates,
-                    expected_dvs=expected,
-                    op_params={
-                        "predicate": predicate,
-                        "mor": True,
-                        "hints": {
-                            c: [list(r) for r in rs]
-                            for c, rs in (prune_hints or {}).items()
-                        },
-                    },
-                )
-            except ConcurrentWriteError:
-                continue
-        raise ConcurrentWriteError(
-            f"gave up merge-on-read delete after {max_attempts} "
-            f"contended attempts"
-        )
-
-    def update_where_expr_mor(
-        self,
-        predicate: str,
-        set_exprs: dict[str, str],
-        prune_hints: dict | None = None,
-        stats_cols: tuple[str, ...] = (),
-        app_id: str | None = None,
-        txn_seq: int | None = None,
-        max_dv_rows: int = 1_000_000,
-        max_attempts: int = 5,
-    ) -> int:
-        """MERGE-ON-READ UPDATE with an ARBITRARY SQL predicate:
-        vector the matched positions and append the transformed rows
-        in one atomic commit — write cost O(matched rows). Planning is
-        :meth:`update_where_expr`'s (validation, identity guard,
-        determinism rejection, prune hints); vector mechanics, bounds
-        and concurrency are :meth:`update_where_mor_ranges`'s. Matched
-        rows read WITH current vectors applied, so an already-deleted
-        row never resurrects as an updated copy."""
-        from pyspark.sql import functions as F
-
-        if not set_exprs:
-            raise ValueError("update_where_expr_mor needs >= 1 SET expr")
-        for _ in range(max_attempts):
-            base = self.snapshot_meta()
-            if base is None or not base.files:
-                return self.latest_version()
-            schema = base.schema()
-            bad = set(set_exprs) - set(schema.fieldNames())
-            if bad:
-                raise ValueError(
-                    f"SET exprs for unknown columns {sorted(bad)}"
-                )
-            id_set = set(set_exprs) & set(base.identity)
-            if id_set:
-                raise ValueError(
-                    f"identity columns {sorted(id_set)} are GENERATED "
-                    f"ALWAYS and cannot be SET"
-                )
-            pred, candidates = self._expr_dml_candidates(
-                base, predicate, prune_hints
-            )
-            if not candidates:
-                return base.version
-            matched = (
-                self._read_with_positions(base, candidates, schema)
-                .where(pred)
-                .persist()
-            )
-            n = matched.count()
-            if n == 0:
-                matched.unpersist()
-                return base.version
-            if n > max_dv_rows:
-                matched.unpersist()
-                raise ValueError(
-                    f"{n} matching rows exceed max_dv_rows="
-                    f"{max_dv_rows}; use update_where_expr "
-                    f"(copy-on-write) for bulk updates"
-                )
-            try:
-                updated = matched.select(
-                    *[
-                        F.expr(set_exprs[f.name]).cast(f.dataType)
-                        .alias(f.name)
-                        if f.name in set_exprs
-                        else F.col(f.name)
-                        for f in schema.fields
-                    ]
-                )
-                staged, _sj, stats = self._stage(updated, stats_cols)
-                updates, expected = self._build_dv_updates(
-                    base, matched.select("__dv_file", "__dv_pos")
-                )
-            finally:
-                matched.unpersist()
-            if not updates and not staged:
-                return base.version
-            try:
-                return self._commit(
-                    "update",
-                    staged,
-                    schema.json(),  # SET exprs cast back: invariant
-                    app_id,
-                    txn_seq,
-                    staged_stats=stats,
-                    dv_updates=updates,
-                    expected_dvs=expected,
-                    op_params={
-                        "predicate": predicate,
-                        "set": sorted(set_exprs),
-                        "mor": True,
-                        "hints": {
-                            c: [list(r) for r in rs]
-                            for c, rs in (prune_hints or {}).items()
-                        },
-                    },
+                    op_params=op_params,
                 )
             except ConcurrentWriteError:
                 continue  # recompute; orphan stage/DV docs are vacuumed
@@ -3636,10 +3591,19 @@ class TxnTable:
             if not todo:
                 return base.version
             computed = footer_stats(self.root, todo, phys)
+            # only files whose footers actually yielded a NEW column
+            # entry commit — a file whose footer cannot answer (column
+            # younger than the file, stats disabled at write) stays
+            # out, so repeated ANALYZE calls converge to a no-op
+            # instead of growing the log forever
             merged = {
-                f: {**base.file_stats.get(f, {}), **computed.get(f, {})}
+                f: {**base.file_stats.get(f, {}), **computed[f]}
                 for f in todo
+                if computed.get(f)
+                and set(computed[f]) - set(base.file_stats.get(f, {}))
             }
+            if not merged:
+                return base.version
             try:
                 return self._commit(
                     "stats",

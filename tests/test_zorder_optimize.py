@@ -275,3 +275,30 @@ def test_restore_keeps_identity_watermark_and_respec_safe(spark, tmp_path):
            if r.pk is not None]
     assert len(ids) == len(set(ids))
     assert max(ids) > high
+
+
+def test_analyze_stats_cdf_and_convergence(spark, tmp_path):
+    """Second-review pins: (a) a 'stats' commit is transparent to the
+    CDF/file-diff machinery (it used to raise unknown-operation);
+    (b) ANALYZE converges to a no-op even when a column's footers
+    cannot answer (column younger than the file), instead of growing
+    the log forever."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_grid(spark, 0, 4, 0, 4, "a"))
+    v0 = t.latest_version()
+    v1 = t.analyze_stats(("x",))
+    assert v1 > v0
+    # (a) CDF spans crossing the stats version: empty feed, no crash
+    assert t.table_changes(v0, v1).count() == 0
+    assert t.file_diffs(v0, v1) == [] or all(
+        not added and not removed for _v, added, removed in t.file_diffs(v0, v1)
+    )
+    # (b) evolve a column the old file's footer cannot answer
+    t.append(
+        spark.createDataFrame(
+            [(999, 999, "n", 7)], "x int, y int, v string, extra int"
+        ).coalesce(1)
+    )
+    v2 = t.analyze_stats(("extra",))  # new file gains stats
+    assert t.analyze_stats(("extra",)) == v2  # old file can't: no-op
+    assert t.latest_version() == v2
