@@ -2730,6 +2730,18 @@ class TxnTable:
                 # the rename or every later append would re-add the
                 # old name and collide with its retired physical
                 ident_change = {old: None, new: dict(base.identity[old])}
+            zspec_change = None
+            if old in base.zorder_spec.get("cols", ()):
+                # the frozen z-spec is keyed by LOGICAL names too —
+                # rename them in place so optimize_zorder keeps
+                # accepting the (renamed) cluster set and the curve
+                # stays interval-comparable
+                zs = json.loads(json.dumps(base.zorder_spec))
+                zs["cols"] = [new if c == old else c for c in zs["cols"]]
+                for part in ("num", "cuts"):
+                    if old in zs.get(part, {}):
+                        zs[part][new] = zs[part].pop(old)
+                zspec_change = zs
             try:
                 return self._commit(
                     "schema",
@@ -2740,6 +2752,7 @@ class TxnTable:
                     expected_base=base.version,
                     column_map=cmap,
                     identity=ident_change,
+                    zorder_spec=zspec_change,
                     op_params={
                         "action": "rename", "from": old, "to": new,
                     },
@@ -2803,6 +2816,15 @@ class TxnTable:
                     # hit the resurrection guard forever
                     identity=(
                         {col: None} if col in base.identity else None
+                    ),
+                    # a curve referencing the dropped column is dead:
+                    # clear it (the next optimize_zorder freezes a
+                    # fresh spec and deliberately distrusts leftover
+                    # _z stats — see fresh_spec there)
+                    zorder_spec=(
+                        {}
+                        if col in base.zorder_spec.get("cols", ())
+                        else None
                     ),
                     op_params={"action": "drop", "column": col},
                 )
@@ -3461,17 +3483,25 @@ class TxnTable:
                 f"same columns (re-cluster with write_zorder_txn to "
                 f"change the curve)"
             )
-        if not spec:
+        fresh_spec = not spec
+        if fresh_spec:
             spec = compute_zorder_spec(
                 self.snapshot(base.version), cluster_cols, bits, max_sample
             )
 
         # per-file z-intervals: clustered files from manifest stats,
-        # unclustered ones from one bounded scan of exactly those files
+        # unclustered ones from one bounded scan of exactly those
+        # files. Under a FRESH spec any leftover _z entries (a past
+        # curve cleared by drop_column) were computed under different
+        # buckets and are NOT interval-comparable — every file is
+        # unclustered then.
         zranges: dict[str, tuple[int, int]] = {}
         unclustered: list[str] = []
         for f in base.files:
-            st = base.file_stats.get(f, {}).get("_z")
+            st = (
+                None if fresh_spec
+                else base.file_stats.get(f, {}).get("_z")
+            )
             if st is not None and st[0] is not None:
                 zranges[f] = (int(st[0]), int(st[1]))
             else:

@@ -302,3 +302,32 @@ def test_analyze_stats_cdf_and_convergence(spark, tmp_path):
     v2 = t.analyze_stats(("extra",))  # new file gains stats
     assert t.analyze_stats(("extra",)) == v2  # old file can't: no-op
     assert t.latest_version() == v2
+
+
+def test_zorder_spec_follows_rename_and_drop(spark, tmp_path):
+    """Schema evolution vs the frozen curve: renaming a cluster
+    column renames it inside the spec (the curve keeps working under
+    the new name); dropping one clears the spec, and the next
+    optimize freezes a FRESH spec that distrusts leftover _z stats
+    (they were computed under incomparable buckets)."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_grid(spark, 0, 8, 0, 8, "a"), stats_cols=("x", "y"))
+    t.optimize_zorder(("x", "y"), bits=4)
+    t.rename_column("x", "col_x")
+    spec = t.snapshot_meta().zorder_spec
+    assert spec["cols"] == ["col_x", "y"]
+    assert "col_x" in spec["num"] and "x" not in spec["num"]
+    # the renamed curve still optimizes (no-op: everything clustered)
+    v = t.latest_version()
+    assert t.optimize_zorder(("col_x", "y"), bits=4) == v
+    # dropping a cluster column kills the curve
+    t.drop_column("col_x")
+    assert t.snapshot_meta().zorder_spec == {}
+    # a fresh 1-D curve re-freezes; leftover _z stats are distrusted,
+    # so every file reclusters under the new spec and the answer holds
+    t.optimize_zorder(("y",), bits=4, files_per_component=4)
+    meta = t.snapshot_meta()
+    assert meta.zorder_spec["cols"] == ["y"]
+    assert t.snapshot().count() == 64
+    keep, total = t.files_matching({"y": (0, 0)})
+    assert len(keep) < total
