@@ -3414,6 +3414,7 @@ class TxnTable:
         stats_cols: tuple[str, ...] = (),
         files_per_component: int | None = None,
         max_sample: int = 4096,
+        refreeze: bool = False,
     ) -> int:
         """Incremental, MOR-aware OPTIMIZE ZORDER (round-4 verdict
         #7): recluster ONLY the file runs whose Morton-key ranges
@@ -3428,8 +3429,10 @@ class TxnTable:
           buckets would define a different curve and per-file
           z-ranges could not be interval-compared. Data drifting
           outside the frozen bounds clamps into edge buckets
-          (granularity degrades at the edges; a full recluster after
-          recomputing the spec re-tightens).
+          (granularity degrades at the edges; ``refreeze=True``
+          recomputes the spec from current data and reclusters the
+          whole table under it — the periodic re-tightening move,
+          also the way to change the cluster column set).
         * Rewrites stage ``_z`` as a PHYSICAL parquet column whose
           footer stats ride the manifest like any stats column, but
           the committed schema never includes it — readers project it
@@ -3476,12 +3479,12 @@ class TxnTable:
                 "table already has a column named '_z'; optimize_zorder "
                 "reserves that physical name for the Morton key"
             )
-        spec = dict(base.zorder_spec)
+        spec = {} if refreeze else dict(base.zorder_spec)
         if spec and list(spec.get("cols", ())) != list(cluster_cols):
             raise ValueError(
                 f"table is z-ordered on {spec.get('cols')}; pass the "
-                f"same columns (re-cluster with write_zorder_txn to "
-                f"change the curve)"
+                f"same columns, or refreeze=True to re-tighten the "
+                f"curve (full recluster) on a new column set"
             )
         fresh_spec = not spec
         if fresh_spec:

@@ -331,3 +331,85 @@ def test_zorder_spec_follows_rename_and_drop(spark, tmp_path):
     assert t.snapshot().count() == 64
     keep, total = t.files_matching({"y": (0, 0)})
     assert len(keep) < total
+
+
+def test_optimize_zorder_refreeze_retightens(spark, tmp_path):
+    """refreeze=True recomputes the spec from current data and
+    reclusters everything under it — drifted data regains bucket
+    resolution, and a different column set becomes legal."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_grid(spark, 0, 4, 0, 4, "a"), stats_cols=("x", "y"))
+    t.optimize_zorder(("x", "y"), bits=4)
+    lo, hi = t.snapshot_meta().zorder_spec["num"]["x"]
+    # drift far outside the frozen bounds
+    t.append(_grid(spark, 1000, 1016, 0, 4, "d"), stats_cols=("x", "y"))
+    t.optimize_zorder(("x", "y"), bits=4)  # clamps into edge buckets
+    assert t.snapshot_meta().zorder_spec["num"]["x"] == [lo, hi]
+    t.optimize_zorder(("x", "y"), bits=4, refreeze=True,
+                      files_per_component=4)
+    new_lo, new_hi = t.snapshot_meta().zorder_spec["num"]["x"]
+    assert new_hi > hi  # bounds re-tightened around current data
+    assert t.snapshot().count() == 16 + 64
+    # with only 4 output files the top interleaved bit (y's) decides
+    # the split, so assert pruning on y — the dimension the curve
+    # actually separated at this width
+    keep, total = t.files_matching({"y": (0, 0)})
+    assert len(keep) < total
+    # refreeze also switches column sets legally
+    t.optimize_zorder(("y",), bits=4, refreeze=True)
+    assert t.snapshot_meta().zorder_spec["cols"] == ["y"]
+
+
+def test_optimize_zorder_conflicts_with_concurrent_mor_delete(
+    spark, tmp_path
+):
+    """The rewrite declares its input vectors: a MOR delete landing
+    on a selected file between planning and publish aborts the
+    optimize instead of resurrecting the deleted rows."""
+    import pytest as _pytest
+
+    from etl_data_lake_spark.sources.sinks import (
+        compute_zorder_spec,
+        zorder_key_with_spec,
+    )
+    from etl_data_lake_spark.sources.txn import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(_grid(spark, 0, 8, 0, 4, "a"), stats_cols=("x", "y"))
+    base = t.snapshot_meta()
+    spec = compute_zorder_spec(t.snapshot(base.version), ("x", "y"), 4)
+    clustered = (
+        zorder_key_with_spec(t.read_files(base, list(base.files)), spec)
+        .repartitionByRange(2, F.col("_z"))
+        .sortWithinPartitions("_z")
+    )
+    staged, _sj, stats = t._stage(clustered, ("x", "y", "_z"))
+    TxnTable(spark, path).delete_where_mor("x", 3, 3)  # concurrent
+    with _pytest.raises(ConcurrentWriteError):
+        t._commit(
+            "compact", staged, base.schema().json(), None, None,
+            replaced=tuple(base.files),
+            expected_dvs={f: base.file_dvs.get(f) for f in base.files},
+            staged_stats=stats, zorder_spec=spec,
+        )
+    # the delete survived; a fresh optimize applies + retires it
+    t.optimize_zorder(("x", "y"), bits=4)
+    assert not t.snapshot_meta().file_dvs
+    assert all(r.x != 3 for r in t.snapshot().select("x").collect())
+
+
+def test_txnlake_reads_zordered_table_without_z(spark, tmp_path):
+    """The physical-only _z column never leaks through the txnlake
+    datasource either."""
+    from etl_data_lake_spark.sources.lake_datasource import (
+        register_lake_source,
+    )
+
+    register_lake_source(spark)
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_grid(spark, 0, 4, 0, 4, "a"), stats_cols=("x", "y"))
+    t.optimize_zorder(("x", "y"), bits=4)
+    df = spark.read.format("txnlake").load(str(t.root))
+    assert df.columns == ["x", "y", "v"]
+    assert df.count() == 16
