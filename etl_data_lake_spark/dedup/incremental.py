@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from etl_data_lake_spark.dedup.jaccard import jaccard_pairs, shingle_table
 from etl_data_lake_spark.dedup.minhash import (
-    _band_key,
+    band_table,
     lsh_candidates,
     minhash_signatures,
 )
@@ -60,7 +60,14 @@ class MinHashDedupIndex:
         bands: int = 4,
         rows: int = 3,
     ):
-        assert bands * rows <= k
+        from etl_data_lake_spark.dedup.minhash import PERM_A
+
+        if not 1 <= k <= len(PERM_A):
+            raise ValueError(f"k must be in [1, {len(PERM_A)}], got {k}")
+        if bands * rows > k:
+            raise ValueError(
+                f"bands*rows ({bands}*{rows}) must be <= k ({k})"
+            )
         self.spark = spark
         self.path = str(path)
         self.n, self.k, self.bands, self.rows = n, k, bands, rows
@@ -91,15 +98,13 @@ class MinHashDedupIndex:
         sh = shingle_table(docs, text_col, id_col, self.n, hashed=True).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        sigs = minhash_signatures(sh, self.k)
-        band_keys = [
-            _band_key([f"mh{b * self.rows + r}" for r in range(self.rows)])
-            for b in range(self.bands)
-        ]
-        posts = sigs.select(
-            "doc_id",
-            F.posexplode(F.array(*band_keys)).alias("band", "band_key"),
+        # sigs persisted too: the signature aggregate feeds BOTH the
+        # signatures write and the postings (banding) write — without
+        # this the dominant groupBy-min shuffle runs twice
+        sigs = minhash_signatures(sh, self.k).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
+        posts = band_table(sigs, self.bands, self.rows)
         return sh, sigs, posts
 
     def build(
@@ -126,6 +131,7 @@ class MinHashDedupIndex:
             ).sortWithinPartitions("band_key")
             self.post_tbl.overwrite(clustered, stats_cols=("band_key",))
         finally:
+            sigs.unpersist()
             sh.unpersist()
 
     def add(
@@ -135,25 +141,51 @@ class MinHashDedupIndex:
         id_col: str = "doc_id",
         app_id: str | None = None,
         txn_seq: int | None = None,
+        batch_files: int = 4,
     ) -> None:
         """Append a batch's sketch exactly-once: the same (app_id,
         txn_seq) rides both commits, so a replayed batch no-ops on
         whichever table already applied it (crash between the two
-        appends is repaired by the replay)."""
+        appends is repaired by the replay). The batch's postings are
+        range-partitioned by band_key into ``batch_files`` files so
+        each appended file covers a prunable subrange — an unsorted
+        append would span the whole hash domain and defeat every
+        future probe's file skipping; :meth:`optimize` consolidates
+        the per-batch runs."""
         sh, sigs, posts = self._sketch(docs, text_col, id_col)
         try:
             self.post_tbl.append(
-                posts, app_id=app_id, txn_seq=txn_seq,
+                posts.repartitionByRange(batch_files, F.col("band_key"))
+                .sortWithinPartitions("band_key"),
+                app_id=app_id, txn_seq=txn_seq,
                 stats_cols=("band_key",),
             )
             self.sig_tbl.append(sigs, app_id=app_id, txn_seq=txn_seq)
         finally:
+            sigs.unpersist()
             sh.unpersist()
 
-    def optimize(self, target_bytes: int = 64 << 20) -> None:
-        self.post_tbl.optimize_small_files(
-            target_bytes=target_bytes, stats_cols=("band_key",)
-        )
+    def optimize(
+        self, n_files: int = 8, target_bytes: int = 64 << 20
+    ) -> None:
+        """Consolidate append tails. Postings must be RECLUSTERED
+        (range-partition + sort by band_key, pinned to the read
+        version), never coalesced — a plain small-file compact merges
+        range-clustered files without re-sorting, leaving every
+        output spanning the whole hash domain and silently destroying
+        the manifest-stats pruning the probe depends on."""
+        meta = self.post_tbl.snapshot_meta()
+        if meta is not None and len(meta.files) > n_files:
+            clustered = (
+                self.post_tbl.snapshot(meta.version)
+                .repartitionByRange(n_files, F.col("band_key"))
+                .sortWithinPartitions("band_key")
+            )
+            self.post_tbl.overwrite(
+                clustered,
+                stats_cols=("band_key",),
+                expected_base=meta.version,
+            )
         self.sig_tbl.optimize_small_files(target_bytes=target_bytes)
 
     # ------------------------------------------------------ probing --
@@ -186,7 +218,6 @@ class MinHashDedupIndex:
         if self.post_tbl.snapshot_meta() is None:
             raise FileNotFoundError(f"no index built at {self.path}")
         sh, sigs, posts = self._sketch(docs, text_col, id_col)
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
         posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             keys = [
@@ -239,7 +270,8 @@ class MinHashDedupIndex:
                 .distinct()
             )
             intra = lsh_candidates(
-                sigs, self.bands, self.rows, bucket_cap=bucket_cap
+                sigs, self.bands, self.rows, bucket_cap=bucket_cap,
+                band_tbl=posts,  # the banding is already computed
             )
             old_sigs = self.sig_tbl.snapshot()
             est = self._estimate(
@@ -272,9 +304,21 @@ class MinHashDedupIndex:
             F.col("doc_id").alias("doc_a"),
             *[F.col(f"mh{i}").alias(f"a{i}") for i in range(self.k)],
         )
-        b = sigs_b.select(
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(f"mh{i}").alias(f"b{i}") for i in range(self.k)],
+        # prefilter the (possibly corpus-sized) b side down to the
+        # candidate members with a broadcast semi join BEFORE the
+        # outer join — a left join cannot broadcast its right side,
+        # so without this the whole signatures table would shuffle
+        # per probe
+        b = (
+            sigs_b.join(
+                F.broadcast(pairs.select("doc_b").distinct()),
+                sigs_b.doc_id == F.col("doc_b"),
+                "left_semi",
+            )
+            .select(
+                F.col("doc_id").alias("doc_b"),
+                *[F.col(f"mh{i}").alias(f"b{i}") for i in range(self.k)],
+            )
         )
         agree = sum(
             F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)

@@ -49,11 +49,26 @@ def _band_key(cols: list[str]):
     return key
 
 
+def band_table(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, band_key): single-pass posexplode banding of a
+    signature frame — THE banding definition, shared by the one-shot
+    LSH path and the persisted incremental index so the two can never
+    diverge."""
+    band_keys = [
+        _band_key([f"mh{b * rows + r}" for r in range(rows)])
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+    )
+
+
 def lsh_candidates(
     signatures: DataFrame,
     bands: int = 4,
     rows: int = 3,
     bucket_cap: int | None = None,
+    band_tbl: DataFrame | None = None,
 ) -> DataFrame:
     """Band the signature and bucket-join: docs agreeing on ALL r mins
     of any band become a candidate pair.
@@ -73,13 +88,13 @@ def lsh_candidates(
     preserves the exact LSH-candidate semantics the DuckDB oracle
     reproduces; at 100 TB run exact dedup first, then cap as insurance
     — docs sharing a capped bucket still clique, so clusters survive
-    via transitivity."""
-    band_keys = [
-        _band_key([f"mh{b * rows + r}" for r in range(rows)]) for b in range(bands)
-    ]
-    band_tbl = signatures.select(
-        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
-    )
+    via transitivity.
+
+    ``band_tbl`` optionally supplies an already-computed
+    :func:`band_table` (the incremental index persists one) so the
+    banding is not re-derived."""
+    if band_tbl is None:
+        band_tbl = band_table(signatures, bands, rows)
     if bucket_cap is not None:
         w = Window.partitionBy("band", "band_key").orderBy("doc_id")
         band_tbl = (

@@ -1391,6 +1391,7 @@ class TxnTable:
         identity: dict | None = None,
         expected_identity: dict | None = None,
         zorder_spec: dict | None = None,
+        expected_zorder_spec: dict | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop. Returns the committed
         version (or the current one, for an idempotent no-op). The
@@ -1629,6 +1630,19 @@ class TxnTable:
                 if zorder_spec is not None
                 else (dict(base.zorder_spec) if base else {})
             )
+            # Z-SPEC CAS: a writer whose _z values were computed under
+            # spec S must abort if the table's spec moved (a racing
+            # refreeze) — its footer stats would be interval-compared
+            # under the NEW spec and could silently mis-cluster files
+            # forever. Callers re-key and retry.
+            if expected_zorder_spec is not None:
+                cur_zspec = dict(base.zorder_spec) if base else {}
+                if cur_zspec != expected_zorder_spec:
+                    raise ConcurrentWriteError(
+                        "zorder_spec changed concurrently (a refreeze "
+                        "raced this commit); re-key the batch under "
+                        "the current spec and retry"
+                    )
             # IDENTITY watermark CAS: an append that allocated IDs
             # past watermark W conflicts if any concurrent commit
             # advanced it (its staged values would collide with the
@@ -2690,6 +2704,11 @@ class TxnTable:
 
         if old == new:
             raise ValueError("rename to the same name")
+        if new == "_z":
+            raise ValueError(
+                "'_z' is reserved for the Morton clustering key "
+                "(optimize_zorder); pick another name"
+            )
         for _ in range(max_attempts):
             base = self.snapshot_meta()
             if base is None:
@@ -3479,6 +3498,7 @@ class TxnTable:
                 "table already has a column named '_z'; optimize_zorder "
                 "reserves that physical name for the Morton key"
             )
+        observed_spec = dict(base.zorder_spec)
         spec = {} if refreeze else dict(base.zorder_spec)
         if spec and list(spec.get("cols", ())) != list(cluster_cols):
             raise ValueError(
@@ -3579,6 +3599,7 @@ class TxnTable:
             expected_dvs={f: base.file_dvs.get(f) for f in replaced},
             staged_stats=all_stats,
             zorder_spec=spec,
+            expected_zorder_spec=observed_spec,
             op_params={
                 "zorder": list(cluster_cols),
                 "components": len(selected),
@@ -3709,6 +3730,7 @@ class TxnTable:
         return self._commit(
             "append", staged, schema_json, app_id, txn_seq,
             staged_stats=stats,
+            expected_zorder_spec=spec,
         )
 
     # -------------------------------------------------- maintenance --

@@ -413,3 +413,46 @@ def test_txnlake_reads_zordered_table_without_z(spark, tmp_path):
     df = spark.read.format("txnlake").load(str(t.root))
     assert df.columns == ["x", "y", "v"]
     assert df.count() == 16
+
+
+def test_append_clustered_conflicts_with_concurrent_refreeze(
+    spark, tmp_path
+):
+    """Z-spec CAS (third-review pin): a clustered append keyed under
+    spec S aborts when a refreeze lands first — its _z stats would be
+    interval-compared under the new spec and could silently
+    mis-cluster files forever. Rename to the reserved '_z' is also
+    rejected."""
+    from etl_data_lake_spark.sources.txn import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(_grid(spark, 0, 8, 0, 8, "a"), stats_cols=("x", "y"))
+    t.optimize_zorder(("x", "y"), bits=4)
+    old_spec = dict(t.snapshot_meta().zorder_spec)
+    # concurrent drift + refreeze changes the curve (same data would
+    # re-freeze an identical spec, which correctly passes the CAS)
+    other = TxnTable(spark, path)
+    other.append(_grid(spark, 500, 508, 0, 8, "far"), stats_cols=("x", "y"))
+    other.optimize_zorder(("x", "y"), bits=4, refreeze=True)
+    assert dict(t.snapshot_meta().zorder_spec) != old_spec
+    # an append still keyed under the OLD spec must conflict
+    from etl_data_lake_spark.sources.sinks import zorder_key_with_spec
+
+    batch = _grid(spark, 0, 8, 0, 8, "n")
+    clustered = (
+        zorder_key_with_spec(batch, old_spec)
+        .repartitionByRange(2, F.col("_z"))
+        .sortWithinPartitions("_z")
+    )
+    staged, _sj, stats = t._stage(clustered, ("x", "y", "_z"))
+    with pytest.raises(ConcurrentWriteError, match="zorder_spec"):
+        t._commit(
+            "append", staged, batch.schema.json(), None, None,
+            staged_stats=stats, expected_zorder_spec=old_spec,
+        )
+    # the public path (re-reading the current spec) succeeds
+    t.append_clustered(batch, stats_cols=("x", "y"))
+    assert t.snapshot().count() == 64 + 64 + 64
+    with pytest.raises(ValueError, match="reserved"):
+        t.rename_column("v", "_z")
