@@ -157,3 +157,78 @@ def test_probe_empty_batch_and_missing_index(spark, idx, tmp_path):
     assert idx.probe(empty).count() == 0
     with pytest.raises(FileNotFoundError):
         MinHashDedupIndex(idx.spark, str(tmp_path / "nope")).probe(empty)
+
+
+def test_incremental_curation_pipeline_end_to_end(spark, tmp_path):
+    """The steady-state 100 TB curation loop, composed from the
+    pieces: raw docs land in a txn table; a CDF consumer drains each
+    commit, probes the dedup index, keeps only novel docs, and
+    appends survivors to a CLEAN corpus table + the index — with
+    exactly-once effects under replay (v_to as txn seq). Kept set ==
+    greedy first-come-kept over the arrival order."""
+    from etl_data_lake_spark.sources.cdf import process_changes
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    raw = TxnTable(spark, str(tmp_path / "raw"))
+    clean = TxnTable(spark, str(tmp_path / "clean"))
+    ix = MinHashDedupIndex(spark, str(tmp_path / "ix"))
+    state = str(tmp_path / "offset")
+
+    texts = {
+        "a": "the first unique document about spark file pruning",
+        "b": "a second unique document describing deletion vectors",
+        "c": "a third unique document on morton space filling curves",
+    }
+    batches = [
+        [("d1", texts["a"]), ("d2", texts["b"])],
+        [("d3", texts["a"]), ("d4", texts["c"])],   # d3 dups d1
+        [("d5", texts["c"]), ("d6", texts["c"])],   # d5 dups d4; d6 dups both
+    ]
+
+    def consume(changes, v_to):
+        batch = changes.where(F.col("_change_type") == "insert").select(
+            "doc_id", "text"
+        )
+        if ix.post_tbl.snapshot_meta() is None:
+            survivors = batch  # first batch: intra-dedup only below
+            pairs = None
+        else:
+            pairs = ix.probe(batch)
+        if pairs is not None:
+            dup_new = pairs.where(
+                (F.col("kind") == "cross") & (F.col("est_jaccard") >= 0.9)
+            ).select(F.col("doc_a").alias("doc_id"))
+            survivors = batch.join(
+                F.broadcast(dup_new), "doc_id", "left_anti"
+            )
+            # intra dups: keep the lexicographically first of each pair
+            intra_losers = pairs.where(
+                (F.col("kind") == "intra") & (F.col("est_jaccard") >= 0.9)
+            ).select(F.col("doc_b").alias("doc_id"))
+            survivors = survivors.join(
+                F.broadcast(intra_losers), "doc_id", "left_anti"
+            )
+        else:
+            survivors = batch
+        if ix.post_tbl.snapshot_meta() is None:
+            ix.build(survivors)
+        else:
+            ix.add(survivors, app_id="curator-ix", txn_seq=v_to)
+        clean.append(survivors, app_id="curator", txn_seq=v_to)
+
+    for rows in batches:
+        raw.append(
+            spark.createDataFrame(rows, "doc_id string, text string")
+            .coalesce(1)
+        )
+        process_changes(raw, state, consume)
+
+    kept = sorted(r.doc_id for r in clean.snapshot().collect())
+    assert kept == ["d1", "d2", "d4"]  # greedy first-come-kept
+    # replaying the last batch's consume is a no-op (exactly-once)
+    last_v = raw.latest_version()
+    consume(raw.table_changes(last_v - 1, last_v), last_v)
+    assert sorted(r.doc_id for r in clean.snapshot().collect()) == kept
+    # and the clean corpus is internally near-dup-free
+    full = minhash_lsh_pairs(clean.snapshot(), threshold=0.9)
+    assert full.count() == 0
