@@ -97,3 +97,30 @@ def test_contamination_on_empty_sides(spark, empty_docs):
     out = {r.doc_id: r.text for r in excise_spans(docs, spans).collect()}
     orig = {r.doc_id: r.text for r in docs.collect()}
     assert out == orig
+
+
+def test_round5_lakehouse_ops_on_empty_table(spark, tmp_path):
+    """Round-5 surfaces degrade to no-ops on empty/absent tables."""
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    # absent table: every DML no-ops at version 0
+    assert t.delete_where_expr("1 = 1") == 0
+    assert t.update_where_expr("1 = 1", {"x": "1"}) == 0
+    assert t.delete_where_expr_mor("1 = 1") == 0
+    assert t.optimize_zorder(("x",)) == 0
+    assert t.analyze_stats(("x",)) == 0
+    # schema-only table (zero-row append): still no crashes
+    t.append(spark.createDataFrame([], "x int, v string"))
+    v = t.latest_version()
+    assert t.delete_where_expr("x = 1") == v
+    assert t.optimize_zorder(("x",)) == v  # no files -> nothing to do
+    assert t.analyze_stats(("x",)) == v
+    # zero-row clustered append after a real optimize
+    t.append(
+        spark.createDataFrame([(1, "a")], "x int, v string").coalesce(1),
+        stats_cols=("x",),
+    )
+    t.optimize_zorder(("x",))
+    t.append_clustered(spark.createDataFrame([], "x int, v string"))
+    assert t.snapshot().count() == 1
