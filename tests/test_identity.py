@@ -267,3 +267,22 @@ def test_identity_concurrent_registration_not_erased(spark, tmp_path):
     ident = t.snapshot_meta().identity
     assert set(ident) == {"pk", "pk2"}  # pk2 survived the merge
     assert ident["pk"]["high"] == 1
+
+
+def test_identity_through_streaming_sink(spark, tmp_path):
+    """txn_append_sink (foreachBatch exactly-once) composes with
+    identity allocation: each micro-batch allocates past the
+    watermark, a replayed batch id no-ops, ids stay unique."""
+    from etl_data_lake_spark.sources.txn import txn_append_sink
+
+    path = str(tmp_path / "t")
+    t = TxnTable(spark, path)
+    t.append(_df(spark))
+    t.add_identity_column("pk")
+    sink = txn_append_sink(path, app_id="ing")
+    sink(_df(spark, "a", "b"), 0)
+    sink(_df(spark, "a", "b"), 0)  # replayed micro-batch: no-op
+    sink(_df(spark, "c"), 1)
+    ids = _ids(t)
+    assert len(ids) == 3 and len(set(ids)) == 3
+    assert t.snapshot_meta().identity["pk"]["high"] == max(ids)
