@@ -159,6 +159,8 @@ def build_bloom_index(
             )
         )
 
+        dtype_str = meta.schema()[col].dataType.simpleString()
+
         def make(pdf: pd.DataFrame) -> pd.DataFrame:
             hs = pdf["__h"].to_numpy(dtype=np.int64)
             uniq = np.unique(hs)
@@ -188,9 +190,13 @@ def build_bloom_index(
                 entry = {
                     "m": m, "k": k,
                     "bits": base64.b64encode(b"\x00" * (m // 8)).decode(),
+                    "dtype": dtype_str,
                 }
             else:
-                entry = {"m": hit["m"], "k": hit["k"], "bits": hit["bits"]}
+                entry = {
+                    "m": hit["m"], "k": hit["k"], "bits": hit["bits"],
+                    "dtype": dtype_str,
+                }
             p = _sidecar_path(table.root, f, phys)
             p.parent.mkdir(parents=True, exist_ok=True)
             tmp = p.parent / f".tmp-{uuid.uuid4().hex}"
@@ -268,6 +274,15 @@ def files_matching_eq(
             try:
                 doc = json.loads(p.read_text())
                 if not {"m", "k", "bits"} <= set(doc):
+                    doc = None
+                # a filter built under a DIFFERENT column type hashed
+                # different bytes — trusting it would be a false
+                # negative; conservative keep (widening also retires
+                # these docs commit-side, this guards the race and
+                # any doc the retire pass missed)
+                elif doc.get("dtype") is not None and doc["dtype"] != (
+                    meta.schema()[col].dataType.simpleString()
+                ):
                     doc = None
             except (ValueError, OSError):
                 doc = None

@@ -134,10 +134,48 @@ def largest_gap_ranges(values, max_ranges: int) -> list[tuple]:
     return out
 
 
+# LOSSLESS type-widening lattice (Delta's type-widening feature set,
+# integral/float subset): (narrow, wide) pairs where every narrow
+# value is exactly representable as the wide type AND the parquet
+# reader upcasts narrow files under the wide read schema (verified on
+# this engine for all pairs below; the datasource's pyarrow path casts
+# explicitly). long->double and int->float are DELIBERATELY absent —
+# both lose precision.
+_WIDENS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+}
+
+
+def _wider(a, b):
+    """The wider of two types when one losslessly widens to the other
+    (or they are equal); None when neither direction is lossless."""
+    if a == b:
+        return a
+    an, bn = a.simpleString(), b.simpleString()
+    if (an, bn) in _WIDENS:
+        return b
+    if (bn, an) in _WIDENS:
+        return a
+    return None
+
+
 def merge_schemas(base: StructType, incoming: StructType) -> StructType:
     """Additive schema evolution: the union of both field lists, base
-    order first. Shared names must agree on type exactly — silent
-    widening/narrowing is how lakes corrupt themselves."""
+    order first. Shared names must agree on type exactly OR widen
+    LOSSLESSLY along the ``_WIDENS`` lattice (int->bigint,
+    float->double, ...): a wider incoming column widens the published
+    schema (old narrow files read correctly under it — the engine
+    upcasts at scan time), a narrower incoming one is simply read
+    under the table's wider type. Anything lossy or incomparable
+    still raises — silent narrowing is how lakes corrupt
+    themselves. NOTE: widening a column invalidates its bloom
+    sidecars (the engine hash is type-dependent); the commit path
+    retires them, and probes also ignore sidecars stamped with a
+    different dtype."""
     by_name = {f.name: f for f in base.fields}
     out = list(base.fields)
     for f in incoming.fields:
@@ -145,10 +183,18 @@ def merge_schemas(base: StructType, incoming: StructType) -> StructType:
         if have is None:
             out.append(f)
         elif have.dataType != f.dataType:
-            raise SchemaEvolutionError(
-                f"column {f.name!r}: table has {have.dataType.simpleString()}"
-                f", append has {f.dataType.simpleString()}"
-            )
+            w = _wider(have.dataType, f.dataType)
+            if w is None:
+                raise SchemaEvolutionError(
+                    f"column {f.name!r}: table has "
+                    f"{have.dataType.simpleString()}, append has "
+                    f"{f.dataType.simpleString()} (not losslessly "
+                    f"widenable)"
+                )
+            if w != have.dataType:
+                out[out.index(have)] = StructField(
+                    f.name, w, have.nullable or f.nullable
+                )
     return StructType(out)
 
 
@@ -1728,6 +1774,39 @@ class TxnTable:
                 "zorder_spec": attempt_zspec,
             }
             if self._publish(manifest, _manifest_path(self.root, base_v + 1)):
+                # a commit that WIDENED column types invalidates those
+                # columns' bloom sidecars: the engine hash the filters
+                # were built with is type-dependent, and probing a
+                # widened column against a narrow-typed filter would
+                # produce FALSE NEGATIVES (wrongly skipped files).
+                # Retire them best-effort after the publish; probes
+                # tolerate the race (missing/changed docs are
+                # conservatively kept) and also ignore docs stamped
+                # with a different dtype.
+                if base is not None:
+                    old_types = {
+                        f.name: f.dataType for f in base.schema().fields
+                    }
+                    widened = [
+                        f.name
+                        for f in StructType.fromJson(
+                            json.loads(attempt_schema)
+                        ).fields
+                        if f.name in old_types
+                        and f.dataType != old_types[f.name]
+                    ]
+                    for c in widened:
+                        phys_c = base.phys(c)
+                        for f in base.files:
+                            parts = f.split("/")
+                            rel = (
+                                "/".join(parts[1:])
+                                if parts[0] == "data"
+                                else f
+                            )
+                            (
+                                self.root / "_bloom" / f"{rel}.{phys_c}.json"
+                            ).unlink(missing_ok=True)
                 live = set(files)
                 carried = (
                     {f: s for f, s in base.file_stats.items() if f in live}
