@@ -285,8 +285,26 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         self._schema = schema
         # Delta semantics: startingVersion is INCLUSIVE — the offset
         # is "last consumed version", so version N itself is read
-        # (0 and 1 both mean "from the table's beginning")
-        self._start = max(0, int(options.get("startingVersion", 1)) - 1)
+        # (0 and 1 both mean "from the table's beginning").
+        # startingTimestamp (epoch ms) resolves to the first version
+        # AT-OR-AFTER the stamp via the same skew-tolerant walk batch
+        # time travel uses; mutually exclusive with startingVersion,
+        # like Delta's.
+        sv = options.get("startingVersion")
+        st = options.get("startingTimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "set either startingVersion or startingTimestamp, "
+                "not both"
+            )
+        if st is not None:
+            # version_as_of gives the newest version AT-OR-BEFORE the
+            # stamp — the stream starts AFTER it (changes strictly
+            # newer than the timestamp), so that version IS the
+            # initial "last consumed" offset
+            self._start = max(0, self._table.version_as_of(int(st)))
+        else:
+            self._start = max(0, int(sv if sv is not None else 1) - 1)
         self._ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
         )

@@ -479,3 +479,45 @@ def test_stream_bad_max_versions_rejected(spark, tmp_path):
             .start()
         )
         q.awaitTermination(60)
+
+
+def test_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp resolves to 'changes strictly after the
+    stamp' via the manifest ts walk (Delta's semantics); mutually
+    exclusive with startingVersion."""
+    register_lake_source(spark)
+    src = str(tmp_path / "src")
+    t = TxnTable(spark, src)
+    t.append(_mk(spark, [(1, "a")]), stats_cols=("id",))
+    t.append(_mk(spark, [(2, "b")]), stats_cols=("id",))
+    import time as _time
+
+    _time.sleep(0.01)
+    cut_ms = int(_time.time() * 1000)
+    _time.sleep(0.01)
+    t.append(_mk(spark, [(3, "c")]), stats_cols=("id",))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txnlake")
+        .option("startingTimestamp", cut_ms)
+        .load(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [3]
+    with pytest.raises(Exception, match="not both"):
+        q2 = (
+            spark.readStream.format("txnlake")
+            .option("startingTimestamp", cut_ms)
+            .option("startingVersion", 1)
+            .load(src)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(60)
