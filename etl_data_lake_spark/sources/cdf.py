@@ -55,12 +55,18 @@ def changes_between(
     table: TxnTable, v_from: int, v_to: int
 ) -> DataFrame | None:
     """Row-level changes over (``v_from``, ``v_to``] with per-commit
-    attribution: ``_change_type`` ('insert' | 'delete') and
+    attribution: ``_change_type`` ('insert' | 'delete' — plus
+    'update_preimage' / 'update_postimage' for versions that carry
+    materialized change files, see :meth:`TxnTable.enable_cdf`) and
     ``_commit_version`` — each version's diff comes straight from its
-    own manifest's add/remove file lists, so a consumer sees changes
+    own manifest's _cdc files when present (O(changed rows)), else
+    from its add/remove file lists, so a consumer sees changes
     in commit order and a pure compaction contributes nothing. None
     when the span is empty. Schema-evolution-safe: spans are unioned
-    by name (missing columns null)."""
+    by name (missing columns null). Note one deliberate divergence
+    matching Delta: with change files, an UPDATE that SET a row to
+    its existing values still reports the row (pre == post), where
+    the value-diff fallback would cancel it."""
     if v_to <= v_from:
         return None
     # ONE snapshot reconstruction + one manifest read per version
@@ -92,6 +98,20 @@ def changes_between(
     for v, added, removed, dv_changed in table.file_and_dv_diffs(
         v_from, v_to
     ):
+        # MATERIALIZED CHANGE DATA first (tables with the cdf property
+        # on, post-enable DML commits): the manifest's _cdc files ARE
+        # the change set — O(changed rows), no multiset diff, and
+        # updates carry update_preimage/update_postimage attribution a
+        # file diff cannot reconstruct. An empty cdc list falls
+        # through to the diff, which agrees (it computes empty for a
+        # commit that changed nothing).
+        cdc_files = table._read_manifest(v).get("cdc") or ()
+        if cdc_files:
+            d = table.read_cdc_files(
+                end, list(cdc_files), schema
+            ).withColumn("_commit_version", F.lit(v).cast("long"))
+            out = d if out is None else out.unionByName(d)
+            continue
         # a file live on both sides with a changed deletion vector
         # contributes rows on both sides (old-DV view vs new-DV view);
         # the multiset difference surfaces exactly the MOR deletes.

@@ -65,7 +65,7 @@ from pyspark.sql.datasource import (
     StringStartsWith,
     WriterCommitMessage,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from etl_data_lake_spark.sources.txn import TxnTable, footer_stats
 
@@ -122,6 +122,218 @@ def _read_partition(part: _FilePart):
     out = out.cast(target)
     for batch in out.to_batches():
         yield batch
+
+
+_CHANGE_COL = "_change_type"
+_VERSION_COL = "_commit_version"
+
+
+@dataclass
+class _ChangePart(InputPartition):
+    """One CHANGE-FEED task (readChangeFeed=true). ``mode``:
+
+    * ``"cdc"`` — a materialized ``_cdc/`` file (enable_cdf): rows
+      already carry ``_change_type``; emit verbatim.
+    * ``"insert"`` / ``"delete"`` — a data file whose rows all have
+      that change type (appends / overwrite sides / whole-file
+      deletes), read with ``dv_path`` applied like a normal scan.
+    * ``"dv_diff"`` — a kept file whose deletion vector grew: emit
+      ONLY the newly-deleted positions (``dv_path`` minus
+      ``dv_before_path``) as deletes — the exact merge-on-read
+      change, no change files needed.
+    """
+
+    mode: str
+    file_path: str
+    dv_path: str | None
+    dv_before_path: str | None
+    renames: tuple
+    schema_json: str  # TABLE logical schema (change cols appended)
+    commit_version: int
+
+
+def _read_change_partition(part: _ChangePart):
+    """Executor-side change-feed read: pure pyarrow, mirrors
+    :func:`_read_partition` plus change-type attribution."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import LongType, StringType
+
+    schema = StructType.fromJson(json.loads(part.schema_json))
+    out_schema = StructType(
+        schema.fields
+        + [
+            StructField(_CHANGE_COL, StringType(), False),
+            StructField(_VERSION_COL, LongType(), False),
+        ]
+    )
+    target = to_arrow_schema(out_schema)
+    logical_of = dict(part.renames)
+    phys_of = {l: p for p, l in logical_of.items()}
+    wanted = [phys_of.get(f.name, f.name) for f in schema.fields]
+    extra = [_CHANGE_COL] if part.mode == "cdc" else []
+    available = set(pq.read_schema(part.file_path).names)
+    table = pq.read_table(
+        part.file_path,
+        columns=[c for c in wanted + extra if c in available],
+    )
+    if part.mode == "dv_diff":
+        after = np.asarray(
+            json.loads(Path(part.dv_path).read_text())["indices"],
+            dtype=np.int64,
+        )
+        before: set = (
+            set(
+                json.loads(Path(part.dv_before_path).read_text())[
+                    "indices"
+                ]
+            )
+            if part.dv_before_path is not None
+            else set()
+        )
+        newly = sorted(
+            int(i) for i in after if i < table.num_rows and i not in before
+        )
+        table = table.take(pa.array(newly, type=pa.int64()))
+    elif part.dv_path is not None:
+        deleted = np.asarray(
+            json.loads(Path(part.dv_path).read_text())["indices"],
+            dtype=np.int64,
+        )
+        keep = np.ones(table.num_rows, dtype=bool)
+        keep[deleted[deleted < table.num_rows]] = False
+        table = table.filter(pa.array(keep))
+    n = table.num_rows
+    cols = []
+    names = set(table.schema.names)
+    for field, phys in zip(schema.fields, wanted):
+        if phys in names:
+            cols.append(table.column(phys))
+        else:  # schema evolution: column newer than this file
+            cols.append(pa.nulls(n))
+    if part.mode == "cdc":
+        ct = table.column(_CHANGE_COL)
+    else:
+        ctype = "delete" if part.mode == "dv_diff" else part.mode
+        ct = pa.array(np.repeat(ctype, n)) if n else pa.array(
+            [], type=pa.string()
+        )
+    cv = pa.array(np.full(n, part.commit_version, dtype=np.int64))
+    out = pa.table(
+        cols + [ct, cv],
+        names=[f.name for f in schema.fields] + [_CHANGE_COL, _VERSION_COL],
+    ).cast(target)
+    for batch in out.to_batches():
+        yield batch
+
+
+def _plan_change_parts(
+    table: TxnTable,
+    table_schema: StructType,
+    renames: tuple,
+    start_v: int,
+    end_v: int,
+    manifests: dict | None = None,
+    ignore_changes: bool = False,
+) -> list[_ChangePart]:
+    """Driver-side change-feed planning over (``start_v``, ``end_v``]:
+    one pass of :meth:`TxnTable.file_and_dv_diffs` plus each version's
+    manifest, mapped to :class:`_ChangePart` tasks.
+
+    Exactly derivable without change files: appends (adds = inserts),
+    overwrites (removes = deletes + adds = inserts), pure layout
+    commits (nothing), merge-on-read DML (vector growth = deletes,
+    appended rows = inserts), whole-file deletes (removes = deletes).
+    A COW rewrite (removed AND added files) interleaves moved
+    survivors with changed rows — underivable from the file diff; it
+    needs the commit's materialized ``_cdc`` files
+    (:meth:`TxnTable.enable_cdf`) and otherwise raises (or, with
+    ``ignoreChanges=true``, degrades to emitting added files as
+    inserts — Delta's contract, possible re-deliveries)."""
+    sj = table_schema.json()
+    root = table.root
+    parts: list[_ChangePart] = []
+
+    def emit(mode, rel, v, dv=None, dv_before=None):
+        parts.append(
+            _ChangePart(
+                mode,
+                str(root / rel),
+                str(root / dv) if dv else None,
+                str(root / dv_before) if dv_before else None,
+                renames,
+                sj,
+                v,
+            )
+        )
+
+    for v, added, removed, dv_changed in table.file_and_dv_diffs(
+        start_v, end_v
+    ):
+        m = (manifests or {}).get(v) or table._read_manifest(v)
+        op = m["operation"]
+        cdc = m.get("cdc") or ()
+        if cdc:
+            for f in cdc:
+                emit("cdc", f, v)
+            continue
+        if op in ("constraint", "schema", "stats", "props"):
+            continue
+        if op == "append":
+            for f in added:
+                emit("insert", f, v)
+            continue
+        is_replace = op == "compact" and "replace_where" in m.get(
+            "params", {}
+        )
+        if op == "compact" and not is_replace:
+            continue  # pure layout: compact/optimize/zorder/purge
+        before = {f: o for f, (o, _n) in dv_changed.items()}
+        after = {f: nn for f, (_o, nn) in dv_changed.items()}
+        if op == "overwrite":
+            for f in removed:
+                emit("delete", f, v, dv=before.get(f))
+            for f in added:
+                emit("insert", f, v, dv=after.get(f))
+            continue
+        if op in ("delete", "update", "merge") and not removed:
+            # merge-on-read shape: vector growth = the deletes,
+            # appended files = the updated/inserted rows
+            for f in sorted(set(dv_changed) - set(added) - set(removed)):
+                if after.get(f):
+                    emit(
+                        "dv_diff", f, v,
+                        dv=after[f], dv_before=before.get(f),
+                    )
+            for f in added:
+                emit("insert", f, v, dv=after.get(f))
+            continue
+        if op == "delete" and not added:
+            # whole files deleted, no survivors staged
+            for f in sorted(set(dv_changed) - set(added) - set(removed)):
+                if after.get(f):
+                    emit(
+                        "dv_diff", f, v,
+                        dv=after[f], dv_before=before.get(f),
+                    )
+            for f in removed:
+                emit("delete", f, v, dv=before.get(f))
+            continue
+        if not ignore_changes:
+            raise ValueError(
+                f"version {v} is a {op!r} rewrite without change "
+                f"files: its row-level changes cannot be derived from "
+                f"the file diff. Enable the change feed BEFORE the "
+                f"change (TxnTable.enable_cdf()), start the read "
+                f"after it, or set ignoreChanges=true to emit its "
+                f"added files as inserts (possible re-deliveries)"
+            )
+        for f in added:
+            emit("insert", f, v, dv=after.get(f))
+    return parts
 
 
 def _overlaps(rng, flt) -> bool:
@@ -244,7 +456,55 @@ class TxnLakePushdownReader(TxnLakeBatchReader):
             yield f  # Spark re-applies EVERYTHING; pruning is bonus
 
 
-_SKIP_OPS = {"compact", "constraint", "schema", "stats"}
+class TxnLakeCdfBatchReader(DataSourceReader):
+    """Batch CHANGE-FEED read (``readChangeFeed=true``):
+    ``startingVersion`` (inclusive, default 1 = table start) ..
+    ``endingVersion`` (default: the pinned latest) mapped to
+    change partitions by :func:`_plan_change_parts`."""
+
+    def __init__(self, options, schema: StructType):
+        path = options["path"]
+        self._table = TxnTable(None, path)
+        latest = self._table.latest_version()
+        if latest <= 0:
+            raise FileNotFoundError(f"no committed version at {path}")
+        ev = options.get("endingVersion")
+        pinned = options.get("version")  # schema() pins latest here
+        self._end = int(ev if ev is not None else (pinned or latest))
+        sv = options.get("startingVersion")
+        self._start = max(0, int(sv) - 1) if sv is not None else 0
+        if self._end < self._start:
+            raise ValueError(
+                f"endingVersion {self._end} < startingVersion"
+            )
+        self._ignore_changes = (
+            str(options.get("ignoreChanges", "false")).lower() == "true"
+        )
+        # CDF schema = table schema + change columns; planning needs
+        # the table part only
+        self._table_schema = StructType(schema.fields[:-2])
+
+    def partitions(self):
+        meta = self._table.snapshot_meta(self._end)
+        renames = tuple(
+            (meta.phys(c), c)
+            for c in self._table_schema.fieldNames()
+            if meta.phys(c) != c
+        )
+        return _plan_change_parts(
+            self._table,
+            self._table_schema,
+            renames,
+            self._start,
+            self._end,
+            ignore_changes=self._ignore_changes,
+        )
+
+    def read(self, partition):
+        return _read_change_partition(partition)
+
+
+_SKIP_OPS = {"compact", "constraint", "schema", "stats", "props"}
 _CHANGE_OPS = {"merge", "delete", "update", "overwrite", "restore"}
 
 
@@ -446,6 +706,46 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         pass  # offsets are durable in the stream's checkpoint
 
 
+class TxnLakeCdfStreamReader(TxnLakeStreamReader):
+    """Streaming CHANGE FEED (``readChangeFeed=true`` on readStream —
+    Delta's streaming CDF): each micro-batch emits the row-level
+    changes of its version window with ``_change_type`` /
+    ``_commit_version`` attribution instead of just appended files.
+    Offsets, rate limiting (maxVersionsPerBatch + consumerId) and
+    manifest prefetch are inherited; only the window→partitions
+    mapping differs (:func:`_plan_change_parts` — materialized
+    ``_cdc`` files when the table property is on, exact derivation
+    for append/overwrite/MOR shapes, loud failure for underivable
+    COW rewrites unless ``ignoreChanges=true``)."""
+
+    def partitions(self, start: dict, end: dict):
+        self._advance_mark(end["version"])
+        meta = self._table.snapshot_meta(end["version"])
+        table_schema = StructType(self._schema.fields[:-2])
+        renames = tuple(
+            (meta.phys(c), c)
+            for c in table_schema.fieldNames()
+            if meta.phys(c) != c
+        )
+        manifests = {
+            v: self._manifests.pop(v)
+            for v in range(start["version"] + 1, end["version"] + 1)
+            if v in self._manifests
+        }
+        return _plan_change_parts(
+            self._table,
+            table_schema,
+            renames,
+            start["version"],
+            end["version"],
+            manifests=manifests,
+            ignore_changes=self._ignore_changes,
+        )
+
+    def read(self, partition):
+        return _read_change_partition(partition)
+
+
 def _resolve_version(table: TxnTable, options) -> int | None:
     """``version`` / ``timestampAsOf`` (epoch ms) options → pinned
     version (None = latest). Mutually exclusive, like Delta's."""
@@ -614,7 +914,23 @@ class TxnLakeDataSource(DataSource):
             raise FileNotFoundError(
                 f"no committed version at {self.options['path']}"
             )
+        if self._cdf_mode():
+            from pyspark.sql.types import LongType, StringType
+
+            return StructType(
+                meta.schema().fields
+                + [
+                    StructField(_CHANGE_COL, StringType(), False),
+                    StructField(_VERSION_COL, LongType(), False),
+                ]
+            )
         return meta.schema()
+
+    def _cdf_mode(self) -> bool:
+        return (
+            str(self.options.get("readChangeFeed", "false")).lower()
+            == "true"
+        )
 
     def _reader_options(self):
         from pyspark.sql.datasource import CaseInsensitiveDict
@@ -630,11 +946,15 @@ class TxnLakeDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         opts = self._reader_options()
+        if self._cdf_mode():
+            return TxnLakeCdfBatchReader(opts, schema)
         if str(opts.get("pushdown", "false")).lower() == "true":
             return TxnLakePushdownReader(opts, schema)
         return TxnLakeBatchReader(opts, schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self._cdf_mode():
+            return TxnLakeCdfStreamReader(self.options, schema)
         return TxnLakeStreamReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool):

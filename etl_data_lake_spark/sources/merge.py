@@ -380,6 +380,13 @@ def _merge_against(
     dv_updates: dict[str, str] = {}
     expected_dvs: dict[str, str | None] = {}
     to_unpersist = None
+    # CHANGE DATA FEED: when the table property is on, every row the
+    # merge touches is also staged under _cdc/ with its change type —
+    # updates carry pre/post attribution the commit's file diff cannot
+    # reconstruct (the added files mix updated rows with verbatim
+    # survivors and inserts)
+    cdf_on = table.cdf_enabled(base)
+    cdc_frames: list[tuple[DataFrame, str]] = []
     if when_matched is not None and touched and mor:
         # ---- merge-on-read pass 2: vector + append, no rewrites -----
         t = (
@@ -430,13 +437,28 @@ def _merge_against(
                 else:
                     upd.append(t_or_null(f))
             pieces.append(hit_rows.select(*upd))
-        # when_matched == "delete": the vector IS the change
-        if when_not_matched == "insert":
-            pieces.append(
-                joined.where(F.col("t.__t").isNull()).select(
-                    *[s_or_null(f) for f in fields]
+            if cdf_on:
+                cdc_frames += [
+                    (
+                        hit_rows.select(*[t_or_null(f) for f in fields]),
+                        "update_preimage",
+                    ),
+                    (hit_rows.select(*upd), "update_postimage"),
+                ]
+        elif cdf_on:  # when_matched == "delete": the vector IS the change
+            cdc_frames.append(
+                (
+                    hit_rows.select(*[t_or_null(f) for f in fields]),
+                    "delete",
                 )
             )
+        if when_not_matched == "insert":
+            ins = joined.where(F.col("t.__t").isNull()).select(
+                *[s_or_null(f) for f in fields]
+            )
+            pieces.append(ins)
+            if cdf_on:
+                cdc_frames.append((ins, "insert"))
         replaced_files = ()
     elif when_matched is None:
         # insert-only fast path (Delta's optimization): matched rows
@@ -448,9 +470,12 @@ def _merge_against(
                 inserts = source.join(t_keys, on=keys, how="left_anti")
             else:
                 inserts = source
-            pieces.append(
-                inserts.alias("s").select(*[s_or_null(f) for f in fields])
+            ins = inserts.alias("s").select(
+                *[s_or_null(f) for f in fields]
             )
+            pieces.append(ins)
+            if cdf_on:
+                cdc_frames.append((ins, "insert"))
         touched = []
         replaced_files = ()
     elif touched:
@@ -465,11 +490,17 @@ def _merge_against(
             c = F.col(f"t.{k}") == F.col(f"s.{k}")
             cond = c if cond is None else (cond & c)
         joined = t.join(s, on=cond, how="full_outer")
+        if cdf_on:
+            # the join feeds the rewrite AND the change frames: one
+            # evaluation (unpersisted after both are staged)
+            joined = joined.persist()
+            to_unpersist = joined
         is_matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
         if matched_condition is not None:
             hit = is_matched & F.expr(matched_condition)
         else:
             hit = is_matched
+        hit_true = F.coalesce(hit, F.lit(False))
         t_row = [t_or_null(f) for f in fields]
         if when_matched == "update":
             upd = []  # update_exprs validated up-front in merge_into
@@ -488,28 +519,41 @@ def _merge_against(
                 *[F.when(hit, u).otherwise(tr).alias(f.name)
                   for f, u, tr in zip(fields, upd, t_row)]
             )
+            if cdf_on:
+                cdc_frames += [
+                    (joined.where(hit_true).select(*t_row),
+                     "update_preimage"),
+                    (joined.where(hit_true).select(*upd),
+                     "update_postimage"),
+                ]
         elif when_matched == "delete":
             kept_or_updated = joined.where(
-                F.col("t.__t").isNotNull() & ~F.coalesce(hit, F.lit(False))
+                F.col("t.__t").isNotNull() & ~hit_true
             ).select(*t_row)
+            if cdf_on:
+                cdc_frames.append(
+                    (joined.where(hit_true).select(*t_row), "delete")
+                )
         else:  # no matched clause: every target row survives verbatim
             kept_or_updated = joined.where(
                 F.col("t.__t").isNotNull()
             ).select(*t_row)
         pieces.append(kept_or_updated)
         if when_not_matched == "insert":
-            pieces.append(
-                joined.where(F.col("t.__t").isNull()).select(
-                    *[s_or_null(f) for f in fields]
-                )
+            ins = joined.where(F.col("t.__t").isNull()).select(
+                *[s_or_null(f) for f in fields]
             )
+            pieces.append(ins)
+            if cdf_on:
+                cdc_frames.append((ins, "insert"))
     elif when_not_matched == "insert":
         # no touched files: every source row with a (possibly null) key
         # is an insert — but only keys absent from the table, and with
         # no touched files NO source key is present in the table
-        pieces.append(
-            source.alias("s").select(*[s_or_null(f) for f in fields])
-        )
+        ins = source.alias("s").select(*[s_or_null(f) for f in fields])
+        pieces.append(ins)
+        if cdf_on:
+            cdc_frames.append((ins, "insert"))
 
     if not pieces and not dv_updates:
         return MergeResult(
@@ -524,6 +568,11 @@ def _merge_against(
         staged, _schema_json, stats = table._stage(out, stats_cols)
     else:  # MOR delete-only merge: the vectors are the whole change
         staged, stats = [], {}
+    cdc = (
+        table._stage_cdc(cdc_frames, final_schema, dict(base.column_map))
+        if cdc_frames
+        else None
+    )
     if to_unpersist is not None:
         to_unpersist.unpersist()
     if not replaced_files and not staged and not dv_updates:
@@ -594,6 +643,7 @@ def _merge_against(
             "when_not_matched": when_not_matched,
             **({"mor": True} if mor else {}),
         },
+        cdc=cdc,
     )
     return MergeResult(
         v, True, len(replaced_files), len(candidates), len(base.files),

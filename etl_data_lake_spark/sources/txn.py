@@ -90,6 +90,9 @@ from pyspark.sql.types import LongType, StructField, StructType
 _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
 _DV_DIR = "_dv"
+_CDC_DIR = "_cdc"
+_CDF_PROP = "cdf"  # props key enabling the materialized change feed
+_CHANGE_COL = "_change_type"
 _V_WIDTH = 12
 _CKPT_SUFFIX = ".ckpt.json"
 
@@ -242,6 +245,12 @@ class Snapshot:
     # are interval-comparable (incremental OPTIMIZE ZORDER's
     # soundness condition). Empty until the first optimize_zorder.
     zorder_spec: dict = field(default_factory=dict)
+    # TABLE PROPERTIES (Delta's TBLPROPERTIES): free-form str -> str
+    # metadata riding manifests and checkpoints. Feature flags live
+    # here — props["cdf"] == "true" enables materialized change-data
+    # files for DML commits. Properties survive RESTORE (like writer
+    # watermarks: they describe the TABLE, not a snapshot's data).
+    props: dict = field(default_factory=dict)
 
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
@@ -483,6 +492,7 @@ class TxnTable:
         retired: tuple[str, ...] = ()
         ident: dict = {}
         zspec: dict = {}
+        props: dict = {}
         schema_json = ""
         operation = ""
         if start:
@@ -496,6 +506,7 @@ class TxnTable:
             retired = tuple(ck.get("retired_cols", ()))
             ident = dict(ck.get("identity", {}))
             zspec = dict(ck.get("zorder_spec", {}))
+            props = dict(ck.get("props", {}))
             schema_json = ck["schema"]
             operation = ck["operation"]
         n_replayed = 0
@@ -518,7 +529,7 @@ class TxnTable:
                 # same sorted(remaining)+add order the committer used
                 # when it built the post-commit checkpoint state
                 files = sorted(f for f in files if f not in removed) + add
-            elif op in ("constraint", "schema", "stats"):
+            elif op in ("constraint", "schema", "stats", "props"):
                 pass  # metadata-only: file set unchanged
                 # ("stats" backfills add_stats for existing files via
                 # the generic stats.update below)
@@ -534,6 +545,7 @@ class TxnTable:
             retired = tuple(m.get("retired_cols", retired))
             ident = dict(m.get("identity", ident))
             zspec = dict(m.get("zorder_spec", zspec))
+            props = dict(m.get("props", props))
             # deletion vectors: a dropped data file takes its DV with
             # it (live filter); an overwrite reset files -> same rule.
             # A null value is an explicit CLEAR (restore rolling back
@@ -559,6 +571,7 @@ class TxnTable:
             retired_cols=retired,
             identity=ident,
             zorder_spec=zspec,
+            props=props,
         )
         return snap, ReadPlan(version, start, n_replayed)
 
@@ -1078,6 +1091,7 @@ class TxnTable:
             "checkpoint_interval": self.checkpoint_interval,
             "last_operation": meta.operation,
             "identity": dict(meta.identity),
+            "properties": dict(meta.props),
         }
 
     def file_diffs(
@@ -1128,7 +1142,7 @@ class TxnTable:
             elif op in ("compact", "merge", "delete", "update", "restore"):
                 removed = set(m.get("remove", ()))
                 new = sorted(f for f in files if f not in removed) + add
-            elif op in ("constraint", "schema", "stats"):
+            elif op in ("constraint", "schema", "stats", "props"):
                 new = files
             else:  # pragma: no cover
                 raise ValueError(f"unknown operation {op!r} at v{v}")
@@ -1261,6 +1275,76 @@ class TxnTable:
         )
         return files, logical_schema_json, footer_stats(
             self.root, files, stats_cols
+        )
+
+    def _stage_cdc(
+        self,
+        frames: list[tuple[DataFrame, str]],
+        schema: StructType,
+        cmap: dict[str, str],
+    ) -> list[str]:
+        """Stage a commit's CHANGE DATA as parquet under ``_cdc/``:
+        each ``(rows, change_type)`` frame is aligned to ``schema``
+        (missing columns null — merge evolution), written under
+        PHYSICAL column names plus the ``_change_type`` literal, and
+        the union lands in one write-once dir. Returns manifest-
+        relative file paths ([] when every frame is empty); a commit
+        that loses its race leaves the dir orphaned for vacuum, like
+        any stage."""
+        from pyspark.sql import functions as F
+
+        out = None
+        for rows, ctype in frames:
+            have = set(rows.columns)
+            aligned = rows.select(
+                *[
+                    (
+                        F.col(f.name) if f.name in have
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(cmap.get(f.name, f.name))
+                    for f in schema.fields
+                ],
+                F.lit(ctype).alias(_CHANGE_COL),
+            )
+            out = aligned if out is None else out.unionByName(aligned)
+        if out is None:
+            return []
+        import pyarrow.parquet as pq
+
+        stage_rel = f"{_CDC_DIR}/{uuid.uuid4().hex}"
+        stage_abs = self.root / stage_rel
+        out.write.mode("errorifexists").parquet(str(stage_abs))
+        return sorted(
+            f"{stage_rel}/{p.name}"
+            for p in stage_abs.iterdir()
+            if p.name.endswith(".parquet")
+            and pq.read_metadata(p).num_rows > 0
+        )
+
+    def read_cdc_files(
+        self, end: Snapshot, files: list[str], schema: StructType
+    ) -> DataFrame:
+        """Read CHANGE DATA files staged by :meth:`_stage_cdc` back as
+        LOGICAL columns (aligned to ``schema``, missing columns null)
+        plus ``_change_type``. ``end`` supplies the physical name map —
+        physical names are stable for a column's lifetime, so the
+        newest snapshot's map resolves every span's files."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType
+
+        read_schema = StructType(
+            list(end.phys_schema(schema).fields)
+            + [StructField(_CHANGE_COL, StringType(), False)]
+        )
+        df = self.spark.read.schema(read_schema).parquet(
+            *[str(self.root / f) for f in files]
+        )
+        return df.select(
+            *[
+                F.col(end.phys(f.name)).alias(f.name)
+                for f in schema.fields
+            ],
+            F.col(_CHANGE_COL),
         )
 
     def _enforce_constraints(
@@ -1408,6 +1492,7 @@ class TxnTable:
                 "retired_cols": list(state.retired_cols),
                 "identity": state.identity,
                 "zorder_spec": state.zorder_spec,
+                "props": state.props,
             },
             _ckpt_path(self.root, version),
         )
@@ -1438,6 +1523,8 @@ class TxnTable:
         expected_identity: dict | None = None,
         zorder_spec: dict | None = None,
         expected_zorder_spec: dict | None = None,
+        props: dict | None = None,
+        cdc: list[str] | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop. Returns the committed
         version (or the current one, for an idempotent no-op). The
@@ -1622,7 +1709,7 @@ class TxnTable:
                             )
                 remove = tuple(replaced)
                 files = sorted(base_files - set(replaced)) + staged
-            elif operation in ("constraint", "schema", "stats"):
+            elif operation in ("constraint", "schema", "stats", "props"):
                 # metadata-only commits. expected_base pins the paths
                 # whose validation covered exactly that snapshot
                 # (constraint add; rename/drop, whose published schema
@@ -1637,7 +1724,7 @@ class TxnTable:
                         f"concurrently"
                     )
                 files = list(base.files) if base else []
-                if operation in ("constraint", "stats"):
+                if operation in ("constraint", "stats", "props"):
                     attempt_schema = base.schema_json if base else schema_json
                 # op "schema" publishes the NEW logical schema passed
                 # by rename/drop (attempt_schema stays schema_json)
@@ -1676,6 +1763,18 @@ class TxnTable:
                 if zorder_spec is not None
                 else (dict(base.zorder_spec) if base else {})
             )
+            # table properties MERGE over the current base like
+            # identity metadata (a writer's snapshot may predate a
+            # concurrent set_properties; publishing its stale dict
+            # verbatim would erase the other key). A None value is an
+            # explicit removal (unset_properties).
+            attempt_props = dict(base.props) if base else {}
+            if props is not None:
+                for _pk, _pv in props.items():
+                    if _pv is None:
+                        attempt_props.pop(_pk, None)
+                    else:
+                        attempt_props[_pk] = _pv
             # Z-SPEC CAS: a writer whose _z values were computed under
             # spec S must abort if the table's spec moved (a racing
             # refreeze) — its footer stats would be interval-compared
@@ -1772,6 +1871,13 @@ class TxnTable:
                 "retired_cols": list(attempt_retired),
                 "identity": attempt_identity,
                 "zorder_spec": attempt_zspec,
+                "props": attempt_props,
+                # per-version CHANGE DATA files (CDF): parquet under
+                # _cdc/ holding this commit's row-level changes with
+                # _change_type attribution — never part of the table
+                # state, so manifests carry them but snapshots and
+                # checkpoints do not
+                "cdc": list(cdc or ()),
             }
             if self._publish(manifest, _manifest_path(self.root, base_v + 1)):
                 # a commit that WIDENED column types invalidates those
@@ -1838,6 +1944,7 @@ class TxnTable:
                         retired_cols=tuple(attempt_retired),
                         identity=attempt_identity,
                         zorder_spec=attempt_zspec,
+                        props=attempt_props,
                     ),
                 )
                 return base_v + 1
@@ -2146,7 +2253,9 @@ class TxnTable:
         pred = reduce(
             or_, [F.col(col).between(lo, hi) for lo, hi in ranges]
         )
+        cdf_on = base is not None and base.props.get(_CDF_PROP) == "true"
         staged_new, schema_new, stats_new = self._stage(df, stats_cols)
+        new_rows = None
         if staged_new:
             new_schema = StructType.fromJson(json.loads(schema_new))
             staged_df = self.spark.read.schema(new_schema).parquet(
@@ -2161,9 +2270,11 @@ class TxnTable:
                     f"replace_where data contains rows outside "
                     f"{col} in {ranges}"
                 )
+            new_rows = staged_df  # reads back the pinned staged files
         guard = (col, ranges)
         affected: list[str] = []
         keep_rows = None
+        old = None
         if base is not None and base.files:
             affected = self.files_matching_any(col, ranges, base.version)
             if affected:
@@ -2180,6 +2291,15 @@ class TxnTable:
                     base.schema(),
                     StructType.fromJson(json.loads(schema_new)),
                 ).json()
+            cdc = None
+            if cdf_on:
+                # no in-range files existed: the whole change is the
+                # inserted data (possibly nothing)
+                cdc = self._stage_cdc(
+                    [(new_rows, "insert")] if new_rows is not None else [],
+                    StructType.fromJson(json.loads(schema_new)),
+                    base.column_map if base else {},
+                )
             return self._commit(
                 "compact",
                 staged_new,
@@ -2189,6 +2309,7 @@ class TxnTable:
                 staged_stats=stats_new,
                 guard_range=guard,
                 op_params={"replace_where": {"col": col, "ranges": ranges}},
+                cdc=cdc,
             )
         staged_keep, schema_keep, stats_keep = self._stage(
             keep_rows, stats_cols
@@ -2197,6 +2318,19 @@ class TxnTable:
             StructType.fromJson(json.loads(schema_keep)),
             StructType.fromJson(json.loads(schema_new)),
         ).json()
+        cdc = None
+        if cdf_on:
+            # replaced content = the in-range rows of affected files
+            # (out-of-range survivors merely move files: no change);
+            # inserts = the staged new data, read back pinned
+            frames = [(old.where(pred), "delete")]
+            if new_rows is not None:
+                frames.append((new_rows, "insert"))
+            cdc = self._stage_cdc(
+                frames,
+                StructType.fromJson(json.loads(schema_json)),
+                base.column_map,
+            )
         return self._commit(
             "compact",
             staged_keep + staged_new,
@@ -2208,6 +2342,7 @@ class TxnTable:
             staged_stats={**stats_keep, **stats_new},
             guard_range=guard,
             op_params={"replace_where": {"col": col, "ranges": ranges}},
+            cdc=cdc,
         )
 
     def delete_where(
@@ -2271,9 +2406,27 @@ class TxnTable:
         pred = reduce(
             or_, [F.col(col).between(lo, hi) for lo, hi in ranges]
         )
+        cdf_on = base.props.get(_CDF_PROP) == "true"
         old = self.read_files(base, affected)
-        keep_rows = old.where(~pred | F.col(col).isNull())
-        staged, schema_json, stats = self._stage(keep_rows, stats_cols)
+        if cdf_on:
+            # one scan feeds both the survivor rewrite and the change
+            # rows; the deleted set is the predicate-TRUE complement
+            old = old.persist()
+        try:
+            keep_rows = old.where(~pred | F.col(col).isNull())
+            staged, schema_json, stats = self._stage(keep_rows, stats_cols)
+            cdc = (
+                self._stage_cdc(
+                    [(old.where(pred), "delete")],
+                    base.schema(),
+                    base.column_map,
+                )
+                if cdf_on
+                else None
+            )
+        finally:
+            if cdf_on:
+                old.unpersist()
         return self._commit(
             "delete",
             staged,
@@ -2284,6 +2437,7 @@ class TxnTable:
             expected_dvs={f: base.file_dvs.get(f) for f in affected},
             staged_stats=stats,
             op_params={"col": col, "ranges": ranges},
+            cdc=cdc,
         )
 
     def update_where(
@@ -2358,9 +2512,12 @@ class TxnTable:
         hit = reduce(
             or_, [F.col(col).between(lo, hi) for lo, hi in ranges]
         ) & F.col(col).isNotNull()
+        cdf_on = base.props.get(_CDF_PROP) == "true"
         old = self.read_files(base, affected)
-        out = old.select(
-            *[
+        if cdf_on:
+            old = old.persist()
+        try:
+            transform = [
                 F.when(
                     hit, F.expr(set_exprs[f.name]).cast(f.dataType)
                 ).otherwise(F.col(f.name)).alias(f.name)
@@ -2368,8 +2525,25 @@ class TxnTable:
                 else F.col(f.name)
                 for f in schema.fields
             ]
-        )
-        staged, _schema_json, stats = self._stage(out, stats_cols)
+            out = old.select(*transform)
+            staged, _schema_json, stats = self._stage(out, stats_cols)
+            cdc = None
+            if cdf_on:
+                pre = old.where(hit)
+                # the postimage applies the SAME transform to the hit
+                # rows (never re-deriving `hit` from transformed
+                # values — a SET expr may rewrite the predicate column)
+                cdc = self._stage_cdc(
+                    [
+                        (pre, "update_preimage"),
+                        (pre.select(*transform), "update_postimage"),
+                    ],
+                    schema,
+                    base.column_map,
+                )
+        finally:
+            if cdf_on:
+                old.unpersist()
         return self._commit(
             "update",
             staged,
@@ -2384,6 +2558,7 @@ class TxnTable:
                 "ranges": ranges,
                 "set": sorted(set_exprs),
             },
+            cdc=cdc,
         )
 
     def _expr_dml_candidates(
@@ -2516,9 +2691,25 @@ class TxnTable:
         touched = self._expr_touched_files(base, pred, candidates)
         if not touched:
             return base.version
+        cdf_on = base.props.get(_CDF_PROP) == "true"
         old = self.read_files(base, touched)
-        keep_rows = old.where(~pred | pred.isNull())
-        staged, _schema_json, stats = self._stage(keep_rows, stats_cols)
+        if cdf_on:
+            old = old.persist()
+        try:
+            keep_rows = old.where(~pred | pred.isNull())
+            staged, _schema_json, stats = self._stage(keep_rows, stats_cols)
+            cdc = (
+                self._stage_cdc(
+                    [(old.where(pred), "delete")],
+                    base.schema(),
+                    base.column_map,
+                )
+                if cdf_on
+                else None
+            )
+        finally:
+            if cdf_on:
+                old.unpersist()
         return self._commit(
             "delete",
             staged,
@@ -2535,6 +2726,7 @@ class TxnTable:
                     for c, rs in (prune_hints or {}).items()
                 },
             },
+            cdc=cdc,
         )
 
     def update_where_expr(
@@ -2581,9 +2773,12 @@ class TxnTable:
         touched = self._expr_touched_files(base, pred, candidates)
         if not touched:
             return base.version
+        cdf_on = base.props.get(_CDF_PROP) == "true"
         old = self.read_files(base, touched)
-        out = old.select(
-            *[
+        if cdf_on:
+            old = old.persist()
+        try:
+            transform = [
                 F.when(
                     pred, F.expr(set_exprs[f.name]).cast(f.dataType)
                 ).otherwise(F.col(f.name)).alias(f.name)
@@ -2591,8 +2786,24 @@ class TxnTable:
                 else F.col(f.name)
                 for f in schema.fields
             ]
-        )
-        staged, _schema_json, stats = self._stage(out, stats_cols)
+            out = old.select(*transform)
+            staged, _schema_json, stats = self._stage(out, stats_cols)
+            cdc = None
+            if cdf_on:
+                # hit rows = predicate TRUE (FALSE/NULL rows survive
+                # verbatim and produce no change rows)
+                pre = old.where(pred)
+                cdc = self._stage_cdc(
+                    [
+                        (pre, "update_preimage"),
+                        (pre.select(*transform), "update_postimage"),
+                    ],
+                    schema,
+                    base.column_map,
+                )
+        finally:
+            if cdf_on:
+                old.unpersist()
         return self._commit(
             "update",
             staged,
@@ -2610,6 +2821,7 @@ class TxnTable:
                     for c, rs in (prune_hints or {}).items()
                 },
             },
+            cdc=cdc,
         )
 
     def add_identity_column(
@@ -2678,6 +2890,85 @@ class TxnTable:
                 }
             },
         )
+
+    def properties(self) -> dict[str, str]:
+        """Current table properties (TBLPROPERTIES), {} for a table
+        with none (or no commits yet)."""
+        base = self.snapshot_meta()
+        return dict(base.props) if base else {}
+
+    def set_properties(self, props: dict[str, str]) -> int:
+        """ALTER TABLE SET TBLPROPERTIES: publish ``props`` merged
+        over the current set in one metadata-only commit. Values are
+        stored as strings (JSON metadata); a None value is rejected —
+        use :meth:`unset_properties` for removal. Concurrent setters
+        of DISJOINT keys both land (the commit merges over the current
+        base per attempt, like identity metadata); same-key races are
+        last-writer-wins, Delta's semantics."""
+        if not props:
+            raise ValueError("set_properties needs >= 1 property")
+        if any(v is None for v in props.values()):
+            raise ValueError(
+                "None value in set_properties; use unset_properties"
+            )
+        base = self.snapshot_meta()
+        if base is None:
+            raise FileNotFoundError(
+                f"no committed version at {self.root} — write the "
+                f"table's first data before setting properties"
+            )
+        return self._commit(
+            "props",
+            [],
+            base.schema_json,
+            None,
+            None,
+            props={k: str(v) for k, v in props.items()},
+            op_params={"set": sorted(props)},
+        )
+
+    def unset_properties(self, keys) -> int:
+        """ALTER TABLE UNSET TBLPROPERTIES: remove ``keys`` (missing
+        keys are ignored, like Delta's IF EXISTS form)."""
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        if not keys:
+            raise ValueError("unset_properties needs >= 1 key")
+        base = self.snapshot_meta()
+        if base is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        if not set(keys) & set(base.props):
+            return base.version  # nothing to remove: no-op
+        return self._commit(
+            "props",
+            [],
+            base.schema_json,
+            None,
+            None,
+            props={k: None for k in keys},
+            op_params={"unset": sorted(keys)},
+        )
+
+    def enable_cdf(self) -> int:
+        """Enable the materialized CHANGE DATA FEED for this table
+        (Delta's ``delta.enableChangeDataFeed``): from this commit on,
+        every row-level DML (DELETE / UPDATE / MERGE, COW and MOR, and
+        replace_where) also stages its change rows as parquet under
+        ``_cdc/`` with ``_change_type`` attribution ('insert' |
+        'delete' | 'update_preimage' | 'update_postimage'), referenced
+        from the commit's manifest. Consumers (``changes_between``,
+        the ``txnlake`` streaming source with ``readChangeFeed=true``)
+        then read the changes directly — O(changed rows), no multiset
+        diff — and UPDATEs carry pre/post attribution a file diff
+        cannot reconstruct. Appends need no change files (their added
+        files ARE the inserts); pure layout ops contribute nothing."""
+        return self.set_properties({_CDF_PROP: "true"})
+
+    def cdf_enabled(self, meta: Snapshot | None = None) -> bool:
+        """Is the materialized change feed on (at ``meta``, default
+        current)?"""
+        if meta is None:
+            meta = self.snapshot_meta()
+        return bool(meta) and meta.props.get(_CDF_PROP) == "true"
 
     def add_constraint(
         self, name: str, expr: str, max_attempts: int = 5
@@ -3212,6 +3503,22 @@ class TxnTable:
                 matched.unpersist()
             if not updates:
                 return base.version
+            cdc = None
+            if base.props.get(_CDF_PROP) == "true":
+                # change rows = the VISIBLE matches (DV-applied read):
+                # positions already deleted are masked, so this is
+                # exactly the newly-deleted set the vectors record
+                cdc = self._stage_cdc(
+                    [
+                        (
+                            self.read_files(base, list(affected))
+                            .where(pred),
+                            "delete",
+                        )
+                    ],
+                    base.schema(),
+                    base.column_map,
+                )
             try:
                 return self._commit(
                     "delete",
@@ -3222,6 +3529,7 @@ class TxnTable:
                     dv_updates=updates,
                     expected_dvs=expected,
                     op_params=op_params,
+                    cdc=cdc,
                 )
             except ConcurrentWriteError:
                 continue  # recompute against the moved state;
@@ -3413,6 +3721,21 @@ class TxnTable:
                 updates, expected = self._build_dv_updates(
                     base, matched.select("__dv_file", "__dv_pos")
                 )
+                cdc = None
+                if base.props.get(_CDF_PROP) == "true":
+                    # matched is persisted and DV-applied: it IS the
+                    # preimage; the postimage is the appended rewrite
+                    pre = matched.select(
+                        *[F.col(f.name) for f in schema.fields]
+                    )
+                    cdc = self._stage_cdc(
+                        [
+                            (pre, "update_preimage"),
+                            (updated, "update_postimage"),
+                        ],
+                        schema,
+                        base.column_map,
+                    )
             finally:
                 matched.unpersist()
             if not updates and not staged:
@@ -3428,6 +3751,7 @@ class TxnTable:
                     dv_updates=updates,
                     expected_dvs=expected,
                     op_params=op_params,
+                    cdc=cdc,
                 )
             except ConcurrentWriteError:
                 continue  # recompute; orphan stage/DV docs are vacuumed
@@ -3890,10 +4214,19 @@ class TxnTable:
         latest = self.latest_version()
         keep = set()
         keep_dvs = set()
+        keep_cdc = set()
         for v in range(max(1, latest - keep_versions + 1), latest + 1):
             meta = self.snapshot_meta(v)
             keep.update(f.split("/")[1] for f in meta.files)
             keep_dvs.update(meta.file_dvs.values())
+            # change-data files are per-VERSION artifacts (manifest-
+            # referenced, never snapshot state): keep the retained
+            # versions' dirs so their change feed stays readable —
+            # CDF beyond the vacuum horizon breaks with time travel
+            keep_cdc.update(
+                p.split("/")[1]
+                for p in self._read_manifest(v).get("cdc", ())
+            )
         data = self.root / _DATA_DIR
         removed = 0
         if data.is_dir():
@@ -3908,6 +4241,12 @@ class TxnTable:
             for p in dv_dir.iterdir():
                 if p.is_file() and f"{_DV_DIR}/{p.name}" not in keep_dvs:
                     p.unlink()
+                    removed += 1
+        cdc_dir = self.root / _CDC_DIR
+        if cdc_dir.is_dir():
+            for d in cdc_dir.iterdir():
+                if d.is_dir() and d.name not in keep_cdc:
+                    shutil.rmtree(d)
                     removed += 1
         return removed
 
