@@ -469,8 +469,13 @@ class TxnLakeCdfBatchReader(DataSourceReader):
         if latest <= 0:
             raise FileNotFoundError(f"no committed version at {path}")
         ev = options.get("endingVersion")
-        pinned = options.get("version")  # schema() pins latest here
-        self._end = int(ev if ev is not None else (pinned or latest))
+        if ev is not None:
+            self._end = int(ev)
+        else:
+            # honors an explicit version / timestampAsOf, else the
+            # latest that schema() pinned at planning time
+            pinned = _resolve_version(self._table, options)
+            self._end = pinned if pinned is not None else latest
         sv = options.get("startingVersion")
         self._start = max(0, int(sv) - 1) if sv is not None else 0
         if self._end < self._start:

@@ -360,16 +360,26 @@ def footer_stats(
     return stats
 
 
-def _rel_path_expr():
-    """Manifest-relative path of each row's source file — the last 3
-    segments of ``_metadata.file_path``, matching the fixed
-    ``data/<uuid>/<part>.parquet`` layout ``_stage`` writes. The ONE
-    place that layout assumption is encoded for readers."""
+def _manifest_key_expr(root: Path):
+    """The MANIFEST KEY of each row's source file, derived from
+    ``_metadata.file_path``: in-root files reduce to their
+    root-relative path (``data/<uuid>/<part>.parquet`` for staged
+    files, bare names for converted-in-place tables), out-of-root
+    files (SHALLOW CLONE references) keep their absolute path — in
+    both cases exactly the string the manifest lists, so deletion
+    vectors, merge probes and touched-file attribution key
+    consistently whatever the entry's shape. The ONE place path
+    resolution is encoded for readers."""
     from pyspark.sql import functions as F
 
-    return F.concat_ws(
-        "/", F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3)
+    stripped = F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:(//)?", ""
     )
+    prefix = str(root).rstrip("/") + "/"
+    return F.when(
+        stripped.startswith(prefix),
+        F.substring(stripped, len(prefix) + 1, 2_000_000),
+    ).otherwise(stripped)
 
 
 class TxnTable:
@@ -678,7 +688,7 @@ class TxnTable:
         if schema is None:
             schema = meta.schema()
         cols = schema.fieldNames()
-        rel_expr = _rel_path_expr()
+        rel_expr = _manifest_key_expr(self.root)
         if not files:
             out = self.spark.createDataFrame([], schema)
             if keep_file_col is not None:
@@ -721,7 +731,7 @@ class TxnTable:
         apply_dvs: bool = True,
     ):
         """Rows of ``files`` with ``__dv_file`` (manifest-relative
-        path, :func:`_rel_path_expr`) and ``__dv_pos`` (row position
+        path, :func:`_manifest_key_expr`) and ``__dv_pos`` (row position
         in file) attached, and — unless ``apply_dvs=False`` (the RAW
         view MOR delete unions from and bloom building hashes) —
         ``meta``'s deletion vectors applied via a broadcast anti join
@@ -736,7 +746,7 @@ class TxnTable:
             *[str(self.root / f) for f in files]
         ).select(
             *[F.col(meta.phys(c)).alias(c) for c in cols],
-            _rel_path_expr().alias("__dv_file"),
+            _manifest_key_expr(self.root).alias("__dv_file"),
             F.col("_metadata.row_index").alias("__dv_pos"),
         )
         dv_files = [f for f in files if f in meta.file_dvs]
@@ -3311,6 +3321,107 @@ class TxnTable:
             op_params={"to_version": version},
         )
 
+    def clone_to(
+        self,
+        target_path: str,
+        shallow: bool = True,
+        version: int | None = None,
+    ) -> "TxnTable":
+        """CREATE TABLE ... [SHALLOW] CLONE (Delta's clone): a new,
+        INDEPENDENT table whose v1 references this table's snapshot.
+
+        ``shallow=True`` (the zero-copy sandbox): the clone's manifest
+        lists the source's data files by ABSOLUTE path — cloning a
+        100 TB table writes one manifest plus rewritten deletion-
+        vector sidecars (tiny JSON, re-keyed to the absolute entries),
+        no data movement. Every read path, DML, and MERGE keys files
+        by their manifest entry (:func:`_manifest_key_expr` keeps
+        out-of-root paths verbatim), so the clone supports the full
+        DML surface; any rewrite (compact / COW DML) migrates the
+        touched entries into clone-local ``data/`` files. The clone's
+        vacuum NEVER touches source files (they live outside its
+        ``data/``); conversely **vacuuming the SOURCE can break
+        shallow clones** — Delta's documented caveat, inherited.
+
+        ``shallow=False`` copies the bytes into clone-local storage
+        (a backup/fork with no source dependence).
+
+        Carried: schema, file stats, deletion vectors, constraints,
+        column mapping, retired columns, identity watermarks, z-order
+        spec, table properties. NOT carried (Delta's rule): writer
+        transaction watermarks (a stream replaying into the clone is
+        a new consumer) and history (the clone starts at v1).
+        Cite: reference has no table management at all
+        (/root/reference/etl.py overwrites directories wholesale)."""
+        src = self.snapshot_meta(version)
+        if src is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        target = TxnTable(
+            self.spark,
+            target_path,
+            checkpoint_interval=self.checkpoint_interval,
+        )
+        mapping: dict[str, str] = {}
+        if shallow:
+            for f in src.files:
+                mapping[f] = str((self.root / f).resolve())
+        else:
+            stage_rel = f"{_DATA_DIR}/{uuid.uuid4().hex}"
+            (target.root / stage_rel).mkdir(parents=True, exist_ok=True)
+            for i, f in enumerate(src.files):
+                rel = f"{stage_rel}/{i:06d}-{Path(f).name}"
+                shutil.copyfile(self.root / f, target.root / rel)
+                mapping[f] = rel
+        dvs: dict[str, str] = {}
+        for f, dv_rel in src.file_dvs.items():
+            doc = json.loads((self.root / dv_rel).read_text())
+            new_rel = f"{_DV_DIR}/{uuid.uuid4().hex}.json"
+            p = target.root / new_rel
+            p.parent.mkdir(parents=True, exist_ok=True)
+            tmp = p.parent / f".tmp-{uuid.uuid4().hex}"
+            tmp.write_text(
+                json.dumps(
+                    {"file": mapping[f], "indices": doc["indices"]}
+                )
+            )
+            os.replace(tmp, p)
+            dvs[mapping[f]] = new_rel
+        manifest = {
+            "version": 1,
+            # replays exactly like any overwrite: files = add, stats
+            # from add_stats, vectors from dv
+            "operation": "overwrite",
+            "ts_ms": int(time.time() * 1000),
+            "add": [mapping[f] for f in src.files],
+            "remove": [],
+            "schema": src.schema_json,
+            "writer_txns": {},
+            "add_stats": {
+                mapping[f]: s for f, s in src.file_stats.items()
+            },
+            "params": {
+                "clone": {
+                    "source": str(self.root),
+                    "source_version": src.version,
+                    "shallow": bool(shallow),
+                }
+            },
+            "constraints": dict(src.constraints),
+            "dv": dvs,
+            "column_map": dict(src.column_map),
+            "retired_cols": list(src.retired_cols),
+            "identity": dict(src.identity),
+            "zorder_spec": dict(src.zorder_spec),
+            "props": dict(src.props),
+            "cdc": [],
+        }
+        if not target._publish(manifest, _manifest_path(target.root, 1)):
+            raise ValueError(
+                f"clone target {target_path!r} already has a committed "
+                f"version"
+            )
+        return target
+
     def _build_dv_updates(
         self, base: Snapshot, matched
     ) -> tuple[dict[str, str], dict[str, str | None]]:
@@ -4217,7 +4328,15 @@ class TxnTable:
         keep_cdc = set()
         for v in range(max(1, latest - keep_versions + 1), latest + 1):
             meta = self.snapshot_meta(v)
-            keep.update(f.split("/")[1] for f in meta.files)
+            # only staged files live under data/<dir>/; converted
+            # in-place entries (bare names) and shallow-clone
+            # references (absolute paths) are never under it, so they
+            # can't be — and must not be — vacuum candidates
+            keep.update(
+                parts[1]
+                for f in meta.files
+                if len(parts := f.split("/")) >= 2 and parts[0] == _DATA_DIR
+            )
             keep_dvs.update(meta.file_dvs.values())
             # change-data files are per-VERSION artifacts (manifest-
             # referenced, never snapshot state): keep the retained
@@ -4249,6 +4368,91 @@ class TxnTable:
                     shutil.rmtree(d)
                     removed += 1
         return removed
+
+
+def convert_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    stats_cols: tuple[str, ...] = (),
+    checkpoint_interval: int = 10,
+) -> TxnTable:
+    """CONVERT TO txn table IN PLACE (Delta's ``CONVERT TO DELTA``):
+    adopt an existing directory of parquet files as a transactional
+    table WITHOUT copying data — the onboarding path for a 100 TB
+    corpus that already lives as raw parquet. One manifest is
+    published whose entries are the files' root-relative paths;
+    footer stats for ``stats_cols`` come from the parquet metadata
+    (one footer read per file, no data scan), so pruning works from
+    commit one. Appends, DML, MERGE, compaction, CDF and the
+    ``txnlake`` source all work immediately; rewrites migrate touched
+    entries into managed ``data/`` files.
+
+    Bounds and caveats (documented, not silent):
+
+    * Hive-partitioned layouts (``key=value`` directories) are
+      REJECTED — their partition values live in paths, not files, and
+      would silently read as null. Materialize the column first.
+    * Zero-row files are skipped (no footer stats — same rule as
+      ``_stage``).
+    * The adopted original files are outside ``data/`` and therefore
+      never vacuum-reclaimed; after rewrites supersede them,
+      ``compact()`` + manual cleanup of the originals retires them.
+    * Schema = pyarrow ``unify_schemas`` over the footers: widening
+      unions are fine, incompatible types fail loudly up front.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    root = Path(path)
+    if (root / _LOG_DIR).exists():
+        raise ValueError(f"{path!r} already has a transaction log")
+    rels = []
+    for p in sorted(root.rglob("*.parquet")):
+        rel = p.relative_to(root).as_posix()
+        if rel.startswith(("_", ".")) or "/_" in rel or "/." in rel:
+            continue  # metadata/hidden trees are not data
+        if "=" in rel:
+            raise ValueError(
+                f"hive-partitioned layout detected ({rel!r}): partition "
+                f"values live in directory names, not the files, and "
+                f"would read as null — materialize the partition "
+                f"column into the data before converting"
+            )
+        if pq.read_metadata(p).num_rows > 0:
+            rels.append(rel)
+    if not rels:
+        raise FileNotFoundError(f"no non-empty parquet files under {path!r}")
+    import pyarrow as pa
+
+    schema = from_arrow_schema(
+        pa.unify_schemas(
+            [pq.read_schema(root / r) for r in rels],
+            promote_options="permissive",
+        )
+    )
+    table = TxnTable(spark, path, checkpoint_interval=checkpoint_interval)
+    manifest = {
+        "version": 1,
+        "operation": "overwrite",
+        "ts_ms": int(time.time() * 1000),
+        "add": rels,
+        "remove": [],
+        "schema": schema.json(),
+        "writer_txns": {},
+        "add_stats": footer_stats(root, rels, stats_cols),
+        "params": {"convert": {"n_files": len(rels)}},
+        "constraints": {},
+        "dv": {},
+        "column_map": {},
+        "retired_cols": [],
+        "identity": {},
+        "zorder_spec": {},
+        "props": {},
+        "cdc": [],
+    }
+    if not table._publish(manifest, _manifest_path(root, 1)):
+        raise ValueError(f"{path!r} gained a transaction log concurrently")
+    return table
 
 
 def txn_append_sink(path: str, app_id: str = "stream"):

@@ -336,6 +336,32 @@ def test_vacuum_reclaims_old_cdc_keeps_recent(spark, tmp_path):
     assert _feed(t, v - 1, v) == [(2, 4, "delete", v)]
 
 
+def test_merge_schema_evolution_change_files(spark, tmp_path):
+    # a merge that WIDENS the schema writes change rows under the
+    # final schema; preimages read null for the new column, and the
+    # feed over the whole span unions by name
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, 4))
+    t.enable_cdf()
+    src = spark.createDataFrame(
+        [(1, 100, "x"), (50, 1, "y")], "k long, v long, tag string"
+    )
+    merge_into(t, src, "k", stats_cols=("k",))
+    v = t.latest_version()
+    ch = changes_between(t, v - 1, v)
+    got = sorted(
+        (r.k, r.v, r.tag, r._change_type) for r in ch.collect()
+    )
+    assert got == [
+        (1, 2, None, "update_preimage"),
+        (1, 100, "x", "update_postimage"),
+        (50, 1, "y", "insert"),
+    ]
+    # the full-span feed still unions (pre-evolution inserts null tag)
+    full = changes_between(t, 0, v)
+    assert full.where("tag IS NULL").count() == 5  # 4 inserts + preimage
+
+
 # ----------------------------------------- txnlake readChangeFeed ---
 
 
