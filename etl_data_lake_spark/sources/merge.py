@@ -65,6 +65,8 @@ from pyspark.sql.types import StructType
 from etl_data_lake_spark.sources import bloomindex
 from etl_data_lake_spark.sources.txn import (
     TxnTable,
+    _expr_refs,
+    _generated_defs,
     largest_gap_ranges,
     merge_schemas,
 )
@@ -189,6 +191,44 @@ def merge_into(
             f"{sorted(base.identity)} is not supported; append new "
             f"rows through TxnTable.append and update in place"
         )
+
+    gens = _generated_defs(base.props) if base is not None else {}
+    if gens:
+        # GENERATED ALWAYS columns: the merge's output rows come from
+        # the SOURCE (SET * / inserts), so the source must carry the
+        # column with correct values — the commit invariant validates
+        # them, a mismatch fails loudly. A source that omits it would
+        # silently null-fill inserted rows; reject instead (compute it
+        # into the source with the generation expression). update_exprs
+        # may target neither a generated column (GENERATED ALWAYS) nor
+        # one of its referenced columns (the stored generated value
+        # would go stale; merge does not recompute — put the new value
+        # in the source instead).
+        lacking = sorted(set(gens) - set(source.columns))
+        if lacking:
+            raise ValueError(
+                f"merge source lacks generated column(s) {lacking}; "
+                f"compute them into the source (table."
+                f"generated_columns() has the expressions) so inserted "
+                f"rows carry correct values"
+            )
+        direct = sorted(set(update_exprs or ()) & set(gens))
+        if direct:
+            raise ValueError(
+                f"column(s) {direct} are GENERATED ALWAYS and cannot "
+                f"take update_exprs; the source's values win via SET *"
+            )
+        stale = sorted(
+            g
+            for g, e in gens.items()
+            if any(_expr_refs(e, t) for t in (update_exprs or ()))
+        )
+        if stale:
+            raise ValueError(
+                f"update_exprs touch columns that generated column(s) "
+                f"{stale} derive from; merge does not recompute — "
+                f"apply the change in the source instead"
+            )
 
     if base is None or not base.files:
         # empty / absent target: everything is NOT MATCHED. Validate

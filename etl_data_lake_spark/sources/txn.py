@@ -92,6 +92,7 @@ _DATA_DIR = "data"
 _DV_DIR = "_dv"
 _CDC_DIR = "_cdc"
 _CDF_PROP = "cdf"  # props key enabling the materialized change feed
+_GEN_PREFIX = "generated."  # props key prefix: generated.<col> -> SQL expr
 _CHANGE_COL = "_change_type"
 _V_WIDTH = 12
 _CKPT_SUFFIX = ".ckpt.json"
@@ -380,6 +381,42 @@ def _manifest_key_expr(root: Path):
         stripped.startswith(prefix),
         F.substring(stripped, len(prefix) + 1, 2_000_000),
     ).otherwise(stripped)
+
+
+def _generated_defs(props: dict) -> dict[str, str]:
+    """{logical column -> generation SQL expr} from the table-property
+    namespace ``generated.<col>`` (managed exclusively by
+    :meth:`TxnTable.add_generated_column` — set/unset_properties
+    reject the prefix). Riding on properties means the definitions
+    flow through manifests, checkpoints, RESTORE and CLONE with zero
+    extra plumbing."""
+    return {
+        k[len(_GEN_PREFIX):]: v
+        for k, v in props.items()
+        if k.startswith(_GEN_PREFIX)
+    }
+
+
+def _expr_refs(expr: str, col: str) -> bool:
+    """Conservative textual test: does SQL ``expr`` reference ``col``?
+    Same word-boundary rule the CHECK-constraint rename/drop guards
+    use — false positives (the name inside a string literal) err
+    toward safety."""
+    import re
+
+    return re.search(rf"\b{re.escape(col)}\b", expr) is not None
+
+
+def _generated_invariant_sql(col: str, expr: str) -> str:
+    """The CHECK-shaped invariant every staged data file must satisfy
+    for a generated column: NULL (legacy rows written before the
+    column was registered, carried verbatim by rewrites) or exactly
+    the generation expression's value. Strict about one-sided nulls:
+    ``coalesce(.., FALSE)`` keeps a non-null stored value with a null
+    expression result from sneaking through as UNKNOWN. Portable SQL
+    (Spark and DuckDB) because the txnlake writer validates commits in
+    a session-less worker via the DuckDB fallback."""
+    return f"({col} IS NULL) OR coalesce(({col}) = ({expr}), FALSE)"
 
 
 class TxnTable:
@@ -1259,8 +1296,41 @@ class TxnTable:
 
         from pyspark.sql import functions as F
 
-        logical_schema_json = df.schema.json()
         base = self.snapshot_meta()
+        # GENERATED columns (add_generated_column): any Spark-side
+        # write path that lacks the column gets it computed here, so
+        # append / overwrite / replace_where / merge inserts all
+        # produce correct values without each caller knowing; a path
+        # that PROVIDES the column is validated at commit instead
+        # (the _commit invariant). Rewrites read full-schema rows, so
+        # they never recompute — legacy null backfill rows survive
+        # verbatim. Generated columns always get footer stats: file
+        # skipping on the derived value is the feature's point
+        # (Delta's partition-column analog).
+        gens = _generated_defs(base.props) if base else {}
+        if gens:
+            from pyspark.errors import AnalysisException
+            from pyspark.sql import functions as F
+
+            types = {f.name: f.dataType for f in base.schema().fields}
+            for c, e in sorted(gens.items()):
+                if c in df.columns or c not in types:
+                    continue
+                try:
+                    df = df.withColumn(c, F.expr(e).cast(types[c]))
+                except AnalysisException as err:
+                    raise ValueError(
+                        f"cannot compute generated column {c!r} = "
+                        f"({e}): the written dataframe lacks a column "
+                        f"the expression needs ({err})"
+                    ) from None
+            stats_cols = tuple(
+                dict.fromkeys(
+                    tuple(stats_cols)
+                    + tuple(c for c in sorted(gens) if c in df.columns)
+                )
+            )
+        logical_schema_json = df.schema.json()
         cmap = dict(base.column_map) if base else {}
         if cmap:
             df = df.select(
@@ -1840,6 +1910,66 @@ class TxnTable:
                         staged, attempt_schema, todo, attempt_cmap
                     )
                     validated |= set(todo.items())
+            # GENERATED-column invariant: every staged data file of a
+            # data-shaped commit must hold, per generated column,
+            # NULL-or-the-expression's-value (null = legacy backfill
+            # rows carried by rewrites; see _generated_invariant_sql).
+            # Rides the same Δ-files validation job as CHECK
+            # constraints, cached across commit attempts. restore is
+            # exempt (its adds are prior-version files under a pinned
+            # base — they satisfied the invariant when first staged).
+            if staged and operation in (
+                "append", "overwrite", "compact", "merge", "delete",
+                "update",
+            ):
+                gens = _generated_defs(attempt_props)
+                if gens:
+                    published = {
+                        f.name
+                        for f in StructType.fromJson(
+                            json.loads(attempt_schema)
+                        ).fields
+                    }
+                    gchecks = {
+                        f"generated<{c}>": _generated_invariant_sql(c, e)
+                        for c, e in gens.items()
+                        if c in published
+                    }
+                    # NEW data (append/overwrite) must PHYSICALLY carry
+                    # the column: a raw writer (txnlake datasource)
+                    # that omits it would read as all-null under the
+                    # published schema and slide through the invariant
+                    # as silent backfill — fail loudly instead, like
+                    # identity's raw-append guard. Rewrites are exempt:
+                    # they re-stage full-schema rows, so the column is
+                    # always physically present.
+                    if operation in ("append", "overwrite") and gchecks:
+                        import pyarrow.parquet as pq_mod
+
+                        for c in sorted(gens):
+                            if c not in published:
+                                continue
+                            phys_c = attempt_cmap.get(c, c)
+                            for f in staged:
+                                if phys_c not in set(
+                                    pq_mod.read_schema(self.root / f).names
+                                ):
+                                    raise ValueError(
+                                        f"staged file {f!r} lacks "
+                                        f"generated column {c!r}; write "
+                                        f"through TxnTable.append (which "
+                                        f"computes it) or provide the "
+                                        f"values explicitly"
+                                    )
+                    todo = {
+                        n: e for n, e in gchecks.items()
+                        if (n, e) not in validated
+                    }
+                    if todo:
+                        self._enforce_constraints(
+                            staged, attempt_schema, todo, attempt_cmap
+                        )
+                        validated |= set(todo.items())
             if dv_updates and operation != "restore":
                 # (restore is exempt: its base is pinned via
                 # expected_base, so no concurrent DV can move, and its
@@ -2450,6 +2580,79 @@ class TxnTable:
             cdc=cdc,
         )
 
+    def _reject_generated_sets(
+        self, base: Snapshot, set_exprs: dict[str, str]
+    ) -> dict[str, str]:
+        """UPDATE validation shared by every COW/MOR form: a GENERATED
+        ALWAYS column cannot be SET directly (it is recomputed when a
+        SET touches one of its referenced columns — Delta's rule).
+        Returns the table's generation definitions for the transform
+        builder."""
+        gens = _generated_defs(base.props)
+        g = sorted(set(set_exprs) & set(gens))
+        if g:
+            raise ValueError(
+                f"column(s) {g} are GENERATED ALWAYS AS (expr) and "
+                f"cannot be SET; they are recomputed automatically "
+                f"when a SET expr touches a referenced column"
+            )
+        return gens
+
+    def _update_transform(
+        self,
+        old: DataFrame,
+        hit,
+        set_exprs: dict[str, str],
+        schema: StructType,
+        gens: dict[str, str],
+    ) -> DataFrame:
+        """Apply an UPDATE's SET exprs to ``old`` under boolean column
+        expression ``hit`` (rows where it is FALSE or NULL survive
+        verbatim), then recompute any GENERATED column whose
+        expression references a SET-target column — evaluated on the
+        POST-SET row, Delta's generated-column update semantics. The
+        SET exprs themselves see pre-update values (SQL's parallel
+        assignment); ``hit`` is evaluated once on the original row, so
+        a SET expr may rewrite the predicate column safely. Extra
+        non-schema columns on ``old`` are dropped."""
+        from pyspark.sql import functions as F
+
+        tmp = "__upd_hit"
+        out = old.select(
+            *[F.col(f.name) for f in schema.fields], hit.alias(tmp)
+        )
+        out = out.select(
+            *[
+                F.when(
+                    F.col(tmp),
+                    F.expr(set_exprs[f.name]).cast(f.dataType),
+                ).otherwise(F.col(f.name)).alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+                for f in schema.fields
+            ],
+            F.col(tmp),
+        )
+        recompute = {
+            g: e
+            for g, e in gens.items()
+            if any(_expr_refs(e, t) for t in set_exprs)
+        }
+        if recompute:
+            out = out.select(
+                *[
+                    F.when(
+                        F.col(tmp),
+                        F.expr(recompute[f.name]).cast(f.dataType),
+                    ).otherwise(F.col(f.name)).alias(f.name)
+                    if f.name in recompute
+                    else F.col(f.name)
+                    for f in schema.fields
+                ],
+                F.col(tmp),
+            )
+        return out.select(*[F.col(f.name) for f in schema.fields])
+
     def update_where(
         self,
         col: str,
@@ -2516,6 +2719,7 @@ class TxnTable:
                 f"identity columns {sorted(id_set)} are GENERATED "
                 f"ALWAYS and cannot be SET"
             )
+        gens = self._reject_generated_sets(base, set_exprs)
         affected = self.files_matching_any(col, ranges, base.version)
         if not affected:
             return base.version
@@ -2527,15 +2731,7 @@ class TxnTable:
         if cdf_on:
             old = old.persist()
         try:
-            transform = [
-                F.when(
-                    hit, F.expr(set_exprs[f.name]).cast(f.dataType)
-                ).otherwise(F.col(f.name)).alias(f.name)
-                if f.name in set_exprs
-                else F.col(f.name)
-                for f in schema.fields
-            ]
-            out = old.select(*transform)
+            out = self._update_transform(old, hit, set_exprs, schema, gens)
             staged, _schema_json, stats = self._stage(out, stats_cols)
             cdc = None
             if cdf_on:
@@ -2546,7 +2742,12 @@ class TxnTable:
                 cdc = self._stage_cdc(
                     [
                         (pre, "update_preimage"),
-                        (pre.select(*transform), "update_postimage"),
+                        (
+                            self._update_transform(
+                                pre, F.lit(True), set_exprs, schema, gens
+                            ),
+                            "update_postimage",
+                        ),
                     ],
                     schema,
                     base.column_map,
@@ -2775,6 +2976,7 @@ class TxnTable:
                 f"identity columns {sorted(id_set)} are GENERATED "
                 f"ALWAYS and cannot be SET"
             )
+        gens = self._reject_generated_sets(base, set_exprs)
         pred, candidates = self._expr_dml_candidates(
             base, predicate, prune_hints
         )
@@ -2788,15 +2990,7 @@ class TxnTable:
         if cdf_on:
             old = old.persist()
         try:
-            transform = [
-                F.when(
-                    pred, F.expr(set_exprs[f.name]).cast(f.dataType)
-                ).otherwise(F.col(f.name)).alias(f.name)
-                if f.name in set_exprs
-                else F.col(f.name)
-                for f in schema.fields
-            ]
-            out = old.select(*transform)
+            out = self._update_transform(old, pred, set_exprs, schema, gens)
             staged, _schema_json, stats = self._stage(out, stats_cols)
             cdc = None
             if cdf_on:
@@ -2806,7 +3000,12 @@ class TxnTable:
                 cdc = self._stage_cdc(
                     [
                         (pre, "update_preimage"),
-                        (pre.select(*transform), "update_postimage"),
+                        (
+                            self._update_transform(
+                                pre, F.lit(True), set_exprs, schema, gens
+                            ),
+                            "update_postimage",
+                        ),
                     ],
                     schema,
                     base.column_map,
@@ -2901,6 +3100,131 @@ class TxnTable:
             },
         )
 
+    def add_generated_column(
+        self, name: str, expr: str, dtype: str
+    ) -> int:
+        """ALTER TABLE ADD COLUMN ``name dtype`` GENERATED ALWAYS AS
+        (``expr``) — Delta's expression-generated columns, the
+        partition-column analog for this stats-pruned layout: a column
+        derived deterministically from the row (``date_trunc`` of a
+        timestamp, a bucket hash, a parsed field), computed at WRITE
+        time by every engine-owned path and carried in footer stats,
+        so reads prune files on the DERIVED value without computing it
+        (:meth:`snapshot_where` / :meth:`files_matching` on ``name``).
+
+        Contract (Delta's, plus the add-after-creation relaxation this
+        engine also makes for identity):
+
+        * Writers that OMIT the column (``append`` / ``overwrite`` /
+          ``replace_where`` / merge inserts) get it computed from
+          ``expr`` automatically; writers that PROVIDE it must match —
+          every commit validates staged files against the invariant
+          ``NULL or exactly (expr)`` and fails loudly on a mismatch.
+        * Rows in files written BEFORE the registration read NULL
+          (documented backfill, like identity); rewrites carry them
+          verbatim and never backfill.
+        * UPDATE recomputes the column when a SET expr touches one of
+          its referenced columns; SET-ing it directly is rejected.
+        * Raw writers (the ``txnlake`` datasource) must provide the
+          column physically — an append whose staged files lack it is
+          rejected rather than silently null-filled.
+        * The definition rides table properties (``generated.<col>``,
+          API-managed), so checkpoints, RESTORE and CLONE carry it.
+
+        ``expr`` must be deterministic, reference only existing
+        non-generated columns, and stick to portable SQL (the txnlake
+        writer validates commits session-less via DuckDB, like CHECK
+        constraints)."""
+        from pyspark.sql import functions as F
+
+        base = self.snapshot_meta()
+        if base is None:
+            raise FileNotFoundError(
+                "add_generated_column needs a committed table (append "
+                "an empty dataframe with the base schema first)"
+            )
+        schema = base.schema()
+        if name in schema.fieldNames():
+            raise ValueError(
+                f"column {name!r} already exists; a generated column "
+                f"must own a fresh column"
+            )
+        if name == "_z":
+            raise ValueError(
+                "'_z' is reserved for the Morton clustering key"
+            )
+        taken = {base.phys(c) for c in schema.fieldNames()} | set(
+            base.retired_cols
+        )
+        if name in taken:
+            raise SchemaEvolutionError(
+                f"column name {name!r} collides with the physical "
+                f"name of a dropped or renamed column"
+            )
+        gens = _generated_defs(base.props)
+        chained = [g for g in gens if _expr_refs(expr, g)]
+        if chained or _expr_refs(expr, name):
+            raise ValueError(
+                f"generation expression may not reference generated "
+                f"columns ({chained or [name]}); inline their "
+                f"expressions instead"
+            )
+        # dtype + expression validated up front: parse the type via a
+        # DDL single-field schema, analyze expr against the table
+        # schema, and reject nondeterministic expressions (the same
+        # rule expr DML enforces — compute and validation would
+        # otherwise disagree between jobs)
+        field = self.spark.createDataFrame(
+            [], f"`{name}` {dtype}"
+        ).schema.fields[0]
+        try:
+            probe = self.spark.createDataFrame([], schema).select(
+                F.expr(expr).cast(field.dataType).alias(name)
+            )
+        except Exception as err:
+            raise ValueError(
+                f"generation expression ({expr}) does not analyze "
+                f"against the table schema: {err}"
+            ) from None
+        deterministic = True
+        try:
+            exprs = probe._jdf.queryExecution().analyzed().expressions()
+            deterministic = all(
+                exprs.apply(i).deterministic()
+                for i in range(exprs.size())
+            )
+        except Exception:  # pragma: no cover - introspection moved
+            pass  # best-effort, like _expr_dml_candidates
+        if not deterministic:
+            raise ValueError(
+                f"nondeterministic generation expression ({expr}): "
+                f"compute at write time and validation at commit time "
+                f"would disagree"
+            )
+        new_schema = StructType(
+            list(schema.fields) + [StructField(name, field.dataType, True)]
+        )
+        return self._commit(
+            "schema",
+            [],
+            new_schema.json(),
+            None,
+            None,
+            expected_base=base.version,
+            props={_GEN_PREFIX + name: expr},
+            op_params={
+                "add_generated": {
+                    "col": name, "expr": expr, "dtype": dtype,
+                }
+            },
+        )
+
+    def generated_columns(self) -> dict[str, str]:
+        """{column -> generation SQL expr} currently registered, {}
+        when none (or no commits yet)."""
+        base = self.snapshot_meta()
+        return _generated_defs(base.props) if base else {}
+
     def properties(self) -> dict[str, str]:
         """Current table properties (TBLPROPERTIES), {} for a table
         with none (or no commits yet)."""
@@ -2920,6 +3244,12 @@ class TxnTable:
         if any(v is None for v in props.values()):
             raise ValueError(
                 "None value in set_properties; use unset_properties"
+            )
+        managed = [k for k in props if k.startswith(_GEN_PREFIX)]
+        if managed:
+            raise ValueError(
+                f"{managed} are managed generated-column definitions; "
+                f"use add_generated_column / drop_column"
             )
         base = self.snapshot_meta()
         if base is None:
@@ -2943,6 +3273,12 @@ class TxnTable:
         keys = [keys] if isinstance(keys, str) else list(keys)
         if not keys:
             raise ValueError("unset_properties needs >= 1 key")
+        managed = [k for k in keys if k.startswith(_GEN_PREFIX)]
+        if managed:
+            raise ValueError(
+                f"{managed} are managed generated-column definitions; "
+                f"drop_column removes them"
+            )
         base = self.snapshot_meta()
         if base is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
@@ -3110,6 +3446,25 @@ class TxnTable:
                     f"constraint(s) {referenced} reference {old!r}; "
                     f"drop them before renaming"
                 )
+            gens = _generated_defs(base.props)
+            gen_refs = [
+                g for g, e in gens.items()
+                if g != old and _expr_refs(e, old)
+            ]
+            if gen_refs:
+                raise ValueError(
+                    f"generated column(s) {sorted(gen_refs)} derive "
+                    f"from {old!r}; drop them before renaming"
+                )
+            gen_change = None
+            if old in gens:
+                # the definition follows the LOGICAL name, like the
+                # identity spec: move the props key so writes keep
+                # computing and validating under the new name
+                gen_change = {
+                    _GEN_PREFIX + old: None,
+                    _GEN_PREFIX + new: gens[old],
+                }
             phys = base.phys(old)
             new_fields = [
                 StructField(new, f.dataType, f.nullable)
@@ -3152,6 +3507,7 @@ class TxnTable:
                     column_map=cmap,
                     identity=ident_change,
                     zorder_spec=zspec_change,
+                    props=gen_change,
                     op_params={
                         "action": "rename", "from": old, "to": new,
                     },
@@ -3192,6 +3548,17 @@ class TxnTable:
                     f"constraint(s) {referenced} reference {col!r}; "
                     f"drop them before dropping the column"
                 )
+            gens = _generated_defs(base.props)
+            gen_refs = [
+                g for g, e in gens.items()
+                if g != col and _expr_refs(e, col)
+            ]
+            if gen_refs:
+                raise ValueError(
+                    f"generated column(s) {sorted(gen_refs)} derive "
+                    f"from {col!r}; drop them before dropping the "
+                    f"column"
+                )
             phys = base.phys(col)
             new_fields = [f for f in schema.fields if f.name != col]
             cmap = {
@@ -3224,6 +3591,12 @@ class TxnTable:
                         {}
                         if col in base.zorder_spec.get("cols", ())
                         else None
+                    ),
+                    # a dropped generated column takes its definition
+                    # with it (or later appends would try to compute a
+                    # column the schema no longer has)
+                    props=(
+                        {_GEN_PREFIX + col: None} if col in gens else None
                     ),
                     op_params={"action": "drop", "column": col},
                 )
@@ -3288,6 +3661,27 @@ class TxnTable:
                     f"constraint {n!r} ({e!r}) references columns absent "
                     f"at version {version}; drop it before restoring"
                 ) from None
+        # generated-column definitions carry across like constraints
+        # (restore rolls DATA back, not invariants); one whose column
+        # or referenced columns the target schema lacks would wedge
+        # every later append on the compute step — fail fast with the
+        # same guidance
+        old_names = set(old.schema().fieldNames())
+        for g, e in _generated_defs(base.props).items():
+            broken = g not in old_names
+            if not broken:
+                try:
+                    self.spark.createDataFrame(
+                        [], old.schema()
+                    ).selectExpr(e)
+                except Exception:
+                    broken = True
+            if broken:
+                raise ValueError(
+                    f"generated column {g!r} (= {e}) references columns "
+                    f"absent at version {version}; drop_column({g!r}) "
+                    f"before restoring"
+                )
         base_set = set(base.files)
         replaced = tuple(sorted(base_set - set(old.files)))
         staged = sorted(set(old.files) - base_set)
@@ -3796,6 +4190,7 @@ class TxnTable:
                     f"identity columns {sorted(id_set)} are GENERATED "
                     f"ALWAYS and cannot be SET"
                 )
+            gens = self._reject_generated_sets(base, set_exprs)
             pred, affected = plan(base)
             if not affected:
                 return base.version
@@ -3819,14 +4214,11 @@ class TxnTable:
                     f"for bulk updates"
                 )
             try:
-                updated = matched.select(
-                    *[
-                        F.expr(set_exprs[f.name]).cast(f.dataType)
-                        .alias(f.name)
-                        if f.name in set_exprs
-                        else F.col(f.name)
-                        for f in schema.fields
-                    ]
+                # every matched row transforms (pre-filtered), so the
+                # hit column is a constant TRUE; generated columns
+                # recompute on the post-SET row like the COW forms
+                updated = self._update_transform(
+                    matched, F.lit(True), set_exprs, schema, gens
                 )
                 staged, _sj, stats = self._stage(updated, stats_cols)
                 updates, expected = self._build_dv_updates(
