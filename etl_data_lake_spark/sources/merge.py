@@ -192,7 +192,24 @@ def merge_into(
             f"rows through TxnTable.append and update in place"
         )
 
-    gens = _generated_defs(base.props) if base is not None else {}
+    if base is None or not base.files:
+        # empty / absent target: everything is NOT MATCHED. Validate
+        # update_exprs against the only schema there is (a typo must
+        # fail fast here too, not become data-dependent)
+        bad = set(update_exprs or ()) - set(source.columns)
+        if bad:
+            raise ValueError(
+                f"update_exprs for unknown columns {sorted(bad)}"
+            )
+        if when_not_matched is None:
+            return MergeResult(table.latest_version(), False, 0, 0, 0)
+        # (a generated column the source lacks is computed by append)
+        v = table.append(
+            source, app_id=app_id, txn_seq=txn_seq, stats_cols=stats_cols
+        )
+        return MergeResult(v, True, 0, 0, 0)
+
+    gens = _generated_defs(base.props)
     if gens:
         # GENERATED ALWAYS columns: the merge's output rows come from
         # the SOURCE (SET * / inserts), so the source must carry the
@@ -229,22 +246,6 @@ def merge_into(
                 f"{stale} derive from; merge does not recompute — "
                 f"apply the change in the source instead"
             )
-
-    if base is None or not base.files:
-        # empty / absent target: everything is NOT MATCHED. Validate
-        # update_exprs against the only schema there is (a typo must
-        # fail fast here too, not become data-dependent)
-        bad = set(update_exprs or ()) - set(source.columns)
-        if bad:
-            raise ValueError(
-                f"update_exprs for unknown columns {sorted(bad)}"
-            )
-        if when_not_matched is None:
-            return MergeResult(table.latest_version(), False, 0, 0, 0)
-        v = table.append(
-            source, app_id=app_id, txn_seq=txn_seq, stats_cols=stats_cols
-        )
-        return MergeResult(v, True, 0, 0, 0)
 
     target_schema = base.schema()
     missing = [k for k in keys if k not in target_schema.fieldNames()]

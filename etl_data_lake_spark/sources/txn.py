@@ -370,17 +370,28 @@ def _manifest_key_expr(root: Path):
     both cases exactly the string the manifest lists, so deletion
     vectors, merge probes and touched-file attribution key
     consistently whatever the entry's shape. The ONE place path
-    resolution is encoded for readers."""
+    resolution is encoded for readers.
+
+    ``_metadata.file_path`` is always ABSOLUTE (the engine qualifies
+    the read path), while ``root`` may be relative or reach the same
+    directory through a symlink — a prefix built from ``str(root)``
+    alone would silently match nothing and deletion vectors would
+    stop applying. Both the absolutized spelling (the engine's
+    qualification, symlinks intact) and the fully-resolved one are
+    accepted."""
     from pyspark.sql import functions as F
 
     stripped = F.regexp_replace(
         F.col("_metadata.file_path"), "^file:(//)?", ""
     )
-    prefix = str(root).rstrip("/") + "/"
-    return F.when(
-        stripped.startswith(prefix),
-        F.substring(stripped, len(prefix) + 1, 2_000_000),
-    ).otherwise(stripped)
+    prefixes = sorted({os.path.abspath(root), str(Path(root).resolve())})
+    out = None
+    for p in prefixes:
+        pref = p.rstrip("/") + "/"
+        cond = stripped.startswith(pref)
+        val = F.substring(stripped, len(pref) + 1, 2_000_000)
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return out.otherwise(stripped)
 
 
 def _generated_defs(props: dict) -> dict[str, str]:
@@ -2618,6 +2629,8 @@ class TxnTable:
         from pyspark.sql import functions as F
 
         tmp = "__upd_hit"
+        while tmp in {f.name for f in schema.fields}:  # user column clash
+            tmp += "_"
         out = old.select(
             *[F.col(f.name) for f in schema.fields], hit.alias(tmp)
         )
@@ -3152,6 +3165,14 @@ class TxnTable:
         if name == "_z":
             raise ValueError(
                 "'_z' is reserved for the Morton clustering key"
+            )
+        if not name.isidentifier():
+            # the invariant interpolates the bare name into SQL that
+            # must parse in Spark AND the session-less DuckDB fallback
+            # (whose quoting rules differ) — plain identifiers only
+            raise ValueError(
+                f"generated column name {name!r} must be a plain "
+                f"identifier"
             )
         taken = {base.phys(c) for c in schema.fieldNames()} | set(
             base.retired_cols
@@ -3750,6 +3771,20 @@ class TxnTable:
         src = self.snapshot_meta(version)
         if src is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
+        # fail fast on already-vacuumed bytes (RESTORE's rule): a clone
+        # of an old version must not publish references to files that
+        # are gone — the clone would be born unreadable
+        gone = [
+            f for f in src.files if not (self.root / f).is_file()
+        ] + [
+            p for p in src.file_dvs.values()
+            if not (self.root / p).is_file()
+        ]
+        if gone:
+            raise FileNotFoundError(
+                f"cannot clone v{src.version}: {len(gone)} data/DV "
+                f"file(s) already vacuumed, e.g. {gone[0]!r}"
+            )
         target = TxnTable(
             self.spark,
             target_path,

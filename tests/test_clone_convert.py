@@ -124,6 +124,38 @@ def test_deep_clone_has_no_source_dependence(spark, source, tmp_path):
     ]
 
 
+def test_relative_root_applies_deletion_vectors(spark, tmp_path):
+    # _metadata.file_path is absolute while the handle's root may be
+    # spelled RELATIVE (against the shared driver/JVM cwd): the
+    # manifest-key reduction must still match, or deletion vectors
+    # silently stop applying and deleted rows resurrect (the
+    # review-pass finding this pins)
+    rel = os.path.relpath(tmp_path / "rel_table", os.getcwd())
+    assert not os.path.isabs(rel)
+    t = TxnTable(spark, rel)
+    t.append(_kv(spark, 6), stats_cols=("k",))
+    t.delete_where_mor("k", 2, 3)
+    assert sorted(r.k for r in t.snapshot().collect()) == [0, 1, 4, 5]
+    merge_into(
+        t,
+        spark.createDataFrame([(4, 400)], "k long, v long"),
+        "k",
+        stats_cols=("k",),
+    )
+    assert sorted((r.k, r.v) for r in t.snapshot().collect()) == [
+        (0, 0), (1, 2), (4, 400), (5, 10),
+    ]
+
+
+def test_clone_of_vacuumed_version_fails_fast(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "src"))
+    t.append(_kv(spark, 3), stats_cols=("k",))  # v1
+    t.overwrite(_kv(spark, 2), stats_cols=("k",))  # v2
+    t.vacuum(keep_versions=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.clone_to(str(tmp_path / "cl"), version=1)
+
+
 def test_clone_refuses_existing_target(spark, source, tmp_path):
     source.clone_to(str(tmp_path / "cl"))
     with pytest.raises(ValueError, match="already has a committed"):

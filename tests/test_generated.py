@@ -129,6 +129,8 @@ def test_registration_validation(spark, gen_table):
         gen_table.add_generated_column("b2", "rand()", "double")
     with pytest.raises(ValueError, match="reference generated"):
         gen_table.add_generated_column("b2", "bucket + 1", "bigint")
+    with pytest.raises(ValueError, match="plain identifier"):
+        gen_table.add_generated_column("b 2", "k", "bigint")
     with pytest.raises(ValueError, match="managed"):
         gen_table.set_properties({"generated.x": "k"})
     with pytest.raises(ValueError, match="managed"):
