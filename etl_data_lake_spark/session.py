@@ -28,6 +28,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Write timestamps as annotated TIMESTAMP_MICROS, not legacy INT96:
+    # INT96 columns carry NO footer min/max statistics (measured), so
+    # every time-range file skip and txn-manifest stat on a timestamp
+    # column silently dies with the default. Micros is also what every
+    # modern reader (pyarrow, DuckDB, Iceberg/Delta writers) expects.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -54,7 +54,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from etl_data_lake_spark.sources.txn import TxnTable
+from etl_data_lake_spark.sources.txn import TxnTable, _stat_key
 
 _BLOOM_DIR = "_bloom"
 
@@ -261,8 +261,10 @@ def files_matching_eq(
         vs_h = list(zip(values, hashes))
         if rng is not None:
             try:
-                vs_h = [
-                    (v, h) for v, h in vs_h if rng[0] <= v <= rng[1]
+                vs_h = [  # _stat_key: time values -> manifest form
+                    (v, h)
+                    for v, h in vs_h
+                    if rng[0] <= _stat_key(v) <= rng[1]
                 ]
             except TypeError:  # incomparable stats type: skip the tier
                 pass

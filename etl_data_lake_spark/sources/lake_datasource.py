@@ -67,7 +67,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructField, StructType
 
-from etl_data_lake_spark.sources.txn import TxnTable, footer_stats
+from etl_data_lake_spark.sources.txn import TxnTable, _stat_key, footer_stats
 
 
 @dataclass
@@ -360,18 +360,20 @@ def _overlaps(rng, flt) -> bool:
     if isinstance(lo, float) or isinstance(hi, float):
         return True  # NaN-blind stats: see docstring
     try:
+        # _stat_key: date/timestamp filter values -> the manifest's
+        # ISO-string stat form (everything else passes through)
         if isinstance(flt, EqualTo):
-            return lo <= flt.value <= hi
+            return lo <= _stat_key(flt.value) <= hi
         if isinstance(flt, In):
-            return any(lo <= v <= hi for v in flt.value)
+            return any(lo <= _stat_key(v) <= hi for v in flt.value)
         if isinstance(flt, GreaterThan):
-            return hi > flt.value
+            return hi > _stat_key(flt.value)
         if isinstance(flt, GreaterThanOrEqual):
-            return hi >= flt.value
+            return hi >= _stat_key(flt.value)
         if isinstance(flt, LessThan):
-            return lo < flt.value
+            return lo < _stat_key(flt.value)
         if isinstance(flt, LessThanOrEqual):
-            return lo <= flt.value
+            return lo <= _stat_key(flt.value)
         if isinstance(flt, StringStartsWith):
             # lo may itself start with the prefix while sorting above
             # prefix+U+10FFFF (a U+10FFFF inside lo) — startswith

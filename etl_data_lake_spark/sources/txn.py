@@ -302,14 +302,44 @@ def _pointer_path(root: Path) -> Path:
     return root / _LOG_DIR / "_last_checkpoint"
 
 
+def _stat_key(v):
+    """Normalize a stats or query-bound value to its MANIFEST form.
+    Date and timestamp values become fixed-width ISO strings
+    ("YYYY-MM-DD" / "YYYY-MM-DD HH:MM:SS.ffffff"), whose lexicographic
+    order IS chronological order — so they survive JSON manifests and
+    compare correctly against each other; every range comparator
+    (files_matching*, the _commit guard, the bloom min/max tier)
+    passes caller bounds through this, so callers hand in plain
+    date/datetime objects and prune time columns like any other.
+    Aware datetimes normalize to UTC (the engine's session timezone)
+    first. Everything else passes through unchanged."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):  # before date: datetime IS a date
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        # isoformat zero-pads the year (strftime %Y does not on glibc
+        # for years < 1000, which would break lexicographic order)
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
 def footer_stats(
     root: Path, files: list[str], stats_cols: tuple[str, ...]
 ) -> dict[str, dict[str, list]]:
     """Per-file column stats from the just-written parquet FOOTERS
     (one metadata read per file, local to the committer) — shared by
     ``_stage`` and the ``txnlake`` DataSource writer. ``stats_cols``
-    are PHYSICAL column names. Only int/float/str mins and maxes are
-    recorded; a file with no usable stats simply never skips."""
+    are PHYSICAL column names. int/float/str mins and maxes are
+    recorded directly; date and timestamp stats are normalized to ISO
+    strings via :func:`_stat_key` (nanosecond-unit timestamp maxima
+    are ceiled one microsecond — the footer value is floored to µs,
+    and a max below the true max would skip wrongly); a file with no
+    usable stats simply never skips."""
+    import datetime
+
     import pyarrow.parquet as pq
 
     stats: dict[str, dict[str, list]] = {}
@@ -336,12 +366,28 @@ def footer_stats(
             have_mm = (
                 len(mins) == md.num_row_groups
                 and all(
-                    isinstance(v, (int, float, str))
+                    isinstance(
+                        v, (int, float, str, datetime.date)
+                    )  # datetime.datetime IS a datetime.date
                     for v in (min(mins), max(maxs))
                 )
                 if mins
                 else False
             )
+            if have_mm and isinstance(max(maxs), datetime.datetime):
+                # parquet footer timestamps surface floored to µs; for
+                # nanos-unit columns the true max may sit inside the
+                # truncated microsecond — ceil it so the recorded max
+                # is never below a real value (a floored MIN is already
+                # conservative). Unknown units ceil too, same reason.
+                lt = md.schema.column(idx).logical_type
+                unit = getattr(lt, "time_unit", None) or getattr(
+                    lt, "unit", None
+                )
+                if str(unit).lower() not in ("micros", "millis"):
+                    maxs = [
+                        max(maxs) + datetime.timedelta(microseconds=1)
+                    ]
             have_nc = len(nulls) == md.num_row_groups
             # entry shapes (readers index [0]/[1] for ranges and,
             # when len >= 4, [2]/[3] for null skipping):
@@ -350,10 +396,11 @@ def footer_stats(
             #   [None, None, nulls, rows]    nulls only
             if have_mm and have_nc:
                 per_col[col] = [
-                    min(mins), max(maxs), sum(nulls), md.num_rows,
+                    _stat_key(min(mins)), _stat_key(max(maxs)),
+                    sum(nulls), md.num_rows,
                 ]
             elif have_mm:
-                per_col[col] = [min(mins), max(maxs)]
+                per_col[col] = [_stat_key(min(mins)), _stat_key(max(maxs))]
             elif have_nc:
                 per_col[col] = [None, None, sum(nulls), md.num_rows]
         if per_col:
@@ -392,6 +439,38 @@ def _manifest_key_expr(root: Path):
         val = F.substring(stripped, len(pref) + 1, 2_000_000)
         out = F.when(cond, val) if out is None else out.when(cond, val)
     return out.otherwise(stripped)
+
+
+def _micros_ts_writes(spark):
+    """Context manager: the staged write lands timestamps as annotated
+    TIMESTAMP_MICROS whatever the caller's session default — Spark's
+    INT96 default writes NO footer min/max statistics (measured), which
+    would silently kill every manifest stat and file skip on a
+    timestamp column. Saved and restored around the write; concurrent
+    stagers all want the same value, so the race is benign."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def cm():
+        key = "spark.sql.parquet.outputTimestampType"
+        try:
+            old = spark.conf.get(key)
+        except Exception:
+            old = None
+        try:
+            spark.conf.set(key, "TIMESTAMP_MICROS")
+        except Exception:
+            pass  # static in exotic deployments: stage still works
+        try:
+            yield
+        finally:
+            if old is not None and old != "TIMESTAMP_MICROS":
+                try:
+                    spark.conf.set(key, old)
+                except Exception:
+                    pass
+
+    return cm()
 
 
 def _generated_defs(props: dict) -> dict[str, str]:
@@ -832,10 +911,16 @@ class TxnTable:
         meta = self.snapshot_meta(version)
         if meta is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
+        # date/datetime bounds normalize to the manifest's ISO-string
+        # stat form (_stat_key); other types pass through
+        norm = {
+            c: (_stat_key(lo), _stat_key(hi))
+            for c, (lo, hi) in ranges.items()
+        }
         keep = []
         for f in meta.files:
             ok = True
-            for col, (lo, hi) in ranges.items():
+            for col, (lo, hi) in norm.items():
                 rng = meta.file_stats.get(f, {}).get(meta.phys(col))
                 # rng[0] is None for a nulls-only entry (all-null
                 # column): no range knowledge -> conservatively kept
@@ -874,11 +959,12 @@ class TxnTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         if not ranges:
             return []  # "in ANY of no ranges" is vacuously false
+        norm = [(_stat_key(lo), _stat_key(hi)) for lo, hi in ranges]
         keep = []
         for f in meta.files:
             rng = meta.file_stats.get(f, {}).get(meta.phys(col))
             if rng is None or rng[0] is None or any(
-                not (rng[0] > hi or rng[1] < lo) for lo, hi in ranges
+                not (rng[0] > hi or rng[1] < lo) for lo, hi in norm
             ):
                 keep.append(f)
         return keep
@@ -1352,7 +1438,8 @@ class TxnTable:
             stats_cols = tuple(cmap.get(c, c) for c in stats_cols)
         stage_rel = f"{_DATA_DIR}/{uuid.uuid4().hex}"
         stage_abs = self.root / stage_rel
-        df.write.mode("errorifexists").parquet(str(stage_abs))
+        with _micros_ts_writes(self.spark):
+            df.write.mode("errorifexists").parquet(str(stage_abs))
         # ZERO-ROW part files (empty upstream partitions) are dropped
         # from the manifest: they carry no data but — having no row
         # groups, hence no stats — would conservatively defeat every
@@ -1404,7 +1491,8 @@ class TxnTable:
 
         stage_rel = f"{_CDC_DIR}/{uuid.uuid4().hex}"
         stage_abs = self.root / stage_rel
-        out.write.mode("errorifexists").parquet(str(stage_abs))
+        with _micros_ts_writes(self.spark):
+            out.write.mode("errorifexists").parquet(str(stage_abs))
         return sorted(
             f"{stage_rel}/{p.name}"
             for p in stage_abs.iterdir()
@@ -1553,7 +1641,20 @@ class TxnTable:
         log = self.root / _LOG_DIR
         log.mkdir(parents=True, exist_ok=True)
         tmp = log / f".tmp-{uuid.uuid4().hex}"
-        tmp.write_text(json.dumps(payload))
+        # date/datetime leak into manifests only through op_params
+        # audit values (e.g. a delete's timestamp ranges) — serialize
+        # them in the same ISO form the stats use; anything else
+        # non-JSON still fails loudly
+        def _default(o):
+            k = _stat_key(o)
+            if k is o:  # not a time value: keep json's loud failure
+                raise TypeError(
+                    f"Object of type {type(o).__name__} is not JSON "
+                    f"serializable"
+                )
+            return k
+
+        tmp.write_text(json.dumps(payload, default=_default))
         try:
             os.link(tmp, path)
             return True
@@ -1754,6 +1855,13 @@ class TxnTable:
                     else:
                         gcol, granges = guard_range
                         gspec = {gcol: list(granges)}
+                    gspec = {  # time bounds -> manifest stat form
+                        c: [
+                            (_stat_key(lo), _stat_key(hi))
+                            for lo, hi in rs
+                        ]
+                        for c, rs in gspec.items()
+                    }
                     fstats = base.file_stats if base else {}
                     for f in sorted(
                         base_files - set(replaced) - set(guard_exempt)

@@ -1,0 +1,181 @@
+"""Date/timestamp file statistics: footer stats on time columns are
+normalized to fixed-width ISO strings (lexicographic == chronological,
+JSON-manifest safe), every range comparator normalizes caller bounds
+the same way, and staged writes force TIMESTAMP_MICROS (Spark's INT96
+default writes NO footer min/max — measured) — so time-range pruning,
+the most common 100 TB scan pattern, works on txn tables like any
+numeric column. Reference: /root/reference/etl.py reads everything
+always; pruning is extension surface."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.sources.merge import merge_into
+from etl_data_lake_spark.sources.txn import TxnTable, _stat_key
+
+
+def _events(spark, day: int, n=4):
+    """n rows inside 2026-03-<day>, one file's worth."""
+    return spark.range(n).select(
+        (F.col("id") + day * 100).alias("k"),
+        F.to_timestamp(
+            F.concat(
+                F.lit(f"2026-03-{day:02d} 0"),
+                F.col("id").cast("string"),
+                F.lit(":00:00"),
+            )
+        ).alias("ts"),
+    )
+
+
+def test_stat_key_normalization():
+    assert _stat_key(datetime.date(2026, 3, 5)) == "2026-03-05"
+    assert _stat_key(
+        datetime.datetime(2026, 3, 5, 1, 2, 3, 4)
+    ) == "2026-03-05 01:02:03.000004"
+    # aware -> UTC; year < 1000 zero-padded (strftime %Y would not be)
+    aware = datetime.datetime(
+        2026, 3, 5, 2, 0, 0,
+        tzinfo=datetime.timezone(datetime.timedelta(hours=2)),
+    )
+    assert _stat_key(aware) == "2026-03-05 00:00:00.000000"
+    assert _stat_key(datetime.datetime(999, 1, 1)).startswith("0999-")
+    assert _stat_key(42) == 42 and _stat_key("x") == "x"
+
+
+def test_timestamp_range_prunes_and_reads_exact(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for day in (1, 2, 3):
+        t.append(_events(spark, day).coalesce(1), stats_cols=("ts",))
+    meta = t.snapshot_meta()
+    # stats recorded as ISO strings (JSON-manifest safe)
+    vals = [s["ts"] for s in meta.file_stats.values() if "ts" in s]
+    assert vals and all(isinstance(v[0], str) for v in vals)
+    lo = datetime.datetime(2026, 3, 2)
+    hi = datetime.datetime(2026, 3, 2, 23, 59, 59)
+    kept, total = t.files_matching({"ts": (lo, hi)})
+    assert total == 3 and len(kept) == 1
+    got = t.snapshot_where("ts", lo, hi)
+    assert sorted(r.k for r in got.collect()) == [200, 201, 202, 203]
+    # boundary exactness: a bound equal to a file's max keeps the file
+    kept2, _ = t.files_matching(
+        {"ts": (datetime.datetime(2026, 3, 1, 3), lo)}
+    )
+    assert len(kept2) == 2
+
+
+def test_date_column_stats(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for day in (1, 2):
+        df = spark.range(3).select(
+            F.col("id").alias("k"),
+            F.to_date(F.lit(f"2026-04-{day:02d}")).alias("d"),
+        )
+        t.append(df.coalesce(1), stats_cols=("d",))
+    kept, total = t.files_matching(
+        {"d": (datetime.date(2026, 4, 2), datetime.date(2026, 4, 2))}
+    )
+    assert total == 2 and len(kept) == 1
+    assert t.snapshot_where(
+        "d", datetime.date(2026, 4, 1), datetime.date(2026, 4, 1)
+    ).count() == 3
+
+
+def test_merge_on_timestamp_key_prunes_and_guards(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for day in (1, 2, 3):
+        t.append(_events(spark, day).coalesce(1), stats_cols=("ts",))
+    untouched = [
+        f for f in t.snapshot_meta().files
+        if t.snapshot_meta().file_stats[f]["ts"][0].startswith("2026-03-01")
+    ]
+    src = spark.createDataFrame(
+        [(999, datetime.datetime(2026, 3, 2, 1, 0, 0))], "k long, ts timestamp"
+    ).select("k", "ts")
+    # key on ts: the day-2 row updates in place, day-1/3 files survive
+    merge_into(t, src, "ts", stats_cols=("ts",))
+    assert set(untouched) <= set(t.snapshot_meta().files)
+    got = {r.ts: r.k for r in t.snapshot().collect()}
+    assert got[datetime.datetime(2026, 3, 2, 1, 0, 0)] == 999
+    assert len(got) == 12
+
+
+def test_delete_where_timestamp_range(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for day in (1, 2):
+        t.append(_events(spark, day).coalesce(1), stats_cols=("ts",))
+    day1 = [
+        f for f in t.snapshot_meta().files
+        if t.snapshot_meta().file_stats[f]["ts"][0].startswith("2026-03-01")
+    ]
+    t.delete_where(
+        "ts",
+        datetime.datetime(2026, 3, 2),
+        datetime.datetime(2026, 3, 2, 23),
+        stats_cols=("ts",),
+    )
+    # the day-1 file was never rewritten (stats-pruned out of the scope)
+    assert set(day1) <= set(t.snapshot_meta().files)
+    assert t.snapshot().count() == 4
+    assert all(
+        r.ts.day == 1 for r in t.snapshot().select("ts").collect()
+    )
+
+
+def test_nanos_unit_max_is_ceiled(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_data_lake_spark.sources.txn import convert_parquet_dir
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    ts = pa.array(
+        [1_700_000_000_123_456_789],  # ns precision: .123456789
+        type=pa.timestamp("ns"),
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([1]), "ts": ts}), raw / "a.parquet"
+    )
+    t = convert_parquet_dir(spark, str(raw), stats_cols=("ts",))
+    lo_s, hi_s = t.snapshot_meta().file_stats["a.parquet"]["ts"][:2]
+    # min floored to µs (conservative); max ceiled one µs past the
+    # floored footer value so no real ns value can sit above it
+    assert lo_s.endswith(".123456")
+    assert hi_s.endswith(".123457")
+    # the row is found when querying exactly its truncated µs instant
+    q = datetime.datetime.utcfromtimestamp(1_700_000_000).replace(
+        microsecond=123456
+    )
+    kept, total = t.files_matching({"ts": (q, q)})
+    assert (len(kept), total) == (1, 1)
+
+
+def test_stats_survive_checkpoint_and_json(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"), checkpoint_interval=2)
+    for day in (1, 2, 3, 4):
+        t.append(_events(spark, day).coalesce(1), stats_cols=("ts",))
+    fresh = TxnTable(spark, str(t.root), checkpoint_interval=2)
+    kept, total = fresh.files_matching(
+        {"ts": (datetime.datetime(2026, 3, 3), datetime.datetime(2026, 3, 3, 23))}
+    )
+    assert total == 4 and len(kept) == 1
+
+
+def test_datasource_pushdown_prunes_timestamps(spark, tmp_path):
+    from etl_data_lake_spark.sources.lake_datasource import _overlaps
+
+    # unit-level: ISO-string stats vs datetime filter values
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    rng = ["2026-03-02 00:00:00.000000", "2026-03-02 03:00:00.000000"]
+    inside = datetime.datetime(2026, 3, 2, 1)
+    after = datetime.datetime(2026, 3, 5)
+    assert _overlaps(rng, EqualTo(("ts",), inside))
+    assert not _overlaps(rng, EqualTo(("ts",), after))
+    assert not _overlaps(rng, GreaterThan(("ts",), after))
+    assert _overlaps(rng, GreaterThan(("ts",), inside))
