@@ -3844,6 +3844,14 @@ class TxnTable:
             op_params={"to_version": version},
         )
 
+    def restore_to_timestamp(self, ts_ms: int) -> int:
+        """RESTORE TABLE TO TIMESTAMP AS OF — roll back to the newest
+        version committed at or before wall-clock ``ts_ms``
+        (:meth:`version_as_of` composed with :meth:`restore`; same
+        metadata-only commit, pinning, validation and fail-fast
+        rules). Advisory commit stamps, like all timestamp travel."""
+        return self.restore(self.version_as_of(ts_ms))
+
     def clone_to(
         self,
         target_path: str,
@@ -4850,13 +4858,15 @@ class TxnTable:
             horizon = max(1, self.latest_version())
         return self.vacuum(self.latest_version() - horizon + 1)
 
-    def vacuum(self, keep_versions: int = 1) -> int:
+    def vacuum(self, keep_versions: int = 1, dry_run: bool = False) -> int:
         """Delete data dirs unreferenced by the ``keep_versions`` most
         recent snapshots (orphans from crashed stages included).
         Returns the number of dirs removed. Like Delta's VACUUM this
         breaks time travel beyond the horizon and must outlast the
         longest-running reader; time-based gating is
-        :meth:`vacuum_older_than`."""
+        :meth:`vacuum_older_than`. ``dry_run=True`` (Delta's ``VACUUM
+        ... DRY RUN``) only counts what a real run would reclaim —
+        nothing is deleted."""
         latest = self.latest_version()
         keep = set()
         keep_dvs = set()
@@ -4886,7 +4896,8 @@ class TxnTable:
         if data.is_dir():
             for d in data.iterdir():
                 if d.is_dir() and d.name not in keep:
-                    shutil.rmtree(d)
+                    if not dry_run:
+                        shutil.rmtree(d)
                     removed += 1
         # deletion-vector sidecars: drop documents no retained version
         # references (superseded unions, crash orphans)
@@ -4894,13 +4905,15 @@ class TxnTable:
         if dv_dir.is_dir():
             for p in dv_dir.iterdir():
                 if p.is_file() and f"{_DV_DIR}/{p.name}" not in keep_dvs:
-                    p.unlink()
+                    if not dry_run:
+                        p.unlink()
                     removed += 1
         cdc_dir = self.root / _CDC_DIR
         if cdc_dir.is_dir():
             for d in cdc_dir.iterdir():
                 if d.is_dir() and d.name not in keep_cdc:
-                    shutil.rmtree(d)
+                    if not dry_run:
+                        shutil.rmtree(d)
                     removed += 1
         return removed
 

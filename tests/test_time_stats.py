@@ -166,6 +166,27 @@ def test_stats_survive_checkpoint_and_json(spark, tmp_path):
     assert total == 4 and len(kept) == 1
 
 
+def test_restore_to_timestamp_and_vacuum_dry_run(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_events(spark, 1).coalesce(1), stats_cols=("ts",))  # v1
+    ts_after_v1 = t._read_manifest(1)["ts_ms"]
+    t.overwrite(_events(spark, 2).coalesce(1), stats_cols=("ts",))  # v2
+    # dry run counts the reclaimable v1 dir without touching it
+    would = t.vacuum(keep_versions=1, dry_run=True)
+    assert would >= 1
+    assert t.snapshot_meta(1) is not None  # still time-travelable
+    assert t.snapshot(1).count() == 4
+    # restore by wall-clock stamp lands on v1's state
+    t.restore_to_timestamp(ts_after_v1)
+    assert sorted(r.k for r in t.snapshot().collect()) == [
+        100, 101, 102, 103,
+    ]
+    # and the real vacuum reclaims exactly what the dry run promised
+    assert t.vacuum(keep_versions=t.latest_version()) == 0  # keep all
+    reclaim = t.vacuum(keep_versions=1, dry_run=True)
+    assert t.vacuum(keep_versions=1) == reclaim
+
+
 def test_datasource_pushdown_prunes_timestamps(spark, tmp_path):
     from etl_data_lake_spark.sources.lake_datasource import _overlaps
 
