@@ -189,6 +189,20 @@ def _string_cut_points(
     return cuts
 
 
+def _z_num_expr(df: DataFrame, c: str):
+    """The numeric expression a Morton bucket quantizes for column
+    ``c``: a plain double cast for numbers AND timestamps (epoch
+    seconds — timestamps are the canonical events cluster key), and
+    ``unix_date`` (epoch days) for DATE columns, which Spark refuses
+    to cast to double directly. Used identically by the spec freeze
+    and the key computation so the two can never disagree."""
+    from pyspark.sql.types import DateType
+
+    if isinstance(df.schema[c].dataType, DateType):
+        return F.unix_date(F.col(c)).cast("double")
+    return F.col(c).cast("double")
+
+
 def compute_zorder_spec(
     df: DataFrame, cols: tuple[str, ...], bits: int = 8,
     max_sample: int = 4096,
@@ -219,8 +233,8 @@ def compute_zorder_spec(
                 f
                 for c in num_cols
                 for f in (
-                    F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
-                    F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+                    F.min(_z_num_expr(df, c)).alias(f"_min_{c}"),
+                    F.max(_z_num_expr(df, c)).alias(f"_max_{c}"),
                 )
             ]
         ).collect()[0]
@@ -253,7 +267,7 @@ def zorder_key_with_spec(df: DataFrame, spec: dict) -> DataFrame:
             buckets.append(F.lit(0).cast("long"))  # all-null column
             continue
         b = F.width_bucket(
-            F.col(c).cast("double"),
+            _z_num_expr(df, c),
             F.lit(float(lo)),
             F.lit(float(hi) + 1e-9),
             F.lit(1 << bits),

@@ -187,6 +187,41 @@ def test_restore_to_timestamp_and_vacuum_dry_run(spark, tmp_path):
     assert t.vacuum(keep_versions=1) == reclaim
 
 
+def test_zorder_on_timestamp_and_date_columns(spark, tmp_path):
+    # timestamps are the canonical events cluster key: the Morton
+    # curve quantizes them as epoch seconds (dates as epoch days via
+    # unix_date — Spark refuses a direct double cast), and the new
+    # ISO time stats make the clustered spans prunable
+    t = TxnTable(spark, str(tmp_path / "t"))
+    rows = spark.range(64).select(
+        (F.col("id") % 8).alias("k"),
+        F.timestamp_seconds(
+            F.lit(1_767_225_600) + (F.col("id") / 8).cast("long") * 86400
+        ).alias("ts"),
+    )
+    t.append(rows.repartition(8), stats_cols=("k", "ts"))
+    t.optimize_zorder(("ts", "k"), bits=3)
+    lo = datetime.datetime(2026, 1, 2)
+    hi = datetime.datetime(2026, 1, 2, 23)
+    kept, total = t.files_matching({"ts": (lo, hi)})
+    assert total >= 2 and len(kept) < total  # time dimension prunes
+    got = t.snapshot_where_ranges({"ts": (lo, hi), "k": (3, 3)})
+    assert got.count() == 1
+    # date columns freeze a numeric spec too (epoch days)
+    t2 = TxnTable(spark, str(tmp_path / "t2"))
+    t2.append(
+        spark.range(8).select(
+            F.col("id").alias("k"),
+            F.date_add(F.lit(datetime.date(2026, 4, 1)), F.col("id").cast("int")).alias("d"),
+        ),
+        stats_cols=("k",),
+    )
+    t2.optimize_zorder(("d", "k"), bits=2)
+    spec = t2.snapshot_meta().zorder_spec
+    assert spec["num"]["d"][0] is not None
+    assert t2.snapshot().count() == 8
+
+
 def test_datasource_pushdown_prunes_timestamps(spark, tmp_path):
     from etl_data_lake_spark.sources.lake_datasource import _overlaps
 
