@@ -42,6 +42,7 @@ re-deliveries, exactly Delta's contract).
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -72,22 +73,49 @@ from etl_data_lake_spark.sources.txn import TxnTable, _stat_key, footer_stats
 
 @dataclass
 class _FilePart(InputPartition):
-    """Everything an executor needs — no driver state, no Spark."""
+    """Everything an executor needs — no driver state, no Spark.
+    Carries a GROUP of files (driver-side sequential bin-packing, see
+    :func:`_pack_files`): at 10⁶ small files one-task-per-file would
+    mean 10⁶ task launches, so files pack into ~``maxBytesPerTask``
+    bins in manifest order (clustered neighbors stay in one task)."""
 
-    file_path: str  # absolute parquet path
-    dv_path: str | None  # absolute deletion-vector sidecar, if any
+    files: tuple  # ((abs parquet path, abs dv path | None), ...)
     renames: tuple  # ((physical, logical), ...) for mapped columns
     schema_json: str  # LOGICAL schema to emit
+
+
+def _pack_files(entries, max_bytes: int):
+    """Sequential greedy bin-packing of ``(abs_path, dv_path)`` pairs
+    in MANIFEST ORDER (range-clustered neighbors land in the same
+    task, keeping per-task locality) into bins of ~``max_bytes``.
+    Sizes come from one local stat per file on the driver — this
+    lake's files are committer-local by design; a remote object-store
+    deployment would carry sizes in manifests instead. A file whose
+    size cannot be read is isolated in its own bin (conservative)."""
+    bins, cur, cur_bytes = [], [], 0
+    for path, dv in entries:
+        try:
+            sz = os.stat(path).st_size
+        except OSError:
+            sz = max_bytes
+        if cur and cur_bytes + sz > max_bytes:
+            bins.append(tuple(cur))
+            cur, cur_bytes = [], 0
+        cur.append((path, dv))
+        cur_bytes += sz
+    if cur:
+        bins.append(tuple(cur))
+    return bins
 
 
 def _read_partition(part: _FilePart):
     """Executor-side: parquet → (drop DV positions) → (rename
     physical→logical, null-fill missing columns) → Arrow batches cast
-    to the logical schema. Pure pyarrow; runs in the Python worker.
-    Only the schema's physical columns are read from the file
-    (column pruning reaches the parquet footer — dropped/retired
-    columns' bytes are never decoded), and the deletion-vector mask
-    is built vectorized."""
+    to the logical schema, for each file of the group. Pure pyarrow;
+    runs in the Python worker. Only the schema's physical columns are
+    read from each file (column pruning reaches the parquet footer —
+    dropped/retired columns' bytes are never decoded), and the
+    deletion-vector mask is built vectorized."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -99,29 +127,29 @@ def _read_partition(part: _FilePart):
     logical_of = dict(part.renames)  # physical -> logical
     phys_of = {l: p for p, l in logical_of.items()}
     wanted = [phys_of.get(f.name, f.name) for f in schema.fields]
-    available = set(pq.read_schema(part.file_path).names)
-    table = pq.read_table(
-        part.file_path, columns=[c for c in wanted if c in available]
-    )
-    if part.dv_path is not None:
-        deleted = np.asarray(
-            json.loads(Path(part.dv_path).read_text())["indices"],
-            dtype=np.int64,
+    for file_path, dv_path in part.files:
+        available = set(pq.read_schema(file_path).names)
+        table = pq.read_table(
+            file_path, columns=[c for c in wanted if c in available]
         )
-        keep = np.ones(table.num_rows, dtype=bool)
-        keep[deleted[deleted < table.num_rows]] = False
-        table = table.filter(pa.array(keep))
-    cols = []
-    names = set(table.schema.names)
-    for field, phys in zip(schema.fields, wanted):
-        if phys in names:
-            cols.append(table.column(phys))
-        else:  # schema evolution: column newer than this file
-            cols.append(pa.nulls(table.num_rows))
-    out = pa.table(cols, names=[f.name for f in schema.fields])
-    out = out.cast(target)
-    for batch in out.to_batches():
-        yield batch
+        if dv_path is not None:
+            deleted = np.asarray(
+                json.loads(Path(dv_path).read_text())["indices"],
+                dtype=np.int64,
+            )
+            keep = np.ones(table.num_rows, dtype=bool)
+            keep[deleted[deleted < table.num_rows]] = False
+            table = table.filter(pa.array(keep))
+        cols = []
+        names = set(table.schema.names)
+        for field, phys in zip(schema.fields, wanted):
+            if phys in names:
+                cols.append(table.column(phys))
+            else:  # schema evolution: column newer than this file
+                cols.append(pa.nulls(table.num_rows))
+        out = pa.table(cols, names=[f.name for f in schema.fields])
+        out = out.cast(target)
+        yield from out.to_batches()
 
 
 _CHANGE_COL = "_change_type"
@@ -398,6 +426,12 @@ class TxnLakeBatchReader(DataSourceReader):
             raise FileNotFoundError(f"no committed version at {path}")
         self._schema = schema
         self._filters = []
+        # task granularity: files bin-pack to ~this many bytes per
+        # InputPartition (Delta's file-group motivation — a small-file
+        # table must not become one task per file)
+        self._max_bytes = int(
+            options.get("maxBytesPerTask") or (128 << 20)
+        )
 
     def planned_files(self) -> list[str]:
         """Manifest-pruned file list (exposed for tests)."""
@@ -421,16 +455,18 @@ class TxnLakeBatchReader(DataSourceReader):
             if meta.phys(c) != c
         )
         sj = self._schema.json()
-        return [
-            _FilePart(
+        entries = [
+            (
                 str(root / fl),
                 str(root / meta.file_dvs[fl])
                 if fl in meta.file_dvs
                 else None,
-                renames,
-                sj,
             )
             for fl in self.planned_files()
+        ]
+        return [
+            _FilePart(group, renames, sj)
+            for group in _pack_files(entries, self._max_bytes)
         ]
 
     def read(self, partition):
@@ -589,6 +625,9 @@ class TxnLakeStreamReader(DataSourceStreamReader):
             )
         self._planned: int | None = self._load_marker()
         self._manifests: dict[int, dict] = {}
+        self._max_bytes = int(
+            options.get("maxBytesPerTask") or (128 << 20)
+        )
 
     # ------------------------------ durable planning high-water mark --
 
@@ -700,11 +739,18 @@ class TxnLakeStreamReader(DataSourceStreamReader):
                 added = list(m.get("add", ()))
             else:  # pragma: no cover
                 raise ValueError(f"unknown operation {op!r} at v{v}")
-            parts.extend(
-                _FilePart(str(root / fl), None, renames, sj)
-                for fl in added
-            )
-        return parts
+            parts.append(added)
+        # one packing across the whole planned window: rows carry no
+        # version attribution in a plain stream, so a backlog replay
+        # of many small appends drains in size-bounded tasks instead
+        # of one task per historical file
+        entries = [
+            (str(root / fl), None) for added in parts for fl in added
+        ]
+        return [
+            _FilePart(group, renames, sj)
+            for group in _pack_files(entries, self._max_bytes)
+        ]
 
     def read(self, partition):
         return _read_partition(partition)

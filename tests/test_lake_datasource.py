@@ -521,3 +521,48 @@ def test_stream_starting_timestamp(spark, tmp_path):
             .start()
         )
         q2.awaitTermination(60)
+
+
+def test_bin_packed_read_tasks(spark, tmp_path):
+    # many small files must NOT become one task per file: the default
+    # 128 MiB maxBytesPerTask packs them into few InputPartitions in
+    # manifest order; maxBytesPerTask=1 degenerates to per-file tasks
+    register_lake_source(spark)
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for i in range(6):
+        t.append(_mk(spark, [(i, f"r{i}")]), stats_cols=("id",))
+    t.delete_where_mor("id", 2, 2)  # one DV'd file inside a group
+    df = spark.read.format("txnlake").load(str(t.root))
+    assert df.rdd.getNumPartitions() == 1  # six tiny files, one task
+    assert sorted(r.id for r in df.collect()) == [0, 1, 3, 4, 5]
+    per_file = (
+        spark.read.format("txnlake")
+        .option("maxBytesPerTask", "1")
+        .load(str(t.root))
+    )
+    assert per_file.rdd.getNumPartitions() == 6
+    assert sorted(r.id for r in per_file.collect()) == [0, 1, 3, 4, 5]
+
+
+def test_bin_packed_streaming_backlog(spark, tmp_path):
+    # a 5-version backlog of tiny appends drains as ONE packed task
+    # per micro-batch window, not one per historical file
+    register_lake_source(spark)
+    src = str(tmp_path / "src")
+    t = TxnTable(spark, src)
+    for i in range(5):
+        t.append(_mk(spark, [(i, f"r{i}")]), stats_cols=("id",))
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txnlake")
+        .load(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [
+        0, 1, 2, 3, 4,
+    ]
