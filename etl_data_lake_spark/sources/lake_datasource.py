@@ -108,6 +108,27 @@ def _pack_files(entries, max_bytes: int):
     return bins
 
 
+def _pos(off: dict) -> tuple:
+    """Stream offset dict → position ``(version, files_consumed)``:
+    the stated version has ``files_consumed`` of its add-files
+    consumed and every version below it is fully consumed. The
+    legacy / common shape ``{"version": v}`` (no ``idx``) means v
+    itself is fully consumed → position ``(v + 1, 0)`` — so old
+    checkpoints keep working and an un-throttled stream still emits
+    byte-identical offsets."""
+    k = int(off.get("idx") or 0)
+    v = int(off["version"])
+    return (v, k) if k else (v + 1, 0)
+
+
+def _off(pos: tuple) -> dict:
+    """Position → offset dict (inverse of :func:`_pos`); positions at
+    a version boundary serialize to the legacy shape so offset
+    equality (Spark's no-new-data test) is stable across upgrades."""
+    v, k = pos
+    return {"version": v, "idx": k} if k else {"version": v - 1}
+
+
 def _read_partition(part: _FilePart):
     """Executor-side: parquet → (drop DV positions) → (rename
     physical→logical, null-fill missing columns) → Arrow batches cast
@@ -560,7 +581,16 @@ class TxnLakeStreamReader(DataSourceStreamReader):
     unbounded backlog after downtime otherwise lands in ONE
     micro-batch — Delta throttles with maxFilesPerTrigger for the same
     reason. Each ``latestOffset`` advances at most N versions past the
-    planning high-water mark. The Python stream API never shows
+    planning high-water mark. ``maxFilesPerBatch`` /
+    ``maxBytesPerBatch`` (Delta's maxFilesPerTrigger /
+    maxBytesPerTrigger) throttle finer: offsets gain an ``idx``
+    component (files of the stated version already consumed) so a
+    batch boundary may land MID-version — a single giant backfill
+    commit drains in bounded steps too. Bytes is a soft cap (admit
+    until cumulative size reaches it, always at least one file);
+    all three throttles compose, the tightest wins. File/byte
+    throttles are version-granular-incompatible with
+    ``readChangeFeed`` and are rejected there. The Python stream API never shows
     ``latestOffset`` the start offset — measured on this engine it
     fires BEFORE ``initialOffset`` even on a fresh checkpoint
     (Trigger.AvailableNow captures the offset at prepare time) — so
@@ -615,15 +645,29 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         self._max_versions = int(mv) if mv is not None else None
         if self._max_versions is not None and self._max_versions < 1:
             raise ValueError("maxVersionsPerBatch must be >= 1")
+        mf = options.get("maxFilesPerBatch")
+        self._max_files = int(mf) if mf is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError("maxFilesPerBatch must be >= 1")
+        mb = options.get("maxBytesPerBatch")
+        self._max_batch_bytes = int(mb) if mb is not None else None
+        if self._max_batch_bytes is not None and self._max_batch_bytes < 1:
+            raise ValueError("maxBytesPerBatch must be >= 1")
         self._consumer = options.get("consumerId")
-        if self._max_versions is not None and self._consumer is None:
+        throttled = (
+            self._max_versions is not None
+            or self._max_files is not None
+            or self._max_batch_bytes is not None
+        )
+        if throttled and self._consumer is None:
             raise ValueError(
-                "maxVersionsPerBatch requires a consumerId option: the "
+                "rate limiting (maxVersionsPerBatch / maxFilesPerBatch "
+                "/ maxBytesPerBatch) requires a consumerId option: the "
                 "throttle's planning mark must survive restarts (see "
                 "TxnLakeStreamReader docstring) or a restarted stream "
                 "could re-emit versions"
             )
-        self._planned: int | None = self._load_marker()
+        self._planned: tuple | None = self._load_marker()
         self._manifests: dict[int, dict] = {}
         self._max_bytes = int(
             options.get("maxBytesPerTask") or (128 << 20)
@@ -638,7 +682,7 @@ class TxnLakeStreamReader(DataSourceStreamReader):
             / f"{self._consumer}.json"
         )
 
-    def _load_marker(self) -> int | None:
+    def _load_marker(self) -> tuple | None:
         if self._consumer is None:
             return None
         try:
@@ -655,7 +699,13 @@ class TxnLakeStreamReader(DataSourceStreamReader):
                 f"{self._marker_path()}: {e}"
             ) from e
         try:
-            return int(json.loads(text)["planned"])
+            data = json.loads(text)
+            # legacy shape {"planned": v} = v fully consumed; the
+            # file-throttle shape adds "idx" = add-files of version
+            # planned already consumed (same scheme as offsets)
+            return _pos(
+                {"version": data["planned"], "idx": data.get("idx")}
+            )
         except (ValueError, KeyError, TypeError) as e:
             raise RuntimeError(
                 f"corrupt stream-progress marker "
@@ -664,49 +714,136 @@ class TxnLakeStreamReader(DataSourceStreamReader):
                 f"delete it ONLY together with the checkpoint."
             ) from e
 
-    def _advance_mark(self, version: int) -> None:
-        if self._planned is not None and version <= self._planned:
+    def _advance_mark(self, pos: tuple) -> None:
+        if self._planned is not None and pos <= self._planned:
             return
-        self._planned = version
+        self._planned = pos
         if self._consumer is None:
             return
         p = self._marker_path()
         p.parent.mkdir(parents=True, exist_ok=True)
         tmp = p.parent / f".tmp-{uuid.uuid4().hex}"
-        tmp.write_text(json.dumps({"planned": version}))
+        off = _off(pos)
+        doc = {"planned": off["version"]}
+        if off.get("idx"):
+            doc["idx"] = off["idx"]
+        tmp.write_text(json.dumps(doc))
         tmp.replace(p)
 
     def initialOffset(self) -> dict:
-        self._advance_mark(self._start)
+        self._advance_mark((self._start + 1, 0))
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         latest = self._table.latest_version()
-        if self._max_versions is None:
+        throttled = (
+            self._max_versions is not None
+            or self._max_files is not None
+            or self._max_batch_bytes is not None
+        )
+        if not throttled:
             return {"version": latest}
         # virgin consumer (no marker yet): the stream has never
         # planned a batch, so startingVersion is the true base
-        base = self._planned if self._planned is not None else self._start
-        end = max(base, min(latest, base + self._max_versions))
+        base = (
+            self._planned
+            if self._planned is not None
+            else (self._start + 1, 0)
+        )
+        bv, bk = base
+        # a mid-version base counts its version as the window's first
+        last_full = bv - 1 if bk == 0 else bv
+        v_cap = (
+            latest
+            if self._max_versions is None
+            else min(latest, last_full + self._max_versions)
+        )
+        if self._max_files is None and self._max_batch_bytes is None:
+            end = max(base, (v_cap + 1, 0))
+            self._advance_mark(end)
+            self._prefetch(base, end)
+            return _off(end)
+        # file/byte walk: admit add-files in (version, manifest-order)
+        # until a budget trips — an offset may land MID-version, so a
+        # single giant backfill commit drains in bounded batches too
+        # (Delta's maxFilesPerTrigger/maxBytesPerTrigger semantics;
+        # bytes is a soft cap, always admitting at least one file)
+        cur_v, cur_k = bv, bk
+        admitted, nbytes = 0, 0
+        root = self._table.root
+        while cur_v <= v_cap:
+            files = self._effective_adds(cur_v)
+            if cur_k >= len(files):
+                cur_v, cur_k = cur_v + 1, 0
+                continue
+            if self._max_files is not None and admitted >= self._max_files:
+                break
+            if (
+                self._max_batch_bytes is not None
+                and admitted
+                and nbytes >= self._max_batch_bytes
+            ):
+                break
+            if self._max_batch_bytes is not None:
+                try:
+                    nbytes += os.stat(root / files[cur_k]).st_size
+                except OSError:  # pragma: no cover - racing vacuum
+                    nbytes += self._max_batch_bytes
+            cur_k += 1
+            admitted += 1
+        end = max(base, (cur_v, cur_k))
         self._advance_mark(end)
-        self._prefetch(base, end)
-        return {"version": end}
+        return _off(end)
 
-    def _prefetch(self, base: int | None, end: int) -> None:
+    def _prefetch(self, base: tuple | None, end: tuple) -> None:
         if base is None:
             return
-        for v in range(base + 1, end + 1):
+        last = end[0] if end[1] else end[0] - 1
+        for v in range(base[0], last + 1):
             if v not in self._manifests:
                 try:
                     self._manifests[v] = self._table._read_manifest(v)
                 except OSError:  # pragma: no cover - vacuumed mid-plan
                     return  # partitions() will fail loudly instead
 
+    def _effective_adds(self, v: int) -> list:
+        """Version v's add-files under streaming op-routing (cached
+        manifest read): appends emit, rewrite-family layout ops emit
+        nothing, data-changing ops raise unless ``ignoreChanges``."""
+        m = self._manifests.get(v)
+        if m is None:
+            m = self._table._read_manifest(v)
+            self._manifests[v] = m
+        op = m["operation"]
+        # replace_where publishes as 'compact' (rewrite-family
+        # replay) but is a DATA CHANGE — the op_params audit
+        # trail distinguishes it from pure layout compaction,
+        # which really does contribute nothing to a stream
+        if op == "compact" and "replace_where" in m.get("params", {}):
+            op = "overwrite"  # route to the data-change branch
+        if op == "append":
+            return list(m.get("add", ()))
+        if op in _SKIP_OPS:
+            return []
+        if op in _CHANGE_OPS:
+            if not self._ignore_changes:
+                raise ValueError(
+                    f"version {v} is a data-changing {op!r} commit; "
+                    f"streaming a txn table follows append-only "
+                    f"semantics (set ignoreChanges=true to emit its "
+                    f"added files, with possible re-deliveries)"
+                )
+            return list(m.get("add", ()))
+        raise ValueError(f"unknown operation {op!r} at v{v}")
+
     def partitions(self, start: dict, end: dict):
         # a replayed batch after restart reaches here without a
         # latestOffset call — its end is a planning fact too
-        self._advance_mark(end["version"])
-        meta = self._table.snapshot_meta(end["version"])
+        spos, epos = _pos(start), _pos(end)
+        self._advance_mark(epos)
+        (sv, sk), (ev, ek) = spos, epos
+        last_v = ev if ek else ev - 1  # last version the batch touches
+        meta = self._table.snapshot_meta(last_v)
         root = self._table.root
         renames = tuple(
             (meta.phys(c), c)
@@ -714,39 +851,21 @@ class TxnLakeStreamReader(DataSourceStreamReader):
             if meta.phys(c) != c
         )
         sj = self._schema.json()
-        parts = []
-        for v in range(start["version"] + 1, end["version"] + 1):
-            m = self._manifests.pop(v, None) or self._table._read_manifest(v)
-            op = m["operation"]
-            # replace_where publishes as 'compact' (rewrite-family
-            # replay) but is a DATA CHANGE — the op_params audit
-            # trail distinguishes it from pure layout compaction,
-            # which really does contribute nothing to a stream
-            if op == "compact" and "replace_where" in m.get("params", {}):
-                op = "overwrite"  # route to the data-change branch
-            if op == "append":
-                added = list(m.get("add", ()))
-            elif op in _SKIP_OPS:
-                continue
-            elif op in _CHANGE_OPS:
-                if not self._ignore_changes:
-                    raise ValueError(
-                        f"version {v} is a data-changing {op!r} commit; "
-                        f"streaming a txn table follows append-only "
-                        f"semantics (set ignoreChanges=true to emit its "
-                        f"added files, with possible re-deliveries)"
-                    )
-                added = list(m.get("add", ()))
-            else:  # pragma: no cover
-                raise ValueError(f"unknown operation {op!r} at v{v}")
-            parts.append(added)
+        entries = []
+        for v in range(sv, last_v + 1):
+            files = self._effective_adds(v)
+            lo = sk if v == sv else 0
+            hi = ek if (v == ev and ek) else len(files)
+            entries.extend((str(root / fl), None) for fl in files[lo:hi])
+        # evict fully-consumed manifests; a mid-version end keeps its
+        # manifest cached for the next batch's remainder slice
+        for v in list(self._manifests):
+            if v < ev:
+                self._manifests.pop(v, None)
         # one packing across the whole planned window: rows carry no
         # version attribution in a plain stream, so a backlog replay
         # of many small appends drains in size-bounded tasks instead
         # of one task per historical file
-        entries = [
-            (str(root / fl), None) for added in parts for fl in added
-        ]
         return [
             _FilePart(group, renames, sj)
             for group in _pack_files(entries, self._max_bytes)
@@ -771,8 +890,19 @@ class TxnLakeCdfStreamReader(TxnLakeStreamReader):
     for append/overwrite/MOR shapes, loud failure for underivable
     COW rewrites unless ``ignoreChanges=true``)."""
 
+    def __init__(self, options, schema: StructType):
+        super().__init__(options, schema)
+        if self._max_files is not None or self._max_batch_bytes is not None:
+            raise ValueError(
+                "maxFilesPerBatch/maxBytesPerBatch are not supported "
+                "with readChangeFeed: change attribution is "
+                "version-granular (a version's delete/update shape "
+                "cannot be split mid-file-list); throttle with "
+                "maxVersionsPerBatch instead"
+            )
+
     def partitions(self, start: dict, end: dict):
-        self._advance_mark(end["version"])
+        self._advance_mark(_pos(end))
         meta = self._table.snapshot_meta(end["version"])
         table_schema = StructType(self._schema.fields[:-2])
         renames = tuple(

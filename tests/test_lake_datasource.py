@@ -566,3 +566,177 @@ def test_bin_packed_streaming_backlog(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(out).collect()) == [
         0, 1, 2, 3, 4,
     ]
+
+
+# --------------------------------------- file/byte-level throttling --
+
+
+def test_stream_max_files_splits_one_version(spark, tmp_path):
+    """A single 6-file version with maxFilesPerBatch=2 drains across
+    availableNow runs in <=2-file steps — the offset lands
+    MID-version ({"version": 1, "idx": k}) and the marker restores it
+    between runs; every row exactly once."""
+    register_lake_source(spark)
+    src = str(tmp_path / "src")
+    t = TxnTable(spark, src)
+    six = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, f"r{i}") for i in range(6)], 6
+        ),
+        "id int, v string",
+    )
+    t.append(six, stats_cols=("id",))
+    n_files = len(t._read_manifest(1)["add"])
+    assert n_files == 6  # one element per parallelize slice → one file each
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("txnlake")
+            .option("maxFilesPerBatch", 2)
+            .option("consumerId", "splitter")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.id for r in spark.read.parquet(out).collect())
+
+    counts = [len(run())]
+    assert counts[0] <= 2  # first batch already file-throttled
+    while counts[-1] < 6:
+        counts.append(len(run()))
+        assert counts[-1] - counts[-2] <= 2  # bounded step
+        assert len(counts) < 12  # progress guard
+    assert run() == list(range(6))  # exactly once, caught-up no-op
+    assert len(counts) >= 3  # 6 files / 2 per batch
+    import json as _json
+
+    marker = _json.loads(
+        (t.root / "_stream_progress" / "splitter.json").read_text()
+    )
+    assert marker == {"planned": 1}  # version 1 fully consumed
+
+
+def test_stream_max_files_across_versions(spark, tmp_path):
+    """File budget spans version boundaries: three 2-file versions
+    with maxFilesPerBatch=3 yield batches that end mid-version, and
+    a continuous query drains all rows exactly once in >=2 batches."""
+    register_lake_source(spark)
+    src = str(tmp_path / "src")
+    t = TxnTable(spark, src)
+    for i in range(3):
+        two = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(2 * i, "a"), (2 * i + 1, "b")], 2
+            ),
+            "id int, v string",
+        )
+        t.append(two, stats_cols=("id",))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txnlake")
+        .option("maxFilesPerBatch", 3)
+        .option("consumerId", "spanner")
+        .load(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 120
+        progress = []
+        while time.time() < deadline:
+            progress = [
+                p for p in q.recentProgress if p["numInputRows"] > 0
+            ]
+            if sum(p["numInputRows"] for p in progress) >= 6:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(
+        range(6)
+    )
+    assert len(progress) >= 2  # 6 one-row files / 3-per-batch
+    assert all(p["numInputRows"] <= 3 for p in progress)
+
+
+def test_stream_max_bytes_soft_cap(spark, tmp_path):
+    """maxBytesPerBatch=1 degenerates to one file per batch (soft
+    cap always admits at least one file — no livelock)."""
+    register_lake_source(spark)
+    src = str(tmp_path / "src")
+    t = TxnTable(spark, src)
+    for i in range(3):
+        t.append(_mk(spark, [(i, f"r{i}")]), stats_cols=("id",))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("txnlake")
+            .option("maxBytesPerBatch", 1)
+            .option("consumerId", "byter")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.id for r in spark.read.parquet(out).collect())
+
+    counts = [len(run())]
+    assert counts[0] == 1
+    while counts[-1] < 3:
+        counts.append(len(run()))
+        assert counts[-1] - counts[-2] <= 1
+        assert len(counts) < 8
+    assert run() == [0, 1, 2]
+
+
+def test_stream_file_throttle_requires_consumer_id(spark, tmp_path):
+    register_lake_source(spark)
+    src = str(tmp_path / "src")
+    TxnTable(spark, src).append(_mk(spark, [(1, "a")]))
+    with pytest.raises(Exception, match="consumerId"):
+        q = (
+            spark.readStream.format("txnlake")
+            .option("maxFilesPerBatch", 2)
+            .load(src)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+
+def test_stream_cdf_rejects_file_throttle(spark, tmp_path):
+    """Change attribution is version-granular — file/byte throttles
+    are rejected on readChangeFeed streams with a pointed error."""
+    register_lake_source(spark)
+    src = str(tmp_path / "src")
+    t = TxnTable(spark, src)
+    t.append(_mk(spark, [(1, "a")]))
+    t.enable_cdf()
+    with pytest.raises(Exception, match="maxVersionsPerBatch"):
+        q = (
+            spark.readStream.format("txnlake")
+            .option("readChangeFeed", "true")
+            .option("maxFilesPerBatch", 2)
+            .option("consumerId", "cdf")
+            .load(src)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
