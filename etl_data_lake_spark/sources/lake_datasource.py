@@ -751,12 +751,13 @@ class TxnLakeStreamReader(DataSourceStreamReader):
             else (self._start + 1, 0)
         )
         bv, bk = base
-        # a mid-version base counts its version as the window's first
-        last_full = bv - 1 if bk == 0 else bv
+        # a mid-version base counts its version as the window's FIRST
+        # (its remainder is not free): window = bv .. bv + N - 1
+        # either way, since a bk == 0 base means bv - 1 is consumed
         v_cap = (
             latest
             if self._max_versions is None
-            else min(latest, last_full + self._max_versions)
+            else min(latest, bv - 1 + self._max_versions)
         )
         if self._max_files is None and self._max_batch_bytes is None:
             end = max(base, (v_cap + 1, 0))

@@ -719,6 +719,49 @@ def test_stream_file_throttle_requires_consumer_id(spark, tmp_path):
         q.awaitTermination(60)
 
 
+def test_stream_version_throttle_mid_version_base(spark, tmp_path):
+    """A restart from a MID-version marker (left by a file-throttled
+    run) under maxVersionsPerBatch=1 drains only that version's
+    remainder — the partially-consumed version counts as the
+    window's first, not as a free prefix."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from etl_data_lake_spark.sources.lake_datasource import (
+        TxnLakeStreamReader,
+    )
+
+    src = str(tmp_path / "src")
+    t = TxnTable(spark, src)
+    three = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, f"r{i}") for i in range(3)], 3
+        ),
+        "id int, v string",
+    )
+    t.append(three, stats_cols=("id",))  # v1: three files
+    t.append(_mk(spark, [(3, "a")]), stats_cols=("id",))  # v2
+    t.append(_mk(spark, [(4, "b")]), stats_cols=("id",))  # v3
+    mark = t.root / "_stream_progress" / "midbase.json"
+    mark.parent.mkdir(parents=True, exist_ok=True)
+    mark.write_text(_json.dumps({"planned": 1, "idx": 1}))
+    r = TxnLakeStreamReader(
+        {
+            "path": src,
+            "maxVersionsPerBatch": "1",
+            "consumerId": "midbase",
+        },
+        StructType.fromDDL("id int, v string"),
+    )
+    first = r.latestOffset()
+    assert first == {"version": 1}  # v1's remainder ONLY, not v1+v2
+    parts = r.partitions({"version": 1, "idx": 1}, first)
+    n_files = sum(len(p.files) for p in parts)
+    assert n_files == 2  # files[1:3] of the three-file version
+    assert r.latestOffset() == {"version": 2}  # then one full version
+
+
 def test_stream_cdf_rejects_file_throttle(spark, tmp_path):
     """Change attribution is version-granular — file/byte throttles
     are rejected on readChangeFeed streams with a pointed error."""
