@@ -33,11 +33,11 @@ HEADLINE = [
     "dedup_minhash_clusters",
     "corpus_curation_pipeline",
     "ann_cosine_topk",
-    # round 5: ann_ivf_topk/ann_lsh_topk consolidated into
-    # ann_recall_summary (runs lsh+ivf+pq+baseline in one plan);
-    # ann_pq_topk benched on its own.
+    # round 5: ann_ivf_topk/ann_lsh_topk/ann_pq_topk consolidated into
+    # ann_recall_summary (runs lsh+ivf+pq+baseline in one plan); pq's
+    # old slot went to the mixture resampler.
     "ann_recall_summary",
-    "ann_pq_topk",
+    "curation_mixture_summary",
     "media_histogram_stats",
     "media_audio_windows",
     "stream_tumbling_window_1h",

@@ -23,7 +23,7 @@ at all; this is north-star extension material.)
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # resolution of the hash ring: keep-fractions are quantized to 1/2^20
@@ -141,6 +141,106 @@ def stratified_sample_deterministic(
         F.col(stratum_col),
     )
     return df.where(bucket < F.coalesce(thresh, F.lit(0)))
+
+
+def normalize_weights(targets: dict[str, float]) -> dict[str, float]:
+    """Normalize target weights to sum exactly to the proportions both
+    engines will see: done ONCE in Python so the Spark plan and any SQL
+    oracle inline bit-identical double literals."""
+    if not targets:
+        raise ValueError("empty mixture targets")
+    bad = {k: v for k, v in targets.items() if not v > 0.0}
+    if bad:
+        raise ValueError(f"non-positive mixture weights: {bad}")
+    s = sum(targets.values())
+    return {k: v / s for k, v in targets.items()}
+
+
+def resample_to_mixture(
+    df: DataFrame,
+    targets: dict[str, float],
+    stratum_col: str,
+    key_cols: tuple[str, ...],
+    seed: int = 42,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Downsample a multi-domain corpus to TARGET MIXTURE PROPORTIONS
+    at the maximum achievable size — the static data-mixing step of a
+    training pipeline (the fixed-weights half of DoReMi-style recipes).
+
+    Solves for the largest total T such that every target stratum d can
+    supply its share without replacement (``T = min_d n_d / p_d``),
+    then keeps ``p_d * T / n_d`` of each stratum by content hash. The
+    binding stratum keeps (almost) everything; oversupplied strata are
+    thinned. Upsampling (rates > 1) is a training-loop epoch concern,
+    not a corpus operator — this never replicates rows.
+
+    Fully in-plan: one tiny per-stratum count aggregate, a one-row
+    global min broadcast back over the counts, and a broadcast join of
+    #strata threshold rows onto the corpus scan — the 100 TB side is
+    ONE pass and never shuffles. Strata absent from ``targets`` are
+    dropped; target strata absent from the DATA contribute no rows and
+    do not constrain T (the mixture is solved over present strata —
+    callers wanting strictness can assert on the summary). Keep
+    decisions are content-hashed (same ring as the other operators):
+    deterministic under repartitioning, retries, and engines, and
+    nested across runs at the same seed.
+
+    Rates quantize to ``ceil(keep * 2^20)`` ring units so the binding
+    stratum's ``keep == 1.0`` (up to float rounding) always maps to the
+    full ring; both the multiply and the ceil are IEEE-double
+    expressions a SQL twin reproduces bit-identically."""
+    weights = normalize_weights(targets)
+    if bucket is None:
+        bucket = _bucket(key_cols, seed)
+    d = df.where(F.col(stratum_col).isin(sorted(weights)))
+    rates = mixture_rates(d, weights, stratum_col)
+    return (
+        d.join(F.broadcast(rates), stratum_col)
+        .where(bucket < F.col("ring_threshold"))
+        .drop("n_total", "ring_threshold")
+    )
+
+
+def mixture_rates(
+    d: DataFrame, weights: dict[str, float], stratum_col: str
+) -> DataFrame:
+    """The solver half of :func:`resample_to_mixture`: per-stratum
+    ``(stratum, n_total, ring_threshold)`` over an already
+    target-filtered frame. ``weights`` must be pre-normalized
+    (:func:`normalize_weights`) so SQL twins inline the same
+    literals."""
+    names = sorted(weights)
+    target_map = F.create_map(
+        *[x for k in names for x in (F.lit(k), F.lit(weights[k]))]
+    )
+    counts = (
+        d.groupBy(stratum_col)
+        .agg(F.count("*").alias("n_total"))
+        .withColumn("__p", target_map[F.col(stratum_col)])
+    )
+    # global min as a window over the POST-AGG frame (#strata rows —
+    # the single-partition window is free) so the corpus scan feeding
+    # `counts` runs once, not once per agg+join branch
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        counts.withColumn(
+            "__T", F.min(F.col("n_total") / F.col("__p")).over(w)
+        )
+        .withColumn(
+            "__keep",
+            F.least(
+                F.lit(1.0), F.col("__p") * F.col("__T") / F.col("n_total")
+            ),
+        )
+        .withColumn(
+            "ring_threshold",
+            F.ceil(F.col("__keep") * F.lit(float(_RING))),
+        )
+        .select(stratum_col, "n_total", "ring_threshold")
+    )
 
 
 def mix_sources(

@@ -30,7 +30,11 @@ from etl_data_lake_spark.functions.relevance import bm25_score
 from etl_data_lake_spark.functions.text import poly_hash, sql_poly_hash
 from etl_data_lake_spark.operators.packing import pack_sequences
 from etl_data_lake_spark.operators.sampling import (
+    _RING,
+    mixture_rates,
+    normalize_weights,
     portable_bucket,
+    resample_to_mixture,
     ring_threshold,
     split_deterministic,
     sql_portable_bucket,
@@ -253,3 +257,96 @@ def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     top = bm25_score(docs, list(_BM25_TERMS), k1=_K1, b=_B, limit=_BM25_LIMIT)
     return top.select("doc_id", F.round("score", 6).alias("bm25"))
+
+
+# --------------------------------------------------------------------------
+# Mixture resampling — downsample a multi-domain corpus to target
+# mixture proportions at the maximum achievable size (the static
+# data-mixing step of a training recipe; operators/sampling.py
+# resample_to_mixture). The summary emits, per target domain, the
+# solver's inputs and outputs: corpus count, quantized keep threshold,
+# and the kept count after the content-hashed filter — all exactly
+# reproducible in SQL because the solver is four IEEE-double
+# expressions over per-domain counts and the keep decision is the
+# portable ring hash.
+# --------------------------------------------------------------------------
+_MIX_TARGETS = normalize_weights(
+    {"src0": 4.0, "src1": 3.0, "src2": 2.0, "src3": 1.0}
+)
+_RING_F = float(_RING)
+
+
+def _mixture_oracle() -> str:
+    names = sorted(_MIX_TARGETS)
+    in_list = ", ".join(f"'{n}'" for n in names)
+    values = ", ".join(f"('{n}', {_MIX_TARGETS[n]!r})" for n in names)
+    bucket = sql_portable_bucket(("doc_id",), _SEED)
+    return f"""
+        WITH t(source, p) AS (VALUES {values}),
+        d AS (
+            SELECT doc_id, source FROM documents
+            WHERE source IN ({in_list})
+        ),
+        c AS (SELECT source, count(*) AS n_total FROM d GROUP BY source),
+        cp AS (
+            SELECT c.source, c.n_total, t.p
+            FROM c JOIN t ON c.source = t.source
+        ),
+        m AS (SELECT min(n_total / p) AS T FROM cp),
+        r AS (
+            SELECT source, n_total,
+                   CAST(ceil(least(CAST(1.0 AS DOUBLE),
+                                   p * (SELECT T FROM m) / n_total)
+                             * {_RING_F!r}) AS BIGINT) AS ring_threshold
+            FROM cp
+        ),
+        b AS (SELECT source, {bucket} AS bucket FROM d),
+        k AS (
+            SELECT b.source, count(*) AS n_kept
+            FROM b JOIN r ON b.source = r.source
+            WHERE b.bucket < r.ring_threshold
+            GROUP BY b.source
+        )
+        SELECT r.source, r.n_total, r.ring_threshold,
+               coalesce(k.n_kept, 0) AS n_kept
+        FROM r LEFT JOIN k ON r.source = k.source
+    """
+
+
+@register(
+    "curation_mixture_summary",
+    oracle=_mixture_oracle(),
+    tags=("curation", "sampling", "mixture"),
+)
+def curation_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holds the driver slot freed by demoting the rows-only
+    ann_pq_topk to library (round 5; ann_recall_summary already runs
+    the same PQ plan driver-visibly) — a FULL-oracle entry replaces a
+    rows-only one. Scale shape: one projected corpus scan for the
+    per-domain counts, the solver over #domains rows (single-row
+    window), and a #domains-row broadcast join onto the second scan's
+    filter — the 100 TB side never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.where(F.col("source").isin(sorted(_MIX_TARGETS)))
+    rates = mixture_rates(d, _MIX_TARGETS, "source")
+    kept = resample_to_mixture(
+        docs,
+        _MIX_TARGETS,
+        "source",
+        ("doc_id",),
+        seed=_SEED,
+        bucket=portable_bucket(("doc_id",), _SEED),
+    )
+    summary = kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept")
+    )
+    return (
+        rates.join(F.broadcast(summary), "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.col("ring_threshold").cast("long").alias("ring_threshold"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+            .alias("n_kept"),
+        )
+    )

@@ -148,15 +148,15 @@ def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_pq_topk", tags=("vector", "topk", "pq"))
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (product quantization + exact refine,
     similarity/pq.py — the memory-residency scale path: m bytes per
-    vector, ADC scoring with map-side partial top-k) — rows-only
-    check beside its two approximate siblings; full-refine ≡ brute
-    force and the recall curve are pinned in tests/test_similarity.py.
-    Registered round 4 in the slot freed by demoting
-    percentile_prices (round-3 verdict #1)."""
+    vector, ADC scoring with map-side partial top-k) — library
+    surface since round 5 (its rows-only driver slot went to
+    curation_mixture_summary, a FULL-oracle entry; ann_recall_summary
+    already runs this exact PQ plan and reports its recall in
+    driver-visible rows); full-refine ≡ brute force and the recall
+    curve stay pinned in tests/test_similarity.py."""
     from etl_data_lake_spark.similarity.pq import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -16,7 +16,11 @@ from etl_data_lake_spark.functions.relevance import (
 )
 from etl_data_lake_spark.operators.packing import pack_sequences, packing_stats
 from etl_data_lake_spark.operators.sampling import (
+    _RING as _SAMPLING_RING,
     mix_sources,
+    mixture_rates,
+    normalize_weights,
+    resample_to_mixture,
     sample_deterministic,
     split_deterministic,
     stratified_sample_deterministic,
@@ -98,6 +102,93 @@ def test_mix_sources_weights_and_tags(spark, ids):
     }
     assert abs(got["web"] / 10_000 - 0.2) < 0.02
     assert abs(got["books"] / 10_000 - 0.6) < 0.02
+
+
+# ------------------------------------------------------------ mixture --
+
+
+@pytest.fixture(scope="module")
+def skewed_corpus(spark):
+    # domain sizes 6000 / 3000 / 1000 — 'c' is the binding stratum for
+    # targets {a:.2, b:.3, c:.5}: T = min(30000, 10000, 2000) = 2000
+    return spark.range(0, 10_000).select(
+        F.col("id"),
+        F.when(F.col("id") < 6000, "a")
+        .when(F.col("id") < 9000, "b")
+        .otherwise("c")
+        .alias("dom"),
+    )
+
+
+def test_mixture_hits_target_proportions(spark, skewed_corpus):
+    kept = resample_to_mixture(
+        skewed_corpus, {"a": 0.2, "b": 0.3, "c": 0.5}, "dom", ("id",)
+    )
+    got = {
+        r["dom"]: r["n"]
+        for r in kept.groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    # binding stratum keeps EVERYTHING (threshold = full ring)
+    assert got["c"] == 1000
+    # oversupplied strata thin to their share of T=2000, within hash
+    # quantization noise
+    assert abs(got["a"] - 400) < 40 and abs(got["b"] - 600) < 50
+
+
+def test_mixture_deterministic_and_downsample_only(spark, skewed_corpus):
+    targets = {"a": 0.2, "b": 0.3, "c": 0.5}
+    kept = resample_to_mixture(skewed_corpus, targets, "dom", ("id",))
+    again = resample_to_mixture(
+        skewed_corpus.repartition(13), targets, "dom", ("id",)
+    )
+    assert kept.select("id").exceptAll(again.select("id")).count() == 0
+    assert kept.count() == again.count()
+    # never replicates: kept ⊆ input exactly once each
+    assert kept.groupBy("id").count().where("count > 1").count() == 0
+    assert kept.join(skewed_corpus, "id", "left_anti").count() == 0
+
+
+def test_mixture_rates_binding_stratum_full_ring(spark, skewed_corpus):
+    weights = normalize_weights({"a": 0.2, "b": 0.3, "c": 0.5})
+    rates = {
+        r["dom"]: (r["n_total"], r["ring_threshold"])
+        for r in mixture_rates(
+            skewed_corpus.where(F.col("dom").isin(list(weights))),
+            weights,
+            "dom",
+        ).collect()
+    }
+    assert rates["c"] == (1000, _SAMPLING_RING)
+    assert rates["a"][1] < _SAMPLING_RING // 2  # keep ≈ 400/6000
+
+
+def test_mixture_absent_target_stratum_does_not_constrain(
+    spark, skewed_corpus
+):
+    # a target stratum with zero corpus rows neither zeroes the result
+    # nor shifts the present strata's relative proportions
+    with_ghost = resample_to_mixture(
+        skewed_corpus,
+        {"a": 0.2, "b": 0.3, "c": 0.5, "ghost": 0.5},
+        "dom",
+        ("id",),
+    )
+    without = resample_to_mixture(
+        skewed_corpus, {"a": 0.2, "b": 0.3, "c": 0.5}, "dom", ("id",)
+    )
+    assert (
+        with_ghost.select("id").exceptAll(without.select("id")).count() == 0
+    )
+    assert with_ghost.count() == without.count()
+
+
+def test_mixture_weight_validation():
+    with pytest.raises(ValueError, match="empty"):
+        normalize_weights({})
+    with pytest.raises(ValueError, match="non-positive"):
+        normalize_weights({"a": 0.5, "b": 0.0})
+    got = normalize_weights({"a": 1.0, "b": 3.0})
+    assert got == {"a": 0.25, "b": 0.75}
 
 
 # ------------------------------------------------------------ packing --
