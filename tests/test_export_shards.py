@@ -1,0 +1,101 @@
+"""Deterministic shuffled-shard export (operators/export.py): shard
+membership and within-shard order are pure functions of (content,
+seed); the on-disk layout is one parquet file per shard directory in
+the shuffled order a sequential dataloader consumes."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.operators.export import (
+    assign_shuffled_shards,
+    shuffled,
+    write_shuffled_shards,
+)
+
+N = 10_000
+SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # ingest-ordered corpus: ids arrive clustered (sorted), the exact
+    # layout a shuffle must destroy
+    return spark.range(0, N).select(
+        F.col("id"), F.concat(F.lit("doc"), F.col("id")).alias("key")
+    )
+
+
+def test_assignment_deterministic_and_balanced(spark, corpus):
+    a = assign_shuffled_shards(corpus, SHARDS, ("key",))
+    b = assign_shuffled_shards(corpus.repartition(17), SHARDS, ("key",))
+    assert (
+        a.select("id", "shard")
+        .exceptAll(b.select("id", "shard"))
+        .count()
+        == 0
+    )
+    sizes = [
+        r["n"]
+        for r in a.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    ]
+    assert len(sizes) == SHARDS
+    assert all(abs(s - N / SHARDS) < 0.2 * N / SHARDS for s in sizes)
+
+
+def test_shuffled_order_is_not_ingest_order(spark, corpus):
+    rows = shuffled(corpus, SHARDS, ("key",)).collect()
+    assert len(rows) == N
+    # within the first consumed shard, ids must not come out sorted
+    first_shard = rows[0]["shard"]
+    ids = [r["id"] for r in rows if r["shard"] == first_shard]
+    assert ids != sorted(ids)
+
+
+def test_export_one_file_per_shard_exact_rows(spark, corpus, tmp_path):
+    out = str(tmp_path / "export")
+    write_shuffled_shards(corpus, out, SHARDS, ("key",))
+    files = sorted(glob.glob(f"{out}/shard=*/*.parquet"))
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(dirs) == SHARDS
+    assert len(files) == SHARDS  # exactly one file per shard
+    seen = []
+    for f in files:
+        seen.extend(pq.read_table(f).column("id").to_pylist())
+    assert sorted(seen) == list(range(N))  # every row exactly once
+
+
+def test_export_order_reproducible_across_runs(spark, corpus, tmp_path):
+    out1, out2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    write_shuffled_shards(corpus, out1, SHARDS, ("key",))
+    write_shuffled_shards(corpus.repartition(13), out2, SHARDS, ("key",))
+    for k in range(SHARDS):
+        f1 = glob.glob(f"{out1}/shard={k}/*.parquet")
+        f2 = glob.glob(f"{out2}/shard={k}/*.parquet")
+        ids1 = pq.read_table(f1[0]).column("id").to_pylist()
+        ids2 = pq.read_table(f2[0]).column("id").to_pylist()
+        assert ids1 == ids2  # same membership AND same order
+
+
+def test_new_seed_is_a_fresh_permutation(spark, corpus, tmp_path):
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_shuffled_shards(corpus, out1, SHARDS, ("key",), seed=1)
+    write_shuffled_shards(corpus, out2, SHARDS, ("key",), seed=2)
+    f1 = sorted(glob.glob(f"{out1}/shard=*/*.parquet"))
+    f2 = sorted(glob.glob(f"{out2}/shard=*/*.parquet"))
+    order1 = [i for f in f1 for i in pq.read_table(f).column("id").to_pylist()]
+    order2 = [i for f in f2 for i in pq.read_table(f).column("id").to_pylist()]
+    assert sorted(order1) == sorted(order2) == list(range(N))
+    assert order1 != order2
+
+
+def test_validation(spark, corpus):
+    with pytest.raises(ValueError, match="n_shards"):
+        assign_shuffled_shards(corpus, 0, ("key",))
+    tagged = assign_shuffled_shards(corpus, 2, ("key",))
+    with pytest.raises(ValueError, match="shard"):
+        assign_shuffled_shards(tagged, 2, ("key",))
