@@ -161,6 +161,30 @@ def test_deterministic_split_is_exchange_free(spark):
     )
 
 
+def test_mixture_resample_broadcasts_thresholds(spark):
+    """resample_to_mixture's kept-row side is a broadcast join of
+    #strata threshold rows onto the corpus scan — the corpus itself
+    must never hash-exchange (the 100 TB claim in sampling.py). The
+    only Exchanges allowed belong to the tiny counts/solver subplan
+    (post-aggregation, #strata rows)."""
+    from etl_data_lake_spark.operators.sampling import resample_to_mixture
+    from etl_data_lake_spark.plans import assert_broadcast_join, plan_string
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = resample_to_mixture(
+        docs,
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        "source",
+        ("doc_id",),
+    )
+    assert_broadcast_join(kept)
+    plan = plan_string(kept.select("doc_id"), "executed")
+    # no SortMergeJoin / ShuffledHashJoin anywhere: the corpus-sized
+    # probe side reaches the broadcast join straight from its scan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_packing_single_shuffle_on_shard(spark):
     """pack_sequences co-locates shards with exactly ONE Exchange (the
     groupBy(_shard) for applyInPandas) — no hidden extra shuffles."""
