@@ -84,8 +84,15 @@ def shuffled(
     the permutation is total even under (astronomically unlikely)
     hash collisions."""
     tagged = assign_shuffled_shards(df, n_shards, key_cols, seed)
+    # RANGE partition on the shard id, not hash: pmod(hash(shard), n)
+    # collides distinct shard values into the same task (~1/e of the
+    # tasks sit empty while stragglers carry 2-3 shards); range
+    # boundaries over n distinct values in n partitions give a ~1:1
+    # shard-to-task layout (boundary sampling may merge one adjacent
+    # pair — never worse). Equal values always co-locate either way,
+    # so the one-file-per-shard contract never depended on this.
     return (
-        tagged.repartition(n_shards, F.col(SHARD_COL))
+        tagged.repartitionByRange(n_shards, F.col(SHARD_COL))
         .sortWithinPartitions(SHARD_COL, _ORDER_COL, *key_cols)
         .drop(_ORDER_COL)
     )

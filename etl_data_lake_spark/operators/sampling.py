@@ -163,6 +163,7 @@ def resample_to_mixture(
     key_cols: tuple[str, ...],
     seed: int = 42,
     bucket: Column | None = None,
+    rates: DataFrame | None = None,
 ) -> DataFrame:
     """Downsample a multi-domain corpus to TARGET MIXTURE PROPORTIONS
     at the maximum achievable size — the static data-mixing step of a
@@ -189,12 +190,21 @@ def resample_to_mixture(
     Rates quantize to ``ceil(keep * 2^20)`` ring units so the binding
     stratum's ``keep == 1.0`` (up to float rounding) always maps to the
     full ring; both the multiply and the ceil are IEEE-double
-    expressions a SQL twin reproduces bit-identically."""
+    expressions a SQL twin reproduces bit-identically.
+
+    ``rates`` short-circuits the solver with a precomputed
+    :func:`mixture_rates` frame — callers that also REPORT the rates
+    (e.g. the catalog's mixture summary) pass it so the thresholds
+    applied are the exact frame reported (``normalize_weights`` is not
+    idempotent in floats: re-normalizing an already-normalized dict
+    can move a threshold by one ring unit) and the per-stratum counts
+    aggregate runs once, not once per consumer."""
     weights = normalize_weights(targets)
     if bucket is None:
         bucket = _bucket(key_cols, seed)
     d = df.where(F.col(stratum_col).isin(sorted(weights)))
-    rates = mixture_rates(d, weights, stratum_col)
+    if rates is None:
+        rates = mixture_rates(d, weights, stratum_col)
     return (
         d.join(F.broadcast(rates), stratum_col)
         .where(bucket < F.col("ring_threshold"))

@@ -328,6 +328,10 @@ def curation_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter — the 100 TB side never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.where(F.col("source").isin(sorted(_MIX_TARGETS)))
+    # ONE rates frame drives both the report and the filter: the
+    # thresholds reported ARE the thresholds applied (re-normalizing
+    # _MIX_TARGETS inside resample would move them by float noise),
+    # and the per-domain counts aggregate runs once
     rates = mixture_rates(d, _MIX_TARGETS, "source")
     kept = resample_to_mixture(
         docs,
@@ -336,6 +340,7 @@ def curation_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("doc_id",),
         seed=_SEED,
         bucket=portable_bucket(("doc_id",), _SEED),
+        rates=rates,
     )
     summary = kept.groupBy("source").agg(
         F.count("*").cast("long").alias("n_kept")

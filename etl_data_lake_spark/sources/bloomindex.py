@@ -54,7 +54,11 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from etl_data_lake_spark.sources.txn import TxnTable, _stat_key
+from etl_data_lake_spark.sources.txn import (
+    TxnTable,
+    _stat_key,
+    _stats_disjoint,
+)
 
 _BLOOM_DIR = "_bloom"
 
@@ -260,17 +264,16 @@ def files_matching_eq(
         rng = meta.file_stats.get(f, {}).get(phys)
         vs_h = list(zip(values, hashes))
         if rng is not None:
-            try:
-                vs_h = [  # _stat_key: time values -> manifest form
-                    (v, h)
-                    for v, h in vs_h
-                    if rng[0] <= _stat_key(v) <= rng[1]
-                ]
-            except TypeError:  # incomparable stats type: skip the tier
-                pass
-            else:
-                if not vs_h:
-                    continue
+            # _stat_key: time values -> manifest form; _stats_disjoint
+            # width-reconciles date-vs-timestamp ISO strings and keeps
+            # a value conservatively on incomparable stats types
+            vs_h = [
+                (v, h)
+                for v, h in vs_h
+                if not _stats_disjoint(rng, _stat_key(v), _stat_key(v))
+            ]
+            if not vs_h:
+                continue
         p = _sidecar_path(table.root, f, phys)
         if p.is_file():
             try:

@@ -68,7 +68,12 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructField, StructType
 
-from etl_data_lake_spark.sources.txn import TxnTable, _stat_key, footer_stats
+from etl_data_lake_spark.sources.txn import (
+    TxnTable,
+    _stat_key,
+    _widen_iso,
+    footer_stats,
+)
 
 
 @dataclass
@@ -408,21 +413,37 @@ def _overlaps(rng, flt) -> bool:
         return True  # nulls-only entry: no range proof
     if isinstance(lo, float) or isinstance(hi, float):
         return True  # NaN-blind stats: see docstring
-    try:
+    def _triple(v):
         # _stat_key: date/timestamp filter values -> the manifest's
-        # ISO-string stat form (everything else passes through)
+        # ISO-string stat form; _widen_iso width-reconciles a date
+        # bound against timestamp stats (and vice versa) on BOTH stat
+        # ends so every lexicographic compare matches cast semantics
+        k = _stat_key(v)
+        lo2, k2 = _widen_iso(lo, k)
+        hi2, k2 = _widen_iso(hi, k2)
+        return lo2, hi2, k2
+
+    try:
         if isinstance(flt, EqualTo):
-            return lo <= _stat_key(flt.value) <= hi
+            lo2, hi2, k = _triple(flt.value)
+            return lo2 <= k <= hi2
         if isinstance(flt, In):
-            return any(lo <= _stat_key(v) <= hi for v in flt.value)
+            return any(
+                lo2 <= k <= hi2
+                for lo2, hi2, k in map(_triple, flt.value)
+            )
         if isinstance(flt, GreaterThan):
-            return hi > _stat_key(flt.value)
+            _, hi2, k = _triple(flt.value)
+            return hi2 > k
         if isinstance(flt, GreaterThanOrEqual):
-            return hi >= _stat_key(flt.value)
+            _, hi2, k = _triple(flt.value)
+            return hi2 >= k
         if isinstance(flt, LessThan):
-            return lo < _stat_key(flt.value)
+            lo2, _, k = _triple(flt.value)
+            return lo2 < k
         if isinstance(flt, LessThanOrEqual):
-            return lo <= _stat_key(flt.value)
+            lo2, _, k = _triple(flt.value)
+            return lo2 <= k
         if isinstance(flt, StringStartsWith):
             # lo may itself start with the prefix while sorting above
             # prefix+U+10FFFF (a U+10FFFF inside lo) — startswith
@@ -773,10 +794,10 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         admitted, nbytes = 0, 0
         root = self._table.root
         while cur_v <= v_cap:
-            files = self._effective_adds(cur_v)
-            if cur_k >= len(files):
-                cur_v, cur_k = cur_v + 1, 0
-                continue
+            # budget checks BEFORE touching the next version's
+            # manifest: an exhausted budget must neither read ahead
+            # nor trip _effective_adds' data-change error — the
+            # admitted backlog has to reach its batch first
             if self._max_files is not None and admitted >= self._max_files:
                 break
             if (
@@ -785,6 +806,20 @@ class TxnLakeStreamReader(DataSourceStreamReader):
                 and nbytes >= self._max_batch_bytes
             ):
                 break
+            try:
+                files = self._effective_adds(cur_v)
+            except ValueError:
+                if admitted or (cur_v, cur_k) > base:
+                    # deliver what the walk admitted; the error
+                    # surfaces on the NEXT latestOffset, whose base
+                    # then starts AT the offending version (Delta
+                    # fails when the stream reaches the change, not
+                    # before delivering the backlog ahead of it)
+                    break
+                raise
+            if cur_k >= len(files):
+                cur_v, cur_k = cur_v + 1, 0
+                continue
             if self._max_batch_bytes is not None:
                 try:
                     nbytes += os.stat(root / files[cur_k]).st_size

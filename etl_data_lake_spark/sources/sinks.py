@@ -340,8 +340,8 @@ def zorder_key(
                 f
                 for c in num_cols
                 for f in (
-                    F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
-                    F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+                    F.min(_z_num_expr(df, c)).alias(f"_min_{c}"),
+                    F.max(_z_num_expr(df, c)).alias(f"_max_{c}"),
                 )
             ]
         )
@@ -366,7 +366,7 @@ def zorder_key(
         # width_bucket returns 1..2^bits inside [lo, hi); clamp the
         # hi endpoint (returns 2^bits+1) and degenerate lo==hi tables
         b = F.width_bucket(
-            F.col(c).cast("double"), lo, hi + F.lit(1e-9), F.lit(1 << bits)
+            _z_num_expr(df, c), lo, hi + F.lit(1e-9), F.lit(1 << bits)
         ) - F.lit(1)
         buckets.append(
             F.least(F.greatest(b, F.lit(0)), F.lit((1 << bits) - 1))

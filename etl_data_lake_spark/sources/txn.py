@@ -78,7 +78,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -326,6 +328,42 @@ def _stat_key(v):
     return v
 
 
+_DATE_ISO = re.compile(r"\d{4}-\d{2}-\d{2}")
+_TS_ISO = re.compile(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6}")
+
+
+def _widen_iso(a, b):
+    """Width-reconcile a mixed date-ISO / timestamp-ISO pair: the
+    10-char date side pads to midnight ('YYYY-MM-DD 00:00:00.000000')
+    so the lexicographic compare matches Spark's DATE→TIMESTAMP cast
+    semantics. Without this, a date bound against timestamp stats (or
+    vice versa) compares 10-char vs 26-char strings and can PRUNE a
+    file whose rows the residual row filter would match — silent row
+    loss. For genuine string columns that merely look date-shaped the
+    padding can only keep a file conservatively, never skip one."""
+    if isinstance(a, str) and isinstance(b, str) and len(a) != len(b):
+        if _DATE_ISO.fullmatch(a) and _TS_ISO.fullmatch(b):
+            return a + " 00:00:00.000000", b
+        if _TS_ISO.fullmatch(a) and _DATE_ISO.fullmatch(b):
+            return a, b + " 00:00:00.000000"
+    return a, b
+
+
+def _stats_disjoint(rng, lo, hi) -> bool:
+    """True only if a file's recorded [rng[0], rng[1]] PROVABLY misses
+    [lo, hi]. Mixed date/timestamp ISO widths reconcile first; an
+    incomparable pair (e.g. an epoch-int bound against ISO-string time
+    stats, or any type-mismatched bound) is never proof — the file is
+    conservatively kept (matching _overlaps and the bloom tier, which
+    already degrade instead of raising)."""
+    r0, hi2 = _widen_iso(rng[0], hi)
+    r1, lo2 = _widen_iso(rng[1], lo)
+    try:
+        return r0 > hi2 or r1 < lo2
+    except TypeError:
+        return False
+
+
 def footer_stats(
     root: Path, files: list[str], stats_cols: tuple[str, ...]
 ) -> dict[str, dict[str, list]]:
@@ -380,14 +418,24 @@ def footer_stats(
                 # truncated microsecond — ceil it so the recorded max
                 # is never below a real value (a floored MIN is already
                 # conservative). Unknown units ceil too, same reason.
-                lt = md.schema.column(idx).logical_type
-                unit = getattr(lt, "time_unit", None) or getattr(
-                    lt, "unit", None
+                # pyarrow's ParquetLogicalType exposes the unit only in
+                # its repr (no time_unit/unit attribute — measured on
+                # pyarrow 16-21), so sniff the repr's `timeUnit=...`.
+                m = re.search(
+                    r"timeUnit=(\w+)",
+                    str(md.schema.column(idx).logical_type),
                 )
-                if str(unit).lower() not in ("micros", "millis"):
-                    maxs = [
-                        max(maxs) + datetime.timedelta(microseconds=1)
-                    ]
+                unit = m.group(1).lower() if m else ""
+                if unit not in ("microseconds", "milliseconds"):
+                    try:
+                        maxs = [
+                            max(maxs) + datetime.timedelta(microseconds=1)
+                        ]
+                    except OverflowError:
+                        # datetime.max: nothing representable sits
+                        # above it in µs space — the floored value is
+                        # already an upper bound
+                        maxs = [max(maxs)]
             have_nc = len(nulls) == md.num_row_groups
             # entry shapes (readers index [0]/[1] for ranges and,
             # when len >= 4, [2]/[3] for null skipping):
@@ -441,34 +489,54 @@ def _manifest_key_expr(root: Path):
     return out.otherwise(stripped)
 
 
+# refcounted save/restore state for _micros_ts_writes: without it, the
+# FIRST finishing writer's restore would flip the session conf back to
+# INT96 while a concurrent stager's write job is still running — whose
+# files would then land with NO footer min/max, silently killing their
+# timestamp stats (the exact failure the context manager prevents).
+_MICROS_TS_LOCK = threading.RLock()
+_MICROS_TS_DEPTH = 0
+_MICROS_TS_SAVED: str | None = None
+
+
 def _micros_ts_writes(spark):
     """Context manager: the staged write lands timestamps as annotated
     TIMESTAMP_MICROS whatever the caller's session default — Spark's
     INT96 default writes NO footer min/max statistics (measured), which
     would silently kill every manifest stat and file skip on a
-    timestamp column. Saved and restored around the write; concurrent
-    stagers all want the same value, so the race is benign."""
+    timestamp column. The session conf is process-global, so the
+    save/restore is REFCOUNTED: the first enterer saves, the last
+    exiter restores — overlapping stagers on the same session never
+    see an early restore mid-write."""
     from contextlib import contextmanager
 
     @contextmanager
     def cm():
+        global _MICROS_TS_DEPTH, _MICROS_TS_SAVED
         key = "spark.sql.parquet.outputTimestampType"
-        try:
-            old = spark.conf.get(key)
-        except Exception:
-            old = None
-        try:
-            spark.conf.set(key, "TIMESTAMP_MICROS")
-        except Exception:
-            pass  # static in exotic deployments: stage still works
+        with _MICROS_TS_LOCK:
+            if _MICROS_TS_DEPTH == 0:
+                try:
+                    _MICROS_TS_SAVED = spark.conf.get(key)
+                except Exception:
+                    _MICROS_TS_SAVED = None
+                try:
+                    spark.conf.set(key, "TIMESTAMP_MICROS")
+                except Exception:
+                    pass  # static in exotic deployments: stage works
+            _MICROS_TS_DEPTH += 1
         try:
             yield
         finally:
-            if old is not None and old != "TIMESTAMP_MICROS":
-                try:
-                    spark.conf.set(key, old)
-                except Exception:
-                    pass
+            with _MICROS_TS_LOCK:
+                _MICROS_TS_DEPTH -= 1
+                if _MICROS_TS_DEPTH == 0:
+                    old, _MICROS_TS_SAVED = _MICROS_TS_SAVED, None
+                    if old is not None and old != "TIMESTAMP_MICROS":
+                        try:
+                            spark.conf.set(key, old)
+                        except Exception:
+                            pass
 
     return cm()
 
@@ -927,7 +995,7 @@ class TxnTable:
                 if (
                     rng is not None
                     and rng[0] is not None
-                    and (rng[0] > hi or rng[1] < lo)
+                    and _stats_disjoint(rng, lo, hi)
                 ):
                     ok = False
                     break
@@ -964,7 +1032,7 @@ class TxnTable:
         for f in meta.files:
             rng = meta.file_stats.get(f, {}).get(meta.phys(col))
             if rng is None or rng[0] is None or any(
-                not (rng[0] > hi or rng[1] < lo) for lo, hi in norm
+                not _stats_disjoint(rng, lo, hi) for lo, hi in norm
             ):
                 keep.append(f)
         return keep
@@ -1877,7 +1945,8 @@ class TxnTable:
                         for c, rs in gspec.items():
                             rng = st.get(base.phys(c) if base else c)
                             if rng is not None and rng[0] is not None and all(
-                                rng[0] > hi or rng[1] < lo for lo, hi in rs
+                                _stats_disjoint(rng, lo, hi)
+                                for lo, hi in rs
                             ):
                                 safe = True
                                 break

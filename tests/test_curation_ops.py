@@ -320,3 +320,23 @@ def test_bm25_multi_term_and_scale_smoke(spark):
     assert 0 < len(rows) <= 5
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_mixture_reported_rates_are_the_rates_applied(spark, skewed_corpus):
+    """normalize_weights is NOT idempotent in floats: re-normalizing
+    an already-normalized dict can move a quantized threshold by one
+    ring unit. Passing the rates frame into resample_to_mixture
+    guarantees the thresholds REPORTED are the thresholds APPLIED
+    (review regression: the catalog entry reported one frame and
+    filtered with another)."""
+    from etl_data_lake_spark.operators.sampling import _bucket
+
+    weights = normalize_weights({"a": 4.0, "b": 3.0, "c": 2.0})
+    d = skewed_corpus.where(F.col("dom").isin(sorted(weights)))
+    rates = mixture_rates(d, weights, "dom")
+    kept = resample_to_mixture(
+        skewed_corpus, weights, "dom", ("id",), rates=rates
+    )
+    thr = {r["dom"]: r["ring_threshold"] for r in rates.collect()}
+    checked = kept.withColumn("b", _bucket(("id",), 42)).collect()
+    assert checked and all(r["b"] < thr[r["dom"]] for r in checked)

@@ -99,3 +99,18 @@ def test_validation(spark, corpus):
     tagged = assign_shuffled_shards(corpus, 2, ("key",))
     with pytest.raises(ValueError, match="shard"):
         assign_shuffled_shards(tagged, 2, ("key",))
+
+
+def test_shards_map_near_one_to_one_to_tasks(spark, corpus):
+    """Range partitioning on the shard id gives a ~1:1 shard-to-task
+    layout (hash partitioning collided distinct shards into the same
+    task, idling ~1/e of the export parallelism — review regression).
+    Every shard lands entirely in one task, and occupancy is at worst
+    one boundary merge below full (range sampling may fuse ONE
+    adjacent pair; hash averaged ~5.2 of 8 occupied)."""
+    s = shuffled(corpus, SHARDS, ("key",)).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    pairs = s.select("shard", "pid").distinct().collect()
+    assert len(pairs) == SHARDS  # each shard entirely in one task
+    assert len({p["pid"] for p in pairs}) >= SHARDS - 1

@@ -762,6 +762,42 @@ def test_stream_version_throttle_mid_version_base(spark, tmp_path):
     assert r.latestOffset() == {"version": 2}  # then one full version
 
 
+def test_stream_file_throttle_delivers_backlog_before_change_error(
+    spark, tmp_path
+):
+    """An exhausted file budget must not read ahead into the next
+    version's manifest: with v1 = 2-file append and v2 = overwrite
+    (ignoreChanges unset), maxFilesPerBatch=2 delivers v1's backlog
+    in a clean batch FIRST; the data-change error surfaces only when
+    the walk actually reaches v2 — not before, which would kill the
+    stream without ever emitting v1 (review regression)."""
+    from pyspark.sql.types import StructType
+
+    from etl_data_lake_spark.sources.lake_datasource import (
+        TxnLakeStreamReader,
+    )
+
+    src = str(tmp_path / "src")
+    t = TxnTable(spark, src)
+    two = spark.createDataFrame(
+        spark.sparkContext.parallelize([(0, "a"), (1, "b")], 2),
+        "id int, v string",
+    )
+    t.append(two, stats_cols=("id",))  # v1
+    t.overwrite(_mk(spark, [(9, "z")]), stats_cols=("id",))  # v2
+    r = TxnLakeStreamReader(
+        {"path": src, "maxFilesPerBatch": "2", "consumerId": "backlog"},
+        StructType.fromDDL("id int, v string"),
+    )
+    first = r.latestOffset()
+    parts = r.partitions({"version": 0}, first)
+    assert sum(len(p.files) for p in parts) == 2  # v1 delivered whole
+    # drains the boundary, then fails AT v2 within two more polls
+    with pytest.raises(ValueError, match="data-changing"):
+        r.latestOffset()
+        r.latestOffset()
+
+
 def test_stream_cdf_rejects_file_throttle(spark, tmp_path):
     """Change attribution is version-granular — file/byte throttles
     are rejected on readChangeFeed streams with a pointed error."""

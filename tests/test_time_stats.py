@@ -235,3 +235,126 @@ def test_datasource_pushdown_prunes_timestamps(spark, tmp_path):
     assert not _overlaps(rng, EqualTo(("ts",), after))
     assert not _overlaps(rng, GreaterThan(("ts",), after))
     assert _overlaps(rng, GreaterThan(("ts",), inside))
+
+
+# ---------------------------------------------------------------------
+# round-5 review regressions: mixed date/timestamp bound widths,
+# incomparable bound types, the unit sniff, and conf save/restore races
+# ---------------------------------------------------------------------
+
+
+def test_date_bound_against_timestamp_stats_keeps_midnight_file(
+    spark, tmp_path
+):
+    """A datetime.date bound on a TIMESTAMP column compares a 10-char
+    ISO string against 26-char stats — without width reconciliation
+    the midnight-containing file was pruned and its matching row
+    silently lost (the residual filter casts the date to midnight and
+    matches it)."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for day in (2, 3):
+        t.append(_events(spark, day).coalesce(1), stats_cols=("ts",))
+    d = datetime.date(2026, 3, 2)
+    kept, total = t.files_matching({"ts": (d, d)})
+    assert (len(kept), total) == (1, 2)
+    got = t.snapshot_where("ts", d, d)
+    assert [r.k for r in got.collect()] == [200]  # the midnight row
+
+
+def test_timestamp_bound_against_date_stats_keeps_boundary_file(
+    spark, tmp_path
+):
+    """The converse width mix: a midnight datetime lower bound against
+    DATE-column stats — lexicographically '2026-04-01' sorts BELOW
+    '2026-04-01 00:00:00.000000', so the rng[1] < lo test wrongly
+    pruned the file whose dates cast exactly to the bound."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for day in (1, 2):
+        df = spark.range(3).select(
+            F.col("id").alias("k"),
+            F.to_date(F.lit(f"2026-04-{day:02d}")).alias("d"),
+        )
+        t.append(df.coalesce(1), stats_cols=("d",))
+    lo = datetime.datetime(2026, 4, 1)  # == midnight of the day-1 file
+    hi = datetime.datetime(2026, 4, 1, 12)
+    kept, total = t.files_matching({"d": (lo, hi)})
+    assert (len(kept), total) == (1, 2)
+    assert t.snapshot_where("d", lo, hi).count() == 3
+
+
+def test_incomparable_bounds_keep_conservatively(spark, tmp_path):
+    """Type-mismatched bounds (epoch ints against ISO-string time
+    stats) must degrade to a conservative keep like _overlaps and the
+    bloom tier — not crash with TypeError."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    for day in (1, 2):
+        t.append(_events(spark, day).coalesce(1), stats_cols=("ts",))
+    kept, total = t.files_matching({"ts": (0, 10**15)})
+    assert (len(kept), total) == (2, 2)  # no proof -> keep all
+    assert len(t.files_matching_any("ts", [(0, 10**15)])) == 2
+
+
+def test_micros_unit_max_is_exact_not_ceiled(tmp_path):
+    """The unit sniff reads pyarrow's logical-type repr (the attrs are
+    None on every released pyarrow — measured): a micros-unit footer
+    is exact, so its max must NOT be ceiled, and datetime.max must not
+    overflow the ceil path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_data_lake_spark.sources.txn import footer_stats
+
+    ts = pa.array(
+        [
+            datetime.datetime(2026, 1, 1, 12, 0, 0, 123456),
+            datetime.datetime.max,
+        ],
+        type=pa.timestamp("us"),
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2]), "ts": ts}), tmp_path / "a.parquet"
+    )
+    stats = footer_stats(tmp_path, ["a.parquet"], ("ts",))
+    assert stats["a.parquet"]["ts"][1] == "9999-12-31 23:59:59.999999"
+
+
+def test_micros_conf_save_restore_is_refcounted(spark):
+    """Overlapping stagers share the session conf: the first finisher
+    must not flip it back while another stage write is running — only
+    the LAST exit restores."""
+    from etl_data_lake_spark.sources.txn import _micros_ts_writes
+
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "INT96")
+    try:
+        with _micros_ts_writes(spark):
+            with _micros_ts_writes(spark):
+                assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+            # inner exit: still held by the outer enterer
+            assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+        assert spark.conf.get(key) == "INT96"
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_zorder_key_standalone_handles_date_columns(spark):
+    """_z_num_expr is shared by the frozen-spec path AND the standalone
+    zorder_key (write_zorder_clustered/write_zorder_txn) — a DATE
+    cluster column must key via epoch days everywhere, not crash on
+    Spark's refused date->double cast."""
+    from etl_data_lake_spark.sources.sinks import zorder_key
+
+    df = spark.range(8).select(
+        F.col("id"),
+        F.date_add(F.to_date(F.lit("2026-01-01")), F.col("id").cast("int")).alias("d"),
+    )
+    keyed = zorder_key(df, ("d", "id"))
+    rows = keyed.collect()
+    assert len(rows) == 8
+    assert all(r["_z"] is not None for r in rows)
+    # later dates never get smaller single-column buckets: keys on the
+    # d dimension are monotone because unix_date is order-preserving
+    only_d = zorder_key(df, ("d",)).orderBy("id").collect()
+    zs = [r["_z"] for r in only_d]
+    assert zs == sorted(zs)
