@@ -87,6 +87,17 @@ def main() -> None:
 
     def run(name: str) -> tuple[float, list[float]]:
         raw = [run_once(name) for _ in range(max(runs_per_query, 1))]
+        # adaptive: when the samples disagree by >1.5x, at least one
+        # was load-spiked (measured: a 4.2s-warm query recorded
+        # [7.1, 14.0] under a co-tenant burst) — one extra sample
+        # keeps the record near the machine-limited cost at a bounded
+        # +1-run price, instead of publishing the spike.
+        while (
+            len(raw) >= 2
+            and max(raw) > 1.5 * min(raw)
+            and len(raw) < max(runs_per_query, 1) + 2
+        ):
+            raw.append(run_once(name))
         return min(raw), raw
 
     # warmups: one JVM/codegen pass, plus one trivial Arrow-batched op so
