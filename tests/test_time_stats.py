@@ -358,3 +358,47 @@ def test_zorder_key_standalone_handles_date_columns(spark):
     only_d = zorder_key(df, ("d",)).orderBy("id").collect()
     zs = [r["_z"] for r in only_d]
     assert zs == sorted(zs)
+
+
+def test_widen_iso_property_matches_cast_semantics():
+    """Property: over ISO-normalized values, _stats_disjoint must
+    agree EXACTLY with the semantic comparison under Spark's
+    DATE→TIMESTAMP cast (date = its midnight) for every width
+    combination — no false skip (correctness) and no false keep
+    beyond the semantic answer (pruning power)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_data_lake_spark.sources.txn import _stats_disjoint
+
+    lo_dt = datetime.datetime(1, 1, 2)
+    hi_dt = datetime.datetime(9999, 12, 30)
+
+    def midnight(v):
+        if isinstance(v, datetime.datetime):
+            return v
+        return datetime.datetime(v.year, v.month, v.day)
+
+    vals = st.one_of(
+        st.datetimes(min_value=lo_dt, max_value=hi_dt),
+        st.dates(
+            min_value=lo_dt.date(), max_value=hi_dt.date()
+        ),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(a=vals, b=vals, c=vals, d=vals)
+    def check(a, b, c, d):
+        s_lo, s_hi = sorted((a, b), key=midnight)
+        q_lo, q_hi = sorted((c, d), key=midnight)
+        got = _stats_disjoint(
+            [_stat_key(s_lo), _stat_key(s_hi)],
+            _stat_key(q_lo),
+            _stat_key(q_hi),
+        )
+        want = midnight(s_lo) > midnight(q_hi) or (
+            midnight(s_hi) < midnight(q_lo)
+        )
+        assert got == want
+
+    check()
