@@ -49,8 +49,9 @@ def train_unigram_lm(
     """→ ``(model, oov_logp)``: the model is ``(term, logp)`` for the
     ``vocab_size`` most frequent reference terms (count-desc, term-asc
     tie-break — deterministic truncation), ``oov_logp`` the shared
-    log-prob of any unseen/truncated term. One bounded collect (the
-    corpus totals row) happens at plan-build time."""
+    log-prob of any unseen/truncated term. The reference aggregation
+    executes ONCE (persisted across the totals row + the bounded
+    top-k collect); the model is a ≤ vocab_size-row local frame."""
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     if alpha <= 0:
@@ -61,21 +62,26 @@ def train_unigram_lm(
         .groupBy("term")
         .agg(F.count("*").alias("c"))
     )
-    vocab = counts.orderBy(F.desc("c"), "term").limit(vocab_size)
-    # totals: N = all tokens, in_v = tokens covered by the kept vocab;
-    # OOV count = N - in_v. Two tiny aggregates, collected once.
-    n_total = counts.agg(F.sum("c")).collect()[0][0] or 0
-    agg = vocab.agg(
-        F.sum("c").alias("in_v"), F.count("*").alias("v")
-    ).collect()[0]
-    in_v, v = agg["in_v"] or 0, agg["v"]
+    # ONE execution of the reference-corpus aggregation: persist it,
+    # run the grand-total and the bounded top-k collect against the
+    # cached result, then release. The model is built LOCALLY from the
+    # ≤ vocab_size collected rows — evaluating it later (every scoring
+    # broadcast) never re-runs the reference scan.
+    counts = counts.persist()
+    try:
+        n_total = counts.agg(F.sum("c")).collect()[0][0] or 0
+        vocab = counts.orderBy(F.desc("c"), "term").limit(
+            vocab_size
+        ).collect()
+    finally:
+        counts.unpersist()
+    in_v, v = sum(r["c"] for r in vocab), len(vocab)
     denom = n_total + alpha * (v + 1)
     oov_logp = math.log((n_total - in_v + alpha) / denom)
-    model = vocab.select(
-        "term",
-        F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias(
-            OOV_LOGP_COL
-        ),
+    spark = ref_docs.sparkSession
+    model = spark.createDataFrame(
+        [(r["term"], math.log((r["c"] + alpha) / denom)) for r in vocab],
+        f"term string, {OOV_LOGP_COL} double",
     )
     return model, oov_logp
 

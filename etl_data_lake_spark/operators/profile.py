@@ -28,6 +28,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
 
+def _qcol(name: str):
+    """Backtick-quoted column reference: ingested tables routinely
+    carry dots (flattened JSON) in column names, which a bare
+    ``F.col`` would parse as struct-field access."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def profile(df: DataFrame, cols: tuple[str, ...] | None = None) -> DataFrame:
     """Per-column profile: ``(column, n_rows, n_nulls,
     approx_distinct, min_str, max_str, mean)`` — min/max render as
@@ -44,7 +51,7 @@ def profile(df: DataFrame, cols: tuple[str, ...] | None = None) -> DataFrame:
     }
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in names:
-        col = F.col(c)
+        col = _qcol(c)
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"__nulls_{c}"),
             F.approx_count_distinct(col).alias(f"__dist_{c}"),
@@ -60,11 +67,11 @@ def profile(df: DataFrame, cols: tuple[str, ...] | None = None) -> DataFrame:
     for c in names:
         stack_args += [
             F.lit(c),
-            F.col(f"__nulls_{c}"),
-            F.col(f"__dist_{c}"),
-            F.col(f"__min_{c}"),
-            F.col(f"__max_{c}"),
-            F.col(f"__mean_{c}"),
+            _qcol(f"__nulls_{c}"),
+            _qcol(f"__dist_{c}"),
+            _qcol(f"__min_{c}"),
+            _qcol(f"__max_{c}"),
+            _qcol(f"__mean_{c}"),
         ]
     return wide.select(
         F.stack(
@@ -88,8 +95,10 @@ def numeric_histogram(
 ) -> DataFrame:
     """Fixed-width histogram of ``col`` over [lo, hi]: ``(bucket,
     bucket_lo, bucket_hi, n)`` with bucket 0 = underflow and
-    ``bins + 1`` = overflow (width_bucket's convention); nulls are
-    dropped. One groupBy over ≤ bins+2 keys — at any corpus size the
+    ``bins + 1`` = overflow (width_bucket's convention); nulls AND
+    NaNs are dropped (width_bucket maps NaN to a null bucket, which
+    would break the fixed 0..bins+1 key contract day-over-day sums
+    rely on). One groupBy over ≤ bins+2 keys — at any corpus size the
     shuffle moves at most bins+2 rows per task. Fixed caller bounds
     (vs a sampled sketch) make day-over-day histograms addable and
     the whole thing reproducible in ANSI SQL."""
@@ -98,11 +107,10 @@ def numeric_histogram(
     if not lo < hi:
         raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
     width = (hi - lo) / bins
-    b = F.width_bucket(
-        F.col(col).cast("double"), F.lit(lo), F.lit(hi), F.lit(bins)
-    )
+    d = _qcol(col).cast("double")
+    b = F.width_bucket(d, F.lit(lo), F.lit(hi), F.lit(bins))
     return (
-        df.where(F.col(col).isNotNull())
+        df.where(d.isNotNull() & ~F.isnan(d))
         .groupBy(b.alias("bucket"))
         .agg(F.count("*").alias("n"))
         .select(

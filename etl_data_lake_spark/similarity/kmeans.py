@@ -19,9 +19,10 @@ iterate over — the whole corpus. The Spark shape per Lloyd iteration:
 
 Cosine ("spherical") geometry matches the rest of the repo's
 similarity stack: vectors and centroids are L2-normalized for
-assignment, centroid updates are plain member means (the mean's
-direction is what the next normalization keeps — standard spherical
-k-means). Empty clusters keep their previous centroid. Convergence is
+assignment, centroid updates are means of the NORMALIZED members —
+the spherical-k-means maximizer of the cosine objective (a raw mean
+would be magnitude-weighted: one large-norm outlier could out-vote a
+majority direction). Empty clusters keep their previous centroid. Convergence is
 max centroid movement (L2) < ``tol`` or ``max_iters``, whichever
 first; k-means is inherently a driver-looped iterative algorithm, so
 the loop is bounded and each round's cost is stated above.
@@ -63,12 +64,27 @@ def assign_clusters(
 def _mean_update(
     assigned: DataFrame, old: list[list[float]]
 ) -> tuple[list[list[float]], float]:
-    """New centroids = per-cluster dimension means (empty clusters
-    keep their old centroid), plus the max L2 shift. One k·d-row
-    driver collect; the shuffle is map-side combined."""
+    """New centroids = per-cluster dimension means of the L2-NORMALIZED
+    members (empty clusters keep their old centroid), plus the max L2
+    shift. Normalizing before the mean is what makes the update the
+    maximizer of the cosine objective — a raw mean is magnitude-
+    weighted, so one large-norm outlier could drag a centroid off the
+    majority direction and the objective could loosen between
+    iterations. One k·d-row driver collect; the shuffle is map-side
+    combined. The HOF normalization lives DOWNSTREAM of the
+    assignment UDF's stage and only JVM operators consume it (the
+    r3 lambda-into-pandas-UDF trap does not apply)."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("_v"), F.lit(0.0), lambda a, x: a + x * x
+        )
+    )
+    vn = F.transform(
+        F.col("_v"), lambda x: x / F.greatest(norm, F.lit(1e-300))
+    )
     rows = (
         assigned.select(
-            "cluster", F.posexplode(F.col("_v")).alias("pos", "val")
+            "cluster", F.posexplode(vn).alias("pos", "val")
         )
         .groupBy("cluster", "pos")
         .agg(F.sum("val").alias("s"), F.count("*").alias("n"))

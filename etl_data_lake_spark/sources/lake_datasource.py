@@ -827,6 +827,13 @@ class TxnLakeStreamReader(DataSourceStreamReader):
                     nbytes += self._max_batch_bytes
             cur_k += 1
             admitted += 1
+        if cur_k and cur_k >= len(self._effective_adds(cur_v)):
+            # a budget that trips EXACTLY at a version boundary leaves
+            # (v, len(files)) — normalize to (v+1, 0) so the next
+            # window's maxVersionsPerBatch doesn't spend a slot on the
+            # already-fully-consumed version (cur_k > 0 means cur_v's
+            # manifest was fetched this walk, so no new read/raise)
+            cur_v, cur_k = cur_v + 1, 0
         end = max(base, (cur_v, cur_k))
         self._advance_mark(end)
         return _off(end)

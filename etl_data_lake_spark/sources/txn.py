@@ -494,9 +494,11 @@ def _manifest_key_expr(root: Path):
 # INT96 while a concurrent stager's write job is still running — whose
 # files would then land with NO footer min/max, silently killing their
 # timestamp stats (the exact failure the context manager prevents).
+# Keyed PER SESSION (SQLConf is per-SparkSession — spark.newSession()
+# has its own): id(session) -> [depth, saved]; entries delete at depth
+# 0, so no leak and no weakref requirement.
 _MICROS_TS_LOCK = threading.RLock()
-_MICROS_TS_DEPTH = 0
-_MICROS_TS_SAVED: str | None = None
+_MICROS_TS_STATE: dict[int, list] = {}
 
 
 def _micros_ts_writes(spark):
@@ -504,34 +506,40 @@ def _micros_ts_writes(spark):
     TIMESTAMP_MICROS whatever the caller's session default — Spark's
     INT96 default writes NO footer min/max statistics (measured), which
     would silently kill every manifest stat and file skip on a
-    timestamp column. The session conf is process-global, so the
-    save/restore is REFCOUNTED: the first enterer saves, the last
-    exiter restores — overlapping stagers on the same session never
-    see an early restore mid-write."""
+    timestamp column. The conf is shared by every stager ON THE SAME
+    SESSION, so the save/restore is REFCOUNTED per session: the first
+    enterer saves and sets, the last exiter restores — overlapping
+    stagers never see an early restore mid-write, and stagers on a
+    DIFFERENT session (own SQLConf) get their own set/restore instead
+    of silently skipping the set."""
     from contextlib import contextmanager
 
     @contextmanager
     def cm():
-        global _MICROS_TS_DEPTH, _MICROS_TS_SAVED
         key = "spark.sql.parquet.outputTimestampType"
+        sid = id(spark)
         with _MICROS_TS_LOCK:
-            if _MICROS_TS_DEPTH == 0:
+            st = _MICROS_TS_STATE.get(sid)
+            if st is None:
                 try:
-                    _MICROS_TS_SAVED = spark.conf.get(key)
+                    saved = spark.conf.get(key)
                 except Exception:
-                    _MICROS_TS_SAVED = None
+                    saved = None
                 try:
                     spark.conf.set(key, "TIMESTAMP_MICROS")
                 except Exception:
                     pass  # static in exotic deployments: stage works
-            _MICROS_TS_DEPTH += 1
+                st = _MICROS_TS_STATE[sid] = [0, saved]
+            st[0] += 1
         try:
             yield
         finally:
             with _MICROS_TS_LOCK:
-                _MICROS_TS_DEPTH -= 1
-                if _MICROS_TS_DEPTH == 0:
-                    old, _MICROS_TS_SAVED = _MICROS_TS_SAVED, None
+                st = _MICROS_TS_STATE[sid]
+                st[0] -= 1
+                if st[0] == 0:
+                    del _MICROS_TS_STATE[sid]
+                    old = st[1]
                     if old is not None and old != "TIMESTAMP_MICROS":
                         try:
                             spark.conf.set(key, old)

@@ -89,3 +89,20 @@ def test_assignment_is_layout_invariant(spark, planted):
 def test_validation(spark, planted):
     with pytest.raises(ValueError, match="n_clusters"):
         kmeans_fit(planted, 0, "vec_id", "embedding")
+
+
+def test_update_is_magnitude_invariant(spark):
+    """The centroid update averages NORMALIZED members: one large-norm
+    outlier must not out-vote a majority direction (review
+    regression — a raw mean is magnitude-weighted)."""
+    rows = [(0, [100.0, 0.0, 0.0])] + [
+        (i, [0.01, 1.0, 0.0]) for i in range(1, 4)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    cents, _ = kmeans_fit(df, 1, "vec_id", "embedding")
+    c = np.asarray(cents[0])
+    # 3 of 4 members point along axis 1; the normalized mean follows
+    # the majority even though the axis-0 member has 100x the norm
+    assert np.argmax(np.abs(c)) == 1

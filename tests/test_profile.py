@@ -73,3 +73,23 @@ def test_histogram_validation(spark, table):
         numeric_histogram(table, "x", 0, 0.0, 1.0)
     with pytest.raises(ValueError, match="lo < hi"):
         numeric_histogram(table, "x", 3, 5.0, 5.0)
+
+
+def test_profile_handles_dotted_column_names(spark):
+    df = spark.range(5).select(
+        F.col("id").alias("a.b"),
+        (F.col("id") * 2.0).alias("x`y"),
+    )
+    rows = {r["column"]: r for r in profile(df).collect()}
+    assert set(rows) == {"a.b", "x`y"}
+    assert rows["a.b"]["n_rows"] == 5 and rows["a.b"]["n_nulls"] == 0
+    assert rows["x`y"]["mean"] == pytest.approx(4.0)
+
+
+def test_histogram_drops_nan_not_a_null_bucket(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (None,), (3.0,)], "x double"
+    )
+    h = numeric_histogram(df, "x", 2, 0.0, 4.0).collect()
+    assert all(r["bucket"] is not None for r in h)
+    assert sum(r["n"] for r in h) == 2  # NaN and null both dropped
