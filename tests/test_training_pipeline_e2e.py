@@ -1,0 +1,121 @@
+"""End-to-end training-data pipeline: every LLM-curation operator
+family composing on the real documents table, stage by stage —
+
+  profile → reference-LM perplexity filter → quality filter →
+  near-dup removal (MinHash-LSH + connected components) → mixture
+  resample → train/val/test split → sequence packing →
+  shuffled-shard export
+
+with invariants asserted at every hand-off (monotone shrinkage, no
+duplication, exact split partitioning, export round-trip) and the
+whole composition proven DETERMINISTIC end-to-end: a second run from
+a repartitioned source produces the identical final corpus."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.dedup.cluster import dedup_keep_canonical
+from etl_data_lake_spark.dedup.minhash import minhash_lsh_pairs
+from etl_data_lake_spark.functions.lm import (
+    perplexity_filter,
+    train_unigram_lm,
+)
+from etl_data_lake_spark.operators.export import write_shuffled_shards
+from etl_data_lake_spark.operators.packing import pack_sequences
+from etl_data_lake_spark.operators.profile import profile
+from etl_data_lake_spark.operators.sampling import (
+    resample_to_mixture,
+    split_deterministic,
+)
+from etl_data_lake_spark.sources.catalog import load_table
+from tests.conftest import SF_DIR
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def _run_pipeline(spark, docs):
+    # 2. reference LM from the English slice; drop gibberish-like docs
+    ref = docs.where(F.col("lang") == "en")
+    model, oov = train_unigram_lm(ref, vocab_size=5_000, alpha=0.5)
+    fluent = perplexity_filter(docs, model, oov, max_perplexity=8_000)
+    # 3. cheap quality gate
+    quality = fluent.where(F.length("text") >= 50)
+    # 4. near-dup removal
+    pairs = minhash_lsh_pairs(quality, threshold=0.5)
+    unique = dedup_keep_canonical(quality, pairs)
+    pairs.sparkSession.catalog.clearCache()  # shingle-table persist
+    # 5. mixture + 6. split
+    mixed = resample_to_mixture(
+        unique,
+        {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2},
+        "source",
+        ("doc_id",),
+    )
+    splits = split_deterministic(
+        mixed, {"train": 0.8, "val": 0.1, "test": 0.1}, ("doc_id",)
+    )
+    return fluent, quality, unique, mixed, splits
+
+
+def test_full_training_pipeline(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    n0 = docs.count()
+
+    # 1. profile the raw corpus
+    prof = {r["column"]: r for r in profile(docs).collect()}
+    assert prof["doc_id"]["n_rows"] == n0
+    assert prof["text"]["n_nulls"] == 0
+
+    fluent, quality, unique, mixed, splits = _run_pipeline(spark, docs)
+
+    # monotone shrinkage, each stage a subset of the previous
+    ids = list(map(_ids, (docs, fluent, quality, unique, mixed)))
+    for a, b in zip(ids, ids[1:]):
+        assert set(b) <= set(a)
+        assert len(b) == len(set(b))  # no stage ever duplicates
+    assert len(ids[-1]) > 0  # something survives
+
+    # split partitions the mixed corpus exactly
+    got = sorted(i for s in splits.values() for i in _ids(s))
+    assert got == ids[-1]
+
+    # 7. pack the train split to a token budget
+    train = splits["train"].withColumn(
+        "n_tokens", F.greatest(F.length("text"), F.lit(1))
+    )
+    packed = pack_sequences(train, "n_tokens", budget=2_000)
+    assert packed.count() == splits["train"].count()
+    over = (
+        packed.groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"))
+        .where((F.col("t") > 2_000) & (F.col("n") > 1))
+    )
+    assert over.count() == 0  # only oversize solos may exceed
+
+    # 8. export as shuffled shards; round-trip exactly
+    out = str(tmp_path / "shards")
+    write_shuffled_shards(
+        splits["train"].select("doc_id", "text"), out, 4, ("doc_id",)
+    )
+    files = sorted(glob.glob(f"{out}/shard=*/*.parquet"))
+    exported = sorted(
+        i
+        for f in files
+        for i in pq.read_table(f).column("doc_id").to_pylist()
+    )
+    assert exported == _ids(splits["train"])
+
+
+def test_pipeline_is_deterministic_under_layout(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    *_, mixed1, _ = _run_pipeline(spark, docs)
+    final1 = _ids(mixed1)
+    *_, mixed2, _ = _run_pipeline(spark, docs.repartition(13))
+    assert _ids(mixed2) == final1
