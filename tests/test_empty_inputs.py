@@ -124,3 +124,45 @@ def test_round5_lakehouse_ops_on_empty_table(spark, tmp_path):
     t.optimize_zorder(("x",))
     t.append_clustered(spark.createDataFrame([], "x int, v string"))
     assert t.snapshot().count() == 1
+
+
+def test_late_round5_ops_on_empty(spark, empty_docs, tmp_path):
+    import glob
+    import math
+
+    from etl_data_lake_spark.functions.lm import (
+        perplexity_filter,
+        perplexity_score,
+        train_unigram_lm,
+    )
+    from etl_data_lake_spark.operators.export import write_shuffled_shards
+    from etl_data_lake_spark.operators.profile import (
+        numeric_histogram,
+        profile,
+    )
+    from etl_data_lake_spark.operators.sampling import resample_to_mixture
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    # mixture: no rows -> no rates -> empty kept frame
+    assert (
+        resample_to_mixture(
+            empty_docs, {"src0": 0.5, "src1": 0.5}, "source", ("doc_id",)
+        ).count()
+        == 0
+    )
+    # profile: one row per requested column even with zero data rows
+    rows = {r["column"]: r for r in profile(empty_docs).collect()}
+    assert set(rows) == set(empty_docs.columns)
+    assert all(r["n_rows"] == 0 for r in rows.values())
+    assert numeric_histogram(empty_docs, "n_chars", 4, 0, 10).count() == 0
+    # LM: empty reference trains a degenerate-but-defined model
+    # (denom = alpha, oov logp 0); scoring and filtering still run
+    model, oov = train_unigram_lm(empty_docs, vocab_size=10)
+    assert model.count() == 0 and oov == pytest.approx(math.log(1.0))
+    docs = load_table(spark, SF_DIR, "documents").limit(3)
+    assert perplexity_score(docs, model, oov).count() == 3
+    assert perplexity_filter(empty_docs, model, oov, 100.0).count() == 0
+    # export of nothing: no files, no crash
+    out = str(tmp_path / "empty_shards")
+    write_shuffled_shards(empty_docs, out, 4, ("doc_id",))
+    assert glob.glob(f"{out}/shard=*/*.parquet") == []
