@@ -402,3 +402,29 @@ def test_widen_iso_property_matches_cast_semantics():
         assert got == want
 
     check()
+
+
+def test_micros_conf_set_per_session(spark):
+    """The refcount is keyed PER SESSION: while one session's stager
+    holds the conf, a stager on spark.newSession() (its own SQLConf)
+    must still get TIMESTAMP_MICROS set there — not silently skip
+    because a global depth was nonzero (review regression)."""
+    from etl_data_lake_spark.sources.txn import _micros_ts_writes
+
+    key = "spark.sql.parquet.outputTimestampType"
+    other = spark.newSession()
+    old_a, old_b = spark.conf.get(key), other.conf.get(key)
+    spark.conf.set(key, "INT96")
+    other.conf.set(key, "INT96")
+    try:
+        with _micros_ts_writes(spark):
+            with _micros_ts_writes(other):
+                assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+                assert other.conf.get(key) == "TIMESTAMP_MICROS"
+            # B restored independently; A still held
+            assert other.conf.get(key) == "INT96"
+            assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+        assert spark.conf.get(key) == "INT96"
+    finally:
+        spark.conf.set(key, old_a)
+        other.conf.set(key, old_b)
