@@ -253,6 +253,45 @@ def mixture_rates(
     )
 
 
+def cap_per_stratum(
+    df: DataFrame,
+    max_rows: int,
+    stratum_col: str,
+    key_cols: tuple[str, ...],
+    seed: int = 42,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per stratum — the "no more than
+    N documents per domain" guard against a single crawl host (or
+    boilerplate mill) dominating a mixture. Which rows survive is
+    decided by CONTENT-HASH RANK (ascending hash, key tiebreak), not
+    arrival order: the kept set is a uniform sample of the stratum,
+    stable under repartitioning/retries, and NESTED across caps (the
+    cap-100 survivors contain the cap-50 survivors at the same seed).
+
+    Shape: one shuffle on the stratum (the window's partitioning) and
+    a rank filter. A web-scale hot domain makes that partition large;
+    the window still evaluates streaming-fashion (rank needs no
+    buffering beyond sort spill), and callers with pathological skew
+    can pre-thin with :func:`sample_deterministic` at fraction ≈
+    k·max_rows/n_domain first — both decisions are hash-of-content,
+    so pre-thinning composes without changing survivorship
+    semantics (the nested-sample property)."""
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    if bucket is None:
+        bucket = _bucket(key_cols, seed)
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(bucket, *[F.col(c) for c in key_cols])
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= max_rows)
+        .drop("__rank")
+    )
+
+
 def mix_sources(
     sources: dict[str, DataFrame],
     fractions: dict[str, float],
