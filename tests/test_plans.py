@@ -185,6 +185,36 @@ def test_mixture_resample_broadcasts_thresholds(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_chunking_is_exchange_free(spark):
+    """chunk_documents is a per-row flatMap (sequence/explode/
+    substring, pure codegen): the plan must contain NO Exchange and
+    no Python evaluation node — chunking 100 TB runs at scan speed."""
+    from etl_data_lake_spark.operators.chunking import chunk_documents
+    from etl_data_lake_spark.plans import assert_no_exchange, plan_string
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    chunks = chunk_documents(docs, 200, overlap=20)
+    assert_no_exchange(chunks.select("doc_id", "chunk_idx"))
+    plan = plan_string(chunks, "executed")
+    assert "Python" not in plan  # no UDF anywhere in the hot path
+
+
+def test_cap_per_stratum_single_stratum_shuffle(spark):
+    """cap_per_stratum is one stratum-partitioned window: exactly one
+    Exchange (on the stratum), no join, no extra sort beyond the
+    window's own."""
+    from etl_data_lake_spark.operators.sampling import cap_per_stratum
+    from etl_data_lake_spark.plans import plan_string
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    capped = cap_per_stratum(docs, 10, "source", ("doc_id",))
+    plan = plan_string(capped.select("doc_id"), "executed")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+
+
 def test_packing_single_shuffle_on_shard(spark):
     """pack_sequences co-locates shards with exactly ONE Exchange (the
     groupBy(_shard) for applyInPandas) — no hidden extra shuffles."""

@@ -2,9 +2,9 @@
 family composing on the real documents table, stage by stage —
 
   profile → reference-LM perplexity filter → quality filter →
-  near-dup removal (MinHash-LSH + connected components) → mixture
-  resample → train/val/test split → sequence packing →
-  shuffled-shard export
+  near-dup removal (MinHash-LSH + connected components) → per-domain
+  cap → mixture resample → train/val/test split → chunk →
+  sequence packing → shuffled-shard export
 
 with invariants asserted at every hand-off (monotone shrinkage, no
 duplication, exact split partitioning, export round-trip) and the
@@ -25,10 +25,12 @@ from etl_data_lake_spark.functions.lm import (
     perplexity_filter,
     train_unigram_lm,
 )
+from etl_data_lake_spark.operators.chunking import chunk_documents
 from etl_data_lake_spark.operators.export import write_shuffled_shards
 from etl_data_lake_spark.operators.packing import pack_sequences
 from etl_data_lake_spark.operators.profile import profile
 from etl_data_lake_spark.operators.sampling import (
+    cap_per_stratum,
     resample_to_mixture,
     split_deterministic,
 )
@@ -51,9 +53,10 @@ def _run_pipeline(spark, docs):
     pairs = minhash_lsh_pairs(quality, threshold=0.5)
     unique = dedup_keep_canonical(quality, pairs)
     pairs.sparkSession.catalog.clearCache()  # shingle-table persist
-    # 5. mixture + 6. split
+    # 5. per-domain cap, then mixture + 6. split
+    capped = cap_per_stratum(unique, 40, "source", ("doc_id",))
     mixed = resample_to_mixture(
-        unique,
+        capped,
         {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2},
         "source",
         ("doc_id",),
@@ -86,12 +89,20 @@ def test_full_training_pipeline(spark, tmp_path):
     got = sorted(i for s in splits.values() for i in _ids(s))
     assert got == ids[-1]
 
-    # 7. pack the train split to a token budget
-    train = splits["train"].withColumn(
+    # 7. chunk long documents, then pack chunks to a token budget
+    chunks = chunk_documents(splits["train"], 1_000, overlap=50).select(
+        F.concat_ws(":", "doc_id", "chunk_idx").alias("doc_id"),
+        "text",
+    )
+    assert chunks.count() >= splits["train"].count()
+    assert (
+        chunks.where(F.length("text") > 1_000).count() == 0
+    )  # hard bound
+    train = chunks.withColumn(
         "n_tokens", F.greatest(F.length("text"), F.lit(1))
     )
     packed = pack_sequences(train, "n_tokens", budget=2_000)
-    assert packed.count() == splits["train"].count()
+    assert packed.count() == chunks.count()
     over = (
         packed.groupBy("pack_id")
         .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"))
