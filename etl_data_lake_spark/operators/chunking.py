@@ -47,6 +47,9 @@ def chunk_documents(
         raise ValueError(
             f"overlap must be in [0, chunk_chars), got {overlap}"
         )
+    clash = {CHUNK_ID_COL, "__i", "__t"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has column(s) {sorted(clash)}")
     step = chunk_chars - overlap
     text = F.col(text_col)
     n = F.length(text)

@@ -279,6 +279,8 @@ def cap_per_stratum(
     semantics (the nested-sample property)."""
     if max_rows < 1:
         raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    if "__rank" in df.columns:
+        raise ValueError("input already has a '__rank' column")
     if bucket is None:
         bucket = _bucket(key_cols, seed)
     w = (
