@@ -224,6 +224,37 @@ def pq_encode(
     return c.select("neighbor_id", enc(F.col("cv")).alias("codes"))
 
 
+def pq_reconstruct(
+    coded: DataFrame,
+    books: np.ndarray,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Inverse of :func:`pq_encode`: each code word expands to the
+    concatenation of its per-subspace centroids — the approximate
+    (normalized-space) vector a compressed archive can serve without
+    ever storing the original floats. Reconstruction error is the
+    quantization error ADC scoring already embodies; more subspaces /
+    larger codebooks → tighter reconstruction. Arrow-batched gather,
+    no shuffle; the codebooks ship once per task in the closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ks, sd = books.shape
+    flat = books.reshape(m * ks, sd)
+
+    def decode(cs: pd.Series) -> pd.Series:
+        if len(cs) == 0:
+            return pd.Series([], dtype=object)
+        codes = np.stack(cs.to_numpy()).astype(np.int64)
+        # gather row (s*ks + code) per subspace and concatenate
+        idx = codes + np.arange(m)[None, :] * ks
+        vecs = flat[idx].reshape(len(codes), m * sd)
+        return pd.Series(list(vecs))
+
+    dec = pandas_udf(decode, "array<double>")
+    keep = [c for c in coded.columns if c != codes_col]
+    return coded.select(*keep, dec(F.col(codes_col)).alias("vector"))
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

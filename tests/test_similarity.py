@@ -285,6 +285,53 @@ def test_pq_codes_are_compact_and_bounded(spark):
     assert len({tuple(c) for c in arr}) > len(arr) // 2
 
 
+def test_pq_reconstruct_round_trip(spark):
+    """encode → reconstruct serves an approximate vector whose cosine
+    to the (normalized) original reflects quantization error only —
+    high on the real embedding table, and MONOTONE in the code
+    budget (more subspaces ⇒ tighter reconstruction)."""
+    import numpy as np
+
+    from etl_data_lake_spark.similarity.pq import (
+        pq_encode,
+        pq_reconstruct,
+        sample_vectors,
+        train_codebooks,
+    )
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    originals = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def mean_cos(m, ks):
+        train = sample_vectors(emb, 512, "vec_id", "embedding")
+        books = train_codebooks(train, m=m, ks=ks)
+        recon = pq_reconstruct(pq_encode(emb, books), books).collect()
+        sims = []
+        for r in recon:
+            o = originals[r["neighbor_id"]]
+            o = o / max(np.linalg.norm(o), 1e-300)
+            v = np.asarray(r["vector"])
+            v = v / max(np.linalg.norm(v), 1e-300)
+            sims.append(float(o @ v))
+        assert len(sims) == len(originals)
+        return float(np.mean(sims))
+
+    coarse, fine = mean_cos(8, 16), mean_cos(16, 32)
+    assert fine > coarse  # budget buys fidelity
+    assert fine > 0.55  # random-data floor; real corpora sit higher
+    # reconstructed width matches the original dimensionality
+    dims = len(next(iter(originals.values())))
+    books = train_codebooks(
+        sample_vectors(emb, 512, "vec_id", "embedding"), m=8, ks=16
+    )
+    one = pq_reconstruct(pq_encode(emb.limit(1), books), books).collect()
+    assert len(one[0]["vector"]) == dims
+
+
 def test_blocked_near_dup_full_assign_equals_exact(spark):
     """n_assign = n_cells ⇒ every pair shares a cell ⇒ the blocked
     join is exactly the all-pairs baseline (same pairs, same rounded
