@@ -154,6 +154,17 @@ class MinHashDedupIndex:
         the per-batch runs."""
         sh, sigs, posts = self._sketch(docs, text_col, id_col)
         try:
+            # an index populated solely via add() must still freeze its
+            # banding params: without this, reopening with different
+            # (n, k, bands, rows) found no stored params and silently
+            # probed an incompatible banding (round-5 advice)
+            if self.meta_tbl.snapshot_meta() is None:
+                self.meta_tbl.append(
+                    self.spark.createDataFrame(
+                        [(self.n, self.k, self.bands, self.rows)],
+                        "n int, k int, bands int, rows int",
+                    ).coalesce(1)
+                )
             self.post_tbl.append(
                 posts.repartitionByRange(batch_files, F.col("band_key"))
                 .sortWithinPartitions("band_key"),

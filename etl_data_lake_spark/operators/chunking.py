@@ -53,10 +53,18 @@ def chunk_documents(
     step = chunk_chars - overlap
     text = F.col(text_col)
     n = F.length(text)
-    # chunk indices 0..floor((len-1)/step): the final partial chunk
-    # starts before the end, and an exact multiple does NOT spawn a
-    # trailing empty chunk
-    last = F.floor((n - F.lit(1)) / F.lit(step)).cast("int")
+    # chunk indices 0..ceil((len-chunk)/step), computed as
+    # floor(max(len-overlap-1, 0)/step): chunk i is emitted only when
+    # it extends PAST chunk i-1's end — with overlap, a final partial
+    # chunk shorter than the overlap is already fully contained in
+    # the previous chunk (len=10, chunk=8, overlap=4 would otherwise
+    # emit chars 9-10, a substring of chunk 1's 5-10) and must not
+    # spawn a duplicate-content row; an exact multiple likewise does
+    # NOT spawn a trailing empty chunk. Coverage holds: the last
+    # chunk's end = last*step + chunk >= len.
+    last = F.floor(
+        F.greatest(n - F.lit(overlap + 1), F.lit(0)) / F.lit(step)
+    ).cast("int")
     keep = [c for c in df.columns if c != text_col]
     return (
         df.where(text.isNotNull() & (n > 0))

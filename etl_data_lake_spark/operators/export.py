@@ -63,8 +63,12 @@ def assign_shuffled_shards(
     re-runs. No shuffle is introduced; this is a projection."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    if SHARD_COL in df.columns:
-        raise ValueError(f"input already has a {SHARD_COL!r} column")
+    clash = {SHARD_COL, _ORDER_COL} & set(df.columns)
+    if clash:
+        # _ORDER_COL too: withColumn would silently overwrite a user
+        # column of that name and shuffled() then drops it — the
+        # column would vanish from the exported shards
+        raise ValueError(f"input already has column(s) {sorted(clash)}")
     return df.withColumn(
         SHARD_COL, _shard(key_cols, n_shards, seed)
     ).withColumn(_ORDER_COL, _order(key_cols, seed))

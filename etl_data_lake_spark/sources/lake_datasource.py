@@ -642,8 +642,10 @@ class TxnLakeStreamReader(DataSourceStreamReader):
         # (0 and 1 both mean "from the table's beginning").
         # startingTimestamp (epoch ms) resolves to the first version
         # AT-OR-AFTER the stamp via the same skew-tolerant walk batch
-        # time travel uses; mutually exclusive with startingVersion,
-        # like Delta's.
+        # time travel uses (Delta's inclusive contract: a version
+        # stamped exactly at the timestamp IS delivered, and a stamp
+        # preceding every commit streams from the table's beginning);
+        # mutually exclusive with startingVersion, like Delta's.
         sv = options.get("startingVersion")
         st = options.get("startingTimestamp")
         if sv is not None and st is not None:
@@ -652,11 +654,26 @@ class TxnLakeStreamReader(DataSourceStreamReader):
                 "not both"
             )
         if st is not None:
-            # version_as_of gives the newest version AT-OR-BEFORE the
-            # stamp — the stream starts AFTER it (changes strictly
-            # newer than the timestamp), so that version IS the
-            # initial "last consumed" offset
-            self._start = max(0, self._table.version_as_of(int(st)))
+            ts = int(st)
+            try:
+                # version_as_of gives the newest version AT-OR-BEFORE
+                # the stamp; versions stamped EXACTLY at the stamp are
+                # "at or after" and must replay, so walk below any
+                # exact-stamp run before taking it as the initial
+                # "last consumed" offset (several commits can share a
+                # millisecond). Unstamped legacy manifests carry no
+                # stamp to compare and stay conservatively consumed.
+                v = self._table.version_as_of(ts)
+                while (
+                    v >= 1
+                    and self._table._read_manifest(v).get("ts_ms") == ts
+                ):
+                    v -= 1
+                self._start = max(0, v)
+            except FileNotFoundError:
+                # every commit is newer than the stamp (or the table
+                # is empty): stream from the beginning
+                self._start = 0
         else:
             self._start = max(0, int(sv if sv is not None else 1) - 1)
         self._ignore_changes = (

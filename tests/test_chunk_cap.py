@@ -21,8 +21,9 @@ def test_chunks_cover_exactly_with_overlap(spark):
         r["chunk_idx"]: r["text"]
         for r in chunk_documents(df, 4, overlap=1).collect()
     }
-    # step 3: starts 0,3,6,9 -> abcd, defg, ghij, j
-    assert got == {0: "abcd", 1: "defg", 2: "ghij", 3: "j"}
+    # step 3: starts 0,3,6 -> abcd, defg, ghij; a 4th chunk at 9 ("j")
+    # would be a substring of chunk 2 and is correctly suppressed
+    assert got == {0: "abcd", 1: "defg", 2: "ghij"}
     # zero overlap, exact multiple: no trailing empty chunk
     got2 = {
         r["chunk_idx"]: r["text"]
@@ -76,6 +77,56 @@ def test_chunking_layout_invariant(spark):
     a = chunk_documents(df, 37, overlap=5)
     b = chunk_documents(df.repartition(7), 37, overlap=5)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_no_trailing_chunk_contained_in_previous(spark):
+    """A final partial chunk shorter than the overlap is already fully
+    inside the previous chunk and must not spawn a duplicate-content
+    row (round-5 advice: len=10, chunk=8, overlap=4 emitted chars 9-10,
+    a substring of chunk 1's 5-10)."""
+    df = spark.createDataFrame(
+        [(1, "abcdefghij")], "doc_id long, text string"
+    )
+    got = {
+        r["chunk_idx"]: r["text"]
+        for r in chunk_documents(df, 8, overlap=4).collect()
+    }
+    assert got == {0: "abcdefgh", 1: "efghij"}
+    # exact-fit doc: the second start (char 5) no longer extends past
+    # the end, so exactly one chunk
+    df8 = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    assert {
+        r["chunk_idx"]: r["text"]
+        for r in chunk_documents(df8, 8, overlap=4).collect()
+    } == {0: "abcdefgh"}
+
+
+def test_chunk_extension_and_coverage_sweep(spark):
+    """For every length x overlap combination: chunk ends strictly
+    increase (no chunk is contained in its predecessor), indices are
+    contiguous from 0, the last chunk reaches the document end, and
+    each chunk is the exact expected slice."""
+    base = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMN"  # 40 distinct chars
+    chunk = 8
+    for overlap in (0, 3, 4, 7):
+        step = chunk - overlap
+        df = spark.createDataFrame(
+            [(n, base[:n]) for n in range(1, 41)],
+            "doc_id long, text string",
+        )
+        by_doc: dict[int, list] = {}
+        for r in chunk_documents(df, chunk, overlap=overlap).collect():
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for n in range(1, 41):
+            rows = sorted(by_doc[n], key=lambda r: r["chunk_idx"])
+            assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+            prev_end = 0
+            for i, r in enumerate(rows):
+                start, end = i * step, min(i * step + chunk, n)
+                assert r["text"] == base[start:end]
+                assert end > prev_end, (n, overlap, i)
+                prev_end = end
+            assert prev_end == n, (n, overlap)
 
 
 # --------------------------------------------------------------- caps

@@ -99,6 +99,12 @@ def test_validation(spark, corpus):
     tagged = assign_shuffled_shards(corpus, 2, ("key",))
     with pytest.raises(ValueError, match="shard"):
         assign_shuffled_shards(tagged, 2, ("key",))
+    # a user column named like the hidden order key would be silently
+    # overwritten and then dropped by shuffled() — reject it too
+    with pytest.raises(ValueError, match="_shuffle_order"):
+        assign_shuffled_shards(
+            corpus.withColumn("_shuffle_order", F.lit(1)), 2, ("key",)
+        )
 
 
 def test_shards_map_near_one_to_one_to_tasks(spark, corpus):

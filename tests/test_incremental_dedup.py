@@ -105,6 +105,21 @@ def test_add_exactly_once_and_probe_after(spark, idx):
     assert ("n2", "n1") in pairs and ("n2", "c1") in pairs
 
 
+def test_add_only_index_freezes_params(spark, tmp_path):
+    """An index populated solely via add() publishes the meta row too
+    (round-5 advice): reopening with different banding params must
+    fail fast instead of silently probing an incompatible banding."""
+    path = str(tmp_path / "ix_addonly")
+    ix = MinHashDedupIndex(spark, path)
+    ix.add(_df(spark, _CORPUS[:2]), app_id="t", txn_seq=1)
+    with pytest.raises(ValueError, match="frozen"):
+        MinHashDedupIndex(spark, path, bands=2, rows=2)
+    # same params reopen fine and the index is probeable
+    again = MinHashDedupIndex(spark, path)
+    dup = _df(spark, [("b1", _CORPUS[0][1])])  # verbatim dup of c1
+    assert again.probe(dup).count() >= 1
+
+
 def test_params_frozen(spark, idx):
     with pytest.raises(ValueError, match="frozen"):
         MinHashDedupIndex(idx.spark, idx.path, bands=3, rows=4)

@@ -523,6 +523,41 @@ def test_stream_starting_timestamp(spark, tmp_path):
         q2.awaitTermination(60)
 
 
+def test_stream_starting_timestamp_inclusive_boundary(spark, tmp_path):
+    """Delta's inclusive contract (round-5 advice): a version stamped
+    EXACTLY at startingTimestamp is delivered, and a stamp preceding
+    every commit streams from the table's beginning instead of
+    raising."""
+    register_lake_source(spark)
+    src = str(tmp_path / "src")
+    t = TxnTable(spark, src)
+    t.append(_mk(spark, [(1, "a")]), stats_cols=("id",))
+    t.append(_mk(spark, [(2, "b")]), stats_cols=("id",))
+    t.append(_mk(spark, [(3, "c")]), stats_cols=("id",))
+    # version 2's own commit stamp: versions 2 AND 3 are "at or after"
+    cut_ms = t._read_manifest(2)["ts_ms"]
+
+    def drain(opt_ts, ck, out):
+        q = (
+            spark.readStream.format("txnlake")
+            .option("startingTimestamp", opt_ts)
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            r.id for r in spark.read.parquet(str(tmp_path / out)).collect()
+        )
+
+    assert drain(cut_ms, "ck_exact", "out_exact") == [2, 3]
+    # stamp before every commit -> whole table, no FileNotFoundError
+    assert drain(1, "ck_early", "out_early") == [1, 2, 3]
+
+
 def test_bin_packed_read_tasks(spark, tmp_path):
     # many small files must NOT become one task per file: the default
     # 128 MiB maxBytesPerTask packs them into few InputPartitions in
