@@ -26,6 +26,8 @@ HEADLINE = [
     "time_dimension",
     "events_session_window_agg",
     "range_join_ship_lag",
+    # round 7: the funnel family (windowed ordered-sequence match)
+    "funnel_conversion",
     # extension operators (registered in later phases; skipped if absent)
     "text_quality_scores",
     "text_token_counts",

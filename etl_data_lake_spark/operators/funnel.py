@@ -1,0 +1,126 @@
+"""Funnel / ordered-sequence analytics over an event table — "of the
+users who did A, how many then did B, then C?" with an optional
+conversion window. The behavioral-analytics query family
+(MATCH_RECOGNIZE-lite) the reference's event pipeline feeds but never
+answers itself.
+
+Semantics (the standard product-analytics funnel):
+
+* step 1 anchors at the user's EARLIEST qualifying event;
+* step i>1 matches the earliest qualifying event STRICTLY AFTER the
+  user's step i-1 time (order matters — a purchase before the click
+  does not convert the click);
+* with ``within_s`` set, every step must land at most that many
+  seconds after the step-1 anchor (day-time interval arithmetic —
+  exact at microsecond granularity and valid for both ``timestamp``
+  and ``timestamp_ntz`` event columns);
+* a user missing step i contributes to no step >= i.
+
+This greedy earliest-match is the common funnel definition
+(first-touch anchoring). It can miss sequences a backtracking matcher
+would find (an early step-2 event consumed before a later step-1
+anchor that would have worked), which is the accepted trade-off in
+every production funnel engine — document, don't backtrack.
+
+Scale shape (100 TB of events): one shuffle of the per-step event
+SUBSET keyed by user per step — the full event table never shuffles;
+each step's filtered slice aggregates map-side (min) before the
+exchange, and every post-step-1 join keys on the same user column so
+AQE/exchange reuse keeps the per-user frame in place. k (funnel
+length) is small and user-facing; the plan is k joins of
+per-user-sized frames, not a self-join of events. No Python, no
+window over unpartitioned data, no collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _step_col(i: int) -> str:
+    return f"step{i}_ts"
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_s: float | None = None,
+) -> DataFrame:
+    """→ one row per user who completed step 1: ``user_col`` plus
+    ``step1_ts .. stepK_ts`` (timestamp of the earliest match per the
+    semantics above; null once the sequence breaks)."""
+    if len(steps) < 1:
+        raise ValueError("steps must name at least one event type")
+    if within_s is not None and within_s <= 0:
+        raise ValueError(f"within_s must be positive, got {within_s}")
+    ts = F.col(ts_col)
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts).alias(_step_col(1)))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = F.col(_step_col(i - 1))
+        ev = events.where(F.col(type_col) == step).select(
+            F.col(user_col).alias("_eu"), ts.alias("_ets")
+        )
+        cond = (cur["_u"] == ev["_eu"]) & (F.col("_ets") > prev)
+        if within_s is not None:
+            cond = cond & (
+                F.col("_ets")
+                <= F.col(_step_col(1))
+                + F.expr(f"make_dt_interval(0, 0, 0, {within_s!r})")
+            )
+        cur = (
+            cur.join(ev, cond, "left")
+            .groupBy("_u", *[_step_col(j) for j in range(1, i)])
+            .agg(F.min("_ets").alias(_step_col(i)))
+        )
+    return cur.withColumnRenamed("_u", user_col)
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_s: float | None = None,
+) -> DataFrame:
+    """→ one row per funnel step: ``step`` (1-based), ``step_name``,
+    ``n_users`` reaching it, ``frac_of_first`` and ``frac_of_prev``
+    conversion rates (step 1 reports 1.0 for both; every rate is an
+    IEEE double both engines reproduce bit-identically). Rows come out
+    in step order under an ORDER BY on ``step``."""
+    times = funnel_times(
+        events, steps, user_col, ts_col, type_col, within_s
+    )
+    counts = times.agg(
+        *[
+            F.count(F.col(_step_col(i))).alias(f"_n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    per_step = [
+        F.struct(
+            F.lit(i).alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col(f"_n{i}").alias("n_users"),
+            (F.col(f"_n{i}") / F.col("_n1")).alias("frac_of_first"),
+            (
+                F.col(f"_n{i}") / F.col(f"_n{max(i - 1, 1)}")
+            ).alias("frac_of_prev"),
+        )
+        for i, name in enumerate(steps, start=1)
+    ]
+    return (
+        counts.select(F.explode(F.array(*per_step)).alias("s"))
+        .select("s.*")
+        .orderBy("step")
+    )

@@ -338,19 +338,23 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the cost is one shuffle regardless of how many grouping sets the
 # lattice has. Null grouping markers are labeled '<all>' on both
 # engines (the grouping columns themselves are non-null in testdata).
+# Library surface only as of round 7 (50-entry driver cap): the
+# Expand-lattice driver signal already rides grouping_sets_revenue
+# (the more general form — an explicit set list through spark.sql)
+# and pivot_status_counts; this twin stays parity-checked in
+# test_parity::test_library_twin_parity like the rollup twin above.
+# The freed slot went to funnel_conversion (a whole new query family).
 # --------------------------------------------------------------------------
-@register(
-    "cube_orders_revenue",
-    oracle=f"""
-        SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
-               COALESCE(o_orderpriority, '<all>') AS orderpriority,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
-               {sql_sum_money('o_totalprice')} AS revenue
-        FROM orders
-        GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    tags=("agg", "cube"),
-)
+CUBE_ORDERS_REVENUE_SQL = f"""
+    SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
+           COALESCE(o_orderpriority, '<all>') AS orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_sum_money('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def cube_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -366,6 +370,67 @@ def cube_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# FUNNEL: ordered-sequence conversion over events (view → click →
+# purchase within an 8-hour window of the first view) — the
+# behavioral-analytics family (operators/funnel.py). First-touch
+# anchoring, strictly-after ordering; each step scans a
+# predicate-pushed slice of events and shuffles per-user frames only.
+# The window makes the funnel discriminative on this corpus
+# (150 → 26 → 1 at sf0.01; without it every user eventually does
+# everything). The oracle replays the same greedy earliest-match with
+# chained CTEs and INTERVAL arithmetic; every rate is one IEEE-double
+# division of two BIGINTs, so the hash compare is exact. (Registered
+# round 7 in the slot freed by demoting cube_orders_revenue to a
+# library twin.)
+# --------------------------------------------------------------------------
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WITHIN_S = 28_800
+
+
+@register(
+    "funnel_conversion",
+    oracle=f"""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT s1.user_id, s1.t1, MIN(e.ts) AS t2
+            FROM s1 LEFT JOIN events e
+              ON e.user_id = s1.user_id
+             AND e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_WITHIN_S} SECOND
+            GROUP BY s1.user_id, s1.t1
+        ), s3 AS (
+            SELECT s2.user_id, s2.t1, s2.t2, MIN(e.ts) AS t3
+            FROM s2 LEFT JOIN events e
+              ON e.user_id = s2.user_id
+             AND e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s2.t1 + INTERVAL {_FUNNEL_WITHIN_S} SECOND
+            GROUP BY s2.user_id, s2.t1, s2.t2
+        ), n AS (
+            SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3
+            FROM s3
+        )
+        SELECT * FROM (
+            SELECT 1 AS step, 'view' AS step_name, n1 AS n_users,
+                   n1 / n1 AS frac_of_first, n1 / n1 AS frac_of_prev
+            FROM n
+            UNION ALL
+            SELECT 2, 'click', n2, n2 / n1, n2 / n1 FROM n
+            UNION ALL
+            SELECT 3, 'purchase', n3, n3 / n1, n3 / n2 FROM n
+        ) ORDER BY step
+    """,
+    tags=("events", "funnel", "sequence"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_lake_spark.operators.funnel import funnel_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_counts(events, _FUNNEL_STEPS, within_s=_FUNNEL_WITHIN_S)
 
 
 # --------------------------------------------------------------------------

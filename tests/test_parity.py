@@ -132,6 +132,11 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.advanced_rel",
         "DISTINCT_AGG_PER_STATUS_SQL",
     ),
+    (
+        "cube_orders_revenue",
+        "etl_data_lake_spark.queries.advanced_rel",
+        "CUBE_ORDERS_REVENUE_SQL",
+    ),
 ]
 
 
