@@ -318,3 +318,51 @@ def attribution_join(
         ),
         "purchase_value",
     )
+
+
+def enriched_segment_counts(
+    events: DataFrame, customer: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """STREAM-STATIC enrichment join + windowed aggregate: each event
+    joins its user's market segment from the static customer dimension,
+    then 1-hour tumbling count+sum per segment.
+
+    The static side is planned ONCE and broadcast into every
+    micro-batch — a stream-static equi-join is STATELESS (no watermark
+    needed on the join itself, no join state store; only the windowed
+    aggregate downstream keeps state). This is the canonical streaming
+    enrichment shape: at cluster scale the dimension snapshot rides the
+    broadcast, and a slowly-changing dimension is a foreachBatch
+    re-read instead. Left join: an event without a dimension row keeps
+    flowing (labeled ``<unknown>``) — enrichment must never drop
+    facts. Works identically on a BATCH events frame (withWatermark is
+    a no-op there), which is exactly what the batch≡stream test pins.
+    """
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("_ck"),
+            F.col("c_mktsegment").alias("_seg"),
+        )
+    )
+    enriched = (
+        events.withWatermark("ts", watermark)
+        .join(dim, F.col("user_id") == F.col("_ck"), "left")
+        .withColumn("mktsegment", F.coalesce("_seg", F.lit("<unknown>")))
+    )
+    return (
+        enriched.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"), F.col("mktsegment")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_money(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )

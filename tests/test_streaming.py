@@ -114,3 +114,36 @@ def test_foreach_batch_upsert_latest_wins(spark, tmp_path):
         3: ("paid", 100),
         4: ("free", 150),
     }
+
+
+def test_stream_static_enrichment_batch_equals_stream(spark):
+    """Stream-static broadcast enrichment: the same plan over a batch
+    frame and an availableNow stream produces identical windowed
+    per-segment aggregates, and no event is dropped by the left join."""
+    from etl_data_lake_spark.sources.catalog import load_table
+    from etl_data_lake_spark.streaming.events import (
+        enriched_segment_counts,
+        event_stream,
+        run_available_now,
+    )
+
+    from pyspark.sql import functions as F
+
+    customer = load_table(spark, SF_DIR, "customer")
+    ev_batch = load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = {
+        tuple(r)
+        for r in enriched_segment_counts(ev_batch, customer).collect()
+    }
+    stream_df = enriched_segment_counts(event_stream(spark, SF_DIR), customer)
+    got = {
+        tuple(r)
+        for r in run_available_now(
+            stream_df, "enrich_seg", shuffle_partitions=8
+        ).collect()
+    }
+    assert got == batch
+    # nothing dropped: window x segment counts sum to the event count
+    assert sum(r[2] for r in got) == ev_batch.count()
