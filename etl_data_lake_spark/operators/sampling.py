@@ -321,3 +321,63 @@ def mix_sources(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_cols: tuple[str, ...],
+    seed: int = 42,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: keep the
+    ``n`` rows (per stratum when ``stratum_col`` is set) chosen with
+    probability proportional to ``weight_col`` — quality-weighted
+    corpus selection ("keep 1M documents, preferring high quality
+    scores") without a bias-prone threshold cliff.
+
+    Algorithm: Efraimidis–Spirakis A-ES order sampling. Each row draws
+    a uniform ``u`` from the content hash (same portable construction
+    as every sampler here — layout/retry/engine invariant) and ranks
+    by the exponential jitter ``-ln(u) / w``; the ``n`` SMALLEST ranks
+    are exactly a weight-proportional sample without replacement. The
+    rank is a pure function of (content, seed, weight), so re-runs
+    reproduce the identical sample and changing only ``n`` NESTS the
+    results (top-50 ⊂ top-100) — same contract as the uniform
+    samplers.
+
+    Rows with NULL, zero or negative weight never qualify (they have
+    no selection mass; A-ES is undefined there) — they are filtered,
+    not errors, so a quality score of 0 composes naturally.
+
+    Shape: global form = sort+limit (TakeOrderedAndProject — no full
+    sort materializes); stratified form = one shuffle on the stratum
+    and a streaming rank filter, identical to :func:`cap_per_stratum`.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if "__wrank" in df.columns:
+        raise ValueError("input already has a '__wrank' column")
+    # u in (0, 1]: (bucket + 1) / RING over the portable hash ring;
+    # never 0, so ln(u) is finite
+    u = (_bucket(key_cols, seed) + F.lit(1.0)) / F.lit(float(_RING))
+    w = F.col(weight_col).cast("double")
+    rank_key = -F.log(u) / w
+    positive = df.where(w.isNotNull() & (w > 0)).withColumn(
+        "__wrank", rank_key
+    )
+    if stratum_col is None:
+        out = positive.orderBy(
+            "__wrank", *[F.col(c) for c in key_cols]
+        ).limit(n)
+    else:
+        win = Window.partitionBy(stratum_col).orderBy(
+            "__wrank", *[F.col(c) for c in key_cols]
+        )
+        out = (
+            positive.withColumn("__rn", F.row_number().over(win))
+            .where(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+    return out.drop("__wrank")
