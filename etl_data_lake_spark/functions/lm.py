@@ -145,3 +145,179 @@ def perplexity_filter(
         .select(F.col("doc_id").alias(id_col))
     )
     return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM — one rung up the KenLM ladder. Jelinek-Mercer
+# mixture P(w2|w1) = lam * P_ML(w2|w1) + (1-lam) * P_uni(w2): context
+# raises in-domain fluency signal far above what unigrams see (word
+# salad scores like prose under a unigram model), while the unigram
+# floor keeps every token's probability positive, so perplexities stay
+# finite and comparable. Tokens outside the unigram vocabulary map to
+# one shared UNK outcome (context and target alike — the standard
+# construction, so OOV contexts still condition).
+# ---------------------------------------------------------------------------
+
+_UNK = "\x00unk"
+
+
+def train_bigram_lm(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 1.0,
+    max_bigrams: int = 200_000,
+):
+    """→ ``(unigram_model, oov_logp, bigram_model)`` where
+    ``bigram_model`` is ``(w1, w2, p_ml)`` for the ``max_bigrams`` most
+    frequent UNK-mapped reference bigrams (count-desc, pair-asc
+    tie-break — deterministic truncation; a dropped pair just falls
+    back to the unigram floor, making the mixture conservatively
+    deficient, never improper). The interpolation weight is the
+    SCORER's parameter, not the model's — one trained model serves any
+    ``lam`` sweep; see :func:`bigram_perplexity_score`.
+
+    Scale: tokenize → explode → window-lag pairing (ONE shuffle by
+    doc), two map-side-combined count aggregations whose shuffles
+    carry DISTINCT pairs/contexts, a bounded top-k, and a local model
+    build — the reference corpus is scanned once.
+    """
+    from pyspark.sql import Window
+
+    uni_model, oov_logp = train_unigram_lm(
+        ref_docs, text_col, vocab_size, alpha
+    )
+    # id in its OWN projection: a nondeterministic expression sharing a
+    # select with a generator evaluates per exploded row (every token
+    # got a fresh _doc — zero pairs; caught by the hand-computed test)
+    base = ref_docs.withColumn("_doc", F.monotonically_increasing_id())
+    toks = base.select(
+        "_doc",
+        F.posexplode(F.filter(tokens(text_col), lambda t: t != "")).alias(
+            "_pos", "_term"
+        ),
+    )
+    mapped = toks.join(
+        F.broadcast(uni_model.select("term")),
+        toks["_term"] == F.col("term"),
+        "left",
+    ).select(
+        "_doc",
+        "_pos",
+        F.coalesce(F.col("term"), F.lit(_UNK)).alias("_w2"),
+    )
+    w = Window.partitionBy("_doc").orderBy("_pos")
+    pairs = mapped.select(
+        F.lag("_w2").over(w).alias("_w1"), "_w2"
+    ).where(F.col("_w1").isNotNull())
+    pair_counts = pairs.groupBy("_w1", "_w2").agg(
+        F.count("*").alias("_c12")
+    ).persist()
+    try:
+        ctx_counts = pair_counts.groupBy("_w1").agg(
+            F.sum("_c12").alias("_c1")
+        )
+        kept = (
+            pair_counts.orderBy(F.desc("_c12"), "_w1", "_w2")
+            .limit(max_bigrams)
+            .join(F.broadcast(ctx_counts), "_w1")
+            .select(
+                F.col("_w1").alias("w1"),
+                F.col("_w2").alias("w2"),
+                (F.col("_c12") / F.col("_c1")).alias("p_ml"),
+            )
+        )
+        spark = ref_docs.sparkSession
+        bigram_model = spark.createDataFrame(
+            kept.collect(), "w1 string, w2 string, p_ml double"
+        )
+    finally:
+        pair_counts.unpersist()
+    return uni_model, oov_logp, bigram_model
+
+
+def bigram_perplexity_score(
+    docs: DataFrame,
+    uni_model: DataFrame,
+    oov_logp: float,
+    bigram_model: DataFrame,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ ``(doc_id, n_tokens, avg_neg_logp, perplexity)`` under the
+    interpolated bigram model: a document's first token scores by the
+    unigram model, every later token by
+    ``log(lam * P_ML(w2|w1) + (1-lam) * P_uni(w2))`` with unseen
+    bigrams contributing only the unigram floor. ``lam=0`` reproduces
+    :func:`perplexity_score` up to the ``log(exp(x))`` float round-trip
+    (test-pinned at 1e-12). Empty documents → null perplexity, like
+    the unigram scorer.
+
+    Scale: one candidate-corpus scan; the window-lag pairing shuffles
+    by doc once and the per-doc aggregation reuses that partitioning;
+    both models join broadcast (bounded by construction)."""
+    if not 0 <= lam < 1:
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(
+            F.filter(tokens(text_col), lambda t: t != "")
+        ).alias("_pos", "_term"),
+    )
+    uni = F.broadcast(
+        uni_model.select(
+            F.col("term").alias("_t"), F.col(OOV_LOGP_COL).alias("_lp")
+        )
+    )
+    mapped = toks.join(uni, toks["_term"] == F.col("_t"), "left").select(
+        "doc_id",
+        "_pos",
+        F.when(F.col("_term").isNull(), F.lit(None))
+        .otherwise(F.coalesce(F.col("_t"), F.lit(_UNK)))
+        .alias("_w2"),
+        F.when(
+            F.col("_term").isNotNull(),
+            F.coalesce(F.col("_lp"), F.lit(oov_logp)),
+        ).alias("_uni_lp"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    seq = mapped.withColumn("_w1", F.lag("_w2").over(w))
+    bi = F.broadcast(
+        bigram_model.select(
+            F.col("w1").alias("_bw1"),
+            F.col("w2").alias("_bw2"),
+            "p_ml",
+        )
+    )
+    joined = seq.join(
+        bi,
+        (seq["_w1"] == F.col("_bw1")) & (seq["_w2"] == F.col("_bw2")),
+        "left",
+    ).select(
+        "doc_id",
+        F.when(F.col("_w2").isNull(), F.lit(None))
+        .when(F.col("_w1").isNull(), F.col("_uni_lp"))
+        .otherwise(
+            F.log(
+                F.lit(lam) * F.coalesce(F.col("p_ml"), F.lit(0.0))
+                + F.lit(1.0 - lam) * F.exp(F.col("_uni_lp"))
+            )
+        )
+        .alias("lp"),
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("lp").cast("long").alias("n_tokens"),
+            (-F.avg("lp")).alias("avg_neg_logp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_neg_logp",
+            F.exp("avg_neg_logp").alias("perplexity"),
+        )
+    )

@@ -100,3 +100,127 @@ def test_train_validation_and_layout_invariance(spark, ref):
     assert sorted(map(tuple, m1.collect())) == sorted(
         map(tuple, m2.collect())
     )
+
+
+# ------------------------------------------------------- bigram model
+
+
+def test_bigram_hand_computed(spark):
+    from etl_data_lake_spark.functions.lm import (
+        bigram_perplexity_score,
+        train_bigram_lm,
+    )
+
+    # reference: "a b a b" + "a c" -> bigrams: ab, ba, ab, ac
+    ref = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    uni, oov, bi = train_bigram_lm(ref, vocab_size=10, alpha=1.0)
+    pml = {(r["w1"], r["w2"]): r["p_ml"] for r in bi.collect()}
+    # c(a,.)=3: ab twice, ac once; c(b,.)=1: ba once
+    assert pml[("a", "b")] == pytest.approx(2 / 3)
+    assert pml[("a", "c")] == pytest.approx(1 / 3)
+    assert pml[("b", "a")] == pytest.approx(1.0)
+    # score "a b" under lam=0.5:
+    # N=6 tokens (a:3, b:2, c:1), V=3, denom=6+4=10
+    # p_uni(a)=4/10, p_uni(b)=3/10; first token: log(0.4)
+    # second: log(0.5*2/3 + 0.5*0.3)
+    docs = spark.createDataFrame([(7, "a b")], "doc_id long, text string")
+    row = bigram_perplexity_score(docs, uni, oov, bi, lam=0.5).collect()[0]
+    want_lp = (math.log(4 / 10) + math.log(0.5 * 2 / 3 + 0.5 * 3 / 10)) / 2
+    assert row["n_tokens"] == 2
+    assert row["avg_neg_logp"] == pytest.approx(-want_lp, rel=1e-12)
+    # unseen bigram ("b","c") falls back to the unigram floor only
+    docs2 = spark.createDataFrame([(8, "b c")], "doc_id long, text string")
+    row2 = bigram_perplexity_score(docs2, uni, oov, bi, lam=0.5).collect()[0]
+    want2 = (math.log(3 / 10) + math.log(0.5 * 0.0 + 0.5 * 2 / 10)) / 2
+    assert row2["avg_neg_logp"] == pytest.approx(-want2, rel=1e-12)
+
+
+def test_bigram_lam_zero_equals_unigram(spark):
+    from etl_data_lake_spark.functions.lm import (
+        bigram_perplexity_score,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the dog sleeps by the quick river")],
+        "doc_id long, text string",
+    )
+    uni, oov, bi = train_bigram_lm(ref, vocab_size=100)
+    docs = spark.createDataFrame(
+        [(1, "the quick dog"), (2, "unseen words entirely"), (3, "")],
+        "doc_id long, text string",
+    )
+    a = {
+        r["doc_id"]: r["perplexity"]
+        for r in bigram_perplexity_score(docs, uni, oov, bi, lam=0.0).collect()
+    }
+    b = {
+        r["doc_id"]: r["perplexity"]
+        for r in perplexity_score(docs, uni, oov).collect()
+    }
+    assert a[1] == pytest.approx(b[1], rel=1e-12)
+    assert a[2] == pytest.approx(b[2], rel=1e-12)
+    assert a[3] is None and b[3] is None
+
+
+def test_bigram_context_separates_word_salad(spark):
+    from etl_data_lake_spark.functions.lm import (
+        bigram_perplexity_score,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat on the rug")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    uni, oov, bi = train_bigram_lm(ref, vocab_size=100)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),      # fluent, in-domain order
+         (2, "mat the on cat the sat")],     # same unigrams, shuffled
+        "doc_id long, text string",
+    )
+    ppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in bigram_perplexity_score(docs, uni, oov, bi, lam=0.7).collect()
+    }
+    # a unigram model cannot tell these apart; the bigram model must
+    assert ppl[1] < ppl[2] / 2
+    uppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in perplexity_score(docs, uni, oov).collect()
+    }
+    assert uppl[1] == pytest.approx(uppl[2], rel=1e-9)
+
+
+def test_bigram_truncation_and_layout_invariance(spark):
+    from etl_data_lake_spark.functions.lm import (
+        bigram_perplexity_score,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon w{i} alpha beta")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    uni, oov, bi_all = train_bigram_lm(ref, vocab_size=100)
+    uni2, oov2, bi_cut = train_bigram_lm(ref, vocab_size=100, max_bigrams=3)
+    assert bi_cut.count() == 3 and bi_all.count() > 3
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    full = bigram_perplexity_score(docs, uni, oov, bi_all).collect()[0]
+    cut = bigram_perplexity_score(docs, uni2, oov2, bi_cut).collect()[0]
+    # truncation only removes bigram mass -> never lowers perplexity
+    assert cut["perplexity"] >= full["perplexity"]
+    # layout invariance of training
+    uni3, oov3, bi3 = train_bigram_lm(ref.repartition(5), vocab_size=100)
+    got = {(r["w1"], r["w2"]): r["p_ml"] for r in bi3.collect()}
+    want = {(r["w1"], r["w2"]): r["p_ml"] for r in bi_all.collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="lam"):
+        bigram_perplexity_score(docs, uni, oov, bi_all, lam=1.0)
