@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -365,4 +366,130 @@ def enriched_segment_counts(
             "n_events",
             "total_value",
         )
+    )
+
+
+_FUNNEL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_steps", IntegerType()),
+        StructField("anchor_sec", DoubleType()),
+    ]
+)
+_FUNNEL_STATE = StructType(
+    [
+        StructField("anchor", DoubleType()),
+        StructField("prev_ts", DoubleType()),
+        StructField("next_idx", IntegerType()),
+    ]
+)
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    within_s: float,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Custom stateful operator: the streaming twin of
+    operators/funnel — per-user greedy ordered-step matching with a
+    conversion window, via ``applyInPandasWithState``.
+
+    Matching is the SAME greedy earliest-match the batch operator
+    computes (scan in event-time order; take a step event iff it is
+    the next expected step, strictly after the previous step's time,
+    and within ``within_s`` of the anchor), so a funnel that COMPLETES
+    emits identically to the batch form. A funnel emits exactly once:
+
+    * immediately on completing the final step (depth = len(steps)),
+      state removed — no timer involved, deterministic; or
+    * when the EVENT-TIME watermark strictly passes ``anchor +
+      within_s`` — the conversion window closed; the reached depth is
+      final because no in-watermark event can extend it.
+
+    Users who never anchor emit nothing; a funnel whose window is
+    still open at end-of-data stays unemitted (matching the
+    sessionizer's timeout clause — the batch≡stream test replays both
+    rules). Events are pre-filtered to the step types, so state
+    traffic and the shuffle carry only funnel-relevant rows."""
+    if len(steps) < 1:
+        raise ValueError("steps must name at least one event type")
+    if within_s <= 0:
+        raise ValueError(f"within_s must be positive, got {within_s}")
+    step_idx = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            anchor, _prev, next_idx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_steps": [next_idx],
+                    "anchor_sec": [anchor],
+                }
+            )
+            return
+        anchor, prev_ts, next_idx = (
+            state.get if state.exists else (None, None, 0)
+        )
+        done: list[tuple[int, float]] = []
+        for pdf in pdfs:
+            rows = sorted(
+                zip(pdf["ts_sec"].tolist(), pdf["event_type"].tolist())
+            )
+            for t, et in rows:
+                if next_idx >= k:
+                    break
+                if step_idx.get(et) != next_idx:
+                    continue
+                if next_idx == 0:
+                    anchor, prev_ts, next_idx = t, t, 1
+                elif t > prev_ts and t <= anchor + within_s:
+                    prev_ts, next_idx = t, next_idx + 1
+                if next_idx >= k:
+                    done.append((k, anchor))
+        if done:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_steps": [d for d, _ in done],
+                    "anchor_sec": [a for _, a in done],
+                }
+            )
+            return
+        if next_idx == 0:
+            return
+        state.update((anchor, prev_ts, next_idx))
+        deadline_ms = int((anchor + within_s) * 1000)
+        state.setTimeoutTimestamp(
+            max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    prepared = (
+        events.where(F.col("event_type").isin(*steps))
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            F.col("ts"),
+            "event_type",
+            # MICROsecond-resolution seconds (unlike the sessionizer's
+            # deliberate second floor): the batch funnel compares full
+            # timestamps, so the stream must too or same-second
+            # strictly-after decisions diverge. Distinct micros stay
+            # distinct in a double (2^-22 s < 1e-6 s at epoch scale).
+            (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("ts_sec"),
+        )
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_FUNNEL_OUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -147,3 +147,55 @@ def test_stream_static_enrichment_batch_equals_stream(spark):
     assert got == batch
     # nothing dropped: window x segment counts sum to the event count
     assert sum(r[2] for r in got) == ev_batch.count()
+
+
+def test_streaming_funnel_matches_batch(spark):
+    """funnel_stream ≡ the batch greedy funnel for every funnel whose
+    outcome is final: completed funnels emit on the spot; partial
+    funnels emit when the final event-time watermark strictly passes
+    anchor + within; still-open funnels stay unemitted."""
+    from datetime import timezone
+
+    from pyspark.sql import functions as F
+
+    from etl_data_lake_spark.operators.funnel import funnel_times
+    from etl_data_lake_spark.sources.catalog import load_table
+    from etl_data_lake_spark.streaming.events import (
+        event_stream,
+        funnel_stream,
+        run_available_now,
+    )
+
+    steps = ("signup", "view", "purchase")
+    within = 6 * 3600.0
+
+    got = {
+        (r["user_id"], r["n_steps"], r["anchor_sec"])
+        for r in run_available_now(
+            funnel_stream(event_stream(spark, SF_DIR), steps, within),
+            "funnel_s",
+            output_mode="append",
+            shuffle_partitions=8,
+        ).collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    times = funnel_times(ev, steps, within_s=within)
+    max_ts_ms = ev.agg(
+        F.floor(F.max(F.unix_micros("ts")) / 1000).alias("m")
+    ).collect()[0]["m"]
+    want = set()
+    for r in times.collect():
+        depth = sum(
+            1 for i in range(1, len(steps) + 1) if r[f"step{i}_ts"] is not None
+        )
+        anchor_us = r["step1_ts"].replace(tzinfo=timezone.utc).timestamp()
+        deadline_ms = int((anchor_us + within) * 1000)
+        if depth == len(steps) or max_ts_ms > deadline_ms:
+            want.add((r["user_id"], depth, anchor_us))
+    assert got == want
+    # the test is only meaningful if it exercises all three clauses
+    depths = {d for _, d, _ in want}
+    assert len(want) > 0 and len(depths) > 1
