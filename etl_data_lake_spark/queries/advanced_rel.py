@@ -554,3 +554,37 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# --------------------------------------------------------------------------
+# LAG / LEAD offset window functions: previous/next order price per
+# customer and the step delta — rounding out §2.5's window coverage
+# beyond row_number (surrogate keys), frames (trailing spend) and
+# argmax (ordered first). Library surface (50-entry driver cap):
+# parity-checked in test_parity::test_library_twin_parity; the delta
+# is one IEEE subtraction of the same doubles on both engines, so the
+# check is exact.
+# --------------------------------------------------------------------------
+WINDOW_LAG_LEAD_SQL = """
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           o_totalprice - lag(o_totalprice) OVER w AS delta_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - prev).alias("delta_prev"),
+    )

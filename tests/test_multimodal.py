@@ -182,3 +182,36 @@ def test_select_keyframes_invariants_on_corpus(spark):
             assert cur.frame_idx - prev.frame_idx <= gop
             if cur.reason == "scene_change":
                 assert abs(cur.signature - prev.signature) >= threshold - 1e-6
+
+
+def test_media_features_feed_ann_end_to_end(spark):
+    """Composition: binary payloads → Arrow-batched feature extraction
+    (byte histograms) → PCA compression → brute-force cosine top-k.
+    The multimodal features are plain attribute columns, so the whole
+    media→embedding→ANN pipeline chains without re-materialization —
+    and a payload's nearest neighbor under byte-histogram features is
+    deterministic and layout-invariant."""
+    from pyspark.sql import functions as F
+
+    from etl_data_lake_spark.multimodal.codec import fake_media_table
+    from etl_data_lake_spark.multimodal.decode import byte_histograms
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+    from etl_data_lake_spark.similarity.pca import pca_fit, pca_transform
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    feats = byte_histograms(fake_media_table(docs), bins=16).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("histogram").alias("embedding"),
+    )
+    model = pca_fit(feats, "embedding", k=8)
+    compressed = pca_transform(feats, model, "embedding", "z").select(
+        "vec_id", F.col("z").alias("embedding")
+    )
+    queries = compressed.where(F.col("vec_id") < 5)
+    nn = cosine_topk(compressed, queries, k=3)
+    rows = nn.collect()
+    assert {r["query_id"] for r in rows} == set(range(5))
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    again = cosine_topk(compressed.repartition(7), queries, k=3).collect()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in again}

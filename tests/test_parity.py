@@ -137,6 +137,11 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.advanced_rel",
         "CUBE_ORDERS_REVENUE_SQL",
     ),
+    (
+        "window_lag_lead",
+        "etl_data_lake_spark.queries.advanced_rel",
+        "WINDOW_LAG_LEAD_SQL",
+    ),
 ]
 
 
