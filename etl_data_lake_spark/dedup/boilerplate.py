@@ -82,7 +82,15 @@ def line_stats(
         .groupBy("_grp", "_key")
         .agg(F.countDistinct("_doc").alias("n_docs"))
     )
-    return counts.join(F.broadcast(per_group), "_grp").select(
+    # null-SAFE group join: docs with a NULL group_col form a real
+    # group (groupBy keeps the null key) and an equi-join would
+    # silently drop every one of its lines from the stats
+    per_group = F.broadcast(
+        per_group.withColumnRenamed("_grp", "_tgrp")
+    )
+    return counts.join(
+        per_group, counts["_grp"].eqNullSafe(per_group["_tgrp"])
+    ).select(
         F.col("_grp").alias("group"),
         F.col("_key").alias("line"),
         "n_docs",
@@ -142,7 +150,8 @@ def strip_boilerplate(
     hit = (
         toks.join(
             bp,
-            (toks["_grp"] == bp["_bgrp"]) & (toks["_key"] == bp["_bkey"]),
+            toks["_grp"].eqNullSafe(bp["_bgrp"])
+            & (toks["_key"] == bp["_bkey"]),
             "left_semi",
         )
         .select(F.col("_doc").alias("_hdoc"))
@@ -154,7 +163,8 @@ def strip_boilerplate(
     # broadcast
     kept = toks.join(hit, toks["_doc"] == hit["_hdoc"], "left_semi").join(
         bp,
-        (toks["_grp"] == bp["_bgrp"]) & (toks["_key"] == bp["_bkey"]),
+        toks["_grp"].eqNullSafe(bp["_bgrp"])
+        & (toks["_key"] == bp["_bkey"]),
         "left_anti",
     )
     whole = (

@@ -54,12 +54,17 @@ def expectations_report(
     ``violation_frac``, ``passed`` (zero violations)."""
     if not rules and not unique:
         raise ValueError("no expectations given")
+    # internal columns aliased by INDEX, never by rule name: user rule
+    # names are arbitrary strings (dots/backticks would break F.col
+    # re-resolution); names surface only as stack literals. Sums are
+    # coalesced so an EMPTY input reports 0 violations / passed=true
+    # (an all-NULL audit row would flip a falsy-gate check).
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for name, cond in rules.items():
+    for i, (name, cond) in enumerate(rules.items()):
         aggs.append(
-            F.sum(F.when(~_holds(cond), 1).otherwise(0)).alias(
-                f"_v_{name}"
-            )
+            F.coalesce(
+                F.sum(F.when(~_holds(cond), 1).otherwise(0)), F.lit(0)
+            ).alias(f"_v_{i}")
         )
     wide = df.agg(*aggs)
     for i, keys in enumerate(unique):
@@ -75,7 +80,7 @@ def expectations_report(
     names = list(rules.keys()) + [
         f"unique({','.join(k)})" for k in unique
     ]
-    exprs = [f"_v_{n}" for n in rules] + [
+    exprs = [f"_v_{i}" for i in range(len(rules))] + [
         f"_u_{i}" for i in range(len(unique))
     ]
     stack_args = []

@@ -364,9 +364,11 @@ def weighted_sample(
     u = (_bucket(key_cols, seed) + F.lit(1.0)) / F.lit(float(_RING))
     w = F.col(weight_col).cast("double")
     rank_key = -F.log(u) / w
-    positive = df.where(w.isNotNull() & (w > 0)).withColumn(
-        "__wrank", rank_key
-    )
+    # NaN explicitly: Spark orders NaN above every double, so NaN > 0
+    # is TRUE and a NaN weight would slip through with a NaN rank
+    positive = df.where(
+        w.isNotNull() & ~F.isnan(w) & (w > 0)
+    ).withColumn("__wrank", rank_key)
     if stratum_col is None:
         out = positive.orderBy(
             "__wrank", *[F.col(c) for c in key_cols]

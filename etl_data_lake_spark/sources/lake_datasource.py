@@ -655,25 +655,27 @@ class TxnLakeStreamReader(DataSourceStreamReader):
             )
         if st is not None:
             ts = int(st)
-            try:
-                # version_as_of gives the newest version AT-OR-BEFORE
-                # the stamp; versions stamped EXACTLY at the stamp are
-                # "at or after" and must replay, so walk below any
-                # exact-stamp run before taking it as the initial
-                # "last consumed" offset (several commits can share a
-                # millisecond). Unstamped legacy manifests carry no
-                # stamp to compare and stay conservatively consumed.
-                v = self._table.version_as_of(ts)
-                while (
-                    v >= 1
-                    and self._table._read_manifest(v).get("ts_ms") == ts
-                ):
-                    v -= 1
-                self._start = max(0, v)
-            except FileNotFoundError:
-                # every commit is newer than the stamp (or the table
-                # is empty): stream from the beginning
-                self._start = 0
+            # start = (first version stamped AT-OR-AFTER the stamp) - 1,
+            # found by a FORWARD manifest walk. Commit stamps are
+            # advisory and may be non-monotone (writer clock skew —
+            # version_as_of's documented tolerance), so a backward
+            # walk from version_as_of could stop at a skewed
+            # earlier-stamped commit and skip an exact-stamp version
+            # behind it; the forward walk takes the FIRST qualifying
+            # stamp, and later versions replay with it regardless of
+            # their own stamps (conservative over-delivery under skew,
+            # Delta's coarseness). One-time planning cost, O(first
+            # qualifying version) tiny JSON point reads. Unstamped
+            # legacy manifests carry no stamp and stay conservatively
+            # consumed; a stamp newer than every commit starts at the
+            # table head (only future commits stream).
+            latest = self._table.latest_version()
+            self._start = latest
+            for v in range(1, latest + 1):
+                ts_v = self._table._read_manifest(v).get("ts_ms")
+                if ts_v is not None and ts_v >= ts:
+                    self._start = v - 1
+                    break
         else:
             self._start = max(0, int(sv if sv is not None else 1) - 1)
         self._ignore_changes = (

@@ -416,7 +416,7 @@ def funnel_stream(
         raise ValueError("steps must name at least one event type")
     if within_s <= 0:
         raise ValueError(f"within_s must be positive, got {within_s}")
-    step_idx = {s: i for i, s in enumerate(steps)}
+    steps = tuple(steps)
     k = len(steps)
 
     def fn(
@@ -445,7 +445,10 @@ def funnel_stream(
             for t, et in rows:
                 if next_idx >= k:
                     break
-                if step_idx.get(et) != next_idx:
+                # compare against the EXPECTED step by position, not a
+                # type→index dict: a funnel may repeat a step type
+                # (view → view → purchase), like the batch operator
+                if et != steps[next_idx]:
                     continue
                 if next_idx == 0:
                     anchor, prev_ts, next_idx = t, t, 1
@@ -471,9 +474,18 @@ def funnel_stream(
             max(deadline_ms, state.getCurrentWatermarkMs() + 1)
         )
 
+    # NO step-type pre-filter: every event must flow THROUGH the
+    # watermark collector so unrelated traffic advances the stream
+    # clock and an idle funnel still times out. Writing the filter
+    # after withWatermark doesn't help — Catalyst pushes a predicate
+    # that doesn't touch the event-time column below the
+    # EventTimeWatermark node, silently freezing the watermark at the
+    # last funnel-relevant event (measured: the timeout test never
+    # fired). Non-step events are skipped inside the state function
+    # instead; callers with a 100 TB event firehose can pre-filter
+    # upstream if they accept funnel-only time advancement.
     prepared = (
-        events.where(F.col("event_type").isin(*steps))
-        .withWatermark("ts", watermark)
+        events.withWatermark("ts", watermark)
         .select(
             "user_id",
             F.col("ts"),

@@ -156,3 +156,33 @@ def test_composes_with_downstream_arrow_stage(spark):
         .count()
     )
     assert n > 0
+
+
+def test_null_group_is_a_real_group(spark):
+    """Docs with a NULL group value form their own group: boilerplate
+    among them is detected and stripped (an equi-join on the group key
+    silently dropped them — review regression)."""
+    docs = spark.createDataFrame(
+        [
+            ("n1", None, f"{NAV}\nunattributed one"),
+            ("n2", None, f"{NAV}\nunattributed two"),
+            ("n3", None, f"{NAV}\nunattributed three"),
+            ("a1", "siteA", f"{NAV}\nattributed — only one here"),
+        ],
+        "doc_id string, src string, text string",
+    )
+    stats = {
+        (r["group"], r["line"]): r["n_docs"]
+        for r in line_stats(docs, group_col="src").collect()
+    }
+    assert stats[(None, NAV)] == 3 and stats[("siteA", NAV)] == 1
+    bp = boilerplate_lines(docs, group_col="src", min_docs=3, min_frac=0.9)
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate(docs, bp, group_col="src").collect()
+    }
+    assert out["n1"] == "unattributed one"
+    assert out["n2"] == "unattributed two"
+    assert out["n3"] == "unattributed three"
+    # the lone siteA doc keeps its NAV (below threshold in its group)
+    assert out["a1"] == f"{NAV}\nattributed — only one here"

@@ -139,3 +139,32 @@ def test_report_on_real_table(spark):
         "price_positive": True,
         "unique(o_orderkey)": True,
     }
+
+
+def test_empty_frame_reports_zero_violations(spark):
+    """An empty batch is CLEAN, not unknown: n_violations 0 and passed
+    true (an all-NULL audit row would flip falsy publication gates —
+    review regression)."""
+    empty = spark.createDataFrame([], "id int, price double, tag string")
+    rep = expectations_report(empty, _rules(), unique=(("id",),)).collect()
+    assert len(rep) == 3
+    for r in rep:
+        assert r["n_rows"] == 0 and r["n_violations"] == 0
+        assert r["passed"] is True and r["violation_frac"] == 0.0
+
+
+def test_rule_names_with_dots_and_backticks(spark):
+    """Rule names are labels, not column references — dots or backticks
+    in them must not break internal column resolution (internal aliases
+    are index-based; review regression)."""
+    rep = {
+        r["rule"]: r["n_violations"]
+        for r in expectations_report(
+            _df(spark),
+            {
+                "price.usd positive": F.col("price") > 0,
+                "id`weird": F.col("id").isNotNull(),
+            },
+        ).collect()
+    }
+    assert rep == {"price.usd positive": 2, "id`weird": 1}

@@ -854,3 +854,45 @@ def test_stream_cdf_rejects_file_throttle(spark, tmp_path):
             .start()
         )
         q.awaitTermination(60)
+
+
+def test_stream_starting_timestamp_skewed_stamps(spark, tmp_path):
+    """Commit stamps are advisory and may be non-monotone (writer clock
+    skew). An exact-stamp version hiding behind a later-stamped commit
+    must still replay: resolution is a FORWARD walk to the first
+    at-or-after stamp, with later versions replaying regardless of
+    their own stamps (review regression — the backward contiguous walk
+    skipped it)."""
+    import json
+    from pathlib import Path
+
+    register_lake_source(spark)
+    src = str(tmp_path / "src")
+    t = TxnTable(spark, src)
+    for i in range(1, 5):
+        t.append(_mk(spark, [(i, "x")]), stats_cols=("id",))
+    # simulate skew: stamps [100, 150, 120, 150]
+    from etl_data_lake_spark.sources.txn import _manifest_path
+
+    for v, ms in ((1, 100), (2, 150), (3, 120), (4, 150)):
+        p = _manifest_path(Path(src), v)
+        doc = json.loads(p.read_text())
+        doc["ts_ms"] = ms
+        p.write_text(json.dumps(doc))
+    q = (
+        spark.readStream.format("txnlake")
+        .option("startingTimestamp", 150)
+        .load(src)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.id for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    # v2 (stamped exactly 150) delivers; v3 rides along (skew
+    # over-delivery is the documented conservative choice); v4 too
+    assert got == [2, 3, 4]

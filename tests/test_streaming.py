@@ -199,3 +199,49 @@ def test_streaming_funnel_matches_batch(spark):
     # the test is only meaningful if it exercises all three clauses
     depths = {d for _, d, _ in want}
     assert len(want) > 0 and len(depths) > 1
+
+
+def test_streaming_funnel_repeated_step_types(spark, tmp_path):
+    """A funnel may repeat a step type (view -> view -> purchase): the
+    matcher compares by POSITION, not a type->index map (review
+    regression — the dict form never anchored)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from etl_data_lake_spark.streaming.events import (
+        event_stream,
+        funnel_stream,
+        run_available_now,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(i, ts_s, uid, et):
+        return (i, t0 + timedelta(seconds=ts_s), uid, et, 1.0, "{}")
+
+    rows = [
+        # user 1 completes: view, view, purchase
+        ev(1, 0, 1, "view"), ev(2, 10, 1, "view"), ev(3, 20, 1, "purchase"),
+        # user 2 stalls at depth 1 (no second view; purchase ignored)
+        ev(4, 0, 2, "view"), ev(5, 5, 2, "purchase"),
+        # far-future event pushes the final watermark past anchor+within
+        ev(6, 10_000, 3, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    src = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(f"{src}/events.parquet")
+    steps = ("view", "view", "purchase")
+    got = {
+        (r["user_id"], r["n_steps"])
+        for r in run_available_now(
+            funnel_stream(event_stream(spark, src), steps, within_s=100),
+            "funnel_rep",
+            output_mode="append",
+            shuffle_partitions=4,
+        ).collect()
+    }
+    assert got == {(1, 3), (2, 1)}

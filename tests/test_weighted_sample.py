@@ -75,3 +75,15 @@ def test_validation_and_schema(spark):
         weighted_sample(df, 0, "w", ("id",))
     with pytest.raises(ValueError, match="__wrank"):
         weighted_sample(df.withColumn("__wrank", F.lit(1)), 5, "w", ("id",))
+
+
+def test_nan_weights_excluded(spark):
+    """Spark orders NaN above every double, so NaN > 0 is TRUE — the
+    filter must reject NaN explicitly (review regression)."""
+    df = _df(spark).withColumn(
+        "w",
+        F.when(F.col("id") < 100, F.lit(float("nan"))).otherwise(F.col("w")),
+    )
+    got = weighted_sample(df, 2000, "w", ("id",))
+    ids = {r["id"] for r in got.collect()}
+    assert len(ids) == 900 and not ids & set(range(100))
