@@ -1,0 +1,199 @@
+"""Declarative pipeline DAG (pipeline/dag.py): dependency ordering,
+expectation gates (fail / drop / warn), downstream skip propagation,
+atomic TxnTable publication."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.pipeline.dag import Pipeline
+
+
+def _mk_pipeline(bad_rows: bool):
+    p = Pipeline("test")
+
+    @p.table("raw")
+    def raw(spark):
+        rows = [(1, 10.0), (2, 20.0)] + ([(3, -5.0)] if bad_rows else [])
+        return spark.createDataFrame(rows, "id int, amount double")
+
+    @p.table(
+        "clean",
+        deps=("raw",),
+        expectations=lambda: {"amount_positive": F.col("amount") > 0},
+    )
+    def clean(spark, raw):
+        return raw
+
+    @p.table("summary", deps=("clean",))
+    def summary(spark, clean):
+        return clean.agg(F.sum("amount").alias("total"))
+
+    @p.table("unrelated")
+    def unrelated(spark):
+        return spark.range(3)
+
+    return p
+
+
+def test_clean_run_publishes_everything(spark):
+    res = _mk_pipeline(bad_rows=False).run(spark)
+    assert res.status == {
+        "raw": "published",
+        "clean": "published",
+        "summary": "published",
+        "unrelated": "published",
+    }
+    assert res.frames["summary"].collect()[0]["total"] == 30.0
+    assert [a[:2] for a in res.audit] == [("clean", "amount_positive")]
+
+
+def test_failed_gate_skips_downstream_only(spark):
+    res = _mk_pipeline(bad_rows=True).run(spark)
+    assert res.status == {
+        "raw": "published",
+        "clean": "failed",
+        "summary": "skipped",
+        "unrelated": "published",
+    }
+    assert "clean" not in res.frames and "summary" not in res.frames
+    audit = {(a[0], a[1]): a[3] for a in res.audit}
+    assert audit[("clean", "amount_positive")] == 1
+
+
+def test_drop_mode_quarantines_and_publishes(spark):
+    p = Pipeline("drop")
+
+    @p.table("raw")
+    def raw(spark):
+        return spark.createDataFrame(
+            [(1, 10.0), (3, -5.0)], "id int, amount double"
+        )
+
+    @p.table(
+        "clean",
+        deps=("raw",),
+        expectations=lambda: {"amount_positive": F.col("amount") > 0},
+        on_violation="drop",
+    )
+    def clean(spark, raw):
+        return raw
+
+    res = p.run(spark)
+    assert res.status["clean"] == "published_dropped_rows"
+    assert [r["id"] for r in res.frames["clean"].collect()] == [1]
+
+
+def test_warn_mode_publishes_all_with_audit(spark):
+    p = Pipeline("warn")
+
+    @p.table(
+        "raw",
+        expectations=lambda: {"id_small": F.col("id") < 2},
+        on_violation="warn",
+    )
+    def raw(spark):
+        return spark.range(5)
+
+    res = p.run(spark)
+    assert res.status["raw"] == "published"
+    assert res.frames["raw"].count() == 5
+    assert res.audit[0][3] == 3  # violations audited
+
+
+def test_txn_publication_is_atomic_snapshot(spark, tmp_path):
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    root = str(tmp_path / "lake")
+    p = _mk_pipeline(bad_rows=False)
+    res = p.run(spark, root=root, stats_cols={"raw": ("id",)})
+    assert res.status["summary"] == "published"
+    t = TxnTable(spark, f"{root}/summary")
+    assert t.snapshot().collect()[0]["total"] == 30.0
+    v_raw = TxnTable(spark, f"{root}/raw").latest_version()
+    # re-run overwrites atomically: new version, same data
+    p.run(spark, root=root, stats_cols={"raw": ("id",)})
+    t2 = TxnTable(spark, f"{root}/raw")
+    assert t2.latest_version() > v_raw
+    assert sorted(r.id for r in t2.snapshot().collect()) == [1, 2]
+
+
+def test_validation_cycles_and_unknown_deps(spark):
+    p = Pipeline("bad")
+
+    @p.table("a", deps=("b",))
+    def a(spark, b):
+        return b
+
+    @p.table("b", deps=("a",))
+    def b(spark, a):
+        return a
+
+    with pytest.raises(ValueError, match="cycle"):
+        p.run(spark)
+    q = Pipeline("bad2")
+
+    @q.table("x", deps=("nope",))
+    def x(spark, nope):
+        return nope
+
+    with pytest.raises(ValueError, match="unknown"):
+        q.run(spark)
+    r = Pipeline("bad3")
+
+    @r.table("y")
+    def y(spark):
+        return spark.range(1)
+
+    with pytest.raises(ValueError, match="already registered"):
+
+        @r.table("y")
+        def y2(spark):
+            return spark.range(1)
+
+    with pytest.raises(ValueError, match="on_violation"):
+        r.table("z", on_violation="explode")
+
+
+def test_reference_star_schema_as_dag(spark):
+    """The reference's whole ETL re-expressed declaratively: the five
+    star-schema tables publish in dependency order with the reference's
+    implicit assumptions as explicit expectations."""
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    p = Pipeline("star")
+
+    @p.table("orders_src")
+    def orders_src(spark):
+        return load_table(spark, sf, "orders")
+
+    @p.table("customer_src")
+    def customer_src(spark):
+        return load_table(spark, sf, "customer")
+
+    @p.table(
+        "fact",
+        deps=("orders_src", "customer_src"),
+        expectations=lambda: {
+            "key_not_null": F.col("o_orderkey").isNotNull(),
+            "joined": F.col("c_name").isNotNull(),
+        },
+    )
+    def fact(spark, orders_src, customer_src):
+        return orders_src.join(
+            customer_src,
+            orders_src.o_custkey == customer_src.c_custkey,
+            "left",
+        ).select("o_orderkey", "o_totalprice", "c_name")
+
+    @p.table("by_customer", deps=("fact",))
+    def by_customer(spark, fact):
+        return fact.groupBy("c_name").agg(
+            F.count("*").alias("n"), F.sum("o_totalprice").alias("spend")
+        )
+
+    res = p.run(spark)
+    assert res.status["by_customer"] == "published"
+    assert res.frames["by_customer"].count() > 0
