@@ -10,10 +10,13 @@ FIXED application order (tags strip before entities decode, so
 ``&lt;b&gt;`` decodes to a literal ``<b>`` within ONE pass; entities
 decode before whitespace collapses, so ``&nbsp;`` participates in the
 collapse). Re-normalizing cleaned text is a no-op (test-pinned) with
-one documented exception shared by every entity decoder: text whose
-DECODED entities are tag-shaped (``&lt;tag&gt;`` → ``<tag>``) gets
-re-stripped by a second pass — the classic double-unescape hazard;
-normalize once per ingest, or disable ``strip_html`` on re-runs.
+one documented exception shared by every entity decoder: each pass
+decodes entities exactly ONE level, so text still containing entity
+strings after a pass (entity-encoded entities like ``&amp;lt;``, or
+decoded tag-shaped text like ``&lt;tag&gt;`` → ``<tag>`` which a
+second pass re-strips) changes again — the classic double-unescape
+hazard; normalize once per ingest, or disable ``strip_html`` on
+re-runs.
 """
 
 from __future__ import annotations
@@ -64,7 +67,11 @@ def normalize_text(
     """
     c = F.col(col) if isinstance(col, str) else col
     if strip_html:
-        c = F.regexp_replace(c, r"<[^<>]*>", "")
+        # TAG-SHAPED spans only (</?letter...> plus comments): a bare
+        # "<[^<>]*>" would eat plain-text comparison operators —
+        # "for i < n and j > 0" lost "< n and j >" (review regression)
+        c = F.regexp_replace(c, r"<!--.*?-->", "")
+        c = F.regexp_replace(c, r"</?[a-zA-Z][^<>]*>", "")
         for ent, rep in _ENTITIES:
             c = F.regexp_replace(c, ent, rep)
     if punct:

@@ -22,10 +22,17 @@ Semantics:
   "expect or drop"), or ``"warn"`` (publish everything, audit only);
 * publication targets ``TxnTable`` directories under ``root`` when a
   root is given (atomic, snapshot-isolated — a crashed run never
-  leaves a half-table; downstream reads the committed snapshot), else
-  stays in-memory for tests/composition;
-* the returned report frame (one row per table × expectation, plus a
-  ``status`` row per table) is the run's audit artifact.
+  leaves a half-table; downstream reads the committed snapshot;
+  ``drop`` mode also publishes the quarantined rows to
+  ``{name}__quarantine`` so violations stay inspectable), else stays
+  in-memory for tests/composition;
+* a gated builder's frame is PERSISTED across the gate and the
+  publication, so the rows the expectations validated are the rows
+  that publish — a nondeterministic or time-varying builder cannot
+  sneak an unvalidated row past a passing audit;
+* the run's audit artifact is :class:`RunResult`: ``status`` per
+  table, ``audit`` rows per (table, rule), ``frames`` and
+  ``quarantined`` frames by name.
 
 Scale: orchestration is driver-side metadata only — every data
 movement is the builders' own Spark plans plus one expectations scan
@@ -52,6 +59,7 @@ class _TableDef:
     deps: tuple[str, ...]
     expectations: Callable[[], dict[str, Column]] | None
     on_violation: str
+    unique: tuple[tuple[str, ...], ...]
 
 
 @dataclass
@@ -65,6 +73,7 @@ class RunResult:
     frames: dict[str, DataFrame] = field(default_factory=dict)
     status: dict[str, str] = field(default_factory=dict)
     audit: list[tuple] = field(default_factory=list)
+    quarantined: dict[str, DataFrame] = field(default_factory=dict)
 
 
 class Pipeline:
@@ -80,21 +89,35 @@ class Pipeline:
         deps: tuple[str, ...] = (),
         expectations: Callable[[], dict[str, Column]] | None = None,
         on_violation: str = "fail",
+        unique: tuple[tuple[str, ...], ...] = (),
     ):
         """Decorator registering a builder. ``expectations`` is a
         ZERO-ARG callable returning the rules dict (Column construction
         needs an active SparkSession, so rules must build lazily at run
-        time, not at decoration time)."""
+        time, not at decoration time); ``unique`` lists key tuples that
+        must be duplicate-free (audited like any rule; gate-only — a
+        duplicate cannot be row-dropped, so it fails/warns but never
+        participates in ``drop`` quarantining)."""
         if on_violation not in ("fail", "drop", "warn"):
             raise ValueError(
                 f"on_violation must be fail|drop|warn, got {on_violation!r}"
             )
-        if name in self._tables:
-            raise ValueError(f"table {name!r} already registered")
+        if not name.isidentifier():
+            # the name is used as a builder KEYWORD ARGUMENT and a
+            # filesystem path segment under root — reject separators,
+            # dashes, dots and anything else Python can't bind
+            raise ValueError(
+                f"table name must be a Python identifier, got {name!r}"
+            )
 
         def deco(fn: Callable[..., DataFrame]):
+            # checked HERE, not at table() time: two decorators created
+            # before either is applied must still collide
+            if name in self._tables:
+                raise ValueError(f"table {name!r} already registered")
             self._tables[name] = _TableDef(
-                name, fn, tuple(deps), expectations, on_violation
+                name, fn, tuple(deps), expectations, on_violation,
+                tuple(tuple(k) for k in unique),
             )
             return fn
 
@@ -134,41 +157,77 @@ class Pipeline:
         = old snapshot survives) and downstream builders read the
         COMMITTED snapshot; without it, frames pass through in memory."""
         res = RunResult()
-        skipped_roots: set[str] = set()
+        blocked: set[str] = set()  # failed tables and their subtree
         for t in self._order():
-            if any(d in skipped_roots or res.status.get(d) == "failed"
-                   for d in t.deps):
+            if any(d in blocked for d in t.deps):
                 res.status[t.name] = "skipped"
-                skipped_roots.add(t.name)
+                blocked.add(t.name)
                 continue
             df = t.builder(
                 spark, **{d: res.frames[d] for d in t.deps}
             )
             status = "published"
-            if t.expectations is not None:
-                rules = t.expectations()
-                rep = expectations_report(df, rules).collect()
-                res.audit += [
-                    (t.name, r["rule"], r["n_rows"], r["n_violations"],
-                     r["violation_frac"], r["passed"])
-                    for r in rep
-                ]
-                dirty = any(not r["passed"] for r in rep)
-                if dirty and t.on_violation == "fail":
-                    res.status[t.name] = "failed"
-                    skipped_roots.add(t.name)
-                    continue
-                if dirty and t.on_violation == "drop":
-                    df, _bad = quarantine(df, rules)
-                    status = "published_dropped_rows"
-            if root is not None:
-                from etl_data_lake_spark.sources.txn import TxnTable
+            gated = t.expectations is not None or t.unique
+            cached = None
+            if gated:
+                # the rows the gate validates must BE the rows that
+                # publish: persist across the report collect and the
+                # overwrite/downstream reuse, or a nondeterministic /
+                # time-varying builder re-executes past a passing audit
+                cached = df = df.persist()
+            try:
+                if gated:
+                    rules = t.expectations() if t.expectations else {}
+                    rep = expectations_report(
+                        df, rules, unique=t.unique
+                    ).collect()
+                    res.audit += [
+                        (t.name, r["rule"], r["n_rows"],
+                         r["n_violations"], r["violation_frac"],
+                         r["passed"])
+                        for r in rep
+                    ]
+                    dirty = any(not r["passed"] for r in rep)
+                    row_dirty = any(
+                        not r["passed"] and r["rule"] in rules
+                        for r in rep
+                    )
+                    if dirty and t.on_violation == "fail":
+                        res.status[t.name] = "failed"
+                        blocked.add(t.name)
+                        continue
+                    # only ROW-rule violations are droppable; a dirty
+                    # unique spec under "drop" publishes with the audit
+                    # showing it (a duplicate is not one bad row)
+                    if row_dirty and t.on_violation == "drop":
+                        df, bad = quarantine(df, rules)
+                        res.quarantined[t.name] = bad
+                        status = "published_dropped_rows"
+                if root is not None:
+                    from etl_data_lake_spark.sources.txn import TxnTable
 
-                tbl = TxnTable(spark, f"{root}/{t.name}")
-                tbl.overwrite(
-                    df, stats_cols=(stats_cols or {}).get(t.name, ())
-                )
-                df = tbl.snapshot()
+                    tbl = TxnTable(spark, f"{root}/{t.name}")
+                    tbl.overwrite(
+                        df, stats_cols=(stats_cols or {}).get(t.name, ())
+                    )
+                    df = tbl.snapshot()
+                    if t.name in res.quarantined:
+                        # violations stay inspectable, not just counted
+                        qt = TxnTable(spark, f"{root}/{t.name}__quarantine")
+                        qt.overwrite(res.quarantined[t.name])
+                        res.quarantined[t.name] = qt.snapshot()
+            finally:
+                # root mode republishes from the committed snapshot, so
+                # the builder cache can go; a FAILED gate's cache goes
+                # too (nothing downstream reads it). IN-MEMORY gated
+                # frames stay pinned — unpersisting would let downstream
+                # consumption recompute the builder past the audit,
+                # the exact hole the persist closes. (Long in-memory
+                # pipelines: use root mode, or clearCache after run.)
+                if cached is not None and (
+                    root is not None or res.status.get(t.name) == "failed"
+                ):
+                    cached.unpersist()
             res.frames[t.name] = df
             res.status[t.name] = status
         return res

@@ -89,3 +89,15 @@ def test_normalizes_before_dedup_hashing(spark):
         "doc_id", F.xxhash64("text").alias("h")
     ).collect()
     assert n[0]["h"] == n[1]["h"]
+
+
+def test_plain_text_angle_brackets_survive(spark):
+    """Comparison operators are not markup: only tag-shaped spans
+    strip (review regression — '<[^<>]*>' ate '< n and j >')."""
+    assert (
+        _one(spark, "for i < n and j > 0 do x")
+        == "for i < n and j > 0 do x"
+    )
+    assert _one(spark, "a <5 and b> c") == "a <5 and b> c"
+    # real tags and comments still strip
+    assert _one(spark, "x <!-- hidden --> y <br/> z") == "x y z"

@@ -197,3 +197,94 @@ def test_reference_star_schema_as_dag(spark):
     res = p.run(spark)
     assert res.status["by_customer"] == "published"
     assert res.frames["by_customer"].count() > 0
+
+
+def test_unique_gate_and_drop_semantics(spark):
+    p = Pipeline("uniq")
+
+    @p.table(
+        "t",
+        expectations=lambda: {"pos": F.col("v") > 0},
+        on_violation="drop",
+        unique=(("k",),),
+    )
+    def t(spark):
+        return spark.createDataFrame(
+            [(1, 5.0), (1, 6.0), (2, -1.0)], "k int, v double"
+        )
+
+    res = p.run(spark)
+    # row violation dropped AND captured; unique dirtiness audited but
+    # not row-dropped (a duplicate is not one bad row)
+    assert res.status["t"] == "published_dropped_rows"
+    assert sorted(r["k"] for r in res.frames["t"].collect()) == [1, 1]
+    assert [r["k"] for r in res.quarantined["t"].collect()] == [2]
+    audit = {a[1]: a[5] for a in res.audit}
+    assert audit["unique(k)"] is False and audit["pos"] is False
+
+
+def test_drop_mode_publishes_quarantine_table(spark, tmp_path):
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    root = str(tmp_path / "lake")
+    p = Pipeline("q")
+
+    @p.table(
+        "clean",
+        expectations=lambda: {"pos": F.col("v") > 0},
+        on_violation="drop",
+    )
+    def clean(spark):
+        return spark.createDataFrame(
+            [(1, 5.0), (2, -1.0)], "k int, v double"
+        )
+
+    res = p.run(spark, root=root)
+    qt = TxnTable(spark, f"{root}/clean__quarantine")
+    rows = qt.snapshot().collect()
+    assert [r["k"] for r in rows] == [2]
+    assert rows[0]["_violations"] == ["pos"]
+
+
+def test_gate_validates_the_published_rows(spark):
+    """A nondeterministic builder cannot sneak unvalidated rows past a
+    passing audit: the gated frame is persisted, so the rows the
+    expectations saw are the rows that publish (review regression)."""
+    p = Pipeline("nd")
+
+    @p.table(
+        "t",
+        expectations=lambda: {"keep": F.col("r") < 0.5},
+        on_violation="drop",
+    )
+    def t(spark):
+        return spark.range(2000).withColumn("r", F.rand())
+
+    res = p.run(spark)
+    out = res.frames["t"]
+    a = [r["id"] for r in out.collect()]
+    b = [r["id"] for r in out.collect()]
+    assert a == b  # stable across consumptions
+    assert out.where(F.col("r") >= 0.5).count() == 0
+    dropped = res.quarantined["t"].count()
+    audit = {x[1]: x[3] for x in res.audit}
+    assert audit["keep"] == dropped and len(a) + dropped == 2000
+
+
+def test_name_validation_and_double_decorator(spark):
+    p = Pipeline("names")
+    with pytest.raises(ValueError, match="identifier"):
+        p.table("my-table")
+    with pytest.raises(ValueError, match="identifier"):
+        p.table("../escape")
+    d1, d2 = p.table("y"), p.table("y")
+
+    @d1
+    def y1(spark):
+        return spark.range(1)
+
+    with pytest.raises(ValueError, match="already registered"):
+
+        @d2
+        def y2(spark):
+            return spark.range(1)
