@@ -1,10 +1,12 @@
 """End-to-end training-data pipeline: every LLM-curation operator
 family composing on the real documents table, stage by stage —
 
-  profile → reference-LM perplexity filter → quality filter →
+  profile → normalize (unicode/markup) → per-source boilerplate
+  strip → reference-LM perplexity filter → quality filter →
   near-dup removal (MinHash-LSH + connected components) → per-domain
-  cap → mixture resample → train/val/test split → chunk →
-  sequence packing → shuffled-shard export
+  cap → quality-weighted sampling → mixture resample →
+  train/val/test split → chunk → sequence packing →
+  shuffled-shard export
 
 with invariants asserted at every hand-off (monotone shrinkage, no
 duplication, exact split partitioning, export round-trip) and the
@@ -19,8 +21,13 @@ import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
+from etl_data_lake_spark.dedup.boilerplate import (
+    boilerplate_lines,
+    strip_boilerplate,
+)
 from etl_data_lake_spark.dedup.cluster import dedup_keep_canonical
 from etl_data_lake_spark.dedup.minhash import minhash_lsh_pairs
+from etl_data_lake_spark.functions.normalize import normalize_docs
 from etl_data_lake_spark.functions.lm import (
     perplexity_filter,
     train_unigram_lm,
@@ -33,6 +40,7 @@ from etl_data_lake_spark.operators.sampling import (
     cap_per_stratum,
     resample_to_mixture,
     split_deterministic,
+    weighted_sample,
 )
 from etl_data_lake_spark.sources.catalog import load_table
 from tests.conftest import SF_DIR
@@ -43,6 +51,14 @@ def _ids(df):
 
 
 def _run_pipeline(spark, docs):
+    # 1b. unicode/markup normalization, then per-source chrome strip
+    # (both rewrite text in place — row sets are unchanged, so every
+    # downstream subset invariant sees them transparently)
+    docs = normalize_docs(docs)
+    bp = boilerplate_lines(
+        docs, group_col="source", min_docs=3, min_frac=0.25
+    )
+    docs = strip_boilerplate(docs, bp, group_col="source")
     # 2. reference LM from the English slice; drop gibberish-like docs
     ref = docs.where(F.col("lang") == "en")
     model, oov = train_unigram_lm(ref, vocab_size=5_000, alpha=0.5)
@@ -53,10 +69,18 @@ def _run_pipeline(spark, docs):
     pairs = minhash_lsh_pairs(quality, threshold=0.5)
     unique = dedup_keep_canonical(quality, pairs)
     pairs.sparkSession.catalog.clearCache()  # shingle-table persist
-    # 5. per-domain cap, then mixture + 6. split
+    # 5. per-domain cap, then length-weighted selection (quality
+    # scores would slot in the same way), then mixture + 6. split
     capped = cap_per_stratum(unique, 40, "source", ("doc_id",))
+    weighted = weighted_sample(
+        capped.withColumn("_w", F.length("text").cast("double")),
+        35,
+        "_w",
+        ("doc_id",),
+        stratum_col="source",
+    ).drop("_w")
     mixed = resample_to_mixture(
-        capped,
+        weighted,
         {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2},
         "source",
         ("doc_id",),
@@ -64,7 +88,7 @@ def _run_pipeline(spark, docs):
     splits = split_deterministic(
         mixed, {"train": 0.8, "val": 0.1, "test": 0.1}, ("doc_id",)
     )
-    return fluent, quality, unique, mixed, splits
+    return fluent, quality, unique, weighted, mixed, splits
 
 
 def test_full_training_pipeline(spark, tmp_path):
@@ -76,10 +100,12 @@ def test_full_training_pipeline(spark, tmp_path):
     assert prof["doc_id"]["n_rows"] == n0
     assert prof["text"]["n_nulls"] == 0
 
-    fluent, quality, unique, mixed, splits = _run_pipeline(spark, docs)
+    fluent, quality, unique, weighted, mixed, splits = _run_pipeline(
+        spark, docs
+    )
 
     # monotone shrinkage, each stage a subset of the previous
-    ids = list(map(_ids, (docs, fluent, quality, unique, mixed)))
+    ids = list(map(_ids, (docs, fluent, quality, unique, weighted, mixed)))
     for a, b in zip(ids, ids[1:]):
         assert set(b) <= set(a)
         assert len(b) == len(set(b))  # no stage ever duplicates
