@@ -588,3 +588,42 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_totalprice").over(w).alias("next_price"),
         (F.col("o_totalprice") - prev).alias("delta_prev"),
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing z-score anomaly detection (operators/anomaly.py): each
+# order scored against the customer's previous 10 orders. Library
+# surface (50-entry driver cap), parity-checked like the other twins;
+# scores round to 6 digits so the engines' stddev accumulation-order
+# float noise (~1e-15 relative) can't flip the hash.
+# --------------------------------------------------------------------------
+ANOMALY_ZSCORE_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN COUNT(o_totalprice) OVER w >= 3
+                 AND STDDEV_SAMP(o_totalprice) OVER w > 0
+                THEN ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+                           / STDDEV_SAMP(o_totalprice) OVER w, 6)
+           END AS zscore
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def anomaly_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_lake_spark.operators.anomaly import trailing_zscores
+
+    orders = load_table(spark, sf_dir, "orders")
+    return trailing_zscores(
+        orders,
+        "o_totalprice",
+        ("o_custkey",),
+        ("o_orderdate", "o_orderkey"),
+        window=10,
+        min_periods=3,
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("zscore", 6).alias("zscore"),
+    )

@@ -142,6 +142,11 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.advanced_rel",
         "WINDOW_LAG_LEAD_SQL",
     ),
+    (
+        "anomaly_zscore_orders",
+        "etl_data_lake_spark.queries.advanced_rel",
+        "ANOMALY_ZSCORE_SQL",
+    ),
 ]
 
 
