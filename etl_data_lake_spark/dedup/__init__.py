@@ -1,3 +1,8 @@
+from etl_data_lake_spark.dedup.boilerplate import (
+    boilerplate_lines,
+    line_stats,
+    strip_boilerplate,
+)
 from etl_data_lake_spark.dedup.exact import canonicalize_exact
 from etl_data_lake_spark.dedup.jaccard import shingle_table, jaccard_pairs
 from etl_data_lake_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
@@ -22,4 +27,7 @@ __all__ = [
     "repeated_span_stats",
     "blocked_near_dup_pairs",
     "semantic_dedup_keep",
+    "line_stats",
+    "boilerplate_lines",
+    "strip_boilerplate",
 ]

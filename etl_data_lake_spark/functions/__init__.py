@@ -4,6 +4,14 @@ from etl_data_lake_spark.functions.redact import (
     redact_pii,
     redact_text,
 )
+from etl_data_lake_spark.functions.lm import (
+    bigram_perplexity_score,
+    train_bigram_lm,
+)
+from etl_data_lake_spark.functions.normalize import (
+    normalize_docs,
+    normalize_text,
+)
 from etl_data_lake_spark.functions.repetition import (
     repetition_filter,
     repetition_signals,
@@ -16,4 +24,8 @@ __all__ = [
     "pii_stats",
     "repetition_signals",
     "repetition_filter",
+    "normalize_text",
+    "normalize_docs",
+    "train_bigram_lm",
+    "bigram_perplexity_score",
 ]

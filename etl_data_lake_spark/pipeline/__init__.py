@@ -13,8 +13,12 @@ composable, scale-hardened pieces:
   overwrite semantics (fixes reference quirk Q9).
 * :mod:`golden`    — the four analytic SQL queries with golden outputs
   (README.md:111-262), dialect-translated to Spark SQL.
+* :mod:`dag`       — declarative DAG runner generalizing the
+  reference's hand-sequenced ``main()``: dependency-ordered tables,
+  expectation gates, atomic TxnTable publication.
 """
 
+from etl_data_lake_spark.pipeline.dag import Pipeline, RunResult  # noqa: F401
 from etl_data_lake_spark.pipeline.etl import run_pipeline  # noqa: F401
 from etl_data_lake_spark.pipeline.tables import (  # noqa: F401
     build_artists,

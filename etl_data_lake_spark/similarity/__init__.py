@@ -2,6 +2,12 @@ from etl_data_lake_spark.similarity.bruteforce import cosine_topk
 from etl_data_lake_spark.similarity.index import IvfIndex
 from etl_data_lake_spark.similarity.ivf import ivf_topk
 from etl_data_lake_spark.similarity.lsh import lsh_bucket_topk, with_lsh_buckets
+from etl_data_lake_spark.similarity.kmeans import kmeans_fit
+from etl_data_lake_spark.similarity.pca import (
+    pca_fit,
+    pca_reconstruct,
+    pca_transform,
+)
 from etl_data_lake_spark.similarity.pq import pq_encode, pq_topk
 
 __all__ = [
@@ -12,4 +18,8 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "IvfIndex",
+    "kmeans_fit",
+    "pca_fit",
+    "pca_transform",
+    "pca_reconstruct",
 ]
