@@ -39,6 +39,10 @@ def trailing_zscores(
         raise ValueError(
             f"min_periods must be in [1, {window}], got {min_periods}"
         )
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists; pass out_col="
+        )
     w = (
         Window.partitionBy(*[F.col(c) for c in part_cols])
         .orderBy(*[F.col(c) for c in order_cols])

@@ -119,6 +119,9 @@ def funnel_counts(
         )
         for i, name in enumerate(steps, start=1)
     ]
+    # the single-partition orderBy (WindowExec-style "no partition"
+    # warning in logs) runs over exactly k rows — one per funnel step —
+    # by design; the data-sized work all happened in funnel_times
     return (
         counts.select(F.explode(F.array(*per_step)).alias("s"))
         .select("s.*")

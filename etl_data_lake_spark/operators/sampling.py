@@ -345,7 +345,11 @@ def weighted_sample(
     rank is a pure function of (content, seed, weight), so re-runs
     reproduce the identical sample and changing only ``n`` NESTS the
     results (top-50 ⊂ top-100) — same contract as the uniform
-    samplers.
+    samplers. ``u`` draws from a dedicated 2^40 ring (not the
+    samplers' 2^20 keep-fraction ring): rank collisions start at the
+    birthday bound of the ring size, and 2^20 ties from ~1.2k rows
+    per stratum — 2^40 pushes that past a million rows per stratum,
+    keeping the sample weight-proportional at corpus scale.
 
     Rows with NULL, zero or negative weight never qualify (they have
     no selection mass; A-ES is undefined there) — they are filtered,
@@ -359,9 +363,14 @@ def weighted_sample(
         raise ValueError(f"n must be >= 1, got {n}")
     if "__wrank" in df.columns:
         raise ValueError("input already has a '__wrank' column")
-    # u in (0, 1]: (bucket + 1) / RING over the portable hash ring;
-    # never 0, so ln(u) is finite
-    u = (_bucket(key_cols, seed) + F.lit(1.0)) / F.lit(float(_RING))
+    # u in (0, 1] over a 2^40 ring (see docstring); never 0, so ln(u)
+    # is finite. xxhash64's low 40 bits are well-mixed; pmod keeps the
+    # draw non-negative and content-deterministic like _bucket.
+    wide_ring = 1 << 40
+    h = F.xxhash64(F.lit(seed), *[F.col(c) for c in key_cols])
+    u = (F.pmod(h, F.lit(wide_ring)) + F.lit(1.0)) / F.lit(
+        float(wide_ring)
+    )
     w = F.col(weight_col).cast("double")
     rank_key = -F.log(u) / w
     # NaN explicitly: Spark orders NaN above every double, so NaN > 0

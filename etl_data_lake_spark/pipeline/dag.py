@@ -169,6 +169,7 @@ class Pipeline:
             status = "published"
             gated = t.expectations is not None or t.unique
             cached = None
+            published = False
             if gated:
                 # the rows the gate validates must BE the rows that
                 # publish: persist across the report collect and the
@@ -216,16 +217,20 @@ class Pipeline:
                         qt = TxnTable(spark, f"{root}/{t.name}__quarantine")
                         qt.overwrite(res.quarantined[t.name])
                         res.quarantined[t.name] = qt.snapshot()
+                published = True
             finally:
                 # root mode republishes from the committed snapshot, so
-                # the builder cache can go; a FAILED gate's cache goes
-                # too (nothing downstream reads it). IN-MEMORY gated
-                # frames stay pinned — unpersisting would let downstream
-                # consumption recompute the builder past the audit,
-                # the exact hole the persist closes. (Long in-memory
-                # pipelines: use root mode, or clearCache after run.)
+                # the builder cache can go; a FAILED gate's cache (the
+                # `continue` path, published=False) goes too, as does a
+                # cache orphaned by a raising builder/report/publish —
+                # a crashed run never leaves frames pinned. Only the
+                # SUCCESSFUL in-memory gated frame stays persisted:
+                # unpersisting it would let downstream consumption
+                # recompute the builder past the audit, the exact hole
+                # the persist closes. (Long in-memory pipelines: use
+                # root mode, or clearCache after run.)
                 if cached is not None and (
-                    root is not None or res.status.get(t.name) == "failed"
+                    root is not None or not published
                 ):
                     cached.unpersist()
             res.frames[t.name] = df

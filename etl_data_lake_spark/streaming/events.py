@@ -399,19 +399,28 @@ def funnel_stream(
     computes (scan in event-time order; take a step event iff it is
     the next expected step, strictly after the previous step's time,
     and within ``within_s`` of the anchor), so a funnel that COMPLETES
-    emits identically to the batch form. A funnel emits exactly once:
+    emits identically to the batch form. A user emits exactly once —
+    the batch twin's one-row-per-user contract:
 
     * immediately on completing the final step (depth = len(steps)),
-      state removed — no timer involved, deterministic; or
+      deterministic, no timer involved; or
     * when the EVENT-TIME watermark strictly passes ``anchor +
       within_s`` — the conversion window closed; the reached depth is
       final because no in-watermark event can extend it.
 
+    After either emission the state keeps a COMPLETED TOMBSTONE
+    (``next_idx = -1``) so later micro-batches cannot re-anchor a
+    second funnel for the same user (batch ``funnel_times`` anchors at
+    the user's earliest step-1 event, full stop). The tombstone is the
+    3-field state struct per emitted user — bounded by distinct
+    converted users, the same asymptotic state any per-user streaming
+    aggregate carries; callers with an unbounded user-id space should
+    TTL upstream.
+
     Users who never anchor emit nothing; a funnel whose window is
     still open at end-of-data stays unemitted (matching the
     sessionizer's timeout clause — the batch≡stream test replays both
-    rules). Events are pre-filtered to the step types, so state
-    traffic and the shuffle carry only funnel-relevant rows."""
+    rules)."""
     if len(steps) < 1:
         raise ValueError("steps must name at least one event type")
     if within_s <= 0:
@@ -425,7 +434,13 @@ def funnel_stream(
         (user_id,) = key
         if state.hasTimedOut:
             anchor, _prev, next_idx = state.get
-            state.remove()
+            if next_idx < 0:
+                # a pre-completion timeout firing after the tombstone
+                # replaced it: keep the tombstone, emit nothing
+                state.update((anchor, anchor, -1))
+                return
+            # window closed: depth is final — emit once, tombstone
+            state.update((anchor, anchor, -1))
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
@@ -437,32 +452,42 @@ def funnel_stream(
         anchor, prev_ts, next_idx = (
             state.get if state.exists else (None, None, 0)
         )
-        done: list[tuple[int, float]] = []
+        if next_idx < 0:
+            return  # this user already emitted — suppress re-anchoring
+        # accumulate ALL Arrow chunks before sorting: the greedy
+        # matcher is order-sensitive, and per-chunk sorting would give
+        # only chunk-local order once a user's micro-batch spans
+        # multiple batches (>arrow.maxRecordsPerBatch rows). Memory is
+        # one user's micro-batch slice — the same bound the sessionizer
+        # carries.
+        recs: list[tuple[float, str]] = []
         for pdf in pdfs:
-            rows = sorted(
+            recs.extend(
                 zip(pdf["ts_sec"].tolist(), pdf["event_type"].tolist())
             )
-            for t, et in rows:
-                if next_idx >= k:
-                    break
-                # compare against the EXPECTED step by position, not a
-                # type→index dict: a funnel may repeat a step type
-                # (view → view → purchase), like the batch operator
-                if et != steps[next_idx]:
-                    continue
-                if next_idx == 0:
-                    anchor, prev_ts, next_idx = t, t, 1
-                elif t > prev_ts and t <= anchor + within_s:
-                    prev_ts, next_idx = t, next_idx + 1
-                if next_idx >= k:
-                    done.append((k, anchor))
-        if done:
-            state.remove()
+        recs.sort()
+        completed = False
+        for t, et in recs:
+            if next_idx >= k:
+                break
+            # compare against the EXPECTED step by position, not a
+            # type→index dict: a funnel may repeat a step type
+            # (view → view → purchase), like the batch operator
+            if et != steps[next_idx]:
+                continue
+            if next_idx == 0:
+                anchor, prev_ts, next_idx = t, t, 1
+            elif t > prev_ts and t <= anchor + within_s:
+                prev_ts, next_idx = t, next_idx + 1
+            if next_idx >= k:
+                completed = True
+        if completed:
+            state.update((anchor, anchor, -1))
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "n_steps": [d for d, _ in done],
-                    "anchor_sec": [a for _, a in done],
+                    "n_steps": [k],
+                    "anchor_sec": [anchor],
                 }
             )
             return

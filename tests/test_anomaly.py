@@ -58,3 +58,11 @@ def test_single_window_pass_plan(spark):
     out = trailing_zscores(_df(spark), "v", ("k",), ("t",))
     plan = plan_string(out)
     assert plan.count("Window") <= 2 and "Python" not in plan
+
+
+def test_out_col_clash_raises(spark):
+    import pytest
+
+    df = _df(spark).withColumn("zscore", F.lit(0.0))
+    with pytest.raises(ValueError, match="zscore"):
+        trailing_zscores(df, "v", ("k",), ("t",))

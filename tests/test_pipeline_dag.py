@@ -288,3 +288,27 @@ def test_name_validation_and_double_decorator(spark):
         @d2
         def y2(spark):
             return spark.range(1)
+
+
+def test_crashed_run_unpersists_gated_frame(spark):
+    """A builder/report exception mid-run must not leave the gated
+    frame pinned in the cache (review regression: the finally clause
+    only unpersisted on root-mode or failed-gate paths)."""
+    pipe = Pipeline("crash")
+
+    @pipe.table("base", expectations=lambda: {"pos": F.col("x") > 0})
+    def base(spark):
+        return spark.range(1, 6).select(F.col("id").alias("x"))
+
+    @pipe.table("boom", deps=("base",),
+                expectations=lambda: {"pos": F.col("nope") > 0})
+    def boom(spark, base):
+        return base  # the bad expectation column raises at report time
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    with pytest.raises(Exception):
+        pipe.run(spark)
+    leaked = len(spark.sparkContext._jsc.getPersistentRDDs()) - before
+    # base's in-memory gated frame legitimately stays pinned (it
+    # published); boom's must have been unpersisted on the raise
+    assert leaked <= 1

@@ -245,3 +245,113 @@ def test_streaming_funnel_repeated_step_types(spark, tmp_path):
         ).collect()
     }
     assert got == {(1, 3), (2, 1)}
+
+
+def test_streaming_funnel_no_reanchor_across_microbatches(spark, tmp_path):
+    """A user who completed their funnel in one micro-batch must NOT
+    re-anchor a second funnel from later micro-batches: batch
+    funnel_times emits one row per user (earliest anchor), and the
+    stream keeps a completed tombstone in state to match (review
+    regression — state.remove() after emission let a second identical
+    funnel through)."""
+    import os
+    from datetime import datetime, timedelta
+
+    from etl_data_lake_spark.streaming.events import (
+        event_stream,
+        funnel_stream,
+        run_available_now,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(i, ts_s, uid, et):
+        return (i, t0 + timedelta(seconds=ts_s), uid, et, 1.0, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = tmp_path / "ev" / "events.parquet"
+    # micro-batch 1: user 1 completes view->purchase
+    spark.createDataFrame(
+        [ev(1, 0, 1, "view"), ev(2, 10, 1, "purchase")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    parts1 = {p for p in os.listdir(src) if p.startswith("part-")}
+    # micro-batch 2: the same user does the whole funnel AGAIN
+    spark.createDataFrame(
+        [ev(3, 20, 1, "view"), ev(4, 30, 1, "purchase")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    # force discovery order: batch-1 part older than batch-2 part
+    for p in os.listdir(src):
+        if not p.startswith("part-"):
+            continue
+        age = 100 if p in parts1 else 200
+        os.utime(src / p, (age, age))
+
+    rows = run_available_now(
+        funnel_stream(
+            event_stream(
+                spark, str(tmp_path / "ev"), max_files_per_trigger=1
+            ),
+            ("view", "purchase"),
+            within_s=100,
+        ),
+        "funnel_tomb",
+        output_mode="append",
+        shuffle_partitions=4,
+    ).collect()
+    assert [(r["user_id"], r["n_steps"]) for r in rows] == [(1, 2)]
+
+
+def test_streaming_funnel_sorts_across_arrow_chunks(spark, tmp_path):
+    """The greedy matcher must sort the user's WHOLE micro-batch slice,
+    not each Arrow chunk independently (review regression): with
+    maxRecordsPerBatch=5 and the file written time-DESCENDING, the
+    purchase reaches the matcher chunks before the view — chunk-local
+    ordering would leave the funnel stuck at depth 1."""
+    from datetime import datetime, timedelta
+
+    from etl_data_lake_spark.streaming.events import (
+        event_stream,
+        funnel_stream,
+        run_available_now,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(i, ts_s, uid, et):
+        return (i, t0 + timedelta(seconds=ts_s), uid, et, 1.0, "{}")
+
+    # FILE ORDER: purchase@50 first, 10 fillers, view@10 last — at
+    # 5-row Arrow chunks the purchase lands two chunks before the view
+    rows = [ev(1, 50, 1, "purchase")]
+    rows += [ev(10 + i, 60 + i, 1, "click") for i in range(10)]
+    rows += [ev(99, 10, 1, "view")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    src = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(f"{src}/events.parquet")
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        got = {
+            (r["user_id"], r["n_steps"])
+            for r in run_available_now(
+                funnel_stream(
+                    event_stream(spark, src), ("view", "purchase"), 100.0
+                ),
+                "funnel_chunk",
+                output_mode="append",
+                shuffle_partitions=4,
+            ).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+    assert got == {(1, 2)}
