@@ -52,6 +52,10 @@ HEADLINE = [
     "dedup_substring_spans",
     # round-4 addition: cross-corpus decontamination flagship
     "text_contamination_spans",
+    # round-8 additions: model-based quality scoring (NB train+score
+    # in-plan) and the stateful streaming funnel
+    "quality_classifier_scores",
+    "stream_funnel_emitted",
 ]
 
 

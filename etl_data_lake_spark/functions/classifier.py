@@ -1,0 +1,358 @@
+"""Model-based quality filtering — train a text classifier IN SPARK
+and score the corpus in-plan. The curation stage the GPT-3 / CCNet /
+LLaMA pipelines run between heuristic filtering and dedup: fit a
+lightweight discriminative model against a trusted reference (or
+against weak labels distilled from the heuristics), then keep the
+high-scoring tail of the 100 TB crawl. (The reference repo has no
+model surface at all — etl.py:40-232 is ingestion; this is north-star
+extension material. The heuristic half lives in
+queries/text_queries.text_quality_scores; functions/lm.py covers the
+generative/perplexity flavor; this module is the discriminative one.)
+
+Two trainers, one scoring shape:
+
+* :func:`train_nb_log_odds` — one-pass Naive-Bayes log-odds. Pure
+  aggregation (no iteration, no driver math beyond none), so the
+  ENTIRE train+score composition is SQL-reproducible — the catalog
+  entry ``quality_classifier_scores`` oracles it end to end against
+  DuckDB via fixed-point (1e-6-quantized) weights whose per-document
+  sums are exact integers in both engines.
+* :func:`train_logreg` — hashed-feature binary logistic regression by
+  distributed full-batch gradient descent (the classic
+  fasttext/CCNet-shaped filter). Feature hashing bounds the model at
+  ``n_buckets`` weights regardless of corpus vocabulary, so the
+  per-epoch driver traffic is O(touched buckets), never O(vocab).
+
+Scale shape (what each epoch of :func:`train_logreg` costs at 100 TB):
+
+* the (doc, bucket, x) feature frame is built ONCE (tokenize →
+  hash → count; shuffle keyed on (doc, bucket)) and persisted;
+* margins: broadcast the ≤ n_buckets weight rows into the feature
+  frame, one doc-keyed aggregation (map-side partials);
+* gradients: join the per-doc errors back (doc-keyed, co-partitioned
+  with the margin shuffle), one bucket-keyed aggregation whose
+  shuffle carries ≤ n_buckets rows;
+* the driver collects ≤ n_buckets gradient rows and updates the
+  weight vector locally — no parameter server needed at this model
+  size, which is exactly why the hashed-linear family is the
+  production choice for corpus filtering.
+
+Everything is built-in expressions (xxhash64, sum, sigmoid via exp);
+no Python UDF anywhere — the Python in train_logreg is the bounded
+per-epoch weight update on the driver.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.text import (
+    STOPWORDS,
+    poly_hash,
+    sql_poly_hash,
+    sql_stopword_count,
+    stopword_count,
+    tokens,
+)
+
+# fixed-point scale for SQL-reproducible scoring: weights quantized to
+# 1e-6 make per-document score sums exact integers (order-independent,
+# hash-identical across engines); the only float steps left are the
+# per-term ln() — whose cross-engine agreement the existing idf/BM25
+# oracles already established — and one final division by the scale
+WEIGHT_SCALE = 1_000_000
+
+
+def weak_quality_label(toks: Column) -> Column:
+    """The 0/1 weak label distilled from the heuristic quality gate
+    (same rule as text_quality_scores.quality_pass): ≥10 tokens,
+    stopword ratio in [0.01, 0.6], distinct ratio > 0.2. Training a
+    model on heuristic labels and scoring with the MODEL is the
+    standard bootstrap when no hand-labeled reference exists."""
+    n = F.size(toks)
+    stop_ratio = stopword_count(toks) * F.lit(1.0) / n
+    distinct_ratio = F.size(F.array_distinct(toks)) * F.lit(1.0) / n
+    return (
+        F.when(
+            (n >= 10)
+            & stop_ratio.between(0.01, 0.6)
+            & (distinct_ratio > 0.2),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def sql_weak_quality_label(toks_expr: str) -> str:
+    """DuckDB twin of :func:`weak_quality_label`."""
+    stop = sql_stopword_count(toks_expr, STOPWORDS)
+    return (
+        f"CASE WHEN len({toks_expr}) >= 10"
+        f" AND {stop} * 1.0 / len({toks_expr}) BETWEEN 0.01 AND 0.6"
+        f" AND len(list_distinct({toks_expr})) * 1.0 /"
+        f" len({toks_expr}) > 0.2 THEN 1 ELSE 0 END"
+    )
+
+
+def nb_log_odds_weights(
+    labeled_tokens: DataFrame,
+    term_col: str = "term",
+    label_col: str = "y",
+) -> DataFrame:
+    """Naive-Bayes log-odds per term from an exploded ``(term, y)``
+    frame: ``w(t) = ln p(t|pos) − ln p(t|neg)`` with add-one smoothing
+    over the shared vocabulary, quantized to ``WEIGHT_SCALE``
+    fixed-point (``w_q`` BIGINT). One term-keyed aggregation (map-side
+    combined — the shuffle carries distinct terms) plus a broadcast
+    1-row totals join; no iteration, no collect."""
+    y = F.col(label_col)
+    counts = labeled_tokens.groupBy(F.col(term_col).alias("term")).agg(
+        F.sum(y).alias("c_pos"),
+        F.sum(F.lit(1) - y).alias("c_neg"),
+    )
+    totals = counts.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            (
+                F.log(
+                    (F.col("c_pos") + F.lit(1.0))
+                    / (F.col("n_pos") + F.col("v"))
+                )
+                - F.log(
+                    (F.col("c_neg") + F.lit(1.0))
+                    / (F.col("n_neg") + F.col("v"))
+                )
+            )
+            * F.lit(float(WEIGHT_SCALE))
+        )
+        .cast("long")
+        .alias("w_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature logistic regression
+# ---------------------------------------------------------------------------
+
+
+def hashed_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 18,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """→ ``(doc_id, bucket, x)``: the sparse hashed bag-of-tokens
+    representation (x = token count in the bucket, double). With
+    ``portable=True`` the bucket comes from the repo's polynomial
+    rolling hash (DuckDB-reproducible — the frozen-weights SQL parity
+    test uses it); the default xxhash64 stays for production (JVM
+    codegen, better-mixed bits). Hash collisions are the method's
+    documented trade-off: at n_buckets ≫ vocab they are rare, and a
+    collision only merges two features, never corrupts the fit."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(tokens(text_col), lambda t: t != "")
+        ).alias("term"),
+    )
+    if portable:
+        salted = F.concat_ws(":", F.lit(str(seed)), F.col("term"))
+        bucket = F.pmod(poly_hash(salted), F.lit(n_buckets))
+    else:
+        bucket = F.pmod(
+            F.xxhash64(F.lit(seed), F.col("term")), F.lit(n_buckets)
+        )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+
+
+def sql_hashed_bucket(term_expr: str, n_buckets: int, seed: int) -> str:
+    """DuckDB twin of the ``portable=True`` bucket in
+    :func:`hashed_features`."""
+    salted = f"concat_ws(':', '{seed}', {term_expr})"
+    return f"(({sql_poly_hash(salted)}) % {n_buckets})"
+
+
+@dataclass
+class LogRegModel:
+    """Trained hashed-feature logistic regression: sparse weights by
+    bucket, intercept, and the per-epoch mean log-loss trace (the
+    convergence audit a training job logs)."""
+
+    weights: dict[int, float]
+    bias: float
+    n_buckets: int
+    losses: list[float]
+
+    def weights_df(self, spark) -> DataFrame:
+        rows = sorted(self.weights.items())
+        if not rows:
+            return spark.createDataFrame([], "bucket long, w double")
+        return spark.createDataFrame(rows, "bucket long, w double")
+
+
+def train_logreg(
+    features: DataFrame,
+    labels: DataFrame,
+    n_buckets: int,
+    epochs: int = 30,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> LogRegModel:
+    """Distributed full-batch gradient descent on the logistic loss.
+
+    ``features`` is :func:`hashed_features` output; ``labels`` is
+    ``(doc_id, y)`` with y ∈ {0, 1}. Each epoch runs two aggregations
+    over the persisted feature⋈label frame (per-doc margins, then
+    per-bucket gradients) and collects ≤ ``n_buckets`` gradient rows —
+    see the module docstring for the 100 TB cost accounting. Raw token
+    counts are log-scaled (1 + ln x) feature values, the standard
+    damping so a 100-repetition spam token doesn't dominate the dot
+    product."""
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    if l2 < 0:
+        raise ValueError(f"l2 must be >= 0, got {l2}")
+    spark = features.sparkSession
+    data = (
+        features.withColumn("x", F.lit(1.0) + F.log("x"))
+        .join(labels.select("doc_id", F.col("y").cast("double")), "doc_id")
+        .persist()
+    )
+    try:
+        n_docs = data.select("doc_id").distinct().count()
+        if n_docs == 0:
+            raise ValueError("no labeled documents to train on")
+        w: dict[int, float] = {}
+        bias = 0.0
+        losses: list[float] = []
+        for _ in range(epochs):
+            w_rows = sorted(w.items())
+            w_df = (
+                spark.createDataFrame(w_rows, "bucket long, w double")
+                if w_rows
+                else spark.createDataFrame([], "bucket long, w double")
+            )
+            margins = (
+                data.join(F.broadcast(w_df), "bucket", "left")
+                .groupBy("doc_id")
+                .agg(
+                    F.first("y").alias("y"),
+                    F.sum(
+                        F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))
+                    ).alias("m"),
+                )
+                .select(
+                    "doc_id",
+                    "y",
+                    (
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-(F.col("m") + F.lit(bias))))
+                    ).alias("p"),
+                )
+            )
+            err = margins.select(
+                "doc_id",
+                (F.col("p") - F.col("y")).alias("e"),
+                # clamped log-loss: p is sigmoid output, never exactly
+                # 0/1 at double precision until |margin| > ~36
+                (
+                    -(
+                        F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-12)))
+                        + (F.lit(1.0) - F.col("y"))
+                        * F.log(
+                            F.greatest(F.lit(1.0) - F.col("p"), F.lit(1e-12))
+                        )
+                    )
+                ).alias("ll"),
+            ).persist()
+            try:
+                head = err.agg(
+                    F.avg("ll").alias("loss"), F.avg("e").alias("ge")
+                ).collect()[0]
+                grad_rows = (
+                    data.join(err.select("doc_id", "e"), "doc_id")
+                    .groupBy("bucket")
+                    .agg((F.sum(F.col("x") * F.col("e")) / n_docs).alias("g"))
+                    .collect()
+                )
+            finally:
+                err.unpersist()
+            losses.append(head["loss"])
+            for r in grad_rows:
+                b = r["bucket"]
+                w[b] = w.get(b, 0.0) * (1.0 - lr * l2) - lr * r["g"]
+            bias -= lr * head["ge"]
+    finally:
+        data.unpersist()
+    return LogRegModel(
+        weights=w, bias=bias, n_buckets=n_buckets, losses=losses
+    )
+
+
+def score_logreg(
+    features: DataFrame, model: LogRegModel
+) -> DataFrame:
+    """→ ``(doc_id, margin, prob)`` under a trained model: broadcast
+    the ≤ n_buckets weight rows into the feature frame, one doc-keyed
+    aggregation — the 100 TB corpus is one scan + one shuffle of
+    per-doc partials."""
+    spark = features.sparkSession
+    w_df = model.weights_df(spark)
+    scored = (
+        features.withColumn("x", F.lit(1.0) + F.log("x"))
+        .join(F.broadcast(w_df), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0)))
+                + F.lit(model.bias)
+            ).alias("margin")
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "margin",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))).alias("prob"),
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    model: LogRegModel,
+    min_prob: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep documents the model scores at least ``min_prob`` — the
+    composable curation stage (semi-join keeps every original
+    column, like lm.perplexity_filter)."""
+    feats = hashed_features(
+        docs, text_col, id_col, model.n_buckets, seed
+    )
+    keep = (
+        score_logreg(feats, model)
+        .where(F.col("prob") >= min_prob)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(keep, id_col, "left_semi")

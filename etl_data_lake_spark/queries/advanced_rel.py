@@ -439,21 +439,23 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # running one; (o_orderdate, o_orderkey) is a total order per
 # partition so the frame content — and therefore the sum — is
 # deterministic. Money stays in scaled-long space inside the window
-# aggregation for cross-engine bit equality.
+# aggregation for cross-engine bit equality. Library surface since
+# round 8 (50-entry driver cap — slot went to quality_classifier_
+# scores): parity-checked in test_parity::test_library_twin_parity;
+# the frame machinery keeps driver-level coverage through
+# window_surrogate_key and the anomaly_zscore_orders twin.
 # --------------------------------------------------------------------------
-@register(
-    "window_frame_trailing_spend",
-    oracle="""
-        SELECT o_custkey, o_orderkey,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
-                   PARTITION BY o_custkey
-                   ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) / 100.0 AS trailing_spend
-        FROM orders
-    """,
-    tags=("window", "frame"),
-)
+WINDOW_FRAME_TRAILING_SPEND_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS trailing_spend
+    FROM orders
+"""
+
+
 def window_frame_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -521,21 +523,23 @@ def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exposes the rollup/cube special cases): an explicit, non-lattice
 # set list — per (status), per (priority), and the grand total, but
 # NOT the (status, priority) cross — still one Expand + one shuffle.
-# Also exercises spark.sql() as a first-class query surface.
+# Also exercises spark.sql() as a first-class query surface. Library
+# surface since round 8 (50-entry driver cap — slot went to
+# stream_funnel_emitted): parity-checked in test_parity::
+# test_library_twin_parity; the Expand-lattice family keeps twin
+# coverage through cube_orders_revenue as well.
 # --------------------------------------------------------------------------
-@register(
-    "grouping_sets_revenue",
-    oracle=f"""
-        SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
-               COALESCE(o_orderpriority, '<all>') AS orderpriority,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-               {sql_sum_money('o_totalprice')} AS revenue
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """,
-    tags=("agg", "grouping-sets", "distinct", "sql"),
-)
+GROUPING_SETS_REVENUE_SQL = f"""
+    SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
+           COALESCE(o_orderpriority, '<all>') AS orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           {sql_sum_money('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # COUNT(DISTINCT) rides here since round 4 (was its own entry,
     # distinct_agg_per_status, demoted to library twin): the exact

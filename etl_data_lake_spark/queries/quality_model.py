@@ -1,0 +1,141 @@
+"""Model-based quality scoring as a driver-catalog entry — the
+weakly-supervised Naive-Bayes log-odds classifier trained AND scored
+in one SQL-reproducible plan (functions/classifier; the iterative
+logistic-regression trainer is library surface with its own pytest —
+GD epochs are not expressible as one oracle query).
+
+Why this is oracle-able end to end: the trainer is pure aggregation
+(per-term class counts + one totals row), the weights quantize to
+1e-6 fixed-point BIGINTs, and each document's score is then an EXACT
+integer sum — order-independent, hash-identical across engines. The
+only floats are the per-term ln() (cross-engine agreement already
+established by the idf/BM25 oracles) and the final unscaling
+division.
+
+Scale shape: train = one corpus tokenize scan + a distinct-term
+shuffle (map-side combined) + a broadcast 1-row totals join; score =
+a second corpus scan joined to the vocabulary-sized weight frame on
+term. A production run bounds the model (top-V vocabulary like
+functions/lm.py, or hashed features via functions/classifier) and
+broadcasts it; the unbounded-vocab form here is the oracle-exact
+twin, and its join shuffles candidates by term — still never
+all-pairs, never driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.classifier import (
+    WEIGHT_SCALE,
+    nb_log_odds_weights,
+    sql_weak_quality_label,
+    weak_quality_label,
+)
+from etl_data_lake_spark.functions.text import tokens
+from etl_data_lake_spark.queries.registry import register
+from etl_data_lake_spark.sources.catalog import load_table
+
+_TOK = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "quality_classifier_scores",
+    oracle=f"""
+        WITH lab AS (
+            SELECT doc_id, {_TOK} AS toks,
+                   {sql_weak_quality_label(_TOK)} AS y
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, y, unnest(toks) AS term FROM lab
+        ),
+        counts AS (
+            SELECT term,
+                   SUM(y) AS c_pos,
+                   SUM(1 - y) AS c_neg
+            FROM tok GROUP BY term
+        ),
+        tot AS (
+            SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg,
+                   COUNT(*) AS v
+            FROM counts
+        ),
+        w AS (
+            SELECT term,
+                   CAST(ROUND((ln((c_pos + 1.0) / (n_pos + v))
+                               - ln((c_neg + 1.0) / (n_neg + v)))
+                              * {WEIGHT_SCALE}) AS BIGINT) AS w_q
+            FROM counts, tot
+        ),
+        prior AS (
+            SELECT CAST(ROUND(ln((SUM(y) + 1.0)
+                                 / (COUNT(*) - SUM(y) + 1.0))
+                              * {WEIGHT_SCALE}) AS BIGINT) AS b_q
+            FROM lab
+        ),
+        score AS (
+            SELECT tok.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(w.w_q) AS BIGINT) AS s_q,
+                   MAX(tok.y) AS yy
+            FROM tok JOIN w USING (term)
+            GROUP BY tok.doc_id
+        )
+        SELECT doc_id,
+               n_terms,
+               CAST(yy AS BIGINT) AS weak_label,
+               CAST(s_q + b_q AS DOUBLE) / {WEIGHT_SCALE}.0 AS log_odds,
+               CAST(CASE WHEN s_q + b_q > 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS predicted_quality
+        FROM score, prior
+    """,
+    tags=("text", "quality", "model", "classifier"),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-weak-labels, score-everything: per-document log-odds
+    and the model's keep/drop verdict under a Naive-Bayes classifier
+    fit against the heuristic quality gate's labels."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        "doc_id",
+        tokens("text").alias("toks"),
+    ).withColumn("y", weak_quality_label(F.col("toks")))
+    tok = lab.select(
+        "doc_id", "y", F.explode("toks").alias("term")
+    )
+    w = nb_log_odds_weights(tok)
+    prior = lab.agg(
+        F.round(
+            F.log(
+                (F.sum("y") + F.lit(1.0))
+                / (F.count(F.lit(1)) - F.sum("y") + F.lit(1.0))
+            )
+            * F.lit(float(WEIGHT_SCALE))
+        )
+        .cast("long")
+        .alias("b_q")
+    )
+    score = (
+        tok.join(w, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("w_q").alias("s_q"),
+            F.max("y").alias("yy"),
+        )
+    )
+    return score.crossJoin(F.broadcast(prior)).select(
+        "doc_id",
+        "n_terms",
+        F.col("yy").cast("long").alias("weak_label"),
+        (
+            (F.col("s_q") + F.col("b_q")).cast("double")
+            / F.lit(float(WEIGHT_SCALE))
+        ).alias("log_odds"),
+        F.when(F.col("s_q") + F.col("b_q") > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("predicted_quality"),
+    )

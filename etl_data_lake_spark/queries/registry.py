@@ -61,6 +61,7 @@ def _load_all() -> None:
     from etl_data_lake_spark.queries import (  # noqa: F401
         vector_queries,
         text_queries,
+        quality_model,
         streaming_queries,
         multimodal_queries,
         dedup_queries,

@@ -210,3 +210,75 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, _unique("dedup"), output_mode="append",
         shuffle_partitions=_STATE_PARTS,
     )
+
+
+# Steps/window mirror the batch funnel_conversion entry
+# (queries/advanced_rel.py) so the pair is a true batch↔stream twin.
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WITHIN_S = 28_800
+
+
+@register(
+    "stream_funnel_emitted",
+    # Hash oracle: the emitted set of the stateful streaming funnel is
+    # deterministic under availableNow and SQL-characterizable, like
+    # the sessionizer's. A user emits iff their greedy earliest-match
+    # funnel (chained-CTE, same construction as funnel_conversion's
+    # oracle) either COMPLETED (depth 3) or its conversion window
+    # closed — the FINAL event-time watermark (max ts, ms) strictly
+    # passed anchor + within, the operator's event-time-timeout rule.
+    # anchor_sec is micros/1e6 on both engines (one division of the
+    # same integer — identical doubles); the deadline mirrors the
+    # operator's int((anchor + within) * 1000) truncation.
+    oracle=f"""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT s1.user_id, s1.t1, MIN(e.ts) AS t2
+            FROM s1 LEFT JOIN events e
+              ON e.user_id = s1.user_id
+             AND e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_WITHIN_S} SECOND
+            GROUP BY s1.user_id, s1.t1
+        ), s3 AS (
+            SELECT s2.user_id, s2.t1, s2.t2, MIN(e.ts) AS t3
+            FROM s2 LEFT JOIN events e
+              ON e.user_id = s2.user_id
+             AND e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s2.t1 + INTERVAL {_FUNNEL_WITHIN_S} SECOND
+            GROUP BY s2.user_id, s2.t1, s2.t2
+        ), wm AS (SELECT epoch_ms(MAX(ts)) AS wm_ms FROM events)
+        SELECT user_id,
+               CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                         WHEN t2 IS NOT NULL THEN 2
+                         ELSE 1 END AS BIGINT) AS n_steps,
+               epoch(t1) AS anchor_sec
+        FROM s3, wm
+        WHERE t3 IS NOT NULL
+           OR wm_ms > CAST(floor((epoch(t1) + {_FUNNEL_WITHIN_S})
+                                 * 1000) AS BIGINT)
+    """,
+    tags=("streaming", "stateful", "funnel"),
+)
+def stream_funnel_emitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming funnel (applyInPandasWithState greedy
+    matcher, streaming/events.funnel_stream): per-user reached depth
+    and anchor for every funnel whose outcome is final — completed on
+    the spot, or window closed by the final watermark."""
+    from pyspark.sql import functions as F
+
+    from etl_data_lake_spark.streaming.events import funnel_stream
+
+    stream = funnel_stream(
+        event_stream(spark, sf_dir), _FUNNEL_STEPS, _FUNNEL_WITHIN_S
+    )
+    out = run_available_now(
+        stream, _unique("funnel"), output_mode="append",
+        shuffle_partitions=_STATE_PARTS,
+    )
+    return out.select(
+        "user_id",
+        F.col("n_steps").cast("long").alias("n_steps"),
+        "anchor_sec",
+    )

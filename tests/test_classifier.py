@@ -1,0 +1,168 @@
+"""Model-based quality filtering (functions/classifier): hashed-feature
+logistic regression — distributed fit on a planted separable corpus,
+frozen-weights SQL parity for the scoring arithmetic, and the
+composable filter stage. The Naive-Bayes catalog twin
+(quality_classifier_scores) is oracle-checked by the driver and
+tests/test_parity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.classifier import (
+    LogRegModel,
+    hashed_features,
+    quality_filter,
+    score_logreg,
+    sql_hashed_bucket,
+    train_logreg,
+    weak_quality_label,
+)
+
+_GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "a clear morning with coffee and a long walk in the park is nice"
+).split()
+_BAD = (
+    "buy cheap pills click here winner jackpot casino free offer "
+    "xxx spam lottery prize claim now urgent deal discount viagra"
+).split()
+
+
+def _planted(spark, n_per_class: int = 40, doc_len: int = 12):
+    """Deterministic separable corpus: positive docs draw from _GOOD,
+    negative from _BAD (disjoint vocabularies), rotation-indexed so no
+    RNG is involved."""
+    rows = []
+    for i in range(n_per_class):
+        good = " ".join(
+            _GOOD[(i + j) % len(_GOOD)] for j in range(doc_len)
+        )
+        bad = " ".join(
+            _BAD[(i + j) % len(_BAD)] for j in range(doc_len)
+        )
+        rows.append((2 * i, good, 1))
+        rows.append((2 * i + 1, bad, 0))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, y long"
+    )
+
+
+def test_logreg_separates_planted_corpus(spark):
+    docs = _planted(spark)
+    feats = hashed_features(docs, n_buckets=4096)
+    model = train_logreg(
+        feats, docs.select("doc_id", "y"), n_buckets=4096, epochs=25
+    )
+    # convergence: monotone-ish decrease, big total drop
+    assert model.losses[0] > 0.6  # ~ln 2 at the zero init
+    assert model.losses[-1] < model.losses[0] / 4
+    scored = score_logreg(feats, model)
+    got = scored.join(docs.select("doc_id", "y"), "doc_id").select(
+        "y", (F.col("prob") >= 0.5).cast("int").alias("pred")
+    )
+    n_wrong = got.where(F.col("y") != F.col("pred")).count()
+    assert n_wrong == 0, f"{n_wrong} misclassified on a separable corpus"
+
+
+def test_logreg_frozen_weights_sql_parity(spark, duck):
+    """The scoring arithmetic — portable hash bucket, 1+ln damping,
+    weight dot-product, sigmoid — reproduces in DuckDB for a frozen
+    weight table (the 'SQL-reproducible for frozen weights' contract)."""
+    docs = _planted(spark, n_per_class=10)
+    n_buckets, seed = 512, 7
+    feats = hashed_features(
+        docs, n_buckets=n_buckets, seed=seed, portable=True
+    )
+    # freeze a deterministic non-trivial weight per touched bucket
+    buckets = [r["bucket"] for r in feats.select("bucket").distinct().collect()]
+    weights = {b: math.sin(b) for b in buckets}
+    model = LogRegModel(
+        weights=weights, bias=0.25, n_buckets=n_buckets, losses=[]
+    )
+    got = {
+        r["doc_id"]: (r["margin"], r["prob"])
+        for r in score_logreg(feats, model).collect()
+    }
+
+    duck.register("planted_docs", docs.toPandas())
+    duck.register(
+        "w_frozen",
+        __import__("pandas").DataFrame(
+            {"bucket": list(weights), "w": list(weights.values())}
+        ),
+    )
+    bucket_sql = sql_hashed_bucket("term", n_buckets, seed)
+    want = duck.sql(f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM planted_docs
+        ),
+        fx AS (
+            SELECT doc_id, {bucket_sql} AS bucket,
+                   COUNT(*)::DOUBLE AS x
+            FROM tok GROUP BY doc_id, {bucket_sql}
+        )
+        SELECT doc_id,
+               0.25 + SUM((1.0 + ln(x)) * COALESCE(w, 0.0)) AS margin
+        FROM fx LEFT JOIN w_frozen USING (bucket)
+        GROUP BY doc_id
+    """).df()
+    assert len(want) == len(got)
+    for _, r in want.iterrows():
+        m, p = got[r["doc_id"]]
+        assert m == pytest.approx(r["margin"], abs=1e-9)
+        assert p == pytest.approx(1.0 / (1.0 + math.exp(-r["margin"])), abs=1e-12)
+
+
+def test_quality_filter_composes(spark):
+    docs = _planted(spark)
+    feats = hashed_features(docs, n_buckets=4096)
+    model = train_logreg(
+        feats, docs.select("doc_id", "y"), n_buckets=4096, epochs=25
+    )
+    kept = quality_filter(docs, model, min_prob=0.5)
+    assert kept.columns == docs.columns  # semi-join keeps the schema
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    want = {r["doc_id"] for r in docs.where("y = 1").collect()}
+    assert ids == want
+
+
+def test_weak_label_matches_heuristic_gate(spark):
+    """weak_quality_label ≡ text_quality_scores.quality_pass on the
+    real documents fixture — the label IS the heuristic, distilled."""
+    from tests.conftest import SF_DIR
+
+    from etl_data_lake_spark.functions.text import tokens
+    from etl_data_lake_spark.queries.text_queries import text_quality_scores
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    lab = docs.select(
+        "doc_id", weak_quality_label(tokens("text")).alias("y")
+    )
+    heur = text_quality_scores(spark, SF_DIR).select(
+        "doc_id", F.col("quality_pass").cast("long").alias("q")
+    )
+    diff = lab.join(heur, "doc_id").where(F.col("y") != F.col("q")).count()
+    assert diff == 0
+
+
+def test_trainer_validation(spark):
+    docs = _planted(spark, n_per_class=2)
+    feats = hashed_features(docs, n_buckets=64)
+    labels = docs.select("doc_id", "y")
+    with pytest.raises(ValueError, match="epochs"):
+        train_logreg(feats, labels, 64, epochs=0)
+    with pytest.raises(ValueError, match="lr"):
+        train_logreg(feats, labels, 64, lr=0.0)
+    with pytest.raises(ValueError, match="l2"):
+        train_logreg(feats, labels, 64, l2=-1.0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        hashed_features(docs, n_buckets=1)
+    with pytest.raises(ValueError, match="no labeled documents"):
+        train_logreg(feats, labels.where("doc_id < 0"), 64)

@@ -147,6 +147,16 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.advanced_rel",
         "ANOMALY_ZSCORE_SQL",
     ),
+    (
+        "window_frame_trailing_spend",
+        "etl_data_lake_spark.queries.advanced_rel",
+        "WINDOW_FRAME_TRAILING_SPEND_SQL",
+    ),
+    (
+        "grouping_sets_revenue",
+        "etl_data_lake_spark.queries.advanced_rel",
+        "GROUPING_SETS_REVENUE_SQL",
+    ),
 ]
 
 
