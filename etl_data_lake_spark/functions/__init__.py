@@ -8,6 +8,20 @@ from etl_data_lake_spark.functions.lm import (
     bigram_perplexity_score,
     train_bigram_lm,
 )
+from etl_data_lake_spark.functions.bpe import (
+    bpe_encode,
+    bpe_token_counts,
+    bpe_tokens_df,
+    learn_bpe,
+)
+from etl_data_lake_spark.functions.classifier import (
+    LogRegModel,
+    hashed_features,
+    quality_filter,
+    score_logreg,
+    train_logreg,
+    weak_quality_label,
+)
 from etl_data_lake_spark.functions.normalize import (
     normalize_docs,
     normalize_text,
@@ -28,4 +42,14 @@ __all__ = [
     "normalize_docs",
     "train_bigram_lm",
     "bigram_perplexity_score",
+    "learn_bpe",
+    "bpe_encode",
+    "bpe_token_counts",
+    "bpe_tokens_df",
+    "LogRegModel",
+    "hashed_features",
+    "train_logreg",
+    "score_logreg",
+    "quality_filter",
+    "weak_quality_label",
 ]

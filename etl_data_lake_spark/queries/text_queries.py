@@ -27,7 +27,10 @@ _TOK = "regexp_split_to_array(trim(text), '\\s+')"
 # REAL GPT-2-style pre-tokenizer count (contraction suffixes |
 # space-prefixed letter runs | digit runs | punctuation runs) — the
 # unit "token budget" accounting is done in before a vocabulary is
-# even chosen. Java regex (Spark) and RE2 (DuckDB) agree exactly on
+# even chosen. When budgets must be EXACT (packing, chunking), use
+# functions/bpe.bpe_token_counts — a true merges-table BPE encode,
+# bit-equal to its pure-Python reference (tests/test_bpe.py); the
+# estimate stays here because it is codegen-only and oracle-exact. Java regex (Spark) and RE2 (DuckDB) agree exactly on
 # this pattern class — verified over the corpus, not assumed. One
 # narrow projection, no shuffle; the regex runs codegen-side per row.
 # --------------------------------------------------------------------------

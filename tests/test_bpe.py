@@ -1,0 +1,128 @@
+"""Exact BPE tokenization (functions/bpe): hand-computed merges on a
+classic corpus, bit-equality of the Spark encode against the
+pure-Python reference over the real documents fixture, and the
+packing composition the exact counts exist for."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.bpe import (
+    bpe_encode,
+    bpe_token_counts,
+    bpe_tokens_df,
+    learn_bpe,
+)
+from tests.conftest import SF_DIR
+
+
+def test_learn_bpe_hand_computed(spark):
+    """The textbook example: corpus of low/lower/newest/widest-style
+    words with known counts; the first merges are forced by the
+    frequencies and the lexicographic tie-break is deterministic."""
+    rows = []
+    did = 0
+    for word, n in [("aaab", 4), ("aab", 2), ("ab", 1)]:
+        for _ in range(n):
+            rows.append((did, word))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = learn_bpe(docs, n_merges=10, max_words=100)
+    # pair counts round 1: ('a','a') = 4*2 + 2*1 = 10, ('a','b') = 7
+    assert merges[0] == ("a", "a")
+    # round 2: words are (aa,a,b)x4 (aa,b)x2 (a,b)x1 →
+    # ('aa','a')=4, ('a','b')=5, ('aa','b')=2 → ('a','b') wins
+    assert merges[1] == ("a", "b")
+    # under the FULL learned table the most frequent word merges all
+    # the way to a single token; truncating the table to the first two
+    # merges reproduces the intermediate segmentation
+    full = {p: i for i, p in enumerate(merges)}
+    assert bpe_encode("aaab", full) == ["aaab"]
+    first_two = {p: i for i, p in enumerate(merges[:2])}
+    assert bpe_encode("aaab", first_two) == ["aa", "ab"]
+
+
+def test_learn_bpe_tie_break_is_lexicographic(spark):
+    docs = spark.createDataFrame(
+        [(0, "xy xy"), (1, "ab ab")], "doc_id long, text string"
+    )
+    merges = learn_bpe(docs, n_merges=1)
+    # ('a','b') and ('x','y') both count 2 → lexicographically smallest
+    assert merges == [("a", "b")]
+
+
+def test_spark_counts_bit_equal_to_reference(spark):
+    """bpe_token_counts over the REAL documents fixture == summing the
+    pure-Python encoder per word, doc by doc — the exactness contract
+    that replaces the len/4 estimate."""
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = learn_bpe(docs, n_merges=200)
+    assert len(merges) > 50  # the loop actually learned a table
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        want = sum(len(bpe_encode(w, ranks)) for w in r["text"].split())
+        assert got[r["doc_id"]] == want
+    # full-encoding surface agrees with the counts
+    enc = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_tokens_df(docs, merges).collect()
+    }
+    assert all(len(enc[d]) == n for d, n in got.items())
+
+
+def test_detokenization_round_trip(spark):
+    """Concatenating a word's pieces recovers the word exactly —
+    merges never lose characters."""
+    docs = spark.createDataFrame(
+        [(0, "tokenization internalization"), (1, "token internal")],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe(docs, n_merges=20, min_pair_count=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ["tokenization", "internalization", "unseen"]:
+        assert "".join(bpe_encode(w, ranks)) == w
+
+
+def test_exact_counts_feed_packing(spark):
+    """The composition the exactness exists for: pack_sequences over
+    n_bpe_tokens yields packs whose budgets hold for TRUE token
+    counts."""
+    from etl_data_lake_spark.operators.packing import pack_sequences
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = learn_bpe(docs, n_merges=100)
+    counted = bpe_token_counts(docs, merges)
+    budget = 600
+    packed = pack_sequences(
+        counted.select("doc_id", "n_bpe_tokens"),
+        token_col="n_bpe_tokens",
+        budget=budget,
+    )
+    per_pack = (
+        packed.groupBy("pack_id")
+        .agg(F.sum("n_bpe_tokens").alias("t"))
+        .collect()
+    )
+    assert per_pack and all(r["t"] <= budget for r in per_pack)
+    # nothing dropped
+    assert packed.count() == docs.count()
+
+
+def test_validation_and_out_col_clash(spark):
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        learn_bpe(docs, n_merges=0)
+    with pytest.raises(ValueError, match="max_words"):
+        learn_bpe(docs, n_merges=1, max_words=0)
+    with pytest.raises(ValueError, match="n_bpe_tokens"):
+        bpe_token_counts(
+            docs.withColumn("n_bpe_tokens", F.lit(1)), [("a", "b")]
+        )
