@@ -312,3 +312,209 @@ def test_crashed_run_unpersists_gated_frame(spark):
     # base's in-memory gated frame legitimately stays pinned (it
     # published); boom's must have been unpersisted on the raise
     assert leaked <= 1
+
+
+# ---------------------------------------------------------------------------
+# Incremental refresh: the reference pipeline's DAG (songs/artists from
+# song files; users/time/songplays from the log — etl.py:207-227) with
+# txn-backed inputs, refreshed after a log append.
+# ---------------------------------------------------------------------------
+
+
+def _sparkify_pipeline(spark, calls):
+    from etl_data_lake_spark.sources.txn import TxnTable  # noqa: F401
+
+    p = Pipeline("sparkify")
+
+    @p.table("songs", deps=("song_data",))
+    def songs(spark, song_data):
+        calls["songs"] += 1
+        return song_data.select("song_id", "title", "artist_id").distinct()
+
+    @p.table("artists", deps=("song_data",))
+    def artists(spark, song_data):
+        calls["artists"] += 1
+        return song_data.select("artist_id", "artist_name").distinct()
+
+    @p.table("users", deps=("log_data",))
+    def users(spark, log_data):
+        calls["users"] += 1
+        w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        win = w.partitionBy("user_id").orderBy(F.desc("ts"))
+        return (
+            log_data.withColumn("_rn", F.row_number().over(win))
+            .where("_rn = 1")
+            .select("user_id", "level")
+        )
+
+    @p.table("time_dim", deps=("log_data",))
+    def time_dim(spark, log_data):
+        calls["time_dim"] += 1
+        return log_data.select("ts").distinct().select(
+            "ts", F.hour(F.timestamp_millis("ts")).alias("hour")
+        )
+
+    @p.table(
+        "songplays",
+        deps=("log_data", "songs"),
+        incremental_on="log_data",
+        expectations=lambda: {"has_user": F.col("user_id").isNotNull()},
+        on_violation="warn",
+    )
+    def songplays(spark, log_data, songs):
+        calls["songplays"] += 1
+        # content-derived id (not row_number) so delta-append ≡ rebuild
+        return (
+            log_data.join(
+                F.broadcast(songs), log_data.song == songs.title, "left"
+            )
+            .select(
+                F.xxhash64("user_id", "ts", "song").alias("songplay_id"),
+                "user_id", "ts", "song", "song_id",
+            )
+        )
+
+    return p
+
+
+def _log_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts long, song string, level string"
+    )
+
+
+def _seed_inputs(spark, base):
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    songs_in = TxnTable(spark, f"{base}/in_songs")
+    songs_in.append(
+        spark.createDataFrame(
+            [("s1", "Alpha", "a1", "Ann"), ("s2", "Beta", "a2", "Bob")],
+            "song_id string, title string, artist_id string, "
+            "artist_name string",
+        )
+    )
+    logs_in = TxnTable(spark, f"{base}/in_logs")
+    logs_in.append(
+        _log_rows(
+            spark,
+            [
+                (1, 1_000, "Alpha", "free"),
+                (2, 2_000, "Gamma", "paid"),
+                (1, 3_000, "Beta", "free"),
+            ],
+        )
+    )
+    return songs_in, logs_in
+
+
+def _collect_all(res, names):
+    return {
+        n: sorted(map(tuple, res.frames[n].collect())) for n in names
+    }
+
+
+def test_refresh_recomputes_only_downstream_of_changed_input(
+    spark, tmp_path
+):
+    from collections import defaultdict
+
+    calls = defaultdict(int)
+    p = _sparkify_pipeline(spark, calls)
+    _, logs_in = _seed_inputs(spark, str(tmp_path))
+    p.input("song_data", f"{tmp_path}/in_songs")
+    p.input("log_data", f"{tmp_path}/in_logs")
+    root = str(tmp_path / "pub")
+
+    first = p.run(spark, root=root)
+    assert all(
+        first.status[n] == "published"
+        for n in ("songs", "artists", "users", "time_dim", "songplays")
+    )
+    assert calls["songs"] == 1 and calls["songplays"] == 1
+
+    # nothing changed → everything fresh, zero builder calls
+    idle = p.refresh(spark, root=root)
+    assert set(idle.status.values()) == {"fresh"}
+    assert calls["songs"] == 1 and calls["songplays"] == 1
+
+    # append to the LOG input only
+    logs_in.append(
+        _log_rows(
+            spark,
+            [(3, 4_000, "Alpha", "paid"), (2, 5_000, "Beta", "paid")],
+        )
+    )
+    ref = p.refresh(spark, root=root)
+    assert ref.status["songs"] == "fresh"
+    assert ref.status["artists"] == "fresh"
+    assert ref.status["users"] == "published"
+    assert ref.status["time_dim"] == "published"
+    assert ref.status["songplays"] == "appended_delta"
+    # songs/artists builders never re-ran
+    assert calls["songs"] == 1 and calls["artists"] == 1
+    assert calls["users"] == 2 and calls["songplays"] == 2
+
+    # results ≡ a full rebuild over the same inputs into a second root
+    calls2 = defaultdict(int)
+    p2 = _sparkify_pipeline(spark, calls2)
+    p2.input("song_data", f"{tmp_path}/in_songs")
+    p2.input("log_data", f"{tmp_path}/in_logs")
+    full = p2.run(spark, root=str(tmp_path / "pub2"))
+    names = ("songs", "artists", "users", "time_dim", "songplays")
+    assert _collect_all(ref, names) == _collect_all(full, names)
+
+
+def test_refresh_falls_back_to_rebuild_on_non_insert_feed(
+    spark, tmp_path
+):
+    from collections import defaultdict
+
+    calls = defaultdict(int)
+    p = _sparkify_pipeline(spark, calls)
+    _, logs_in = _seed_inputs(spark, str(tmp_path))
+    p.input("song_data", f"{tmp_path}/in_songs")
+    p.input("log_data", f"{tmp_path}/in_logs")
+    root = str(tmp_path / "pub")
+    p.run(spark, root=root)
+
+    # an overwrite produces deletes in the change feed → the row-wise
+    # append would be WRONG; the table must fully rebuild instead
+    logs_in.overwrite(_log_rows(spark, [(9, 9_000, "Alpha", "free")]))
+    ref = p.refresh(spark, root=root)
+    assert ref.status["songplays"] == "published"  # rebuilt, not appended
+    assert ref.status["songs"] == "fresh"
+    got = sorted(
+        r["user_id"] for r in ref.frames["songplays"].collect()
+    )
+    assert got == [9]
+
+
+def test_refresh_validation_and_registration_guards(spark, tmp_path):
+    p = Pipeline("g")
+    with pytest.raises(ValueError, match="incremental_on"):
+        p.table("t", deps=("a",), incremental_on="b")(lambda s, a: a)
+    with pytest.raises(ValueError, match="fail|warn"):
+        p.table(
+            "t2", deps=("a",), incremental_on="a", on_violation="drop"
+        )(lambda s, a: a)
+    p2 = Pipeline("g2")
+    p2.input("src", str(tmp_path / "src"))
+    with pytest.raises(ValueError, match="already registered"):
+        p2.input("src", str(tmp_path / "src2"))
+    with pytest.raises(ValueError, match="already registered"):
+        p2.table("src")(lambda s: None)
+
+    # incremental_on must point at an INPUT, not a table
+    p3 = Pipeline("g3")
+
+    @p3.table("a")
+    def a(spark):
+        return spark.range(1)
+
+    @p3.table("b", deps=("a",), incremental_on="a")
+    def b(spark, a):
+        return a
+
+    with pytest.raises(ValueError, match="declared input"):
+        p3.run(spark)
