@@ -78,6 +78,53 @@ def read_parquet(spark: SparkSession, path: str, schema: StructType) -> DataFram
     return spark.read.schema(schema).parquet(path)
 
 
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    on_error: str = "capture",
+) -> DataFrame:
+    """Avro container files through the ``avrolake`` Python DataSource
+    (sources/avro_source — the spark-avro jar is absent here, so the
+    format is implemented from the public spec). Same policy surface
+    as the JSON/CSV readers, with the bad-record unit being the Avro
+    BLOCK (the encoding has no per-row framing; see avro_source):
+    'capture' appends ``_corrupt`` rows per bad block, 'fail' raises,
+    'drop' skips. ``schema=None`` infers from one container header."""
+    if on_error not in _MODES:
+        raise ValueError(f"on_error must be one of {sorted(_MODES)}")
+    from etl_data_lake_spark.sources.avro_source import (
+        capture_schema,
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    reader = spark.read.format("avrolake").option("on_error", on_error)
+    if schema is not None:
+        if on_error == "capture":
+            # every data column nullable: a captured bad block emits
+            # one all-null row with the diagnostic in _corrupt
+            schema = capture_schema(schema)
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    codec: str = "deflate",
+) -> None:
+    """Write a DataFrame as Avro container files (one ``part-*.avro``
+    per task, deflate by default)."""
+    from etl_data_lake_spark.sources.avro_source import (
+        register_avro_source,
+    )
+
+    register_avro_source(df.sparkSession)
+    df.write.format("avrolake").option("codec", codec).mode(mode).save(path)
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """→ (clean rows without the corrupt column, quarantined rows with
     the raw record in ``_corrupt``). Use the second element as a
