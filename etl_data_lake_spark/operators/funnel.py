@@ -51,14 +51,32 @@ def funnel_times(
     ts_col: str = "ts",
     type_col: str = "event_type",
     within_s: float | None = None,
+    salts: int | None = None,
 ) -> DataFrame:
     """→ one row per user who completed step 1: ``user_col`` plus
     ``step1_ts .. stepK_ts`` (timestamp of the earliest match per the
-    semantics above; null once the sequence breaks)."""
+    semantics above; null once the sequence breaks).
+
+    ``salts`` hardens the per-step joins against a WHALE user (bot
+    traffic concentrating one key): the step-event side takes a
+    physical salt (operators/skew's construction), the one-row-per-
+    user funnel frame explodes ``salts`` ways, the join keys on
+    (user, salt), and the per-step MIN aggregates two-phase —
+    (user, salt) partials, then the user combine — so the hot user's
+    events spread over ``salts`` reducers end to end. Results are
+    IDENTICAL to the unsalted plan (min is algebraic; pinned in
+    tests/test_funnel.py); cost is a ``salts``-times replication of
+    the per-user frame. Step 1 needs no salt: its min aggregates
+    map-side before any shuffle. AQE's skew-join split (on in
+    session.py) covers moderate skew at runtime without any of this;
+    the explicit salt is for the single-key extreme AQE can't split —
+    the same escalation documented in operators/skew."""
     if len(steps) < 1:
         raise ValueError("steps must name at least one event type")
     if within_s is not None and within_s <= 0:
         raise ValueError(f"within_s must be positive, got {within_s}")
+    if salts is not None and salts < 2:
+        raise ValueError(f"salts must be >= 2, got {salts}")
     ts = F.col(ts_col)
     cur = (
         events.where(F.col(type_col) == steps[0])
@@ -70,18 +88,39 @@ def funnel_times(
         ev = events.where(F.col(type_col) == step).select(
             F.col(user_col).alias("_eu"), ts.alias("_ets")
         )
+        prev_cols = [_step_col(j) for j in range(1, i)]
+        if salts is not None:
+            from etl_data_lake_spark.operators.skew import _salt
+
+            ev = ev.withColumn("__salt", _salt(ev, salts))
+            cur = cur.withColumn(
+                "__salt",
+                F.explode(F.array(*[F.lit(s) for s in range(salts)])),
+            )
         cond = (cur["_u"] == ev["_eu"]) & (F.col("_ets") > prev)
+        if salts is not None:
+            cond = cond & (cur["__salt"] == ev["__salt"])
         if within_s is not None:
             cond = cond & (
                 F.col("_ets")
                 <= F.col(_step_col(1))
                 + F.expr(f"make_dt_interval(0, 0, 0, {within_s!r})")
             )
-        cur = (
-            cur.join(ev, cond, "left")
-            .groupBy("_u", *[_step_col(j) for j in range(1, i)])
-            .agg(F.min("_ets").alias(_step_col(i)))
-        )
+        joined = cur.join(ev, cond, "left").drop(ev["__salt"]) if (
+            salts is not None
+        ) else cur.join(ev, cond, "left")
+        if salts is not None:
+            # two-phase min: (user, salt) partials, then the combine
+            cur = (
+                joined.groupBy("_u", "__salt", *prev_cols)
+                .agg(F.min("_ets").alias("__partial"))
+                .groupBy("_u", *prev_cols)
+                .agg(F.min("__partial").alias(_step_col(i)))
+            )
+        else:
+            cur = joined.groupBy("_u", *prev_cols).agg(
+                F.min("_ets").alias(_step_col(i))
+            )
     return cur.withColumnRenamed("_u", user_col)
 
 
@@ -92,6 +131,7 @@ def funnel_counts(
     ts_col: str = "ts",
     type_col: str = "event_type",
     within_s: float | None = None,
+    salts: int | None = None,
 ) -> DataFrame:
     """→ one row per funnel step: ``step`` (1-based), ``step_name``,
     ``n_users`` reaching it, ``frac_of_first`` and ``frac_of_prev``
@@ -99,7 +139,7 @@ def funnel_counts(
     IEEE double both engines reproduce bit-identically). Rows come out
     in step order under an ORDER BY on ``step``."""
     times = funnel_times(
-        events, steps, user_col, ts_col, type_col, within_s
+        events, steps, user_col, ts_col, type_col, within_s, salts
     )
     counts = times.agg(
         *[

@@ -119,3 +119,54 @@ def test_corpus_funnel_pushdown_and_no_event_shuffle(spark):
     plan = plan_string(cnt)
     assert "PushedFilters" in plan and "event_type" in plan
     assert "Python" not in plan
+
+
+def test_salted_funnel_identical_results(spark):
+    """salts= spreads a whale user's step events over (user, salt)
+    reducers; the two-phase min must reproduce the unsalted funnel
+    EXACTLY — on the hand-built cases and on a planted whale."""
+    ev = _events(spark)
+    base = {tuple(r) for r in funnel_times(ev, STEPS, within_s=3600).collect()}
+    salted = {
+        tuple(r)
+        for r in funnel_times(ev, STEPS, within_s=3600, salts=4).collect()
+    }
+    assert salted == base
+
+    # whale: user 99 fires 5k clicks around one view + purchase
+    whale = [(99, _ts("10:00:00"), "view")]
+    whale += [
+        (99, _ts(f"10:{m:02d}:{s:02d}"), "click")
+        for m in range(5, 50)
+        for s in range(0, 60, 1)
+    ]
+    whale += [(99, _ts("10:59:00"), "purchase")]
+    big = ev.unionByName(
+        spark.createDataFrame(
+            whale, "user_id long, ts timestamp, event_type string"
+        )
+    )
+    a = {tuple(r) for r in funnel_times(big, STEPS).collect()}
+    b = {tuple(r) for r in funnel_times(big, STEPS, salts=8).collect()}
+    assert a == b
+    w = next(r for r in funnel_times(big, STEPS, salts=8).collect()
+             if r["user_id"] == 99)
+    assert w["step2_ts"] == _ts("10:05:00")
+    assert w["step3_ts"] == _ts("10:59:00")
+
+
+def test_salted_funnel_plan_shape(spark):
+    """Plan pin: the salted variant joins on (user, salt) — the salt
+    column reaches the join keys/exchange — and aggregates the step
+    min two-phase (a (user, salt) partial grouping precedes the user
+    combine). Unsalted plans must stay salt-free."""
+    from etl_data_lake_spark.plans.inspect import plan_string
+
+    ev = _events(spark)
+    salted_plan = plan_string(funnel_times(ev, STEPS, salts=4))
+    assert "__salt" in salted_plan
+    assert "__partial" in salted_plan
+    plain_plan = plan_string(funnel_times(ev, STEPS))
+    assert "__salt" not in plain_plan
+    with pytest.raises(ValueError, match="salts"):
+        funnel_times(ev, STEPS, salts=1)
