@@ -17,6 +17,8 @@ from etl_data_lake_spark.functions.bpe import (
 from etl_data_lake_spark.functions.classifier import (
     LogRegModel,
     hashed_features,
+    nb_quality_filter,
+    nb_quality_scores,
     quality_filter,
     score_logreg,
     train_logreg,
@@ -51,5 +53,7 @@ __all__ = [
     "train_logreg",
     "score_logreg",
     "quality_filter",
+    "nb_quality_scores",
+    "nb_quality_filter",
     "weak_quality_label",
 ]

@@ -336,6 +336,78 @@ def score_logreg(
     )
 
 
+def nb_quality_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    labels: DataFrame | None = None,
+) -> DataFrame:
+    """→ ``(doc_id, log_odds, predicted_quality)`` under a Naive-Bayes
+    log-odds model trained on ``labels`` (``(doc_id, y)``; defaults to
+    the weak heuristic labels of the SAME corpus — the bootstrap the
+    catalog entry quality_classifier_scores oracles). Scores are
+    integer sums of fixed-point weights, so the verdict is bit-stable
+    under any partitioning/layout — the property the end-to-end
+    pipeline's determinism test leans on (a float-sum GD model can
+    flip a boundary doc between runs; this one cannot)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    )
+    if labels is None:
+        lab = toks.withColumn("y", weak_quality_label(F.col("toks")))
+    else:
+        lab = toks.join(
+            labels.select("doc_id", F.col("y").cast("long")), "doc_id"
+        )
+    tok = lab.select("doc_id", "y", F.explode("toks").alias("term"))
+    w = nb_log_odds_weights(tok)
+    prior = lab.agg(
+        F.round(
+            F.log(
+                (F.sum("y") + F.lit(1.0))
+                / (F.count(F.lit(1)) - F.sum("y") + F.lit(1.0))
+            )
+            * F.lit(float(WEIGHT_SCALE))
+        )
+        .cast("long")
+        .alias("b_q")
+    )
+    return (
+        tok.join(w, "term")
+        .groupBy("doc_id")
+        .agg(F.sum("w_q").alias("s_q"))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            (
+                (F.col("s_q") + F.col("b_q")).cast("double")
+                / F.lit(float(WEIGHT_SCALE))
+            ).alias("log_odds"),
+            F.when(F.col("s_q") + F.col("b_q") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("predicted_quality"),
+        )
+    )
+
+
+def nb_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    labels: DataFrame | None = None,
+) -> DataFrame:
+    """Keep documents the Naive-Bayes model marks quality —
+    the composable, layout-deterministic curation stage (semi-join
+    keeps every original column, like lm.perplexity_filter)."""
+    keep = (
+        nb_quality_scores(docs, text_col, id_col, labels)
+        .where(F.col("predicted_quality") == 1)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
 def quality_filter(
     docs: DataFrame,
     model: LogRegModel,

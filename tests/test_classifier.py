@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from etl_data_lake_spark.functions.classifier import (
     LogRegModel,
     hashed_features,
+    nb_quality_filter,
     quality_filter,
     score_logreg,
     sql_hashed_bucket,
@@ -166,3 +167,19 @@ def test_trainer_validation(spark):
         hashed_features(docs, n_buckets=1)
     with pytest.raises(ValueError, match="no labeled documents"):
         train_logreg(feats, labels.where("doc_id < 0"), 64)
+
+
+def test_nb_filter_separates_and_is_layout_stable(spark):
+    """nb_quality_filter with EXPLICIT labels keeps the positive class
+    on a separable corpus, and the integer scoring makes the kept set
+    identical under repartitioning (the e2e determinism contract)."""
+    docs = _planted(spark, n_per_class=20)
+    labels = docs.select("doc_id", "y")
+    kept = nb_quality_filter(docs, labels=labels)
+    assert {r["doc_id"] for r in kept.collect()} == {
+        r["doc_id"] for r in docs.where("y = 1").collect()
+    }
+    kept13 = nb_quality_filter(docs.repartition(13), labels=labels)
+    assert sorted(r["doc_id"] for r in kept13.collect()) == sorted(
+        r["doc_id"] for r in kept.collect()
+    )

@@ -2,11 +2,13 @@
 family composing on the real documents table, stage by stage —
 
   profile → normalize (unicode/markup) → per-source boilerplate
-  strip → reference-LM perplexity filter → quality filter →
-  near-dup removal (MinHash-LSH + connected components) → per-domain
-  cap → quality-weighted sampling → mixture resample →
-  train/val/test split → chunk → sequence packing →
-  shuffled-shard export
+  strip → reference-LM perplexity filter → MODEL-BASED quality
+  filter (Naive-Bayes trained on the heuristic's weak labels —
+  integer-scored, so the verdict is layout-stable) + cheap length
+  gate → near-dup removal (MinHash-LSH + connected components) →
+  per-domain cap → quality-weighted sampling → mixture resample →
+  train/val/test split → chunk → EXACT-BPE token counting →
+  sequence packing → shuffled-shard export
 
 with invariants asserted at every hand-off (monotone shrinkage, no
 duplication, exact split partitioning, export round-trip) and the
@@ -27,6 +29,8 @@ from etl_data_lake_spark.dedup.boilerplate import (
 )
 from etl_data_lake_spark.dedup.cluster import dedup_keep_canonical
 from etl_data_lake_spark.dedup.minhash import minhash_lsh_pairs
+from etl_data_lake_spark.functions.bpe import bpe_token_counts, learn_bpe
+from etl_data_lake_spark.functions.classifier import nb_quality_filter
 from etl_data_lake_spark.functions.normalize import normalize_docs
 from etl_data_lake_spark.functions.lm import (
     perplexity_filter,
@@ -63,8 +67,9 @@ def _run_pipeline(spark, docs):
     ref = docs.where(F.col("lang") == "en")
     model, oov = train_unigram_lm(ref, vocab_size=5_000, alpha=0.5)
     fluent = perplexity_filter(docs, model, oov, max_perplexity=8_000)
-    # 3. cheap quality gate
-    quality = fluent.where(F.length("text") >= 50)
+    # 3. model-based quality gate (NB on weak labels; layout-stable
+    # integer scoring) composed with the cheap length gate
+    quality = nb_quality_filter(fluent).where(F.length("text") >= 50)
     # 4. near-dup removal
     pairs = minhash_lsh_pairs(quality, threshold=0.5)
     unique = dedup_keep_canonical(quality, pairs)
@@ -124,8 +129,12 @@ def test_full_training_pipeline(spark, tmp_path):
     assert (
         chunks.where(F.length("text") > 1_000).count() == 0
     )  # hard bound
-    train = chunks.withColumn(
-        "n_tokens", F.greatest(F.length("text"), F.lit(1))
+    # token budgets from the EXACT BPE encode (functions/bpe), not a
+    # length proxy: the packing bound below is a true token bound
+    merges = learn_bpe(chunks, n_merges=50)
+    train = bpe_token_counts(chunks, merges, out_col="n_tokens")
+    train = train.withColumn(
+        "n_tokens", F.greatest("n_tokens", F.lit(1))
     )
     packed = pack_sequences(train, "n_tokens", budget=2_000)
     assert packed.count() == chunks.count()
