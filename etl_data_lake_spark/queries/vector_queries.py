@@ -105,10 +105,18 @@ def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .persist()
     )
+    from etl_data_lake_spark.similarity.hnsw import hnsw_topk
+
     methods = {
         "lsh": lsh_bucket_topk(emb, queries, k=10),
         "ivf": ivf_topk(emb, queries, k=10),
         "pq": pq_topk(emb, queries, k=10, m=16, ks=32),
+        # round 8: the graph member — sharded per-partition HNSW.
+        # 8 shards: build cost is O(shard²·M·d)-ish Python work, so
+        # more smaller graphs beat fewer big ones (measured 1.9 s vs
+        # 6.1 s at sf0.1); recall only rises with shard count (each
+        # shard's beam covers a larger fraction of a smaller graph)
+        "hnsw": hnsw_topk(emb, queries, k=10, ef_search=32, n_parts=8),
     }
     tagged = reduce(
         DataFrame.unionByName,

@@ -1,4 +1,5 @@
 from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+from etl_data_lake_spark.similarity.hnsw import hnsw_topk
 from etl_data_lake_spark.similarity.index import IvfIndex
 from etl_data_lake_spark.similarity.ivf import ivf_topk
 from etl_data_lake_spark.similarity.lsh import lsh_bucket_topk, with_lsh_buckets
@@ -15,6 +16,7 @@ __all__ = [
     "with_lsh_buckets",
     "lsh_bucket_topk",
     "ivf_topk",
+    "hnsw_topk",
     "pq_encode",
     "pq_topk",
     "IvfIndex",

@@ -479,8 +479,8 @@ def test_ann_recall_summary_thresholds(spark):
         r.method: (r.hits, r.possible, r.recall_at_10)
         for r in queries()["ann_recall_summary"](spark, SF_DIR).collect()
     }
-    assert set(rows1) == {"lsh", "ivf", "pq"}
-    floors = {"lsh": 0.4, "ivf": 0.2, "pq": 0.5}
+    assert set(rows1) == {"lsh", "ivf", "pq", "hnsw"}
+    floors = {"lsh": 0.4, "ivf": 0.2, "pq": 0.5, "hnsw": 0.9}
     for method, (hits, possible, recall) in rows1.items():
         assert possible > 0
         assert 0 <= hits <= possible, (method, hits, possible)
