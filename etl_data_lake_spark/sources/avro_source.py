@@ -42,6 +42,8 @@ from pathlib import Path
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -273,76 +275,131 @@ class _AvroFilePart(InputPartition):
         self.path = path
 
 
+def _check_read_options(options, schema: StructType) -> str:
+    on_error = str(options.get("on_error", "fail")).lower()
+    if on_error not in ("fail", "drop", "capture"):
+        raise ValueError(
+            f"on_error must be fail|drop|capture: {on_error}"
+        )
+    if on_error == "capture" and CORRUPT_COL not in schema.fieldNames():
+        raise ValueError(
+            f"on_error=capture needs a {CORRUPT_COL} string column "
+            "in the read schema (readers.read_avro appends it)"
+        )
+    return on_error
+
+
+def _read_avro_file(path: str, read_schema: StructType, on_error: str):
+    """Decode one container under the block-level policy; yields row
+    tuples in ``read_schema`` order (shared by the batch and stream
+    readers — one policy implementation, two planners)."""
+    fields = [f for f in read_schema.fields if f.name != CORRUPT_COL]
+    capture = on_error == "capture"
+    n_out = len(fields) + (1 if capture else 0)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    schema, codec, sync, off = read_header(data)
+    validate_schema(schema)
+    for n, payload in iter_blocks(data, codec, sync, off):
+        if isinstance(payload, AvroBlockError):
+            if on_error == "fail":
+                raise AvroBlockError(f"{path}: {payload}")
+            if capture:
+                row = [None] * n_out
+                row[-1] = f"{os.path.basename(path)}: {payload}"
+                yield tuple(row)
+            continue
+        r = _Reader(payload)
+        rows = []
+        try:
+            for _ in range(n):
+                rec = _decode_value(r, schema)
+                vals = [
+                    from_avro_value(rec.get(f.name), f.dataType)
+                    for f in fields
+                ]
+                if capture:
+                    vals.append(None)
+                rows.append(tuple(vals))
+            if r.pos != len(payload):
+                raise AvroBlockError(
+                    f"{len(payload) - r.pos} trailing bytes in block"
+                )
+        except AvroBlockError as exc:
+            # the whole block is suspect: emit none of its rows
+            if on_error == "fail":
+                raise AvroBlockError(f"{path}: {exc}") from exc
+            if capture:
+                row = [None] * n_out
+                row[-1] = f"{os.path.basename(path)}: {exc}"
+                yield tuple(row)
+            continue
+        yield from rows
+
+
 class AvroBatchReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self._path = options["path"]
-        self._on_error = str(options.get("on_error", "fail")).lower()
-        if self._on_error not in ("fail", "drop", "capture"):
-            raise ValueError(
-                f"on_error must be fail|drop|capture: {self._on_error}"
-            )
+        self._on_error = _check_read_options(options, schema)
         self._schema = schema
-        if (
-            self._on_error == "capture"
-            and CORRUPT_COL not in schema.fieldNames()
-        ):
-            raise ValueError(
-                f"on_error=capture needs a {CORRUPT_COL} string column "
-                "in the read schema (readers.read_avro appends it)"
-            )
 
     def partitions(self):
         return [_AvroFilePart(f) for f in _list_avro_files(self._path)]
 
     def read(self, partition):
-        fields = [
-            f for f in self._schema.fields if f.name != CORRUPT_COL
+        yield from _read_avro_file(
+            partition.path, self._schema, self._on_error
+        )
+
+
+class AvroStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("avrolake")`` over a landing
+    directory of immutable container files. Offsets carry the SORTED
+    list of consumed file names — each micro-batch reads exactly the
+    files that appeared since the previous offset, so replays are
+    deterministic and exactly-once composes with an idempotent sink.
+    The offset grows with the directory's file count (Spark's own
+    file source keeps a compacted file log instead); a production
+    landing zone bounds it by rotating directories — documented
+    trade-off, fine at the bounded file counts a landing dir holds."""
+
+    def __init__(self, options, schema: StructType):
+        self._path = options["path"]
+        self._on_error = _check_read_options(options, schema)
+        self._schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        # NOTE: Spark's Python runner may call this BEFORE
+        # initialOffset — keep it side-effect free (listing only)
+        try:
+            files = _list_avro_files(self._path)
+        except FileNotFoundError:
+            files = []
+        return {"files": [os.path.basename(f) for f in files]}
+
+    def partitions(self, start: dict, end: dict):
+        seen = set(start.get("files", ()))
+        new = [f for f in end.get("files", ()) if f not in seen]
+        if not new:
+            # Spark requires at least one partition per planned batch;
+            # an empty marker partition reads zero rows
+            return [_AvroFilePart("")]
+        return [
+            _AvroFilePart(os.path.join(self._path, f)) for f in new
         ]
-        capture = self._on_error == "capture"
-        n_out = len(fields) + (1 if capture else 0)
-        with open(partition.path, "rb") as fh:
-            data = fh.read()
-        schema, codec, sync, off = read_header(data)
-        validate_schema(schema)
-        for n, payload in iter_blocks(data, codec, sync, off):
-            if isinstance(payload, AvroBlockError):
-                if self._on_error == "fail":
-                    raise AvroBlockError(
-                        f"{partition.path}: {payload}"
-                    )
-                if capture:
-                    row = [None] * n_out
-                    row[-1] = f"{os.path.basename(partition.path)}: {payload}"
-                    yield tuple(row)
-                continue
-            r = _Reader(payload)
-            rows = []
-            try:
-                for _ in range(n):
-                    rec = _decode_value(r, schema)
-                    vals = [
-                        from_avro_value(rec.get(f.name), f.dataType)
-                        for f in fields
-                    ]
-                    if capture:
-                        vals.append(None)
-                    rows.append(tuple(vals))
-                if r.pos != len(payload):
-                    raise AvroBlockError(
-                        f"{len(payload) - r.pos} trailing bytes in block"
-                    )
-            except AvroBlockError as exc:
-                # the whole block is suspect: emit none of its rows
-                if self._on_error == "fail":
-                    raise AvroBlockError(
-                        f"{partition.path}: {exc}"
-                    ) from exc
-                if capture:
-                    row = [None] * n_out
-                    row[-1] = f"{os.path.basename(partition.path)}: {exc}"
-                    yield tuple(row)
-                continue
-            yield from rows
+
+    def read(self, partition):
+        if not partition.path:
+            return
+        yield from _read_avro_file(
+            partition.path, self._schema, self._on_error
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the stream's checkpoint
 
 
 # ------------------------------------------------------------------ writer --
@@ -423,6 +480,81 @@ class AvroBatchWriter(DataSourceWriter):
                     pass
 
 
+class AvroStreamWriter(DataSourceStreamWriter):
+    """Streaming append sink: tasks stage invisible ``_tmp`` files,
+    and the driver-side commit publishes them under DETERMINISTIC
+    names ``part-{batchId}-{seq}.avro`` after clearing any previous
+    publication of the same batch id — a replayed micro-batch
+    (checkpoint recovery) re-publishes the identical batch instead of
+    duplicating it, so the sink is exactly-once under Spark's
+    at-least-once replay. (The txnlake sink gets the same property
+    from writer watermarks; a plain directory gets it from
+    batch-id-addressed names.)"""
+
+    def __init__(self, options, schema: StructType):
+        self._path = options["path"]
+        self._codec = str(options.get("codec", "deflate"))
+        self._block = int(options.get("maxBlockRecords", 4096))
+        self._schema = schema
+        self._avro_schema = spark_to_avro_schema(schema)
+        validate_schema(self._avro_schema)
+
+    def write(self, iterator):
+        rows = list(iterator)
+        if not rows:
+            return _AvroWrote(())
+        fields = self._schema.fields
+        recs = (
+            {
+                f.name: to_avro_value(row[i], f.dataType)
+                for i, f in enumerate(fields)
+            }
+            for row in rows
+        )
+        os.makedirs(self._path, exist_ok=True)
+        name = f"stage-{uuid.uuid4().hex}"
+        write_container(
+            os.path.join(self._path, f"_tmp-{name}"),
+            self._avro_schema,
+            recs,
+            codec=self._codec,
+            max_block_records=self._block,
+        )
+        return _AvroWrote((name,))
+
+    def commit(self, messages, batchId: int) -> None:
+        # clear any earlier publication of this batch id FIRST: the
+        # replay then lands the same rows under the same names
+        try:
+            existing = _list_avro_files(self._path)
+        except FileNotFoundError:
+            existing = []
+        for old in existing:
+            if os.path.basename(old).startswith(f"part-{batchId}-"):
+                try:
+                    os.remove(old)
+                except OSError:
+                    pass
+        staged = sorted(
+            f for m in messages if m is not None for f in m.files
+        )
+        for i, f in enumerate(staged):
+            os.replace(
+                os.path.join(self._path, f"_tmp-{f}"),
+                os.path.join(self._path, f"part-{batchId}-{i}.avro"),
+            )
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                try:
+                    os.remove(os.path.join(self._path, f"_tmp-{f}"))
+                except OSError:
+                    pass
+
+
 # --------------------------------------------------------------- datasource --
 
 
@@ -450,8 +582,20 @@ class AvroDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return AvroBatchReader(self.options, schema)
 
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return AvroStreamReader(self.options, schema)
+
     def writer(self, schema: StructType, overwrite: bool):
         return AvroBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "avrolake streaming sink supports append output mode "
+                "only (complete-mode would need per-batch truncation "
+                "of the landing directory)"
+            )
+        return AvroStreamWriter(self.options, schema)
 
 
 def register_avro_source(spark) -> None:

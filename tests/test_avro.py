@@ -263,3 +263,80 @@ def test_reader_rejects_bad_options(spark, tmp_path):
             StructType([StructField(
                 "m", MapType(IntegerType(), StringType()))])
         )
+
+
+def _stream_once(spark, src, sink, ckpt, schema):
+    q = (
+        spark.readStream.format("avrolake").schema(schema).load(src)
+        .writeStream.format("avrolake").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+
+def test_streaming_read_write_incremental_exactly_once(spark, tmp_path):
+    """avrolake streamReader consumes only files that appeared since
+    the checkpointed offset; the stream sink publishes batch-id-
+    addressed names so replays never duplicate."""
+    from etl_data_lake_spark.sources.avro_source import register_avro_source
+    from etl_data_lake_spark.sources.readers import write_avro
+
+    register_avro_source(spark)
+    src, sink, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ck")
+    )
+    schema = "id long, s string"
+    write_avro(
+        spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s"),
+        src, mode="append",
+    )
+    _stream_once(spark, src, sink, ckpt, schema)
+
+    def sink_ids():
+        return sorted(
+            r.id
+            for r in spark.read.format("avrolake").schema(schema)
+            .load(sink).collect()
+        )
+
+    assert sink_ids() == [0, 1, 2, 3, 4]
+    # new landing files: the next run emits ONLY them
+    write_avro(
+        spark.range(5, 8).selectExpr("id", "CAST(id AS STRING) AS s"),
+        src, mode="append",
+    )
+    _stream_once(spark, src, sink, ckpt, schema)
+    assert sink_ids() == list(range(8))
+    # no new files: a further run adds nothing (exactly-once)
+    _stream_once(spark, src, sink, ckpt, schema)
+    assert sink_ids() == list(range(8))
+    import os as _os
+
+    assert all(
+        f.startswith("part-") and f.endswith(".avro")
+        for f in _os.listdir(sink)
+    )
+
+
+def test_stream_writer_rejects_complete_mode(spark, tmp_path):
+    from etl_data_lake_spark.sources.avro_source import register_avro_source
+    from etl_data_lake_spark.sources.readers import write_avro
+
+    register_avro_source(spark)
+    src = str(tmp_path / "src")
+    write_avro(spark.range(3).selectExpr("id", "COUNT(*) OVER () AS n"), src)
+    stream = (
+        spark.readStream.format("avrolake").schema("id long, n long")
+        .load(src).groupBy().count()
+    )
+    with pytest.raises(Exception, match="append output mode"):
+        q = (
+            stream.writeStream.format("avrolake")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
