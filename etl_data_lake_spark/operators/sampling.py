@@ -164,10 +164,14 @@ def resample_to_mixture(
     seed: int = 42,
     bucket: Column | None = None,
     rates: DataFrame | None = None,
+    size_col: str | None = None,
 ) -> DataFrame:
     """Downsample a multi-domain corpus to TARGET MIXTURE PROPORTIONS
     at the maximum achievable size — the static data-mixing step of a
     training pipeline (the fixed-weights half of DoReMi-style recipes).
+    With ``size_col`` (e.g. an exact-BPE token count from
+    functions/bpe), proportions are of TOKEN MASS rather than rows —
+    see :func:`mixture_rates`.
 
     Solves for the largest total T such that every target stratum d can
     supply its share without replacement (``T = min_d n_d / p_d``),
@@ -204,7 +208,7 @@ def resample_to_mixture(
         bucket = _bucket(key_cols, seed)
     d = df.where(F.col(stratum_col).isin(sorted(weights)))
     if rates is None:
-        rates = mixture_rates(d, weights, stratum_col)
+        rates = mixture_rates(d, weights, stratum_col, size_col)
     return (
         d.join(F.broadcast(rates), stratum_col)
         .where(bucket < F.col("ring_threshold"))
@@ -213,20 +217,36 @@ def resample_to_mixture(
 
 
 def mixture_rates(
-    d: DataFrame, weights: dict[str, float], stratum_col: str
+    d: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str,
+    size_col: str | None = None,
 ) -> DataFrame:
     """The solver half of :func:`resample_to_mixture`: per-stratum
     ``(stratum, n_total, ring_threshold)`` over an already
     target-filtered frame. ``weights`` must be pre-normalized
     (:func:`normalize_weights`) so SQL twins inline the same
-    literals."""
+    literals.
+
+    With ``size_col`` the mixture is solved over SIZE MASS instead of
+    row counts — the token-budget form real pretraining recipes use
+    ("20% of the TOKENS from web, 10% from code"): ``n_total`` becomes
+    ``SUM(size_col)`` per stratum and the solver is otherwise
+    unchanged. Row selection stays content-hash uniform, so the kept
+    mass matches the target IN EXPECTATION (exactly, when sizes are
+    equal within a stratum); callers guarantee positive sizes."""
     names = sorted(weights)
     target_map = F.create_map(
         *[x for k in names for x in (F.lit(k), F.lit(weights[k]))]
     )
+    mass = (
+        F.count("*")
+        if size_col is None
+        else F.sum(F.col(size_col).cast("double"))
+    )
     counts = (
         d.groupBy(stratum_col)
-        .agg(F.count("*").alias("n_total"))
+        .agg(mass.alias("n_total"))
         .withColumn("__p", target_map[F.col(stratum_col)])
     )
     # global min as a window over the POST-AGG frame (#strata rows —

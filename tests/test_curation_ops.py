@@ -340,3 +340,53 @@ def test_mixture_reported_rates_are_the_rates_applied(spark, skewed_corpus):
     thr = {r["dom"]: r["ring_threshold"] for r in rates.collect()}
     checked = kept.withColumn("b", _bucket(("id",), 42)).collect()
     assert checked and all(r["b"] < thr[r["dom"]] for r in checked)
+
+
+def test_token_weighted_mixture(spark):
+    """size_col= solves the mixture over TOKEN MASS: the mass-binding
+    stratum keeps its full ring even when it has more ROWS, and the
+    kept token mass lands on the target proportions."""
+    from etl_data_lake_spark.operators.sampling import (
+        mixture_rates,
+        normalize_weights,
+        resample_to_mixture,
+    )
+
+    rows = [(f"a{i}", "web", 20) for i in range(500)]
+    rows += [(f"b{i}", "code", 4) for i in range(500)]  # mass-binding
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    targets = {"web": 0.5, "code": 0.5}
+    w = normalize_weights(targets)
+    rates = {
+        r["source"]: (r["n_total"], r["ring_threshold"])
+        for r in mixture_rates(df, w, "source", size_col="n_tok").collect()
+    }
+    # masses: web 10000, code 2000 → T = 4000; keep web 0.2, code 1.0
+    assert rates["web"][0] == 10000.0 and rates["code"][0] == 2000.0
+    assert rates["code"][1] == 1 << 20  # binding stratum: full ring
+    assert rates["web"][1] == int(__import__("math").ceil(0.2 * (1 << 20)))
+
+    out = resample_to_mixture(
+        df, targets, "source", ("doc_id",), size_col="n_tok"
+    )
+    mass = {
+        r["source"]: r["m"]
+        for r in out.groupBy("source")
+        .agg(F.sum("n_tok").alias("m"))
+        .collect()
+    }
+    assert mass["code"] == 2000  # binding stratum fully kept
+    # hash-thinned web mass ≈ 2000 (binomial tolerance)
+    assert 1500 <= mass["web"] <= 2500
+    # deterministic under layout
+    again = resample_to_mixture(
+        df.repartition(13), targets, "source", ("doc_id",),
+        size_col="n_tok",
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
+    # row-count mode unchanged: same call without size_col solves on
+    # rows (equal row counts → both strata keep everything)
+    rows_mode = resample_to_mixture(df, targets, "source", ("doc_id",))
+    assert rows_mode.count() == 1000
