@@ -39,6 +39,7 @@ symbol alphabet — the merge/encode machinery is identical.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 from collections.abc import Iterator
 
@@ -56,6 +57,20 @@ from pyspark.sql.types import (
 from etl_data_lake_spark.functions.text import tokens
 
 Merges = list[tuple[str, str]]
+
+# Encode-side word splitter, pinned to the SAME whitespace class the
+# learn side's tokens() uses (Java \s+ = ASCII [ \t\n\x0B\f\r]).
+# Python's str.split() is Unicode-aware (NBSP etc. split there but
+# not in Spark), so a frequent 'prix\xa0fixe' would be LEARNED fused
+# yet ENCODED split — merges trained for exactly the corpus's hot
+# phrases would never apply. One tokenizer, both sides.
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def split_words(text: str) -> list[str]:
+    """The shared learn/encode word splitter (ASCII whitespace,
+    matching functions.text.tokens' Java regex)."""
+    return [w for w in _WS.split(text.strip()) if w]
 
 
 def learn_bpe(
@@ -161,7 +176,6 @@ def bpe_token_counts(
     docs: DataFrame,
     merges: Merges,
     text_col: str = "text",
-    id_col: str = "doc_id",
     out_col: str = "n_bpe_tokens",
 ) -> DataFrame:
     """→ input columns plus ``out_col``: the EXACT subword count of
@@ -182,7 +196,7 @@ def bpe_token_counts(
             if text is None:
                 return 0
             total = 0
-            for w in text.split():
+            for w in split_words(text):
                 n = cache.get(w)
                 if n is None:
                     n = len(bpe_encode(w, ranks))
@@ -221,7 +235,7 @@ def bpe_tokens_df(
             for text in pdf[text_col]:
                 pieces: list[str] = []
                 if text is not None:
-                    for w in text.split():
+                    for w in split_words(text):
                         enc = cache.get(w)
                         if enc is None:
                             enc = bpe_encode(w, ranks)

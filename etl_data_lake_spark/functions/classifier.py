@@ -193,13 +193,19 @@ def sql_hashed_bucket(term_expr: str, n_buckets: int, seed: int) -> str:
 @dataclass
 class LogRegModel:
     """Trained hashed-feature logistic regression: sparse weights by
-    bucket, intercept, and the per-epoch mean log-loss trace (the
-    convergence audit a training job logs)."""
+    bucket, intercept, the per-epoch mean log-loss trace (the
+    convergence audit a training job logs), and the FEATURE-SPACE
+    parameters (``seed``, ``portable``) — weights are meaningless
+    against features hashed differently, so the model carries its
+    hashing contract and :func:`quality_filter` rebuilds features
+    from it instead of trusting defaults."""
 
     weights: dict[int, float]
     bias: float
     n_buckets: int
     losses: list[float]
+    seed: int = 42
+    portable: bool = False
 
     def weights_df(self, spark) -> DataFrame:
         rows = sorted(self.weights.items())
@@ -215,6 +221,8 @@ def train_logreg(
     epochs: int = 30,
     lr: float = 1.0,
     l2: float = 0.0,
+    seed: int = 42,
+    portable: bool = False,
 ) -> LogRegModel:
     """Distributed full-batch gradient descent on the logistic loss.
 
@@ -305,7 +313,8 @@ def train_logreg(
     finally:
         data.unpersist()
     return LogRegModel(
-        weights=w, bias=bias, n_buckets=n_buckets, losses=losses
+        weights=w, bias=bias, n_buckets=n_buckets, losses=losses,
+        seed=seed, portable=portable,
     )
 
 
@@ -336,49 +345,44 @@ def score_logreg(
     )
 
 
-def nb_quality_scores(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    labels: DataFrame | None = None,
-) -> DataFrame:
-    """→ ``(doc_id, log_odds, predicted_quality)`` under a Naive-Bayes
-    log-odds model trained on ``labels`` (``(doc_id, y)``; defaults to
-    the weak heuristic labels of the SAME corpus — the bootstrap the
-    catalog entry quality_classifier_scores oracles). Scores are
-    integer sums of fixed-point weights, so the verdict is bit-stable
-    under any partitioning/layout — the property the end-to-end
-    pipeline's determinism test leans on (a float-sum GD model can
-    flip a boundary doc between runs; this one cannot)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
-    )
-    if labels is None:
-        lab = toks.withColumn("y", weak_quality_label(F.col("toks")))
-    else:
-        lab = toks.join(
-            labels.select("doc_id", F.col("y").cast("long")), "doc_id"
-        )
-    tok = lab.select("doc_id", "y", F.explode("toks").alias("term"))
-    w = nb_log_odds_weights(tok)
-    prior = lab.agg(
+def nb_prior(lab: DataFrame, label_col: str = "y"):
+    """1-row ``b_q`` frame: the fixed-point class prior — shared by
+    the library scorer and the catalog oracle entry so the two can
+    never drift."""
+    y = F.col(label_col)
+    return lab.agg(
         F.round(
             F.log(
-                (F.sum("y") + F.lit(1.0))
-                / (F.count(F.lit(1)) - F.sum("y") + F.lit(1.0))
+                (F.sum(y) + F.lit(1.0))
+                / (F.count(F.lit(1)) - F.sum(y) + F.lit(1.0))
             )
             * F.lit(float(WEIGHT_SCALE))
         )
         .cast("long")
         .alias("b_q")
     )
+
+
+def nb_score_tokens(tok: DataFrame, w: DataFrame, prior: DataFrame):
+    """Score an exploded ``(doc_id, term)`` frame against a trained
+    weight table: → ``(doc_id, n_terms, log_odds, predicted_quality)``.
+    The per-doc sum is an exact integer (fixed-point weights), so the
+    verdict is bit-stable under any partitioning/layout. Terms outside
+    the training vocabulary carry no evidence and drop out of the
+    join; a document with NO in-vocabulary term emits no row (no
+    evidence either way — callers treat absence as their policy
+    dictates)."""
     return (
         tok.join(w, "term")
         .groupBy("doc_id")
-        .agg(F.sum("w_q").alias("s_q"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("w_q").alias("s_q"),
+        )
         .crossJoin(F.broadcast(prior))
         .select(
             "doc_id",
+            "n_terms",
             (
                 (F.col("s_q") + F.col("b_q")).cast("double")
                 / F.lit(float(WEIGHT_SCALE))
@@ -389,6 +393,40 @@ def nb_quality_scores(
             .alias("predicted_quality"),
         )
     )
+
+
+def nb_quality_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    labels: DataFrame | None = None,
+) -> DataFrame:
+    """→ ``(doc_id, n_terms, log_odds, predicted_quality)`` for EVERY
+    document (with at least one in-vocabulary term) under a
+    Naive-Bayes log-odds model trained on ``labels`` (``(doc_id,
+    y)``; defaults to the weak heuristic labels of the SAME corpus —
+    the bootstrap the catalog entry quality_classifier_scores
+    oracles). Training restricts to the labeled subset; SCORING does
+    not — the standard bootstrap trains on 1k hand-labeled docs and
+    scores the whole corpus. Scores are integer sums of fixed-point
+    weights, so the verdict is bit-stable under any partitioning/
+    layout — the property the end-to-end pipeline's determinism test
+    leans on (a float-sum GD model can flip a boundary doc between
+    runs; this one cannot)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    )
+    if labels is None:
+        lab = toks.withColumn("y", weak_quality_label(F.col("toks")))
+    else:
+        lab = toks.join(
+            labels.select("doc_id", F.col("y").cast("long")), "doc_id"
+        )
+    train_tok = lab.select("doc_id", "y", F.explode("toks").alias("term"))
+    w = nb_log_odds_weights(train_tok)
+    prior = nb_prior(lab)
+    score_tok = toks.select("doc_id", F.explode("toks").alias("term"))
+    return nb_score_tokens(score_tok, w, prior)
 
 
 def nb_quality_filter(
@@ -414,13 +452,16 @@ def quality_filter(
     min_prob: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    seed: int = 42,
 ) -> DataFrame:
     """Keep documents the model scores at least ``min_prob`` — the
     composable curation stage (semi-join keeps every original
-    column, like lm.perplexity_filter)."""
+    column, like lm.perplexity_filter). Features rebuild from the
+    MODEL's hashing contract (n_buckets, seed, portable) — scoring
+    with a different feature space than training would apply learned
+    weights to unrelated buckets."""
     feats = hashed_features(
-        docs, text_col, id_col, model.n_buckets, seed
+        docs, text_col, id_col, model.n_buckets,
+        seed=model.seed, portable=model.portable,
     )
     keep = (
         score_logreg(feats, model)

@@ -162,6 +162,16 @@ class Pipeline:
                 raise ValueError(
                     "incremental_on tables support fail|warn only"
                 )
+            if unique:
+                # uniqueness is TABLE-granular: a delta-only audit
+                # cannot see a new row duplicating an already-published
+                # one, so a green gate would lie — refuse up front
+                raise ValueError(
+                    "incremental_on tables cannot carry unique= specs "
+                    "(the delta gate cannot validate cross-append "
+                    "uniqueness); enforce the key on the input table "
+                    "or use a full-rebuild table"
+                )
         if not name.isidentifier():
             # the name is used as a builder KEYWORD ARGUMENT and a
             # filesystem path segment under root — reject separators,
@@ -369,9 +379,12 @@ class Pipeline:
                 res.status[t.name] = "skipped"
                 blocked.add(t.name)
                 continue
+            # input snapshots PIN the probed version: every builder in
+            # one run sees the same committed state even if a writer
+            # lands mid-run, and the recorded vector is true
             dep_frames = {
                 d: (
-                    inputs[d].snapshot()
+                    inputs[d].snapshot(input_versions[d])
                     if d in inputs
                     else res.frames[d]
                 )
@@ -465,7 +478,8 @@ class Pipeline:
                 if d == t.incremental_on and append_delta:
                     dep_frames[d] = persisted_changes.drop("_change_type")
                 elif d in inputs:
-                    dep_frames[d] = inputs[d].snapshot()
+                    # pinned to the probed version, like run()
+                    dep_frames[d] = inputs[d].snapshot(input_versions[d])
                 else:
                     dep_frames[d] = res.frames[d]
             try:

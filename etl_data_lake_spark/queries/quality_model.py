@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from etl_data_lake_spark.functions.classifier import (
     WEIGHT_SCALE,
     nb_log_odds_weights,
+    nb_prior,
+    nb_score_tokens,
     sql_weak_quality_label,
     weak_quality_label,
 )
@@ -105,37 +107,21 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = lab.select(
         "doc_id", "y", F.explode("toks").alias("term")
     )
-    w = nb_log_odds_weights(tok)
-    prior = lab.agg(
-        F.round(
-            F.log(
-                (F.sum("y") + F.lit(1.0))
-                / (F.count(F.lit(1)) - F.sum("y") + F.lit(1.0))
-            )
-            * F.lit(float(WEIGHT_SCALE))
-        )
-        .cast("long")
-        .alias("b_q")
+    # the score/prior/verdict arithmetic is the SHARED library code
+    # (functions/classifier.nb_prior / nb_score_tokens) — this oracle
+    # therefore pins the exact expressions the production
+    # nb_quality_filter applies, not a lookalike copy
+    scored = nb_score_tokens(
+        tok.select("doc_id", "term"),
+        nb_log_odds_weights(tok),
+        nb_prior(lab),
     )
-    score = (
-        tok.join(w, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum("w_q").alias("s_q"),
-            F.max("y").alias("yy"),
-        )
-    )
-    return score.crossJoin(F.broadcast(prior)).select(
+    return scored.join(
+        lab.select(
+            "doc_id", F.col("y").cast("long").alias("weak_label")
+        ),
         "doc_id",
-        "n_terms",
-        F.col("yy").cast("long").alias("weak_label"),
-        (
-            (F.col("s_q") + F.col("b_q")).cast("double")
-            / F.lit(float(WEIGHT_SCALE))
-        ).alias("log_odds"),
-        F.when(F.col("s_q") + F.col("b_q") > 0, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("predicted_quality"),
+    ).select(
+        "doc_id", "n_terms", "weak_label", "log_odds",
+        "predicted_quality",
     )

@@ -149,7 +149,6 @@ class _Graph:
                 self.adj[layer].setdefault(i, [])
             return
         q = self.X[i]
-        top = len(self.adj) - 1
         ep = self.entry
         ep_lvl = self.levels[self.entry]
         for layer in range(ep_lvl, lvl, -1):
@@ -253,12 +252,16 @@ def hnsw_topk(
             {"query_id": qs, "neighbor_id": ns, "cos_sim": ss}
         )
 
+    # repartition by the id COLUMN directly: Spark's hash partitioner
+    # is already a content-deterministic uniform spread. (Hashing a
+    # precomputed pmod(xxhash64(id), P) shard id AGAIN — the earlier
+    # form — collides the P shard ids onto fewer physical partitions:
+    # some tasks build ~2x graphs at ~4x quadratic-ish cost while
+    # others idle.)
     c = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).repartition(
-        n_parts, F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(n_parts))
-    )
+    ).repartition(n_parts, F.col("neighbor_id"))
     cand = c.mapInPandas(shard, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

@@ -133,8 +133,14 @@ def _type_avro(dt: DataType, name: str):
         return "boolean"
     if isinstance(dt, BinaryType):
         return "bytes"
-    if isinstance(dt, (TimestampType, TimestampNTZType)):
+    if isinstance(dt, TimestampType):
+        # instant semantics per the Avro spec; valid because the
+        # writer/reader REFUSE non-UTC sessions (see _require_utc) —
+        # under UTC the session-local naive datetime IS the instant
         return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, TimestampNTZType):
+        # wall-clock semantics: the spec's local-timestamp-micros
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
     if isinstance(dt, DateType):
         return {"type": "int", "logicalType": "date"}
     if isinstance(dt, ArrayType):
@@ -181,6 +187,8 @@ def _avro_field_spark(s) -> tuple[DataType, bool]:
     if isinstance(s, dict):
         lt = s.get("logicalType")
         if lt == "timestamp-micros":
+            return TimestampType(), False
+        if lt == "local-timestamp-micros":
             return TimestampNTZType(), False
         if lt == "date":
             return DateType(), False
@@ -213,7 +221,13 @@ def to_avro_value(v, dt: DataType):
     if v is None:
         return None
     if isinstance(dt, (TimestampType, TimestampNTZType)):
-        base = v.replace(tzinfo=None) if v.tzinfo else v
+        # a tz-aware value converts to UTC (never just drops its
+        # offset); naive values are UTC by the _require_utc contract
+        base = (
+            v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            if v.tzinfo
+            else v
+        )
         return round((base - _EPOCH).total_seconds() * 1_000_000)
     if isinstance(dt, DateType):
         return (v - _EPOCH_DATE).days
@@ -255,6 +269,48 @@ def from_avro_value(v, dt: DataType):
 # ------------------------------------------------------------------- files --
 
 
+def _has_instant(dt: DataType) -> bool:
+    if isinstance(dt, TimestampType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _has_instant(dt.elementType)
+    if isinstance(dt, MapType):
+        return _has_instant(dt.valueType)
+    if isinstance(dt, StructType):
+        return any(_has_instant(f.dataType) for f in dt.fields)
+    return False
+
+
+def _require_utc(schema: StructType, side: str, tz=None) -> None:
+    """Instant (TimestampType) columns only compose with Avro's
+    timestamp-micros when the session clock is UTC: Spark hands the
+    Python DataSource session-LOCAL naive datetimes. Refuse loudly
+    instead of shifting instants silently; use timestamp_ntz (wall
+    clock) or a UTC session.
+
+    DataSource planning runs in a SESSION-LESS Python worker, so the
+    timezone travels as the ``sessionTimeZone`` option (stamped by
+    readers.read_avro / write_avro, the documented surface); with
+    neither an option nor an active session the check is best-effort
+    skipped — direct ``format("avrolake")`` users own the contract."""
+    if not any(_has_instant(f.dataType) for f in schema.fields):
+        return
+    if tz is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"avrolake {side} with TimestampType columns requires "
+            f"spark.sql.session.timeZone=UTC (got {tz!r}); instants "
+            "would shift silently otherwise — use timestamp_ntz or a "
+            "UTC session"
+        )
+
+
 def _list_avro_files(path: str) -> list[str]:
     p = Path(path)
     if p.is_file():
@@ -276,6 +332,7 @@ class _AvroFilePart(InputPartition):
 
 
 def _check_read_options(options, schema: StructType) -> str:
+    _require_utc(schema, "read", options.get("sessionTimeZone"))
     on_error = str(options.get("on_error", "fail")).lower()
     if on_error not in ("fail", "drop", "capture"):
         raise ValueError(
@@ -415,6 +472,9 @@ class AvroBatchWriter(DataSourceWriter):
         self._path = options["path"]
         self._codec = str(options.get("codec", "deflate"))
         self._block = int(options.get("maxBlockRecords", 4096))
+        _require_utc(
+            schema, "write", options.get("sessionTimeZone")
+        )
         self._schema = schema
         self._avro_schema = spark_to_avro_schema(schema)
         validate_schema(self._avro_schema)
@@ -495,6 +555,9 @@ class AvroStreamWriter(DataSourceStreamWriter):
         self._path = options["path"]
         self._codec = str(options.get("codec", "deflate"))
         self._block = int(options.get("maxBlockRecords", 4096))
+        _require_utc(
+            schema, "write", options.get("sessionTimeZone")
+        )
         self._schema = schema
         self._avro_schema = spark_to_avro_schema(schema)
         validate_schema(self._avro_schema)

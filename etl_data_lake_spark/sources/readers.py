@@ -99,7 +99,16 @@ def read_avro(
     )
 
     register_avro_source(spark)
-    reader = spark.read.format("avrolake").option("on_error", on_error)
+    reader = (
+        spark.read.format("avrolake")
+        .option("on_error", on_error)
+        # DataSource planning runs session-less: ship the tz so the
+        # instant-column UTC guard can actually fire there
+        .option(
+            "sessionTimeZone",
+            spark.conf.get("spark.sql.session.timeZone", ""),
+        )
+    )
     if schema is not None:
         if on_error == "capture":
             # every data column nullable: a captured bad block emits
@@ -122,7 +131,16 @@ def write_avro(
     )
 
     register_avro_source(df.sparkSession)
-    df.write.format("avrolake").option("codec", codec).mode(mode).save(path)
+    (
+        df.write.format("avrolake")
+        .option("codec", codec)
+        .option(
+            "sessionTimeZone",
+            df.sparkSession.conf.get("spark.sql.session.timeZone", ""),
+        )
+        .mode(mode)
+        .save(path)
+    )
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

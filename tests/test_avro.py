@@ -340,3 +340,56 @@ def test_stream_writer_rejects_complete_mode(spark, tmp_path):
             .start()
         )
         q.awaitTermination()
+
+
+def test_timestamp_logical_types_and_utc_guard(spark, tmp_path):
+    """TimestampType maps to timestamp-micros (instant), timestamp_ntz
+    to local-timestamp-micros (wall clock) — per the Avro spec — and
+    instant columns REFUSE a non-UTC session instead of silently
+    shifting (review regression)."""
+    import json
+
+    from etl_data_lake_spark.sources.readers import read_avro, write_avro
+
+    p = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT TIMESTAMP'2024-01-02 03:04:05.123456' AS instant, "
+        "TIMESTAMP_NTZ'2024-01-02 03:04:05.123456' AS wall"
+    )
+    write_avro(df.coalesce(1), p)
+    part = next(
+        f for f in os.listdir(p) if f.endswith(".avro")
+    )
+    head = open(f"{p}/{part}", "rb").read(1 << 16)
+    schema, _, _, _ = A.read_header(head)
+    def lt(t):  # literals plan non-nullable → bare type, else union
+        return (t[1] if isinstance(t, list) else t)["logicalType"]
+
+    lts = {f["name"]: lt(f["type"]) for f in schema["fields"]}
+    assert lts == {
+        "instant": "timestamp-micros",
+        "wall": "local-timestamp-micros",
+    }
+    back = read_avro(spark, p, None, on_error="fail")
+    assert back.schema["instant"].dataType.simpleString() == "timestamp"
+    assert back.schema["wall"].dataType.simpleString() == "timestamp_ntz"
+    assert back.collect() == df.collect()
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(Exception, match="timeZone=UTC"):
+            write_avro(df, str(tmp_path / "t2"))
+        with pytest.raises(Exception, match="timeZone=UTC"):
+            read_avro(spark, p, df.schema, on_error="fail").collect()
+        # wall-clock-only schemas stay usable in any timezone
+        ntz = spark.sql(
+            "SELECT TIMESTAMP_NTZ'2024-01-02 03:04:05' AS wall"
+        )
+        write_avro(ntz.coalesce(1), str(tmp_path / "t3"))
+        got = read_avro(
+            spark, str(tmp_path / "t3"), ntz.schema, on_error="fail"
+        )
+        assert got.collect() == ntz.collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -13,6 +13,7 @@ from etl_data_lake_spark.functions.bpe import (
     bpe_token_counts,
     bpe_tokens_df,
     learn_bpe,
+    split_words,
 )
 from tests.conftest import SF_DIR
 
@@ -67,7 +68,9 @@ def test_spark_counts_bit_equal_to_reference(spark):
         for r in bpe_token_counts(docs, merges).collect()
     }
     for r in docs.select("doc_id", "text").collect():
-        want = sum(len(bpe_encode(w, ranks)) for w in r["text"].split())
+        want = sum(
+            len(bpe_encode(w, ranks)) for w in split_words(r["text"])
+        )
         assert got[r["doc_id"]] == want
     # full-encoding surface agrees with the counts
     enc = {
@@ -126,3 +129,25 @@ def test_validation_and_out_col_clash(spark):
         bpe_token_counts(
             docs.withColumn("n_bpe_tokens", F.lit(1)), [("a", "b")]
         )
+
+
+def test_learn_and_encode_share_one_whitespace_class(spark):
+    """NBSP is NOT a word boundary (Java \\s is ASCII): a hot
+    NBSP-fused phrase must be learned AND encoded as one word — the
+    learn/encode tokenizer-mismatch regression."""
+    docs = spark.createDataFrame(
+        [(i, "prix fixe menu") for i in range(5)],
+        "doc_id long, text string",
+    )
+    assert split_words("prix fixe menu") == ["prix fixe", "menu"]
+    merges = learn_bpe(docs, n_merges=30, min_pair_count=2)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # the fused word fully merges under the learned table...
+    assert bpe_encode("prix fixe", ranks) == ["prix fixe"]
+    # ...and the Spark encode counts it as ONE token per doc (plus
+    # 'menu'), proving both sides split identically
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    assert set(got.values()) == {2}

@@ -183,3 +183,35 @@ def test_nb_filter_separates_and_is_layout_stable(spark):
     assert sorted(r["doc_id"] for r in kept13.collect()) == sorted(
         r["doc_id"] for r in kept.collect()
     )
+
+
+def test_nb_scores_whole_corpus_from_labeled_subset(spark):
+    """The bootstrap contract: training restricts to the labeled
+    subset, scoring does NOT (review regression — an inner join used
+    to drop every unlabeled doc before scoring)."""
+    from etl_data_lake_spark.functions.classifier import nb_quality_scores
+
+    docs = _planted(spark, n_per_class=20)
+    labeled = docs.where("doc_id < 10").select("doc_id", "y")  # 10 of 40
+    scored = nb_quality_scores(docs, labels=labeled)
+    assert scored.count() == docs.count()  # everyone scored
+    got = scored.join(docs.select("doc_id", "y"), "doc_id")
+    wrong = got.where(F.col("predicted_quality") != F.col("y")).count()
+    assert wrong == 0  # disjoint vocabularies generalize perfectly
+
+
+def test_quality_filter_uses_model_feature_contract(spark):
+    """quality_filter rebuilds features from the model's recorded
+    (seed, portable) — a model trained on a non-default feature space
+    must filter correctly without the caller restating it (review
+    regression: defaults silently mismatched the buckets)."""
+    docs = _planted(spark, n_per_class=10)
+    feats = hashed_features(docs, n_buckets=512, seed=7, portable=True)
+    model = train_logreg(
+        feats, docs.select("doc_id", "y"), n_buckets=512,
+        epochs=20, seed=7, portable=True,
+    )
+    kept = quality_filter(docs, model)
+    assert {r["doc_id"] for r in kept.collect()} == {
+        r["doc_id"] for r in docs.where("y = 1").collect()
+    }

@@ -518,3 +518,15 @@ def test_refresh_validation_and_registration_guards(spark, tmp_path):
 
     with pytest.raises(ValueError, match="declared input"):
         p3.run(spark)
+
+
+def test_incremental_rejects_unique_specs(spark):
+    """unique= gates are table-granular; a delta-only audit cannot see
+    cross-append duplicates, so registration refuses the combination
+    (review regression)."""
+    p = Pipeline("g4")
+    with pytest.raises(ValueError, match="unique"):
+        p.table(
+            "t", deps=("src",), incremental_on="src",
+            unique=(("id",),),
+        )(lambda s, src: src)
