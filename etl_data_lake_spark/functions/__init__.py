@@ -16,6 +16,7 @@ from etl_data_lake_spark.functions.bpe import (
 )
 from etl_data_lake_spark.functions.classifier import (
     LogRegModel,
+    classifier_eval,
     hashed_features,
     nb_quality_filter,
     nb_quality_scores,
@@ -49,6 +50,7 @@ __all__ = [
     "bpe_token_counts",
     "bpe_tokens_df",
     "LogRegModel",
+    "classifier_eval",
     "hashed_features",
     "train_logreg",
     "score_logreg",

@@ -446,6 +446,95 @@ def nb_quality_filter(
     return docs.join(keep, id_col, "left_semi")
 
 
+def classifier_eval(
+    scored: DataFrame,
+    label_col: str = "y",
+    score_col: str = "prob",
+    threshold: float = 0.5,
+    auc_bins: int = 100_000,
+) -> DataFrame:
+    """One-row evaluation of a binary scorer: confusion counts at
+    ``threshold`` (tp/fp/tn/fn + accuracy/precision/recall/f1) and
+    AUC — everything a filter-threshold sweep needs before committing
+    a cut to a 100 TB corpus.
+
+    AUC is the Mann-Whitney statistic computed over a SCORE HISTOGRAM:
+    scores quantize to ``auc_bins`` buckets, one aggregation collects
+    per-bucket class counts, and the rank-sum folds over the ≤
+    ``auc_bins`` buckets with ties-within-bucket counted half (the
+    standard tie correction). Exact for scores already quantized at
+    bucket granularity; otherwise the error is bounded by the bucket
+    width (1e-5 at the default) — how AUC is computed at data scale,
+    since an exact global rank is a single-partition sort. The bucket
+    window is partitionless BY DESIGN: it runs over at most
+    ``auc_bins`` aggregate rows, never data rows (same discipline as
+    the mixture solver). Rows with a null label or score are excluded
+    (no evidence, not wrong evidence); zero-pos or zero-neg inputs
+    report null AUC/precision/recall rather than dividing by zero.
+    Undefined ratios (e.g. precision with no positive predictions)
+    are null, never NaN."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if auc_bins < 2:
+        raise ValueError(f"auc_bins must be >= 2, got {auc_bins}")
+    y = F.col(label_col).cast("long")
+    s = F.col(score_col).cast("double")
+    rows = scored.where(y.isNotNull() & s.isNotNull()).select(
+        y.alias("_y"), s.alias("_s")
+    )
+    pred = (F.col("_s") >= F.lit(threshold)).cast("long")
+    conf = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("_y")).alias("n_neg"),
+        F.sum(F.col("_y") * pred).alias("tp"),
+        F.sum((F.lit(1) - F.col("_y")) * pred).alias("fp"),
+        F.sum((F.lit(1) - F.col("_y")) * (F.lit(1) - pred)).alias("tn"),
+        F.sum(F.col("_y") * (F.lit(1) - pred)).alias("fn"),
+    )
+    bucket = F.least(
+        F.floor(F.col("_s") * F.lit(auc_bins)).cast("long"),
+        F.lit(auc_bins - 1),
+    )
+    hist = rows.groupBy(bucket.alias("_b")).agg(
+        F.sum("_y").alias("_p"),
+        F.sum(F.lit(1) - F.col("_y")).alias("_q"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    auc_num = hist.select(
+        (
+            F.col("_p")
+            * (
+                F.coalesce(F.sum("_q").over(w), F.lit(0))
+                + F.lit(0.5) * F.col("_q")
+            )
+        ).alias("_u")
+    ).agg(F.coalesce(F.sum("_u"), F.lit(0.0)).alias("_U"))
+    ratio = lambda num, den: F.when(den > 0, num / den)  # noqa: E731
+    return (
+        conf.crossJoin(F.broadcast(auc_num))
+        .select(
+            "n", "n_pos", "n_neg", "tp", "fp", "tn", "fn",
+            ratio(F.col("tp") + F.col("tn"), F.col("n")).alias("accuracy"),
+            ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+            ratio(F.col("tp"), F.col("n_pos")).alias("recall"),
+            F.when(
+                F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                F.lit(2.0) * F.col("tp")
+                / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")),
+            ).alias("f1"),
+            ratio(
+                F.col("_U"), (F.col("n_pos") * F.col("n_neg")).cast("double")
+            ).alias("auc"),
+        )
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     model: LogRegModel,

@@ -215,3 +215,78 @@ def test_quality_filter_uses_model_feature_contract(spark):
     assert {r["doc_id"] for r in kept.collect()} == {
         r["doc_id"] for r in docs.where("y = 1").collect()
     }
+
+
+def _exact_auc(pairs):
+    """Exact Mann-Whitney AUC, tiny-python reference."""
+    pos = [s for y, s in pairs if y == 1]
+    neg = [s for y, s in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    u = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0)
+        for p in pos for q in neg
+    )
+    return u / (len(pos) * len(neg))
+
+
+def test_classifier_eval_matches_exact_reference(spark):
+    from etl_data_lake_spark.functions.classifier import classifier_eval
+
+    pairs = [
+        (1, 0.9), (1, 0.8), (1, 0.55), (1, 0.4), (1, 0.55),
+        (0, 0.6), (0, 0.3), (0, 0.55), (0, 0.1), (0, 0.2),
+    ]
+    df = spark.createDataFrame(pairs, "y long, prob double")
+    row = classifier_eval(df, threshold=0.5).collect()[0]
+    assert (row["n"], row["n_pos"], row["n_neg"]) == (10, 5, 5)
+    # confusion at 0.5: preds >= .5 → pos {0.9,.8,.55,.55}=4 tp, fn 1;
+    # neg {0.6,.55} → fp 2, tn 3
+    assert (row["tp"], row["fp"], row["tn"], row["fn"]) == (4, 2, 3, 1)
+    assert row["accuracy"] == pytest.approx(0.7)
+    assert row["precision"] == pytest.approx(4 / 6)
+    assert row["recall"] == pytest.approx(0.8)
+    assert row["f1"] == pytest.approx(2 * 4 / (2 * 4 + 2 + 1))
+    # binned AUC vs the exact rank-sum (ties at 0.55 included)
+    assert row["auc"] == pytest.approx(_exact_auc(pairs), abs=1e-4)
+
+
+def test_classifier_eval_edges(spark):
+    from etl_data_lake_spark.functions.classifier import classifier_eval
+
+    # perfect separation → auc 1.0; degenerate single-class → nulls
+    perfect = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], "y long, prob double"
+    )
+    r = classifier_eval(perfect).collect()[0]
+    assert r["auc"] == pytest.approx(1.0) and r["accuracy"] == 1.0
+    onecls = spark.createDataFrame([(1, 0.9), (1, 0.1)], "y long, prob double")
+    r1 = classifier_eval(onecls).collect()[0]
+    assert r1["auc"] is None and r1["tn"] == 0
+    # nulls excluded, not counted
+    withnull = spark.createDataFrame(
+        [(1, 0.9), (None, 0.5), (0, None)], "y long, prob double"
+    )
+    assert classifier_eval(withnull).collect()[0]["n"] == 1
+    with pytest.raises(ValueError, match="threshold"):
+        classifier_eval(perfect, threshold=1.5)
+    with pytest.raises(ValueError, match="auc_bins"):
+        classifier_eval(perfect, auc_bins=1)
+
+
+def test_classifier_eval_on_trained_model(spark):
+    """End-to-end: the logreg trained on the separable corpus grades
+    perfectly under its own eval — the threshold-sweep surface."""
+    from etl_data_lake_spark.functions.classifier import classifier_eval
+
+    docs = _planted(spark, n_per_class=20)
+    feats = hashed_features(docs, n_buckets=2048)
+    model = train_logreg(
+        feats, docs.select("doc_id", "y"), n_buckets=2048, epochs=20
+    )
+    scored = score_logreg(feats, model).join(
+        docs.select("doc_id", "y"), "doc_id"
+    )
+    r = classifier_eval(scored).collect()[0]
+    assert r["auc"] == pytest.approx(1.0)
+    assert r["f1"] == pytest.approx(1.0)
