@@ -125,3 +125,121 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_terms", "weak_label", "log_odds",
         "predicted_quality",
     )
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation as a LIBRARY TWIN (test_parity): the NB classifier
+# graded against its own weak labels — confusion at 0.5 plus
+# histogram-AUC — with the ENTIRE train+score+eval composition
+# reproduced in one DuckDB query. The AUC fold is exact cross-engine:
+# per-bucket terms are integers times 0.5 (multiples of 0.5 sum
+# order-independently in doubles), so even the rank-sum hashes equal.
+# ---------------------------------------------------------------------------
+
+_EVAL_BINS = 1_000
+
+
+def quality_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_lake_spark.functions.classifier import classifier_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).withColumn("y", weak_quality_label(F.col("toks")))
+    tok = lab.select("doc_id", "y", F.explode("toks").alias("term"))
+    scored = nb_score_tokens(
+        tok.select("doc_id", "term"),
+        nb_log_odds_weights(tok),
+        nb_prior(lab),
+    ).join(lab.select("doc_id", "y"), "doc_id")
+    frame = scored.select(
+        "y",
+        (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds")))
+        ).alias("prob"),
+    )
+    return classifier_eval(frame, auc_bins=_EVAL_BINS)
+
+
+QUALITY_MODEL_EVAL_SQL = f"""
+    WITH lab AS (
+        SELECT doc_id, {_TOK} AS toks,
+               {sql_weak_quality_label(_TOK)} AS y
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, y, unnest(toks) AS term FROM lab),
+    counts AS (
+        SELECT term, SUM(y) AS c_pos, SUM(1 - y) AS c_neg
+        FROM tok GROUP BY term
+    ),
+    tot AS (
+        SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg, COUNT(*) AS v
+        FROM counts
+    ),
+    w AS (
+        SELECT term,
+               CAST(ROUND((ln((c_pos + 1.0) / (n_pos + v))
+                           - ln((c_neg + 1.0) / (n_neg + v)))
+                          * {WEIGHT_SCALE}) AS BIGINT) AS w_q
+        FROM counts, tot
+    ),
+    prior AS (
+        SELECT CAST(ROUND(ln((SUM(y) + 1.0)
+                             / (COUNT(*) - SUM(y) + 1.0))
+                          * {WEIGHT_SCALE}) AS BIGINT) AS b_q
+        FROM lab
+    ),
+    score AS (
+        SELECT tok.doc_id, CAST(SUM(w.w_q) AS BIGINT) AS s_q,
+               MAX(tok.y) AS y
+        FROM tok JOIN w USING (term)
+        GROUP BY tok.doc_id
+    ),
+    ev AS (
+        SELECT y,
+               1.0 / (1.0 + exp(-(CAST(s_q + b_q AS DOUBLE)
+                                  / {WEIGHT_SCALE}.0))) AS prob
+        FROM score, prior
+    ),
+    conf AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+               CAST(SUM(y * CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(SUM((1 - y) * CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(SUM((1 - y) * CASE WHEN prob < 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tn,
+               CAST(SUM(y * CASE WHEN prob < 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn
+        FROM ev
+    ),
+    hist AS (
+        SELECT LEAST(CAST(floor(prob * {_EVAL_BINS}) AS BIGINT),
+                     {_EVAL_BINS - 1}) AS b,
+               SUM(y) AS p, SUM(1 - y) AS q
+        FROM ev GROUP BY 1
+    ),
+    cum AS (
+        SELECT p, q,
+               COALESCE(SUM(q) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cq
+        FROM hist
+    ),
+    u AS (
+        SELECT COALESCE(SUM(p * (cq + 0.5 * q)), 0.0) AS U FROM cum
+    )
+    SELECT n, n_pos, n_neg, tp, fp, tn, fn,
+           CASE WHEN n > 0
+                THEN (tp + tn) * 1.0 / n END AS accuracy,
+           CASE WHEN tp + fp > 0
+                THEN tp * 1.0 / (tp + fp) END AS precision,
+           CASE WHEN n_pos > 0 THEN tp * 1.0 / n_pos END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN 2.0 * tp / (2 * tp + fp + fn) END AS f1,
+           CASE WHEN n_pos * n_neg > 0
+                THEN U / CAST(n_pos * n_neg AS DOUBLE) END AS auc
+    FROM conf, u
+"""

@@ -157,6 +157,11 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.advanced_rel",
         "GROUPING_SETS_REVENUE_SQL",
     ),
+    (
+        "quality_model_eval",
+        "etl_data_lake_spark.queries.quality_model",
+        "QUALITY_MODEL_EVAL_SQL",
+    ),
 ]
 
 
