@@ -68,9 +68,13 @@ _WS = re.compile(r"\s+", re.ASCII)
 
 
 def split_words(text: str) -> list[str]:
-    """The shared learn/encode word splitter (ASCII whitespace,
-    matching functions.text.tokens' Java regex)."""
-    return [w for w in _WS.split(text.strip()) if w]
+    """The shared learn/encode word splitter, reproducing the learn
+    side EXACTLY: Spark's ``trim`` strips only ASCII space (not even
+    tab), the Java ``\\s+`` split is ASCII, and empty tokens filter
+    out — so the edge-NBSP word ``'\\xa0prix'`` stays fused on BOTH
+    sides (a Unicode-aware ``str.strip()`` here would shear it on the
+    encode side only)."""
+    return [w for w in _WS.split(text.strip(" ")) if w]
 
 
 def learn_bpe(

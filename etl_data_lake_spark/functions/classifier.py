@@ -465,11 +465,16 @@ def classifier_eval(
     standard tie correction). Exact for scores already quantized at
     bucket granularity; otherwise the error is bounded by the bucket
     width (1e-5 at the default) — how AUC is computed at data scale,
-    since an exact global rank is a single-partition sort. The bucket
-    window is partitionless BY DESIGN: it runs over at most
-    ``auc_bins`` aggregate rows, never data rows (same discipline as
-    the mixture solver). Rows with a null label or score are excluded
-    (no evidence, not wrong evidence); zero-pos or zero-neg inputs
+    since an exact global rank is a single-partition sort. The data
+    scans ONCE: one (bucket, prediction)-keyed aggregation feeds both
+    the confusion counts and the AUC fold, so the input lineage —
+    which in quality_model_eval is an entire train+score composition —
+    never re-executes. The bucket window is partitionless BY DESIGN:
+    it runs over at most 2·``auc_bins`` aggregate rows, never data
+    rows (same discipline as the mixture solver). Rows with a null OR
+    NaN label/score are excluded (no evidence, not wrong evidence —
+    and NaN orders ABOVE every double in Spark, so an unfiltered NaN
+    would silently predict positive); zero-pos or zero-neg inputs
     report null AUC/precision/recall rather than dividing by zero.
     Undefined ratios (e.g. precision with no positive predictions)
     are null, never NaN."""
@@ -477,47 +482,67 @@ def classifier_eval(
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     if auc_bins < 2:
         raise ValueError(f"auc_bins must be >= 2, got {auc_bins}")
-    y = F.col(label_col).cast("long")
+    y = F.col(label_col).cast("double")
     s = F.col(score_col).cast("double")
-    rows = scored.where(y.isNotNull() & s.isNotNull()).select(
-        y.alias("_y"), s.alias("_s")
-    )
-    pred = (F.col("_s") >= F.lit(threshold)).cast("long")
-    conf = rows.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("_y").alias("n_pos"),
-        F.sum(F.lit(1) - F.col("_y")).alias("n_neg"),
-        F.sum(F.col("_y") * pred).alias("tp"),
-        F.sum((F.lit(1) - F.col("_y")) * pred).alias("fp"),
-        F.sum((F.lit(1) - F.col("_y")) * (F.lit(1) - pred)).alias("tn"),
-        F.sum(F.col("_y") * (F.lit(1) - pred)).alias("fn"),
-    )
+    rows = scored.where(
+        y.isNotNull() & s.isNotNull() & ~F.isnan(y) & ~F.isnan(s)
+    ).select(y.cast("long").alias("_y"), s.alias("_s"))
     bucket = F.least(
         F.floor(F.col("_s") * F.lit(auc_bins)).cast("long"),
         F.lit(auc_bins - 1),
     )
-    hist = rows.groupBy(bucket.alias("_b")).agg(
+    pred = (F.col("_s") >= F.lit(threshold)).cast("long")
+    # the ONE data-sized aggregation; everything below runs on its
+    # ≤ 2·auc_bins rows
+    base = rows.groupBy(
+        bucket.alias("_b"), pred.alias("_pred")
+    ).agg(
         F.sum("_y").alias("_p"),
         F.sum(F.lit(1) - F.col("_y")).alias("_q"),
     )
+    # base is consumed by EXACTLY ONE downstream aggregate (no
+    # branching — a conf/hist split would duplicate the data-sized
+    # lineage in the logical plan and lean on exchange reuse to
+    # deduplicate it): two windows over the ≤ 2·auc_bins bucket rows
+    # attach each row's strictly-lower-bucket negative mass (RANGE
+    # frame, so the two pred-rows of one bucket see the same value)
+    # and its own bucket's negative mass, then one aggregate folds
+    # confusion counts and the rank-sum together.
     from pyspark.sql import Window
 
-    w = (
+    w_below = (
         Window.orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    auc_num = hist.select(
-        (
-            F.col("_p")
-            * (
-                F.coalesce(F.sum("_q").over(w), F.lit(0))
-                + F.lit(0.5) * F.col("_q")
-            )
-        ).alias("_u")
-    ).agg(F.coalesce(F.sum("_u"), F.lit(0.0)).alias("_U"))
+    w_same = Window.partitionBy("_b")
+    staged = base.select(
+        "_p", "_q", "_pred",
+        F.coalesce(F.sum("_q").over(w_below), F.lit(0)).alias("_cq"),
+        F.sum("_q").over(w_same).alias("_qb"),
+    )
+    conf = staged.agg(
+        F.coalesce(F.sum(F.col("_p") + F.col("_q")), F.lit(0)).alias("n"),
+        F.coalesce(F.sum("_p"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum("_q"), F.lit(0)).alias("n_neg"),
+        F.coalesce(F.sum(F.col("_p") * F.col("_pred")), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum(F.col("_q") * F.col("_pred")), F.lit(0)).alias("fp"),
+        F.coalesce(
+            F.sum(F.col("_q") * (F.lit(1) - F.col("_pred"))), F.lit(0)
+        ).alias("tn"),
+        F.coalesce(
+            F.sum(F.col("_p") * (F.lit(1) - F.col("_pred"))), F.lit(0)
+        ).alias("fn"),
+        F.coalesce(
+            F.sum(
+                F.col("_p")
+                * (F.col("_cq") + F.lit(0.5) * F.col("_qb"))
+            ),
+            F.lit(0.0),
+        ).alias("_U"),
+    )
     ratio = lambda num, den: F.when(den > 0, num / den)  # noqa: E731
     return (
-        conf.crossJoin(F.broadcast(auc_num))
+        conf
         .select(
             "n", "n_pos", "n_neg", "tp", "fp", "tn", "fn",
             ratio(F.col("tp") + F.col("tn"), F.col("n")).alias("accuracy"),

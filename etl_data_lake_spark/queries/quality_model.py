@@ -99,6 +99,15 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-on-weak-labels, score-everything: per-document log-odds
     and the model's keep/drop verdict under a Naive-Bayes classifier
     fit against the heuristic quality gate's labels."""
+    return _scored_with_weak_labels(spark, sf_dir)
+
+
+def _scored_with_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one bootstrap composition both the catalog entry and the
+    eval twin grade: weak-label → train → score, assembled from the
+    SHARED library arithmetic (functions/classifier.nb_prior /
+    nb_score_tokens) so the oracle pins the exact expressions the
+    production nb_quality_filter applies, not a lookalike copy."""
     docs = load_table(spark, sf_dir, "documents")
     lab = docs.select(
         "doc_id",
@@ -107,18 +116,17 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = lab.select(
         "doc_id", "y", F.explode("toks").alias("term")
     )
-    # the score/prior/verdict arithmetic is the SHARED library code
-    # (functions/classifier.nb_prior / nb_score_tokens) — this oracle
-    # therefore pins the exact expressions the production
-    # nb_quality_filter applies, not a lookalike copy
     scored = nb_score_tokens(
         tok.select("doc_id", "term"),
         nb_log_odds_weights(tok),
         nb_prior(lab),
     )
+    # MAX-grouped label join: the oracle GROUPs BY doc_id, so a
+    # duplicate doc_id must merge to one row here too (a plain join
+    # would fan the aggregated row out per duplicate)
     return scored.join(
-        lab.select(
-            "doc_id", F.col("y").cast("long").alias("weak_label")
+        lab.groupBy("doc_id").agg(
+            F.max(F.col("y").cast("long")).alias("weak_label")
         ),
         "doc_id",
     ).select(
@@ -142,18 +150,8 @@ _EVAL_BINS = 1_000
 def quality_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_lake_spark.functions.classifier import classifier_eval
 
-    docs = load_table(spark, sf_dir, "documents")
-    lab = docs.select(
-        "doc_id", tokens("text").alias("toks")
-    ).withColumn("y", weak_quality_label(F.col("toks")))
-    tok = lab.select("doc_id", "y", F.explode("toks").alias("term"))
-    scored = nb_score_tokens(
-        tok.select("doc_id", "term"),
-        nb_log_odds_weights(tok),
-        nb_prior(lab),
-    ).join(lab.select("doc_id", "y"), "doc_id")
-    frame = scored.select(
-        "y",
+    frame = _scored_with_weak_labels(spark, sf_dir).select(
+        F.col("weak_label").alias("y"),
         (
             F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds")))
         ).alias("prob"),

@@ -13,11 +13,12 @@ Distribution model — the standard sharded-graph design (how every
 production vector store distributes HNSW, since the graph itself
 doesn't partition):
 
-* the corpus hash-partitions by content (``pmod(xxhash64(id), P)`` —
-  layout/retry invariant), each partition builds ITS OWN small graph
-  inside one ``mapInPandas`` pass and searches it for every query —
-  the corpus never shuffles, and the graph never exists as a global
-  object;
+* the corpus hash-partitions by the vector id (Spark's hash
+  partitioner — a pure function of the id value, so shard membership
+  is layout/retry invariant), each partition builds ITS OWN small
+  graph inside one ``mapInPandas`` pass and searches it for every
+  query — the corpus never shuffles, and the graph never exists as a
+  global object;
 * each partition emits its local top-k per query; the global answer
   is a window rank over P·k·|Q| candidate rows — candidates-only
   shuffle, exactly the IVF/LSH discipline;

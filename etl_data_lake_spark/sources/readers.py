@@ -143,6 +143,69 @@ def write_avro(
     )
 
 
+def read_avro_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    on_error: str = "capture",
+) -> DataFrame:
+    """Streaming twin of :func:`read_avro` over a landing directory
+    (sources/avro_source.AvroStreamReader): each micro-batch reads
+    exactly the container files that appeared since the checkpointed
+    offset. Schema is REQUIRED (streaming sources cannot infer);
+    policy surface identical to the batch reader."""
+    if on_error not in _MODES:
+        raise ValueError(f"on_error must be one of {sorted(_MODES)}")
+    from etl_data_lake_spark.sources.avro_source import (
+        capture_schema,
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    if on_error == "capture":
+        schema = capture_schema(schema)
+    return (
+        spark.readStream.format("avrolake")
+        .schema(schema)
+        .option("on_error", on_error)
+        .option(
+            "sessionTimeZone",
+            spark.conf.get("spark.sql.session.timeZone", ""),
+        )
+        .load(path)
+    )
+
+
+def avro_stream_writer(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    codec: str = "deflate",
+):
+    """DataStreamWriter for the exactly-once avrolake sink, with the
+    session timezone stamped so the instant-column UTC guard can fire
+    in the session-less planning worker (direct
+    ``writeStream.format("avrolake")`` users must set the
+    ``sessionTimeZone`` option themselves or own the UTC contract).
+    Caller picks trigger/start: ``avro_stream_writer(...)
+    .trigger(availableNow=True).start()``."""
+    from etl_data_lake_spark.sources.avro_source import (
+        register_avro_source,
+    )
+
+    register_avro_source(df.sparkSession)
+    return (
+        df.writeStream.format("avrolake")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .option("codec", codec)
+        .option(
+            "sessionTimeZone",
+            df.sparkSession.conf.get("spark.sql.session.timeZone", ""),
+        )
+    )
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """→ (clean rows without the corrupt column, quarantined rows with
     the raw record in ``_corrupt``). Use the second element as a

@@ -151,3 +151,26 @@ def test_learn_and_encode_share_one_whitespace_class(spark):
         for r in bpe_token_counts(docs, merges).collect()
     }
     assert set(got.values()) == {2}
+
+
+def test_split_words_edge_whitespace_matches_learn_side(spark):
+    """Spark trim strips only ASCII space, so an edge-NBSP word stays
+    fused on the learn side — split_words must keep it fused too
+    (second-review regression: Unicode str.strip() sheared it)."""
+    assert split_words("  prix fixe menu　 ") == [
+        " prix fixe",
+        "menu　",
+    ]
+    docs = spark.createDataFrame(
+        [(0, "  prix fixe menu　 ")],
+        "doc_id long, text string",
+    )
+    from etl_data_lake_spark.functions.text import tokens
+    from pyspark.sql import functions as FF
+
+    learn_words = docs.select(
+        FF.explode(FF.filter(tokens("text"), lambda t: t != "")).alias("w")
+    ).collect()
+    assert [r["w"] for r in learn_words] == split_words(
+        "  prix fixe menu　 "
+    )

@@ -290,3 +290,26 @@ def test_classifier_eval_on_trained_model(spark):
     r = classifier_eval(scored).collect()[0]
     assert r["auc"] == pytest.approx(1.0)
     assert r["f1"] == pytest.approx(1.0)
+
+
+def test_classifier_eval_excludes_nan_and_scans_once(spark):
+    """NaN scores are 'no evidence' like nulls (NaN >= threshold is
+    TRUE in Spark double ordering — unfiltered it would predict
+    positive and land lowest in the AUC fold), and the whole eval
+    derives from ONE data-sized aggregation."""
+    from etl_data_lake_spark.functions.classifier import classifier_eval
+
+    df = spark.createDataFrame(
+        [(1.0, 0.9), (0.0, 0.1), (0.0, float("nan")),
+         (float("nan"), 0.8)],
+        "y double, prob double",
+    )
+    r = classifier_eval(df).collect()[0]
+    assert (r["n"], r["fp"]) == (2, 0)
+    assert r["auc"] == pytest.approx(1.0)
+    # one scan: a single Aggregate consumes the input; everything
+    # else runs on its bucket rows
+    plan = classifier_eval(df)._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    assert len(re.findall(r"LocalRelation|LogicalRDD", plan)) == 1
