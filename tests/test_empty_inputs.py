@@ -166,3 +166,55 @@ def test_late_round5_ops_on_empty(spark, empty_docs, tmp_path):
     out = str(tmp_path / "empty_shards")
     write_shuffled_shards(empty_docs, out, 4, ("doc_id",))
     assert glob.glob(f"{out}/shard=*/*.parquet") == []
+
+
+def test_round8_operators_on_empty(spark, empty_docs):
+    from etl_data_lake_spark.functions.bpe import (
+        bpe_token_counts,
+        learn_bpe,
+    )
+    from etl_data_lake_spark.functions.classifier import (
+        classifier_eval,
+        hashed_features,
+        nb_quality_filter,
+        nb_quality_scores,
+    )
+    from etl_data_lake_spark.similarity.hnsw import hnsw_topk
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    # BPE: nothing to learn from -> empty merges; counting with an
+    # empty table (or empty docs) stays empty/zero, never crashes
+    merges = learn_bpe(empty_docs, n_merges=5)
+    assert merges == []
+    assert bpe_token_counts(empty_docs, merges).count() == 0
+
+    # classifier: empty corpus scores/filters to empty; the eval of
+    # an empty frame is one all-degenerate row (nulls, zero counts)
+    assert hashed_features(empty_docs).count() == 0
+    assert nb_quality_scores(empty_docs).count() == 0
+    assert nb_quality_filter(empty_docs).count() == 0
+    ev = classifier_eval(
+        spark.createDataFrame([], "y long, prob double")
+    ).collect()
+    assert len(ev) == 1 and ev[0]["n"] == 0 and ev[0]["auc"] is None
+
+    # hnsw: empty corpus with live queries, and empty queries
+    emb = load_table(spark, SF_DIR, "embeddings")
+    none = emb.where(F.lit(False))
+    assert hnsw_topk(none, emb.limit(2)).count() == 0
+    assert hnsw_topk(emb, none).count() == 0
+
+
+def test_avro_round8_on_empty(spark, tmp_path):
+    from etl_data_lake_spark.sources.readers import read_avro, write_avro
+
+    # zero-row write still creates a readable (empty) target
+    df = spark.range(0).selectExpr("id", "CAST(id AS STRING) AS s")
+    write_avro(df.coalesce(1), str(tmp_path / "t"))
+    import os
+
+    if os.path.isdir(tmp_path / "t") and os.listdir(tmp_path / "t"):
+        back = read_avro(
+            spark, str(tmp_path / "t"), df.schema, on_error="fail"
+        )
+        assert back.count() == 0
