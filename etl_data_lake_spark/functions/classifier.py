@@ -363,7 +363,12 @@ def nb_prior(lab: DataFrame, label_col: str = "y"):
     )
 
 
-def nb_score_tokens(tok: DataFrame, w: DataFrame, prior: DataFrame):
+def nb_score_tokens(
+    tok: DataFrame,
+    w: DataFrame,
+    prior: DataFrame,
+    carry_label: str | None = None,
+):
     """Score an exploded ``(doc_id, term)`` frame against a trained
     weight table: → ``(doc_id, n_terms, log_odds, predicted_quality)``.
     The per-doc sum is an exact integer (fixed-point weights), so the
@@ -371,18 +376,30 @@ def nb_score_tokens(tok: DataFrame, w: DataFrame, prior: DataFrame):
     the training vocabulary carry no evidence and drop out of the
     join; a document with NO in-vocabulary term emits no row (no
     evidence either way — callers treat absence as their policy
-    dictates)."""
+    dictates). ``carry_label`` names a per-doc column riding on
+    ``tok`` to surface as ``MAX(label)`` in the SAME aggregation —
+    the weak-label passthrough the catalog entry needs without a
+    second scan of the labeling lineage (and with GROUP-BY merge
+    semantics under duplicate doc_ids, matching its oracle)."""
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("w_q").alias("s_q"),
+    ]
+    extra = []
+    if carry_label is not None:
+        aggs.append(
+            F.max(F.col(carry_label)).cast("long").alias(carry_label)
+        )
+        extra = [carry_label]
     return (
         tok.join(w, "term")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum("w_q").alias("s_q"),
-        )
+        .agg(*aggs)
         .crossJoin(F.broadcast(prior))
         .select(
             "doc_id",
             "n_terms",
+            *extra,
             (
                 (F.col("s_q") + F.col("b_q")).cast("double")
                 / F.lit(float(WEIGHT_SCALE))

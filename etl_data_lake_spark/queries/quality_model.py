@@ -116,20 +116,17 @@ def _scored_with_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = lab.select(
         "doc_id", "y", F.explode("toks").alias("term")
     )
+    # the weak label rides THROUGH the score aggregation (MAX(y) in
+    # the same GROUP BY, exactly like the oracle) — no second scan of
+    # the labeling lineage, and duplicate doc_ids merge instead of
+    # fanning out through a join
     scored = nb_score_tokens(
-        tok.select("doc_id", "term"),
+        tok.select("doc_id", F.col("y").alias("weak_label"), "term"),
         nb_log_odds_weights(tok),
         nb_prior(lab),
+        carry_label="weak_label",
     )
-    # MAX-grouped label join: the oracle GROUPs BY doc_id, so a
-    # duplicate doc_id must merge to one row here too (a plain join
-    # would fan the aggregated row out per duplicate)
-    return scored.join(
-        lab.groupBy("doc_id").agg(
-            F.max(F.col("y").cast("long")).alias("weak_label")
-        ),
-        "doc_id",
-    ).select(
+    return scored.select(
         "doc_id", "n_terms", "weak_label", "log_odds",
         "predicted_quality",
     )
