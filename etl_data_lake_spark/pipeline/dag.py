@@ -52,6 +52,14 @@ must be deterministic functions of their inputs for skip-correctness
 compaction) or a sibling-dep change falls back to a full rebuild of
 that table, never a wrong append.
 
+Crash atomicity: every publish stamps its input-version vector into
+the txn commit's params (``dag_applied``) — atomic with the data,
+unlike the state file written after it. A crash in that window leaves
+the state LAGGING the table; the next refresh reads the stamp, repairs
+the state without re-running the builder (status ``recovered``), and
+bounds any later delta at the STAMPED version — the same delta is
+never appended twice (ADVICE r8).
+
 Scale: orchestration is driver-side metadata only — every data
 movement is the builders' own Spark plans plus one expectations scan
 per gated table; nothing here collects data rows. Refresh adds one
@@ -256,6 +264,27 @@ class Pipeline:
         except (OSError, ValueError):
             return {}
 
+    @staticmethod
+    def _applied_vector(tbl) -> dict[str, int] | None:
+        """The input-version vector stamped on the table's most recent
+        DAG publish — read from the commit log, newest first. This is
+        the CRASH-ATOMIC record of which input state the content
+        reflects: the stamp commits WITH the data, so a crash between
+        publish and the state-file write cannot desynchronize them
+        (the state file can only lag, never lie). O(commits since the
+        last DAG publish) manifest reads — normally 1."""
+        before = tbl.latest_version() + 1
+        while before > 1:
+            page = tbl.history(limit=16, before=before)
+            if not page:
+                return None
+            for m in reversed(page):
+                vec = m["params"].get("dag_applied")
+                if vec is not None:
+                    return {k: int(v) for k, v in vec.items()}
+            before = page[0]["version"]
+        return None
+
     def _write_state(
         self, root: str, state: dict[str, dict[str, int]]
     ) -> None:
@@ -277,12 +306,17 @@ class Pipeline:
         res: RunResult,
         blocked: set[str],
         append_delta: bool = False,
+        applied_vector: dict[str, int] | None = None,
     ) -> bool:
         """Build, gate, and publish one table; returns True when it
         published (False = failed gate, recorded + blocked). With
         ``append_delta`` the builder output APPENDS to the committed
         table instead of overwriting it (the incremental row-wise
-        path; requires root)."""
+        path; requires root). ``applied_vector`` (input-version
+        vector) rides the txn commit's params so the table itself
+        records which input state its content reflects — the
+        crash-atomic source of truth :meth:`refresh` consults when
+        the state file lags the commit (ADVICE r8)."""
         df = t.builder(spark, **dep_frames)
         status = "appended_delta" if append_delta else "published"
         gated = t.expectations is not None or t.unique
@@ -327,10 +361,15 @@ class Pipeline:
 
                 tbl = TxnTable(spark, f"{root}/{t.name}")
                 cols = (stats_cols or {}).get(t.name, ())
+                stamp = (
+                    {"dag_applied": applied_vector}
+                    if applied_vector is not None
+                    else None
+                )
                 if append_delta:
-                    tbl.append(df, stats_cols=cols)
+                    tbl.append(df, stats_cols=cols, op_params=stamp)
                 else:
-                    tbl.overwrite(df, stats_cols=cols)
+                    tbl.overwrite(df, stats_cols=cols, op_params=stamp)
                 df = tbl.snapshot()
                 if t.name in res.quarantined:
                     # violations stay inspectable, not just counted
@@ -390,13 +429,13 @@ class Pipeline:
                 )
                 for d in t.deps
             }
+            vector = {n: input_versions[n] for n in closure[t.name]}
             ok = self._publish_one(
-                spark, t, dep_frames, root, stats_cols, res, blocked
+                spark, t, dep_frames, root, stats_cols, res, blocked,
+                applied_vector=vector if root is not None else None,
             )
             if ok and root is not None:
-                state[t.name] = {
-                    n: input_versions[n] for n in closure[t.name]
-                }
+                state[t.name] = vector
                 self._write_state(root, state)
         return res
 
@@ -416,7 +455,10 @@ class Pipeline:
         (``appended_delta``); any delete/compaction in the feed or a
         sibling-dep change falls back to a full rebuild. State
         advances per table, atomically, AFTER its publish — a crash
-        mid-refresh re-runs only the unfinished suffix."""
+        mid-refresh re-runs only the unfinished suffix, and a crash
+        BETWEEN a publish and its state write recovers from the
+        vector stamped on the commit itself (status ``recovered``)
+        instead of re-running or double-appending."""
         from etl_data_lake_spark.sources.txn import TxnTable
 
         res = RunResult()
@@ -440,6 +482,27 @@ class Pipeline:
                 ).snapshot()
                 res.status[t.name] = "fresh"
                 continue
+            # the state file says work is needed — but the state write
+            # is NOT atomic with the publish. Consult the vector
+            # stamped on the table's own commit (crash-atomic): when
+            # it already equals the target, the crashed run published
+            # this table and died before recording it — repair the
+            # state instead of re-running the builder (and, on a delta
+            # table, instead of APPENDING THE SAME DELTA TWICE).
+            stamped = None
+            if not upstream_moved and root is not None:
+                stamped = self._applied_vector(
+                    TxnTable(spark, f"{root}/{t.name}")
+                )
+                if stamped == vector:
+                    res.frames[t.name] = TxnTable(
+                        spark, f"{root}/{t.name}"
+                    ).snapshot()
+                    res.status[t.name] = "recovered"
+                    recomputed.add(t.name)
+                    state[t.name] = vector
+                    self._write_state(root, state)
+                    continue
             append_delta = False
             persisted_changes = None
             if (
@@ -455,7 +518,14 @@ class Pipeline:
                     for n in vector
                     if n != inc
                 )
-                last_v = prev.get(inc, 0)
+                # the stamp also bounds the delta's LOW end: after a
+                # publish-then-crash the state's version lags the
+                # table's true content, and replaying from the stale
+                # version would duplicate the already-appended rows
+                last_v = max(
+                    prev.get(inc, 0),
+                    (stamped or {}).get(inc, 0),
+                )
                 cur_v = vector.get(inc, 0)
                 if others_same and 0 < last_v < cur_v:
                     changes = inputs[inc].table_changes(
@@ -486,6 +556,7 @@ class Pipeline:
                 ok = self._publish_one(
                     spark, t, dep_frames, root, stats_cols, res,
                     blocked, append_delta=append_delta,
+                    applied_vector=vector,
                 )
             finally:
                 if persisted_changes is not None:

@@ -35,6 +35,7 @@ decode work is executor-side; the driver touches headers only.
 from __future__ import annotations
 
 import datetime
+import itertools
 import os
 import uuid
 from pathlib import Path
@@ -228,7 +229,15 @@ def to_avro_value(v, dt: DataType):
             if v.tzinfo
             else v
         )
-        return round((base - _EPOCH).total_seconds() * 1_000_000)
+        # exact integer micros from the timedelta fields: the float
+        # total_seconds()*1e6 path double-rounds (off by 1µs past
+        # ~2039, ~0.4µs error for current-era instants)
+        td = base - _EPOCH
+        return (
+            td.days * 86_400_000_000
+            + td.seconds * 1_000_000
+            + td.microseconds
+        )
     if isinstance(dt, DateType):
         return (v - _EPOCH_DATE).days
     if isinstance(dt, BinaryType):
@@ -489,8 +498,13 @@ class AvroBatchWriter(DataSourceWriter):
         self._overwrite = overwrite
 
     def write(self, iterator):
-        rows = list(iterator)
-        if not rows:
+        # peek-then-chain keeps the write STREAMING: write_container
+        # consumes the generator lazily and flushes per block, so peak
+        # memory is one block, not the whole task partition
+        it = iter(iterator)
+        try:
+            first = next(it)
+        except StopIteration:
             return _AvroWrote(())
         fields = self._schema.fields
         recs = (
@@ -498,7 +512,7 @@ class AvroBatchWriter(DataSourceWriter):
                 f.name: to_avro_value(row[i], f.dataType)
                 for i, f in enumerate(fields)
             }
-            for row in rows
+            for row in itertools.chain((first,), it)
         )
         os.makedirs(self._path, exist_ok=True)
         final = f"part-{uuid.uuid4().hex}.avro"
@@ -563,8 +577,12 @@ class AvroStreamWriter(DataSourceStreamWriter):
         validate_schema(self._avro_schema)
 
     def write(self, iterator):
-        rows = list(iterator)
-        if not rows:
+        # same streaming peek-then-chain as the batch writer: never
+        # materialize the task partition
+        it = iter(iterator)
+        try:
+            first = next(it)
+        except StopIteration:
             return _AvroWrote(())
         fields = self._schema.fields
         recs = (
@@ -572,7 +590,7 @@ class AvroStreamWriter(DataSourceStreamWriter):
                 f.name: to_avro_value(row[i], f.dataType)
                 for i, f in enumerate(fields)
             }
-            for row in rows
+            for row in itertools.chain((first,), it)
         )
         os.makedirs(self._path, exist_ok=True)
         name = f"stage-{uuid.uuid4().hex}"

@@ -2295,6 +2295,7 @@ class TxnTable:
         app_id: str | None = None,
         txn_seq: int | None = None,
         stats_cols: tuple[str, ...] = (),
+        op_params: dict | None = None,
     ) -> int:
         """Append ``df`` as a new version. With (app_id, txn_seq), the
         append is idempotent: replaying an already-applied seq is a
@@ -2329,10 +2330,10 @@ class TxnTable:
             staged, schema_json, stats = self._stage(df, stats_cols)
             return self._commit(
                 "append", staged, schema_json, app_id, txn_seq,
-                staged_stats=stats,
+                staged_stats=stats, op_params=op_params,
             )
         return self._append_identity(
-            df, ident, app_id, txn_seq, stats_cols
+            df, ident, app_id, txn_seq, stats_cols, op_params=op_params
         )
 
     def _append_identity(
@@ -2343,6 +2344,7 @@ class TxnTable:
         txn_seq: int | None,
         stats_cols: tuple[str, ...],
         max_attempts: int = 20,
+        op_params: dict | None = None,
     ) -> int:
         from pyspark.sql import functions as F
 
@@ -2435,6 +2437,7 @@ class TxnTable:
                     staged_stats=stats,
                     identity=new_ident,
                     expected_identity=expected,
+                    op_params=op_params,
                 )
             except ConcurrentWriteError as e:
                 last_err = e  # stale allocation: orphaned stage files
@@ -2451,6 +2454,7 @@ class TxnTable:
         txn_seq: int | None = None,
         stats_cols: tuple[str, ...] = (),
         expected_base: int | None = None,
+        op_params: dict | None = None,
     ) -> int:
         """Replace the table contents. Aborts with
         :class:`ConcurrentWriteError` if ANY other commit lands between
@@ -2478,6 +2482,7 @@ class TxnTable:
             txn_seq,
             staged_stats=stats,
             expected_base=expected_base,
+            op_params=op_params,
         )
 
     def replace_where(

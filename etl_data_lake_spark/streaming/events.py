@@ -390,6 +390,7 @@ def funnel_stream(
     steps: tuple[str, ...],
     within_s: float,
     watermark: str = "0 seconds",
+    tombstone_ttl_s: float | None = None,
 ) -> DataFrame:
     """Custom stateful operator: the streaming twin of
     operators/funnel — per-user greedy ordered-step matching with a
@@ -414,8 +415,14 @@ def funnel_stream(
     the user's earliest step-1 event, full stop). The tombstone is the
     3-field state struct per emitted user — bounded by distinct
     converted users, the same asymptotic state any per-user streaming
-    aggregate carries; callers with an unbounded user-id space should
-    TTL upstream.
+    aggregate carries. With ``tombstone_ttl_s`` set, each tombstone
+    registers an event-time timeout at ``anchor + within_s +
+    tombstone_ttl_s`` and is REMOVED when the watermark passes it —
+    bounding state size at the cost of a bounded re-anchor window: an
+    event for that user arriving after the TTL (necessarily ≥
+    ``tombstone_ttl_s`` of event time past the original window) can
+    start a second funnel. ``None`` (default) keeps tombstones
+    forever — the exactly-once-per-user contract with monotone state.
 
     Users who never anchor emit nothing; a funnel whose window is
     still open at end-of-data stays unemitted (matching the
@@ -425,8 +432,23 @@ def funnel_stream(
         raise ValueError("steps must name at least one event type")
     if within_s <= 0:
         raise ValueError(f"within_s must be positive, got {within_s}")
+    if tombstone_ttl_s is not None and tombstone_ttl_s <= 0:
+        raise ValueError(
+            f"tombstone_ttl_s must be positive, got {tombstone_ttl_s}"
+        )
     steps = tuple(steps)
     k = len(steps)
+    ttl = tombstone_ttl_s
+
+    def _tombstone(state: GroupState, anchor: float) -> None:
+        """Write the emitted-user tombstone; with a TTL, arm the
+        event-time timer that will reap it."""
+        state.update((anchor, anchor, -1))
+        if ttl is not None:
+            reap_ms = int((anchor + within_s + ttl) * 1000)
+            state.setTimeoutTimestamp(
+                max(reap_ms, state.getCurrentWatermarkMs() + 1)
+            )
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -435,12 +457,19 @@ def funnel_stream(
         if state.hasTimedOut:
             anchor, _prev, next_idx = state.get
             if next_idx < 0:
+                if ttl is not None and state.getCurrentWatermarkMs() >= int(
+                    (anchor + within_s + ttl) * 1000
+                ):
+                    # TTL reached: reap the tombstone — bounded state
+                    state.remove()
+                    return
                 # a pre-completion timeout firing after the tombstone
-                # replaced it: keep the tombstone, emit nothing
-                state.update((anchor, anchor, -1))
+                # replaced it: keep the tombstone (re-arming the TTL
+                # timer when one is configured), emit nothing
+                _tombstone(state, anchor)
                 return
             # window closed: depth is final — emit once, tombstone
-            state.update((anchor, anchor, -1))
+            _tombstone(state, anchor)
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
@@ -482,7 +511,7 @@ def funnel_stream(
             if next_idx >= k:
                 completed = True
         if completed:
-            state.update((anchor, anchor, -1))
+            _tombstone(state, anchor)
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
@@ -493,8 +522,26 @@ def funnel_stream(
             return
         if next_idx == 0:
             return
-        state.update((anchor, prev_ts, next_idx))
         deadline_ms = int((anchor + within_s) * 1000)
+        if state.getCurrentWatermarkMs() > deadline_ms:
+            # the user anchored AFTER the watermark already passed the
+            # deadline (a very late anchor event): the window is
+            # closed — any event that could extend the funnel has
+            # ts ≤ anchor+within < watermark, i.e. would be dropped as
+            # late — so emit NOW in the data path instead of deferring
+            # to a watermark-advance-dependent timer (which diverges
+            # from the batch oracle when the final micro-batch barely
+            # moves the watermark).
+            _tombstone(state, anchor)
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_steps": [next_idx],
+                    "anchor_sec": [anchor],
+                }
+            )
+            return
+        state.update((anchor, prev_ts, next_idx))
         state.setTimeoutTimestamp(
             max(deadline_ms, state.getCurrentWatermarkMs() + 1)
         )

@@ -393,3 +393,69 @@ def test_timestamp_logical_types_and_utc_guard(spark, tmp_path):
         assert got.collect() == ntz.collect()
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_timestamp_micros_exact_far_future(spark, tmp_path):
+    """Timestamp encoding computes micros as exact integers from the
+    timedelta fields (ADVICE r8): the old float total_seconds()*1e6
+    path was off by 1µs for instants past ~2039. Pin the encoder
+    value directly AND a full write/read round trip."""
+    from pyspark.sql.types import TimestampNTZType
+
+    from etl_data_lake_spark.sources.avro_source import to_avro_value
+    from etl_data_lake_spark.sources.readers import read_avro, write_avro
+
+    # 2045-06-01 12:00:00.000001 UTC — 1µs fraction past the float
+    # precision cliff (the old code returned ...000002 here)
+    dt = datetime.datetime(2045, 6, 1, 12, 0, 0, 1)
+    micros = to_avro_value(dt, TimestampNTZType())
+    epoch = datetime.datetime(1970, 1, 1)
+    td = dt - epoch
+    exact = td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+    assert micros == exact
+    assert micros % 10 == 1  # the trailing µs digit survives
+
+    p = str(tmp_path / "far")
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ'2045-06-01 12:00:00.000001' AS wall"
+    )
+    write_avro(df.coalesce(1), p)
+    got = read_avro(spark, p, df.schema, on_error="fail")
+    assert got.collect() == df.collect()
+
+
+def test_avro_writer_streams_blocks(tmp_path):
+    """The writers never materialize the task partition (ADVICE r8):
+    feed AvroBatchWriter.write a generator that trips a flag per row
+    and assert the writer produced multiple blocks (so encoding
+    consumed the iterator lazily, block by block) and zero files for
+    an empty iterator."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from etl_data_lake_spark.sources.avro_source import AvroBatchWriter
+
+    schema = StructType([StructField("id", LongType(), True)])
+    path = str(tmp_path / "stream_blocks")
+    w = AvroBatchWriter(
+        {"path": path, "maxBlockRecords": "8", "sessionTimeZone": "UTC"},
+        schema,
+        overwrite=False,
+    )
+    # empty partition: no file at all
+    msg = w.write(iter(()))
+    assert msg.files == ()
+
+    rows = ((i,) for i in range(100))
+    msg = w.write(rows)
+    assert len(msg.files) == 1
+    w.commit([msg])
+    part = os.path.join(path, msg.files[0])
+    n = 0
+    with open(part, "rb") as fh:
+        data = fh.read()
+    schema_j, codec, sync, pos = A.read_header(data)
+    blocks = 0
+    for n_recs, _payload in A.iter_blocks(data, codec, sync, pos):
+        blocks += 1
+        n += n_recs
+    assert n == 100 and blocks >= 12  # 100 rows / 8-row blocks

@@ -530,3 +530,129 @@ def test_incremental_rejects_unique_specs(spark):
             "t", deps=("src",), incremental_on="src",
             unique=(("id",),),
         )(lambda s, src: src)
+
+
+def test_refresh_delta_append_is_crash_atomic(spark, tmp_path):
+    """ADVICE r8 (medium): the delta append commits BEFORE the state
+    file records it. A crash in that window must NOT duplicate rows on
+    the next refresh — the publish stamps its input-version vector
+    into the txn commit (crash-atomic with the data), and refresh
+    trusts the stamp over the stale state file: same-version replay
+    recovers without re-appending; a further input append deltas from
+    the STAMPED version, not the stale one."""
+    from collections import defaultdict
+
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    calls = defaultdict(int)
+    p = _sparkify_pipeline(spark, calls)
+    _, logs_in = _seed_inputs(spark, str(tmp_path))
+    p.input("song_data", f"{tmp_path}/in_songs")
+    p.input("log_data", f"{tmp_path}/in_logs")
+    root = str(tmp_path / "pub")
+    p.run(spark, root=root)
+
+    logs_in.append(
+        _log_rows(spark, [(3, 4_000, "Alpha", "paid")])
+    )
+
+    # crash EXACTLY between the songplays delta append and its state
+    # write: _write_state raises the first time it records songplays'
+    # new vector
+    real_write = p._write_state
+    target = {"log_data": logs_in.latest_version()}
+
+    def crashing_write(root_, state):
+        if state.get("songplays", {}).get("log_data") == target["log_data"]:
+            raise OSError("simulated crash before state write")
+        real_write(root_, state)
+
+    p._write_state = crashing_write
+    with pytest.raises(OSError, match="simulated crash"):
+        p.refresh(spark, root=root)
+    p._write_state = real_write
+
+    # the append COMMITTED (4 songplays rows on disk) but state lags
+    tbl = TxnTable(spark, f"{root}/songplays")
+    assert tbl.snapshot().count() == 4
+    n_builds = calls["songplays"]
+
+    # same-version refresh: recovered from the commit stamp — no
+    # builder re-run, no second append, still 4 rows
+    ref = p.refresh(spark, root=root)
+    assert ref.status["songplays"] == "recovered"
+    assert calls["songplays"] == n_builds
+    assert ref.frames["songplays"].count() == 4
+
+    # input moves again AFTER the crash: the delta must start at the
+    # STAMPED version (the stale state would replay the 4_000 row)
+    logs_in.append(_log_rows(spark, [(4, 5_000, "Beta", "paid")]))
+    ref2 = p.refresh(spark, root=root)
+    assert ref2.status["songplays"] == "appended_delta"
+    rows = sorted(
+        (r["user_id"], r["ts"]) for r in ref2.frames["songplays"].collect()
+    )
+    assert rows == [
+        (1, 1_000), (1, 3_000), (2, 2_000), (3, 4_000), (4, 5_000),
+    ]
+
+    # ≡ a clean full rebuild over the same inputs
+    calls2 = defaultdict(int)
+    p2 = _sparkify_pipeline(spark, calls2)
+    p2.input("song_data", f"{tmp_path}/in_songs")
+    p2.input("log_data", f"{tmp_path}/in_logs")
+    full = p2.run(spark, root=str(tmp_path / "pub2"))
+    names = ("songs", "artists", "users", "time_dim", "songplays")
+    assert _collect_all(ref2, names) == _collect_all(full, names)
+
+
+def test_refresh_full_rebuild_is_crash_atomic_too(spark, tmp_path):
+    """The adjacent hole: a FULL REBUILD (overwrite) that crashes
+    before its state write must not be followed by a spurious delta
+    append of rows the rebuild already contains. The overwrite carries
+    the same commit stamp, so the next refresh recovers."""
+    from collections import defaultdict
+
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    calls = defaultdict(int)
+    p = _sparkify_pipeline(spark, calls)
+    _, logs_in = _seed_inputs(spark, str(tmp_path))
+    p.input("song_data", f"{tmp_path}/in_songs")
+    p.input("log_data", f"{tmp_path}/in_logs")
+    root = str(tmp_path / "pub")
+    p.run(spark, root=root)
+
+    # a non-insert feed (overwrite) forces the FULL-REBUILD path
+    logs_in.overwrite(
+        _log_rows(
+            spark,
+            [(1, 1_000, "Alpha", "free"), (9, 9_000, "Beta", "paid")],
+        )
+    )
+    real_write = p._write_state
+    target_v = logs_in.latest_version()
+
+    def crashing_write(root_, state):
+        if state.get("songplays", {}).get("log_data") == target_v:
+            raise OSError("simulated crash before state write")
+        real_write(root_, state)
+
+    p._write_state = crashing_write
+    with pytest.raises(OSError, match="simulated crash"):
+        p.refresh(spark, root=root)
+    p._write_state = real_write
+
+    tbl = TxnTable(spark, f"{root}/songplays")
+    assert tbl.snapshot().count() == 2  # rebuild committed
+
+    # pure-insert append lands after the crash → refresh takes the
+    # delta path; the low bound must come from the stamp, or the
+    # rebuilt rows would double
+    logs_in.append(_log_rows(spark, [(5, 6_000, "Alpha", "free")]))
+    ref = p.refresh(spark, root=root)
+    assert ref.status["songplays"] == "appended_delta"
+    rows = sorted(
+        (r["user_id"], r["ts"]) for r in ref.frames["songplays"].collect()
+    )
+    assert rows == [(1, 1_000), (5, 6_000), (9, 9_000)]

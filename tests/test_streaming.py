@@ -355,3 +355,129 @@ def test_streaming_funnel_sorts_across_arrow_chunks(spark, tmp_path):
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev
         )
     assert got == {(1, 2)}
+
+
+def test_streaming_funnel_late_anchor_emits_in_data_path(spark, tmp_path):
+    """A user who anchors AFTER the watermark already passed their
+    deadline (very late anchor event in the final micro-batch) emits
+    immediately in the data path (ADVICE r8): the old deferred timer
+    at watermark+1 required a further watermark advance the final
+    batch never provides, silently diverging from the batch oracle's
+    'final watermark passes anchor+within' clause."""
+    import os
+    from datetime import datetime, timedelta
+
+    from etl_data_lake_spark.streaming.events import (
+        event_stream,
+        funnel_stream,
+        run_available_now,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(i, ts_s, uid, et):
+        return (i, t0 + timedelta(seconds=ts_s), uid, et, 1.0, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = tmp_path / "ev" / "events.parquet"
+    # micro-batch 1: far-future filler pushes the watermark to 10000s
+    spark.createDataFrame(
+        [ev(1, 10_000, 99, "click")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    parts1 = {p for p in os.listdir(src) if p.startswith("part-")}
+    # micro-batch 2 (FINAL): user 1 anchors at ts=100 — deadline 200
+    # is 9800s behind the watermark; the batch leaves the watermark
+    # at 10000, so a deferred timer at watermark+1 would never fire
+    spark.createDataFrame(
+        [ev(2, 100, 1, "view")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    for p in os.listdir(src):
+        if p.startswith("part-"):
+            age = 100 if p in parts1 else 200
+            os.utime(src / p, (age, age))
+
+    rows = run_available_now(
+        funnel_stream(
+            event_stream(
+                spark, str(tmp_path / "ev"), max_files_per_trigger=1
+            ),
+            ("view", "purchase"),
+            within_s=100,
+        ),
+        "funnel_late_anchor",
+        output_mode="append",
+        shuffle_partitions=4,
+    ).collect()
+    assert [(r["user_id"], r["n_steps"]) for r in rows] == [(1, 1)]
+
+
+def test_streaming_funnel_tombstone_ttl_bounds_state(spark, tmp_path):
+    """With tombstone_ttl_s set, an emitted user's tombstone is REAPED
+    once the watermark passes anchor+within+ttl (ADVICE r8: bounded
+    state) — so a funnel run entirely after the TTL re-anchors and
+    emits a second row. Without the TTL (the default) the same replay
+    emits exactly once (pinned by
+    test_streaming_funnel_no_reanchor_across_microbatches)."""
+    import os
+    from datetime import datetime, timedelta
+
+    from etl_data_lake_spark.streaming.events import (
+        event_stream,
+        funnel_stream,
+        run_available_now,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(i, ts_s, uid, et):
+        return (i, t0 + timedelta(seconds=ts_s), uid, et, 1.0, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = tmp_path / "ev" / "events.parquet"
+    batches = [
+        # batch 1: user 1 completes (anchor 0, within 100, ttl 500 →
+        # tombstone reap timer at 600)
+        [ev(1, 0, 1, "view"), ev(2, 10, 1, "purchase")],
+        # batch 2: filler advances the watermark to 10000 > 600
+        [ev(3, 10_000, 99, "click")],
+        # batch 3: user 1 has NO data → the reap timer fires, state
+        # removed (another filler keeps the stream moving)
+        [ev(4, 10_001, 99, "click")],
+        # batch 4: user 1 funnels again, entirely past the TTL
+        [ev(5, 11_000, 1, "view"), ev(6, 11_010, 1, "purchase")],
+    ]
+    ages = iter(range(100, 100 + 100 * len(batches), 100))
+    seen: set[str] = set()
+    for batch in batches:
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        age = next(ages)
+        for p in os.listdir(src):
+            if p.startswith("part-") and p not in seen:
+                os.utime(src / p, (age, age))
+                seen.add(p)
+
+    rows = run_available_now(
+        funnel_stream(
+            event_stream(
+                spark, str(tmp_path / "ev"), max_files_per_trigger=1
+            ),
+            ("view", "purchase"),
+            within_s=100,
+            tombstone_ttl_s=500,
+        ),
+        "funnel_ttl",
+        output_mode="append",
+        shuffle_partitions=4,
+    ).collect()
+    got = sorted((r["user_id"], r["n_steps"], r["anchor_sec"]) for r in rows)
+    anchors = [a for _, _, a in got]
+    assert [(u, n) for u, n, _ in got] == [(1, 2), (1, 2)]
+    assert anchors[1] - anchors[0] == 11_000.0
