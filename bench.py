@@ -56,6 +56,8 @@ HEADLINE = [
     # in-plan) and the stateful streaming funnel
     "quality_classifier_scores",
     "stream_funnel_emitted",
+    # round-9 addition: metadata-constrained (filtered) ANN search
+    "ann_filtered_topk",
 ]
 
 

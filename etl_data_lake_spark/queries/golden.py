@@ -52,19 +52,24 @@ def golden_q2_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Golden Q3 (README.md:194-220): the user with the most plays, via an
 # uncorrelated scalar subquery — expressed as a broadcast cross-join
 # against the 1-row max (no collect, fully distributed).
+#
+# Library surface since round 9 (50-entry driver cap): its slot went
+# to ann_filtered_topk (round-8 verdict #1 — metadata-constrained ANN,
+# full oracle). The max-over-aggregate semantics stay parity-checked
+# here via test_parity._LIBRARY_TWINS, and the byte-exact Sparkify
+# replication (pipeline/golden.py) still pins the README output; the
+# top-user-with-tiebreak shape also rides golden_q4 (driver-checked).
 # --------------------------------------------------------------------------
-@register(
-    "golden_q3_top_user",
-    oracle="""
-        WITH counts AS (
-            SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
-        )
-        SELECT user_id, cnt AS event_count
-        FROM counts
-        WHERE cnt = (SELECT MAX(cnt) FROM counts)
-    """,
-    tags=("golden", "agg", "subquery"),
-)
+GOLDEN_Q3_TOP_USER_SQL = """
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT user_id, cnt AS event_count
+    FROM counts
+    WHERE cnt = (SELECT MAX(cnt) FROM counts)
+"""
+
+
 def golden_q3_top_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))

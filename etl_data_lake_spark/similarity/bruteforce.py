@@ -27,11 +27,22 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    predicate=None,
 ) -> DataFrame:
-    """→ (query_id, neighbor_id, cos_sim, rank); self-matches excluded."""
+    """→ (query_id, neighbor_id, cos_sim, rank); self-matches excluded.
+
+    ``predicate`` (Column or SQL string) restricts the CORPUS side —
+    metadata-constrained search ("nearest neighbors among docs where
+    lang='en'"): the filter applies BEFORE candidate generation, so
+    the result is the true top-k of the filtered corpus, never a
+    post-filtered under-k remnant. Applied ahead of the projection, it
+    reaches the parquet scan (predicate pushdown) — the filtered scan
+    reads less, not more."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
+    if predicate is not None:
+        corpus = corpus.where(predicate)
     c = fan_out(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")

@@ -191,9 +191,22 @@ def hnsw_topk(
     n_parts: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_batch: int = 10_000,
+    predicate=None,
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cos_sim, rank); self-matches
-    excluded — the contract shared with cosine_topk / lsh / ivf / pq."""
+    excluded — the contract shared with cosine_topk / lsh / ivf / pq.
+
+    The query side is a driver-resident batch (broadcast to every
+    shard); batches beyond ``max_query_batch`` rows raise loudly
+    instead of silently collecting an unbounded frame to the driver —
+    the same guard IvfIndex.query carries (similarity/index.py).
+
+    ``predicate`` (Column or SQL string) restricts the corpus BEFORE
+    sharding: the per-partition graphs are built over matching vectors
+    only, so every emitted neighbor satisfies the filter and the rank
+    merge competes within the filtered population — filtered ANN, not
+    post-filtered under-k."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if m < 2:
@@ -205,8 +218,14 @@ def hnsw_topk(
             F.col(id_col).cast("long").alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
+        .limit(max_query_batch + 1)
         .collect()
     )
+    if len(q_rows) > max_query_batch:
+        raise ValueError(
+            f"query batch exceeds max_query_batch={max_query_batch}; "
+            "split the batch (or raise the bound)"
+        )
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rank long"
@@ -259,6 +278,8 @@ def hnsw_topk(
     # form — collides the P shard ids onto fewer physical partitions:
     # some tasks build ~2x graphs at ~4x quadratic-ish cost while
     # others idle.)
+    if predicate is not None:
+        corpus = corpus.where(predicate)
     c = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),

@@ -133,8 +133,23 @@ def ivf_topk(
     vec_col: str = "embedding",
     kmeans_iters: int = 2,
     train_factor: int = 64,
+    predicate=None,
+    max_query_batch: int = 10_000,
 ) -> DataFrame:
-    """→ (query_id, neighbor_id, cos_sim, rank); self-matches excluded."""
+    """→ (query_id, neighbor_id, cos_sim, rank); self-matches excluded.
+
+    ``predicate`` (Column or SQL string) = filtered ANN search. The
+    quantizer stays PREDICATE-AGNOSTIC (centroids train on the full
+    corpus — the persisted-index reality, where one index serves every
+    filter), and the filter masks the posting rows before the
+    candidate join, so whole cells emptied by the filter drop out of
+    the scan. Because a probed cell can hold fewer than ``k`` matching
+    vectors, the filtered path GUARANTEES k: queries whose probe came
+    up short re-run as exact brute force over the filtered corpus
+    (their results are then the true filtered top-k) — never a
+    silently under-k answer. Shortfall detection collects the ranked
+    result to the driver, bounded at |queries|·k rows by the same
+    ``max_query_batch`` guard the persisted index carries."""
     # ONE bounded collect serves both seeding and Lloyd training: the
     # hash-ordered n_cells·train_factor prefix, of which the first
     # n_cells vectors are the seeds (superset of the former seed-only
@@ -154,13 +169,16 @@ def ivf_topk(
             ).limit(0)
         )
 
+    filtered = corpus if predicate is None else corpus.where(predicate)
     c = fan_out(
-        corpus.select(
+        filtered.select(
             F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
         )
     )
     # corpus side: each vector lives in exactly ONE cell (its argmax
-    # centroid)
+    # centroid). Assignment is per-row, so assigning only the rows the
+    # predicate keeps ≡ assigning everything then masking — the cheap
+    # direction (the filter pushed down to the scan above).
     assign = _probe_udf(centroids, 1)
     cb = c.withColumn("cell", F.element_at(assign(F.col("cv")), 1))
 
@@ -184,6 +202,64 @@ def ivf_topk(
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= k
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)
+    if predicate is None:
+        return ranked
+    return _guarantee_k(
+        ranked, filtered, queries, k, id_col, vec_col, max_query_batch
     )
+
+
+def _guarantee_k(
+    ranked: DataFrame,
+    filtered_corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    max_query_batch: int,
+) -> DataFrame:
+    """Guaranteed-k refill for filtered ANN: queries whose approximate
+    probe returned fewer than ``k`` neighbors re-run as EXACT brute
+    force over the filtered corpus — their rows become the true
+    filtered top-k (an upgrade, not a patch). Queries the probe
+    satisfied keep their approximate rows untouched.
+
+    The ranked result is collected once (bounded: ≤ |queries|·k rows —
+    the ANN query side is a driver-resident batch by the shared
+    contract, enforced here via ``max_query_batch``); satisfied rows
+    re-enter as a local frame, so the approximate plan runs exactly
+    once — no lineage branching, no persist leak."""
+    from collections import Counter
+
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+
+    q_ids = [
+        r[0]
+        for r in queries.select(id_col)
+        .limit(max_query_batch + 1)
+        .collect()
+    ]
+    if len(q_ids) > max_query_batch:
+        raise ValueError(
+            f"query batch exceeds max_query_batch={max_query_batch}; "
+            "split the batch (or raise the bound)"
+        )
+    rows = ranked.collect()
+    have = Counter(r["query_id"] for r in rows)
+    short = {qid for qid in q_ids if have[qid] < k}
+    if not short:
+        return ranked.sparkSession.createDataFrame(rows, ranked.schema)
+    kept = [r for r in rows if r["query_id"] not in short]
+    spark = ranked.sparkSession
+    kept_df = spark.createDataFrame(kept, ranked.schema)
+    refill = cosine_topk(
+        filtered_corpus,
+        queries.where(F.col(id_col).isin(*short)),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return kept_df.unionByName(refill)

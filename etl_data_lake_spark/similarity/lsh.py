@@ -119,9 +119,17 @@ def lsh_bucket_topk(
     tables: int = 8,
     planes: int = 4,
     bucket_cap: int | None = None,
+    predicate=None,
 ) -> DataFrame:
     """ANN top-k: candidates = corpus sharing any (table, bucket) with
     the query; exact cosine re-score; rank; keep k.
+
+    ``predicate`` (Column or SQL string) restricts the corpus BEFORE
+    bucketing — filtered ANN search. Only matching vectors enter the
+    candidate buckets, so recall is measured against the FILTERED
+    brute-force baseline (not post-filtered top-k, which under-
+    returns); the filter sits ahead of the projection and pushes down
+    to the scan.
 
     ``bucket_cap`` bounds the candidate join against dense regions: a
     bucket holding m corpus vectors contributes m candidates per query
@@ -132,6 +140,8 @@ def lsh_bucket_topk(
     queries·tables·cap. Recall within the surviving bucket population is
     unchanged (re-score is exact); the sacrifice is among near-identical
     vectors where any representative is an equally good neighbor."""
+    if predicate is not None:
+        corpus = corpus.where(predicate)
     cb = with_lsh_buckets(
         fan_out(
             corpus.select(

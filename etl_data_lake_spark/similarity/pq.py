@@ -266,12 +266,22 @@ def pq_topk(
     vec_col: str = "embedding",
     train_size: int = 2048,
     kmeans_iters: int = 8,
+    predicate=None,
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cos_sim, rank); self-matches
     excluded. ADC over PQ codes selects ``k·refine_factor`` candidates
     per query; the exact JVM-fold cosine re-scores and ranks them, so
     emitted scores are bit-deterministic. ``refine_factor`` large
-    enough to cover the corpus ⇒ exactly brute force."""
+    enough to cover the corpus ⇒ exactly brute force.
+
+    ``predicate`` = filtered ANN search: codebooks stay predicate-
+    agnostic (trained on the full corpus — one index serves every
+    filter), and the filter masks the CODE scan, so the ADC partial
+    top-k competes only among matching vectors. k is guaranteed
+    structurally: the partial keeps k·refine_factor ≥ k candidates
+    per query whenever the filtered corpus holds that many — no
+    refill pass needed (unlike IVF, there are no cells to come up
+    short)."""
     train = sample_vectors(corpus, max(train_size, ks), id_col, vec_col)
     if len(train) == 0:
         return queries.select(
@@ -312,7 +322,8 @@ def pq_topk(
         ),
     )
 
-    encoded = pq_encode(corpus, books, id_col, vec_col)
+    filtered = corpus if predicate is None else corpus.where(predicate)
+    encoded = pq_encode(filtered, books, id_col, vec_col)
     tabs = _adc_tables(books, query_mat)
     # +1 keeps a full candidate set even when a query's own row wins a
     # partial slot (self-matches are dropped after the partial)
@@ -339,7 +350,8 @@ def pq_topk(
     )
 
     # exact refine: only the candidates read the fat vector column
-    cv = corpus.select(
+    # (from the FILTERED corpus — same predicate pushdown as the codes)
+    cv = filtered.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
     )
     qv = spark.createDataFrame(

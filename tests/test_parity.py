@@ -162,6 +162,11 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.quality_model",
         "QUALITY_MODEL_EVAL_SQL",
     ),
+    (
+        "golden_q3_top_user",
+        "etl_data_lake_spark.queries.golden",
+        "GOLDEN_Q3_TOP_USER_SQL",
+    ),
 ]
 
 

@@ -91,3 +91,16 @@ def test_validation(spark, emb, queries):
     empty = hnsw_topk(emb, queries.limit(0))
     assert empty.count() == 0
     assert empty.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+
+
+def test_query_batch_bound_is_loud(spark, emb, queries):
+    """VERDICT r8 hygiene: the query side collects to the driver, so an
+    oversized batch must raise loudly (the IvfIndex.query guard), not
+    silently OOM the driver."""
+    with pytest.raises(ValueError, match="max_query_batch"):
+        hnsw_topk(emb, queries, max_query_batch=3)
+    # at the bound: runs fine
+    got = hnsw_topk(
+        emb, queries.limit(3), k=2, max_query_batch=3
+    )
+    assert got.select("query_id").distinct().count() == 3
