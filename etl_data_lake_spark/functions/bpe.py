@@ -77,20 +77,15 @@ def split_words(text: str) -> list[str]:
     return [w for w in _WS.split(text.strip(" ")) if w]
 
 
-def learn_bpe(
-    docs: DataFrame,
-    n_merges: int,
-    text_col: str = "text",
-    max_words: int = 100_000,
-    min_pair_count: int = 2,
-) -> Merges:
-    """Learn up to ``n_merges`` merge rules from the corpus word
-    histogram. Returns the merges in priority order (rank = list
-    index). Stops early when no adjacent pair reaches
-    ``min_pair_count`` — merging singletons would just memorize the
-    tail."""
-    if n_merges < 1:
-        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+def word_histogram(
+    docs: DataFrame, text_col: str = "text", max_words: int = 100_000
+) -> dict[str, int]:
+    """ONE distributed aggregation → the ``max_words`` most frequent
+    words with counts (deterministic truncation: count desc, word
+    asc). The shared LEARN substrate for BPE and the unigram-LM
+    tokenizer (functions/unigram) — distinct-words ≪ tokens, so the
+    shuffle carries the small side and the driver gets a bounded
+    dict."""
     if max_words < 1:
         raise ValueError(f"max_words must be >= 1, got {max_words}")
     hist_rows = (
@@ -105,8 +100,26 @@ def learn_bpe(
         .limit(max_words)
         .collect()
     )
+    return {r["word"]: r["c"] for r in hist_rows}
+
+
+def learn_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    max_words: int = 100_000,
+    min_pair_count: int = 2,
+) -> Merges:
+    """Learn up to ``n_merges`` merge rules from the corpus word
+    histogram. Returns the merges in priority order (rank = list
+    index). Stops early when no adjacent pair reaches
+    ``min_pair_count`` — merging singletons would just memorize the
+    tail."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    hist = word_histogram(docs, text_col, max_words)
     words: dict[tuple[str, ...], int] = {
-        tuple(r["word"]): r["c"] for r in hist_rows
+        tuple(w): c for w, c in hist.items()
     }
     merges: Merges = []
     for _ in range(n_merges):
