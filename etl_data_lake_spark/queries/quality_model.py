@@ -156,7 +156,10 @@ def quality_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_eval(frame, auc_bins=_EVAL_BINS)
 
 
-QUALITY_MODEL_EVAL_SQL = f"""
+# the shared train+score prefix (through the per-doc probability
+# frame `ev`) — the eval twin and the calibration twin grade the SAME
+# composition, so they share it verbatim
+_EV_CTES = f"""
     WITH lab AS (
         SELECT doc_id, {_TOK} AS toks,
                {sql_weak_quality_label(_TOK)} AS y
@@ -192,10 +195,14 @@ QUALITY_MODEL_EVAL_SQL = f"""
     ),
     ev AS (
         SELECT y,
+               CAST(s_q + b_q AS BIGINT) AS oq,
                1.0 / (1.0 + exp(-(CAST(s_q + b_q AS DOUBLE)
                                   / {WEIGHT_SCALE}.0))) AS prob
         FROM score, prior
-    ),
+    )"""
+
+
+QUALITY_MODEL_EVAL_SQL = f"""{_EV_CTES},
     conf AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(y) AS BIGINT) AS n_pos,
@@ -237,4 +244,75 @@ QUALITY_MODEL_EVAL_SQL = f"""
            CASE WHEN n_pos * n_neg > 0
                 THEN U / CAST(n_pos * n_neg AS DOUBLE) END AS auc
     FROM conf, u
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calibration as a LIBRARY TWIN (round-8 verdict #3, alongside the
+# eval twin): the reliability diagram of the NB classifier against its
+# weak labels — per probability bin, count, mean predicted probability
+# and empirical positive fraction — over the SAME train+score
+# composition, reproduced end to end in one DuckDB query.
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+def quality_model_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability rows (bin, n, mean_log_odds, frac_pos) for the NB
+    model. The bin confidence is reported in LOG-ODDS space, not mean
+    probability, for the same reason the scores are fixed-point: the
+    per-bin sum of 1e-6-integer log-odds is EXACT and
+    order-independent, where a sum of probability doubles drifts in
+    the last bits between engines (measured) — the library
+    reliability diagram (functions/calibration.calibration_bins,
+    mean predicted probability) is hand-pinned in
+    tests/test_calibration.py instead."""
+    scored = _scored_with_weak_labels(spark, sf_dir)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds")))
+    odds_q = F.round(F.col("log_odds") * F.lit(float(WEIGHT_SCALE))).cast(
+        "long"
+    )
+    bucket = F.least(
+        F.floor(prob * F.lit(_CAL_BINS)).cast("long"),
+        F.lit(_CAL_BINS - 1),
+    )
+    return (
+        scored.select(
+            bucket.alias("bin"),
+            odds_q.alias("_oq"),
+            F.col("weak_label").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum("_oq").cast("double")
+                / (F.count(F.lit(1)) * F.lit(float(WEIGHT_SCALE)))
+            ).alias("mean_log_odds"),
+            (
+                F.sum("_y").cast("double") / F.count(F.lit(1))
+            ).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUALITY_MODEL_CALIBRATION_SQL = f"""{_EV_CTES},
+    binned AS (
+        SELECT LEAST(CAST(floor(prob * {_CAL_BINS}) AS BIGINT),
+                     {_CAL_BINS - 1}) AS bin,
+               oq, y
+        FROM ev
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(oq) AS DOUBLE)
+               / (COUNT(*) * {WEIGHT_SCALE}.0) AS mean_log_odds,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
 """

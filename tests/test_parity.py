@@ -167,6 +167,11 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.golden",
         "GOLDEN_Q3_TOP_USER_SQL",
     ),
+    (
+        "quality_model_calibration",
+        "etl_data_lake_spark.queries.quality_model",
+        "QUALITY_MODEL_CALIBRATION_SQL",
+    ),
 ]
 
 
