@@ -311,3 +311,73 @@ def matview_stream_sink(mv: MaterializedAgg, app_id: str = "__mv_ingest__"):
         mv.refresh()
 
     return fn
+
+
+def stream_refresh_query(
+    mv: MaterializedAgg,
+    checkpoint: str,
+    available_now: bool = True,
+    query_name: str | None = None,
+    max_retries: int = 3,
+    **reader_options,
+):
+    """Drive :meth:`MaterializedAgg.refresh` FROM the ``txnlake``
+    STREAMING source (round-8 verdict #4 — the loop between the
+    streaming and lakehouse layers, closed): a stream over the source
+    table is the change SIGNAL — every committed source version window
+    becomes a micro-batch, and each micro-batch runs one incremental
+    refresh. Returns the started StreamingQuery (availableNow drains
+    the current backlog and stops; ``available_now=False`` runs
+    continuously).
+
+    Two properties worth stating precisely:
+
+    * the micro-batch DataFrame is never touched — foreachBatch only
+      fires ``refresh()``, which reads the bounded CHANGE FEED under
+      its own version watermark, so the trigger stream costs offsets
+      and manifests, not a second data read (Spark's source read is
+      lazy; an unconsumed batch frame never executes);
+    * exactly-once composes from the refresh watermark alone: a
+      REPLAYED micro-batch (checkpoint recovery, crash between
+      batches) calls refresh() again, which no-ops at the same source
+      version — the aggregate can never double-count, even if the
+      foreachBatch checkpoint is wiped entirely. The stream checkpoint
+      only buys NOT re-planning already-seen version windows.
+
+    The source stream runs with ``ignoreChanges=true``: deletes and
+    compactions must not kill the signal stream, because refresh()
+    handles them correctly through the signed change feed (that is the
+    point of the matview). A concurrent external refresher losing the
+    overwrite race surfaces as ConcurrentWriteError; the batch retries
+    ``max_retries`` times (each retry reads the new watermark and
+    computes a smaller delta) before failing the stream."""
+    from etl_data_lake_spark.sources.lake_datasource import (
+        register_lake_source,
+    )
+    from etl_data_lake_spark.sources.txn import ConcurrentWriteError
+
+    register_lake_source(mv.spark)
+    stream = (
+        mv.spark.readStream.format("txnlake")
+        .option("ignoreChanges", "true")
+        .options(**reader_options)
+        .load(str(mv.source.root))
+    )
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        for attempt in range(max_retries + 1):
+            try:
+                mv.refresh()
+                return
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+
+    writer = stream.writeStream.foreachBatch(_refresh).option(
+        "checkpointLocation", checkpoint
+    )
+    if query_name is not None:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -395,3 +395,56 @@ def test_nan_range_key_falls_back_to_overwrite(spark, tmp_path):
     assert {
         (str(r.k)): (r.n_rows, r.sum_v) for r in mv.read().collect()
     }["1.0"] == (2, 101)
+
+
+def test_stream_refresh_equals_batch_and_survives_replay(spark, tmp_path):
+    """Round-8 verdict #4: the txnlake STREAM drives refresh() in
+    foreachBatch. Draining the stream leaves the aggregate exactly ≡
+    batch refresh (≡ full recompute); a wiped checkpoint (worst-case
+    crash replay — every micro-batch re-fires) re-runs refresh() as
+    no-ops, never double-counting; new source commits after a restart
+    refresh incrementally from the same checkpoint."""
+    from etl_data_lake_spark.sources.matview import stream_refresh_query
+
+    src = TxnTable(spark, str(tmp_path / "src"))
+    mv = MaterializedAgg(
+        spark, src, str(tmp_path / "mv"), keys=("k",), sum_cols=("v", "w")
+    )
+    src.append(_rows(spark, ("a", 1, 0.5), ("b", 3, 2.0)))
+    src.append(_rows(spark, ("a", 2, 1.5), ("c", 5, 5.0)))
+
+    ckpt = str(tmp_path / "ck")
+    q = stream_refresh_query(mv, ckpt, query_name="mv_stream")
+    q.awaitTermination()
+    assert mv.refreshed_version() == src.latest_version() == 2
+    assert _read_mv(mv) == _agg_of(src.snapshot())
+
+    # worst-case crash replay: the ENTIRE checkpoint is lost, so every
+    # version window replays from the start — the refresh watermark
+    # makes each replayed batch a no-op (counts unchanged)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    target_v_before = mv.target.latest_version()
+    q = stream_refresh_query(mv, ckpt, query_name="mv_stream2")
+    q.awaitTermination()
+    assert _read_mv(mv) == _agg_of(src.snapshot())
+    assert mv.target.latest_version() == target_v_before  # true no-op
+
+    # restart with NEW source work, including a delete — the signal
+    # stream (ignoreChanges) survives it and the refresh handles it
+    # through the signed change feed
+    src.append(_rows(spark, ("b", 7, 1.0)))
+    src.delete_where_expr("k = 'a'")
+    q = stream_refresh_query(mv, ckpt, query_name="mv_stream3")
+    q.awaitTermination()
+    assert mv.refreshed_version() == src.latest_version()
+    assert _read_mv(mv) == _agg_of(src.snapshot())
+    assert ("a",) not in _read_mv(mv)  # fully-deleted group dropped
+
+    # stream-refreshed state ≡ an independent BATCH-refreshed twin
+    mv2 = MaterializedAgg(
+        spark, src, str(tmp_path / "mv2"), keys=("k",), sum_cols=("v", "w")
+    )
+    mv2.refresh()
+    assert _read_mv(mv) == _read_mv(mv2)
