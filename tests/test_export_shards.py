@@ -120,3 +120,136 @@ def test_shards_map_near_one_to_one_to_tasks(spark, corpus):
     pairs = s.select("shard", "pid").distinct().collect()
     assert len(pairs) == SHARDS  # each shard entirely in one task
     assert len({p["pid"] for p in pairs}) >= SHARDS - 1
+
+
+# ---------------------------------------------------------------------------
+# Curriculum (score-ordered) export — round-8 verdict #7
+# ---------------------------------------------------------------------------
+
+from etl_data_lake_spark.operators.export import (  # noqa: E402
+    assign_curriculum_shards,
+    curriculum,
+    write_curriculum_shards,
+)
+
+
+@pytest.fixture(scope="module")
+def scored_corpus(spark):
+    # deterministic non-monotone score decorrelated from ingest order
+    return spark.range(0, N).select(
+        F.col("id"),
+        F.concat(F.lit("doc"), F.col("id")).alias("key"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(10_000)) / 100.0).alias(
+            "score"
+        ),
+    )
+
+
+def test_curriculum_cross_shard_monotone_and_balanced(spark, scored_corpus):
+    tagged = assign_curriculum_shards(
+        scored_corpus, SHARDS, "score", ("key",)
+    )
+    stats = (
+        tagged.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("score").alias("lo"),
+            F.max("score").alias("hi"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    assert [r["shard"] for r in stats] == list(range(SHARDS))
+    # global monotonicity across shard indices (ties may touch)
+    for a, b in zip(stats, stats[1:]):
+        assert a["hi"] <= b["lo"]
+    sizes = [r["n"] for r in stats]
+    assert all(abs(s - N / SHARDS) < 0.1 * N / SHARDS for s in sizes)
+
+
+def test_curriculum_reproducible_under_any_layout(spark, scored_corpus):
+    a = assign_curriculum_shards(scored_corpus, SHARDS, "score", ("key",))
+    b = assign_curriculum_shards(
+        scored_corpus.repartition(17), SHARDS, "score", ("key",)
+    )
+    assert (
+        a.select("id", "shard").exceptAll(b.select("id", "shard")).count()
+        == 0
+    )
+
+
+def test_curriculum_constant_score_still_balances(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id"), F.lit(1.0).alias("score")
+    )
+    tagged = assign_curriculum_shards(df, 4, "score", ("id",))
+    sizes = [
+        r["n"]
+        for r in tagged.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    ]
+    assert len(sizes) == 4
+    assert all(abs(s - 1000) < 150 for s in sizes)  # hash tie-split
+
+
+def test_curriculum_descending_and_validation(spark, scored_corpus):
+    tagged = assign_curriculum_shards(
+        scored_corpus, 4, "score", ("key",), ascending=False
+    )
+    stats = (
+        tagged.groupBy("shard")
+        .agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+        .orderBy("shard")
+        .collect()
+    )
+    for a, b in zip(stats, stats[1:]):
+        assert a["lo"] >= b["hi"]  # shard 0 = highest scores
+
+    with pytest.raises(ValueError, match="n_shards"):
+        assign_curriculum_shards(scored_corpus, 0, "score", ("key",))
+    with pytest.raises(ValueError, match="null/NaN"):
+        bad = scored_corpus.withColumn(
+            "score",
+            F.when(F.col("id") == 3, F.lit(None)).otherwise(F.col("score")),
+        )
+        assign_curriculum_shards(bad, 4, "score", ("key",))
+    with pytest.raises(ValueError, match="already has"):
+        assign_curriculum_shards(
+            scored_corpus.withColumn("shard", F.lit(1)), 4, "score", ("key",)
+        )
+    # empty input: single empty shard assignment, no crash
+    empty = assign_curriculum_shards(
+        scored_corpus.where(F.lit(False)), 4, "score", ("key",)
+    )
+    assert empty.count() == 0
+
+
+def test_curriculum_export_reads_back_in_global_score_order(
+    spark, scored_corpus, tmp_path
+):
+    """The on-disk contract: reading shard dirs 0..n−1 sequentially
+    (pyarrow preserves file row order) yields a globally score-sorted
+    corpus with exactly the input rows; a second export is
+    byte-identical (reproducibility across runs)."""
+    out = str(tmp_path / "curr")
+    write_curriculum_shards(
+        scored_corpus, out, SHARDS, "score", ("key",)
+    )
+    seq = []
+    n_rows = 0
+    for k in range(SHARDS):
+        files = glob.glob(f"{out}/shard={k}/*.parquet")
+        assert len(files) == 1  # one file per shard
+        t = pq.read_table(files[0])
+        seq.extend(t.column("score").to_pylist())
+        n_rows += t.num_rows
+    assert n_rows == N
+    assert seq == sorted(seq)  # GLOBAL curriculum order
+
+    out2 = str(tmp_path / "curr2")
+    write_curriculum_shards(
+        scored_corpus.repartition(13), out2, SHARDS, "score", ("key",)
+    )
+    for k in range(SHARDS):
+        a = pq.read_table(glob.glob(f"{out}/shard={k}/*.parquet")[0])
+        b = pq.read_table(glob.glob(f"{out2}/shard={k}/*.parquet")[0])
+        assert a.equals(b)
