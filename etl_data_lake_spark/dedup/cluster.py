@@ -147,12 +147,42 @@ def connected_components(
 
 
 def dedup_keep_canonical(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    scores: DataFrame | None = None,
+    score_col: str = "score",
 ) -> DataFrame:
-    """Drop every near-duplicate except its cluster's minimum-id
-    representative; docs in no cluster pass through untouched."""
+    """Drop every near-duplicate except its cluster's canonical
+    representative; docs in no cluster pass through untouched.
+
+    Default canonical = the minimum-id member (cheap, deterministic).
+    With ``scores`` — an ``(id_col, score_col)`` frame, e.g. the
+    model-based quality scorer's output (round-8 verdict #8) — the
+    canonical is the HIGHEST-scoring member instead (ties → min id;
+    unscored members rank after scored ones), so dedup keeps the best
+    copy of each duplicate group, not an arbitrary one. Scale shape is
+    unchanged: the score join and the rank window run on the
+    graph-sized component frame, never the corpus."""
     comp = connected_components(pairs)
-    losers = comp.where(F.col("cluster_id") != F.col(id_col)).select(
-        F.col(id_col)
+    if scores is None:
+        losers = comp.where(F.col("cluster_id") != F.col(id_col)).select(
+            F.col(id_col)
+        )
+        return docs.join(losers, id_col, "left_anti")
+    from pyspark.sql import Window
+
+    member_scores = comp.join(
+        scores.select(F.col(id_col), F.col(score_col).alias("_score")),
+        id_col,
+        "left",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc_nulls_last(), F.col(id_col).asc()
+    )
+    losers = (
+        member_scores.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") > 1)
+        .select(F.col(id_col))
     )
     return docs.join(losers, id_col, "left_anti")

@@ -39,6 +39,16 @@ _CURATED_SRC = f"(SELECT doc_id, text FROM documents WHERE {_QUALITY_WHERE})"
 
 
 def _curation_oracle() -> str:
+    # canonical-by-QUALITY (round-8 verdict #8): the cluster survivor
+    # is the member the NB quality classifier scores highest (fixed-
+    # point integer odds — exact cross-engine ordering; ties → min
+    # id), not the arbitrary minimum id. The odds CTEs reproduce
+    # quality_classifier_scores' already-green oracle arithmetic.
+    from etl_data_lake_spark.functions.classifier import (
+        WEIGHT_SCALE,
+        sql_weak_quality_label,
+    )
+
     return f"""
         WITH RECURSIVE pairs AS ({_minhash_oracle(source=_CURATED_SRC)}),
         edges AS (
@@ -51,14 +61,49 @@ def _curation_oracle() -> str:
             UNION
             SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src
         ),
-        losers AS (
-            SELECT n FROM (SELECT n, MIN(m) AS c FROM reach GROUP BY n)
-            WHERE c != n
-        )
+        members AS (
+            SELECT n AS doc_id, MIN(m) AS cluster FROM reach GROUP BY n
+        ),
+        lab AS (
+            SELECT doc_id, {_TOK} AS toks,
+                   {sql_weak_quality_label(_TOK)} AS y
+            FROM documents
+        ),
+        tok AS (SELECT doc_id, y, unnest(toks) AS term FROM lab),
+        counts AS (
+            SELECT term, SUM(y) AS c_pos, SUM(1 - y) AS c_neg
+            FROM tok GROUP BY term
+        ),
+        tot AS (
+            SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg,
+                   COUNT(*) AS v
+            FROM counts
+        ),
+        w AS (
+            SELECT term,
+                   CAST(ROUND((ln((c_pos + 1.0) / (n_pos + v))
+                               - ln((c_neg + 1.0) / (n_neg + v)))
+                              * {WEIGHT_SCALE}) AS BIGINT) AS w_q
+            FROM counts, tot
+        ),
+        odds AS (
+            SELECT tok.doc_id, CAST(SUM(w.w_q) AS BIGINT) AS oq
+            FROM tok JOIN w USING (term)
+            GROUP BY tok.doc_id
+        ),
+        ranked AS (
+            SELECT m.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY m.cluster
+                       ORDER BY o.oq DESC, m.doc_id
+                   ) AS rk
+            FROM members m JOIN odds o USING (doc_id)
+        ),
+        losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
         SELECT d.doc_id, d.lang, d.n_chars
         FROM documents d
         JOIN {_CURATED_SRC} c ON d.doc_id = c.doc_id
-        WHERE d.doc_id NOT IN (SELECT n FROM losers)
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
     """
 
 
@@ -78,8 +123,20 @@ def quality_filter(docs: DataFrame) -> DataFrame:
     tags=("pipeline", "dedup", "text", "flagship"),
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Since round 9 the cluster canonical is chosen by MODEL quality
+    (the NB classifier's log-odds — the quality_classifier_scores
+    composition), not minimum id: dedup keeps the BEST copy of each
+    duplicate group. One extra tokenize scan + term-keyed shuffle for
+    the scorer; the rank window stays graph-sized."""
+    from etl_data_lake_spark.queries.quality_model import (
+        _scored_with_weak_labels,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     curated = quality_filter(docs)
     pairs = minhash_lsh_pairs(curated, threshold=0.5)
-    kept = dedup_keep_canonical(curated, pairs)
+    scores = _scored_with_weak_labels(spark, sf_dir).select(
+        "doc_id", F.col("log_odds").alias("score")
+    )
+    kept = dedup_keep_canonical(curated, pairs, scores=scores)
     return kept.select("doc_id", "lang", "n_chars")

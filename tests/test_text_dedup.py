@@ -102,6 +102,34 @@ def test_dedup_keep_canonical(spark):
     assert kept.count() == docs.count() - 3
 
 
+def test_dedup_keep_canonical_by_quality_score(spark):
+    """Round-8 verdict #8: with a scores frame the cluster survivor is
+    the HIGHEST-scoring member (ties -> min id; unscored members lose
+    to scored ones), so dedup keeps the best copy, not the lowest id.
+    Planted so min-id and max-score DISAGREE on every cluster."""
+    from etl_data_lake_spark.dedup.cluster import dedup_keep_canonical
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 7), (8, 9)], ["doc_a", "doc_b"]
+    )
+    scores = spark.createDataFrame(
+        # cluster {0,1,2}: best is 2 (min-id would keep 0);
+        # cluster {5,7}: tie -> min id 5;
+        # cluster {8,9}: 8 unscored -> scored 9 wins
+        [(0, 1.0), (1, 2.0), (2, 9.0), (5, 4.0), (7, 4.0), (9, -3.0)],
+        "doc_id long, score double",
+    )
+    kept = dedup_keep_canonical(docs, pairs, scores=scores)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert {0, 1, 7, 8}.isdisjoint(kept_ids)
+    assert {2, 5, 9}.issubset(kept_ids)
+    assert kept.count() == docs.count() - 4
+    # docs in no cluster pass through regardless of (missing) scores
+    assert 3 in kept_ids
+
+
 def test_minhash_bucket_cap_bounds_adversarial_corpus(spark):
     """Adversarial shape: a corpus of identical documents puts every
     doc in ONE bucket per band, so uncapped candidate generation is
