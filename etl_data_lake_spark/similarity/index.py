@@ -241,6 +241,33 @@ class IvfIndex:
             F.col("build") == build_no
         )
 
+    def _build_postings(self, build_no: int) -> DataFrame:
+        """ALL current-build postings (every cell) — the refill scan
+        for guaranteed-k filtered queries; build-pruned at the
+        manifest level like :meth:`_postings`."""
+        files, _ = self.postings_tbl.files_matching(
+            {"build": (build_no, build_no)}
+        )
+        meta = self.postings_tbl.snapshot_meta()
+        return self.postings_tbl.read_files(meta, sorted(files)).where(
+            F.col("build") == build_no
+        )
+
+    @staticmethod
+    def _id_mask(filter_ids: DataFrame, id_col: str, out_name: str):
+        """The filter frame as a single-column semi-join mask. Accepts
+        either the caller's ``id_col`` name or a one-column frame."""
+        if id_col in filter_ids.columns:
+            return filter_ids.select(F.col(id_col).alias(out_name))
+        if len(filter_ids.columns) == 1:
+            return filter_ids.select(
+                F.col(filter_ids.columns[0]).alias(out_name)
+            )
+        raise ValueError(
+            f"filter_ids must carry column {id_col!r} or be a "
+            f"one-column frame; got {filter_ids.columns}"
+        )
+
     # ------------------------------------------------- maintenance --
 
     def add(
@@ -335,6 +362,7 @@ class IvfIndex:
         nprobe: int = 4,
         vec_col: str = "embedding",
         max_query_batch: int = 100_000,
+        filter_ids: DataFrame | None = None,
     ) -> DataFrame:
         """→ (query_id, neighbor_id, cos_sim, rank); same contract and
         same bit-deterministic scoring as ivf.ivf_topk, but the corpus
@@ -343,7 +371,18 @@ class IvfIndex:
         ONCE (cells and join side come from the same materialized
         rows, so a non-deterministic input cannot probe one cell set
         and join another); batches beyond ``max_query_batch`` rows
-        raise rather than silently ballooning the driver."""
+        raise rather than silently ballooning the driver.
+
+        ``filter_ids`` = filtered ANN on the SERVED index (the
+        ivf_topk ``predicate`` semantics, expressed as an id frame
+        because the index stores no metadata columns — derive it from
+        any metadata join upstream). The mask semi-joins the probed
+        postings, and k is GUARANTEED exactly like ivf_topk's filtered
+        path: queries whose probed cells held fewer than ``k`` matches
+        re-run as exact brute force over the filtered current build —
+        never a silently under-k answer. At scale pass a small mask as
+        ``F.broadcast(filter_ids)``; a large one semi-joins on the id
+        (narrow shuffle of ids, never vectors)."""
         build_no, centroids = self._quantizer()
         probe = _probe_udf(centroids, nprobe)
         q = queries.select(
@@ -382,6 +421,12 @@ class IvfIndex:
             F.col("vec").alias("cv"),
             "cell",
         )
+        if filter_ids is not None:
+            postings = postings.join(
+                self._id_mask(filter_ids, self.id_col, "neighbor_id"),
+                "neighbor_id",
+                "left_semi",
+            )
         cand = (
             postings.join(F.broadcast(qb), "cell")
             .where(F.col("neighbor_id") != F.col("query_id"))
@@ -395,9 +440,62 @@ class IvfIndex:
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cos_sim"), F.asc("neighbor_id")
         )
-        return scored.withColumn(
+        ranked = scored.withColumn(
             "rank", F.row_number().over(w).cast("long")
         ).where(F.col("rank") <= k)
+        if filter_ids is None:
+            return ranked
+        return self._refill_short(
+            ranked, qrows, filter_ids, build_no, k, vec_col,
+            max_query_batch,
+        )
+
+    def _refill_short(
+        self,
+        ranked: DataFrame,
+        qrows: list,
+        filter_ids: DataFrame,
+        build_no: int,
+        k: int,
+        vec_col: str,
+        max_query_batch: int,
+    ) -> DataFrame:
+        """Guaranteed-k for filtered index queries: delegate to
+        ivf._guarantee_k with (a) the filtered CURRENT BUILD as the
+        refill corpus and (b) a LOCAL queries frame rebuilt from the
+        already-collected batch rows — the one-collect contract holds
+        (a non-deterministic queries input cannot probe one id set and
+        refill another)."""
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            StructField,
+            StructType,
+        )
+
+        from etl_data_lake_spark.similarity.ivf import _guarantee_k
+
+        corpus = self._build_postings(build_no).select(
+            F.col("id").alias(self.id_col), F.col("vec").alias(vec_col)
+        ).join(
+            self._id_mask(filter_ids, self.id_col, self.id_col),
+            self.id_col,
+            "left_semi",
+        )
+        id_type = ranked.schema["query_id"].dataType
+        q_local = self.spark.createDataFrame(
+            [(r.query_id, [float(x) for x in r.qv]) for r in qrows],
+            StructType(
+                [
+                    StructField(self.id_col, id_type),
+                    StructField(vec_col, ArrayType(DoubleType())),
+                ]
+            ),
+        )
+        return _guarantee_k(
+            ranked, corpus, q_local, k, self.id_col, vec_col,
+            max_query_batch,
+        )
 
     def query_adc(
         self,
@@ -407,6 +505,7 @@ class IvfIndex:
         refine_factor: int = 4,
         vec_col: str = "embedding",
         max_query_batch: int = 100_000,
+        filter_ids: DataFrame | None = None,
     ) -> DataFrame:
         """IVF-PQ query (requires a ``pq_m`` build): probed cells are
         scanned reading ONLY (id, cell, codes) — the fat vector column
@@ -418,7 +517,14 @@ class IvfIndex:
         vector column, so emitted scores keep the bit-deterministic
         contract of every ANN path here. refine_factor covering the
         probed cells ⇒ identical to :meth:`query` at equal nprobe
-        (test-pinned)."""
+        (test-pinned).
+
+        ``filter_ids`` masks the CODE scan (and the refine's vector
+        lookup) before the ADC partial, so the candidate
+        top-(k·refine_factor) competes only among matching vectors;
+        k is guaranteed by the same exact-brute-force refill as
+        :meth:`query` (probed cells can come up short under a
+        selective filter)."""
         import numpy as np
 
         build_no, centroids = self._quantizer()
@@ -474,6 +580,12 @@ class IvfIndex:
         codes = self._postings(build_no, probed).select(
             F.col("id").alias("neighbor_id"), "codes", "cell"
         )
+        if filter_ids is not None:
+            codes = codes.join(
+                self._id_mask(filter_ids, self.id_col, "neighbor_id"),
+                "neighbor_id",
+                "left_semi",
+            )
         tabs = _adc_tables(books, query_mat)
         m = books.shape[0]
         n_keep = k * refine_factor + 1
@@ -524,6 +636,12 @@ class IvfIndex:
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cos_sim"), F.asc("neighbor_id")
         )
-        return exact.withColumn(
+        ranked = exact.withColumn(
             "rank", F.row_number().over(w).cast("long")
         ).where(F.col("rank") <= k)
+        if filter_ids is None:
+            return ranked
+        return self._refill_short(
+            ranked, qrows, filter_ids, build_no, k, vec_col,
+            max_query_batch,
+        )

@@ -251,3 +251,112 @@ def test_index_upsert_sink_exactly_once(spark, emb, tmp_path):
     fn(batch, 0)
     fn(batch, 0)  # replayed micro-batch: no-op
     assert idx.postings_tbl.snapshot().count() == n0 + 1
+
+
+# --------------------------------------------- filtered (round 9) --
+
+
+def _filter_frame(spark, emb):
+    """Permitted ids: the lang='en' documents (the metadata join a
+    real filtered query derives its id mask from)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    return docs.where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+
+
+def test_index_filtered_query_full_probe_is_filtered_exact(
+    spark, emb, tmp_path
+):
+    """nprobe = n_cells + filter ≡ brute force over the filtered
+    corpus — the correctness anchor for the served filtered path."""
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "ivf"), emb, id_col="vec_id", **_PARAMS
+    )
+    mask = _filter_frame(spark, emb)
+    queries = emb.where(F.col("vec_id") < 3)
+    got = _rows(idx.query(queries, k=5, nprobe=8, filter_ids=mask))
+    want = _rows(
+        cosine_topk(
+            emb.join(mask, "vec_id", "left_semi"), queries, k=5,
+            id_col="vec_id", vec_col="embedding",
+        )
+    )
+    assert got == want and len(got) > 0
+    # every emitted neighbor satisfies the filter
+    allowed = {r.vec_id for r in mask.collect()}
+    assert all(nid in allowed for _, nid, _, _ in got)
+
+
+def test_index_filtered_query_guarantees_k(spark, emb, tmp_path):
+    """A filter so selective that probed cells under-fill forces the
+    refill: results must equal filtered brute force EXACTLY (the
+    short queries upgrade to exact), all k rows present."""
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "ivf"), emb, id_col="vec_id", **_PARAMS
+    )
+    # 12 permitted vectors: any probed cell holds < k=8 of them, so
+    # every query goes through the refill path
+    mask = emb.where(
+        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") > 10)
+    ).select("vec_id").limit(12)
+    queries = emb.where(F.col("vec_id") < 4)
+    got = _rows(idx.query(queries, k=8, nprobe=1, filter_ids=mask))
+    want = _rows(
+        cosine_topk(
+            emb.join(mask, "vec_id", "left_semi"), queries, k=8,
+            id_col="vec_id", vec_col="embedding",
+        )
+    )
+    assert got == want
+    counts = {}
+    for qid, *_ in got:
+        counts[qid] = counts.get(qid, 0) + 1
+    assert set(counts.values()) == {8}  # k guaranteed per query
+
+
+def test_index_filtered_query_empty_filter(spark, emb, tmp_path):
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "ivf"), emb, id_col="vec_id", **_PARAMS
+    )
+    mask = emb.where(F.col("vec_id") < 0).select("vec_id")
+    got = idx.query(
+        emb.where(F.col("vec_id") < 3), k=5, nprobe=4, filter_ids=mask
+    )
+    assert got.count() == 0
+
+
+def test_index_filtered_query_rejects_ambiguous_mask(
+    spark, emb, tmp_path
+):
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "ivf"), emb, id_col="vec_id", n_cells=4
+    )
+    bad = emb.select(F.col("vec_id").alias("a"), F.col("vec_id").alias("b"))
+    with pytest.raises(ValueError, match="filter_ids"):
+        idx.query(
+            emb.where(F.col("vec_id") < 2), k=3, filter_ids=bad
+        ).collect()
+
+
+def test_ivfpq_filtered_adc_matches_filtered_exact(spark, emb, tmp_path):
+    """Filtered ADC with covering refine_factor ≡ filtered exact
+    query at equal nprobe; and the refill guarantees k under a
+    selective mask."""
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "ivf"), emb, id_col="vec_id",
+        n_cells=4, pq_m=8, pq_ks=16,
+    )
+    mask = _filter_frame(spark, emb)
+    queries = emb.where(F.col("vec_id") < 4)
+    got = _rows(
+        idx.query_adc(
+            queries, k=5, nprobe=2, refine_factor=10_000, filter_ids=mask
+        )
+    )
+    want = _rows(idx.query(queries, k=5, nprobe=2, filter_ids=mask))
+    assert got == want and len(got) > 0
