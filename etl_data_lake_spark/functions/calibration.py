@@ -198,6 +198,140 @@ def calibrate_scores(
     )
 
 
+@dataclass(frozen=True)
+class IsotonicModel:
+    """Non-parametric step calibrator: probability space is cut into
+    ``bins`` equal-width buckets and every bucket carries the fitted
+    (monotone, pooled) positive rate of its PAV block. ``values[b]``
+    is the calibrated probability for bucket ``b``; empty buckets
+    inherit the nearest fitted block at-or-below (step
+    interpolation), so the map is TOTAL over [0, 1]."""
+
+    bins: int
+    values: tuple[float, ...]
+
+
+def _pav(points: list[tuple[float, float]]) -> list[float]:
+    """Weighted pool-adjacent-violators over ``(weight, rate)`` points
+    in order: the classic stack merge — O(n), deterministic float64.
+    Returns the non-decreasing fitted rate per input point."""
+    # stack of blocks: [start_index, weight_sum, rate_weighted_sum]
+    stack: list[list[float]] = []
+    for i, (w, y) in enumerate(points):
+        stack.append([i, w, w * y])
+        while len(stack) >= 2 and (
+            stack[-2][2] / stack[-2][1] >= stack[-1][2] / stack[-1][1]
+        ):
+            top = stack.pop()
+            stack[-1][1] += top[1]
+            stack[-1][2] += top[2]
+    out = [0.0] * len(points)
+    bounds = [int(b[0]) for b in stack] + [len(points)]
+    for bi, blk in enumerate(stack):
+        v = blk[2] / blk[1]
+        for i in range(bounds[bi], bounds[bi + 1]):
+            out[i] = v
+    return out
+
+
+def fit_isotonic(
+    scored: DataFrame,
+    label_col: str = "y",
+    score_col: str = "prob",
+    bins: int = 1000,
+) -> IsotonicModel:
+    """Isotonic-regression calibration (Zadrozny & Elkan 2002) — the
+    non-parametric member of the family: no sigmoid shape assumption,
+    just the best monotone step function, which is what you want when
+    the reliability curve is S-bent in a way temperature/Platt cannot
+    express. Same scale discipline as the parametric fits: ONE
+    data-sized bucket aggregation (≤ ``bins`` rows), then the PAV
+    merge on the driver over those rows.
+
+    Approximation contract: exact isotonic regression pools over
+    individual rows; this pools over ``bins`` equal-width buckets —
+    the fitted curve differs from row-exact PAV by at most the
+    within-bucket score spread, and rates over each bucket are exact
+    (the bucket aggregation loses no counts)."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    y = F.col(label_col).cast("double")
+    s = F.col(score_col).cast("double")
+    rows = scored.where(
+        y.isNotNull() & s.isNotNull() & ~F.isnan(y) & ~F.isnan(s)
+    ).select(y.cast("long").alias("_y"), s.alias("_s"))
+    bucket = F.greatest(
+        F.least(F.floor(F.col("_s") * F.lit(bins)).cast("long"),
+                F.lit(bins - 1)),
+        F.lit(0),
+    )
+    stats = (
+        rows.groupBy(bucket.alias("_b"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_y").alias("_p"),
+        )
+        .orderBy("_b")
+        .collect()
+    )
+    if not stats:
+        # no evidence: the identity-ish step map (bucket midpoints)
+        vals = tuple((b + 0.5) / bins for b in range(bins))
+        return IsotonicModel(bins=bins, values=vals)
+    pts = [(float(r["_n"]), r["_p"] / r["_n"]) for r in stats]
+    fitted = _pav(pts)
+    # total map: empty buckets take the nearest fitted value at-or-
+    # below (step interpolation); below the first observed bucket,
+    # the first block's value
+    values = [0.0] * bins
+    obs = {int(r["_b"]): fitted[i] for i, r in enumerate(stats)}
+    cur = fitted[0]
+    for b in range(bins):
+        cur = obs.get(b, cur)
+        values[b] = cur
+    return IsotonicModel(bins=bins, values=tuple(values))
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    model: IsotonicModel,
+    score_col: str = "prob",
+    out_col: str = "prob_calibrated",
+) -> DataFrame:
+    """Apply an isotonic fit: bucket the score and BROADCAST-join the
+    ≤ ``bins``-row bucket→value map — no UDF, no ``bins``-literal
+    expression tree (a 10k-element literal array would bloat codegen;
+    a broadcast hash join of a tiny frame is the Spark-shaped way).
+    Null/NaN scores calibrate to null."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists; pass out_col="
+        )
+    if "__iso_b" in df.columns:
+        raise ValueError("input already has reserved column '__iso_b'")
+    spark = df.sparkSession
+    mapping = spark.createDataFrame(
+        [(b, float(v)) for b, v in enumerate(model.values)],
+        f"__iso_b long, {out_col} double",
+    )
+    s = F.col(score_col).cast("double")
+    bucket = F.when(
+        s.isNotNull() & ~F.isnan(s),
+        F.greatest(
+            F.least(
+                F.floor(s * F.lit(model.bins)).cast("long"),
+                F.lit(model.bins - 1),
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        df.withColumn("__iso_b", bucket)
+        .join(F.broadcast(mapping), "__iso_b", "left")
+        .drop("__iso_b")
+    )
+
+
 def calibration_bins(
     scored: DataFrame,
     n_bins: int = 10,

@@ -167,3 +167,129 @@ def test_validation(spark):
     empty = df.where(F.lit(False))
     m = fit_platt(empty)
     assert m.a == 1.0 and m.b == 0.0
+
+
+# ------------------------------------------------ isotonic (round 9) --
+
+
+def test_pav_hand_computed():
+    """The textbook PAV example: rates (w=1 each) .2 .6 .4 .8 — the
+    .6/.4 violation pools to .5; everything else stands."""
+    from etl_data_lake_spark.functions.calibration import _pav
+
+    assert _pav([(1, 0.2), (1, 0.6), (1, 0.4), (1, 0.8)]) == [
+        0.2, 0.5, 0.5, 0.8,
+    ]
+    # weighted pooling: (w=1, .9) then (w=3, .1) → (1·.9+3·.1)/4 = .3
+    pooled = _pav([(1, 0.9), (3, 0.1)])
+    assert all(math.isclose(v, 0.3) for v in pooled)
+    # already monotone: identity
+    assert _pav([(2, 0.1), (1, 0.5), (4, 0.9)]) == [0.1, 0.5, 0.9]
+
+
+def test_isotonic_fit_and_apply_hand_computed(spark):
+    """2 bins over 4 rows with an inverted reliability curve: the fit
+    must pool both bins to the global rate, and applying maps every
+    score to it."""
+    from etl_data_lake_spark.functions.calibration import (
+        fit_isotonic,
+        isotonic_calibrate,
+    )
+
+    rows = [
+        (1, 0.2), (1, 0.1),   # low bin: rate 1.0 (over-pessimistic)
+        (0, 0.9), (0, 0.8),   # high bin: rate 0.0 (over-optimistic)
+    ]
+    df = spark.createDataFrame(rows, "y long, prob double")
+    m = fit_isotonic(df, bins=2)
+    assert m.values == (0.5, 0.5)  # pooled to the global rate
+    got = isotonic_calibrate(df, m).collect()
+    assert all(r["prob_calibrated"] == 0.5 for r in got)
+    assert len(got) == 4  # left join keeps every row
+
+    # monotone input: per-bucket empirical rates come back verbatim,
+    # and the fitted values are non-decreasing across buckets
+    rows2 = [(0, 0.1), (0, 0.2), (1, 0.3), (1, 0.8), (1, 0.9)]
+    df2 = spark.createDataFrame(rows2, "y long, prob double")
+    m2 = fit_isotonic(df2, bins=10)
+    assert list(m2.values) == sorted(m2.values)
+    assert m2.values[1] == 0.0 and m2.values[8] == 1.0
+    # empty buckets inherit the nearest block at-or-below (step)
+    assert m2.values[5] == m2.values[3]
+
+
+def test_isotonic_improves_the_real_model(spark):
+    """Isotonic calibration on the NB quality model: ECE and Brier
+    both improve vs the raw probabilities (the non-parametric twin of
+    test_calibration_improves_the_real_model)."""
+    from etl_data_lake_spark.functions.calibration import (
+        fit_isotonic,
+        isotonic_calibrate,
+    )
+    from etl_data_lake_spark.queries.quality_model import (
+        _scored_with_weak_labels,
+    )
+
+    frame = _scored_with_weak_labels(spark, SF_DIR).select(
+        F.col("weak_label").alias("y"),
+        (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds")))
+        ).alias("prob"),
+    ).persist()
+    m = fit_isotonic(frame, bins=200)
+    cal = isotonic_calibrate(frame, m)
+    before = calibration_summary(frame).collect()[0]
+    after = calibration_summary(
+        cal.select("y", F.col("prob_calibrated").alias("prob"))
+    ).collect()[0]
+    frame.unpersist()
+    assert after["ece"] < before["ece"]
+    assert after["brier"] <= before["brier"] + 1e-12
+
+
+def test_isotonic_null_nan_and_plan(spark):
+    """Null/NaN scores calibrate to null (and are excluded from the
+    fit); the apply plan is a broadcast join, never a Python UDF."""
+    from etl_data_lake_spark.functions.calibration import (
+        fit_isotonic,
+        isotonic_calibrate,
+    )
+
+    rows = [(1, 0.9), (0, 0.1), (1, None), (0, float("nan"))]
+    df = spark.createDataFrame(rows, "y long, prob double")
+    m = fit_isotonic(df, bins=2)
+    assert m.values == (0.0, 1.0)  # the two bad rows never fit
+    got = {
+        (r["y"], str(r["prob"])): r["prob_calibrated"]
+        for r in isotonic_calibrate(df, m).collect()
+    }
+    assert got[(1, "None")] is None and got[(0, "nan")] is None
+    assert got[(1, "0.9")] == 1.0 and got[(0, "0.1")] == 0.0
+    plan = (
+        isotonic_calibrate(df, m)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_isotonic_validation(spark):
+    from etl_data_lake_spark.functions.calibration import (
+        IsotonicModel,
+        fit_isotonic,
+        isotonic_calibrate,
+    )
+
+    df = spark.createDataFrame([(1, 0.5)], "y long, prob double")
+    with pytest.raises(ValueError, match="bins"):
+        fit_isotonic(df, bins=1)
+    m = IsotonicModel(bins=2, values=(0.1, 0.9))
+    with pytest.raises(ValueError, match="already exists"):
+        isotonic_calibrate(
+            df.withColumn("prob_calibrated", F.lit(1.0)), m
+        )
+    with pytest.raises(ValueError, match="__iso_b"):
+        isotonic_calibrate(df.withColumn("__iso_b", F.lit(1)), m)
+    # empty input: the identity-ish midpoint map, not a crash
+    empty = fit_isotonic(df.where(F.lit(False)), bins=4)
+    assert empty.values == (0.125, 0.375, 0.625, 0.875)
