@@ -200,17 +200,23 @@ _BM25_LIMIT = 15
 _K1, _B = 1.2, 0.75
 
 
-def _bm25_oracle() -> str:
-    terms_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+def bm25_sql_ctes(
+    terms: tuple[str, ...], k1: float = _K1, b: float = _B
+) -> tuple[str, str]:
+    """(cte_body, score_expr): the WITH-clauses computing ``per_doc``
+    (one conditional-sum column per query term) plus the fixed-order
+    score expression — the DuckDB replica of ``bm25_score``'s
+    reproducible summation, shared by the catalog oracle and the
+    hybrid-retrieval twin (queries/vector_queries)."""
+    terms_list = ", ".join(f"'{t}'" for t in terms)
     s_cols = ", ".join(
         f"sum(CASE WHEN term = '{t}' THEN term_score END) AS _s{i}"
-        for i, t in enumerate(_BM25_TERMS)
+        for i, t in enumerate(terms)
     )
     score = " + ".join(
-        f"coalesce(_s{i}, 0.0)" for i in range(len(_BM25_TERMS))
+        f"coalesce(_s{i}, 0.0)" for i in range(len(terms))
     )
-    return f"""
-        WITH td AS (
+    body = f"""td AS (
             SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
             FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
             GROUP BY doc_id, t
@@ -230,8 +236,8 @@ def _bm25_oracle() -> str:
         scored AS (
             SELECT p.doc_id, p.term,
                    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                     * p.tf * ({_K1} + 1)
-                     / (p.tf + {_K1} * (1 - {_B} + {_B} * p.dl / avgdl))
+                     * p.tf * ({k1} + 1)
+                     / (p.tf + {k1} * (1 - {b} + {b} * p.dl / avgdl))
                      AS term_score
             FROM td2 p
             JOIN dfreq USING (term)
@@ -240,7 +246,14 @@ def _bm25_oracle() -> str:
         ),
         per_doc AS (
             SELECT doc_id, {s_cols} FROM scored GROUP BY doc_id
-        )
+        )"""
+    return body, score
+
+
+def _bm25_oracle() -> str:
+    body, score = bm25_sql_ctes(_BM25_TERMS)
+    return f"""
+        WITH {body}
         SELECT doc_id, round(score, 6) AS bm25
         FROM (SELECT doc_id, {score} AS score FROM per_doc)
         ORDER BY score DESC, doc_id

@@ -286,3 +286,78 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 6).alias("min_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval twin (round 9): BM25 lexical candidates reranked by
+# exact embedding cosine — the functions/hybrid composition replicated
+# end to end in DuckDB (the BM25 CTEs come from the already-green
+# text_bm25_topdocs oracle via bm25_sql_ctes; the cosine from the
+# already-green ann oracles). Library surface (50-entry driver cap);
+# parity-checked in test_parity._LIBRARY_TWINS.
+# --------------------------------------------------------------------------
+_HY_CAND, _HY_K = 50, 10
+
+
+def _hybrid_sql() -> str:
+    from etl_data_lake_spark.queries.curation_ops import (
+        _BM25_TERMS,
+        bm25_sql_ctes,
+    )
+
+    body, score = bm25_sql_ctes(_BM25_TERMS)
+    return f"""
+        WITH {body},
+        cand AS (
+            SELECT doc_id, score
+            FROM (SELECT doc_id, {score} AS score FROM per_doc)
+            ORDER BY score DESC, doc_id
+            LIMIT {_HY_CAND}
+        ),
+        qv AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS q
+            FROM embeddings WHERE vec_id = 0
+        ),
+        ev AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        rer AS (
+            SELECT c.doc_id, round(c.score, 6) AS bm25,
+                   round({sql_cosine('e.v', 'q.q')}, 6) AS cos_sim
+            FROM cand c
+            JOIN ev e ON c.doc_id = e.vec_id
+            CROSS JOIN qv q
+        )
+        SELECT doc_id, bm25, cos_sim, CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY cos_sim DESC, doc_id
+            ) AS rnk FROM rer
+        )
+        WHERE rnk <= {_HY_K}
+    """
+
+
+HYBRID_BM25_COSINE_SQL = _hybrid_sql()
+
+
+def hybrid_bm25_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 for the fixture query terms, reranked by cosine
+    against document 0's embedding (the 1-row bounded collect every
+    ANN query side already performs). Candidate-sized rerank — only
+    50 rows ever read the vector column."""
+    from etl_data_lake_spark.functions.hybrid import hybrid_search
+    from etl_data_lake_spark.queries.curation_ops import _BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.where(F.col("vec_id") == 0)
+        .select(as_double("embedding"))
+        .collect()[0][0]
+    )
+    return hybrid_search(
+        docs, emb, list(_BM25_TERMS), list(qvec),
+        k=_HY_K, n_candidates=_HY_CAND,
+    )

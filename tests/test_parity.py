@@ -168,6 +168,11 @@ _LIBRARY_TWINS = [
         "GOLDEN_Q3_TOP_USER_SQL",
     ),
     (
+        "hybrid_bm25_cosine",
+        "etl_data_lake_spark.queries.vector_queries",
+        "HYBRID_BM25_COSINE_SQL",
+    ),
+    (
         "quality_model_calibration",
         "etl_data_lake_spark.queries.quality_model",
         "QUALITY_MODEL_CALIBRATION_SQL",
