@@ -1,0 +1,112 @@
+"""Tokenizer model persistence — train once, encode everywhere.
+
+A real pipeline trains its tokenizer (functions/bpe merges or a
+functions/unigram model) on one corpus snapshot and then encodes for
+months: the artifact must outlive the session, ship to other
+clusters, and round-trip EXACTLY (a tokenizer that drifts by one
+merge rule silently changes every token budget downstream).
+
+The artifact is one small JSON document (merge lists and piece
+vocabularies are driver-side objects, kilobytes to a few megabytes —
+file IO, not a Spark job):
+
+* byte-deterministic: sorted keys, fixed separators — re-saving an
+  unchanged model is byte-identical (artifact diffing works);
+* exact: floats round-trip via JSON's shortest-repr doubles (Python
+  emits repr-exact doubles), so a loaded unigram model Viterbi-
+  segments bit-identically to the trained one (test-pinned);
+* self-describing: ``format``/``type``/``version`` fields are
+  validated on load, and unknown versions fail loudly instead of
+  misparsing;
+* crash-safe: written to a temp file and atomically renamed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from etl_data_lake_spark.functions.bpe import Merges
+from etl_data_lake_spark.functions.unigram import UnigramModel
+
+_FORMAT = "etl-data-lake-tokenizer"
+_VERSION = 1
+
+
+def _atomic_write(path: str, payload: dict) -> None:
+    doc = json.dumps(payload, sort_keys=True, separators=(",", ":"))
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(doc)
+    os.replace(tmp, path)
+
+
+def save_bpe(path: str, merges: Merges) -> None:
+    """Persist a BPE merge list (rank = list order)."""
+    _atomic_write(
+        str(path),
+        {
+            "format": _FORMAT,
+            "version": _VERSION,
+            "type": "bpe",
+            "merges": [[a, b] for a, b in merges],
+        },
+    )
+
+
+def save_unigram(path: str, model: UnigramModel) -> None:
+    """Persist a unigram-LM model (pieces keep insertion order; the
+    log-prob map is keyed by piece, JSON-exact doubles)."""
+    _atomic_write(
+        str(path),
+        {
+            "format": _FORMAT,
+            "version": _VERSION,
+            "type": "unigram",
+            "max_piece_len": model.max_piece_len,
+            "unk_logp": model.unk_logp,
+            "pieces": list(model.pieces),
+            "logp": {p: model.logp[p] for p in model.pieces},
+        },
+    )
+
+
+def load_tokenizer(path: str) -> Merges | UnigramModel:
+    """Load a saved tokenizer: a BPE artifact comes back as the merge
+    list, a unigram artifact as the :class:`UnigramModel` — each
+    bit-equal to what was saved (encodes are pinned identical in
+    tests/test_tokenizer_io.py)."""
+    with open(str(path), encoding="utf-8") as f:
+        doc = json.load(f)
+    if not isinstance(doc, dict) or doc.get("format") != _FORMAT:
+        raise ValueError(
+            f"{path}: not a {_FORMAT} artifact "
+            f"(format={doc.get('format') if isinstance(doc, dict) else None!r})"
+        )
+    if doc.get("version") != _VERSION:
+        raise ValueError(
+            f"{path}: unsupported artifact version {doc.get('version')!r} "
+            f"(this reader understands {_VERSION})"
+        )
+    kind = doc.get("type")
+    if kind == "bpe":
+        merges = doc["merges"]
+        if not all(
+            isinstance(m, list) and len(m) == 2 for m in merges
+        ):
+            raise ValueError(f"{path}: malformed BPE merge list")
+        return [(a, b) for a, b in merges]
+    if kind == "unigram":
+        pieces = tuple(doc["pieces"])
+        logp = doc["logp"]
+        if set(pieces) != set(logp):
+            raise ValueError(
+                f"{path}: unigram pieces and logp keys disagree"
+            )
+        return UnigramModel(
+            logp={p: float(logp[p]) for p in pieces},
+            max_piece_len=int(doc["max_piece_len"]),
+            unk_logp=float(doc["unk_logp"]),
+            pieces=pieces,
+        )
+    raise ValueError(f"{path}: unknown tokenizer type {kind!r}")
