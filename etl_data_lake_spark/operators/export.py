@@ -108,6 +108,7 @@ def write_shuffled_shards(
     n_shards: int,
     key_cols: tuple[str, ...],
     seed: int = 42,
+    manifest: bool = False,
 ) -> None:
     """Export as ``path/shard=K/`` parquet, ONE file per shard, rows
     in the deterministic shuffled order (parquet preserves row order
@@ -115,10 +116,23 @@ def write_shuffled_shards(
     file may split it — consumers wanting order from Spark re-sort on
     the shard's key hash). All rows of a shard land in a single
     repartition task, so each directory gets exactly one file without
-    a per-shard job or a driver loop."""
+    a per-shard job or a driver loop. ``manifest=True`` also writes
+    ``_export_manifest.json`` (see module notes) — per-shard row
+    counts from footers, schema, and the exact export parameters."""
     shuffled(df, n_shards, key_cols, seed).write.mode(
         "overwrite"
     ).partitionBy(SHARD_COL).parquet(path)
+    if manifest:
+        _write_manifest(
+            path,
+            "shuffled",
+            {
+                "n_shards": n_shards,
+                "key_cols": list(key_cols),
+                "seed": seed,
+            },
+            df.schema,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -313,12 +327,136 @@ def write_curriculum_shards(
     ascending: bool = True,
     resolution: int = 100_000,
     seed: int = 42,
+    manifest: bool = False,
 ) -> None:
     """Export as ``path/shard=K/`` parquet, one file per shard, rows
     score-ordered within each file and monotone ACROSS shard indices —
     a dataloader reading shard 0, 1, … sequentially consumes the
     corpus in curriculum order (same on-disk contract as
-    write_shuffled_shards)."""
+    write_shuffled_shards). ``manifest=True`` writes the same
+    ``_export_manifest.json`` sidecar, with the curriculum parameters
+    recorded."""
     curriculum(
         df, n_shards, score_col, key_cols, ascending, resolution, seed
     ).write.mode("overwrite").partitionBy(SHARD_COL).parquet(path)
+    if manifest:
+        _write_manifest(
+            path,
+            "curriculum",
+            {
+                "n_shards": n_shards,
+                "score_col": score_col,
+                "key_cols": list(key_cols),
+                "ascending": ascending,
+                "resolution": resolution,
+                "seed": seed,
+            },
+            df.schema,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Export manifest — the dataloader hand-off contract, written down.
+# A training job consuming `path/shard=K/` needs to know, without
+# scanning data: how many shards, how many rows each, which files, in
+# what schema, and exactly which (seed, keys, score…) produced the
+# layout — both to size workers and to PROVE two runs consumed the
+# same corpus. Row counts come from parquet FOOTERS (metadata reads,
+# zero data scan, exact — the analyze_stats discipline); the document
+# is atomic-renamed and underscore-prefixed so Spark/Hadoop readers
+# ignore it during partition discovery.
+# ---------------------------------------------------------------------------
+
+MANIFEST_NAME = "_export_manifest.json"
+_MANIFEST_VERSION = 1
+
+
+def _manifest_payload(path: str, kind: str, params: dict, schema) -> dict:
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        fsys, root = pafs.FileSystem.from_uri(path)
+    else:
+        import os
+
+        fsys, root = pafs.LocalFileSystem(), os.path.abspath(path)
+    sel = pafs.FileSelector(root, recursive=True)
+    by_shard: dict[int, list] = {}
+    prefix = f"{SHARD_COL}="
+    for info in fsys.get_file_info(sel):
+        if info.type != pafs.FileType.File:
+            continue
+        rel = info.path[len(root):].lstrip("/")
+        parts = rel.split("/")
+        base = parts[-1]
+        if base.startswith(("_", ".")) or not base.endswith(".parquet"):
+            continue
+        if len(parts) != 2 or not parts[0].startswith(prefix):
+            continue
+        sid = int(parts[0][len(prefix):])
+        n = pq.ParquetFile(
+            fsys.open_input_file(info.path)
+        ).metadata.num_rows
+        by_shard.setdefault(sid, []).append((base, n))
+    shards = [
+        {
+            "shard": sid,
+            "n_rows": sum(n for _, n in sorted(files)),
+            "files": [f for f, _ in sorted(files)],
+        }
+        for sid, files in sorted(by_shard.items())
+    ]
+    cols = [
+        {"name": f.name, "type": f.dataType.simpleString()}
+        for f in schema.fields
+        if f.name not in (SHARD_COL, _ORDER_COL)
+    ]
+    return {
+        "format": "etl-data-lake-export",
+        "version": _MANIFEST_VERSION,
+        "kind": kind,
+        "params": params,
+        "columns": cols,
+        "n_shards_written": len(shards),
+        "total_rows": sum(s["n_rows"] for s in shards),
+        "shards": shards,
+    }
+
+
+def _write_manifest(path: str, kind: str, params: dict, schema) -> None:
+    import json
+    import os
+
+    payload = _manifest_payload(path, kind, params, schema)
+    doc = json.dumps(payload, sort_keys=True, separators=(",", ":"))
+    if "://" in path:
+        # object store: no rename primitive — single-shot put (the
+        # store's own put atomicity applies)
+        from pyarrow import fs as pafs
+
+        fsys, root = pafs.FileSystem.from_uri(path)
+        with fsys.open_output_stream(f"{root}/{MANIFEST_NAME}") as f:
+            f.write(doc.encode("utf-8"))
+        return
+    target = os.path.join(path, MANIFEST_NAME)
+    tmp = f"{target}.tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(doc)
+    os.replace(tmp, target)
+
+
+def read_export_manifest(path: str) -> dict:
+    """Load and validate an export's manifest."""
+    import json
+    import os
+
+    with open(os.path.join(path, MANIFEST_NAME), encoding="utf-8") as f:
+        doc = json.load(f)
+    if doc.get("format") != "etl-data-lake-export":
+        raise ValueError(f"{path}: not an export manifest")
+    if doc.get("version") != _MANIFEST_VERSION:
+        raise ValueError(
+            f"{path}: unsupported manifest version {doc.get('version')!r}"
+        )
+    return doc

@@ -253,3 +253,97 @@ def test_curriculum_export_reads_back_in_global_score_order(
         a = pq.read_table(glob.glob(f"{out}/shard={k}/*.parquet")[0])
         b = pq.read_table(glob.glob(f"{out2}/shard={k}/*.parquet")[0])
         assert a.equals(b)
+
+
+# ---------------------------------------------- manifest (round 9) --
+
+
+def test_shuffled_export_manifest(spark, tmp_path):
+    from etl_data_lake_spark.operators.export import (
+        MANIFEST_NAME,
+        read_export_manifest,
+        write_shuffled_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "exp")
+    write_shuffled_shards(df, path, 4, ("doc_id",), seed=7, manifest=True)
+    m = read_export_manifest(path)
+    assert m["kind"] == "shuffled"
+    assert m["params"] == {
+        "n_shards": 4, "key_cols": ["doc_id"], "seed": 7,
+    }
+    assert m["total_rows"] == 200
+    assert m["n_shards_written"] == 4
+    # footer counts must equal actual per-shard reads
+    for s in m["shards"]:
+        got = (
+            spark.read.parquet(f"{path}/shard={s['shard']}").count()
+        )
+        assert got == s["n_rows"]
+        assert len(s["files"]) == 1  # one file per shard
+    # the exported schema, minus the shard partition column
+    assert m["columns"] == [
+        {"name": "doc_id", "type": "bigint"},
+        {"name": "text", "type": "string"},
+    ]
+    # Spark partition discovery ignores the underscore sidecar
+    assert spark.read.parquet(path).count() == 200
+    # re-export: identical manifest apart from physical file names
+    path2 = str(tmp_path / "exp2")
+    write_shuffled_shards(df, path2, 4, ("doc_id",), seed=7, manifest=True)
+    m2 = read_export_manifest(path2)
+    strip = lambda d: {
+        k: ([{x: s[x] for x in s if x != "files"} for s in v]
+            if k == "shards" else v)
+        for k, v in d.items()
+    }
+    assert strip(m) == strip(m2)
+    assert (tmp_path / "exp" / MANIFEST_NAME).exists()
+
+
+def test_curriculum_export_manifest(spark, tmp_path):
+    from etl_data_lake_spark.operators.export import (
+        read_export_manifest,
+        write_curriculum_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 37)) for i in range(300)],
+        "doc_id long, score double",
+    )
+    path = str(tmp_path / "cur")
+    write_curriculum_shards(
+        df, path, 3, "score", ("doc_id",), manifest=True
+    )
+    m = read_export_manifest(path)
+    assert m["kind"] == "curriculum"
+    assert m["params"]["score_col"] == "score"
+    assert m["params"]["ascending"] is True
+    assert m["total_rows"] == 300 and m["n_shards_written"] == 3
+    sizes = [s["n_rows"] for s in m["shards"]]
+    assert sum(sizes) == 300 and max(sizes) - min(sizes) <= 2
+
+
+def test_manifest_validation(tmp_path):
+    import json
+
+    from etl_data_lake_spark.operators.export import (
+        MANIFEST_NAME,
+        read_export_manifest,
+    )
+
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / MANIFEST_NAME).write_text(json.dumps({"format": "other"}))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not an export manifest"):
+        read_export_manifest(str(d))
+    (d / MANIFEST_NAME).write_text(
+        json.dumps({"format": "etl-data-lake-export", "version": 9})
+    )
+    with _pytest.raises(ValueError, match="version"):
+        read_export_manifest(str(d))
