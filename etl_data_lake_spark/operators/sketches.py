@@ -65,3 +65,128 @@ def rollup_distinct(
     if group_cols:
         return sketches.groupBy(*[F.col(c) for c in group_cols]).agg(merged)
     return sketches.agg(merged)
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (round 9) — frequent items with PROVEN
+# bounds and bounded memory. The exact alternative (group-by the full
+# key space, as word_histogram does) shuffles |distinct keys| rows;
+# at 100 TB vocabularies that shuffle IS the job. Misra–Gries keeps
+# ``capacity`` counters per task and the merge shuffles only
+# ≤ (capacity+1)·partitions summary rows — candidates, not the key
+# space — at the cost of bounded, REPORTED uncertainty:
+#
+# * per task: an item's counter undercounts it by at most that task's
+#   decrement total d_p, and d_p ≤ n_p/(capacity+1) by construction
+#   (each decrement event consumes capacity+1 observations);
+# * merged: true_count ∈ [count_lower, count_lower + Σd_p] for every
+#   item, and every item with true_count > Σd_p is GUARANTEED present
+#   (absence implies count_lower = 0, hence true ≤ Σd_p); since
+#   Σd_p ≤ N/(capacity+1), anything more frequent than
+#   N/(capacity+1) always surfaces.
+#
+# The candidate set and the lower bounds depend on the physical
+# partition layout (Misra–Gries is order-sensitive) — the BOUNDS are
+# always valid, the exact numbers are not layout-canonical; tests pin
+# the guarantees, never the incidental values.
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    capacity: int = 256,
+    k: int | None = None,
+) -> DataFrame:
+    """→ (item, count_lower, count_upper, n_total): Misra–Gries
+    frequent items over a STRING column, one pass. Every item whose
+    true count exceeds ``n_total/(capacity+1)`` is present;
+    ``count_lower ≤ true ≤ count_upper`` always. ``k`` keeps only the
+    top-k by count_lower (item tie-break); default returns every
+    surviving candidate. Nulls are ignored (no evidence)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if k is not None and k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    field = df.schema[col]
+    if field.dataType.simpleString() != "string":
+        raise ValueError(
+            f"heavy_hitters needs a string column; {col!r} is "
+            f"{field.dataType.simpleString()} — cast explicitly"
+        )
+
+    out_schema = StructType(
+        [
+            StructField("item", StringType()),   # null = sentinel row
+            StructField("est", LongType()),
+            StructField("dec", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def summarize(it):
+        counters: dict[str, int] = {}
+        dec = 0
+        n = 0
+        for pdf in it:
+            for v in pdf[col]:
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                n += 1
+                c = counters.get(v)
+                if c is not None:
+                    counters[v] = c + 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    # decrement-all event: one unit off every counter
+                    # AND the unmatched new item — capacity+1
+                    # observations consumed per event
+                    dec += 1
+                    dead = [w for w, c2 in counters.items() if c2 == 1]
+                    for w in counters:
+                        counters[w] -= 1
+                    for w in dead:
+                        del counters[w]
+        rows = [(w, c, 0, 0) for w, c in counters.items()]
+        rows.append((None, 0, dec, n))
+        yield pd.DataFrame(rows, columns=["item", "est", "dec", "n"])
+
+    summary = df.select(col).mapInPandas(summarize, schema=out_schema)
+    agg = summary.groupBy("item").agg(
+        F.sum("est").alias("_est"),
+        F.sum("dec").alias("_dec"),
+        F.sum("n").alias("_n"),
+    )
+    # the aggregate is tiny (≤ capacity·tasks + 1 rows): the global
+    # window totals keep this ONE plan with one consumer of the scan
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    with_tot = agg.select(
+        "item",
+        F.col("_est"),
+        F.sum("_dec").over(w_all).alias("_err"),
+        F.sum("_n").over(w_all).alias("n_total"),
+    )
+    out = with_tot.where(F.col("item").isNotNull()).select(
+        "item",
+        F.col("_est").alias("count_lower"),
+        (F.col("_est") + F.col("_err")).alias("count_upper"),
+        "n_total",
+    )
+    if k is not None:
+        from etl_data_lake_spark.operators.topk import top_k
+
+        out = top_k(
+            out, [F.desc("count_lower"), F.asc("item")], k
+        )
+    return out

@@ -90,3 +90,93 @@ def test_deterministic_and_layout_invariant(spark):
     assert a == b
     with pytest.raises(ValueError, match="group_cols"):
         distinct_sketches(ev, (), "user_id")
+
+
+# ------------------------------------- Misra–Gries heavy hitters --
+
+
+def test_heavy_hitters_exact_when_under_capacity(spark):
+    """distinct items ≤ capacity ⇒ zero decrements: every item comes
+    back with count_lower == count_upper == the exact count."""
+    from etl_data_lake_spark.operators.sketches import heavy_hitters
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    got = {
+        r.item: (r.count_lower, r.count_upper, r.n_total)
+        for r in heavy_hitters(df, "item", capacity=8).collect()
+    }
+    assert got == {
+        "a": (5, 5, 9), "b": (3, 3, 9), "c": (1, 1, 9),
+    }
+
+
+def test_heavy_hitters_guarantees_under_pressure(spark):
+    """distinct ≫ capacity: every item with true count > Σ decrements
+    is present, and every emitted bound interval contains the truth —
+    under several physical layouts (Misra–Gries is order-sensitive;
+    the GUARANTEES must not be)."""
+    from etl_data_lake_spark.operators.sketches import heavy_hitters
+
+    # 3 planted whales + a 500-item noise tail of singletons
+    data = (
+        [("whale_a",)] * 400
+        + [("whale_b",)] * 250
+        + [("whale_c",)] * 120
+        + [(f"noise_{i}",) for i in range(500)]
+    )
+    true = {"whale_a": 400, "whale_b": 250, "whale_c": 120}
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(
+            data, "item string"
+        ).repartition(parts)
+        out = heavy_hitters(df, "item", capacity=16).collect()
+        emitted = {r.item: r for r in out}
+        assert out[0].n_total == len(data)
+        err = out[0].count_upper - out[0].count_lower  # Σ decrements
+        # guarantee 1: anything more frequent than the error floor
+        # is present
+        for w, c in true.items():
+            if c > err:
+                assert w in emitted, (parts, err)
+        # guarantee 2: every bound interval contains the truth
+        for r in out:
+            t = true.get(r.item, 1)
+            assert r.count_lower <= t <= r.count_upper, (parts, r)
+        # the error floor itself respects N/(capacity+1)
+        assert err <= len(data) // 17 + 1
+
+
+def test_heavy_hitters_topk_nulls_and_validation(spark):
+    from etl_data_lake_spark.operators.sketches import heavy_hitters
+
+    rows = [("a",)] * 4 + [("b",)] * 2 + [(None,)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "item string")
+    got = heavy_hitters(df, "item", capacity=8, k=2).collect()
+    assert [(r.item, r.count_lower) for r in
+            sorted(got, key=lambda r: -r.count_lower)] == [
+        ("a", 4), ("b", 2),
+    ]
+    assert all(r.n_total == 7 for r in got)  # nulls never counted
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(df, "item", capacity=0)
+    with _pytest.raises(ValueError, match="k must"):
+        heavy_hitters(df, "item", k=0)
+    ints = spark.createDataFrame([(1,)], "item bigint")
+    with _pytest.raises(ValueError, match="string column"):
+        heavy_hitters(ints, "item")
+
+
+def test_heavy_hitters_single_plan_shape(spark):
+    """The scan feeds ONE MapInPandas and the merge shuffles summary
+    rows only — no second pass over the data lineage."""
+    from etl_data_lake_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([("x",)] * 10, "item string")
+    plan = (
+        heavy_hitters(df, "item")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("MapInPandas") == 1
