@@ -332,6 +332,128 @@ def isotonic_calibrate(
     )
 
 
+def fit_isotonic_by(
+    scored: DataFrame,
+    group_col: str,
+    label_col: str = "y",
+    score_col: str = "prob",
+    bins: int = 1000,
+) -> dict:
+    """Per-group isotonic fits (e.g. one calibrator per corpus
+    source — a classifier miscalibrates DIFFERENTLY on web text vs
+    code, and a global fit averages the two errors): ONE
+    (group, bucket)-keyed aggregation — ≤ |groups|·bins rows, the
+    family's scale contract — then an independent PAV per group on
+    the driver. → {group_value: IsotonicModel}; null-group rows are
+    excluded like null labels (no group, no evidence). Apply with
+    :func:`isotonic_calibrate_by`."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    y = F.col(label_col).cast("double")
+    s = F.col(score_col).cast("double")
+    g = F.col(group_col)
+    rows = scored.where(
+        y.isNotNull() & s.isNotNull() & ~F.isnan(y) & ~F.isnan(s)
+        & g.isNotNull()
+    ).select(
+        g.alias("_g"), y.cast("long").alias("_y"), s.alias("_s")
+    )
+    bucket = F.greatest(
+        F.least(F.floor(F.col("_s") * F.lit(bins)).cast("long"),
+                F.lit(bins - 1)),
+        F.lit(0),
+    )
+    stats = (
+        rows.groupBy("_g", bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p"))
+        .orderBy("_g", "_b")
+        .collect()
+    )
+    by_group: dict = {}
+    for r in stats:
+        by_group.setdefault(r["_g"], []).append(r)
+    out = {}
+    for gval, grows in by_group.items():
+        pts = [(float(r["_n"]), r["_p"] / r["_n"]) for r in grows]
+        fitted = _pav(pts)
+        obs = {int(r["_b"]): fitted[i] for i, r in enumerate(grows)}
+        values = [0.0] * bins
+        cur = fitted[0]
+        for b in range(bins):
+            cur = obs.get(b, cur)
+            values[b] = cur
+        out[gval] = IsotonicModel(bins=bins, values=tuple(values))
+    return out
+
+
+def isotonic_calibrate_by(
+    df: DataFrame,
+    models: dict,
+    group_col: str,
+    score_col: str = "prob",
+    out_col: str = "prob_calibrated",
+) -> DataFrame:
+    """Apply per-group isotonic fits: one broadcast join on
+    (group, bucket) against the union of the groups' bucket maps
+    (≤ |groups|·bins rows). Rows whose group has no fitted model —
+    or whose score is null/NaN — calibrate to null rather than
+    borrowing another group's curve."""
+    if not models:
+        raise ValueError("models is empty — fit_isotonic_by first")
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists; pass out_col="
+        )
+    if "__iso_b" in df.columns:
+        raise ValueError("input already has reserved column '__iso_b'")
+    bins = {m.bins for m in models.values()}
+    if len(bins) != 1:
+        raise ValueError(
+            f"models disagree on bins ({sorted(bins)}); fit together"
+        )
+    n_bins = bins.pop()
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(group_col, gtype),
+            StructField("__iso_b", LongType()),
+            StructField(out_col, DoubleType()),
+        ]
+    )
+    mapping = spark.createDataFrame(
+        [
+            (gval, b, float(v))
+            for gval, m in models.items()
+            for b, v in enumerate(m.values)
+        ],
+        schema,
+    )
+    s = F.col(score_col).cast("double")
+    bucket = F.when(
+        s.isNotNull() & ~F.isnan(s),
+        F.greatest(
+            F.least(
+                F.floor(s * F.lit(n_bins)).cast("long"),
+                F.lit(n_bins - 1),
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        df.withColumn("__iso_b", bucket)
+        .join(F.broadcast(mapping), [group_col, "__iso_b"], "left")
+        .drop("__iso_b")
+    )
+
+
 def calibration_bins(
     scored: DataFrame,
     n_bins: int = 10,

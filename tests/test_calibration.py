@@ -293,3 +293,70 @@ def test_isotonic_validation(spark):
     # empty input: the identity-ish midpoint map, not a crash
     empty = fit_isotonic(df.where(F.lit(False)), bins=4)
     assert empty.values == (0.125, 0.375, 0.625, 0.875)
+
+
+def test_isotonic_by_group_hand_computed(spark):
+    """Two groups with OPPOSITE miscalibration: each gets its own
+    curve; a global fit would average them. Rows of an unfitted
+    group calibrate to null."""
+    from etl_data_lake_spark.functions.calibration import (
+        fit_isotonic,
+        fit_isotonic_by,
+        isotonic_calibrate_by,
+    )
+
+    rows = (
+        # group A: over-pessimistic low scores (low bin rate 1.0)
+        [("A", 1, 0.1), ("A", 1, 0.2), ("A", 0, 0.8), ("A", 0, 0.9)]
+        # group B: perfectly calibrated at the bin level
+        + [("B", 0, 0.1), ("B", 0, 0.2), ("B", 1, 0.8), ("B", 1, 0.9)]
+    )
+    df = spark.createDataFrame(rows, "src string, y long, prob double")
+    models = fit_isotonic_by(df, "src", bins=2)
+    assert set(models) == {"A", "B"}
+    assert models["A"].values == (0.5, 0.5)   # inverted → pooled
+    assert models["B"].values == (0.0, 1.0)   # monotone → verbatim
+    # the global fit flattens B's perfect curve to the pooled 0.5 —
+    # the averaging-of-opposite-errors a per-group fit avoids
+    g = fit_isotonic(df, bins=2)
+    assert g.values == (0.5, 0.5) != models["B"].values
+    plus = df.union(
+        spark.createDataFrame(
+            [("C", 1, 0.5)], "src string, y long, prob double"
+        )
+    )
+    got = {
+        (r.src, r.prob): r.prob_calibrated
+        for r in isotonic_calibrate_by(plus, models, "src").collect()
+    }
+    assert got[("A", 0.1)] == 0.5 and got[("A", 0.9)] == 0.5
+    assert got[("B", 0.1)] == 0.0 and got[("B", 0.9)] == 1.0
+    assert got[("C", 0.5)] is None  # no model → null, not borrowed
+
+
+def test_isotonic_by_group_validation(spark):
+    from etl_data_lake_spark.functions.calibration import (
+        IsotonicModel,
+        fit_isotonic_by,
+        isotonic_calibrate_by,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 1, 0.5)], "src string, y long, prob double"
+    )
+    with pytest.raises(ValueError, match="bins"):
+        fit_isotonic_by(df, "src", bins=1)
+    with pytest.raises(ValueError, match="empty"):
+        isotonic_calibrate_by(df, {}, "src")
+    mixed = {
+        "A": IsotonicModel(bins=2, values=(0.1, 0.9)),
+        "B": IsotonicModel(bins=4, values=(0.1, 0.2, 0.3, 0.9)),
+    }
+    with pytest.raises(ValueError, match="disagree"):
+        isotonic_calibrate_by(df, mixed, "src")
+    # null groups contribute no evidence
+    withnull = spark.createDataFrame(
+        [("A", 1, 0.9), (None, 0, 0.9)], "src string, y long, prob double"
+    )
+    m = fit_isotonic_by(withnull, "src", bins=2)
+    assert set(m) == {"A"} and m["A"].values[1] == 1.0
