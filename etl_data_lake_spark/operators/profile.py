@@ -123,3 +123,84 @@ def numeric_histogram(
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram algebra (round 9) — the quantile half of the mergeable-
+# sketch story (HLL covers distinct counts, Misra–Gries covers
+# frequency): fixed-width histograms with shared caller bounds ADD,
+# so a fleet can histogram each partition/day/table once, persist the
+# ≤ bins+2 rows, and answer quantiles over any union by merging rows
+# — no rescan, no sampled sketch whose merge drifts. The price is an
+# explicit, reported error: a quantile is located within its bucket,
+# so the answer is exact to ± one bucket width (vs t-digest's
+# data-dependent and merge-order-dependent error).
+# ---------------------------------------------------------------------------
+
+
+def merge_histograms(*hists: DataFrame) -> DataFrame:
+    """Add fixed-width histograms produced by :func:`numeric_histogram`
+    WITH THE SAME (bins, lo, hi): union + one ≤ bins+2-key group-by.
+    Histograms built at different parameters don't share bucket
+    bounds; their rows stay distinct and
+    :func:`histogram_quantiles` rejects the result loudly."""
+    if not hists:
+        raise ValueError("merge_histograms needs at least one histogram")
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), hists)
+    return u.groupBy("bucket", "bucket_lo", "bucket_hi").agg(
+        F.sum("n").alias("n")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: list[float]
+) -> list[float]:
+    """Quantile estimates from a (merged) fixed-width histogram:
+    linear interpolation within the located bucket — error ≤ one
+    bucket width for mass inside [lo, hi]; mass in the open-ended
+    under/overflow buckets clamps to the finite edge (lo / hi), where
+    the histogram genuinely carries no position information. The
+    histogram frame is ≤ bins+2 rows by construction; this collects
+    it and walks on the driver."""
+    if not qs:
+        return []
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantiles must be in [0, 1], got {q}")
+    rows = sorted(hist.collect(), key=lambda r: r["bucket"])
+    if not rows:
+        raise ValueError("empty histogram — no quantiles to locate")
+    seen_buckets = [r["bucket"] for r in rows]
+    if len(set(seen_buckets)) != len(seen_buckets):
+        raise ValueError(
+            "duplicate bucket ids with different bounds — these "
+            "histograms were built at different (bins, lo, hi) and "
+            "cannot be merged"
+        )
+    total = sum(r["n"] for r in rows)
+    if total == 0:
+        raise ValueError("empty histogram — no quantiles to locate")
+    out = []
+    for q in qs:
+        target = q * total
+        cum = 0
+        val = None
+        for r in rows:
+            if cum + r["n"] >= target and r["n"] > 0:
+                lo_b, hi_b = r["bucket_lo"], r["bucket_hi"]
+                if lo_b is None:        # underflow: clamp to lo
+                    val = hi_b
+                elif hi_b is None:      # overflow: clamp to hi
+                    val = lo_b
+                else:
+                    frac = (target - cum) / r["n"]
+                    val = lo_b + (hi_b - lo_b) * min(max(frac, 0.0), 1.0)
+                break
+            cum += r["n"]
+        if val is None:  # q == 1.0 boundary: last non-empty bucket
+            last = [r for r in rows if r["n"] > 0][-1]
+            val = last["bucket_lo"] if last["bucket_hi"] is None else last["bucket_hi"]
+        out.append(float(val))
+    return out

@@ -93,3 +93,86 @@ def test_histogram_drops_nan_not_a_null_bucket(spark):
     h = numeric_histogram(df, "x", 2, 0.0, 4.0).collect()
     assert all(r["bucket"] is not None for r in h)
     assert sum(r["n"] for r in h) == 2  # NaN and null both dropped
+
+
+# ------------------------------------- histogram algebra (round 9) --
+
+
+def test_merge_histograms_equals_histogram_of_union(spark):
+    """day1 ⊕ day2 ≡ histogram(day1 ∪ day2) — the mergeability the
+    fixed caller bounds buy."""
+    from etl_data_lake_spark.operators.profile import (
+        merge_histograms,
+        numeric_histogram,
+    )
+
+    d1 = spark.createDataFrame(
+        [(float(i),) for i in range(0, 50)], "x double"
+    )
+    d2 = spark.createDataFrame(
+        [(float(i),) for i in range(30, 120)], "x double"
+    )
+    h1 = numeric_histogram(d1, "x", bins=10, lo=0.0, hi=100.0)
+    h2 = numeric_histogram(d2, "x", bins=10, lo=0.0, hi=100.0)
+    merged = {
+        (r["bucket"], r["n"])
+        for r in merge_histograms(h1, h2).collect()
+    }
+    direct = {
+        (r["bucket"], r["n"])
+        for r in numeric_histogram(
+            d1.union(d2), "x", bins=10, lo=0.0, hi=100.0
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_histogram_quantiles_hand_computed(spark):
+    """Uniform integers 0..99 over 10 exact-width buckets: the linear
+    interpolation is checkable by hand, and every estimate is within
+    one bucket width of the true quantile."""
+    from etl_data_lake_spark.operators.profile import (
+        histogram_quantiles,
+        numeric_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "x double"
+    )
+    h = numeric_histogram(df, "x", bins=10, lo=0.0, hi=100.0)
+    q50, q90, q0, q1 = histogram_quantiles(h, [0.5, 0.9, 0.0, 1.0])
+    assert abs(q50 - 50.0) <= 10.0 and abs(q90 - 90.0) <= 10.0
+    # exact interpolation: each bucket holds 10 of 100 → target 50
+    # lands at the end of bucket 5 → exactly 50.0
+    assert q50 == 50.0 and q90 == 90.0
+    assert q0 == 0.0 and q1 == 100.0
+
+
+def test_histogram_quantiles_overflow_clamps_and_validates(spark):
+    from etl_data_lake_spark.operators.profile import (
+        histogram_quantiles,
+        merge_histograms,
+        numeric_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(5.0,), (500.0,), (600.0,)], "x double"
+    )
+    h = numeric_histogram(df, "x", bins=4, lo=0.0, hi=100.0)
+    # 2 of 3 rows overflow: the q=0.9 estimate clamps to hi=100
+    (q9,) = histogram_quantiles(h, [0.9])
+    assert q9 == 100.0
+    # mismatched parameters are rejected, not silently averaged
+    other = numeric_histogram(df, "x", bins=4, lo=0.0, hi=200.0)
+    bad = merge_histograms(h, other)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different"):
+        histogram_quantiles(bad, [0.5])
+    with _pytest.raises(ValueError, match="quantiles must be"):
+        histogram_quantiles(h, [1.5])
+    empty = numeric_histogram(
+        df.where("x < -1"), "x", bins=4, lo=0.0, hi=100.0
+    )
+    with _pytest.raises(ValueError, match="empty histogram"):
+        histogram_quantiles(empty, [0.5])
