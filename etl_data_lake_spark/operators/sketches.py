@@ -92,18 +92,10 @@ def rollup_distinct(
 # ---------------------------------------------------------------------------
 
 
-def heavy_hitters(
-    df: DataFrame,
-    col: str,
-    capacity: int = 256,
-    k: int | None = None,
-) -> DataFrame:
-    """→ (item, count_lower, count_upper, n_total): Misra–Gries
-    frequent items over a STRING column, one pass. Every item whose
-    true count exceeds ``n_total/(capacity+1)`` is present;
-    ``count_lower ≤ true ≤ count_upper`` always. ``k`` keeps only the
-    top-k by count_lower (item tie-break); default returns every
-    surviving candidate. Nulls are ignored (no evidence)."""
+def _mg_partials(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Per-task Misra–Gries partial summaries: ≤ capacity counter rows
+    plus one null-item sentinel carrying (decrements, observations)
+    per task. Shared by the batch operator and the streaming sink."""
     import pandas as pd
     from pyspark.sql.types import (
         LongType,
@@ -114,8 +106,6 @@ def heavy_hitters(
 
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
-    if k is not None and k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
     field = df.schema[col]
     if field.dataType.simpleString() != "string":
         raise ValueError(
@@ -160,7 +150,24 @@ def heavy_hitters(
         rows.append((None, 0, dec, n))
         yield pd.DataFrame(rows, columns=["item", "est", "dec", "n"])
 
-    summary = df.select(col).mapInPandas(summarize, schema=out_schema)
+    return df.select(col).mapInPandas(summarize, schema=out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    capacity: int = 256,
+    k: int | None = None,
+) -> DataFrame:
+    """→ (item, count_lower, count_upper, n_total): Misra–Gries
+    frequent items over a STRING column, one pass. Every item whose
+    true count exceeds ``n_total/(capacity+1)`` is present;
+    ``count_lower ≤ true ≤ count_upper`` always. ``k`` keeps only the
+    top-k by count_lower (item tie-break); default returns every
+    surviving candidate. Nulls are ignored (no evidence)."""
+    if k is not None and k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    summary = _mg_partials(df, col, capacity)
     agg = summary.groupBy("item").agg(
         F.sum("est").alias("_est"),
         F.sum("dec").alias("_dec"),
@@ -189,4 +196,121 @@ def heavy_hitters(
         out = top_k(
             out, [F.desc("count_lower"), F.asc("item")], k
         )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters — the Misra–Gries summary is MERGEABLE
+# (Agarwal et al. 2012): two summaries add counter-wise, then
+# compress back to capacity by subtracting the (capacity+1)-th
+# largest value from every counter (dropping non-positives) and
+# charging that value to the decrement total. Errors ADD — the merged
+# bounds stay valid — so a foreachBatch sink can fold every
+# micro-batch into one persisted ≤ capacity+1-row state and serve
+# all-time frequent items at any moment, without ever re-scanning
+# history. Exactly-once rides the txn overwrite watermark (batch id =
+# txn seq): a replayed micro-batch recomputes but its commit no-ops.
+# ---------------------------------------------------------------------------
+
+
+def _mg_merge(
+    counters: dict, dec: int, adds: dict, add_dec: int, capacity: int
+) -> tuple[dict, int]:
+    """Merge counter maps and compress to ``capacity`` (deterministic:
+    the subtracted value is the (capacity+1)-th largest count)."""
+    for w, c in adds.items():
+        counters[w] = counters.get(w, 0) + c
+    dec += add_dec
+    if len(counters) > capacity:
+        v = sorted(counters.values(), reverse=True)[capacity]
+        counters = {w: c - v for w, c in counters.items() if c - v > 0}
+        dec += v
+    return counters, dec
+
+
+def heavy_hitters_sink(
+    spark,
+    path: str,
+    col: str,
+    capacity: int = 256,
+    app_id: str = "__mg_sink__",
+):
+    """``foreachBatch`` function maintaining an all-time Misra–Gries
+    state at ``path`` (a txn table): each micro-batch contributes its
+    per-task partials (the same one-pass mapInPandas as the batch
+    operator), the driver folds them into the stored state
+    (≤ capacity+1 rows read + written per batch), and the overwrite
+    commits with the batch id as txn seq — replays no-op, the sink is
+    exactly-once under at-least-once drivers. Read the state with
+    :func:`read_heavy_hitters`; the bound/presence guarantees are the
+    batch operator's, with errors accumulated across the stream's
+    whole history (as they must be — the state IS the history's
+    summary)."""
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    tbl = TxnTable(spark, str(path))
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        parts = (
+            _mg_partials(batch_df, col, capacity)
+            .groupBy("item")
+            .agg(
+                F.sum("est").alias("est"),
+                F.sum("dec").alias("dec"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        adds, add_dec, add_n = {}, 0, 0
+        for r in parts:
+            if r["item"] is None:
+                add_dec, add_n = int(r["dec"]), int(r["n"])
+            else:
+                adds[r["item"]] = int(r["est"])
+        counters, dec, n = {}, 0, 0
+        if tbl.latest_version() > 0:
+            for r in tbl.snapshot().collect():
+                if r["item"] is None:
+                    dec, n = int(r["dec"]), int(r["n"])
+                else:
+                    counters[r["item"]] = int(r["est"])
+        counters, dec = _mg_merge(counters, dec, adds, add_dec, capacity)
+        n += add_n
+        rows = [(w, c, 0, 0) for w, c in sorted(counters.items())]
+        rows.append((None, 0, dec, n))
+        state = spark.createDataFrame(
+            rows, "item string, est long, dec long, n long"
+        )
+        tbl.overwrite(state, app_id=app_id, txn_seq=batch_id)
+
+    return fn
+
+
+def read_heavy_hitters(
+    spark, path: str, k: int | None = None
+) -> DataFrame:
+    """The persisted streaming state as the batch operator's contract:
+    (item, count_lower, count_upper, n_total)."""
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    tbl = TxnTable(spark, str(path))
+    rows = tbl.snapshot().collect()
+    dec = n = 0
+    items = []
+    for r in rows:
+        if r["item"] is None:
+            dec, n = int(r["dec"]), int(r["n"])
+        else:
+            items.append((r["item"], int(r["est"])))
+    out_rows = [(w, c, c + dec, n) for w, c in sorted(items)]
+    out = spark.createDataFrame(
+        out_rows,
+        "item string, count_lower long, count_upper long, n_total long",
+    )
+    if k is not None:
+        from etl_data_lake_spark.operators.topk import top_k
+
+        out = top_k(out, [F.desc("count_lower"), F.asc("item")], k)
     return out

@@ -180,3 +180,90 @@ def test_heavy_hitters_single_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("MapInPandas") == 1
+
+
+def test_heavy_hitters_sink_exactly_once_and_bounds(spark, tmp_path):
+    """Streaming MG maintenance: batches fold into one persisted
+    state; bounds contain the all-time truth and everything above the
+    accumulated error is present; a replayed micro-batch no-ops."""
+    from etl_data_lake_spark.operators.sketches import (
+        heavy_hitters_sink,
+        read_heavy_hitters,
+    )
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    path = str(tmp_path / "mg")
+    fn = heavy_hitters_sink(spark, path, "item", capacity=16)
+    b1 = (
+        [("whale_a",)] * 200
+        + [(f"n1_{i}",) for i in range(150)]
+        + [("whale_b",)] * 90
+    )
+    b2 = (
+        [("whale_a",)] * 100
+        + [(f"n2_{i}",) for i in range(150)]
+        + [("whale_c",)] * 130
+    )
+    fn(spark.createDataFrame(b1, "item string").repartition(5), 0)
+    fn(spark.createDataFrame(b2, "item string").repartition(3), 1)
+    true = {"whale_a": 300, "whale_b": 90, "whale_c": 130}
+    out = read_heavy_hitters(spark, path).collect()
+    assert out and all(r.n_total == len(b1) + len(b2) for r in out)
+    err = out[0].count_upper - out[0].count_lower
+    emitted = {r.item: r for r in out}
+    for w, c in true.items():
+        if c > err:
+            assert w in emitted
+    for r in out:
+        t = true.get(r.item, 1)
+        assert r.count_lower <= t <= r.count_upper
+    # replayed micro-batch: the commit no-ops — state version AND
+    # content unchanged
+    tbl = TxnTable(spark, path)
+    v = tbl.latest_version()
+    key = lambda t: (t[0] is None, t[0] or "", t[1:])
+    before = sorted(map(tuple, tbl.snapshot().collect()), key=key)
+    fn(spark.createDataFrame(b2, "item string").repartition(3), 1)
+    assert tbl.latest_version() == v
+    after = sorted(map(tuple, tbl.snapshot().collect()), key=key)
+    assert after == before
+    # a fresh handle reads the same state
+    again = {
+        r.item: (r.count_lower, r.count_upper)
+        for r in read_heavy_hitters(spark, path).collect()
+    }
+    assert again == {
+        r.item: (r.count_lower, r.count_upper) for r in out
+    }
+
+
+def test_heavy_hitters_sink_matches_batch_when_exact(spark, tmp_path):
+    """Under-capacity streams never decrement: the streamed state is
+    EXACT and equal to the batch operator over the concatenation."""
+    from etl_data_lake_spark.operators.sketches import (
+        heavy_hitters,
+        heavy_hitters_sink,
+        read_heavy_hitters,
+    )
+
+    path = str(tmp_path / "mg")
+    fn = heavy_hitters_sink(spark, path, "item", capacity=32)
+    b1 = [("a",)] * 5 + [("b",)] * 2
+    b2 = [("a",)] * 1 + [("c",)] * 4
+    fn(spark.createDataFrame(b1, "item string"), 0)
+    fn(spark.createDataFrame(b2, "item string"), 1)
+    got = sorted(
+        (r.item, r.count_lower, r.count_upper)
+        for r in read_heavy_hitters(spark, path).collect()
+    )
+    both = spark.createDataFrame(b1 + b2, "item string")
+    want = sorted(
+        (r.item, r.count_lower, r.count_upper)
+        for r in heavy_hitters(both, "item", capacity=32).collect()
+    )
+    assert got == want == [("a", 6, 6), ("b", 2, 2), ("c", 4, 4)]
+    # top-k read
+    from etl_data_lake_spark.operators.sketches import read_heavy_hitters as rh
+
+    top = rh(spark, path, k=1).collect()
+    assert [(r.item, r.count_lower) for r in top] == [("a", 6)]
