@@ -148,3 +148,73 @@ def orphan_count(
         F.lit(f"fk({on[0]}->{on[1]})").alias("rule"),
         F.count(F.lit(1)).alias("n_violations"),
     )
+
+
+def expectations_stream_sink(
+    spark,
+    rules: dict[str, Column],
+    valid_path: str,
+    quarantine_path: str | None = None,
+    mode: str = "drop",
+    app_id: str = "__expect_sink__",
+):
+    """``foreachBatch`` gate (round 9): validate every micro-batch
+    against the rules and route it — the streaming form of the DAG's
+    expectation gates, for pipelines that ingest continuously instead
+    of through builders.
+
+    * ``mode="drop"``: valid rows append to ``valid_path`` (a txn
+      table), violating rows — tagged with their violated rule
+      names — to ``quarantine_path`` (violations are DISCARDED with a
+      warning-free append nowhere if no quarantine path is given;
+      pass one — audits beat silence).
+    * ``mode="fail"``: ANY violation raises and commits nothing —
+      the stream stops on bad data (DLT's expect_or_fail).
+
+    Correctness details that matter:
+
+    * the batch is PERSISTED across the gate and both appends, so the
+      rows validated are the rows published (a nondeterministic
+      source cannot pass one execution and publish another — the
+      round-7 DAG-gate lesson applied to streams);
+    * both appends commit with (app_id, batch id) as the idempotence
+      key; the keys live per-table, so a crash BETWEEN the two
+      appends replays into: valid no-ops, quarantine applies — each
+      table exactly-once, no double-publish and no lost quarantine."""
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    if mode not in ("drop", "fail"):
+        raise ValueError(f"mode must be 'drop' or 'fail', got {mode!r}")
+    if not rules:
+        raise ValueError("no expectations given")
+    valid_tbl = TxnTable(spark, str(valid_path))
+    quar_tbl = (
+        TxnTable(spark, str(quarantine_path))
+        if quarantine_path is not None
+        else None
+    )
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            valid, invalid = quarantine(batch_df, rules)
+            if mode == "fail":
+                bad = invalid.limit(1).count()
+                if bad:
+                    sample = invalid.select(_VIOL_COL).first()
+                    raise ValueError(
+                        f"micro-batch {batch_id} violates expectations "
+                        f"{sample[_VIOL_COL]} — mode='fail' commits "
+                        "nothing"
+                    )
+                valid_tbl.append(valid, app_id=app_id, txn_seq=batch_id)
+                return
+            valid_tbl.append(valid, app_id=app_id, txn_seq=batch_id)
+            if quar_tbl is not None:
+                quar_tbl.append(
+                    invalid, app_id=app_id, txn_seq=batch_id
+                )
+        finally:
+            batch_df.unpersist()
+
+    return fn

@@ -168,3 +168,73 @@ def test_rule_names_with_dots_and_backticks(spark):
         ).collect()
     }
     assert rep == {"price.usd positive": 2, "id`weird": 1}
+
+
+# ------------------------------------ streaming gate (round 9) --
+
+
+def test_stream_sink_drop_mode_routes_and_replays(spark, tmp_path):
+    """Valid rows land in the valid table, violations (tagged) in the
+    quarantine table; a replayed micro-batch no-ops BOTH tables; a
+    crash between the two appends recovers exactly-once per table."""
+    from etl_data_lake_spark.operators.expectations import (
+        expectations_stream_sink,
+    )
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    rules = {"pos": F.col("x") > 0, "named": F.col("name").isNotNull()}
+    vp, qp = str(tmp_path / "valid"), str(tmp_path / "quar")
+    fn = expectations_stream_sink(spark, rules, vp, qp)
+    b0 = spark.createDataFrame(
+        [(1, "a"), (-5, "b"), (2, None)], "x long, name string"
+    )
+    fn(b0, 0)
+    vt, qt = TxnTable(spark, vp), TxnTable(spark, qp)
+    assert [(r.x, r.name) for r in vt.snapshot().collect()] == [(1, "a")]
+    quar = {
+        r.x: sorted(r._violations) for r in qt.snapshot().collect()
+    }
+    assert quar == {-5: ["pos"], 2: ["named"]}
+    # replay: both tables unchanged
+    v_v, q_v = vt.latest_version(), qt.latest_version()
+    fn(b0, 0)
+    assert (vt.latest_version(), qt.latest_version()) == (v_v, q_v)
+    # crash window: batch 1's valid append landed, quarantine did not
+    b1 = spark.createDataFrame(
+        [(7, "c"), (-1, "d")], "x long, name string"
+    )
+    vt.append(
+        b1.where("x > 0"), app_id="__expect_sink__", txn_seq=1
+    )
+    fn(b1, 1)  # replay of the whole batch
+    assert sorted(r.x for r in vt.snapshot().collect()) == [1, 7]
+    assert sorted(r.x for r in qt.snapshot().collect()) == [-5, -1, 2]
+
+
+def test_stream_sink_all_valid_batch_and_fail_mode(spark, tmp_path):
+    from etl_data_lake_spark.operators.expectations import (
+        expectations_stream_sink,
+    )
+    from etl_data_lake_spark.sources.txn import TxnTable
+    import pytest as _pytest
+
+    rules = {"pos": F.col("x") > 0}
+    vp, qp = str(tmp_path / "valid"), str(tmp_path / "quar")
+    fn = expectations_stream_sink(spark, rules, vp, qp)
+    clean = spark.createDataFrame([(3,), (4,)], "x long")
+    fn(clean, 0)  # empty quarantine append must not crash
+    assert TxnTable(spark, vp).snapshot().count() == 2
+    # fail mode: any violation raises, nothing commits
+    fp = str(tmp_path / "failv")
+    ffn = expectations_stream_sink(spark, rules, fp, mode="fail")
+    ffn(clean, 0)
+    ft = TxnTable(spark, fp)
+    n0, v0 = ft.snapshot().count(), ft.latest_version()
+    dirty = spark.createDataFrame([(5,), (-1,)], "x long")
+    with _pytest.raises(ValueError, match="violates expectations"):
+        ffn(dirty, 1)
+    assert ft.snapshot().count() == n0 and ft.latest_version() == v0
+    with _pytest.raises(ValueError, match="mode must be"):
+        expectations_stream_sink(spark, rules, fp, mode="warn")
+    with _pytest.raises(ValueError, match="no expectations"):
+        expectations_stream_sink(spark, {}, fp)
