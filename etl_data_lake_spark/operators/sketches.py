@@ -314,3 +314,46 @@ def read_heavy_hitters(
 
         out = top_k(out, [F.desc("count_lower"), F.asc("item")], k)
     return out
+
+
+def distinct_sketch_sink(
+    spark,
+    path: str,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    lg_k: int = DEFAULT_LG_K,
+    app_id: str = "__hll_sink__",
+):
+    """``foreachBatch`` function maintaining per-group HLL sketches at
+    ``path`` (a txn table of ``group_cols + (sketch,)``): each
+    micro-batch is sketched (one shuffle, map-side combined), merged
+    with the stored sketches via ``hll_union_agg`` — HLL's merge is
+    exact w.r.t. the sketch state, so the maintained sketch equals a
+    from-scratch sketch of the whole history — and published with the
+    batch id as txn seq (replays no-op; exactly-once under
+    at-least-once drivers). Answer distinct counts at any grain, any
+    time, with :func:`rollup_distinct` over the stored rows — a
+    continuously-fresh "cube of sketches" whose refresh cost is the
+    micro-batch, never the history."""
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    tbl = TxnTable(spark, str(path))
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = distinct_sketches(
+            batch_df, group_cols, value_col, lg_k=lg_k
+        )
+        if tbl.latest_version() > 0:
+            merged = (
+                tbl.snapshot()
+                .unionByName(fresh)
+                .groupBy(*[F.col(c) for c in group_cols])
+                .agg(F.hll_union_agg(F.col("sketch")).alias("sketch"))
+            )
+        else:
+            merged = fresh
+        tbl.overwrite(merged, app_id=app_id, txn_seq=batch_id)
+
+    return fn

@@ -267,3 +267,36 @@ def test_heavy_hitters_sink_matches_batch_when_exact(spark, tmp_path):
 
     top = rh(spark, path, k=1).collect()
     assert [(r.item, r.count_lower) for r in top] == [("a", 6)]
+
+
+def test_distinct_sketch_sink_exactly_once(spark, tmp_path):
+    """Streamed per-group sketches answer within HLL tolerance of the
+    true all-time distinct counts (a merged estimate may differ
+    slightly from a from-scratch union sketch — the module docstring's
+    representation-change caveat, so pins are vs TRUTH, not vs the
+    direct sketch); replayed batches no-op."""
+    from etl_data_lake_spark.operators.sketches import (
+        distinct_sketch_sink,
+        rollup_distinct,
+    )
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    path = str(tmp_path / "hll")
+    fn = distinct_sketch_sink(spark, path, ("src",), "uid", lg_k=12)
+    b1 = [("a", i) for i in range(300)] + [("b", i) for i in range(50)]
+    b2 = [("a", i) for i in range(200, 500)] + [("c", i) for i in range(40)]
+    fn(spark.createDataFrame(b1, "src string, uid long"), 0)
+    fn(spark.createDataFrame(b2, "src string, uid long"), 1)
+    tbl = TxnTable(spark, path)
+    got = {
+        r["src"]: r["n_distinct"]
+        for r in rollup_distinct(tbl.snapshot(), ("src",)).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    true = {"a": 500, "b": 50, "c": 40}
+    for s, n in true.items():
+        assert abs(got[s] - n) <= max(2, 0.05 * n)
+    # replay no-op
+    v = tbl.latest_version()
+    fn(spark.createDataFrame(b2, "src string, uid long"), 1)
+    assert tbl.latest_version() == v
