@@ -68,6 +68,16 @@ def corpus_diff(
         raise ValueError(
             "no shared non-key columns to compare — pass compare_cols"
         )
+    # a type mismatch hashes "equal" values differently → every row
+    # silently reports 'changed'; refuse instead
+    for c in (*key_cols, *compare_cols):
+        ta, tb = a.schema[c].dataType, b.schema[c].dataType
+        if ta != tb:
+            raise ValueError(
+                f"column {c!r} differs in type between sides "
+                f"({ta.simpleString()} vs {tb.simpleString()}) — cast "
+                "one side first"
+            )
     ha = _hashed(a, key_cols, compare_cols, "a")
     hb = _hashed(b, key_cols, compare_cols, "b")
     cond = reduce(

@@ -412,3 +412,50 @@ def weighted_sample(
             .drop("__rn")
         )
     return out.drop("__wrank")
+
+
+def split_leakage_safe(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Train/val/test split that cannot leak near-duplicates across
+    the boundary: a per-document content-hash split (round 3's
+    ``split_deterministic``) puts ~p_train·p_test of every near-dup
+    PAIR on opposite sides — eval contamination by construction. Here
+    the split decision hashes the document's DUP-CLUSTER id (its
+    component's minimum member id, from the same candidate ``pairs``
+    the dedup family produces), so a whole near-dup cluster co-assigns
+    to one split; documents in no cluster split by their own id
+    exactly as before — on a dedup-clean corpus this IS
+    split_deterministic.
+
+    Scale: one connected-components pass over the candidate graph
+    (graph-sized, never corpus-sized) + one left join of the corpus
+    against the component labels (cluster members only — broadcast-
+    sized in practice); the split itself stays a shuffle-free filter.
+
+    Determinism caveat: membership is stable under layout/retries at
+    FIXED ``pairs``; growing the corpus can merge clusters and move a
+    whole cluster to a different split (inherent — the cluster id is
+    the min member). Pin ``pairs`` alongside the seed when exact
+    reproducibility across corpus versions matters."""
+    from etl_data_lake_spark.dedup.cluster import connected_components
+
+    grp = "__split_grp"
+    if grp in df.columns or "cluster_id" in df.columns:
+        raise ValueError(
+            "input already has '__split_grp' or 'cluster_id'"
+        )
+    comp = connected_components(pairs)
+    tagged = (
+        df.join(
+            comp.withColumnRenamed("doc_id", id_col), id_col, "left"
+        )
+        .withColumn(grp, F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .drop("cluster_id")
+    )
+    splits = split_deterministic(tagged, weights, (grp,), seed)
+    return {name: frame.drop(grp) for name, frame in splits.items()}

@@ -390,3 +390,89 @@ def test_token_weighted_mixture(spark):
     # rows (equal row counts → both strata keep everything)
     rows_mode = resample_to_mixture(df, targets, "source", ("doc_id",))
     assert rows_mode.count() == 1000
+
+
+# ------------------------------------ leakage-safe split (round 9) --
+
+
+def test_split_leakage_safe_coassigns_near_dups(spark):
+    """Every near-dup pair lands on ONE side of the split; the union
+    is exhaustive and disjoint; isolated docs split like
+    split_deterministic at the same seed."""
+    from etl_data_lake_spark.operators.sampling import (
+        split_deterministic,
+        split_leakage_safe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    # 100 near-dup pairs chaining into 50 clusters of 4: (4k, 4k+1),
+    # (4k+1, 4k+2), (4k+2, 4k+3) for k in 0..49 → docs 0..199
+    # clustered, 200..399 isolated
+    pairs = spark.createDataFrame(
+        [
+            (4 * k + a, 4 * k + a + 1)
+            for k in range(50)
+            for a in range(3)
+        ],
+        "doc_a long, doc_b long",
+    )
+    weights = {"train": 0.8, "test": 0.2}
+    splits = split_leakage_safe(docs, pairs, weights)
+    side = {}
+    for name, frame in splits.items():
+        for r in frame.collect():
+            assert r.doc_id not in side  # disjoint
+            side[r.doc_id] = name
+    assert len(side) == 400  # exhaustive
+    # co-assignment: all 4 members of every cluster share a side
+    for k in range(50):
+        sides = {side[4 * k + a] for a in range(4)}
+        assert len(sides) == 1, (k, sides)
+    # both sides are populated (clusters didn't all fall one way)
+    assert set(side.values()) == {"train", "test"}
+    # isolated docs match the plain per-doc split exactly
+    plain = split_deterministic(docs, weights, ("doc_id",))
+    for name, frame in plain.items():
+        for r in frame.where("doc_id >= 200").collect():
+            assert side[r.doc_id] == name
+    # a per-doc split WOULD leak for these clusters (the hazard)
+    leaked = 0
+    plain_side = {}
+    for name, frame in plain.items():
+        for r in frame.collect():
+            plain_side[r.doc_id] = name
+    for k in range(50):
+        if len({plain_side[4 * k + a] for a in range(4)}) > 1:
+            leaked += 1
+    assert leaked > 0  # the plain split does split clusters apart
+
+
+def test_split_leakage_safe_validation_and_determinism(spark):
+    from etl_data_lake_spark.operators.sampling import split_leakage_safe
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3)], "doc_a long, doc_b long"
+    )
+    w = {"train": 0.5, "test": 0.5}
+    one = {
+        n: sorted(r.doc_id for r in f.collect())
+        for n, f in split_leakage_safe(docs, pairs, w).items()
+    }
+    two = {
+        n: sorted(r.doc_id for r in f.collect())
+        for n, f in split_leakage_safe(
+            docs.repartition(7), pairs, w
+        ).items()
+    }
+    assert one == two  # layout invariance
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cluster_id"):
+        split_leakage_safe(
+            docs.withColumn("cluster_id", F.lit(1)), pairs, w
+        )

@@ -106,3 +106,10 @@ def test_diff_compound_keys_and_scale_shape(spark):
     )
     # the text column is pruned before the join (hash computed at scan)
     assert "SortMergeJoin" in plan or "Join" in plan
+
+
+def test_diff_rejects_type_mismatch(spark):
+    old = _old(spark)
+    retyped = old.withColumn("lang", F.length("lang"))
+    with pytest.raises(ValueError, match="differs in type"):
+        corpus_diff(old, retyped, ("doc_id",))
