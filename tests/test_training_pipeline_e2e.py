@@ -165,3 +165,116 @@ def test_pipeline_is_deterministic_under_layout(spark):
     final1 = _ids(mixed1)
     *_, mixed2, _ = _run_pipeline(spark, docs.repartition(13))
     assert _ids(mixed2) == final1
+
+
+def test_round9_stages_compose(spark, tmp_path):
+    """The round-9 additions composing end-to-end on the real corpus:
+    NB quality scores → isotonic calibration of the probabilities →
+    calibrated-threshold gate → leakage-safe train/test split (near-
+    dup clusters co-assign) → canonical-by-quality dedup of the train
+    side → unigram token budgets → packing → curriculum export with a
+    manifest that matches what was written."""
+    from etl_data_lake_spark.functions.calibration import (
+        fit_isotonic,
+        isotonic_calibrate,
+    )
+    from etl_data_lake_spark.functions.classifier import (
+        nb_quality_scores,
+        weak_quality_label,
+    )
+    from etl_data_lake_spark.functions.text import tokens
+    from etl_data_lake_spark.functions.unigram import (
+        learn_unigram,
+        unigram_token_counts,
+    )
+    from etl_data_lake_spark.operators.export import (
+        read_export_manifest,
+        write_curriculum_shards,
+    )
+    from etl_data_lake_spark.operators.sampling import split_leakage_safe
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    # 1. model scores → calibrated probabilities → threshold gate
+    scored = docs.join(
+        nb_quality_scores(docs).select("doc_id", "log_odds"), "doc_id"
+    ).withColumn(
+        "prob",
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds") )),
+    ).withColumn(
+        "y", weak_quality_label(tokens("text")).cast("long")
+    ).persist()
+    iso = fit_isotonic(scored, bins=100)
+    calibrated = isotonic_calibrate(scored, iso)
+    kept = calibrated.where(F.col("prob_calibrated") >= 0.5)
+    n_kept = kept.count()
+    assert 0 < n_kept < docs.count()
+
+    # 2. leakage-safe split: near-dup clusters co-assign
+    pairs = minhash_lsh_pairs(
+        kept.select("doc_id", "text"), threshold=0.5
+    ).persist()
+    splits = split_leakage_safe(
+        kept, pairs, {"train": 0.8, "test": 0.2}
+    )
+    side = {}
+    for name, frame in splits.items():
+        for r in frame.select("doc_id").collect():
+            side[r.doc_id] = name
+    assert len(side) == n_kept
+    for p in pairs.collect():
+        assert side.get(p.doc_a) == side.get(p.doc_b), (p.doc_a, p.doc_b)
+
+    # 3. canonical-by-quality dedup of the train side: the survivor
+    # of every cluster is its best-scoring member
+    train = splits["train"]
+    train_pairs = pairs.join(
+        train.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+    )
+    scores = train.select("doc_id", F.col("log_odds").alias("score"))
+    unique = dedup_keep_canonical(train, train_pairs, scores=scores)
+    assert unique.count() <= train.count()
+
+    # 4. unigram token budgets → packing bound holds for TRUE counts
+    model = learn_unigram(unique, vocab_size=200, em_iters=1)
+    budgeted = unigram_token_counts(unique, model, out_col="n_tokens")
+    budgeted = budgeted.withColumn(
+        "n_tokens", F.greatest("n_tokens", F.lit(1))
+    )
+    packed = pack_sequences(
+        budgeted.select("doc_id", "n_tokens"), "n_tokens", budget=3_000
+    )
+    over = (
+        packed.groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"))
+        .where((F.col("t") > 3_000) & (F.col("n") > 1))
+    )
+    assert over.count() == 0
+
+    # 5. curriculum export ordered by calibrated quality, manifest on
+    out = str(tmp_path / "curr")
+    write_curriculum_shards(
+        unique.select("doc_id", "prob_calibrated"),
+        out,
+        3,
+        "prob_calibrated",
+        ("doc_id",),
+        ascending=False,   # best-first curriculum
+        manifest=True,
+    )
+    m = read_export_manifest(out)
+    assert m["kind"] == "curriculum"
+    assert m["total_rows"] == unique.count()
+    # shard 0's scores all >= shard 2's (descending curriculum)
+    lo0 = min(
+        pq.read_table(f).column("prob_calibrated").to_pylist()[-1]
+        for f in glob.glob(f"{out}/shard=0/*.parquet")
+    )
+    hi2 = max(
+        v
+        for f in glob.glob(f"{out}/shard=2/*.parquet")
+        for v in pq.read_table(f).column("prob_calibrated").to_pylist()
+    )
+    assert lo0 >= hi2
+    scored.unpersist()
+    pairs.unpersist()
