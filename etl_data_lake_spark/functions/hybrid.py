@@ -74,7 +74,11 @@ def hybrid_search(
         F.col(emb_id_col).alias("doc_id"),
         as_double(vec_col).alias("_v"),
     )
-    reranked = cand.join(emb, "doc_id").select(
+    # the candidate side is n_candidates rows by construction —
+    # broadcast it EXPLICITLY so the rerank never degrades to a
+    # sort-merge join shuffling the whole embeddings table when the
+    # size estimate is unavailable (plan-pinned in test_hybrid)
+    reranked = F.broadcast(cand).join(emb, "doc_id").select(
         "doc_id",
         F.round(F.col("score"), 6).alias("bm25"),
         F.round(cosine(F.col("_v"), qv), 6).alias("cos_sim"),

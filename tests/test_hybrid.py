@@ -167,3 +167,26 @@ def test_rrf_fuses_lexical_and_semantic(spark):
     # beating doc 1 (lex 1 + sem 3 → 1/61 + 1/63) and doc 3 (sem 2
     # only → 1/62): strong-in-both wins the fusion
     assert fused[2] == 1
+
+
+def test_hybrid_rerank_broadcasts_candidates(spark):
+    """The rerank join must broadcast the candidate side — a
+    sort-merge join here would shuffle the entire embeddings table
+    for a 50-row rerank."""
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qvec = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    )
+    plan = (
+        hybrid_search(docs, emb, _TERMS, list(qvec), k=5, n_candidates=20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    rerank_joins = [
+        ln for ln in plan.splitlines()
+        if "Join [doc_id" in ln or ("Join" in ln and "doc_id#" in ln)
+    ]
+    assert any("BroadcastHashJoin" in ln for ln in rerank_joins)
+    assert not any("SortMergeJoin" in ln for ln in plan.splitlines())
