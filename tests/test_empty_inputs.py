@@ -218,3 +218,91 @@ def test_avro_round8_on_empty(spark, tmp_path):
             spark, str(tmp_path / "t"), df.schema, on_error="fail"
         )
         assert back.count() == 0
+
+
+def test_round9_ops_on_empty(spark, empty_docs, tmp_path):
+    import pytest as _pytest
+
+    from etl_data_lake_spark.functions.calibration import (
+        IsotonicModel,
+        fit_isotonic,
+        fit_isotonic_by,
+        isotonic_calibrate,
+    )
+    from etl_data_lake_spark.functions.hybrid import hybrid_search, rrf_fuse
+    from etl_data_lake_spark.functions.unigram import (
+        learn_unigram,
+        unigram_token_counts,
+    )
+    from etl_data_lake_spark.operators.diff import (
+        corpus_diff,
+        corpus_diff_summary,
+    )
+    from etl_data_lake_spark.operators.export import (
+        assign_curriculum_shards,
+        write_curriculum_shards,
+    )
+    from etl_data_lake_spark.operators.sampling import split_leakage_safe
+    from etl_data_lake_spark.operators.sketches import heavy_hitters
+    from etl_data_lake_spark.similarity.metrics import retrieval_metrics
+
+    # unigram: empty corpus -> empty model; counting stays zero
+    m = learn_unigram(empty_docs, vocab_size=10)
+    assert m.logp == {}
+    assert unigram_token_counts(empty_docs, m).count() == 0
+
+    # isotonic: empty fit -> midpoint map; applying never crashes
+    empty_scored = spark.createDataFrame([], "y long, prob double")
+    iso = fit_isotonic(empty_scored, bins=4)
+    assert len(iso.values) == 4
+    assert isotonic_calibrate(empty_scored, iso).count() == 0
+    assert fit_isotonic_by(
+        spark.createDataFrame([], "g string, y long, prob double"), "g"
+    ) == {}
+
+    # hybrid: no term matches -> empty candidates -> empty result;
+    # rrf over empty rankings -> empty
+    emb0 = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert hybrid_search(
+        empty_docs, emb0, ["zzz"], [1.0], k=3, n_candidates=5
+    ).count() == 0
+    r0 = spark.createDataFrame([], "doc_id long, rank long")
+    assert rrf_fuse([r0]).count() == 0
+
+    # diff: both sides empty -> empty detail, all-zero summary
+    e = empty_docs.select("doc_id", "text")
+    assert corpus_diff(e, e, ("doc_id",)).count() == 0
+    s = {
+        r.diff_status: r.n
+        for r in corpus_diff_summary(e, e, ("doc_id",)).collect()
+    }
+    assert s == {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+
+    # heavy hitters: empty input -> empty output
+    assert heavy_hitters(
+        spark.createDataFrame([], "item string"), "item"
+    ).count() == 0
+
+    # curriculum: empty corpus -> everything shard 0 / empty export
+    tagged = assign_curriculum_shards(
+        spark.createDataFrame([], "doc_id long, score double"),
+        3, "score", ("doc_id",),
+    )
+    assert tagged.count() == 0
+    write_curriculum_shards(
+        spark.createDataFrame([], "doc_id long, score double"),
+        str(tmp_path / "c0"), 3, "score", ("doc_id",),
+    )
+
+    # leakage-safe split: empty corpus and empty pairs partition to
+    # empty splits
+    p0 = spark.createDataFrame([], "doc_a long, doc_b long")
+    splits = split_leakage_safe(e, p0, {"train": 0.5, "test": 0.5})
+    assert all(f.count() == 0 for f in splits.values())
+
+    # retrieval metrics: empty qrels -> empty per-query frame
+    res0 = spark.createDataFrame(
+        [], "query_id long, neighbor_id long, rank long"
+    )
+    q0 = spark.createDataFrame([], "query_id long, doc_id long")
+    assert retrieval_metrics(res0, q0, k=3).count() == 0
