@@ -36,9 +36,13 @@ whole graph, so "add" would mean per-shard rebuilds — call
 :meth:`HnswIndex.build` again (epochs make that safe); for
 insert-heavy corpora the IVF index is the right structure.
 
-Filtered queries are served by the on-the-fly path (``hnsw_topk``
-with ``predicate``), which builds graphs over the filtered corpus —
-masking a stored graph's nodes would sever its edges.
+Filtered queries (``filter_ids``) search the FULL stored graphs with
+an over-fetch factor and mask the candidates afterwards — masking the
+graph's nodes themselves would sever its edges — and guarantee k the
+way the IVF index does: queries the masked candidates leave short
+re-run as exact brute force over the stored vectors semi-joined with
+the filter. (The on-the-fly ``hnsw_topk(predicate=...)`` remains the
+alternative that builds graphs over the filtered corpus directly.)
 """
 
 from __future__ import annotations
@@ -234,14 +238,27 @@ class HnswIndex:
         ef_search: int = 64,
         vec_col: str = "embedding",
         max_query_batch: int = 10_000,
+        filter_ids: DataFrame | None = None,
+        filter_overfetch: int = 4,
     ) -> DataFrame:
         """→ (query_id, neighbor_id, cos_sim, rank) — hnsw_topk's
         exact contract (and, at equal parameters, its exact ANSWER),
         with the build cost already paid: each stored shard
         reconstructs columnar-fast inside one applyInPandas group and
-        searches at the caller's ``ef_search``."""
+        searches at the caller's ``ef_search``.
+
+        ``filter_ids`` (an id frame, IvfIndex.query's convention) =
+        filtered ANN on the stored graphs: each shard over-fetches
+        ``k·filter_overfetch`` candidates from the FULL graph, the
+        mask semi-joins them away, and queries left short re-run as
+        exact brute force over the filtered stored vectors —
+        guaranteed k, never a silently under-k answer."""
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
+        if filter_overfetch < 1:
+            raise ValueError(
+                f"filter_overfetch must be >= 1, got {filter_overfetch}"
+            )
         build_no, m, _efc, _n_shards = self._meta()
         q_rows = (
             queries.select(
@@ -270,12 +287,15 @@ class HnswIndex:
             np.array([r["qv"] for r in q_rows], dtype=np.float64)
         )
 
+        fetch = k + 1 if filter_ids is None else k * filter_overfetch + 1
+        ef_eff = max(ef_search, fetch)
+
         def search(pdf: pd.DataFrame) -> pd.DataFrame:
             ids, g = _graph_from_rows(pdf, m)
             qs, ns, ss = [], [], []
             for qi in range(len(q_ids)):
                 qid = int(q_ids[qi])
-                for s, idx in g.search(Q[qi], k + 1, ef_search):
+                for s, idx in g.search(Q[qi], fetch, ef_eff):
                     nid = int(ids[idx])
                     if nid == qid:
                         continue
@@ -293,9 +313,54 @@ class HnswIndex:
             search,
             schema="query_id long, neighbor_id long, cos_sim double",
         )
+        if filter_ids is not None:
+            from etl_data_lake_spark.similarity.index import IvfIndex
+
+            cand = cand.join(
+                IvfIndex._id_mask(filter_ids, self.id_col, "neighbor_id"),
+                "neighbor_id",
+                "left_semi",
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cos_sim"), F.asc("neighbor_id")
         )
-        return cand.withColumn(
+        ranked = cand.withColumn(
             "rank", F.row_number().over(w).cast("long")
         ).where(F.col("rank") <= k)
+        if filter_ids is None:
+            return ranked
+        from etl_data_lake_spark.similarity.index import IvfIndex as _I
+        from etl_data_lake_spark.similarity.ivf import _guarantee_k
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        corpus = (
+            stored.select(
+                F.col("vec_id").alias(self.id_col),
+                F.col("vec").alias(vec_col),
+            )
+            .join(
+                _I._id_mask(filter_ids, self.id_col, self.id_col),
+                self.id_col,
+                "left_semi",
+            )
+        )
+        q_local = self.spark.createDataFrame(
+            [(int(r["query_id"]), [float(x) for x in r["qv"]])
+             for r in q_rows],
+            StructType(
+                [
+                    StructField(self.id_col, LongType()),
+                    StructField(vec_col, ArrayType(DoubleType())),
+                ]
+            ),
+        )
+        return _guarantee_k(
+            ranked, corpus, q_local, k, self.id_col, vec_col,
+            max_query_batch,
+        )

@@ -116,3 +116,52 @@ def test_empty_batch_bound_and_unpublished(spark, emb, tmp_path):
         HnswIndex(spark, str(tmp_path / "nope")).query(emb.limit(1))
     with pytest.raises(ValueError, match="m must"):
         HnswIndex.build(spark, str(tmp_path / "bad"), emb, m=1)
+
+
+def test_filtered_query_guarantees_k_and_matches_exact(spark, emb, tmp_path):
+    """filter_ids on the stored graphs: every emitted neighbor
+    satisfies the filter, k is guaranteed via the exact refill, and a
+    full-coverage ef reproduces filtered brute force exactly."""
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+
+    idx = HnswIndex.build(spark, str(tmp_path / "h"), emb, **_P)
+    docs = load_table(spark, SF_DIR, "documents")
+    mask = docs.where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    n = emb.count()
+    got = _rows(
+        idx.query(queries, k=5, ef_search=n, filter_ids=mask)
+    )
+    want = _rows(
+        cosine_topk(
+            emb.join(mask, "vec_id", "left_semi"), queries, k=5,
+            id_col="vec_id", vec_col="embedding",
+        )
+    )
+    assert got == want and len(got) > 0
+    allowed = {r.vec_id for r in mask.collect()}
+    assert all(nid in allowed for _, nid, _, _ in got)
+    # a filter so selective the over-fetch under-fills forces the
+    # refill: still exactly the filtered brute force, k rows per query
+    tiny = emb.where(
+        (F.col("vec_id") % 41 == 0) & (F.col("vec_id") > 10)
+    ).select("vec_id").limit(9)
+    got2 = _rows(
+        idx.query(queries, k=8, ef_search=16, filter_ids=tiny,
+                  filter_overfetch=1)
+    )
+    want2 = _rows(
+        cosine_topk(
+            emb.join(tiny, "vec_id", "left_semi"), queries, k=8,
+            id_col="vec_id", vec_col="embedding",
+        )
+    )
+    assert got2 == want2
+    counts = {}
+    for qid, *_ in got2:
+        counts[qid] = counts.get(qid, 0) + 1
+    assert set(counts.values()) == {8}
+    with pytest.raises(ValueError, match="filter_overfetch"):
+        idx.query(queries, k=3, filter_ids=tiny, filter_overfetch=0)
