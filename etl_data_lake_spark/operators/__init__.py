@@ -5,16 +5,40 @@ from etl_data_lake_spark.operators.relational import (
     project_rename,
 )
 from etl_data_lake_spark.operators.anomaly import anomalies, trailing_zscores
+from etl_data_lake_spark.operators.diff import (
+    corpus_diff,
+    corpus_diff_summary,
+)
 from etl_data_lake_spark.operators.expectations import (
     expectations_report,
+    expectations_stream_sink,
     orphan_count,
     quarantine,
 )
+from etl_data_lake_spark.operators.export import (
+    read_export_manifest,
+    write_curriculum_shards,
+    write_shuffled_shards,
+)
+from etl_data_lake_spark.operators.profile import (
+    histogram_quantiles,
+    merge_histograms,
+    numeric_histogram,
+    profile,
+)
 from etl_data_lake_spark.operators.funnel import funnel_counts, funnel_times
 from etl_data_lake_spark.operators.joins import asof_join, dim_join
-from etl_data_lake_spark.operators.sampling import weighted_sample
+from etl_data_lake_spark.operators.sampling import (
+    split_deterministic,
+    split_leakage_safe,
+    weighted_sample,
+)
 from etl_data_lake_spark.operators.sketches import (
+    distinct_sketch_sink,
     distinct_sketches,
+    heavy_hitters,
+    heavy_hitters_sink,
+    read_heavy_hitters,
     rollup_distinct,
 )
 from etl_data_lake_spark.operators.windows import sessionize, surrogate_key
@@ -40,4 +64,20 @@ __all__ = [
     "rollup_distinct",
     "trailing_zscores",
     "anomalies",
+    "expectations_stream_sink",
+    "corpus_diff",
+    "corpus_diff_summary",
+    "split_deterministic",
+    "split_leakage_safe",
+    "heavy_hitters",
+    "heavy_hitters_sink",
+    "read_heavy_hitters",
+    "distinct_sketch_sink",
+    "profile",
+    "numeric_histogram",
+    "merge_histograms",
+    "histogram_quantiles",
+    "write_shuffled_shards",
+    "write_curriculum_shards",
+    "read_export_manifest",
 ]

@@ -1,6 +1,11 @@
 from etl_data_lake_spark.similarity.bruteforce import cosine_topk
 from etl_data_lake_spark.similarity.hnsw import hnsw_topk
+from etl_data_lake_spark.similarity.hnsw_index import HnswIndex
 from etl_data_lake_spark.similarity.index import IvfIndex
+from etl_data_lake_spark.similarity.metrics import (
+    retrieval_metrics,
+    retrieval_summary,
+)
 from etl_data_lake_spark.similarity.ivf import ivf_topk
 from etl_data_lake_spark.similarity.lsh import lsh_bucket_topk, with_lsh_buckets
 from etl_data_lake_spark.similarity.kmeans import kmeans_fit
@@ -20,6 +25,9 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "IvfIndex",
+    "HnswIndex",
+    "retrieval_metrics",
+    "retrieval_summary",
     "kmeans_fit",
     "pca_fit",
     "pca_transform",
