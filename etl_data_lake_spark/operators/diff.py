@@ -29,9 +29,19 @@ STATUS_COL = "diff_status"
 
 
 def _hashed(df: DataFrame, key_cols, compare_cols, side: str):
+    # xxhash64 SKIPS null inputs (a null leaves the hash seed
+    # unchanged), so without markers (title='x', subtitle=NULL) and
+    # (title=NULL, subtitle='x') hash identically and a null-shift
+    # across columns reports 'unchanged'. Interleaving each column
+    # with its isNull flag makes the null's POSITION part of the
+    # content hash — the boolean is never null, so it always feeds
+    # the hash.
+    hashed_inputs = [
+        x for c in compare_cols for x in (F.col(c), F.col(c).isNull())
+    ]
     return df.select(
         *[F.col(k).alias(f"{side}_{k}") for k in key_cols],
-        F.xxhash64(*[F.col(c) for c in compare_cols]).alias(f"_h_{side}"),
+        F.xxhash64(*hashed_inputs).alias(f"_h_{side}"),
         F.lit(True).alias(f"_in_{side}"),
     )
 

@@ -50,6 +50,26 @@ def test_diff_classifies_all_four(spark):
     }
 
 
+def test_diff_detects_null_shift_across_columns(spark):
+    """xxhash64 skips null inputs, so without per-column null markers
+    (title='x', subtitle=NULL) vs (title=NULL, subtitle='x') hashed
+    identically and the shift reported 'unchanged' (round-10 advice
+    item). The isNull interleave makes null position content."""
+    old = spark.createDataFrame(
+        [(1, "x", None), (2, None, None)],
+        "doc_id long, title string, subtitle string",
+    )
+    new = spark.createDataFrame(
+        [(1, None, "x"), (2, None, None)],
+        "doc_id long, title string, subtitle string",
+    )
+    got = {
+        r.doc_id: r.diff_status
+        for r in corpus_diff(old, new, ("doc_id",)).collect()
+    }
+    assert got == {1: "changed", 2: "unchanged"}
+
+
 def test_diff_summary_reports_absent_categories(spark):
     same = _old(spark)
     got = {
