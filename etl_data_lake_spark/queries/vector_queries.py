@@ -237,13 +237,36 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("vector", "dedup"),
 )
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, max_corpus: int = 50_000
+) -> DataFrame:
     """Embedding-cosine near-dup candidates (threshold tuned to the
     corpus: max pairwise cosine is ~0.51, so 0.45 exercises the
-    operator with a non-trivial result set)."""
+    operator with a non-trivial result set).
+
+    SCALE WARNING — this is the EXACT all-pairs form: an O(n²)
+    theta-join (``a.vec_id < b.vec_id`` plans as a nested loop), kept
+    as the oracle-matched exerciser of the pairwise-cosine math. It is
+    NOT the operator to reach for at corpus scale: corpora beyond
+    ``max_corpus`` vectors raise loudly instead of silently launching
+    an n² job (the max_query_batch pattern from similarity/hnsw.py).
+    The scale path is :func:`dedup_semantic_pairs` (same output
+    contract) — IVF-cell-blocked SemDeDup, which only compares vectors
+    within a centroid cell, so the join is candidates-sized, never n².
+    """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
+    # LocalLimit short-circuit: the guard scans at most max_corpus+1
+    # narrow rows, never the full corpus.
+    n_probe = emb.select("vec_id").limit(max_corpus + 1).count()
+    if n_probe > max_corpus:
+        raise ValueError(
+            f"embedding_near_dup_pairs is all-pairs O(n²) and the corpus "
+            f"exceeds max_corpus={max_corpus} vectors; use "
+            "dedup_semantic_pairs (IVF-cell-blocked SemDeDup) at scale, "
+            "or raise the bound deliberately"
+        )
     a, b = emb.alias("a"), emb.alias("b")
     sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
     return (

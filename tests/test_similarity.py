@@ -332,6 +332,22 @@ def test_pq_reconstruct_round_trip(spark):
     assert len(one[0]["vector"]) == dims
 
 
+def test_near_dup_pairs_corpus_size_guard(spark):
+    """The all-pairs form raises loudly past max_corpus (round-10
+    verdict item #4 — the max_query_batch pattern from hnsw) and the
+    message points at the blocked scale path."""
+    import pytest
+
+    from etl_data_lake_spark.queries.vector_queries import (
+        embedding_near_dup_pairs,
+    )
+
+    with pytest.raises(ValueError, match="dedup_semantic_pairs"):
+        embedding_near_dup_pairs(spark, SF_DIR, max_corpus=10)
+    # at/below the bound the query still builds and runs
+    assert embedding_near_dup_pairs(spark, SF_DIR, max_corpus=500).count() > 0
+
+
 def test_blocked_near_dup_full_assign_equals_exact(spark):
     """n_assign = n_cells ⇒ every pair shares a cell ⇒ the blocked
     join is exactly the all-pairs baseline (same pairs, same rounded
