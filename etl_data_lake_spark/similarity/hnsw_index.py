@@ -11,11 +11,21 @@ the graphs the way ``IvfIndex`` persists postings:
   id-sorted position the build assigned. A shard's rows ARE its
   graph; reconstruction at query time is a columnar load, zero build
   work.
-* ``<path>/meta`` — (build, m, ef_construction, n_shards): the
-  single-row publish point. Rebuilds append graphs under a fresh
-  build number FIRST (invisible) and publish meta LAST in one atomic
-  commit — IvfIndex's build-epoch rule, so readers always see a
-  complete index; :meth:`gc` reclaims superseded builds.
+* ``<path>/meta`` — (build, m, ef_construction, n_shards, reserved,
+  shard_builds): the single-row publish point. Rebuilds append graphs
+  under a fresh build number FIRST (invisible) and publish meta LAST
+  in one atomic commit — IvfIndex's build-epoch rule, so readers
+  always see a complete index; :meth:`gc` reclaims superseded builds.
+  Build numbers are CAS-ALLOCATED through the meta table (the
+  ``reserved`` high-water mark bumps under an ``expected_base``
+  overwrite), so two concurrent builds can never append graph rows
+  under the same number — the corruption a max(build)+1 scan allowed
+  (round-10 advice item). ``shard_builds[s]`` records which build's
+  rows are live for shard ``s``: a full build points every shard at
+  its own number; an :meth:`add` rewrites only the AFFECTED shards
+  under a fresh number and repoints just those entries, so readers
+  assemble the index from (shard, build) pairs and never see a
+  half-applied add.
 
 Shard membership uses Spark's own Murmur3 (``pmod(hash(id),
 n_shards)``) — the SAME assignment ``repartition(n, col)`` performs —
@@ -31,10 +41,20 @@ Serving wins this buys:
 * rebuild atomicity + time travel + vacuum come free from the txn
   layer.
 
-Incremental adds are deliberately absent: HNSW insertion needs the
-whole graph, so "add" would mean per-shard rebuilds — call
-:meth:`HnswIndex.build` again (epochs make that safe); for
-insert-heavy corpora the IVF index is the right structure.
+Incremental adds (:meth:`HnswIndex.add`, round 10) insert new nodes
+into their shard's EXISTING graph — the Malkov-Yashunin insert is the
+same greedy descent + beam the build runs, so an add costs
+O(new·log(shard)·M·d) insertion work on the affected shards only,
+never a full-corpus rebuild. Unaffected shards are not even copied:
+the add appends the rewritten shards under a fresh build number and
+the meta publish repoints only their ``shard_builds`` entries.
+Idempotent under (app_id, txn_seq) like ``IvfIndex.add``, so a
+streaming foreachBatch maintains the index exactly-once. When added
+ids sort AFTER every existing id in their shard (the append-only
+ingest pattern), the grown graph is BIT-IDENTICAL to a from-scratch
+build over the union (insertion order and splitmix levels are pure
+functions of the ids); interleaved ids yield a valid HNSW that is
+exact under ``ef_search >= shard size`` like any build.
 
 Filtered queries (``filter_ids``) search the FULL stored graphs with
 an over-fetch factor and mask the candidates afterwards — masking the
@@ -60,12 +80,17 @@ from etl_data_lake_spark.similarity.hnsw import (
     _level,
     _normalize,
 )
-from etl_data_lake_spark.sources.txn import TxnTable
+from etl_data_lake_spark.sources.txn import ConcurrentWriteError, TxnTable
 
 _GRAPH_SCHEMA = (
     "build long, shard int, node int, vec_id long, "
     "vec array<double>, level int, adj array<array<int>>, "
     "is_entry boolean"
+)
+
+_META_SCHEMA = (
+    "build long, m int, ef_construction int, n_shards int, "
+    "reserved long, shard_builds array<long>"
 )
 
 
@@ -151,7 +176,9 @@ class HnswIndex:
         if n_shards < 1:
             raise ValueError(f"n_shards must be >= 1, got {n_shards}")
         idx = HnswIndex(spark, path, id_col)
-        build_no = idx._next_build()
+        base_state = idx._meta_state()
+        base_build = base_state["build"] if base_state else 0
+        build_no = idx._reserve_build(m, ef_construction, n_shards)
         m_l = 1.0 / math.log(m)
 
         def build_shards(
@@ -195,39 +222,366 @@ class HnswIndex:
             rows.sortWithinPartitions("shard", "node"),
             stats_cols=("shard", "build"),
         )
-        meta = spark.createDataFrame(
-            [(build_no, m, ef_construction, n_shards)],
-            "build long, m int, ef_construction int, n_shards int",
+        idx._publish(  # the publish point
+            build_no, m, ef_construction, n_shards,
+            [build_no] * n_shards, base_build,
         )
-        idx.meta_tbl.overwrite(meta)  # the publish point
         return idx
 
-    def _next_build(self) -> int:
-        if self.graphs_tbl.latest_version() == 0:
-            return 1
-        row = self.graphs_tbl.snapshot().agg(
-            F.max("build").alias("b")
-        ).collect()[0]
-        return int(row.b or 0) + 1
+    # ------------------------------------------- meta protocol --
 
-    def _meta(self):
+    def _meta_state(self) -> dict | None:
+        """The meta row as a dict, or None if never written. Tolerates
+        pre-round-10 rows (no reserved/shard_builds columns)."""
+        if self.meta_tbl.latest_version() == 0:
+            return None
         rows = self.meta_tbl.snapshot().collect()
         if not rows:
-            raise FileNotFoundError(f"no published index at {self.path}")
-        r = rows[0]
-        return int(r.build), int(r.m), int(r.ef_construction), int(
-            r.n_shards
+            return None
+        r = rows[0].asDict()
+        build = int(r["build"])
+        n_shards = int(r["n_shards"])
+        reserved = int(r.get("reserved") or build)
+        shard_builds = r.get("shard_builds") or [build] * n_shards
+        return {
+            "build": build,
+            "m": int(r["m"]),
+            "ef_construction": int(r["ef_construction"]),
+            "n_shards": n_shards,
+            "reserved": max(reserved, build),
+            "shard_builds": [int(b) for b in shard_builds],
+        }
+
+    def _reserve_build(
+        self, m: int, ef_construction: int, n_shards: int,
+        retries: int = 5,
+    ) -> int:
+        """CAS-allocate a build number nobody else can get: bump the
+        ``reserved`` high-water mark under expected_base, keeping the
+        published fields untouched (concurrent readers are unaffected
+        — ``build`` stays whatever is live). Two concurrent builders
+        conflict on the overwrite and the loser re-reads, so allocated
+        numbers are unique per reservation."""
+        for _ in range(retries):
+            mv = self.meta_tbl.latest_version()
+            st = self._meta_state()
+            if st is None:
+                # fresh index: a build=0 reservation row; _meta() keeps
+                # raising "no published index" until the first publish
+                st = {
+                    "build": 0, "m": m,
+                    "ef_construction": ef_construction,
+                    "n_shards": n_shards, "reserved": 0,
+                    "shard_builds": [0] * n_shards,
+                }
+            new_build = st["reserved"] + 1
+            meta = self.spark.createDataFrame(
+                [(
+                    st["build"], st["m"], st["ef_construction"],
+                    st["n_shards"], new_build, st["shard_builds"],
+                )],
+                _META_SCHEMA,
+            )
+            try:
+                self.meta_tbl.overwrite(meta, expected_base=mv)
+                return new_build
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"could not reserve a build number at {self.path} after "
+            f"{retries} attempts — concurrent writers are thrashing"
         )
+
+    def _publish(
+        self,
+        build: int,
+        m: int,
+        ef_construction: int,
+        n_shards: int,
+        shard_builds: list[int],
+        base_build: int,
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+        retries: int = 5,
+    ) -> int:
+        """Atomically publish ``shard_builds`` — but only if the
+        published build is still ``base_build`` (what this operation
+        read when it started). A concurrent PUBLISH in the window
+        raises ConcurrentWriteError (the orphaned rows are gc-able —
+        their build number is unique, so they can never contaminate
+        the winner); a concurrent RESERVATION merely rebases, keeping
+        the highest reserved mark."""
+        for _ in range(retries):
+            mv = self.meta_tbl.latest_version()
+            st = self._meta_state()
+            cur_pub = st["build"] if st else 0
+            cur_res = st["reserved"] if st else 0
+            if cur_pub != base_build:
+                raise ConcurrentWriteError(
+                    f"index at {self.path} was published (build "
+                    f"{cur_pub}) while this operation (based on build "
+                    f"{base_build}) was running — rerun against the "
+                    "new index"
+                )
+            meta = self.spark.createDataFrame(
+                [(
+                    build, m, ef_construction, n_shards,
+                    max(cur_res, build), [int(b) for b in shard_builds],
+                )],
+                _META_SCHEMA,
+            )
+            try:
+                return self.meta_tbl.overwrite(
+                    meta, expected_base=mv, app_id=app_id,
+                    txn_seq=txn_seq,
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"could not publish build {build} at {self.path} after "
+            f"{retries} attempts — concurrent writers are thrashing"
+        )
+
+    def _meta(self):
+        st = self._meta_state()
+        if st is None or st["build"] == 0:
+            raise FileNotFoundError(f"no published index at {self.path}")
+        return (
+            st["build"], st["m"], st["ef_construction"], st["n_shards"],
+        )
+
+    def _meta_full(self) -> dict:
+        st = self._meta_state()
+        if st is None or st["build"] == 0:
+            raise FileNotFoundError(f"no published index at {self.path}")
+        return st
 
     def current_build(self) -> int:
         return self._meta()[0]
 
-    def gc(self) -> int:
-        """Drop graphs of superseded builds (stats-pruned delete)."""
-        cur = self.current_build()
-        return self.graphs_tbl.delete_where(
-            "build", 0, cur - 1, stats_cols=("shard", "build")
+    def _stored(self, shard_builds: list[int]) -> DataFrame:
+        """Graph rows live under the published mapping: exactly the
+        (shard, build) pairs meta points at — orphans from aborted or
+        superseded builds are invisible by construction."""
+        from functools import reduce as _reduce
+
+        conds = [
+            (F.col("shard") == s) & (F.col("build") == b)
+            for s, b in enumerate(shard_builds)
+        ]
+        return self.graphs_tbl.snapshot().where(
+            F.col("build").isin(sorted(set(shard_builds)))
+            & _reduce(lambda x, y: x | y, conds)
         )
+
+    def gc(self) -> int:
+        """Drop graph rows of builds the published mapping no longer
+        references (stats-pruned row-level deletes). Superseded full
+        builds, shards an add rewrote, and aborted builds BELOW the
+        published number all go; an aborted build numbered above it
+        survives until a later publish passes it. Run quiesced — an
+        in-flight add's not-yet-published rows look exactly like an
+        aborted build."""
+        st = self._meta_full()
+        live = set(st["shard_builds"])
+        garbage = [
+            b for b in range(0, st["build"]) if b not in live
+        ]
+        if not garbage:
+            return self.graphs_tbl.latest_version()
+        # compress into contiguous [lo, hi] ranges
+        ranges: list[tuple[int, int]] = []
+        for b in garbage:
+            if ranges and ranges[-1][1] == b - 1:
+                ranges[-1] = (ranges[-1][0], b)
+            else:
+                ranges.append((b, b))
+        return self.graphs_tbl.delete_where_ranges(
+            "build", ranges, stats_cols=("shard", "build")
+        )
+
+    # --------------------------------------------------------- add --
+
+    def add(
+        self,
+        vectors: DataFrame,
+        vec_col: str = "embedding",
+        app_id: str | None = None,
+        txn_seq: int | None = None,
+    ) -> int:
+        """Insert ``vectors`` into their shards' stored graphs —
+        O(new·log(shard)·M·d) insertion work on AFFECTED shards only
+        (the Malkov-Yashunin insert: greedy descent through the upper
+        layers, beam at the lower, bidirectional M-links with
+        closest-kept pruning — exactly what the build runs per node).
+        Unaffected shards are untouched: the rewritten shards land
+        under a fresh CAS-reserved build number and the meta publish
+        repoints only their ``shard_builds`` entries.
+
+        Idempotent under (app_id, txn_seq): a replayed seq no-ops at
+        whichever step it previously reached (graph append and meta
+        publish are each txn-stamped, and a crash between them is
+        recovered by reading the append's build number back from its
+        manifest), so a streaming foreachBatch maintains the index
+        exactly-once. Adding a vec_id the index already holds raises —
+        HNSW nodes are not upsertable; delete + rebuild, or use the
+        IVF index for churn-heavy corpora."""
+        st = self._meta_full()
+        m, efc = st["m"], st["ef_construction"]
+        n_shards = st["n_shards"]
+        shard_builds = list(st["shard_builds"])
+        if app_id is not None and txn_seq is not None:
+            msnap = self.meta_tbl.snapshot_meta()
+            if (
+                msnap is not None
+                and msnap.writer_txns.get(app_id, -1) >= txn_seq
+            ):
+                return msnap.version  # fully applied earlier
+        new = vectors.select(
+            F.col(self.id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            F.pmod(
+                F.hash(F.col(self.id_col).cast("long")),
+                F.lit(n_shards),
+            ).cast("int").alias("shard"),
+        )
+        replayed = self._replayed_add_build(app_id, txn_seq)
+        if replayed is not None:
+            b_new, affected = replayed
+        else:
+            affected = sorted(
+                int(r.shard)
+                for r in new.select("shard").distinct().collect()
+            )
+            if not affected:
+                return self.meta_tbl.latest_version()
+            stored_aff = self._stored(shard_builds).where(
+                F.col("shard").isin(affected)
+            )
+            n_dup = (
+                stored_aff.select("vec_id")
+                .join(new.select("vec_id"), "vec_id", "inner")
+                .count()
+            )
+            if n_dup:
+                raise ValueError(
+                    f"{n_dup} of the added vec_ids already exist in the "
+                    "index — HNSW nodes are not upsertable (delete and "
+                    "rebuild, or use IvfIndex for churn)"
+                )
+            b_new = self._reserve_build(m, efc, n_shards)
+            new_rows = new.select(
+                F.lit(b_new).cast("long").alias("build"),
+                "shard",
+                F.lit(-1).cast("int").alias("node"),
+                "vec_id",
+                "vec",
+                F.lit(-1).cast("int").alias("level"),
+                F.lit(None).cast("array<array<int>>").alias("adj"),
+                F.lit(False).alias("is_entry"),
+            )
+            m_l = 1.0 / math.log(m)
+            cols = [
+                "build", "shard", "node", "vec_id", "vec", "level",
+                "adj", "is_entry",
+            ]
+
+            def grow(pdf: pd.DataFrame) -> pd.DataFrame:
+                shard_val = int(pdf["shard"].iloc[0])
+                newp = pdf[pdf["node"] < 0].sort_values(
+                    "vec_id", ignore_index=True
+                )
+                base = pdf[pdf["node"] >= 0]
+                new_ids = newp["vec_id"].to_numpy(dtype=np.int64)
+                Xn = _normalize(
+                    np.array(newp["vec"].tolist(), dtype=np.float64)
+                )
+                if not len(base):
+                    # shard was empty at build time: fresh graph,
+                    # exactly what build_shards would produce
+                    g = _Graph(
+                        Xn, m, efc,
+                        [_level(int(i), m_l) for i in new_ids],
+                    )
+                    all_ids = new_ids
+                else:
+                    ids, g = _graph_from_rows(base, m)
+                    g.efc = max(efc, m + 1)
+                    g.X = np.vstack([g.X, Xn])
+                    n0 = len(ids)
+                    for j, nid in enumerate(new_ids):
+                        g.levels.append(_level(int(nid), m_l))
+                        g._insert(n0 + j)
+                    all_ids = np.concatenate([ids, new_ids])
+                return pd.DataFrame(
+                    _graph_rows(b_new, shard_val, all_ids, g.X, g),
+                    columns=cols,
+                )
+
+            grown = (
+                stored_aff.unionByName(new_rows)
+                .groupBy("shard")
+                .applyInPandas(grow, schema=_GRAPH_SCHEMA)
+            )
+            self.graphs_tbl.append(
+                grown.sortWithinPartitions("shard", "node"),
+                app_id=app_id,
+                txn_seq=txn_seq,
+                stats_cols=("shard", "build"),
+                op_params={
+                    "hnsw_add": {
+                        "app_id": app_id,
+                        "txn_seq": txn_seq,
+                        "build": b_new,
+                        "shards": affected,
+                    }
+                },
+            )
+        for s in affected:
+            shard_builds[s] = b_new
+        return self._publish(
+            b_new, m, efc, n_shards, shard_builds, st["build"],
+            app_id=app_id, txn_seq=txn_seq,
+        )
+
+    def _replayed_add_build(
+        self, app_id: str | None, txn_seq: int | None
+    ) -> tuple[int, list[int]] | None:
+        """If this (app_id, txn_seq) already appended its grown shards
+        (crash between append and publish), recover (build, shards)
+        from the append's manifest instead of re-reserving — the
+        publish must point at the rows that actually exist."""
+        if app_id is None or txn_seq is None:
+            return None
+        gsnap = self.graphs_tbl.snapshot_meta()
+        if gsnap is None or gsnap.writer_txns.get(app_id, -1) < txn_seq:
+            return None
+        for v in range(gsnap.version, 0, -1):
+            params = self.graphs_tbl._read_manifest(v).get("params") or {}
+            rec = params.get("hnsw_add")
+            if (
+                rec
+                and rec.get("app_id") == app_id
+                and rec.get("txn_seq") == txn_seq
+            ):
+                return int(rec["build"]), [int(s) for s in rec["shards"]]
+        raise RuntimeError(
+            f"graphs table records (app_id={app_id!r}, txn_seq="
+            f"{txn_seq}) as applied but no manifest carries its "
+            "hnsw_add record — the table was written by something "
+            "other than HnswIndex.add under this app_id"
+        )
+
+    def upsert_sink(self, vec_col: str = "embedding", app_id: str = "hnswidx"):
+        """``foreachBatch`` function maintaining this index from a
+        vector stream, batch id as the txn seq — replayed batches
+        no-op (IvfIndex.upsert_sink's composition)."""
+
+        def fn(batch: DataFrame, batch_id: int) -> None:
+            self.add(batch, vec_col=vec_col, app_id=app_id,
+                     txn_seq=batch_id)
+
+        return fn
 
     # ------------------------------------------------------- query --
 
@@ -252,14 +606,20 @@ class HnswIndex:
         ``k·filter_overfetch`` candidates from the FULL graph, the
         mask semi-joins them away, and queries left short re-run as
         exact brute force over the filtered stored vectors —
-        guaranteed k, never a silently under-k answer."""
+        guaranteed k, never a silently under-k answer.
+
+        ``filter_ids`` MUST be deterministic — it feeds both the
+        candidate mask and the refill corpus (IvfIndex.query's
+        contract, see its docstring): materialize a non-deterministic
+        mask (localCheckpoint) before passing it."""
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
         if filter_overfetch < 1:
             raise ValueError(
                 f"filter_overfetch must be >= 1, got {filter_overfetch}"
             )
-        build_no, m, _efc, _n_shards = self._meta()
+        st = self._meta_full()
+        m = st["m"]
         q_rows = (
             queries.select(
                 F.col(self.id_col).cast("long").alias("query_id"),
@@ -306,9 +666,7 @@ class HnswIndex:
                 {"query_id": qs, "neighbor_id": ns, "cos_sim": ss}
             )
 
-        stored = self.graphs_tbl.snapshot().where(
-            F.col("build") == build_no
-        )
+        stored = self._stored(st["shard_builds"])
         cand = stored.groupBy("shard").applyInPandas(
             search,
             schema="query_id long, neighbor_id long, cos_sim double",

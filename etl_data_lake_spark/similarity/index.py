@@ -382,7 +382,18 @@ class IvfIndex:
         re-run as exact brute force over the filtered current build —
         never a silently under-k answer. At scale pass a small mask as
         ``F.broadcast(filter_ids)``; a large one semi-joins on the id
-        (narrow shuffle of ids, never vectors)."""
+        (narrow shuffle of ids, never vectors).
+
+        ``filter_ids`` MUST be deterministic: it is evaluated twice —
+        once as the postings mask and once as the refill corpus's
+        semi-join — so a frame whose contents can differ between
+        evaluations (a fresh sample, a rand()-derived filter, a read
+        of a concurrently-mutating source) could mask one id set and
+        refill against another. The one-collect discipline protects
+        the QUERIES side only. Materialize a non-deterministic mask
+        first (``filter_ids.localCheckpoint()`` — note this drops a
+        broadcast hint, re-apply it after) or derive it from stable
+        inputs."""
         build_no, centroids = self._quantizer()
         probe = _probe_udf(centroids, nprobe)
         q = queries.select(
