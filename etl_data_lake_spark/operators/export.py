@@ -447,12 +447,25 @@ def _write_manifest(path: str, kind: str, params: dict, schema) -> None:
 
 
 def read_export_manifest(path: str) -> dict:
-    """Load and validate an export's manifest."""
+    """Load and validate an export's manifest. Mirrors the writer's
+    filesystem dispatch: an ``s3://``-style export reads back through
+    the same pyarrow FileSystem the writer used (round-10 advice item
+    — the reader was local-only, so the library couldn't read its own
+    object-store manifests)."""
     import json
     import os
 
-    with open(os.path.join(path, MANIFEST_NAME), encoding="utf-8") as f:
-        doc = json.load(f)
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        fsys, root = pafs.FileSystem.from_uri(path)
+        with fsys.open_input_stream(f"{root}/{MANIFEST_NAME}") as f:
+            doc = json.loads(f.read().decode("utf-8"))
+    else:
+        with open(
+            os.path.join(path, MANIFEST_NAME), encoding="utf-8"
+        ) as f:
+            doc = json.load(f)
     if doc.get("format") != "etl-data-lake-export":
         raise ValueError(f"{path}: not an export manifest")
     if doc.get("version") != _MANIFEST_VERSION:

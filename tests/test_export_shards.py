@@ -327,6 +327,28 @@ def test_curriculum_export_manifest(spark, tmp_path):
     assert sum(sizes) == 300 and max(sizes) - min(sizes) <= 2
 
 
+def test_manifest_uri_write_read_symmetry(spark, tmp_path):
+    """A ``scheme://`` export path round-trips through the SAME
+    pyarrow FileSystem dispatch on write and read (round-10 advice
+    item: the reader was os.path-only, so an object-store manifest
+    the writer produced couldn't be read back). file:// exercises the
+    from_uri branch end to end without needing a real object store."""
+    from etl_data_lake_spark.operators.export import (
+        read_export_manifest,
+        write_shuffled_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    uri = f"file://{tmp_path}/exp_uri"
+    write_shuffled_shards(df, uri, 2, ("doc_id",), seed=7, manifest=True)
+    m = read_export_manifest(uri)
+    assert m["kind"] == "shuffled" and m["total_rows"] == 50
+    # and the same export reads identically through the local path
+    assert read_export_manifest(f"{tmp_path}/exp_uri") == m
+
+
 def test_manifest_validation(tmp_path):
     import json
 
