@@ -3,6 +3,12 @@ from etl_data_lake_spark.dedup.boilerplate import (
     line_stats,
     strip_boilerplate,
 )
+from etl_data_lake_spark.dedup.contamination import (
+    contaminated_spans,
+    contamination_stats,
+    contamination_stream_sink,
+    excise_spans,
+)
 from etl_data_lake_spark.dedup.exact import canonicalize_exact
 from etl_data_lake_spark.dedup.jaccard import shingle_table, jaccard_pairs
 from etl_data_lake_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
@@ -30,4 +36,8 @@ __all__ = [
     "line_stats",
     "boilerplate_lines",
     "strip_boilerplate",
+    "contaminated_spans",
+    "contamination_stats",
+    "contamination_stream_sink",
+    "excise_spans",
 ]

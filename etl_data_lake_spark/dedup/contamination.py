@@ -175,3 +175,106 @@ def excise_spans(
         )
     )
     return out.drop("_cdoc", "_tdoc", "_txt")
+
+
+def contamination_stream_sink(
+    spark,
+    reference: DataFrame,
+    clean_path: str,
+    quarantine_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    hasher: str = "poly",
+    max_dup_ratio: float = 0.0,
+    app_id: str = "__contam_sink__",
+):
+    """``foreachBatch`` decontamination gate (round-10 verdict #8):
+    every ingested micro-batch is screened against the REFERENCE
+    corpus (benchmarks/eval sets) and routed — clean documents append
+    to ``clean_path`` (a txn table), documents whose contaminated
+    token share exceeds ``max_dup_ratio`` to ``quarantine_path``,
+    tagged with their (n_tokens, dup_tokens, n_spans, dup_ratio)
+    audit columns. The streaming form of the batch
+    :func:`contamination_stats` + threshold composition, built on
+    ``expectations_stream_sink``'s exactly-once discipline.
+
+    Correctness details (the round-9 sink lessons, applied here):
+
+    * the reference window-hash set is computed ONCE at sink
+      construction and persisted — the per-batch cost is one
+      broadcast semi join over the batch's windows, never a rescan
+      of the reference;
+    * each batch is PERSISTED across detection and both appends, so
+      the rows screened are the rows published (a nondeterministic
+      source cannot pass detection with one execution and publish
+      another);
+    * detection is per-document against a static reference — no
+      cross-batch state — so stream output EQUALS the batch operator
+      over the same rows, however the stream chops them (test-pinned
+      batch≡stream);
+    * both appends commit with (app_id, batch id): a crash between
+      the clean append and the quarantine append replays into
+      clean no-op + quarantine apply — each table exactly-once."""
+    from etl_data_lake_spark.dedup.substring import span_doc_stats
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    if not 0.0 <= max_dup_ratio < 1.0:
+        raise ValueError(
+            f"max_dup_ratio must be in [0, 1), got {max_dup_ratio}"
+        )
+    clean_tbl = TxnTable(spark, str(clean_path))
+    quar_tbl = (
+        TxnTable(spark, str(quarantine_path))
+        if quarantine_path is not None
+        else None
+    )
+    ref_hashes = (
+        window_hashes(reference, text_col, id_col, w, hasher)
+        .select("whash")
+        .distinct()
+        .persist()
+    )
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            t = window_hashes(batch_df, text_col, id_col, w, hasher)
+            marked = t.join(
+                F.broadcast(ref_hashes), "whash", "left_semi"
+            ).select("doc_id", "pos")
+            stats = span_doc_stats(
+                batch_df, merge_spans(marked, w), text_col, id_col
+            )
+            bad = stats.where(
+                F.col("dup_ratio") > max_dup_ratio
+            ).persist()
+            try:
+                bad_ids = bad.select(
+                    F.col("doc_id").alias("_bad_id")
+                )
+                clean = batch_df.join(
+                    F.broadcast(bad_ids),
+                    batch_df[id_col] == bad_ids["_bad_id"],
+                    "left_anti",
+                )
+                clean_tbl.append(
+                    clean, app_id=app_id, txn_seq=batch_id
+                )
+                if quar_tbl is not None:
+                    quarantined = batch_df.join(
+                        F.broadcast(
+                            bad.withColumnRenamed("doc_id", "_bad_id")
+                        ),
+                        batch_df[id_col] == F.col("_bad_id"),
+                        "inner",
+                    ).drop("_bad_id")
+                    quar_tbl.append(
+                        quarantined, app_id=app_id, txn_seq=batch_id
+                    )
+            finally:
+                bad.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return fn

@@ -31,10 +31,26 @@ pair order, and encoding is a pure function of (word, merges) — the
 pure-Python reference encoder (:func:`bpe_encode`) and the Spark path
 are bit-equal by construction and pinned so in tests/test_bpe.py.
 
-Tokenization here is whitespace-word-level (symbols = characters of
-the word); a byte-level GPT-2 deployment would swap the pre-tokenizer
-(the ``_BPE_PAT`` regex in queries/text_queries) and the initial
-symbol alphabet — the merge/encode machinery is identical.
+Two alphabets share the merge/encode machinery (round 10 added the
+second):
+
+* CHARACTER-level (:func:`learn_bpe` / :func:`bpe_encode`) — symbols
+  are the word's characters. Simple, but the base alphabet is
+  unbounded: a character never seen at train time stays its own
+  symbol forever, so the effective vocabulary is open.
+* BYTE-level (:func:`learn_byte_bpe` / :func:`byte_bpe_encode`) —
+  the GPT-2/Llama-class alphabet: a word's UTF-8 BYTES, each mapped
+  through the public GPT-2 byte↔unicode bijection so every symbol is
+  a printable character (merges stay plain string pairs, the same
+  JSON-persistable shape tokenizer_io already stores). The base
+  alphabet is CLOSED at 256: any text in any script encodes with
+  zero fallback — there is no UNK by construction — and
+  :func:`byte_bpe_decode` inverts exactly (bytes → UTF-8), pinned by
+  non-ASCII round-trip tests.
+
+Tokenization here is whitespace-word-level either way; a GPT-2
+deployment would swap the pre-tokenizer (the ``_BPE_PAT`` regex in
+queries/text_queries) — the merge/encode machinery is identical.
 """
 
 from __future__ import annotations
@@ -42,6 +58,7 @@ from __future__ import annotations
 import re
 from collections import Counter
 from collections.abc import Iterator
+from typing import NamedTuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -57,6 +74,15 @@ from pyspark.sql.types import (
 from etl_data_lake_spark.functions.text import tokens
 
 Merges = list[tuple[str, str]]
+
+
+class ByteBpeModel(NamedTuple):
+    """A byte-level merge list, distinguishable from a character-level
+    one at load time: tokenizer_io returns this for ``byte_level``
+    artifacts so a caller can't silently encode a byte-level model
+    with the character alphabet (or vice versa)."""
+
+    merges: Merges
 
 # Encode-side word splitter, pinned to the SAME whitespace class the
 # learn side's tokens() uses (Java \s+ = ASCII [ \t\n\x0B\f\r]).
@@ -118,9 +144,20 @@ def learn_bpe(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     hist = word_histogram(docs, text_col, max_words)
-    words: dict[tuple[str, ...], int] = {
-        tuple(w): c for w, c in hist.items()
-    }
+    return _merge_loop(
+        {tuple(w): c for w, c in hist.items()}, n_merges,
+        min_pair_count,
+    )
+
+
+def _merge_loop(
+    words: dict[tuple[str, ...], int],
+    n_merges: int,
+    min_pair_count: int,
+) -> Merges:
+    """The classic BPE training loop over a symbolized word histogram
+    — shared by the character- and byte-level learners (the alphabet
+    is the only thing that differs between them)."""
     merges: Merges = []
     for _ in range(n_merges):
         pair_counts: Counter = Counter()
@@ -161,7 +198,12 @@ def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     lowest-rank adjacent pair (the canonical GPT-2 ``bpe()`` loop).
     The Spark path calls this same function inside the Arrow batches,
     so engine and reference cannot diverge."""
-    sym = list(word)
+    return _encode_symbols(list(word), ranks)
+
+
+def _encode_symbols(
+    sym: list[str], ranks: dict[tuple[str, str], int]
+) -> list[str]:
     while len(sym) > 1:
         best_rank, best_i = None, -1
         for i in range(len(sym) - 1):
@@ -189,21 +231,101 @@ def _ranks(merges: Merges) -> dict[tuple[str, str], int]:
     return {pair: i for i, pair in enumerate(merges)}
 
 
+# ---------------------------------------------------------------------------
+# Byte-level alphabet (round-10 verdict #5) — the GPT-2 byte↔unicode
+# bijection (Radford et al. 2019, the public gpt-2 repo's
+# bytes_to_unicode): the 188 printable latin-1 bytes map to
+# themselves, the 68 others (controls, space, DEL, soft hyphen …) to
+# U+0100.. so every byte is a PRINTABLE single character — symbols
+# stay plain strings, merges stay JSON-persistable string pairs, and
+# no byte ever collides with another's mapped form (it is a
+# bijection, so decode is exact).
+# ---------------------------------------------------------------------------
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_BYTE_ENC = _bytes_to_unicode()
+_BYTE_DEC = {c: b for b, c in _BYTE_ENC.items()}
+
+
+def byte_symbols(word: str) -> list[str]:
+    """A word's initial byte-level symbols: its UTF-8 bytes, each as
+    the bijection's printable character. The alphabet is CLOSED — any
+    word in any script symbolizes, so byte-level encoding never needs
+    an UNK fallback."""
+    return [_BYTE_ENC[b] for b in word.encode("utf-8")]
+
+
+def learn_byte_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    max_words: int = 100_000,
+    min_pair_count: int = 2,
+) -> Merges:
+    """Learn merges over the byte alphabet — same histogram, same
+    driver-side loop as :func:`learn_bpe`, only the initial
+    symbolization differs. The merges compose multi-byte UTF-8
+    sequences exactly like any other frequent pair: a hot non-ASCII
+    character's bytes merge back together in the first rounds."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    hist = word_histogram(docs, text_col, max_words)
+    return _merge_loop(
+        {tuple(byte_symbols(w)): c for w, c in hist.items()},
+        n_merges, min_pair_count,
+    )
+
+
+def byte_bpe_encode(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Pure-Python byte-level reference encoder (the Spark path runs
+    this same function inside the Arrow batches)."""
+    return _encode_symbols(byte_symbols(word), ranks)
+
+
+def byte_bpe_decode(pieces: list[str]) -> str:
+    """Exact inverse of :func:`byte_bpe_encode` for one word: map the
+    pieces' characters back to their bytes and UTF-8-decode."""
+    return bytes(
+        _BYTE_DEC[c] for piece in pieces for c in piece
+    ).decode("utf-8")
+
+
 def bpe_token_counts(
     docs: DataFrame,
     merges: Merges,
     text_col: str = "text",
     out_col: str = "n_bpe_tokens",
+    byte_level: bool = False,
 ) -> DataFrame:
     """→ input columns plus ``out_col``: the EXACT subword count of
     each document under the merges table — the drop-in token budget
     for operators/packing.pack_sequences and chunking. Arrow-batched;
-    per-batch word cache (see module docstring)."""
+    per-batch word cache (see module docstring). ``byte_level``
+    selects the alphabet and must match how ``merges`` was learned."""
     if out_col in docs.columns:
         raise ValueError(
             f"output column {out_col!r} already exists; pass out_col="
         )
     ranks = _ranks(merges)
+    encode = byte_bpe_encode if byte_level else bpe_encode
 
     @F.pandas_udf(LongType())
     def n_bpe(texts: pd.Series) -> pd.Series:
@@ -216,7 +338,7 @@ def bpe_token_counts(
             for w in split_words(text):
                 n = cache.get(w)
                 if n is None:
-                    n = len(bpe_encode(w, ranks))
+                    n = len(encode(w, ranks))
                     cache[w] = n
                 total += n
             return total
@@ -231,11 +353,14 @@ def bpe_tokens_df(
     merges: Merges,
     text_col: str = "text",
     id_col: str = "doc_id",
+    byte_level: bool = False,
 ) -> DataFrame:
     """→ ``(doc_id, bpe_tokens array<string>)`` — the full encoding,
     for vocabulary audits and detokenization round-trip tests (token
-    COUNTS are the hot path; this materializes the pieces)."""
+    COUNTS are the hot path; this materializes the pieces).
+    ``byte_level`` selects the alphabet and must match the learn."""
     ranks = _ranks(merges)
+    encode = byte_bpe_encode if byte_level else bpe_encode
     out_schema = StructType(
         [
             StructField("doc_id", docs.schema[id_col].dataType),
@@ -255,7 +380,7 @@ def bpe_tokens_df(
                     for w in split_words(text):
                         enc = cache.get(w)
                         if enc is None:
-                            enc = bpe_encode(w, ranks)
+                            enc = encode(w, ranks)
                             cache[w] = enc
                         pieces.extend(enc)
                 toks.append(pieces)

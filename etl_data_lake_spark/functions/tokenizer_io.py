@@ -26,7 +26,7 @@ from __future__ import annotations
 import json
 import os
 
-from etl_data_lake_spark.functions.bpe import Merges
+from etl_data_lake_spark.functions.bpe import ByteBpeModel, Merges
 from etl_data_lake_spark.functions.unigram import UnigramModel
 
 _FORMAT = "etl-data-lake-tokenizer"
@@ -41,17 +41,23 @@ def _atomic_write(path: str, payload: dict) -> None:
     os.replace(tmp, path)
 
 
-def save_bpe(path: str, merges: Merges) -> None:
-    """Persist a BPE merge list (rank = list order)."""
-    _atomic_write(
-        str(path),
-        {
-            "format": _FORMAT,
-            "version": _VERSION,
-            "type": "bpe",
-            "merges": [[a, b] for a, b in merges],
-        },
-    )
+def save_bpe(
+    path: str, merges: Merges, byte_level: bool = False
+) -> None:
+    """Persist a BPE merge list (rank = list order). ``byte_level``
+    records which alphabet the merges were learned over — the loader
+    hands a byte-level artifact back as :class:`ByteBpeModel` so the
+    two can never be silently confused (their merges are both plain
+    string pairs, so nothing else distinguishes them)."""
+    payload = {
+        "format": _FORMAT,
+        "version": _VERSION,
+        "type": "bpe",
+        "merges": [[a, b] for a, b in merges],
+    }
+    if byte_level:
+        payload["byte_level"] = True
+    _atomic_write(str(path), payload)
 
 
 def save_unigram(path: str, model: UnigramModel) -> None:
@@ -71,10 +77,12 @@ def save_unigram(path: str, model: UnigramModel) -> None:
     )
 
 
-def load_tokenizer(path: str) -> Merges | UnigramModel:
-    """Load a saved tokenizer: a BPE artifact comes back as the merge
-    list, a unigram artifact as the :class:`UnigramModel` — each
-    bit-equal to what was saved (encodes are pinned identical in
+def load_tokenizer(path: str) -> Merges | ByteBpeModel | UnigramModel:
+    """Load a saved tokenizer: a character-level BPE artifact comes
+    back as the merge list, a byte-level one as :class:`ByteBpeModel`
+    (pass ``.merges`` plus ``byte_level=True`` to the encode fns), a
+    unigram artifact as the :class:`UnigramModel` — each bit-equal to
+    what was saved (encodes are pinned identical in
     tests/test_tokenizer_io.py)."""
     with open(str(path), encoding="utf-8") as f:
         doc = json.load(f)
@@ -95,7 +103,10 @@ def load_tokenizer(path: str) -> Merges | UnigramModel:
             isinstance(m, list) and len(m) == 2 for m in merges
         ):
             raise ValueError(f"{path}: malformed BPE merge list")
-        return [(a, b) for a, b in merges]
+        pairs = [(a, b) for a, b in merges]
+        if doc.get("byte_level"):
+            return ByteBpeModel(pairs)
+        return pairs
     if kind == "unigram":
         pieces = tuple(doc["pieces"])
         logp = doc["logp"]

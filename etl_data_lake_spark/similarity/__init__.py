@@ -15,6 +15,12 @@ from etl_data_lake_spark.similarity.pca import (
     pca_transform,
 )
 from etl_data_lake_spark.similarity.pq import pq_encode, pq_topk
+from etl_data_lake_spark.similarity.sq import (
+    sq_encode,
+    sq_reconstruct,
+    sq_topk,
+    train_sq,
+)
 
 __all__ = [
     "cosine_topk",
@@ -24,6 +30,10 @@ __all__ = [
     "hnsw_topk",
     "pq_encode",
     "pq_topk",
+    "train_sq",
+    "sq_encode",
+    "sq_reconstruct",
+    "sq_topk",
     "IvfIndex",
     "HnswIndex",
     "retrieval_metrics",

@@ -174,3 +174,137 @@ def test_split_words_edge_whitespace_matches_learn_side(spark):
     assert [r["w"] for r in learn_words] == split_words(
         "  prix fixe menu　 "
     )
+
+
+# ------------------------------------------------------ byte level --
+# Round 10 (verdict #5): the GPT-2/Llama-class alphabet — a word's
+# UTF-8 bytes through the public byte<->unicode bijection, so the
+# base vocabulary is CLOSED at 256 and encoding never needs UNK.
+
+
+def test_byte_bijection_is_exact():
+    from etl_data_lake_spark.functions.bpe import (
+        _BYTE_DEC,
+        _BYTE_ENC,
+        byte_bpe_decode,
+        byte_symbols,
+    )
+
+    assert len(_BYTE_ENC) == 256
+    assert len(set(_BYTE_ENC.values())) == 256  # bijective
+    assert _BYTE_DEC == {c: b for b, c in _BYTE_ENC.items()}
+    # every mapped symbol is one printable character
+    assert all(len(c) == 1 and c.isprintable() for c in _BYTE_ENC.values())
+    for w in ["hello", "naïve", "東京", "🚀🚀", "Ωμέγα", "a\tb"]:
+        assert byte_bpe_decode(byte_symbols(w)) == w
+
+
+def test_learn_byte_bpe_merges_multibyte_chars(spark):
+    """A hot non-ASCII word's UTF-8 bytes merge back together in the
+    first rounds — the learner treats multi-byte sequences like any
+    frequent pair, and the FULL table collapses the word to one
+    token that decodes exactly."""
+    from etl_data_lake_spark.functions.bpe import (
+        byte_bpe_decode,
+        byte_bpe_encode,
+        learn_byte_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "café café 東京") for i in range(5)],
+        "doc_id long, text string",
+    )
+    merges = learn_byte_bpe(docs, n_merges=30, min_pair_count=2)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ["café", "東京"]:
+        enc = byte_bpe_encode(w, ranks)
+        assert enc == [enc[0]] and len(enc) == 1  # fully merged
+        assert byte_bpe_decode(enc) == w
+
+
+def test_byte_level_never_falls_back(spark):
+    """Words in scripts NEVER seen at train time still encode — into
+    base-alphabet symbols only — and decode exactly. This is the
+    closed-vocabulary property character-level BPE cannot offer."""
+    from etl_data_lake_spark.functions.bpe import (
+        _BYTE_ENC,
+        byte_bpe_decode,
+        byte_bpe_encode,
+        learn_byte_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "plain ascii training text only")],
+        "doc_id long, text string",
+    )
+    merges = learn_byte_bpe(docs, n_merges=10, min_pair_count=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    base = set(_BYTE_ENC.values())
+    vocab = base | {a + b for a, b in merges}
+    for w in ["Здравствуйте", "日本語テキスト", "🧪", "naïve"]:
+        enc = byte_bpe_encode(w, ranks)
+        assert all(p in vocab for p in enc)
+        assert byte_bpe_decode(enc) == w
+
+
+def test_byte_level_spark_bit_equal_to_reference(spark):
+    """The Spark encode (counts AND pieces) over the REAL documents
+    fixture == the pure-Python byte-level reference per word."""
+    from etl_data_lake_spark.functions.bpe import (
+        byte_bpe_encode,
+        learn_byte_bpe,
+    )
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = learn_byte_bpe(docs, n_merges=200)
+    assert len(merges) > 50
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, merges, byte_level=True).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        want = sum(
+            len(byte_bpe_encode(w, ranks))
+            for w in split_words(r["text"])
+        )
+        assert got[r["doc_id"]] == want
+    enc = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_tokens_df(docs, merges, byte_level=True).collect()
+    }
+    assert all(len(enc[d]) == n for d, n in got.items())
+
+
+def test_byte_level_tokenizer_io_round_trip(spark, tmp_path):
+    """save/load with byte_level composes with tokenizer_io: the
+    artifact comes back as ByteBpeModel (never silently confusable
+    with a character-level list) and encodes bit-identically."""
+    from etl_data_lake_spark.functions.bpe import (
+        ByteBpeModel,
+        byte_bpe_encode,
+        learn_byte_bpe,
+    )
+    from etl_data_lake_spark.functions.tokenizer_io import (
+        load_tokenizer,
+        save_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "café tokenization café 東京 tokenization")],
+        "doc_id long, text string",
+    )
+    merges = learn_byte_bpe(docs, n_merges=25, min_pair_count=1)
+    p = tmp_path / "byte_bpe.json"
+    save_bpe(p, merges, byte_level=True)
+    loaded = load_tokenizer(p)
+    assert isinstance(loaded, ByteBpeModel)
+    assert loaded.merges == merges
+    ranks = {pr: i for i, pr in enumerate(loaded.merges)}
+    ranks0 = {pr: i for i, pr in enumerate(merges)}
+    for w in ["café", "東京", "tokenization", "unseen"]:
+        assert byte_bpe_encode(w, ranks) == byte_bpe_encode(w, ranks0)
+    # a character-level artifact still loads as the plain list
+    save_bpe(tmp_path / "char_bpe.json", merges)
+    assert load_tokenizer(tmp_path / "char_bpe.json") == merges

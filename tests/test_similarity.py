@@ -491,12 +491,16 @@ def test_ann_recall_summary_thresholds(spark):
     the per-method tests above pin, and deterministic across runs."""
     from etl_data_lake_spark.queries.registry import queries
 
+    got1 = queries()["ann_recall_summary"](spark, SF_DIR).collect()
+    # round 10: per-method wall-time is a driver-visible column —
+    # positive measurement, excluded from the determinism compare
+    assert all(r.seconds > 0 for r in got1)
     rows1 = {
-        r.method: (r.hits, r.possible, r.recall_at_10)
-        for r in queries()["ann_recall_summary"](spark, SF_DIR).collect()
+        r.method: (r.hits, r.possible, r.recall_at_10) for r in got1
     }
-    assert set(rows1) == {"lsh", "ivf", "pq", "hnsw"}
-    floors = {"lsh": 0.4, "ivf": 0.2, "pq": 0.5, "hnsw": 0.9}
+    assert set(rows1) == {"lsh", "ivf", "pq", "hnsw", "sq"}
+    floors = {"lsh": 0.4, "ivf": 0.2, "pq": 0.5, "hnsw": 0.9,
+              "sq": 0.95}
     for method, (hits, possible, recall) in rows1.items():
         assert possible > 0
         assert 0 <= hits <= possible, (method, hits, possible)
