@@ -28,6 +28,7 @@ import os
 
 from etl_data_lake_spark.functions.bpe import ByteBpeModel, Merges
 from etl_data_lake_spark.functions.unigram import UnigramModel
+from etl_data_lake_spark.functions.wordpiece import WordPieceModel
 
 _FORMAT = "etl-data-lake-tokenizer"
 _VERSION = 1
@@ -77,7 +78,34 @@ def save_unigram(path: str, model: UnigramModel) -> None:
     )
 
 
-def load_tokenizer(path: str) -> Merges | ByteBpeModel | UnigramModel:
+def save_wordpiece(path: str, model: WordPieceModel) -> None:
+    """Persist a WordPiece model (vocab keeps learn order — the
+    alphabet-then-merges transcript; the encoder only needs the SET,
+    but the order makes re-saves byte-identical and audits legible).
+    The vocab is stored as the ordered tuple, never the frozenset the
+    Spark encode paths swap in."""
+    if not isinstance(model.vocab, tuple):
+        raise ValueError(
+            "save_wordpiece needs the ordered model from the trainer; "
+            f"got vocab of type {type(model.vocab).__name__} (the "
+            "frozenset form is encode-only and has no stable order)"
+        )
+    _atomic_write(
+        str(path),
+        {
+            "format": _FORMAT,
+            "version": _VERSION,
+            "type": "wordpiece",
+            "vocab": list(model.vocab),
+            "unk_token": model.unk_token,
+            "max_input_chars": model.max_input_chars,
+        },
+    )
+
+
+def load_tokenizer(
+    path: str,
+) -> Merges | ByteBpeModel | UnigramModel | WordPieceModel:
     """Load a saved tokenizer: a character-level BPE artifact comes
     back as the merge list, a byte-level one as :class:`ByteBpeModel`
     (pass ``.merges`` plus ``byte_level=True`` to the encode fns), a
@@ -119,5 +147,24 @@ def load_tokenizer(path: str) -> Merges | ByteBpeModel | UnigramModel:
             max_piece_len=int(doc["max_piece_len"]),
             unk_logp=float(doc["unk_logp"]),
             pieces=pieces,
+        )
+    if kind == "wordpiece":
+        vocab = doc["vocab"]
+        if not all(isinstance(p, str) for p in vocab) or len(
+            set(vocab)
+        ) != len(vocab):
+            raise ValueError(
+                f"{path}: malformed WordPiece vocab (non-string or "
+                "duplicate pieces)"
+            )
+        unk = doc["unk_token"]
+        if unk not in vocab:
+            raise ValueError(
+                f"{path}: unk_token {unk!r} missing from vocab"
+            )
+        return WordPieceModel(
+            vocab=tuple(vocab),
+            unk_token=unk,
+            max_input_chars=int(doc["max_input_chars"]),
         )
     raise ValueError(f"{path}: unknown tokenizer type {kind!r}")
