@@ -34,10 +34,17 @@ from etl_data_lake_spark.operators.sampling import (
     weighted_sample,
 )
 from etl_data_lake_spark.operators.sketches import (
+    CmsReader,
+    cms_collect,
+    cms_estimate_col,
+    cms_merge,
+    cms_sink,
+    cms_sketch,
     distinct_sketch_sink,
     distinct_sketches,
     heavy_hitters,
     heavy_hitters_sink,
+    read_cms,
     read_heavy_hitters,
     rollup_distinct,
 )
@@ -73,6 +80,13 @@ __all__ = [
     "heavy_hitters_sink",
     "read_heavy_hitters",
     "distinct_sketch_sink",
+    "CmsReader",
+    "cms_sketch",
+    "cms_merge",
+    "cms_collect",
+    "cms_estimate_col",
+    "cms_sink",
+    "read_cms",
     "profile",
     "numeric_histogram",
     "merge_histograms",

@@ -23,6 +23,7 @@ distinct cardinality.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -357,3 +358,258 @@ def distinct_sketch_sink(
         tbl.overwrite(merged, app_id=app_id, txn_seq=batch_id)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Count–min sketch (round 10) — point-frequency estimates for ANY item
+# with one-sided error, completing the sketch family: HLL answers
+# distinct counts, Misra–Gries answers "which items are frequent",
+# CMS answers "how often did THIS item occur" without keeping the key
+# space. depth×width counters (Cormode–Muthukrishnan 2005);
+# estimate(x) = min over rows of the counter x hashes to — NEVER an
+# undercount, and over by at most e/width · N with probability
+# ≥ 1 − e^−depth.
+#
+# Two properties Misra–Gries cannot offer, both test-pinned:
+# * the state is LAYOUT-CANONICAL: counters are sums of per-row hash
+#   hits, addition commutes, so any partitioning (and any merge order)
+#   yields the IDENTICAL state — bit-equal, not just bound-valid;
+# * merge is EXACT: cms(A ⊎ B) == cms(A) + cms(B) counter-wise, so a
+#   streaming sink's folded state equals the from-scratch sketch of
+#   the whole history, not an approximation of it.
+#
+# The distributed state is SPARSE (row, pos, cnt) — each task emits
+# only its nonzero cells (≤ min(width, task-distinct-items) per row),
+# so the shuffle carries candidate cells, never the key space; the
+# dense depth×width array (a few KB) materializes only driver-side
+# for queries. Hashing is Kirsch–Mitzenmacher double hashing off one
+# keyed blake2b digest per distinct item (hashlib — deterministic
+# across platforms/processes, no PYTHONHASHSEED exposure), computed
+# once per DISTINCT item per batch (Zipf ⇒ value_counts first).
+# ---------------------------------------------------------------------------
+
+_CMS_SENTINEL_ROW = -1
+
+
+def _cms_positions(
+    item: str, depth: int, width: int, seed: int
+) -> list[int]:
+    """The counter position of ``item`` in each of the ``depth`` rows:
+    h_i = (h1 + i·h2) mod width over one 16-byte keyed blake2b digest
+    (double hashing — pairwise-independent enough for the CMS bound,
+    one hash call per item)."""
+    import hashlib
+
+    d = hashlib.blake2b(
+        item.encode("utf-8"),
+        digest_size=16,
+        key=seed.to_bytes(8, "little", signed=False),
+    ).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd: full-period stride
+    return [((h1 + i * h2) % width) for i in range(depth)]
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """→ the sparse CMS state of ``col``: (row, pos, cnt) for every
+    nonzero counter, plus the sentinel row (-1, -1, n_total). ONE
+    corpus scan; the only shuffle carries nonzero cells (map-side
+    summed per task before emitting). The state is layout-canonical
+    and persists like any table; nulls are ignored (no evidence)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    field = df.schema[col]
+    if field.dataType.simpleString() != "string":
+        raise ValueError(
+            f"cms_sketch needs a string column; {col!r} is "
+            f"{field.dataType.simpleString()} — cast explicitly"
+        )
+    out_schema = StructType(
+        [
+            StructField("row", IntegerType()),
+            StructField("pos", IntegerType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+
+    def summarize(it):
+        cells: dict[tuple[int, int], int] = {}
+        n = 0
+        for pdf in it:
+            vc = pdf[col].dropna().value_counts()
+            for item, c in vc.items():
+                n += int(c)
+                for i, p in enumerate(
+                    _cms_positions(item, depth, width, seed)
+                ):
+                    key = (i, p)
+                    cells[key] = cells.get(key, 0) + int(c)
+        rows = [(r, p, c) for (r, p), c in cells.items()]
+        rows.append((_CMS_SENTINEL_ROW, _CMS_SENTINEL_ROW, n))
+        yield pd.DataFrame(rows, columns=["row", "pos", "cnt"])
+
+    return (
+        df.select(col)
+        .mapInPandas(summarize, schema=out_schema)
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_merge(*states: DataFrame) -> DataFrame:
+    """Counter-wise sum of CMS states (same width/depth/seed — the
+    caller's contract, as with HLL lg_k). EXACT: the result is the
+    sketch of the concatenated inputs, bit-for-bit."""
+    if not states:
+        raise ValueError("cms_merge needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+class CmsReader:
+    """The dense driver-side view of a CMS state (depth×width longs —
+    a few KB), for point queries and as the broadcastable closure of
+    :func:`cms_estimate_col`."""
+
+    def __init__(
+        self,
+        counts,  # numpy (depth, width) int64
+        n_total: int,
+        width: int,
+        depth: int,
+        seed: int,
+    ):
+        self.counts = counts
+        self.n_total = n_total
+        self.width = width
+        self.depth = depth
+        self.seed = seed
+
+    def estimate(self, item: str) -> int:
+        """min over rows — ≥ the true count always; ≤ true +
+        e/width·n_total with probability ≥ 1 − e^−depth."""
+        return int(
+            min(
+                self.counts[i, p]
+                for i, p in enumerate(
+                    _cms_positions(item, self.depth, self.width, self.seed)
+                )
+            )
+        )
+
+
+def cms_collect(
+    state: DataFrame, width: int = 2048, depth: int = 4, seed: int = 0
+) -> CmsReader:
+    """Materialize a (possibly sparse, possibly merged) CMS state into
+    a :class:`CmsReader`. The collect is ≤ depth·width + 1 rows —
+    driver traffic is the sketch, never the data."""
+    import numpy as np
+
+    counts = np.zeros((depth, width), dtype="int64")
+    n_total = 0
+    for r in state.collect():
+        if r["row"] == _CMS_SENTINEL_ROW:
+            n_total += int(r["cnt"])
+            continue
+        if not (0 <= r["row"] < depth and 0 <= r["pos"] < width):
+            raise ValueError(
+                f"CMS cell ({r['row']}, {r['pos']}) outside "
+                f"depth={depth} width={width} — params don't match "
+                "the sketch"
+            )
+        counts[r["row"], r["pos"]] += int(r["cnt"])
+    return CmsReader(counts, n_total, width, depth, seed)
+
+
+def cms_estimate_col(
+    df: DataFrame,
+    col: str,
+    reader: CmsReader,
+    out_col: str = "cms_estimate",
+) -> DataFrame:
+    """→ input columns plus ``out_col``: the CMS frequency estimate of
+    each value in ``col`` — the sketch broadcasts in the UDF closure
+    (a few KB), so scoring any table against a 100 TB corpus's sketch
+    is one scan of the SMALL side, zero shuffles, no corpus access."""
+    from pyspark.sql.types import LongType
+
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists; pass out_col="
+        )
+
+    @F.pandas_udf(LongType())
+    def est(items: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def one(v) -> int | None:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return None
+            e = cache.get(v)
+            if e is None:
+                e = reader.estimate(v)
+                cache[v] = e
+            return e
+
+        return items.map(one)
+
+    return df.withColumn(out_col, est(F.col(col)))
+
+
+def cms_sink(
+    spark,
+    path: str,
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 0,
+    app_id: str = "__cms_sink__",
+):
+    """``foreachBatch`` function maintaining an all-time CMS at
+    ``path`` (a txn table of the sparse state): each micro-batch is
+    sketched and counter-summed into the stored state — EXACTLY the
+    from-scratch sketch of the whole history, because CMS merge is
+    exact — and published with the batch id as txn seq (replays
+    no-op; exactly-once under at-least-once drivers). Per-batch cost:
+    the micro-batch scan plus ≤ depth·width + 1 state rows, never the
+    history. Read with :func:`read_cms`."""
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    tbl = TxnTable(spark, str(path))
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = cms_sketch(batch_df, col, width=width, depth=depth, seed=seed)
+        if tbl.latest_version() > 0:
+            fresh = cms_merge(tbl.snapshot(), fresh)
+        tbl.overwrite(fresh, app_id=app_id, txn_seq=batch_id)
+
+    return fn
+
+
+def read_cms(
+    spark, path: str, width: int = 2048, depth: int = 4, seed: int = 0
+) -> CmsReader:
+    """The persisted streaming state as a :class:`CmsReader` (params
+    must match the sink's — validated cell-range-wise on collect)."""
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    return cms_collect(
+        TxnTable(spark, str(path)).snapshot(),
+        width=width,
+        depth=depth,
+        seed=seed,
+    )

@@ -300,3 +300,166 @@ def test_distinct_sketch_sink_exactly_once(spark, tmp_path):
     v = tbl.latest_version()
     fn(spark.createDataFrame(b2, "src string, uid long"), 1)
     assert tbl.latest_version() == v
+
+
+# ------------------------------------------------------------------ CMS
+
+
+def _cms_rows(state):
+    return sorted(map(tuple, state.collect()))
+
+
+def test_cms_exact_when_sparse_and_never_undercounts(spark):
+    """At width 2048 a 60-distinct corpus is collision-free for
+    practical purposes: every estimate equals the true count exactly;
+    and the one-sided contract (est >= true) holds item by item."""
+    from etl_data_lake_spark.operators.sketches import (
+        cms_collect,
+        cms_sketch,
+    )
+
+    rows, true = [], {}
+    for i in range(60):
+        c = (i % 7) + 1
+        true[f"item_{i}"] = c
+        rows += [(f"item_{i}",)] * c
+    rows.append((None,))  # nulls are ignored
+    df = spark.createDataFrame(rows, "item string").repartition(6)
+    reader = cms_collect(cms_sketch(df, "item"))
+    assert reader.n_total == sum(true.values())
+    for item, c in true.items():
+        assert reader.estimate(item) == c
+    # an absent item can only collide upward, never report negative
+    assert 0 <= reader.estimate("never_seen") <= reader.n_total
+
+
+def test_cms_one_sided_under_adversarial_width(spark):
+    """width=2, depth=1 forces collisions everywhere: estimates still
+    NEVER undercount (the defining guarantee) and never exceed n."""
+    from etl_data_lake_spark.operators.sketches import (
+        cms_collect,
+        cms_sketch,
+    )
+
+    true = {"a": 50, "b": 30, "c": 15, "d": 5}
+    rows = [(k,) for k, c in true.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    reader = cms_collect(
+        cms_sketch(df, "item", width=2, depth=1),
+        width=2,
+        depth=1,
+    )
+    for k, c in true.items():
+        est = reader.estimate(k)
+        assert c <= est <= reader.n_total
+
+
+def test_cms_state_is_layout_canonical(spark):
+    """Counter addition commutes: any partitioning yields the
+    bit-identical sparse state (unlike Misra-Gries, where only the
+    bounds are layout-stable)."""
+    from etl_data_lake_spark.operators.sketches import cms_sketch
+
+    rows = [(f"k{i % 37}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "item string")
+    a = _cms_rows(cms_sketch(df.repartition(1), "item", width=64, depth=3))
+    b = _cms_rows(cms_sketch(df.repartition(13), "item", width=64, depth=3))
+    assert a == b
+
+
+def test_cms_merge_is_exact(spark):
+    """cms(A) + cms(B) == cms(A concat B), counter for counter."""
+    from etl_data_lake_spark.operators.sketches import cms_merge, cms_sketch
+
+    a_rows = [(f"a{i % 11}",) for i in range(200)]
+    b_rows = [(f"a{i % 17}",) for i in range(150)]
+    a = spark.createDataFrame(a_rows, "item string")
+    b = spark.createDataFrame(b_rows, "item string")
+    both = spark.createDataFrame(a_rows + b_rows, "item string")
+    kw = dict(width=128, depth=4, seed=7)
+    merged = cms_merge(
+        cms_sketch(a, "item", **kw), cms_sketch(b, "item", **kw)
+    )
+    assert _cms_rows(merged) == _cms_rows(cms_sketch(both, "item", **kw))
+
+
+def test_cms_estimate_col_broadcast_scoring(spark):
+    """Scoring a candidate table against the sketch: estimates match
+    the driver reader exactly, nulls pass through as null, and the
+    corpus is never touched (the reader is closure state)."""
+    from etl_data_lake_spark.operators.sketches import (
+        cms_collect,
+        cms_estimate_col,
+        cms_sketch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(f"w{i % 9}",) for i in range(300)], "item string"
+    )
+    reader = cms_collect(cms_sketch(corpus, "item"))
+    cand = spark.createDataFrame(
+        [("w0",), ("w8",), ("missing",), (None,)], "item string"
+    )
+    got = {
+        r["item"]: r["cms_estimate"]
+        for r in cms_estimate_col(cand, "item", reader).collect()
+    }
+    assert got["w0"] == reader.estimate("w0") > 0
+    assert got["w8"] == reader.estimate("w8") > 0
+    assert got["missing"] == reader.estimate("missing")
+    assert got[None] is None
+
+
+def test_cms_validation(spark):
+    from etl_data_lake_spark.operators.sketches import (
+        cms_collect,
+        cms_sketch,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "x int")
+    with _pytest.raises(ValueError, match="string column"):
+        cms_sketch(df, "x")
+    s = spark.createDataFrame([("a",)], "item string")
+    with _pytest.raises(ValueError, match="width"):
+        cms_sketch(s, "item", width=1)
+    with _pytest.raises(ValueError, match="depth"):
+        cms_sketch(s, "item", depth=0)
+    # params that don't match the sketch fail loudly on collect
+    state = cms_sketch(s, "item", width=2048, depth=4)
+    with _pytest.raises(ValueError, match="params"):
+        cms_collect(state, width=16, depth=4)
+
+
+def test_cms_sink_exactly_once_and_equals_batch(spark, tmp_path):
+    """The folded streaming state IS the from-scratch sketch of the
+    whole history (merge is exact), and a replayed micro-batch
+    no-ops."""
+    from etl_data_lake_spark.operators.sketches import (
+        cms_sink,
+        cms_sketch,
+        read_cms,
+    )
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    path = str(tmp_path / "cms")
+    kw = dict(width=256, depth=3, seed=3)
+    fn = cms_sink(spark, path, "item", **kw)
+    b1 = [(f"x{i % 5}",) for i in range(120)]
+    b2 = [(f"x{i % 8}",) for i in range(80)]
+    fn(spark.createDataFrame(b1, "item string").repartition(4), 0)
+    fn(spark.createDataFrame(b2, "item string").repartition(2), 1)
+    tbl = TxnTable(spark, path)
+    whole = cms_sketch(
+        spark.createDataFrame(b1 + b2, "item string"), "item", **kw
+    )
+    assert _cms_rows(tbl.snapshot()) == _cms_rows(whole)
+    # replay: version and content unchanged
+    v = tbl.latest_version()
+    before = _cms_rows(tbl.snapshot())
+    fn(spark.createDataFrame(b2, "item string").repartition(2), 1)
+    assert tbl.latest_version() == v
+    assert _cms_rows(tbl.snapshot()) == before
+    reader = read_cms(spark, path, **kw)
+    assert reader.n_total == 200
+    assert reader.estimate("x0") >= 120 // 5 + 80 // 8
