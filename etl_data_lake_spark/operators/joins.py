@@ -19,6 +19,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_TIME_TYPES = ("timestamp", "timestamp_ntz", "date")
+
 
 def dim_join(
     fact: DataFrame,
@@ -94,3 +96,109 @@ def asof_join(
     return out.select(
         *keep, *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_cols]
     )
+
+
+def _to_micros(col: Column, dtype: str) -> Column:
+    """Epoch-micros LONG for binning. Time types go through one cast
+    chain (tz interpretation is irrelevant: both sides convert
+    identically and only bin ALIGNMENT matters — the exact predicate
+    compares the original columns); numerics treat ``bin_width`` as
+    plain units."""
+    if dtype.split("(")[0] in _TIME_TYPES:
+        return F.unix_micros(col.cast("timestamp"))
+    return (col.cast("double") * F.lit(1_000_000.0)).cast("long")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    on: Sequence[str] = (),
+    bin_width: float = 3600.0,
+    max_bins_per_interval: int = 10_000,
+) -> DataFrame:
+    """Inner join of ``points`` to every interval with
+    ``start <= ts < end`` (plus optional equi-keys ``on``) — WITHOUT
+    the BroadcastNestedLoopJoin Spark plans for a bare range predicate.
+
+    Spark has no range-join optimization (Databricks' range-join hint
+    is proprietary): ``p JOIN i ON i.s <= p.ts AND p.ts < i.e`` becomes
+    a nested-loop over every pair — quadratic, and the canonical
+    100 TB cliff for sessionization/attribution workloads. The public
+    rewrite (used by every range-join implementation in the open
+    literature, e.g. Flink's interval join and the bucketing trick in
+    Spark's own SPARK-8682 discussion) turns it into an EQUI-join:
+
+    * each point belongs to exactly ONE fixed-width time bin;
+    * each interval explodes into the bins it covers
+      (``sequence(floor(s/W), floor((e-1µs)/W))``);
+    * join on ``on + [bin]`` — each qualifying (interval, point) pair
+      meets exactly once (the point's single bin), so no dedup pass —
+    * then the EXACT predicate filters within the bin matches.
+
+    Cost model: the shuffle carries ``|points| + Σ ceil(span/W)``
+    rows instead of an |points|×|intervals| loop; ``bin_width``
+    (seconds for time columns, plain units for numerics) trades
+    interval replication against per-bin match width. Intervals
+    longer than ``max_bins_per_interval`` bins raise AT RUNTIME inside
+    the job (lazy ``raise_error`` branch — no extra driver action):
+    a mis-sized bin width should fail loudly, not silently explode a
+    1-year interval into 8 million rows.
+
+    Empty (``end <= start``) and null-bounded intervals match nothing,
+    null timestamps match nothing (SQL semantics). Column names must
+    be disjoint apart from ``on`` — collide-and-rename is the
+    caller's job, silently aliasing is how joins corrupt lineage.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    if max_bins_per_interval < 1:
+        raise ValueError(
+            f"max_bins_per_interval must be >= 1, got {max_bins_per_interval}"
+        )
+    on = list(on)
+    overlap = (set(points.columns) & set(intervals.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"column names collide outside the join keys: {sorted(overlap)} "
+            "— rename before joining"
+        )
+    w_micros = int(bin_width * 1_000_000)
+    p_dt = dict(points.dtypes)[point_ts]
+    s_dt = dict(intervals.dtypes)[start_col]
+    e_dt = dict(intervals.dtypes)[end_col]
+
+    p = points.withColumn(
+        "__bin", F.floor(_to_micros(F.col(point_ts), p_dt) / w_micros)
+    ).where(F.col("__bin").isNotNull())
+
+    s_m = _to_micros(F.col(start_col), s_dt)
+    e_m = _to_micros(F.col(end_col), e_dt)
+    start_bin = F.floor(s_m / w_micros)
+    end_bin = F.floor((e_m - 1) / w_micros)  # end exclusive
+    n_bins = end_bin - start_bin + 1
+    checked_end = F.when(n_bins <= max_bins_per_interval, end_bin).otherwise(
+        F.raise_error(
+            F.format_string(
+                "interval_join: an interval spans %s bins, over "
+                f"max_bins_per_interval={max_bins_per_interval} — raise "
+                "bin_width or split the interval",
+                n_bins,
+            )
+        )
+    )
+    iv = (
+        intervals.where(
+            F.col(start_col).isNotNull()
+            & F.col(end_col).isNotNull()
+            & (e_m > s_m)
+        )
+        .withColumn("__bin", F.explode(F.sequence(start_bin, checked_end)))
+    )
+    joined = p.join(iv, on=on + ["__bin"], how="inner").where(
+        (F.col(start_col) <= F.col(point_ts))
+        & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("__bin")

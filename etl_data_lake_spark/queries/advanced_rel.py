@@ -615,6 +615,61 @@ ANOMALY_ZSCORE_SQL = """
 """
 
 
+# --------------------------------------------------------------------------
+# Binned interval join (round 10): each user's events inside their own
+# first active hour — intervals derived per user, then a RANGE join of
+# the raw events back onto them. DuckDB expresses the range predicate
+# directly (its IEJoin handles it natively); Spark would plan a
+# nested loop, so the library operator rewrites it to an equi-join on
+# time bins (operators/joins.py::interval_join — the twin checks the
+# rewrite against the declarative range semantics).
+# Library surface only (50-entry driver cap), parity-checked in
+# test_parity::test_library_twin_parity.
+# --------------------------------------------------------------------------
+INTERVAL_JOIN_FIRST_HOUR_SQL = """
+    WITH iv AS (
+        SELECT user_id,
+               MIN(ts) AS s,
+               MIN(ts) + INTERVAL 1 HOUR AS e
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT e.user_id AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_first_hour,
+           CAST(SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks
+    FROM events e
+    JOIN iv ON e.user_id = iv.user_id
+           AND iv.s <= e.ts AND e.ts < iv.e
+    GROUP BY e.user_id
+"""
+
+
+def interval_join_first_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_lake_spark.operators.joins import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    iv = events.groupBy("user_id").agg(
+        F.min("ts").alias("s"),
+        (F.min("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    joined = interval_join(
+        events,
+        iv,
+        point_ts="ts",
+        start_col="s",
+        end_col="e",
+        on=("user_id",),
+        bin_width=900.0,  # 15-min bins: ≤ 5 bins per 1h interval
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_first_hour"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("n_clicks"),
+    )
+
+
 def anomaly_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_lake_spark.operators.anomaly import trailing_zscores
 

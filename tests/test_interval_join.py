@@ -1,0 +1,165 @@
+"""interval_join — binned range-join rewrite (operators/joins.py).
+
+The contract under test:
+
+* result set EQUALS the declarative theta join ``s <= ts < e`` (with
+  and without equi-keys) for every bin width — the rewrite is an
+  optimization, never a semantics change;
+* the physical plan is an EQUI-join: no BroadcastNestedLoopJoin, no
+  CartesianProduct — the entire point at scale;
+* boundary semantics closed-open (ts == s in, ts == e out);
+* empty / null-bounded intervals and null timestamps match nothing;
+* an interval spanning more than max_bins_per_interval bins fails
+  LOUDLY at runtime (lazy raise_error, no silent blowup);
+* numeric (non-time) columns bin by plain units.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.operators.joins import interval_join
+
+
+def _ts(h, m=0, s=0):
+    return datetime(2024, 1, 1, h, m, s)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = [
+        (1, 100, _ts(0, 0)),
+        (2, 100, _ts(0, 30)),
+        (3, 100, _ts(1, 0)),
+        (4, 200, _ts(5, 0)),
+        (5, 200, _ts(7, 59, 59)),
+        (6, 300, _ts(12, 0)),
+        (7, None, _ts(1, 0)),
+        (8, 100, None),
+    ]
+    return spark.createDataFrame(
+        rows, "point_id long, key long, ts timestamp_ntz"
+    )
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    rows = [
+        (10, 100, _ts(0, 0), _ts(1, 0)),     # [00:00, 01:00)
+        (11, 100, _ts(0, 45), _ts(2, 0)),    # overlapping second window
+        (12, 200, _ts(4, 0), _ts(8, 0)),     # 4h span
+        (13, 300, _ts(12, 0), _ts(12, 0)),   # empty: e == s
+        (14, 300, _ts(13, 0), _ts(12, 0)),   # inverted
+        (15, 300, None, _ts(13, 0)),         # null start
+        (16, None, _ts(0, 0), _ts(23, 0)),   # null key
+    ]
+    return spark.createDataFrame(
+        rows, "iv_id long, key long, s timestamp_ntz, e timestamp_ntz"
+    )
+
+
+def _naive(points, intervals, on=("key",)):
+    iv = intervals
+    for k in on:
+        iv = iv.withColumnRenamed(k, f"__iv_{k}")
+    cond = (F.col("s") <= F.col("ts")) & (F.col("ts") < F.col("e"))
+    for k in on:
+        cond = cond & (F.col(k) == F.col(f"__iv_{k}"))
+    pairs = points.join(iv, cond)
+    return sorted(
+        (r["point_id"], r["iv_id"]) for r in pairs.collect()
+    )
+
+
+def _got(points, intervals, **kw):
+    out = interval_join(
+        points, intervals, point_ts="ts", start_col="s", end_col="e", **kw
+    )
+    return sorted((r["point_id"], r["iv_id"]) for r in out.collect())
+
+
+def test_matches_naive_theta_join(points, intervals):
+    want = _naive(points, intervals)
+    for width in (60.0, 900.0, 3600.0, 86400.0):
+        assert _got(points, intervals, on=("key",), bin_width=width) == want
+
+
+def test_boundary_closed_open(points, intervals):
+    got = _got(points, intervals, on=("key",), bin_width=3600.0)
+    # point 1 at exactly s of interval 10 → in; point 3 at exactly
+    # e of interval 10 → out (but inside interval 11)
+    assert (1, 10) in got
+    assert (3, 10) not in got
+    assert (3, 11) in got
+
+
+def test_nulls_and_empty_intervals_match_nothing(points, intervals):
+    got = _got(points, intervals, on=("key",), bin_width=3600.0)
+    ids = {p for p, _ in got} | {i for _, i in got}
+    assert 7 not in ids and 8 not in ids          # null key / null ts
+    assert 13 not in ids and 14 not in ids and 15 not in ids
+    assert 16 not in ids                          # null equi-key
+
+
+def test_no_equi_key_pure_range(spark):
+    p = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 25.0)], "point_id long, ts double"
+    )
+    iv = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, 10.0, 30.0)], "iv_id long, s double, e double"
+    )
+    got = _got(p, iv, on=(), bin_width=4.0)
+    assert got == [(1, 10), (2, 11), (3, 11)]
+
+
+def test_plan_is_equi_join(points, intervals):
+    out = interval_join(
+        points, intervals, point_ts="ts", start_col="s", end_col="e",
+        on=("key",), bin_width=3600.0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_oversized_interval_raises_at_runtime(points, intervals):
+    out = interval_join(
+        points, intervals, point_ts="ts", start_col="s", end_col="e",
+        on=("key",), bin_width=60.0, max_bins_per_interval=3,
+    )
+    with pytest.raises(Exception, match="max_bins_per_interval"):
+        out.collect()
+
+
+def test_column_collision_rejected(points, intervals):
+    bad = intervals.withColumnRenamed("iv_id", "point_id")
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(
+            points, bad, point_ts="ts", start_col="s", end_col="e",
+            on=("key",),
+        )
+
+
+def test_bad_params_rejected(points, intervals):
+    with pytest.raises(ValueError, match="bin_width"):
+        interval_join(
+            points, intervals, point_ts="ts", start_col="s",
+            end_col="e", bin_width=0.0,
+        )
+    with pytest.raises(ValueError, match="max_bins_per_interval"):
+        interval_join(
+            points, intervals, point_ts="ts", start_col="s",
+            end_col="e", max_bins_per_interval=0,
+        )
+
+
+def test_layout_invariance(points, intervals):
+    want = _got(points, intervals, on=("key",), bin_width=900.0)
+    got = _got(
+        points.repartition(7), intervals.repartition(3),
+        on=("key",), bin_width=900.0,
+    )
+    assert got == want

@@ -177,6 +177,11 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.quality_model",
         "QUALITY_MODEL_CALIBRATION_SQL",
     ),
+    (
+        "interval_join_first_hour",
+        "etl_data_lake_spark.queries.advanced_rel",
+        "INTERVAL_JOIN_FIRST_HOUR_SQL",
+    ),
 ]
 
 
