@@ -1,3 +1,4 @@
+from etl_data_lake_spark.similarity.bq import bq_encode, bq_topk, train_bq
 from etl_data_lake_spark.similarity.bruteforce import cosine_topk
 from etl_data_lake_spark.similarity.hnsw import hnsw_topk
 from etl_data_lake_spark.similarity.hnsw_index import HnswIndex
@@ -34,6 +35,9 @@ __all__ = [
     "sq_encode",
     "sq_reconstruct",
     "sq_topk",
+    "train_bq",
+    "bq_encode",
+    "bq_topk",
     "IvfIndex",
     "HnswIndex",
     "retrieval_metrics",
