@@ -28,3 +28,8 @@ from etl_data_lake_spark.multimodal.decode import (  # noqa: F401
     sample_frames,
     select_keyframes,
 )
+from etl_data_lake_spark.multimodal.phash import (  # noqa: F401
+    dhash_images,
+    image_near_dup_pairs,
+    phash_near_dup_pairs,
+)
