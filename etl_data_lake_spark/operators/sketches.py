@@ -600,6 +600,77 @@ def cms_sink(
     return fn
 
 
+# ---------------------------------------------------------------------------
+# Distinct-set OVERLAP estimation (round 10 s2) — "how many of corpus
+# B's keys already exist in corpus A" without shuffling either corpus:
+# the question every decontamination / snapshot-diff / crawl-dedup
+# planning pass asks first. Exact answers need a join whose shuffle
+# carries the smaller key set; the sketch answer is inclusion-
+# exclusion over HLLs (|A∩B| = |A| + |B| − |A∪B|), built from one
+# independent map-side-combined scan per side and a driver-side merge
+# of two kilobyte payloads. Honesty: each term carries HLL's ~1.6%
+# (lg_k=12) relative error ON ITS OWN cardinality, so the DIFFERENCE
+# is accurate relative to the UNION size — a tiny overlap between two
+# huge sets is estimable only in magnitude, not precisely; the
+# estimate clamps at 0 and the three raw terms are returned so the
+# caller can judge the error budget themselves.
+# ---------------------------------------------------------------------------
+
+
+def distinct_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    lg_k: int = DEFAULT_LG_K,
+) -> DataFrame:
+    """→ per group (or ONE global row when ``group_cols`` is empty):
+    ``n_a``, ``n_b``, ``n_union``, ``n_overlap`` — HLL estimates of
+    each side's distinct ``value_col`` count, their union, and the
+    inclusion-exclusion overlap (clamped at 0). Groups present on one
+    side only report the other side as 0. Cost: one scan per side,
+    sketch-sized shuffle and driver traffic."""
+    sk_a = (
+        distinct_sketches(a, group_cols, value_col, "sk", lg_k)
+        if group_cols
+        else a.agg(F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sk"))
+    )
+    sk_b = (
+        distinct_sketches(b, group_cols, value_col, "sk", lg_k)
+        if group_cols
+        else b.agg(F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sk"))
+    )
+    tagged = sk_a.withColumn("_side", F.lit("a")).unionByName(
+        sk_b.withColumn("_side", F.lit("b"))
+    )
+    keys = [F.col(c) for c in group_cols]
+    # hll_union_agg merges the ≤2 sketches per group; per-side counts
+    # come from the same rows via conditional re-aggregation — union
+    # NULL-skips the missing side (allowDifferentLgConfigK irrelevant:
+    # both sides sketch at the caller's single lg_k)
+    agg = tagged.groupBy(*keys).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.when(F.col("_side") == "a", F.col("sk")))
+        ).alias("n_a"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.when(F.col("_side") == "b", F.col("sk")))
+        ).alias("n_b"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("n_union"),
+    )
+    return agg.select(
+        *group_cols,
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.col("n_union"),
+        F.greatest(
+            F.coalesce("n_a", F.lit(0))
+            + F.coalesce("n_b", F.lit(0))
+            - F.col("n_union"),
+            F.lit(0).cast("long"),
+        ).alias("n_overlap"),
+    )
+
+
 def read_cms(
     spark, path: str, width: int = 2048, depth: int = 4, seed: int = 0
 ) -> CmsReader:

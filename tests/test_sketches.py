@@ -463,3 +463,55 @@ def test_cms_sink_exactly_once_and_equals_batch(spark, tmp_path):
     reader = read_cms(spark, path, **kw)
     assert reader.n_total == 200
     assert reader.estimate("x0") >= 120 // 5 + 80 // 8
+
+
+# ---------------------------------------------------------------------------
+# distinct_overlap — HLL inclusion-exclusion set overlap (round 10 s2)
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_overlap_global_accuracy(spark):
+    a = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    b = spark.range(5_000, 15_000).select(F.col("id").alias("k"))
+    from etl_data_lake_spark.operators.sketches import distinct_overlap
+
+    row = distinct_overlap(a, b, "k").collect()[0]
+    assert abs(row["n_a"] - 10_000) <= 0.05 * 10_000
+    assert abs(row["n_b"] - 10_000) <= 0.05 * 10_000
+    assert abs(row["n_union"] - 15_000) <= 0.05 * 15_000
+    # overlap error is relative to the UNION (the documented honesty)
+    assert abs(row["n_overlap"] - 5_000) <= 0.05 * 15_000
+
+
+def test_distinct_overlap_identical_and_disjoint(spark):
+    from etl_data_lake_spark.operators.sketches import distinct_overlap
+
+    a = spark.range(0, 4_000).select(F.col("id").alias("k"))
+    same = distinct_overlap(a, a, "k").collect()[0]
+    assert abs(same["n_overlap"] - 4_000) <= 0.05 * 4_000
+    b = spark.range(100_000, 104_000).select(F.col("id").alias("k"))
+    disj = distinct_overlap(a, b, "k").collect()[0]
+    assert disj["n_overlap"] <= 0.05 * 8_000  # ≈0, clamped at 0
+    assert disj["n_overlap"] >= 0
+
+
+def test_distinct_overlap_grouped_and_one_sided_groups(spark):
+    from etl_data_lake_spark.operators.sketches import distinct_overlap
+
+    a = spark.createDataFrame(
+        [("x", i) for i in range(1000)] + [("only_a", i) for i in range(50)],
+        "g string, k long",
+    )
+    b = spark.createDataFrame(
+        [("x", i) for i in range(500, 1500)]
+        + [("only_b", i) for i in range(70)],
+        "g string, k long",
+    )
+    rows = {
+        r["g"]: r
+        for r in distinct_overlap(a, b, "k", group_cols=("g",)).collect()
+    }
+    assert set(rows) == {"x", "only_a", "only_b"}
+    assert abs(rows["x"]["n_overlap"] - 500) <= 0.05 * 1500 + 2
+    assert rows["only_a"]["n_b"] == 0 and rows["only_a"]["n_overlap"] == 0
+    assert rows["only_b"]["n_a"] == 0 and rows["only_b"]["n_overlap"] == 0
