@@ -15,6 +15,11 @@ from etl_data_lake_spark.similarity.pca import (
     pca_reconstruct,
     pca_transform,
 )
+from etl_data_lake_spark.similarity.opq import (
+    fit_rotation,
+    opq_topk,
+    rotate_vectors,
+)
 from etl_data_lake_spark.similarity.pq import pq_encode, pq_topk
 from etl_data_lake_spark.similarity.sq import (
     sq_encode,
@@ -31,6 +36,9 @@ __all__ = [
     "hnsw_topk",
     "pq_encode",
     "pq_topk",
+    "fit_rotation",
+    "rotate_vectors",
+    "opq_topk",
     "train_sq",
     "sq_encode",
     "sq_reconstruct",
