@@ -27,7 +27,12 @@ from etl_data_lake_spark.operators.profile import (
     profile,
 )
 from etl_data_lake_spark.operators.funnel import funnel_counts, funnel_times
-from etl_data_lake_spark.operators.joins import asof_join, dim_join
+from etl_data_lake_spark.operators.joins import (
+    asof_join,
+    dim_join,
+    interval_join,
+)
+from etl_data_lake_spark.operators.pagerank import pagerank
 from etl_data_lake_spark.operators.sampling import (
     split_deterministic,
     split_leakage_safe,
@@ -35,17 +40,24 @@ from etl_data_lake_spark.operators.sampling import (
 )
 from etl_data_lake_spark.operators.sketches import (
     CmsReader,
+    QdigestReader,
     cms_collect,
     cms_estimate_col,
     cms_merge,
     cms_sink,
     cms_sketch,
+    distinct_overlap,
     distinct_sketch_sink,
     distinct_sketches,
     heavy_hitters,
     heavy_hitters_sink,
+    qdigest_collect,
+    qdigest_merge,
+    qdigest_sink,
+    qdigest_sketch,
     read_cms,
     read_heavy_hitters,
+    read_qdigest,
     rollup_distinct,
 )
 from etl_data_lake_spark.operators.windows import sessionize, surrogate_key
@@ -58,6 +70,8 @@ __all__ = [
     "dedup_latest",
     "dim_join",
     "asof_join",
+    "interval_join",
+    "pagerank",
     "surrogate_key",
     "sessionize",
     "top_k",
@@ -87,6 +101,13 @@ __all__ = [
     "cms_estimate_col",
     "cms_sink",
     "read_cms",
+    "distinct_overlap",
+    "QdigestReader",
+    "qdigest_sketch",
+    "qdigest_merge",
+    "qdigest_collect",
+    "qdigest_sink",
+    "read_qdigest",
     "profile",
     "numeric_histogram",
     "merge_histograms",

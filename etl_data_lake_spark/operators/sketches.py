@@ -23,6 +23,7 @@ distinct cardinality.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -598,6 +599,283 @@ def cms_sink(
         tbl.overwrite(fresh, app_id=app_id, txn_seq=batch_id)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Q-digest quantile sketch (round 10 s2) — mergeable quantiles with a
+# PROVEN rank-error bound, completing the sketch family: HLL answers
+# distinct counts, Misra–Gries frequent items, CMS point frequencies,
+# q-digest answers "what is the p99" over any persisted or streamed
+# history. The existing quantile surface can't do that:
+# approx_percentile is a one-shot aggregate (no reusable state) and
+# merge_histograms needs fixed bounds shared up front.
+#
+# The structure (Shrivastava et al. 2004, public): values are leaves
+# of a binary tree over a bounded integer universe [0, 2^L); a digest
+# keeps (level, idx, cnt) nodes. COMPRESSION merges any
+# (left, right, parent) triple whose sum ≤ t = max(1, n // k) into
+# the parent, bottom-up — after which every root path holds ≤ L nodes
+# of ≤ t each, so any value's rank is known to within L·t ≤ L·n/k.
+# Deterministic (no randomness anywhere), and the merge of two
+# digests is COUNT ADDITION — exact, like CMS — with errors adding:
+# a folded stream state obeys ε·N on the whole history's N.
+#
+# Distributed shape mirrors CMS: per task, one pass builds leaf
+# counts and compresses LOCALLY (t from the task's own n — the merge
+# theorem lets local errors add into the global bound), emitting
+# ≤ 3k nodes; the shuffle carries digest nodes, never the value
+# space. The dense walk happens only driver-side in QdigestReader.
+# Guarantees are layout-INDEPENDENT; the incidental node sets are not
+# (Misra–Gries's documented property, same testing discipline).
+# ---------------------------------------------------------------------------
+
+_QD_SENTINEL_LEVEL = -1
+
+
+def _qd_compress(nodes: dict, n: int, k: int, bits: int) -> dict:
+    """Bottom-up q-digest compression of {(level, idx): cnt} in place:
+    merge (left, right, parent) triples summing ≤ t = ⌊n/k⌋ into the
+    parent. t == 0 (n < k) compresses nothing — the digest is EXACT
+    below the compression threshold. Deterministic; keeps every
+    surviving non-leaf count ≤ t."""
+    t = n // k
+    if t == 0:
+        return nodes
+    for level in range(bits):
+        idxs = sorted(
+            {i >> 1 for (lv, i) in nodes if lv == level}
+        )
+        for pi in idxs:
+            lc = nodes.get((level, 2 * pi), 0)
+            rc = nodes.get((level, 2 * pi + 1), 0)
+            pc = nodes.get((level + 1, pi), 0)
+            s = lc + rc + pc
+            if 0 < s <= t:
+                nodes.pop((level, 2 * pi), None)
+                nodes.pop((level, 2 * pi + 1), None)
+                nodes[(level + 1, pi)] = s
+    return nodes
+
+
+def qdigest_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    universe_bits: int = 32,
+) -> DataFrame:
+    """→ the sparse q-digest state of integer column ``col``:
+    (level, idx, cnt) nodes plus a sentinel (-1, -1, n_total). ONE
+    scan; each task emits its locally-compressed digest (≤ 3k nodes),
+    so the shuffle is digest-sized. Values must lie in
+    [0, 2^universe_bits) — out-of-range rows FAIL the job (a quantile
+    over silently clamped values is a wrong answer, not an estimate).
+    Nulls are ignored (no evidence). ``k`` is the compression factor:
+    rank error ≤ universe_bits · n / k."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (1 <= universe_bits <= 62):
+        raise ValueError(
+            f"universe_bits must be in [1, 62], got {universe_bits}"
+        )
+    field = df.schema[col]
+    if field.dataType.simpleString() not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"qdigest_sketch needs an integer column; {col!r} is "
+            f"{field.dataType.simpleString()} — scale/cast explicitly "
+            "(fixed-point for doubles, unix_micros for timestamps)"
+        )
+    hi = 1 << universe_bits
+    out_schema = StructType(
+        [
+            StructField("level", IntegerType()),
+            StructField("idx", LongType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+
+    def summarize(it):
+        leaves: dict[int, int] = {}
+        n = 0
+        for pdf in it:
+            vals = pdf[col].dropna()
+            if not len(vals):
+                continue
+            vc = vals.value_counts()
+            for v, c in vc.items():
+                v = int(v)
+                if not (0 <= v < hi):
+                    raise ValueError(
+                        f"qdigest_sketch: value {v} outside "
+                        f"[0, 2^{universe_bits}) — widen universe_bits "
+                        "or rescale"
+                    )
+                leaves[v] = leaves.get(v, 0) + int(c)
+                n += int(c)
+        nodes = {(0, v): c for v, c in leaves.items()}
+        _qd_compress(nodes, n, k, universe_bits)
+        rows = [(lv, i, c) for (lv, i), c in nodes.items()]
+        rows.append((_QD_SENTINEL_LEVEL, _QD_SENTINEL_LEVEL, n))
+        yield pd.DataFrame(rows, columns=["level", "idx", "cnt"])
+
+    return (
+        df.select(col)
+        .mapInPandas(summarize, schema=out_schema)
+        .groupBy("level", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def qdigest_merge(*states: DataFrame) -> DataFrame:
+    """Node-wise count addition of q-digest states (same
+    universe_bits/k — the caller's contract, as with HLL lg_k and CMS
+    width/depth). EXACT on the counts; per-digest rank errors ADD,
+    preserving ε·N on the combined N."""
+    if not states:
+        raise ValueError("qdigest_merge needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("level", "idx").agg(F.sum("cnt").alias("cnt"))
+
+
+class QdigestReader:
+    """Driver-side view of a q-digest state: quantile and rank-bound
+    queries over the collected (≤ 3k·tasks before final compression)
+    node set."""
+
+    def __init__(self, nodes: dict, n_total: int, k: int, universe_bits: int):
+        self.nodes = _qd_compress(dict(nodes), n_total, k, universe_bits)
+        self.n_total = n_total
+        self.k = k
+        self.universe_bits = universe_bits
+
+    @property
+    def rank_error_bound(self) -> int:
+        """Absolute rank-error guarantee: ≤ universe_bits · ⌊n/k⌋
+        (zero — exact — below the compression threshold)."""
+        return self.universe_bits * (self.n_total // self.k)
+
+    def _ordered(self):
+        # q-digest query order: ascending range max, smaller ranges
+        # first on ties (a contained range's values are ≤ its
+        # container's max)
+        out = []
+        for (lv, i), c in self.nodes.items():
+            lo = i << lv
+            hi = ((i + 1) << lv) - 1
+            out.append((hi, lv, lo, c))
+        return sorted(out)
+
+    def quantile(self, q: float) -> int:
+        """The classical walk: smallest range-max whose cumulative
+        count reaches ceil(q·n). True rank of the answer is within
+        ``rank_error_bound`` of q·n."""
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"q must be in [0, 1], got {q}")
+        if self.n_total == 0:
+            raise ValueError("empty digest has no quantiles")
+        target = max(1, int(np.ceil(q * self.n_total)))
+        cum = 0
+        last_hi = 0
+        for hi, _lv, _lo, c in self._ordered():
+            cum += c
+            last_hi = hi
+            if cum >= target:
+                return hi
+        return last_hi
+
+    def rank_bounds(self, v: int) -> tuple[int, int]:
+        """(lower, upper) bounds on |{x ≤ v}|: nodes entirely ≤ v
+        count fully; nodes whose range straddles v are the
+        uncertainty."""
+        lo_sum = 0
+        unsure = 0
+        for (lv, i), c in self.nodes.items():
+            lo = i << lv
+            hi = ((i + 1) << lv) - 1
+            if hi <= v:
+                lo_sum += c
+            elif lo <= v:
+                unsure += c
+        return lo_sum, lo_sum + unsure
+
+
+def qdigest_collect(
+    state: DataFrame, k: int = 256, universe_bits: int = 32
+) -> QdigestReader:
+    """Materialize a (possibly merged) q-digest state into a
+    :class:`QdigestReader` — the collect is digest-sized, never
+    data-sized; the final global compression happens here."""
+    nodes: dict = {}
+    n = 0
+    for r in state.collect():
+        if r["level"] == _QD_SENTINEL_LEVEL:
+            n += int(r["cnt"])
+            continue
+        lv, i = int(r["level"]), int(r["idx"])
+        if not (0 <= lv <= universe_bits and 0 <= i < (1 << (universe_bits - lv))):
+            raise ValueError(
+                f"q-digest node (level={lv}, idx={i}) outside "
+                f"universe_bits={universe_bits} — params don't match "
+                "the sketch"
+            )
+        nodes[(lv, i)] = nodes.get((lv, i), 0) + int(r["cnt"])
+    return QdigestReader(nodes, n, k, universe_bits)
+
+
+def qdigest_sink(
+    spark,
+    path: str,
+    col: str,
+    k: int = 256,
+    universe_bits: int = 32,
+    app_id: str = "__qd_sink__",
+):
+    """``foreachBatch`` function maintaining an all-time q-digest at
+    ``path`` (a txn table of the sparse state): each micro-batch is
+    sketched and count-added into the stored state, then re-compressed
+    at the history's total n (bounding the stored state at ~3k nodes
+    forever), and published with the batch id as txn seq — replays
+    no-op, exactly-once under at-least-once drivers. The ε·N guarantee
+    holds over the stream's WHOLE history. Read with
+    :func:`read_qdigest`."""
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    tbl = TxnTable(spark, str(path))
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = qdigest_sketch(batch_df, col, k=k, universe_bits=universe_bits)
+        if tbl.latest_version() > 0:
+            fresh = qdigest_merge(tbl.snapshot(), fresh)
+        # re-compress driver-side: the stored state stays digest-sized
+        # no matter how many batches fold in
+        reader = qdigest_collect(fresh, k=k, universe_bits=universe_bits)
+        rows = [
+            (lv, i, c) for (lv, i), c in sorted(reader.nodes.items())
+        ]
+        rows.append((_QD_SENTINEL_LEVEL, _QD_SENTINEL_LEVEL, reader.n_total))
+        state = spark.createDataFrame(
+            rows, "level int, idx long, cnt long"
+        )
+        tbl.overwrite(state, app_id=app_id, txn_seq=batch_id)
+
+    return fn
+
+
+def read_qdigest(
+    spark, path: str, k: int = 256, universe_bits: int = 32
+) -> QdigestReader:
+    """The persisted streaming state as a :class:`QdigestReader`."""
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    return qdigest_collect(
+        TxnTable(spark, str(path)).snapshot(),
+        k=k,
+        universe_bits=universe_bits,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -515,3 +515,151 @@ def test_distinct_overlap_grouped_and_one_sided_groups(spark):
     assert abs(rows["x"]["n_overlap"] - 500) <= 0.05 * 1500 + 2
     assert rows["only_a"]["n_b"] == 0 and rows["only_a"]["n_overlap"] == 0
     assert rows["only_b"]["n_a"] == 0 and rows["only_b"]["n_overlap"] == 0
+
+
+# ---------------------------------------------------------------------------
+# q-digest mergeable quantile sketch (round 10 s2)
+# ---------------------------------------------------------------------------
+
+
+def _qd_check(values, reader, qs=(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)):
+    """The guarantee: the reported quantile's true-rank span comes
+    within rank_error_bound of the target rank."""
+    import numpy as np
+
+    v = np.sort(np.asarray(values))
+    n = len(v)
+    assert reader.n_total == n
+    bound = reader.rank_error_bound
+    for q in qs:
+        ans = reader.quantile(q)
+        target = max(1, int(np.ceil(q * n)))
+        r_le = int(np.searchsorted(v, ans, side="right"))
+        r_lt = int(np.searchsorted(v, ans, side="left"))
+        assert r_le >= target - bound, (q, ans, r_le, target, bound)
+        assert r_lt + 1 <= target + bound, (q, ans, r_lt, target, bound)
+
+
+def test_qdigest_exact_below_compression_threshold(spark):
+    from etl_data_lake_spark.operators.sketches import (
+        qdigest_collect,
+        qdigest_sketch,
+    )
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    st = qdigest_sketch(df, "x", k=256, universe_bits=8)
+    reader = qdigest_collect(st, k=256, universe_bits=8)
+    assert reader.rank_error_bound == 0
+    import numpy as np
+
+    v = np.sort(vals)
+    for q in (0.1, 0.5, 0.9, 1.0):
+        target = max(1, int(np.ceil(q * len(v))))
+        assert reader.quantile(q) == v[target - 1], q
+
+
+def test_qdigest_guarantee_across_layouts_and_k(spark):
+    import numpy as np
+
+    from etl_data_lake_spark.operators.sketches import (
+        qdigest_collect,
+        qdigest_sketch,
+    )
+
+    rng = np.random.default_rng(13)
+    # zipf-ish head + uniform tail — both mass shapes
+    vals = np.concatenate(
+        [rng.zipf(1.5, 6000).clip(0, 65000), rng.integers(0, 65536, 6000)]
+    ).astype(int)
+    df0 = spark.createDataFrame([(int(v),) for v in vals], "x long")
+    for k in (64, 256):
+        for parts in (1, 7, 32):
+            st = qdigest_sketch(df0.repartition(parts), "x", k=k, universe_bits=16)
+            reader = qdigest_collect(st, k=k, universe_bits=16)
+            _qd_check(vals, reader)
+            # the state is digest-sized, never value-sized
+            assert st.count() <= 3 * k * parts + parts + 16
+
+
+def test_qdigest_merge_preserves_guarantee(spark):
+    import numpy as np
+
+    from etl_data_lake_spark.operators.sketches import (
+        qdigest_collect,
+        qdigest_merge,
+        qdigest_sketch,
+    )
+
+    rng = np.random.default_rng(29)
+    a = rng.integers(0, 1024, 4000)
+    b = rng.integers(512, 2048, 3000)
+    da = qdigest_sketch(
+        spark.createDataFrame([(int(v),) for v in a], "x long"),
+        "x", k=128, universe_bits=11,
+    )
+    db = qdigest_sketch(
+        spark.createDataFrame([(int(v),) for v in b], "x long"),
+        "x", k=128, universe_bits=11,
+    )
+    merged = qdigest_merge(da, db)
+    reader = qdigest_collect(merged, k=128, universe_bits=11)
+    _qd_check(np.concatenate([a, b]), reader)
+
+
+def test_qdigest_validation(spark):
+    import pytest
+
+    from etl_data_lake_spark.operators.sketches import (
+        qdigest_collect,
+        qdigest_sketch,
+    )
+
+    df = spark.createDataFrame([(1.5,)], "x double")
+    with pytest.raises(ValueError, match="integer column"):
+        qdigest_sketch(df, "x")
+    big = spark.createDataFrame([(300,)], "x long")
+    st = qdigest_sketch(big, "x", k=16, universe_bits=8)
+    with pytest.raises(Exception, match="outside"):
+        st.collect()
+    empty = spark.createDataFrame([], "x long")
+    r = qdigest_collect(
+        qdigest_sketch(empty, "x", k=16, universe_bits=8),
+        k=16, universe_bits=8,
+    )
+    with pytest.raises(ValueError, match="empty digest"):
+        r.quantile(0.5)
+    ok = qdigest_sketch(
+        spark.createDataFrame([(5,)], "x long"), "x", k=16, universe_bits=8
+    )
+    with pytest.raises(ValueError, match="universe_bits"):
+        qdigest_collect(ok, k=16, universe_bits=2)
+
+
+def test_qdigest_sink_exactly_once_and_bounded_state(spark, tmp_path):
+    import numpy as np
+
+    from etl_data_lake_spark.operators.sketches import (
+        qdigest_sink,
+        read_qdigest,
+    )
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    rng = np.random.default_rng(41)
+    path = str(tmp_path / "qd")
+    kw = dict(k=128, universe_bits=12)
+    fn = qdigest_sink(spark, path, "x", **kw)
+    batches = [rng.integers(0, 4096, 1500) for _ in range(3)]
+    for i, b in enumerate(batches):
+        fn(spark.createDataFrame([(int(v),) for v in b], "x long").repartition(3), i)
+    tbl = TxnTable(spark, path)
+    # replay no-ops (version + content)
+    v = tbl.latest_version()
+    before = sorted(map(tuple, tbl.snapshot().collect()))
+    fn(spark.createDataFrame([(int(x),) for x in batches[2]], "x long"), 2)
+    assert tbl.latest_version() == v
+    assert sorted(map(tuple, tbl.snapshot().collect())) == before
+    # guarantee over the whole history; state stays digest-sized
+    reader = read_qdigest(spark, path, **kw)
+    _qd_check(np.concatenate(batches), reader)
+    assert tbl.snapshot().count() <= 3 * kw["k"] + 13
