@@ -306,3 +306,105 @@ def test_round9_ops_on_empty(spark, empty_docs, tmp_path):
     )
     q0 = spark.createDataFrame([], "query_id long, doc_id long")
     assert retrieval_metrics(res0, q0, k=3).count() == 0
+
+
+def test_round10_s2_ops_on_empty(spark, empty_docs):
+    from etl_data_lake_spark.multimodal import fake_media_table
+    from etl_data_lake_spark.multimodal.phash import (
+        dhash_images,
+        image_near_dup_pairs,
+        phash_near_dup_pairs,
+    )
+    from etl_data_lake_spark.operators.joins import interval_join
+    from etl_data_lake_spark.operators.pagerank import pagerank
+    from etl_data_lake_spark.operators.sketches import (
+        distinct_overlap,
+        qdigest_collect,
+        qdigest_sketch,
+    )
+    from etl_data_lake_spark.similarity.bq import bq_topk
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    # interval join: empty points / empty intervals
+    events = load_table(spark, SF_DIR, "events")
+    none_ev = events.where(F.lit(False))
+    iv = events.groupBy("user_id").agg(
+        F.min("ts").alias("s"),
+        (F.min("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    assert interval_join(
+        none_ev, iv, point_ts="ts", start_col="s", end_col="e",
+        on=("user_id",),
+    ).count() == 0
+    assert interval_join(
+        events, iv.where(F.lit(False)), point_ts="ts",
+        start_col="s", end_col="e", on=("user_id",),
+    ).count() == 0
+
+    # binary quantization: empty queries (empty corpus raises in
+    # train_bq, pinned in test_bq)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert bq_topk(emb, emb.where(F.lit(False)), k=5).count() == 0
+
+    # perceptual hash: empty media, empty hash table
+    media = fake_media_table(empty_docs)
+    assert dhash_images(media).count() == 0
+    assert image_near_dup_pairs(media).count() == 0
+    empty_hashes = spark.createDataFrame([], "media_id long, dhash long")
+    assert phash_near_dup_pairs(empty_hashes).count() == 0
+
+    # q-digest: empty sketch collects to an empty reader (quantile
+    # raises — pinned in test_sketches)
+    empty_longs = spark.createDataFrame([], "x long")
+    r = qdigest_collect(
+        qdigest_sketch(empty_longs, "x", k=16, universe_bits=8),
+        k=16, universe_bits=8,
+    )
+    assert r.n_total == 0
+
+    # overlap: one side empty → overlap 0, union = other side
+    a = spark.range(0, 100).select(F.col("id").alias("k"))
+    row = distinct_overlap(a, a.where(F.lit(False)), "k").collect()[0]
+    assert row["n_b"] == 0 and row["n_overlap"] == 0
+
+    # pagerank: empty edges → empty ranks
+    assert pagerank(
+        spark.createDataFrame([], "src string, dst string")
+    ).count() == 0
+
+
+def test_image_dedup_composition_end_to_end(spark):
+    """Cross-family composition: dHash → banded near-dup pairs →
+    connected-component clustering (dedup/cluster) → canonical keep —
+    the image analogue of the text curation pipeline, over planted
+    duplicate groups."""
+    from etl_data_lake_spark.dedup.cluster import connected_components
+    from etl_data_lake_spark.multimodal import fake_media_table
+    from etl_data_lake_spark.multimodal.phash import image_near_dup_pairs
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    # plant: doc_ids 0/96/192 share dims (mod 32 and 24) AND text →
+    # identical rasters; all ≡ 0 mod 3 → images
+    dup_text = "the planted duplicate body " * 4
+    planted = spark.createDataFrame(
+        [(0, dup_text), (96, dup_text), (192, dup_text)],
+        "doc_id long, text string",
+    )
+    base = docs.where(~F.col("doc_id").isin(0, 96, 192)).select(
+        "doc_id", "text"
+    )
+    media = fake_media_table(base.unionByName(planted))
+    pairs = image_near_dup_pairs(media, max_distance=1, bands=4)
+    comp = connected_components(pairs, a_col="id_a", b_col="id_b")
+    clusters = {}
+    for r in comp.collect():
+        clusters.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    planted_cluster = [c for c in clusters.values() if 0 in c]
+    assert planted_cluster and planted_cluster[0] >= {0, 96, 192}
+    # canonical keep: min id per cluster survives
+    keep = comp.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("canonical")
+    )
+    survivors = {r["canonical"] for r in keep.collect()}
+    assert 0 in survivors and 96 not in survivors and 192 not in survivors
