@@ -21,9 +21,11 @@ from etl_data_lake_spark.operators.export import (
     write_shuffled_shards,
 )
 from etl_data_lake_spark.operators.profile import (
+    drift_report,
     histogram_quantiles,
     merge_histograms,
     numeric_histogram,
+    population_stability_index,
     profile,
 )
 from etl_data_lake_spark.operators.funnel import funnel_counts, funnel_times
@@ -55,6 +57,7 @@ from etl_data_lake_spark.operators.sketches import (
     qdigest_merge,
     qdigest_sink,
     qdigest_sketch,
+    quantile_buckets,
     read_cms,
     read_heavy_hitters,
     read_qdigest,
@@ -108,6 +111,9 @@ __all__ = [
     "qdigest_collect",
     "qdigest_sink",
     "read_qdigest",
+    "quantile_buckets",
+    "drift_report",
+    "population_stability_index",
     "profile",
     "numeric_histogram",
     "merge_histograms",

@@ -204,3 +204,103 @@ def histogram_quantiles(
             val = last["bucket_lo"] if last["bucket_hi"] is None else last["bucket_hi"]
         out.append(float(val))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (round 10 s2) — the Population Stability Index,
+# the standard deployed-model / corpus-refresh drift metric:
+# PSI = Σ_buckets (p_b − q_b)·ln(p_b/q_b) over a SHARED fixed-width
+# binning, where p is the reference snapshot's bucket rate and q the
+# candidate's. Conventional reading: < 0.1 stable, 0.1-0.25 moderate
+# shift, > 0.25 investigate. Each side costs one numeric_histogram
+# scan (≤ bins+2 shuffled rows at any corpus size); the report joins
+# two ≤ bins+2-row frames — drift over 100 TB snapshots is two
+# histogram scans, full stop. Rates clamp at ``min_rate`` (the
+# conventional PSI smoothing) so an empty bucket on one side
+# contributes a large-but-finite term instead of ±inf.
+# ---------------------------------------------------------------------------
+
+
+def drift_report(
+    reference: DataFrame,
+    candidate: DataFrame,
+    col: str,
+    bins: int,
+    lo: float,
+    hi: float,
+    min_rate: float = 1e-4,
+) -> DataFrame:
+    """→ one row per bucket (incl. under/overflow): (bucket,
+    bucket_lo, bucket_hi, n_ref, n_cand, rate_ref, rate_cand, psi) —
+    ``psi`` is the bucket's contribution; sum it (or call
+    :func:`population_stability_index`) for the index. Raises on an
+    empty side: drift against nothing is a configuration error, not
+    zero drift."""
+    if not (0.0 < min_rate < 1.0):
+        raise ValueError(f"min_rate must be in (0, 1), got {min_rate}")
+    h_ref = numeric_histogram(reference, col, bins, lo, hi)
+    h_cand = numeric_histogram(candidate, col, bins, lo, hi)
+    joined = (
+        h_ref.withColumnRenamed("n", "n_ref")
+        .join(
+            h_cand.withColumnRenamed("n", "n_cand"),
+            ["bucket", "bucket_lo", "bucket_hi"],
+            "full",
+        )
+        .select(
+            "bucket",
+            "bucket_lo",
+            "bucket_hi",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()  # ≤ bins+2 rows: a global window is free
+    tot_ref = F.sum("n_ref").over(w)
+    tot_cand = F.sum("n_cand").over(w)
+    # try_divide: a zero total must reach the raise_error guard below,
+    # not die in ANSI division first
+    with_rates = joined.select(
+        "*",
+        F.greatest(
+            F.try_divide(F.col("n_ref"), tot_ref), F.lit(min_rate)
+        ).alias("rate_ref"),
+        F.greatest(
+            F.try_divide(F.col("n_cand"), tot_cand), F.lit(min_rate)
+        ).alias("rate_cand"),
+        tot_ref.alias("_tr"),
+        tot_cand.alias("_tc"),
+    )
+    checked = with_rates.select(
+        "bucket",
+        "bucket_lo",
+        "bucket_hi",
+        "n_ref",
+        "n_cand",
+        "rate_ref",
+        "rate_cand",
+        F.when(
+            (F.col("_tr") > 0) & (F.col("_tc") > 0),
+            (F.col("rate_cand") - F.col("rate_ref"))
+            * F.log(F.col("rate_cand") / F.col("rate_ref")),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "drift_report: one side has no rows in-range — "
+                    "drift against nothing is a configuration error"
+                )
+            )
+        )
+        .alias("psi"),
+    )
+    return checked
+
+
+def population_stability_index(report: DataFrame) -> float:
+    """Collapse a :func:`drift_report` to the scalar PSI (the frame is
+    ≤ bins+2 rows; the collect is free)."""
+    row = report.agg(F.sum("psi").alias("psi")).collect()[0]
+    return float(row["psi"])

@@ -826,6 +826,52 @@ def qdigest_collect(
     return QdigestReader(nodes, n, k, universe_bits)
 
 
+def quantile_buckets(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    out_col: str = "bucket",
+    k: int = 256,
+    universe_bits: int = 32,
+) -> DataFrame:
+    """Equal-frequency bucketing WITHOUT a global sort: cut points
+    come from one q-digest sketch pass (rank error ≤ the digest
+    bound), the assignment is a count-of-cuts-below fold over a
+    broadcast literal array — pure codegen, no shuffle, no join. →
+    input columns plus ``out_col`` ∈ [0, n_buckets) (nulls → null).
+    Bucket populations are balanced to within the digest's rank-error
+    guarantee — the scale answer to QuantileDiscretizer-style feature
+    binning and curriculum banding (operators/export.py's curriculum
+    cuts solve the same problem for its own histogram; this one works
+    on any integer column with no bounds known up front)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists; pass out_col="
+        )
+    reader = qdigest_collect(
+        qdigest_sketch(df, col, k=k, universe_bits=universe_bits),
+        k=k,
+        universe_bits=universe_bits,
+    )
+    cuts = sorted(
+        {reader.quantile(i / n_buckets) for i in range(1, n_buckets)}
+    )
+    # strictly-greater fold: value v lands in bucket |{cut < v}| —
+    # cut c owns values ≤ c (quantile() reports a range max)
+    arr = F.array(*[F.lit(int(c)) for c in cuts])
+    bucket = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col(col) > c, 1).otherwise(0),
+    )
+    return df.withColumn(
+        out_col,
+        F.when(F.col(col).isNotNull(), bucket).cast("int"),
+    )
+
+
 def qdigest_sink(
     spark,
     path: str,

@@ -176,3 +176,82 @@ def test_histogram_quantiles_overflow_clamps_and_validates(spark):
     )
     with _pytest.raises(ValueError, match="empty histogram"):
         histogram_quantiles(empty, [0.5])
+
+
+# ---------------------------------------------------------------------------
+# PSI drift detection (round 10 s2)
+# ---------------------------------------------------------------------------
+
+
+def test_psi_zero_on_identical_distribution(spark):
+    from etl_data_lake_spark.operators.profile import (
+        drift_report,
+        population_stability_index,
+    )
+
+    df = spark.range(0, 5000).select((F.col("id") % 100).alias("v"))
+    psi = population_stability_index(
+        drift_report(df, df, "v", bins=10, lo=0.0, hi=100.0)
+    )
+    assert abs(psi) < 1e-12
+
+
+def test_psi_matches_hand_computation(spark):
+    import math
+
+    from etl_data_lake_spark.operators.profile import (
+        drift_report,
+        population_stability_index,
+    )
+
+    # ref: 80 in [0,1), 20 in [1,2); cand: 50/50 — two live buckets
+    ref = spark.createDataFrame(
+        [(0.5,)] * 80 + [(1.5,)] * 20, "v double"
+    )
+    cand = spark.createDataFrame(
+        [(0.5,)] * 50 + [(1.5,)] * 50, "v double"
+    )
+    psi = population_stability_index(
+        drift_report(ref, cand, "v", bins=2, lo=0.0, hi=2.0)
+    )
+    want = (0.5 - 0.8) * math.log(0.5 / 0.8) + (0.5 - 0.2) * math.log(
+        0.5 / 0.2
+    )
+    # empty buckets contribute (min_rate - min_rate)·ln(1) = 0
+    assert abs(psi - want) < 1e-9
+
+
+def test_psi_detects_shift_and_grades(spark):
+    from etl_data_lake_spark.operators.profile import (
+        drift_report,
+        population_stability_index,
+    )
+
+    ref = spark.range(0, 4000).select((F.col("id") % 100).alias("v"))
+    slight = spark.range(0, 4000).select(
+        ((F.col("id") % 100) * 1.05).alias("v")
+    )
+    big = spark.range(0, 4000).select(
+        ((F.col("id") % 100) + 50).alias("v")
+    )
+    p_small = population_stability_index(
+        drift_report(ref, slight, "v", bins=10, lo=0.0, hi=150.0)
+    )
+    p_big = population_stability_index(
+        drift_report(ref, big, "v", bins=10, lo=0.0, hi=150.0)
+    )
+    assert 0 <= p_small < p_big
+    assert p_big > 0.25  # the conventional "investigate" grade
+
+
+def test_psi_empty_side_raises(spark):
+    import pytest
+
+    from etl_data_lake_spark.operators.profile import drift_report
+
+    ref = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+    empty = ref.where(F.lit(False))
+    with pytest.raises(Exception, match="configuration error"):
+        drift_report(ref, empty, "v", bins=5, lo=0.0, hi=100.0).collect()
+    with pytest.raises(ValueError, match="min_rate"):
+        drift_report(ref, ref, "v", bins=5, lo=0.0, hi=100.0, min_rate=0.0)

@@ -663,3 +663,56 @@ def test_qdigest_sink_exactly_once_and_bounded_state(spark, tmp_path):
     reader = read_qdigest(spark, path, **kw)
     _qd_check(np.concatenate(batches), reader)
     assert tbl.snapshot().count() <= 3 * kw["k"] + 13
+
+
+def test_quantile_buckets_balanced_and_ordered(spark):
+    import numpy as np
+
+    from etl_data_lake_spark.operators.sketches import (
+        qdigest_collect,
+        qdigest_sketch,
+        quantile_buckets,
+    )
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 50_000, 12_000)
+    df = spark.createDataFrame([(int(v),) for v in vals], "x long")
+    n_b = 8
+    out = quantile_buckets(df, "x", n_b, k=256, universe_bits=16)
+    rows = out.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    ).collect()
+    by_b = {r["bucket"]: r for r in rows}
+    assert set(by_b) == set(range(n_b))
+    # buckets are ordered ranges: bucket i's max < bucket i+1's min
+    for i in range(n_b - 1):
+        assert by_b[i]["hi"] <= by_b[i + 1]["lo"]
+    # balance within the digest guarantee (cuts off by ≤ bound ranks)
+    reader = qdigest_collect(
+        qdigest_sketch(df, "x", k=256, universe_bits=16),
+        k=256, universe_bits=16,
+    )
+    bound = reader.rank_error_bound
+    target = len(vals) / n_b
+    for i in range(n_b):
+        assert abs(by_b[i]["n"] - target) <= 2 * bound + 1, i
+
+
+def test_quantile_buckets_nulls_and_validation(spark):
+    import pytest
+
+    from etl_data_lake_spark.operators.sketches import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (3,), (4,)], "x long"
+    )
+    out = quantile_buckets(df, "x", 2, universe_bits=4)
+    got = {r["x"]: r["bucket"] for r in out.collect()}
+    assert got[None] is None
+    assert got[1] == 0 and got[4] == 1
+    with pytest.raises(ValueError, match="n_buckets"):
+        quantile_buckets(df, "x", 1)
+    with pytest.raises(ValueError, match="already exists"):
+        quantile_buckets(df.withColumn("bucket", F.lit(1)), "x", 2)
