@@ -236,10 +236,27 @@ def drift_report(
     :func:`population_stability_index`) for the index. Raises on an
     empty side: drift against nothing is a configuration error, not
     zero drift."""
+    return drift_report_from_histograms(
+        numeric_histogram(reference, col, bins, lo, hi),
+        numeric_histogram(candidate, col, bins, lo, hi),
+        min_rate=min_rate,
+    )
+
+
+def drift_report_from_histograms(
+    h_ref: DataFrame,
+    h_cand: DataFrame,
+    min_rate: float = 1e-4,
+) -> DataFrame:
+    """The histogram-level core of :func:`drift_report`, for summaries
+    that already exist — a persisted reference profile, a streaming
+    :func:`histogram_sink` state — so drift costs the ≤ bins+2-row
+    join alone, zero data scans. Both histograms must share
+    (bins, lo, hi); rows from mismatched parameters don't align and
+    the full join would double the bucket count — callers own that
+    contract exactly as with :func:`merge_histograms`."""
     if not (0.0 < min_rate < 1.0):
         raise ValueError(f"min_rate must be in (0, 1), got {min_rate}")
-    h_ref = numeric_histogram(reference, col, bins, lo, hi)
-    h_cand = numeric_histogram(candidate, col, bins, lo, hi)
     joined = (
         h_ref.withColumnRenamed("n", "n_ref")
         .join(
@@ -304,3 +321,45 @@ def population_stability_index(report: DataFrame) -> float:
     ≤ bins+2 rows; the collect is free)."""
     row = report.agg(F.sum("psi").alias("psi")).collect()[0]
     return float(row["psi"])
+
+
+def histogram_sink(
+    spark,
+    path: str,
+    col: str,
+    bins: int,
+    lo: float,
+    hi: float,
+    app_id: str = "__hist_sink__",
+):
+    """``foreachBatch`` function maintaining an all-time fixed-width
+    histogram at ``path`` (a txn table): each micro-batch is
+    histogrammed (≤ bins+2 shuffled rows) and COUNT-ADDED into the
+    stored state — histogram merge is exact, so the maintained state
+    IS the from-scratch histogram of the whole history — published
+    with the batch id as txn seq (replays no-op; exactly-once under
+    at-least-once drivers). The streaming member of the histogram
+    algebra: read the state with :func:`read_histogram` and feed it
+    to :func:`histogram_quantiles` or — the monitoring loop —
+    :func:`drift_report_from_histograms` against a persisted
+    reference profile, giving continuously-fresh PSI whose refresh
+    cost is the micro-batch, never the history."""
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    tbl = TxnTable(spark, str(path))
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = numeric_histogram(batch_df, col, bins, lo, hi)
+        if tbl.latest_version() > 0:
+            fresh = merge_histograms(tbl.snapshot(), fresh)
+        tbl.overwrite(fresh, app_id=app_id, txn_seq=batch_id)
+
+    return fn
+
+
+def read_histogram(spark, path: str) -> DataFrame:
+    """The persisted streaming histogram state, in
+    :func:`numeric_histogram`'s row contract."""
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    return TxnTable(spark, str(path)).snapshot()

@@ -127,8 +127,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible recall@10 AND wall-time for every approximate
     ANN method (round-4 verdict #6; per-method ``seconds`` column
-    round-10 verdict #7): runs lsh / ivf / pq / hnsw / sq against the
-    brute-force baseline and emits (method, hits, possible,
+    round-10 verdict #7): runs lsh / ivf / pq / hnsw / sq / bq against
+    the brute-force baseline and emits (method, hits, possible,
     recall_at_10, seconds) rows. Each method's plan executes — and is
     timed — SEPARATELY, so the cross-round bench signal is auditable
     per method instead of as one opaque multi-plan sum (this entry was
@@ -146,6 +146,7 @@ def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized."""
     import time
 
+    from etl_data_lake_spark.similarity.bq import bq_topk
     from etl_data_lake_spark.similarity.hnsw import hnsw_topk
     from etl_data_lake_spark.similarity.pq import pq_topk
     from etl_data_lake_spark.similarity.sq import sq_topk
@@ -183,6 +184,10 @@ def ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (one exact min/max aggregation trains it; near-exact recall
         # is the point, the win is 4× residency)
         "sq": lambda: sq_topk(emb, queries, k=10, refine_factor=4),
+        # round 10 s2: the bit-codec member — 1 bit/dim sign
+        # quantization, XOR+popcount Hamming pre-rank (32× residency;
+        # coarse ranking is the honest trade, hence the deeper refine)
+        "bq": lambda: bq_topk(emb, queries, k=10, refine_factor=16),
     }
     rows = []
     for name, build in methods.items():

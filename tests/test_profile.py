@@ -255,3 +255,49 @@ def test_psi_empty_side_raises(spark):
         drift_report(ref, empty, "v", bins=5, lo=0.0, hi=100.0).collect()
     with pytest.raises(ValueError, match="min_rate"):
         drift_report(ref, ref, "v", bins=5, lo=0.0, hi=100.0, min_rate=0.0)
+
+
+def test_histogram_sink_exactly_once_and_drift_composition(spark, tmp_path):
+    from etl_data_lake_spark.operators.profile import (
+        drift_report_from_histograms,
+        histogram_sink,
+        numeric_histogram,
+        population_stability_index,
+        read_histogram,
+    )
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    path = str(tmp_path / "hist")
+    fn = histogram_sink(spark, path, "v", bins=10, lo=0.0, hi=100.0)
+    b1 = spark.range(0, 3000).select((F.col("id") % 100).cast("double").alias("v"))
+    b2 = spark.range(0, 2000).select(
+        ((F.col("id") % 50) + 50).cast("double").alias("v")
+    )
+    fn(b1, 0)
+    fn(b2, 1)
+    tbl = TxnTable(spark, path)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # folded state == from-scratch histogram of the whole history
+    whole = numeric_histogram(
+        b1.unionByName(b2), "v", bins=10, lo=0.0, hi=100.0
+    )
+    assert rows(tbl.snapshot()) == rows(whole)
+    # replay no-op: version and content unchanged
+    v = tbl.latest_version()
+    before = rows(tbl.snapshot())
+    fn(b2, 1)
+    assert tbl.latest_version() == v and rows(tbl.snapshot()) == before
+    # drift composition: stream state vs a reference profile — zero
+    # data scans at read time
+    ref = numeric_histogram(b1, "v", bins=10, lo=0.0, hi=100.0)
+    psi = population_stability_index(
+        drift_report_from_histograms(ref, read_histogram(spark, path))
+    )
+    assert psi > 0  # the 50-100 bump shifted the distribution
+    same = population_stability_index(
+        drift_report_from_histograms(ref, ref)
+    )
+    assert abs(same) < 1e-12

@@ -498,9 +498,9 @@ def test_ann_recall_summary_thresholds(spark):
     rows1 = {
         r.method: (r.hits, r.possible, r.recall_at_10) for r in got1
     }
-    assert set(rows1) == {"lsh", "ivf", "pq", "hnsw", "sq"}
+    assert set(rows1) == {"lsh", "ivf", "pq", "hnsw", "sq", "bq"}
     floors = {"lsh": 0.4, "ivf": 0.2, "pq": 0.5, "hnsw": 0.9,
-              "sq": 0.95}
+              "sq": 0.95, "bq": 0.8}
     for method, (hits, possible, recall) in rows1.items():
         assert possible > 0
         assert 0 <= hits <= possible, (method, hits, possible)
