@@ -161,32 +161,15 @@ def perplexity_filter(
 _UNK = "\x00unk"
 
 
-def train_bigram_lm(
-    ref_docs: DataFrame,
-    text_col: str = "text",
-    vocab_size: int = 50_000,
-    alpha: float = 1.0,
-    max_bigrams: int = 200_000,
-):
-    """→ ``(unigram_model, oov_logp, bigram_model)`` where
-    ``bigram_model`` is ``(w1, w2, p_ml)`` for the ``max_bigrams`` most
-    frequent UNK-mapped reference bigrams (count-desc, pair-asc
-    tie-break — deterministic truncation; a dropped pair just falls
-    back to the unigram floor, making the mixture conservatively
-    deficient, never improper). The interpolation weight is the
-    SCORER's parameter, not the model's — one trained model serves any
-    ``lam`` sweep; see :func:`bigram_perplexity_score`.
-
-    Scale: tokenize → explode → window-lag pairing (ONE shuffle by
-    doc), two map-side-combined count aggregations whose shuffles
-    carry DISTINCT pairs/contexts, a bounded top-k, and a local model
-    build — the reference corpus is scanned once.
-    """
+def _unk_pair_counts(
+    ref_docs: DataFrame, uni_model: DataFrame, text_col: str
+) -> DataFrame:
+    """UNK-mapped adjacent-token pair counts ``(_w1, _w2, _c12)`` —
+    the shared count table both bigram trainers (JM and KN) reduce.
+    One shuffle by doc for the window pairing, one count aggregation
+    whose shuffle carries DISTINCT pairs."""
     from pyspark.sql import Window
 
-    uni_model, oov_logp = train_unigram_lm(
-        ref_docs, text_col, vocab_size, alpha
-    )
     # id in its OWN projection: a nondeterministic expression sharing a
     # select with a generator evaluates per exploded row (every token
     # got a fresh _doc — zero pairs; caught by the hand-computed test)
@@ -210,9 +193,34 @@ def train_bigram_lm(
     pairs = mapped.select(
         F.lag("_w2").over(w).alias("_w1"), "_w2"
     ).where(F.col("_w1").isNotNull())
-    pair_counts = pairs.groupBy("_w1", "_w2").agg(
-        F.count("*").alias("_c12")
-    ).persist()
+    return pairs.groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
+
+
+def train_bigram_lm(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 1.0,
+    max_bigrams: int = 200_000,
+):
+    """→ ``(unigram_model, oov_logp, bigram_model)`` where
+    ``bigram_model`` is ``(w1, w2, p_ml)`` for the ``max_bigrams`` most
+    frequent UNK-mapped reference bigrams (count-desc, pair-asc
+    tie-break — deterministic truncation; a dropped pair just falls
+    back to the unigram floor, making the mixture conservatively
+    deficient, never improper). The interpolation weight is the
+    SCORER's parameter, not the model's — one trained model serves any
+    ``lam`` sweep; see :func:`bigram_perplexity_score`.
+
+    Scale: tokenize → explode → window-lag pairing (ONE shuffle by
+    doc), two map-side-combined count aggregations whose shuffles
+    carry DISTINCT pairs/contexts, a bounded top-k, and a local model
+    build — the reference corpus is scanned once.
+    """
+    uni_model, oov_logp = train_unigram_lm(
+        ref_docs, text_col, vocab_size, alpha
+    )
+    pair_counts = _unk_pair_counts(ref_docs, uni_model, text_col).persist()
     try:
         ctx_counts = pair_counts.groupBy("_w1").agg(
             F.sum("_c12").alias("_c1")
@@ -307,6 +315,247 @@ def bigram_perplexity_score(
             )
         )
         .alias("lp"),
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("lp").cast("long").alias("n_tokens"),
+            (-F.avg("lp")).alias("avg_neg_logp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_neg_logp",
+            F.exp("avg_neg_logp").alias("perplexity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kneser–Ney bigram LM (round 10 s2) — the accepted best n-gram
+# smoothing (Kneser & Ney 1995; Chen & Goodman 1999's evaluation) and
+# what KenLM itself implements. Two ideas beyond Jelinek-Mercer:
+#
+# * ABSOLUTE DISCOUNTING: subtract a fixed D from every observed
+#   bigram count instead of scaling by lam — high-count bigrams keep
+#   almost all their mass, singletons give most of theirs back;
+# * CONTINUATION PROBABILITY: backed-off mass goes to words by HOW
+#   MANY DISTINCT CONTEXTS they follow, not raw frequency — "Francisco"
+#   is frequent but follows only "San", so it gets almost no backoff
+#   mass (the classic motivating example).
+#
+#   P_KN(w|v) = max(c(vw)−D, 0)/c(v) + λ(v)·P_cont(w)
+#   λ(v)      = D·N1+(v·)/c(v)          (exactly the discounted mass)
+#   P_cont(w) = (N1+(·w)+α) / (N1+(··)+α·(V+1))   (add-α so unseen
+#               continuations stay positive — perplexities finite)
+#
+# D is estimated from count-of-counts (n1/(n1+2n2), the standard
+# leave-one-out estimate). With no pair truncation Σ_w P_KN(w|v) = 1
+# exactly for every seen context — the discount algebra is proper,
+# and the test pins that sum. All counts come from the SAME
+# distributed pair-count table the JM trainer reduces; everything
+# after it is bounded-size local arithmetic.
+# ---------------------------------------------------------------------------
+
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class KnBigramModel:
+    """The bounded pieces of the KN formula: ``pair_model
+    (w1, w2, p_disc)``, ``ctx_model (w1, c1, backoff)`` with λ per
+    seen context, ``cont_model (w2, p_cont)`` the add-α continuation
+    distribution, ``cont_floor`` = α/denominator (the probability of
+    a word never seen as a continuation — the same floor the
+    denominator already reserves, so the distribution stays proper),
+    ``discount`` the estimated D. ``uni_model``/``oov_logp`` score
+    FIRST tokens, exactly like the JM scorer."""
+
+    uni_model: DataFrame
+    oov_logp: float
+    pair_model: DataFrame
+    ctx_model: DataFrame
+    cont_model: DataFrame
+    cont_floor: float
+    discount: float
+
+
+def train_kn_bigram_lm(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 1.0,
+    max_bigrams: int = 200_000,
+) -> KnBigramModel:
+    """→ :class:`KnBigramModel`; ``pair_model`` keeps the top
+    ``max_bigrams`` pairs (count-desc, pair-asc tie-break —
+    deterministic truncation; dropped pairs fall back to the
+    continuation term — conservatively deficient, never improper)."""
+    uni_model, oov_logp = train_unigram_lm(
+        ref_docs, text_col, vocab_size, alpha
+    )
+    pair_counts = _unk_pair_counts(ref_docs, uni_model, text_col).persist()
+    try:
+        # count-of-counts for the discount estimate — 2 scalars
+        cc = pair_counts.agg(
+            F.sum((F.col("_c12") == 1).cast("long")).alias("n1"),
+            F.sum((F.col("_c12") == 2).cast("long")).alias("n2"),
+            F.count("*").alias("n_pairs"),
+            F.sum("_c12").alias("n_tokens"),
+        ).collect()[0]
+        n1, n2 = int(cc["n1"] or 0), int(cc["n2"] or 0)
+        n_distinct_pairs = int(cc["n_pairs"] or 0)
+        if n_distinct_pairs == 0:
+            raise ValueError(
+                "no bigrams in the reference corpus — KN needs at "
+                "least one adjacent token pair"
+            )
+        discount = n1 / (n1 + 2.0 * n2) if (n1 + n2) > 0 else 0.5
+
+        ctx = pair_counts.groupBy("_w1").agg(
+            F.sum("_c12").alias("c1"),
+            F.count("*").alias("n_follow"),  # N1+(v·)
+        )
+        cont = pair_counts.groupBy("_w2").agg(
+            F.count("*").alias("n_precede")  # N1+(·w)
+        )
+        vocab_v = uni_model.count() + 1  # + UNK
+        spark = ref_docs.sparkSession
+
+        kept = (
+            pair_counts.orderBy(F.desc("_c12"), "_w1", "_w2")
+            .limit(max_bigrams)
+            .join(F.broadcast(ctx.select("_w1", "c1")), "_w1")
+            .select(
+                F.col("_w1").alias("w1"),
+                F.col("_w2").alias("w2"),
+                (
+                    F.greatest(
+                        F.col("_c12") - F.lit(discount), F.lit(0.0)
+                    )
+                    / F.col("c1")
+                ).alias("p_disc"),
+            )
+        )
+        pair_model = spark.createDataFrame(
+            kept.collect(), "w1 string, w2 string, p_disc double"
+        )
+        ctx_model = spark.createDataFrame(
+            ctx.select(
+                F.col("_w1").alias("w1"),
+                F.col("c1").cast("long").alias("c1"),
+                (F.lit(discount) * F.col("n_follow") / F.col("c1")).alias(
+                    "backoff"
+                ),
+            ).collect(),
+            "w1 string, c1 long, backoff double",
+        )
+        denom = n_distinct_pairs + alpha * (vocab_v + 0.0)
+        cont_model = spark.createDataFrame(
+            cont.select(
+                F.col("_w2").alias("w2"),
+                ((F.col("n_precede") + F.lit(alpha)) / F.lit(denom)).alias(
+                    "p_cont"
+                ),
+            ).collect(),
+            "w2 string, p_cont double",
+        )
+        cont_floor = alpha / denom
+    finally:
+        pair_counts.unpersist()
+    return KnBigramModel(
+        uni_model=uni_model,
+        oov_logp=oov_logp,
+        pair_model=pair_model,
+        ctx_model=ctx_model,
+        cont_model=cont_model,
+        cont_floor=cont_floor,
+        discount=discount,
+    )
+
+
+def kn_bigram_perplexity_score(
+    docs: DataFrame,
+    model: KnBigramModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ ``(doc_id, n_tokens, avg_neg_logp, perplexity)`` under the
+    Kneser–Ney bigram model: first tokens by the unigram model, later
+    tokens by ``log(p_disc(vw) + λ(v)·p_cont(w))``; a context never
+    seen in training (no c(v) row) backs off fully (λ = 1); a word
+    never seen as a continuation takes ``cont_floor`` — the mass the
+    trainer's denominator already reserves, so probabilities stay
+    proper. One candidate scan; all four model joins broadcast (each
+    bounded by construction); empty documents → null perplexity, like
+    the other scorers."""
+    from pyspark.sql import Window
+
+    uni_model, oov_logp = model.uni_model, model.oov_logp
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(
+            F.filter(tokens(text_col), lambda t: t != "")
+        ).alias("_pos", "_term"),
+    )
+    uni = F.broadcast(
+        uni_model.select(
+            F.col("term").alias("_t"), F.col(OOV_LOGP_COL).alias("_lp")
+        )
+    )
+    mapped = toks.join(uni, toks["_term"] == F.col("_t"), "left").select(
+        "doc_id",
+        "_pos",
+        F.when(F.col("_term").isNull(), F.lit(None))
+        .otherwise(F.coalesce(F.col("_t"), F.lit(_UNK)))
+        .alias("_w2"),
+        F.when(
+            F.col("_term").isNotNull(),
+            F.coalesce(F.col("_lp"), F.lit(oov_logp)),
+        ).alias("_uni_lp"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    seq = mapped.withColumn("_w1", F.lag("_w2").over(w))
+    pair = F.broadcast(
+        model.pair_model.select(
+            F.col("w1").alias("_pw1"),
+            F.col("w2").alias("_pw2"),
+            "p_disc",
+        )
+    )
+    ctx = F.broadcast(
+        model.ctx_model.select(
+            F.col("w1").alias("_cw1"), F.col("backoff").alias("_lam")
+        )
+    )
+    cont = F.broadcast(
+        model.cont_model.select(
+            F.col("w2").alias("_kw2"), F.col("p_cont").alias("_pc")
+        )
+    )
+    joined = (
+        seq.join(
+            pair,
+            (seq["_w1"] == F.col("_pw1")) & (seq["_w2"] == F.col("_pw2")),
+            "left",
+        )
+        .join(ctx, seq["_w1"] == F.col("_cw1"), "left")
+        .join(cont, seq["_w2"] == F.col("_kw2"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_w2").isNull(), F.lit(None))
+            .when(F.col("_w1").isNull(), F.col("_uni_lp"))
+            .otherwise(
+                F.log(
+                    F.coalesce(F.col("p_disc"), F.lit(0.0))
+                    # unseen context: λ = 1 (full backoff)
+                    + F.coalesce(F.col("_lam"), F.lit(1.0))
+                    * F.coalesce(F.col("_pc"), F.lit(model.cont_floor))
+                )
+            )
+            .alias("lp"),
+        )
     )
     return (
         joined.groupBy("doc_id")
