@@ -47,23 +47,51 @@ def pagerank(
     tol: float = 1e-6,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """→ (node, rank) for every node appearing as source OR target;
-    ranks sum to 1. Duplicate edges count once (a link is a link);
-    null endpoints are dropped. Converges when the L1 rank change
-    ≤ ``tol`` or after ``max_iters`` iterations, whichever first."""
+    ranks sum to 1. Unweighted (default): duplicate edges count once
+    (a link is a link) and a node's rank splits evenly over its
+    out-neighbors. With ``weight_col`` (link multiplicity, anchor-text
+    score, …): parallel edges SUM their weights and rank splits
+    proportionally — ``r(u)·w(u,v)/Σ_x w(u,x)``; non-positive and
+    null/NaN weights are dropped (NaN > 0 is TRUE in Spark ordering —
+    the round-7 lesson, filtered explicitly). Null endpoints are
+    dropped. Converges when the L1 rank change ≤ ``tol`` or after
+    ``max_iters`` iterations, whichever first."""
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    if weight_col is None:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .dropDuplicates(["src", "dst"])
+            .withColumn("w", F.lit(1.0))
+            .persist()
         )
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .dropDuplicates(["src", "dst"])
-        .persist()
-    )
+    else:
+        wc = F.col(weight_col).cast("double")
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                wc.alias("w"),
+            )
+            .where(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & F.col("w").isNotNull()
+                & ~F.isnan("w")
+                & (F.col("w") > 0)
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .persist()
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -77,7 +105,7 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     degrees = (
         e.groupBy(F.col("src").alias("node"))
-        .agg(F.count("*").alias("outdeg"))
+        .agg(F.sum("w").alias("outdeg"))
         .persist()
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
@@ -93,7 +121,7 @@ def pagerank(
             .join(e, with_deg["node"] == e["src"])
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
+                (F.col("rank") * F.col("w") / F.col("outdeg")).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("c"))

@@ -106,3 +106,50 @@ def test_validation(spark):
         pagerank(df, damping=1.0)
     with pytest.raises(ValueError, match="max_iters"):
         pagerank(df, max_iters=0)
+
+
+def _numpy_weighted_pagerank(edges_w, damping=0.85, iters=50):
+    agg = {}
+    for u, v, w in edges_w:
+        if w is None or w != w or w <= 0:
+            continue
+        agg[(u, v)] = agg.get((u, v), 0.0) + w
+    nodes = sorted({u for u, _ in agg} | {v for _, v in agg})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_w = {}
+    for (u, _v), w in agg.items():
+        out_w[u] = out_w.get(u, 0.0) + w
+    import numpy as np
+
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        dangling = 0.0
+        for u in nodes:
+            if u not in out_w:
+                dangling += r[idx[u]]
+        for (u, v), w in agg.items():
+            nxt[idx[v]] += r[idx[u]] * w / out_w[u]
+        r = (1 - damping) / n + damping * (nxt + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_weighted_matches_numpy_and_shifts_mass(spark):
+    edges_w = [
+        ("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+        ("c", "a", 1.0), ("b", "c", 1.0),      # parallel edge: sums
+        ("d", "b", float("nan")),              # dropped (NaN)
+        ("d", "b", -2.0),                      # dropped (non-positive)
+        ("d", "b", 0.5),
+    ]
+    df = spark.createDataFrame(edges_w, "src string, dst string, w double")
+    got = _ranks(pagerank(df, max_iters=50, tol=0.0, weight_col="w"))
+    want = _numpy_weighted_pagerank(edges_w)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # a sends 3x more mass to b than to c directly
+    unweighted = _ranks(pagerank(df, max_iters=50, tol=0.0))
+    assert got["b"] > unweighted["b"]
