@@ -127,18 +127,23 @@ def phash_near_dup_pairs(
     h = hashes.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
     )
-    segs = None
-    for b in range(bands):
-        s = h.select(
-            "_id",
-            "_h",
-            F.lit(b).alias("_band"),
-            # shiftrightunsigned: the sign bit must not smear segments
-            F.shiftrightunsigned(F.col("_h"), b * seg_bits)
-            .bitwiseAND(F.lit(mask))
-            .alias("_seg"),
-        )
-        segs = s if segs is None else segs.unionByName(s)
+    # ONE projection emits every band row (posexplode of the segment
+    # array) — a per-band union would re-execute the upstream lineage
+    # (a decode, typically) once per band.
+    # shiftrightunsigned: the sign bit must not smear segments.
+    segs = h.select(
+        "_id",
+        "_h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_h"), b * seg_bits)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_seg"),
+    )
     a = segs.select(
         F.col("_band"),
         F.col("_seg"),
@@ -173,7 +178,11 @@ def image_near_dup_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """The composed operator: hash every image, then banded
-    candidate-join + exact verify. → (id_a, id_b, hamming)."""
+    candidate-join + exact verify. → (id_a, id_b, hamming). The hash
+    table is checkpointed before pairing: the candidate self-join
+    reads it from both sides, and without materialization each side
+    would re-run the whole decode+hash scan."""
+    hashes = dhash_images(media).localCheckpoint()
     return phash_near_dup_pairs(
-        dhash_images(media), max_distance=max_distance, bands=bands
+        hashes, max_distance=max_distance, bands=bands
     )

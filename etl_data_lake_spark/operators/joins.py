@@ -165,6 +165,10 @@ def interval_join(
             f"column names collide outside the join keys: {sorted(overlap)} "
             "— rename before joining"
         )
+    if "__bin" in points.columns or "__bin" in intervals.columns:
+        raise ValueError(
+            "'__bin' is reserved by interval_join — rename the column"
+        )
     w_micros = int(bin_width * 1_000_000)
     p_dt = dict(points.dtypes)[point_ts]
     s_dt = dict(intervals.dtypes)[start_col]

@@ -257,20 +257,29 @@ def drift_report_from_histograms(
     contract exactly as with :func:`merge_histograms`."""
     if not (0.0 < min_rate < 1.0):
         raise ValueError(f"min_rate must be in (0, 1), got {min_rate}")
-    joined = (
-        h_ref.withColumnRenamed("n", "n_ref")
-        .join(
-            h_cand.withColumnRenamed("n", "n_cand"),
-            ["bucket", "bucket_lo", "bucket_hi"],
-            "full",
-        )
-        .select(
-            "bucket",
-            "bucket_lo",
-            "bucket_hi",
-            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
-        )
+    # join on bucket ID ALONE: under shared (bins, lo, hi) the id
+    # determines the bounds, and the under/overflow rows carry NULL
+    # open-ended bounds — a join keyed on the bounds would never match
+    # them (SQL null equality), silently splitting each side's
+    # out-of-range mass into two phantom buckets and inflating PSI
+    r = h_ref.select(
+        "bucket",
+        F.col("bucket_lo").alias("_rlo"),
+        F.col("bucket_hi").alias("_rhi"),
+        F.col("n").alias("n_ref"),
+    )
+    c = h_cand.select(
+        "bucket",
+        F.col("bucket_lo").alias("_clo"),
+        F.col("bucket_hi").alias("_chi"),
+        F.col("n").alias("n_cand"),
+    )
+    joined = r.join(c, ["bucket"], "full").select(
+        "bucket",
+        F.coalesce("_rlo", "_clo").alias("bucket_lo"),
+        F.coalesce("_rhi", "_chi").alias("bucket_hi"),
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
     )
     from pyspark.sql import Window
 

@@ -843,7 +843,10 @@ def quantile_buckets(
     guarantee — the scale answer to QuantileDiscretizer-style feature
     binning and curriculum banding (operators/export.py's curriculum
     cuts solve the same problem for its own histogram; this one works
-    on any integer column with no bounds known up front)."""
+    on any integer column with no bounds known up front). On heavily
+    tied data, quantile cuts can coincide; coincident cuts collapse
+    (a tie cannot split across buckets), so the output may use FEWER
+    than ``n_buckets`` ids — wider buckets, never misordered ones."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     if out_col in df.columns:

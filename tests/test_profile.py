@@ -301,3 +301,28 @@ def test_histogram_sink_exactly_once_and_drift_composition(spark, tmp_path):
         drift_report_from_histograms(ref, ref)
     )
     assert abs(same) < 1e-12
+
+
+def test_psi_out_of_range_mass_joins_as_one_bucket(spark):
+    """REGRESSION (self-review): under/overflow buckets carry NULL
+    open-ended bounds; a join keyed on the bounds never matches NULLs,
+    so each side's out-of-range mass split into two phantom buckets
+    and inflated PSI. Identical distributions WITH out-of-range mass
+    must still score PSI == 0."""
+    from etl_data_lake_spark.operators.profile import (
+        drift_report,
+        population_stability_index,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,)] * 30 + [(50.0,)] * 40 + [(150.0,)] * 30, "v double"
+    )
+    report = drift_report(df, df, "v", bins=4, lo=0.0, hi=100.0)
+    rows = report.collect()
+    # one row per bucket id — no phantom splits
+    assert len({r["bucket"] for r in rows}) == len(rows)
+    assert abs(population_stability_index(report)) < 1e-12
+    # and the under/overflow rows carry BOTH sides' counts
+    by_b = {r["bucket"]: r for r in rows}
+    assert by_b[0]["n_ref"] == 30 and by_b[0]["n_cand"] == 30
+    assert by_b[5]["n_ref"] == 30 and by_b[5]["n_cand"] == 30
