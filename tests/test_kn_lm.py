@@ -216,3 +216,84 @@ def test_empty_reference_rejected(spark):
         )
     with pytest.raises(Exception):
         train_kn_bigram_lm(empty)
+
+
+def test_lm_persistence_roundtrip_bit_identical(spark, model, tmp_path):
+    """Loaded models score BIT-identically to trained ones for every
+    flavor, re-saves are byte-identical, foreign files rejected —
+    tokenizer_io's contract extended to LMs."""
+    from etl_data_lake_spark.functions.lm import (
+        bigram_perplexity_score,
+        perplexity_score,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+    from etl_data_lake_spark.functions.lm_io import (
+        load_lm,
+        save_bigram_lm,
+        save_kn_lm,
+        save_unigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(REF_TEXTS)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the rug"), (1, "san francisco is the fog")],
+        "doc_id long, text string",
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # unigram
+    u_model, u_oov = train_unigram_lm(ref)
+    p = str(tmp_path / "uni.json")
+    save_unigram_lm(p, u_model, u_oov)
+    kind, (lu, loov) = load_lm(spark, p)
+    assert kind == "unigram" and loov == u_oov
+    assert rows(perplexity_score(docs, lu, loov)) == rows(
+        perplexity_score(docs, u_model, u_oov)
+    )
+    save_unigram_lm(str(tmp_path / "uni2.json"), lu, loov)
+    assert (tmp_path / "uni.json").read_bytes() == (
+        tmp_path / "uni2.json"
+    ).read_bytes()
+
+    # JM bigram
+    ju, joov, jb = train_bigram_lm(ref)
+    pj = str(tmp_path / "jm.json")
+    save_bigram_lm(pj, ju, joov, jb)
+    kind, (lju, ljoov, ljb) = load_lm(spark, pj)
+    assert kind == "bigram_jm"
+    assert rows(bigram_perplexity_score(docs, lju, ljoov, ljb)) == rows(
+        bigram_perplexity_score(docs, ju, joov, jb)
+    )
+
+    # KN
+    pk = str(tmp_path / "kn.json")
+    save_kn_lm(pk, model)
+    kind, lkn = load_lm(spark, pk)
+    assert kind == "bigram_kn"
+    assert lkn.discount == model.discount
+    assert lkn.cont_floor == model.cont_floor
+    assert rows(kn_bigram_perplexity_score(docs, lkn)) == rows(
+        kn_bigram_perplexity_score(docs, model)
+    )
+
+    # foreign / corrupt rejection
+    (tmp_path / "foreign.json").write_text('{"format": "other"}')
+    with pytest.raises(ValueError, match="not an"):
+        load_lm(spark, str(tmp_path / "foreign.json"))
+    import json
+
+    bad = json.loads((tmp_path / "kn.json").read_text())
+    bad["version"] = 99
+    (tmp_path / "v99.json").write_text(json.dumps(bad))
+    with pytest.raises(ValueError, match="version"):
+        load_lm(spark, str(tmp_path / "v99.json"))
+    bad["version"] = 1
+    bad["type"] = "trigram"
+    (tmp_path / "t.json").write_text(json.dumps(bad))
+    with pytest.raises(ValueError, match="unknown"):
+        load_lm(spark, str(tmp_path / "t.json"))
