@@ -670,6 +670,76 @@ def interval_join_first_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# PSI drift (round 10 s2): order-price distribution shift between the
+# pre-1998 and 1998+ snapshots — the operators/profile drift_report
+# against DuckDB recomputing the identical width_bucket histograms +
+# PSI algebra. Per-BUCKET contributions (not the scalar sum): bucket
+# totals are exact integers, so every float is a fixed expression
+# tree over ints — bit-stable across engines; a scalar SUM(psi) would
+# hang the compare on multi-row float addition order.
+# Library surface only (50-entry driver cap), parity-checked in
+# test_parity::test_library_twin_parity.
+# --------------------------------------------------------------------------
+PSI_DRIFT_ORDERS_SQL = """
+    WITH b AS (  -- width_bucket by hand: DuckDB has no such function
+        SELECT o_orderdate,
+               CASE WHEN o_totalprice < 0.0 THEN 0
+                    WHEN o_totalprice >= 500000.0 THEN 21
+                    ELSE CAST(FLOOR(o_totalprice / 25000.0) AS INT) + 1
+               END AS bucket
+        FROM orders
+    ),
+    hr AS (
+        SELECT bucket, COUNT(*) AS n_ref
+        FROM b WHERE o_orderdate < DATE '1998-01-01'
+        GROUP BY 1
+    ),
+    hc AS (
+        SELECT bucket, COUNT(*) AS n_cand
+        FROM b WHERE o_orderdate >= DATE '1998-01-01'
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT COALESCE(hr.bucket, hc.bucket) AS bucket,
+               COALESCE(n_ref, 0) AS n_ref,
+               COALESCE(n_cand, 0) AS n_cand
+        FROM hr FULL JOIN hc ON hr.bucket = hc.bucket
+    ),
+    t AS (
+        SELECT *, SUM(n_ref) OVER () AS tr, SUM(n_cand) OVER () AS tc
+        FROM j
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           ROUND(
+               (GREATEST(n_cand / tc, 1e-4) - GREATEST(n_ref / tr, 1e-4))
+               * LN(GREATEST(n_cand / tc, 1e-4)
+                    / GREATEST(n_ref / tr, 1e-4)),
+               6
+           ) AS psi
+    FROM t
+"""
+
+
+def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_data_lake_spark.operators.profile import drift_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    cand = orders.where(F.col("o_orderdate") >= F.lit("1998-01-01"))
+    report = drift_report(
+        ref, cand, "o_totalprice", bins=20, lo=0.0, hi=500000.0
+    )
+    return report.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_ref",
+        "n_cand",
+        F.round("psi", 6).alias("psi"),
+    )
+
+
 def anomaly_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_lake_spark.operators.anomaly import trailing_zscores
 

@@ -182,6 +182,11 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.advanced_rel",
         "INTERVAL_JOIN_FIRST_HOUR_SQL",
     ),
+    (
+        "psi_drift_orders",
+        "etl_data_lake_spark.queries.advanced_rel",
+        "PSI_DRIFT_ORDERS_SQL",
+    ),
 ]
 
 
