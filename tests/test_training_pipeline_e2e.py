@@ -278,3 +278,81 @@ def test_round9_stages_compose(spark, tmp_path):
     assert lo0 >= hi2
     scored.unpersist()
     pairs.unpersist()
+
+
+def test_round10_s2_stages_compose(spark, tmp_path):
+    """The session-2 additions composing end-to-end on the real
+    corpus: KN-bigram perplexity gate (trained on the high-quality
+    half, persisted and RELOADED before scoring — the artifact path
+    is the production path) → q-digest equal-frequency curriculum
+    banding on document length → PSI drift monitor between the raw
+    corpus and the curated result (curation SHOULD shift the
+    distribution it gates on; the null direction — curated vs curated
+    — must read 0) → image near-dup audit over the same corpus's
+    media twin."""
+    from etl_data_lake_spark.dedup.cluster import connected_components
+    from etl_data_lake_spark.functions.lm import (
+        kn_bigram_perplexity_score,
+        train_kn_bigram_lm,
+    )
+    from etl_data_lake_spark.functions.lm_io import load_lm, save_kn_lm
+    from etl_data_lake_spark.multimodal import fake_media_table
+    from etl_data_lake_spark.multimodal.phash import image_near_dup_pairs
+    from etl_data_lake_spark.operators.profile import (
+        drift_report,
+        population_stability_index,
+    )
+    from etl_data_lake_spark.operators.sketches import quantile_buckets
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+
+    # 1. KN gate: train on the longest half (proxy reference), persist,
+    # reload, score everything, keep the in-domain half
+    median_len = docs.approxQuantile("n_chars", [0.5], 0.0)[0]
+    ref = docs.where(F.col("n_chars") >= median_len)
+    model = train_kn_bigram_lm(ref, vocab_size=5000, max_bigrams=50_000)
+    path = str(tmp_path / "kn.json")
+    save_kn_lm(path, model)
+    _, loaded = load_lm(spark, path)
+    scores = kn_bigram_perplexity_score(docs, loaded)
+    cut = scores.approxQuantile("perplexity", [0.7], 0.0)[0]
+    keep_ids = scores.where(F.col("perplexity") <= cut).select("doc_id")
+    curated = docs.join(keep_ids, "doc_id", "left_semi")
+    n_curated = curated.count()
+    assert 0 < n_curated < n_docs
+
+    # 2. curriculum banding by length — equal-frequency, no sort
+    banded = quantile_buckets(
+        curated, "n_chars", 4, out_col="band", universe_bits=20
+    )
+    bands = {
+        r["band"]: r["n"]
+        for r in banded.groupBy("band").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert set(bands) == {0, 1, 2, 3}
+    assert max(bands.values()) <= 2 * min(bands.values())
+
+    # 3. drift monitor: curation gated on perplexity (correlated with
+    # length), so the length distribution must shift vs raw…
+    shifted = population_stability_index(
+        drift_report(docs, curated, "n_chars", bins=12, lo=0.0, hi=3000.0)
+    )
+    assert shifted > 0
+    # …and the null direction reads zero
+    null_psi = population_stability_index(
+        drift_report(curated, curated, "n_chars", bins=12, lo=0.0, hi=3000.0)
+    )
+    assert abs(null_psi) < 1e-12
+
+    # 4. multimodal audit: the curated corpus's media twin has no
+    # unexpected near-identical images beyond the planted none
+    media = fake_media_table(curated.limit(120))
+    pairs = image_near_dup_pairs(media, max_distance=0, bands=4)
+    comp_input = pairs
+    assert comp_input.count() == pairs.count()  # plan sanity
+    if pairs.count() > 0:
+        comp = connected_components(pairs, a_col="id_a", b_col="id_b")
+        assert comp.count() >= 2  # any pair implies a >=2-node cluster
