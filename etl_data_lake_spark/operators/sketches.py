@@ -201,6 +201,134 @@ def heavy_hitters(
     return out
 
 
+def heavy_hitters_by(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    col: str,
+    capacity: int = 256,
+    k: int | None = None,
+    max_groups_per_task: int = 10_000,
+) -> DataFrame:
+    """Per-group Misra–Gries frequent items — "top terms per language",
+    "hot keys per tenant": → (group_cols…, item, count_lower,
+    count_upper, n_total) where every bound/presence guarantee of
+    :func:`heavy_hitters` holds WITHIN each group (each task keeps an
+    independent ≤ capacity-counter summary per group it sees, so
+    per-group decrement totals — hence error bounds — never mix).
+
+    Memory honesty: a task's state is capacity × (groups in that
+    task); that is the price of one-pass grouped sketching and it is
+    bounded ONLY if the group domain is (lang, source, tenant — the
+    intended uses). A task observing more than
+    ``max_groups_per_task`` distinct groups fails loudly instead of
+    silently eating the executor's heap — pre-partition by group or
+    raise the limit deliberately. Null group keys are kept as their
+    own group (SQL grouping semantics); null items are ignored."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column; use heavy_hitters for the global form")
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if k is not None and k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    field = df.schema[col]
+    if field.dataType.simpleString() != "string":
+        raise ValueError(
+            f"heavy_hitters_by needs a string column; {col!r} is "
+            f"{field.dataType.simpleString()} — cast explicitly"
+        )
+    gtypes = [df.schema[g].dataType for g in group_cols]
+    out_schema = StructType(
+        [StructField(g, t) for g, t in zip(group_cols, gtypes)]
+        + [
+            StructField("item", StringType()),
+            StructField("est", LongType()),
+            StructField("dec", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gcols = list(group_cols)
+
+    def summarize(it):
+        states: dict[tuple, tuple[dict, int, int]] = {}
+        for pdf in it:
+            # zip the columns directly — itertuples renames columns
+            # that aren't valid identifiers
+            for *key_vals, v in zip(*[pdf[g] for g in gcols], pdf[col]):
+                key = tuple(key_vals)
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                st = states.get(key)
+                if st is None:
+                    if len(states) >= max_groups_per_task:
+                        raise ValueError(
+                            f"heavy_hitters_by: task saw more than "
+                            f"{max_groups_per_task} distinct groups — "
+                            "pre-partition by group or raise "
+                            "max_groups_per_task"
+                        )
+                    st = ({}, 0, 0)
+                counters, dec, n = st
+                n += 1
+                c = counters.get(v)
+                if c is not None:
+                    counters[v] = c + 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    dec += 1
+                    dead = [w for w, c2 in counters.items() if c2 == 1]
+                    for w in counters:
+                        counters[w] -= 1
+                    for w in dead:
+                        del counters[w]
+                states[key] = (counters, dec, n)
+        rows = []
+        for key, (counters, dec, n) in states.items():
+            for w, c in counters.items():
+                rows.append((*key, w, c, 0, 0))
+            rows.append((*key, None, 0, dec, n))
+        yield pd.DataFrame(
+            rows, columns=[*gcols, "item", "est", "dec", "n"]
+        )
+
+    summary = df.select(*gcols, col).mapInPandas(summarize, schema=out_schema)
+    agg = summary.groupBy(*gcols, "item").agg(
+        F.sum("est").alias("_est"),
+        F.sum("dec").alias("_dec"),
+        F.sum("n").alias("_n"),
+    )
+    from pyspark.sql import Window
+
+    w_g = Window.partitionBy(*gcols)
+    with_tot = agg.select(
+        *gcols,
+        "item",
+        F.col("_est"),
+        F.sum("_dec").over(w_g).alias("_err"),
+        F.sum("_n").over(w_g).alias("n_total"),
+    )
+    out = with_tot.where(F.col("item").isNotNull()).select(
+        *gcols,
+        "item",
+        F.col("_est").alias("count_lower"),
+        (F.col("_est") + F.col("_err")).alias("count_upper"),
+        "n_total",
+    )
+    if k is not None:
+        w_rank = Window.partitionBy(*gcols).orderBy(
+            F.desc("count_lower"), F.asc("item")
+        )
+        out = (
+            out.withColumn("_r", F.row_number().over(w_rank))
+            .where(F.col("_r") <= k)
+            .drop("_r")
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Streaming heavy hitters — the Misra–Gries summary is MERGEABLE
 # (Agarwal et al. 2012): two summaries add counter-wise, then

@@ -716,3 +716,93 @@ def test_quantile_buckets_nulls_and_validation(spark):
         quantile_buckets(df, "x", 1)
     with pytest.raises(ValueError, match="already exists"):
         quantile_buckets(df.withColumn("bucket", F.lit(1)), "x", 2)
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_by — per-group Misra–Gries (round 10 s2)
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_by_guarantees_per_group(spark):
+    """The global operator's bound/presence guarantees hold WITHIN
+    each group, across partition layouts; groups never bleed."""
+    rows = (
+        [("en", f"w{i % 7}") for i in range(700)]
+        + [("en", "rare")] * 3
+        + [("de", f"g{i % 4}") for i in range(400)]
+        + [("de", "w0")] * 5      # same item name, other group
+    )
+    df0 = spark.createDataFrame(rows, "lang string, term string")
+    from etl_data_lake_spark.operators.sketches import heavy_hitters_by
+
+    true = {}
+    for g, t in rows:
+        true[(g, t)] = true.get((g, t), 0) + 1
+    n_g = {"en": 703, "de": 405}
+    for parts in (1, 5, 32):
+        got = heavy_hitters_by(
+            df0.repartition(parts), ("lang",), "term", capacity=5
+        ).collect()
+        seen = set()
+        for r in got:
+            key = (r["lang"], r["item"])
+            seen.add(key)
+            assert r["n_total"] == n_g[r["lang"]], key
+            assert r["count_lower"] <= true[key] <= r["count_upper"], key
+        # presence: anything above n/(capacity+1) within ITS group
+        for (g, t), c in true.items():
+            if c > n_g[g] / 6:
+                assert (g, t) in seen, (g, t, parts)
+        # no bleed: de's w0 stats never mix with en's w0
+        en_w0 = [r for r in got if r["lang"] == "en" and r["item"] == "w0"]
+        if en_w0:
+            assert en_w0[0]["count_upper"] < 700  # not 100+5 mixed into en err range... bound sanity
+            assert en_w0[0]["count_lower"] <= true[("en", "w0")]
+
+
+def test_heavy_hitters_by_topk_and_exact_under_capacity(spark):
+    from etl_data_lake_spark.operators.sketches import heavy_hitters_by
+
+    rows = [("a", "x")] * 10 + [("a", "y")] * 6 + [("a", "z")] * 2 + [
+        ("b", "p")
+    ] * 4 + [("b", "q")] * 9
+    df = spark.createDataFrame(rows, "g string, t string")
+    got = heavy_hitters_by(df, ("g",), "t", capacity=16, k=2).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append((r["item"], r["count_lower"]))
+    # capacity above the per-group distinct count ⇒ exact counts
+    assert sorted(by_g["a"]) == [("x", 10), ("y", 6)]
+    assert sorted(by_g["b"]) == [("p", 4), ("q", 9)]
+
+
+def test_heavy_hitters_by_validation_and_group_guard(spark):
+    import pytest
+
+    from etl_data_lake_spark.operators.sketches import heavy_hitters_by
+
+    df = spark.createDataFrame([("a", "x")], "g string, t string")
+    with pytest.raises(ValueError, match="group_cols"):
+        heavy_hitters_by(df, (), "t")
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters_by(df, ("g",), "t", capacity=0)
+    with pytest.raises(ValueError, match="string column"):
+        heavy_hitters_by(
+            spark.createDataFrame([("a", 1)], "g string, t long"),
+            ("g",), "t",
+        )
+    many = spark.createDataFrame(
+        [(str(i), "x") for i in range(50)], "g string, t string"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="distinct groups"):
+        heavy_hitters_by(
+            many, ("g",), "t", max_groups_per_task=10
+        ).collect()
+    # null group keys form their own group; null items ignored
+    nulls = spark.createDataFrame(
+        [(None, "x"), (None, "x"), ("a", None)], "g string, t string"
+    )
+    got = heavy_hitters_by(nulls, ("g",), "t", capacity=4).collect()
+    assert [(r["g"], r["item"], r["count_lower"]) for r in got] == [
+        (None, "x", 2)
+    ]
