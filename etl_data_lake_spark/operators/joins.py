@@ -151,6 +151,12 @@ def interval_join(
     null timestamps match nothing (SQL semantics). Column names must
     be disjoint apart from ``on`` — collide-and-rename is the
     caller's job, silently aliasing is how joins corrupt lineage.
+
+    STREAMING: works unchanged with a streaming ``points`` side —
+    every points-side stage is a stateless projection and the
+    exploded intervals are a static build side, so the whole plan is
+    a stream-static inner join (no watermark needed); batch ≡ stream
+    pinned in tests.
     """
     if bin_width <= 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width}")

@@ -163,3 +163,55 @@ def test_layout_invariance(points, intervals):
         on=("key",), bin_width=900.0,
     )
     assert got == want
+
+
+def test_streaming_points_match_batch(spark, tmp_path):
+    """interval_join works UNCHANGED on a streaming points side: every
+    stage on the points frame is a stateless projection and the
+    interval side is a static equi-join build — a stream-static inner
+    join Spark supports without watermarks. availableNow replay of
+    the batch input produces exactly the batch result."""
+    from datetime import datetime
+
+    src = str(tmp_path / "pts")
+    rows = [
+        (1, 100, datetime(2024, 1, 1, 0, 10)),
+        (2, 100, datetime(2024, 1, 1, 2, 30)),
+        (3, 200, datetime(2024, 1, 1, 5, 0)),
+        (4, 200, datetime(2024, 1, 1, 9, 0)),
+    ]
+    batch_pts = spark.createDataFrame(
+        rows, "point_id long, key long, ts timestamp_ntz"
+    )
+    batch_pts.write.mode("overwrite").parquet(src)
+    iv = spark.createDataFrame(
+        [
+            (10, 100, datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 1, 0)),
+            (11, 200, datetime(2024, 1, 1, 4, 0), datetime(2024, 1, 1, 8, 0)),
+        ],
+        "iv_id long, key long, s timestamp_ntz, e timestamp_ntz",
+    )
+    want = sorted(
+        (r["point_id"], r["iv_id"])
+        for r in interval_join(
+            batch_pts, iv, point_ts="ts", start_col="s", end_col="e",
+            on=("key",), bin_width=1800.0,
+        ).collect()
+    )
+    stream_pts = spark.readStream.schema(batch_pts.schema).parquet(src)
+    out = interval_join(
+        stream_pts, iv, point_ts="ts", start_col="s", end_col="e",
+        on=("key",), bin_width=1800.0,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["point_id"], r["iv_id"])
+        for r in spark.sql("SELECT * FROM ij_stream").collect()
+    )
+    assert got == want and len(got) == 2
