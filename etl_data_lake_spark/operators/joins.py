@@ -98,15 +98,33 @@ def asof_join(
     )
 
 
-def _to_micros(col: Column, dtype: str) -> Column:
-    """Epoch-micros LONG for binning. Time types go through one cast
-    chain (tz interpretation is irrelevant: both sides convert
+def _is_time_type(dtype: str) -> bool:
+    return dtype.split("(")[0] in _TIME_TYPES
+
+
+def _to_micros(col: Column) -> Column:
+    """Epoch-micros LONG for binning time types. Both sides go through
+    one cast chain (tz interpretation is irrelevant: both convert
     identically and only bin ALIGNMENT matters — the exact predicate
-    compares the original columns); numerics treat ``bin_width`` as
-    plain units."""
-    if dtype.split("(")[0] in _TIME_TYPES:
-        return F.unix_micros(col.cast("timestamp"))
-    return (col.cast("double") * F.lit(1_000_000.0)).cast("long")
+    compares the original columns). Integer micros make the
+    end-exclusive bin ``floor((e-1)/w)`` exact."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+# Numeric binning operates on the raw value (``bin_width`` in plain
+# units) via double division — NO ×1e6 long cast, which silently
+# wrapped for |v| > ~9.2e12 and collapsed sub-microsecond fractional
+# differences (two values straddling a bin boundary by < 1e-6 could
+# land in the "wrong" bin and a qualifying pair never met). IEEE
+# division by a fixed positive divisor is monotone, so for any
+# s <= v < e: floor(s/w) <= floor(v/w) <= floor(e/w) — binning the
+# interval as [floor(s/w), floor(e/w)] can over-cover by one bin (when
+# e sits exactly on a boundary) but can never MISS a qualifying pair;
+# the exact predicate filters the slack. The magnitude guard below
+# keeps floor()'s double→long conversion exact-enough on the interval
+# side, which (by the same monotonicity) is sufficient for every
+# qualifying point too.
+_NUM_BIN_LIMIT = float(2**62)
 
 
 def interval_join(
@@ -175,19 +193,56 @@ def interval_join(
         raise ValueError(
             "'__bin' is reserved by interval_join — rename the column"
         )
-    w_micros = int(bin_width * 1_000_000)
     p_dt = dict(points.dtypes)[point_ts]
     s_dt = dict(intervals.dtypes)[start_col]
     e_dt = dict(intervals.dtypes)[end_col]
+    time_side = _is_time_type(p_dt)
+    if not (time_side == _is_time_type(s_dt) == _is_time_type(e_dt)):
+        raise TypeError(
+            f"interval_join: mixed time/numeric column types "
+            f"({point_ts}:{p_dt}, {start_col}:{s_dt}, {end_col}:{e_dt}) "
+            "— cast one side before joining"
+        )
 
-    p = points.withColumn(
-        "__bin", F.floor(_to_micros(F.col(point_ts), p_dt) / w_micros)
-    ).where(F.col("__bin").isNotNull())
+    if time_side:
+        w_micros = int(bin_width * 1_000_000)
+        if w_micros < 1:
+            raise ValueError(
+                f"bin_width {bin_width}s is below 1µs, the resolution of "
+                "Spark timestamps"
+            )
+        point_bin = F.floor(_to_micros(F.col(point_ts)) / w_micros)
+        s_m = _to_micros(F.col(start_col))
+        e_m = _to_micros(F.col(end_col))
+        start_bin = F.floor(s_m / w_micros)
+        end_bin = F.floor((e_m - 1) / w_micros)  # end exclusive, exact int math
+    else:
+        w_lit = F.lit(float(bin_width))
+        point_bin = F.floor(F.col(point_ts).cast("double") / w_lit)
+        s_q = F.col(start_col).cast("double") / w_lit
+        e_q = F.col(end_col).cast("double") / w_lit
+        # In-plan magnitude guard (intervals side only — by monotonicity
+        # of division, any point INSIDE a checked interval is in range
+        # too; an out-of-range stray point can only produce false
+        # candidates, which the exact predicate removes).
+        in_range = (F.abs(s_q) < _NUM_BIN_LIMIT) & (F.abs(e_q) < _NUM_BIN_LIMIT)
+        start_bin = F.when(in_range, F.floor(s_q)).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "interval_join: |bound / bin_width| exceeds 2^62 for "
+                    "interval [%s, %s) — raise bin_width to keep bin ids "
+                    "exact",
+                    F.col(start_col).cast("string"),
+                    F.col(end_col).cast("string"),
+                )
+            )
+        )
+        # floor(e/w), not floor((e-1µs)/w): over-covers by at most one
+        # bin when e sits on a boundary, never misses (see module note).
+        end_bin = F.floor(e_q)
 
-    s_m = _to_micros(F.col(start_col), s_dt)
-    e_m = _to_micros(F.col(end_col), e_dt)
-    start_bin = F.floor(s_m / w_micros)
-    end_bin = F.floor((e_m - 1) / w_micros)  # end exclusive
+    p = points.withColumn("__bin", point_bin).where(F.col("__bin").isNotNull())
+
     n_bins = end_bin - start_bin + 1
     checked_end = F.when(n_bins <= max_bins_per_interval, end_bin).otherwise(
         F.raise_error(
@@ -203,7 +258,7 @@ def interval_join(
         intervals.where(
             F.col(start_col).isNotNull()
             & F.col(end_col).isNotNull()
-            & (e_m > s_m)
+            & (F.col(end_col) > F.col(start_col))
         )
         .withColumn("__bin", F.explode(F.sequence(start_bin, checked_end)))
     )

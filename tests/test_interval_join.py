@@ -215,3 +215,80 @@ def test_streaming_points_match_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ij_stream").collect()
     )
     assert got == want and len(got) == 2
+
+
+def test_numeric_large_magnitudes_bin_exactly(spark):
+    """|values| > 1e13 — the old (double*1e6)→long path WRAPPED here
+    and mis-binned; raw-value binning must match the theta join."""
+    base = 4_000_000_000_000_0  # 4e13
+    p = spark.createDataFrame(
+        [(1, float(base + 5)), (2, float(base + 15)), (3, float(base + 25)),
+         (4, -float(base))],
+        "point_id long, ts double",
+    )
+    iv = spark.createDataFrame(
+        [(10, float(base), float(base + 10)),
+         (11, float(base + 10), float(base + 30)),
+         (12, -float(base + 1), -float(base - 1))],
+        "iv_id long, s double, e double",
+    )
+    got = _got(p, iv, on=(), bin_width=4.0)
+    assert got == _naive_numeric(p, iv) == [(1, 10), (2, 11), (3, 11), (4, 12)]
+
+
+def _naive_numeric(p, iv):
+    pairs = p.join(iv, (F.col("s") <= F.col("ts")) & (F.col("ts") < F.col("e")))
+    return sorted((r["point_id"], r["iv_id"]) for r in pairs.collect())
+
+
+def test_numeric_sub_unit_boundaries(spark):
+    """Sub-microsecond fractional differences must not collapse: a
+    point at e - 1e-9 is IN, a point at e is OUT, even when e sits
+    exactly on a bin boundary (the old micros truncation dropped the
+    in-point at boundary widths)."""
+    e = 8.0
+    p = spark.createDataFrame(
+        [(1, e - 1e-9), (2, e), (3, e - 0.5e-6)], "point_id long, ts double"
+    )
+    iv = spark.createDataFrame([(10, 0.0, e)], "iv_id long, s double, e double")
+    for width in (1.0, 2.0, 4.0, 8.0, 0.5):
+        got = _got(p, iv, on=(), bin_width=width)
+        assert got == [(1, 10), (3, 10)], f"width={width}: {got}"
+
+
+def test_numeric_integer_dtype(spark):
+    p = spark.createDataFrame([(1, 5), (2, 99), (3, 100)], "point_id long, ts long")
+    iv = spark.createDataFrame([(10, 0, 100)], "iv_id long, s long, e long")
+    got = _got(p, iv, on=(), bin_width=7.0)
+    assert got == [(1, 10), (2, 10)]
+
+
+def test_numeric_overflow_guard_raises(spark):
+    """Interval bounds whose bin id would exceed 2^62 fail loudly
+    instead of wrapping into a wrong bin."""
+    p = spark.createDataFrame([(1, 1.0)], "point_id long, ts double")
+    iv = spark.createDataFrame(
+        [(10, 0.0, 1e19)], "iv_id long, s double, e double"
+    )
+    out = interval_join(
+        p, iv, point_ts="ts", start_col="s", end_col="e", bin_width=1.0,
+        max_bins_per_interval=2**63 - 1,
+    )
+    with pytest.raises(Exception, match="2\\^62"):
+        out.collect()
+
+
+def test_mixed_time_numeric_types_rejected(spark, points):
+    iv_num = spark.createDataFrame(
+        [(10, 0.0, 10.0)], "iv_id long, s double, e double"
+    )
+    with pytest.raises(TypeError, match="mixed"):
+        interval_join(points, iv_num, point_ts="ts", start_col="s", end_col="e")
+
+
+def test_time_bin_width_below_resolution_rejected(points, intervals):
+    with pytest.raises(ValueError, match="1µs"):
+        interval_join(
+            points, intervals, point_ts="ts", start_col="s", end_col="e",
+            on=("key",), bin_width=1e-7,
+        )
