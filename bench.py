@@ -122,6 +122,10 @@ HEADLINE = [
     "stream_funnel_emitted",
     # round-9 addition: metadata-constrained (filtered) ANN search
     "ann_filtered_topk",
+    # round-11 promotions: binned range join + PSI drift (driver slots
+    # from dedup_ngram_jaccard_pairs / media_frame_sample)
+    "interval_join_first_hour",
+    "psi_drift_orders",
 ]
 
 

@@ -623,8 +623,9 @@ ANOMALY_ZSCORE_SQL = """
 # nested loop, so the library operator rewrites it to an equi-join on
 # time bins (operators/joins.py::interval_join — the twin checks the
 # rewrite against the declarative range semantics).
-# Library surface only (50-entry driver cap), parity-checked in
-# test_parity::test_library_twin_parity.
+# Promoted to the driver catalog in round 11 (slot freed by demoting
+# dedup_ngram_jaccard_pairs, whose shingle math rides its siblings);
+# the SQL constant stays for test_parity's library-twin run.
 # --------------------------------------------------------------------------
 INTERVAL_JOIN_FIRST_HOUR_SQL = """
     WITH iv AS (
@@ -645,6 +646,11 @@ INTERVAL_JOIN_FIRST_HOUR_SQL = """
 """
 
 
+@register(
+    "interval_join_first_hour",
+    oracle=INTERVAL_JOIN_FIRST_HOUR_SQL,
+    tags=("join", "range"),
+)
 def interval_join_first_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_lake_spark.operators.joins import interval_join
 
@@ -678,8 +684,9 @@ def interval_join_first_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # totals are exact integers, so every float is a fixed expression
 # tree over ints — bit-stable across engines; a scalar SUM(psi) would
 # hang the compare on multi-row float addition order.
-# Library surface only (50-entry driver cap), parity-checked in
-# test_parity::test_library_twin_parity.
+# Promoted to the driver catalog in round 11 (slot freed by demoting
+# media_frame_sample, whose fan-out invariants are pinned in
+# test_multimodal); the SQL constant stays for the library-twin run.
 # --------------------------------------------------------------------------
 PSI_DRIFT_ORDERS_SQL = """
     WITH b AS (  -- width_bucket by hand: DuckDB has no such function
@@ -723,6 +730,11 @@ PSI_DRIFT_ORDERS_SQL = """
 """
 
 
+@register(
+    "psi_drift_orders",
+    oracle=PSI_DRIFT_ORDERS_SQL,
+    tags=("analytics", "drift"),
+)
 def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_lake_spark.operators.profile import drift_report
 

@@ -77,11 +77,14 @@ def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# n-gram Jaccard near-dup pairs (exact baseline, string shingles)
+# n-gram Jaccard near-dup pairs (exact baseline, string shingles).
+# Library twin since round 11 — its driver slot went to
+# interval_join_first_hour; the shingle/Jaccard math still gets a
+# driver row through dedup_minhash_lsh_pairs (same shingle pipeline,
+# exact-Jaccard verify stage) and text_simhash, and this exact query
+# stays parity-checked in test_parity::test_library_twin_parity.
 # --------------------------------------------------------------------------
-@register(
-    "dedup_ngram_jaccard_pairs",
-    oracle=f"""
+DEDUP_NGRAM_JACCARD_PAIRS_SQL = f"""
         WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLE_STR})),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
@@ -96,9 +99,9 @@ def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sizes sa ON i.doc_a = sa.doc_id
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
-    """,
-    tags=("dedup", "join"),
-)
+    """
+
+
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(shingle_table(docs), threshold=0.5)

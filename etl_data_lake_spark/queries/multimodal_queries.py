@@ -49,20 +49,22 @@ def media_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(fake_media_table(docs))
 
 
-@register(
-    "media_frame_sample",
-    oracle=f"""
-        SELECT doc_id AS media_id,
-               CAST(unnest(generate_series(0, ({_NFRAMES}) - 1, 4)) AS INTEGER)
-                   AS frame_idx,
-               CAST(GREATEST(octet_length(encode(text))
-                             // GREATEST({_NFRAMES}, 1), 1) AS BIGINT)
-                   AS frame_bytes
-        FROM documents
-        WHERE doc_id % 3 = 2
-    """,
-    tags=("multimodal", "mapInPandas", "fanout"),
-)
+# Library twin since round 11 — its driver slot went to
+# psi_drift_orders; the flatMap fan-out invariants stay pinned in
+# test_multimodal and this exact query stays parity-checked in
+# test_parity::test_library_twin_parity.
+MEDIA_FRAME_SAMPLE_SQL = f"""
+    SELECT doc_id AS media_id,
+           CAST(unnest(generate_series(0, ({_NFRAMES}) - 1, 4)) AS INTEGER)
+               AS frame_idx,
+           CAST(GREATEST(octet_length(encode(text))
+                         // GREATEST({_NFRAMES}, 1), 1) AS BIGINT)
+               AS frame_bytes
+    FROM documents
+    WHERE doc_id % 3 = 2
+"""
+
+
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every 4th frame of each video blob (flatMap-shaped fan-out)."""
     docs = load_table(spark, sf_dir, "documents")

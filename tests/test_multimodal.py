@@ -61,9 +61,12 @@ def test_histograms_normalized(spark):
         assert math.isclose(sum(r.histogram), 1.0, abs_tol=1e-3)
 
 
+# media_frame_sample is a library twin since round 11 (driver slot went
+# to psi_drift_orders) — its oracle check moved to
+# test_parity::test_library_twin_parity[media_frame_sample].
 @pytest.mark.parametrize(
     "name",
-    ["media_decode_metadata", "media_frame_sample", "media_histogram_stats"],
+    ["media_decode_metadata", "media_histogram_stats"],
 )
 def test_media_queries_match_oracle(spark, name):
     from etl_data_lake_spark.queries.registry import oracle_sql, queries

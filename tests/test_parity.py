@@ -187,6 +187,16 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.advanced_rel",
         "PSI_DRIFT_ORDERS_SQL",
     ),
+    (
+        "dedup_ngram_jaccard_pairs",
+        "etl_data_lake_spark.queries.dedup_queries",
+        "DEDUP_NGRAM_JACCARD_PAIRS_SQL",
+    ),
+    (
+        "media_frame_sample",
+        "etl_data_lake_spark.queries.multimodal_queries",
+        "MEDIA_FRAME_SAMPLE_SQL",
+    ),
 ]
 
 
