@@ -100,9 +100,11 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "ann_cosine_topk",
     # round 5: ann_ivf_topk/ann_lsh_topk/ann_pq_topk consolidated into
-    # ann_recall_summary (runs lsh+ivf+pq+baseline in one plan); pq's
-    # old slot went to the mixture resampler.
-    "ann_recall_summary",
+    # ann_recall_summary; round 11: that entry left the bench — it is
+    # recall-only now, and its constituent method plans are each timed
+    # ISOLATED below (ann_method_*), which subsumes the combined
+    # number (it was ~Σ(methods) minus shared-scan savings, 24% of the
+    # round-10 headline, growing with every codec added).
     "curation_mixture_summary",
     "media_histogram_stats",
     "media_audio_windows",
@@ -126,6 +128,15 @@ HEADLINE = [
     # from dedup_ngram_jaccard_pairs / media_frame_sample)
     "interval_join_first_hour",
     "psi_drift_orders",
+    # round-11: isolated per-method ANN timings (bench-only surface —
+    # see queries/vector_queries.ann_bench_queries; ann_recall_summary
+    # is recall-only since this round)
+    "ann_method_lsh",
+    "ann_method_ivf",
+    "ann_method_pq",
+    "ann_method_hnsw",
+    "ann_method_sq",
+    "ann_method_bq",
 ]
 
 
@@ -141,7 +152,14 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     from etl_data_lake_spark.queries.registry import queries
 
-    qs = queries()
+    qs = dict(queries())
+    # Round-11: per-method ANN timing entries (ann_method_lsh …). The
+    # driver catalog's ann_recall_summary is recall-only (one combined
+    # plan); each method's wall-time is instead its own bench entry —
+    # same production plans, isolated execution, per-method anchors.
+    from etl_data_lake_spark.queries.vector_queries import ann_bench_queries
+
+    qs.update(ann_bench_queries())
 
     def run_once(name: str) -> float:
         # per-query isolation: a query may persist() intermediates for

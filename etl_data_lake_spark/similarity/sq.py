@@ -73,8 +73,15 @@ def train_sq(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """→ (2, d) bounds [vmin; vmax] — per-dimension min/max of the
-    L2-NORMALIZED corpus, computed exactly in one scan (2·d scalar
-    aggregates; the only driver traffic is the 2·d result row)."""
+    L2-NORMALIZED corpus, computed exactly in one scan.
+
+    Shape: ``posexplode`` + groupBy(pos) — the map-side combine
+    reduces each task to d (lo, hi) partials before the shuffle, so
+    the shuffle carries O(partitions·d) rows and the driver reads d
+    rows, at ANY corpus size. The previous form built 2·d named
+    aggregate expressions, which bloated codegen compilation linearly
+    in d (seconds of driver time per execution at d in the hundreds,
+    the realistic embedding regime)."""
     first = corpus.select(
         F.size(as_double(vec_col)).alias("d")
     ).first()
@@ -86,18 +93,19 @@ def train_sq(
         F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)),
         F.lit(1e-300),
     )
-    comps = corpus.select(
-        *[
-            (F.element_at(v, i + 1) / nrm).alias(f"x{i}")
-            for i in range(d)
-        ]
+    rows = (
+        corpus.select(
+            F.posexplode(F.transform(v, lambda x: x / nrm)).alias("pos", "x")
+        )
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
     )
-    row = comps.agg(
-        *[F.min(f"x{i}").alias(f"lo{i}") for i in range(d)],
-        *[F.max(f"x{i}").alias(f"hi{i}") for i in range(d)],
-    ).collect()[0]
-    lo = np.array([row[f"lo{i}"] for i in range(d)], dtype=np.float64)
-    hi = np.array([row[f"hi{i}"] for i in range(d)], dtype=np.float64)
+    lo = np.zeros(d, dtype=np.float64)
+    hi = np.zeros(d, dtype=np.float64)
+    for r in rows:
+        lo[r["pos"]] = r["lo"]
+        hi[r["pos"]] = r["hi"]
     return np.stack([lo, hi])
 
 
