@@ -109,16 +109,25 @@ def pagerank(
         .persist()
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    # Dangling mass for the FIRST iteration is the only one computed
+    # by its own action; every later iteration's comes out of the same
+    # collect as the convergence delta (see below), so the steady
+    # state is two actions per iteration — the checkpoint
+    # materialization and the combined (delta, dangling) aggregate —
+    # and the ranks⋈degrees join runs once per iteration, inside the
+    # contribs branch only.
+    dangling = (
+        ranks.join(degrees, "node", "left")
+        .where(F.col("outdeg").isNull())
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+        .collect()[0]["m"]
+    )
 
     for _ in range(max_iters):
-        with_deg = ranks.join(degrees, "node", "left")
-        # one collect per iteration: dangling mass AND the barrier
-        dangling = with_deg.where(F.col("outdeg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
-        ).collect()[0]["m"]
         contribs = (
-            with_deg.where(F.col("outdeg").isNotNull())
-            .join(e, with_deg["node"] == e["src"])
+            ranks.join(degrees, "node", "left")
+            .where(F.col("outdeg").isNotNull())
+            .join(e, F.col("node") == e["src"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") * F.col("w") / F.col("outdeg")).alias("c"),
@@ -138,13 +147,24 @@ def pagerank(
             )
             .localCheckpoint()  # eager: truncates the iterative lineage
         )
-        delta = (
-            new_ranks.join(
-                ranks.withColumnRenamed("rank", "old"), "node"
+        # one combined collect: convergence delta AND the next
+        # iteration's dangling mass, both over checkpointed node-sized
+        # frames (round-11 advice: the separate dangling action
+        # re-evaluated the ranks⋈degrees join every iteration).
+        row = (
+            new_ranks.withColumnRenamed("rank", "new")
+            .join(ranks.withColumnRenamed("rank", "old"), "node")
+            .join(degrees, "node", "left")
+            .agg(
+                F.sum(F.abs(F.col("new") - F.col("old"))).alias("d"),
+                F.coalesce(
+                    F.sum(F.when(F.col("outdeg").isNull(), F.col("new"))),
+                    F.lit(0.0),
+                ).alias("m"),
             )
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-            .collect()[0]["d"]
+            .collect()[0]
         )
+        delta, dangling = row["d"], row["m"]
         ranks = new_ranks
         if delta <= tol:
             break

@@ -94,6 +94,31 @@ def rollup_distinct(
 # ---------------------------------------------------------------------------
 
 
+def _mg_update(counters: dict, dec: int, v, capacity: int) -> int:
+    """One Misra–Gries observation against a ≤ capacity counter map
+    (mutated in place); returns the new decrement total. The ONE copy
+    of the decrement-all rule, shared by the global
+    (:func:`_mg_partials`) and per-group (:func:`heavy_hitters_by`)
+    paths — the two summaries must stay behaviorally identical for
+    the documented per-group bound parity, so the inner loop lives
+    here exactly once."""
+    c = counters.get(v)
+    if c is not None:
+        counters[v] = c + 1
+    elif len(counters) < capacity:
+        counters[v] = 1
+    else:
+        # decrement-all event: one unit off every counter AND the
+        # unmatched new item — capacity+1 observations consumed
+        dec += 1
+        dead = [w for w, c2 in counters.items() if c2 == 1]
+        for w in counters:
+            counters[w] -= 1
+        for w in dead:
+            del counters[w]
+    return dec
+
+
 def _mg_partials(df: DataFrame, col: str, capacity: int) -> DataFrame:
     """Per-task Misra–Gries partial summaries: ≤ capacity counter rows
     plus one null-item sentinel carrying (decrements, observations)
@@ -133,21 +158,7 @@ def _mg_partials(df: DataFrame, col: str, capacity: int) -> DataFrame:
                 if v is None or (isinstance(v, float) and pd.isna(v)):
                     continue
                 n += 1
-                c = counters.get(v)
-                if c is not None:
-                    counters[v] = c + 1
-                elif len(counters) < capacity:
-                    counters[v] = 1
-                else:
-                    # decrement-all event: one unit off every counter
-                    # AND the unmatched new item — capacity+1
-                    # observations consumed per event
-                    dec += 1
-                    dead = [w for w, c2 in counters.items() if c2 == 1]
-                    for w in counters:
-                        counters[w] -= 1
-                    for w in dead:
-                        del counters[w]
+                dec = _mg_update(counters, dec, v, capacity)
         rows = [(w, c, 0, 0) for w, c in counters.items()]
         rows.append((None, 0, dec, n))
         yield pd.DataFrame(rows, columns=["item", "est", "dec", "n"])
@@ -257,7 +268,18 @@ def heavy_hitters_by(
             # zip the columns directly — itertuples renames columns
             # that aren't valid identifiers
             for *key_vals, v in zip(*[pdf[g] for g in gcols], pdf[col]):
-                key = tuple(key_vals)
+                # normalize missing group keys to None: raw NaN/NaT
+                # cells are each a fresh object with NaN != NaN, so
+                # without this every null-keyed row would open its own
+                # per-task state — breaking the "null keys are one
+                # group" contract and spuriously tripping
+                # max_groups_per_task.
+                key = tuple(
+                    None
+                    if x is None or (not isinstance(x, (str, bytes)) and pd.isna(x))
+                    else x
+                    for x in key_vals
+                )
                 if v is None or (isinstance(v, float) and pd.isna(v)):
                     continue
                 st = states.get(key)
@@ -272,18 +294,7 @@ def heavy_hitters_by(
                     st = ({}, 0, 0)
                 counters, dec, n = st
                 n += 1
-                c = counters.get(v)
-                if c is not None:
-                    counters[v] = c + 1
-                elif len(counters) < capacity:
-                    counters[v] = 1
-                else:
-                    dec += 1
-                    dead = [w for w, c2 in counters.items() if c2 == 1]
-                    for w in counters:
-                        counters[w] -= 1
-                    for w in dead:
-                        del counters[w]
+                dec = _mg_update(counters, dec, v, capacity)
                 states[key] = (counters, dec, n)
         rows = []
         for key, (counters, dec, n) in states.items():

@@ -806,3 +806,46 @@ def test_heavy_hitters_by_validation_and_group_guard(spark):
     assert [(r["g"], r["item"], r["count_lower"]) for r in got] == [
         (None, "x", 2)
     ]
+
+
+def test_heavy_hitters_by_nan_group_keys_are_one_group(spark):
+    """Regression (round-11 advice): a nullable float/double group
+    column yields a fresh NaN object per row in pandas, and
+    NaN != NaN — without key normalization every null-keyed row
+    opened its OWN per-task state, contradicting the 'null group keys
+    are kept as their own group' contract and able to trip
+    max_groups_per_task on a few thousand null rows."""
+    from etl_data_lake_spark.operators.sketches import heavy_hitters_by
+
+    rows = [(None, "x")] * 3000 + [(1.5, "y")] * 5
+    df = spark.createDataFrame(rows, "g double, t string").coalesce(1)
+    # 3000 null keys must count as ONE group, far under the guard
+    got = heavy_hitters_by(
+        df, ("g",), "t", capacity=8, max_groups_per_task=100
+    ).collect()
+    by_g = {(r["g"], r["item"]): r["count_lower"] for r in got}
+    assert by_g == {(None, "x"): 3000, (1.5, "y"): 5}
+
+
+def test_heavy_hitters_by_matches_global_on_single_group(spark):
+    """The per-group path must be behaviorally identical to the
+    global operator (shared _mg_update): one constant group ⇒ same
+    (item, bounds) set at the same capacity, even past capacity where
+    the decrement rule drives the result."""
+    from etl_data_lake_spark.operators.sketches import (
+        heavy_hitters,
+        heavy_hitters_by,
+    )
+
+    rows = [(f"w{i % 37}",) for i in range(4000)] + [("hot",)] * 400
+    df = spark.createDataFrame(rows, "t string").repartition(7)
+    g = df.select(F.lit("all").alias("g"), "t")
+    want = sorted(
+        (r["item"], r["count_lower"], r["count_upper"])
+        for r in heavy_hitters(df, "t", capacity=8).collect()
+    )
+    got = sorted(
+        (r["item"], r["count_lower"], r["count_upper"])
+        for r in heavy_hitters_by(g, ("g",), "t", capacity=8).collect()
+    )
+    assert got == want
