@@ -236,3 +236,124 @@ def span_doc_stats(
             ).alias("dup_ratio"),
         )
     )
+
+
+def maximal_match_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    hasher: str = "poly",
+    max_occurrences: int | None = 10_000,
+) -> DataFrame:
+    """Pair-attributed MAXIMAL repeated substrings (variable length):
+    → (doc_a, doc_b, a_start, a_end, b_start, b_end, match_tokens),
+    one row per maximal verbatim match of ≥ ``w`` tokens between two
+    documents (or two positions of one document: doc_a == doc_b,
+    a_start < b_start). Ends exclusive, token positions.
+
+    :func:`repeated_spans` answers "which of MY tokens are duplicated
+    somewhere" (per-doc window-union spans — the removal form); this
+    operator answers the suffix-array question of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"):
+    WHAT matches WHERE, at exact variable-length boundaries. A
+    window-union span can weld two unrelated repeats that touch
+    within ``w`` tokens; a pair match cannot.
+
+    The suffix array is a sequential structure; the distributed
+    re-expression needs no token re-comparison at all, by a diagonal
+    argument: a shared substring of length L ≥ w contains exactly
+    L−w+1 matching w-windows at CONSECUTIVE positions on one diagonal
+    d = a_pos − b_pos, and conversely a maximal run of consecutive
+    window matches on a diagonal IS a maximal match — it cannot
+    extend by even one token, because that token would complete one
+    more matching w-window on the same diagonal (its other w−1 tokens
+    lie in the already-shared region), contradicting run maximality.
+    So: equi-join window hashes, then gaps-and-islands per
+    (doc_a, doc_b, diagonal) ordered by position — EXACT maximal
+    boundaries (modulo hash collisions; ``hasher="xxhash64"`` for the
+    collision-resistant engine-local path, same contract as
+    :func:`window_hashes`).
+
+    Scale shape: the ``HAVING count ≥ 2`` prune drops the
+    unique-window majority before the self-join, and the join carries
+    only duplicated-window occurrences. The quadratic cliff is the
+    GLOBALLY HOT window (site boilerplate in 10⁵ documents → 10¹⁰
+    pairs from one hash); ``max_occurrences`` drops window hashes
+    with more occurrences than that from pairing — matches running
+    through a dropped window SPLIT at it (and matches shorter than w
+    past it vanish), the standard practical trade for boilerplate
+    suppression. ``max_occurrences=None`` is the exact mode; the
+    default keeps one hash's pair fan-out ≤ ~5·10⁷.
+
+    Fully oracle-expressible (the poly-hash path) — DuckDB twin in
+    queries/dedup_queries.MAXIMAL_MATCH_SPANS_SQL.
+    """
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    if max_occurrences is not None and max_occurrences < 2:
+        raise ValueError(
+            f"max_occurrences must be >= 2 (or None), got {max_occurrences}"
+        )
+    wh = window_hashes(docs, text_col, id_col, w, hasher)
+    counts = wh.groupBy("whash").agg(F.count("*").alias("n_occ"))
+    eligible = counts.where(F.col("n_occ") > 1)
+    if max_occurrences is not None:
+        eligible = eligible.where(F.col("n_occ") <= max_occurrences)
+    dup = wh.join(eligible.select("whash"), "whash")
+
+    a = dup.select(
+        "whash",
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("a_pos"),
+    )
+    b = dup.select(
+        "whash",
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("b_pos"),
+    )
+    pairs = a.join(b, "whash").where(
+        (F.col("doc_a") < F.col("doc_b"))
+        | (
+            (F.col("doc_a") == F.col("doc_b"))
+            & (F.col("a_pos") < F.col("b_pos"))
+        )
+    )
+    diag = pairs.select(
+        "doc_a",
+        "doc_b",
+        "a_pos",
+        "b_pos",
+        (F.col("a_pos") - F.col("b_pos")).alias("diag"),
+    )
+    by_diag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("a_pos")
+    flagged = diag.withColumn(
+        "new_run",
+        F.when(
+            F.col("a_pos") - F.lag("a_pos").over(by_diag) == 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            by_diag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "run_id")
+        .agg(
+            F.min("a_pos").cast("long").alias("a_start"),
+            (F.max("a_pos") + F.lit(w)).cast("long").alias("a_end"),
+            F.min("b_pos").cast("long").alias("b_start"),
+            (F.max("b_pos") + F.lit(w)).cast("long").alias("b_end"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "a_start",
+            "a_end",
+            "b_start",
+            "b_end",
+            (F.col("a_end") - F.col("a_start")).alias("match_tokens"),
+        )
+    )

@@ -269,7 +269,9 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_W = 8
 
 
-def _substring_oracle(w: int = _SPAN_W) -> str:
+def _window_cte(w: int) -> str:
+    """toks/hashed/flat CTE text — the positional composed window
+    hashes shared by the repeated-spans and maximal-match oracles."""
     tk = f"list_filter({_TOK}, t -> t != '')"
     th = f"list_transform(tk, t -> {sql_poly_hash('t')})"
     acc = "th[i]"
@@ -291,7 +293,11 @@ def _substring_oracle(w: int = _SPAN_W) -> str:
                            AS w
                 FROM hashed
             )
-        ),
+        )"""
+
+
+def _substring_oracle(w: int = _SPAN_W) -> str:
+    return f"""{_window_cte(w)},
         hot AS (
             SELECT whash FROM flat GROUP BY whash HAVING COUNT(*) > 1
         ),
@@ -464,3 +470,77 @@ def text_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("doc_id") % 20 != 0)
     reference = docs.where(F.col("doc_id") % 20 == 0)
     return contaminated_spans(train, reference, w=_CONTAM_W)
+
+
+# --------------------------------------------------------------------------
+# Maximal pair-attributed matches (round 11, r10-verdict #4): the
+# suffix-array-class variable-length form of exact-substring dedup
+# (Lee et al. 2022) via the diagonal-run rewrite — see
+# dedup/substring.maximal_match_spans for the maximality argument.
+# The oracle replays the ENTIRE pipeline (not just the seed stage):
+# window hashes → dup-occurrence prune → self-join → per-diagonal
+# gaps-and-islands. Library twin (50-entry driver cap), parity-checked
+# in test_parity::test_library_twin_parity. Run at w=4 like the
+# contamination entry (the synthetic corpus has almost no verbatim
+# 8-gram overlap); the operator default stays w=8 and the planted
+# tests pin exact boundaries at varied lengths.
+# --------------------------------------------------------------------------
+def _maximal_match_oracle(w: int, max_occurrences: int) -> str:
+    return f"""{_window_cte(w)},
+        eligible AS (
+            SELECT whash FROM flat GROUP BY whash
+            HAVING COUNT(*) > 1 AND COUNT(*) <= {max_occurrences}
+        ),
+        dup AS (
+            SELECT f.doc_id, f.pos, f.whash
+            FROM flat f JOIN eligible USING (whash)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS a_pos, b.pos AS b_pos,
+                   a.pos - b.pos AS diag
+            FROM dup a JOIN dup b USING (whash)
+            WHERE a.doc_id < b.doc_id
+               OR (a.doc_id = b.doc_id AND a.pos < b.pos)
+        ),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN a_pos - lag(a_pos) OVER
+                            (PARTITION BY doc_a, doc_b, diag
+                             ORDER BY a_pos) = 1
+                        THEN 0 ELSE 1 END AS new_run
+            FROM pairs
+        ),
+        runs AS (
+            SELECT *,
+                   sum(new_run) OVER (PARTITION BY doc_a, doc_b, diag
+                                      ORDER BY a_pos
+                                      ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM flagged
+        )
+        SELECT doc_a, doc_b,
+               CAST(min(a_pos) AS BIGINT) AS a_start,
+               CAST(max(a_pos) + {w} AS BIGINT) AS a_end,
+               CAST(min(b_pos) AS BIGINT) AS b_start,
+               CAST(max(b_pos) + {w} AS BIGINT) AS b_end,
+               CAST(max(a_pos) + {w} - min(a_pos) AS BIGINT)
+                   AS match_tokens
+        FROM runs
+        GROUP BY doc_a, doc_b, diag, run_id
+    """
+
+
+_MAXIMAL_W = 4
+_MAXIMAL_CAP = 10_000
+MAXIMAL_MATCH_SPANS_SQL = _maximal_match_oracle(_MAXIMAL_W, _MAXIMAL_CAP)
+
+
+def dedup_maximal_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal variable-length verbatim matches between document pairs
+    over the documents table. Oracle: MAXIMAL_MATCH_SPANS_SQL."""
+    from etl_data_lake_spark.dedup.substring import maximal_match_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return maximal_match_spans(
+        docs, w=_MAXIMAL_W, max_occurrences=_MAXIMAL_CAP
+    )

@@ -197,6 +197,11 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.multimodal_queries",
         "MEDIA_FRAME_SAMPLE_SQL",
     ),
+    (
+        "dedup_maximal_match_spans",
+        "etl_data_lake_spark.queries.dedup_queries",
+        "MAXIMAL_MATCH_SPANS_SQL",
+    ),
 ]
 
 

@@ -179,3 +179,140 @@ def test_xxhash64_hasher_equal_on_planted_docs(planted):
         ).collect()
     }
     assert sp == sx
+
+
+# ---------------------------------------------------------------------------
+# maximal_match_spans — pair-attributed variable-length maximal matches
+# (round 11). The diagonal-run rewrite must recover PLANTED maximal
+# spans exactly, at varied lengths, where the per-doc window-union form
+# (repeated_spans) cannot attribute or may weld.
+# ---------------------------------------------------------------------------
+from etl_data_lake_spark.dedup.substring import maximal_match_spans
+
+
+def _matches(df):
+    return sorted(
+        (
+            r["doc_a"], r["doc_b"], r["a_start"], r["a_end"],
+            r["b_start"], r["b_end"], r["match_tokens"],
+        )
+        for r in df.collect()
+    )
+
+
+def test_maximal_planted_exact_at_varied_lengths(spark):
+    """Shared passages of length w, w+3 and 2w+5 planted at different
+    offsets — every boundary recovered exactly, length = planted
+    length (no rounding to window multiples)."""
+    for L in (W, W + 3, 2 * W + 5):
+        passage = " ".join(f"shared{i}" for i in range(L))
+        docs = _mkdocs(
+            spark,
+            {
+                1: _uniq("a", 5) + " " + passage + " " + _uniq("b", 6),
+                2: _uniq("c", 9) + " " + passage + " " + _uniq("d", 3),
+            },
+        )
+        got = _matches(maximal_match_spans(docs, w=W))
+        assert got == [(1, 2, 5, 5 + L, 9, 9 + L, L)], f"L={L}: {got}"
+
+
+def test_maximal_does_not_weld_adjacent_distinct_matches(spark):
+    """Doc 1 carries two DIFFERENT shared passages back to back (one
+    shared with doc 2, one with doc 3). repeated_spans welds them into
+    one per-doc span by construction; the pair form must report two
+    separate matches with exact boundaries."""
+    p1 = " ".join(f"p{i}" for i in range(W + 2))       # 6 tokens
+    p2 = " ".join(f"q{i}" for i in range(W + 1))       # 5 tokens
+    docs = _mkdocs(
+        spark,
+        {
+            1: _uniq("a", 4) + " " + p1 + " " + p2 + " " + _uniq("b", 4),
+            2: _uniq("c", 7) + " " + p1 + " " + _uniq("d", 5),
+            3: p2 + " " + _uniq("e", 8),
+        },
+    )
+    got = _matches(maximal_match_spans(docs, w=W))
+    assert got == [
+        (1, 2, 4, 4 + (W + 2), 7, 7 + (W + 2), W + 2),
+        (1, 3, 4 + (W + 2), 4 + (W + 2) + (W + 1), 0, W + 1, W + 1),
+    ]
+    # the per-doc union form reports ONE welded span for doc 1 here —
+    # the discriminating behavior that motivates the pair operator
+    welded = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeated_spans(docs, w=W).collect()
+        if r["doc_id"] == 1
+    }
+    assert welded == {(1, 4, 4 + (W + 2) + (W + 1))}
+
+
+def test_maximal_within_doc_and_multiple_positions(spark):
+    """A doc repeating a phrase twice matches itself (doc_a == doc_b,
+    a_start < b_start); a passage at two positions of doc 2 yields one
+    row per position (separate diagonals)."""
+    phrase = " ".join(f"r{i}" for i in range(W))
+    docs = _mkdocs(
+        spark,
+        {
+            1: phrase + " " + _uniq("a", 6) + " " + phrase,
+            2: _uniq("b", 3) + " " + phrase + " " + _uniq("c", 5) + " "
+               + phrase,
+        },
+    )
+    got = _matches(maximal_match_spans(docs, w=W))
+    assert (1, 1, 0, W, W + 6, 2 * W + 6, W) in got
+    assert (2, 2, 3, 3 + W, W + 8, 2 * W + 8, W) in got
+    # cross-doc: each occurrence pair on its own diagonal
+    cross = [g for g in got if g[0] == 1 and g[1] == 2]
+    assert len(cross) == 4  # 2 positions in doc1 × 2 in doc2
+
+
+def test_maximal_three_way_reports_every_pair(spark):
+    passage = " ".join(f"s{i}" for i in range(W + 1))
+    docs = _mkdocs(
+        spark,
+        {
+            1: passage + " " + _uniq("a", 4),
+            2: _uniq("b", 2) + " " + passage,
+            3: _uniq("c", 6) + " " + passage + " " + _uniq("d", 2),
+        },
+    )
+    got = _matches(maximal_match_spans(docs, w=W))
+    assert [(a, b) for a, b, *_ in got] == [(1, 2), (1, 3), (2, 3)]
+    assert all(m == W + 1 for *_, m in got)
+
+
+def test_maximal_hot_window_cap(spark):
+    """A phrase shared by more docs than max_occurrences drops from
+    pairing (boilerplate suppression); cap=None restores it."""
+    phrase = " ".join(f"h{i}" for i in range(W))
+    texts = {i: _uniq(f"u{i}_", 3) + " " + phrase for i in range(1, 8)}
+    docs = _mkdocs(spark, texts)
+    capped = maximal_match_spans(docs, w=W, max_occurrences=3)
+    assert capped.count() == 0
+    exact = maximal_match_spans(docs, w=W, max_occurrences=None)
+    assert exact.count() == 7 * 6 // 2  # every doc pair
+
+
+def test_maximal_xxhash64_equals_poly(spark):
+    passage = " ".join(f"x{i}" for i in range(W + 5))
+    docs = _mkdocs(
+        spark,
+        {
+            1: _uniq("a", 3) + " " + passage,
+            2: passage + " " + _uniq("b", 7),
+            3: _uniq("c", 10),
+        },
+    )
+    assert _matches(maximal_match_spans(docs, w=W, hasher="poly")) == \
+        _matches(maximal_match_spans(docs, w=W, hasher="xxhash64"))
+
+
+def test_maximal_validation_and_empty(spark):
+    docs = _mkdocs(spark, {1: "a b c"})
+    with pytest.raises(ValueError, match="w must"):
+        maximal_match_spans(docs, w=0)
+    with pytest.raises(ValueError, match="max_occurrences"):
+        maximal_match_spans(docs, max_occurrences=1)
+    assert maximal_match_spans(docs, w=W).count() == 0  # nothing shared
