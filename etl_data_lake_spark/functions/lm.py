@@ -570,3 +570,364 @@ def kn_bigram_perplexity_score(
             F.exp("avg_neg_logp").alias("perplexity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser–Ney TRIGRAM LM (round 11) — interpolated modified-backoff KN
+# at order 3, the shape real perplexity filters use (CCNet scores with
+# a 5-gram KenLM; order 3 exercises every structural element — highest
+# order, one continuation-count middle order, the unigram continuation
+# floor — and each extra order repeats the middle-order pattern).
+#
+#   P(w3|w1w2) = max(c(w1w2w3)−D3,0)/c(w1w2) + λ3(w1w2)·P(w3|w2)
+#   λ3(w1w2)   = D3·N1+(w1w2·)/c(w1w2)
+#   P(w3|w2)   = max(N1+(·w2w3)−D2,0)/N1+(·w2·) + λ2(w2)·P_cont(w3)
+#   λ2(w2)     = D2·Ntypes(w2)/N1+(·w2·)
+#   P_cont(w3) = (N1+(·w3)+α)/(N1+(··)+α·(V+1))
+#
+# EVERY count derives from the ONE distributed trigram count table
+# (c(w1w2) = Σ_w3 c, all N1+ are distinct-row counts over it) — so a
+# document's first two tokens are a corpus-edge bigram that enters no
+# trigram and no count, the convention the pure-Python reference test
+# replays exactly. D3 comes from the trigram counts-of-counts, D2 from
+# the continuation counts-of-counts (order-specific leave-one-out
+# estimates, Chen & Goodman 1999). Untruncated,
+# Σ_w3 P(w3|w1w2) = 1 exactly for every seen context (pinned);
+# truncation drops mass only from the discounted numerators, so the
+# model goes conservatively deficient, never improper.
+# ---------------------------------------------------------------------------
+
+
+def _unk_trigram_counts(
+    ref_docs: DataFrame, uni_model: DataFrame, text_col: str
+) -> DataFrame:
+    """UNK-mapped adjacent-token triple counts ``(_w1,_w2,_w3,_c)`` —
+    same shape discipline as :func:`_unk_pair_counts`: one shuffle by
+    doc for the window lags, one count aggregation whose shuffle
+    carries DISTINCT triples."""
+    from pyspark.sql import Window
+
+    base = ref_docs.withColumn("_doc", F.monotonically_increasing_id())
+    toks = base.select(
+        "_doc",
+        F.posexplode(F.filter(tokens(text_col), lambda t: t != "")).alias(
+            "_pos", "_term"
+        ),
+    )
+    mapped = toks.join(
+        F.broadcast(uni_model.select("term")),
+        toks["_term"] == F.col("term"),
+        "left",
+    ).select(
+        "_doc",
+        "_pos",
+        F.coalesce(F.col("term"), F.lit(_UNK)).alias("_w3"),
+    )
+    w = Window.partitionBy("_doc").orderBy("_pos")
+    triples = mapped.select(
+        F.lag("_w3", 2).over(w).alias("_w1"),
+        F.lag("_w3", 1).over(w).alias("_w2"),
+        "_w3",
+    ).where(F.col("_w1").isNotNull())
+    return triples.groupBy("_w1", "_w2", "_w3").agg(
+        F.count("*").alias("_c")
+    )
+
+
+@dataclass(frozen=True)
+class KnTrigramModel:
+    """Bounded pieces of the order-3 KN tower. ``tri_model
+    (w1, w2, w3, p_disc3)``; ``ctx2_model (w1, w2, backoff3)`` with λ3
+    per seen trigram context; ``mid_model (w2, w3, p_disc2)`` the
+    continuation-count middle order; ``ctx1_model (w2, backoff2)``
+    with λ2 per seen middle context; ``cont_model (w3, p_cont)`` +
+    ``cont_floor`` exactly as in :class:`KnBigramModel`.
+    ``uni_model``/``oov_logp`` score a document's FIRST token (the
+    tower has no BOS convention — by design, like the other scorers
+    here)."""
+
+    uni_model: DataFrame
+    oov_logp: float
+    tri_model: DataFrame
+    ctx2_model: DataFrame
+    mid_model: DataFrame
+    ctx1_model: DataFrame
+    cont_model: DataFrame
+    cont_floor: float
+    discount3: float
+    discount2: float
+
+
+def _coc_discount(counts: DataFrame, col: str) -> float:
+    cc = counts.agg(
+        F.sum((F.col(col) == 1).cast("long")).alias("n1"),
+        F.sum((F.col(col) == 2).cast("long")).alias("n2"),
+    ).collect()[0]
+    n1, n2 = int(cc["n1"] or 0), int(cc["n2"] or 0)
+    return n1 / (n1 + 2.0 * n2) if (n1 + n2) > 0 else 0.5
+
+
+def train_kn_trigram_lm(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 1.0,
+    max_trigrams: int = 500_000,
+    max_bigrams: int = 200_000,
+) -> KnTrigramModel:
+    """→ :class:`KnTrigramModel`. ``tri_model`` keeps the top
+    ``max_trigrams`` triples, ``mid_model`` the top ``max_bigrams``
+    continuation pairs (count-desc, key-asc tie-breaks — deterministic
+    truncation; a dropped entry falls through to the next order's
+    term, conservatively deficient, never improper). The context (λ)
+    tables are NEVER truncated — dropping a λ row would score a seen
+    context with λ = 1 and hand it MORE mass than training assigned,
+    an improperness bug rather than a truncation trade."""
+    uni_model, oov_logp = train_unigram_lm(
+        ref_docs, text_col, vocab_size, alpha
+    )
+    tri_counts = _unk_trigram_counts(ref_docs, uni_model, text_col).persist()
+    try:
+        if tri_counts.limit(1).count() == 0:
+            raise ValueError(
+                "no trigrams in the reference corpus — the KN trigram "
+                "trainer needs at least one 3-token document"
+            )
+        d3 = _coc_discount(tri_counts, "_c")
+
+        # trigram-context totals: c(w1w2) and N1+(w1w2·)
+        ctx2 = tri_counts.groupBy("_w1", "_w2").agg(
+            F.sum("_c").alias("c12"),
+            F.count("*").alias("n_follow"),
+        )
+        # continuation counts N1+(·w2w3): distinct w1 per (w2,w3)
+        mid_counts = tri_counts.groupBy("_w2", "_w3").agg(
+            F.count("*").alias("n_cont")
+        ).persist()
+        d2 = _coc_discount(mid_counts, "n_cont")
+        # N1+(·w2·) and Ntypes(w2)
+        ctx1 = mid_counts.groupBy("_w2").agg(
+            F.sum("n_cont").alias("n_mid"),
+            F.count("*").alias("n_types"),
+        )
+        # N1+(·w3) over (w2,w3) pairs; N1+(··) total
+        cont = mid_counts.groupBy("_w3").agg(
+            F.count("*").alias("n_precede")
+        )
+        n_cont_total = int(
+            mid_counts.agg(F.count("*").alias("n")).collect()[0]["n"]
+        )
+        vocab_v = uni_model.count() + 1  # + UNK
+        spark = ref_docs.sparkSession
+
+        tri_kept = (
+            tri_counts.orderBy(F.desc("_c"), "_w1", "_w2", "_w3")
+            .limit(max_trigrams)
+            .join(F.broadcast(ctx2.select("_w1", "_w2", "c12")), ["_w1", "_w2"])
+            .select(
+                F.col("_w1").alias("w1"),
+                F.col("_w2").alias("w2"),
+                F.col("_w3").alias("w3"),
+                (
+                    F.greatest(F.col("_c") - F.lit(d3), F.lit(0.0))
+                    / F.col("c12")
+                ).alias("p_disc3"),
+            )
+        )
+        tri_model = spark.createDataFrame(
+            tri_kept.collect(),
+            "w1 string, w2 string, w3 string, p_disc3 double",
+        )
+        ctx2_model = spark.createDataFrame(
+            ctx2.select(
+                F.col("_w1").alias("w1"),
+                F.col("_w2").alias("w2"),
+                (F.lit(d3) * F.col("n_follow") / F.col("c12")).alias(
+                    "backoff3"
+                ),
+            ).collect(),
+            "w1 string, w2 string, backoff3 double",
+        )
+        mid_kept = (
+            mid_counts.orderBy(F.desc("n_cont"), "_w2", "_w3")
+            .limit(max_bigrams)
+            .join(F.broadcast(ctx1.select("_w2", "n_mid")), "_w2")
+            .select(
+                F.col("_w2").alias("w2"),
+                F.col("_w3").alias("w3"),
+                (
+                    F.greatest(F.col("n_cont") - F.lit(d2), F.lit(0.0))
+                    / F.col("n_mid")
+                ).alias("p_disc2"),
+            )
+        )
+        mid_model = spark.createDataFrame(
+            mid_kept.collect(), "w2 string, w3 string, p_disc2 double"
+        )
+        ctx1_model = spark.createDataFrame(
+            ctx1.select(
+                F.col("_w2").alias("w2"),
+                (F.lit(d2) * F.col("n_types") / F.col("n_mid")).alias(
+                    "backoff2"
+                ),
+            ).collect(),
+            "w2 string, backoff2 double",
+        )
+        denom = n_cont_total + alpha * (vocab_v + 0.0)
+        cont_model = spark.createDataFrame(
+            cont.select(
+                F.col("_w3").alias("w3"),
+                ((F.col("n_precede") + F.lit(alpha)) / F.lit(denom)).alias(
+                    "p_cont"
+                ),
+            ).collect(),
+            "w3 string, p_cont double",
+        )
+        cont_floor = alpha / denom
+        mid_counts.unpersist()
+    finally:
+        tri_counts.unpersist()
+    return KnTrigramModel(
+        uni_model=uni_model,
+        oov_logp=oov_logp,
+        tri_model=tri_model,
+        ctx2_model=ctx2_model,
+        mid_model=mid_model,
+        ctx1_model=ctx1_model,
+        cont_model=cont_model,
+        cont_floor=cont_floor,
+        discount3=d3,
+        discount2=d2,
+    )
+
+
+def kn_trigram_perplexity_score(
+    docs: DataFrame,
+    model: KnTrigramModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ ``(doc_id, n_tokens, avg_neg_logp, perplexity)`` under the
+    order-3 KN tower: a doc's first token scores by the unigram model,
+    its second by the middle order
+    ``log(p_disc2(w2,w) + λ2(w2)·p_cont(w))``, every later token by
+    the full cascade
+    ``log(p_disc3 + λ3·(p_disc2 + λ2·p_cont))``. Unseen (w1,w2)
+    context → λ3 = 1 (full backoff); unseen w2 context → λ2 = 1;
+    unseen continuation → ``cont_floor``. One candidate scan; all six
+    model joins broadcast (bounded by construction); empty documents →
+    null perplexity."""
+    from pyspark.sql import Window
+
+    uni_model, oov_logp = model.uni_model, model.oov_logp
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(
+            F.filter(tokens(text_col), lambda t: t != "")
+        ).alias("_pos", "_term"),
+    )
+    uni = F.broadcast(
+        uni_model.select(
+            F.col("term").alias("_t"), F.col(OOV_LOGP_COL).alias("_lp")
+        )
+    )
+    mapped = toks.join(uni, toks["_term"] == F.col("_t"), "left").select(
+        "doc_id",
+        "_pos",
+        F.when(F.col("_term").isNull(), F.lit(None))
+        .otherwise(F.coalesce(F.col("_t"), F.lit(_UNK)))
+        .alias("_w3"),
+        F.when(
+            F.col("_term").isNotNull(),
+            F.coalesce(F.col("_lp"), F.lit(oov_logp)),
+        ).alias("_uni_lp"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    seq = mapped.withColumn("_w2", F.lag("_w3", 1).over(w)).withColumn(
+        "_w1", F.lag("_w3", 2).over(w)
+    )
+    tri = F.broadcast(
+        model.tri_model.select(
+            F.col("w1").alias("_t1"),
+            F.col("w2").alias("_t2"),
+            F.col("w3").alias("_t3"),
+            "p_disc3",
+        )
+    )
+    ctx2 = F.broadcast(
+        model.ctx2_model.select(
+            F.col("w1").alias("_c1"),
+            F.col("w2").alias("_c2"),
+            F.col("backoff3").alias("_lam3"),
+        )
+    )
+    mid = F.broadcast(
+        model.mid_model.select(
+            F.col("w2").alias("_m2"),
+            F.col("w3").alias("_m3"),
+            "p_disc2",
+        )
+    )
+    ctx1 = F.broadcast(
+        model.ctx1_model.select(
+            F.col("w2").alias("_x2"), F.col("backoff2").alias("_lam2")
+        )
+    )
+    cont = F.broadcast(
+        model.cont_model.select(
+            F.col("w3").alias("_k3"), F.col("p_cont").alias("_pc")
+        )
+    )
+    p_mid = (
+        F.coalesce(F.col("p_disc2"), F.lit(0.0))
+        + F.coalesce(F.col("_lam2"), F.lit(1.0))
+        * F.coalesce(F.col("_pc"), F.lit(model.cont_floor))
+    )
+    joined = (
+        seq.join(
+            tri,
+            (seq["_w1"] == F.col("_t1"))
+            & (seq["_w2"] == F.col("_t2"))
+            & (seq["_w3"] == F.col("_t3")),
+            "left",
+        )
+        .join(
+            ctx2,
+            (seq["_w1"] == F.col("_c1")) & (seq["_w2"] == F.col("_c2")),
+            "left",
+        )
+        .join(
+            mid,
+            (seq["_w2"] == F.col("_m2")) & (seq["_w3"] == F.col("_m3")),
+            "left",
+        )
+        .join(ctx1, seq["_w2"] == F.col("_x2"), "left")
+        .join(cont, seq["_w3"] == F.col("_k3"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_w3").isNull(), F.lit(None))
+            .when(F.col("_w2").isNull(), F.col("_uni_lp"))
+            .when(F.col("_w1").isNull(), F.log(p_mid))
+            .otherwise(
+                F.log(
+                    F.coalesce(F.col("p_disc3"), F.lit(0.0))
+                    # unseen trigram context: λ3 = 1 (full backoff)
+                    + F.coalesce(F.col("_lam3"), F.lit(1.0)) * p_mid
+                )
+            )
+            .alias("lp"),
+        )
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("lp").cast("long").alias("n_tokens"),
+            (-F.avg("lp")).alias("avg_neg_logp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_neg_logp",
+            F.exp("avg_neg_logp").alias("perplexity"),
+        )
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from etl_data_lake_spark.functions.lm import KnBigramModel
+from etl_data_lake_spark.functions.lm import KnBigramModel, KnTrigramModel
 from etl_data_lake_spark.functions.tokenizer_io import _atomic_write
 
 _FORMAT = "etl-data-lake-lm"
@@ -93,6 +93,43 @@ def save_kn_lm(path: str, model: KnBigramModel) -> None:
     )
 
 
+def save_kn_trigram_lm(path: str, model: KnTrigramModel) -> None:
+    """Persist a :func:`train_kn_trigram_lm` result."""
+    _atomic_write(
+        str(path),
+        {
+            "format": _FORMAT,
+            "version": _VERSION,
+            "type": "trigram_kn",
+            "uni": _uni_rows(model.uni_model),
+            "oov_logp": float(model.oov_logp),
+            "tri": sorted(
+                [r["w1"], r["w2"], r["w3"], float(r["p_disc3"])]
+                for r in model.tri_model.collect()
+            ),
+            "ctx2": sorted(
+                [r["w1"], r["w2"], float(r["backoff3"])]
+                for r in model.ctx2_model.collect()
+            ),
+            "mid": sorted(
+                [r["w2"], r["w3"], float(r["p_disc2"])]
+                for r in model.mid_model.collect()
+            ),
+            "ctx1": sorted(
+                [r["w2"], float(r["backoff2"])]
+                for r in model.ctx1_model.collect()
+            ),
+            "cont": sorted(
+                [r["w3"], float(r["p_cont"])]
+                for r in model.cont_model.collect()
+            ),
+            "cont_floor": float(model.cont_floor),
+            "discount3": float(model.discount3),
+            "discount2": float(model.discount2),
+        },
+    )
+
+
 def load_lm(spark: SparkSession, path: str):
     """→ ``("unigram", (uni_model, oov_logp))``,
     ``("bigram_jm", (uni_model, oov_logp, bigram_model))``, or
@@ -147,4 +184,157 @@ def load_lm(spark: SparkSession, path: str):
             cont_floor=float(doc["cont_floor"]),
             discount=float(doc["discount"]),
         )
+    if kind == "trigram_kn":
+        tri = spark.createDataFrame(
+            [(a, b, c, p) for a, b, c, p in doc["tri"]],
+            "w1 string, w2 string, w3 string, p_disc3 double",
+        )
+        ctx2 = spark.createDataFrame(
+            [(a, b, l) for a, b, l in doc["ctx2"]],
+            "w1 string, w2 string, backoff3 double",
+        )
+        mid = spark.createDataFrame(
+            [(a, b, p) for a, b, p in doc["mid"]],
+            "w2 string, w3 string, p_disc2 double",
+        )
+        ctx1 = spark.createDataFrame(
+            [(a, l) for a, l in doc["ctx1"]],
+            "w2 string, backoff2 double",
+        )
+        cont = spark.createDataFrame(
+            [(w, p) for w, p in doc["cont"]],
+            "w3 string, p_cont double",
+        )
+        return kind, KnTrigramModel(
+            uni_model=uni,
+            oov_logp=oov,
+            tri_model=tri,
+            ctx2_model=ctx2,
+            mid_model=mid,
+            ctx1_model=ctx1,
+            cont_model=cont,
+            cont_floor=float(doc["cont_floor"]),
+            discount3=float(doc["discount3"]),
+            discount2=float(doc["discount2"]),
+        )
     raise ValueError(f"unknown {_FORMAT} type {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# ARPA export (round 11) — the interchange format SRILM/KenLM and
+# every public n-gram tool read. The interpolated KN tower converts to
+# ARPA's backoff form exactly: each stored n-gram's probability column
+# is the FULL interpolated value, and a context's backoff weight is
+# its λ (the standard conversion — querying the ARPA file with the
+# usual "if present use logp, else bow(context)·P(lower)" rule
+# reproduces the tower bit-for-bit, which the tests pin with an
+# independent ARPA evaluator). The tower has no BOS/EOS convention
+# (first tokens score under a separate unigram model), so the export
+# contains no <s>/</s> entries — documented, not hidden; UNK maps to
+# the standard "<unk>" symbol.
+# ---------------------------------------------------------------------------
+
+_ARPA_UNK = "<unk>"
+
+
+def _arpa_sym(w: str) -> str:
+    from etl_data_lake_spark.functions.lm import _UNK
+
+    return _ARPA_UNK if w == _UNK else w
+
+
+def save_arpa(path: str, model: KnTrigramModel) -> None:
+    """Write a :class:`KnTrigramModel` as an ARPA file.
+
+    Sections: \\1-grams = the continuation distribution (p_cont /
+    cont_floor) with bow = log10 λ2 for words that are seen middle
+    contexts; \\2-grams = every pair that is a stored middle entry OR
+    a stored trigram context (ARPA requires each trigram's prefix to
+    be listed), probability = the interpolated middle order, bow =
+    log10 λ3 where the pair is a seen trigram context; \\3-grams =
+    the stored trigrams at their full cascade probability. Bounded
+    driver-side model pieces → plain local file IO, atomic rename."""
+    import math
+    import os
+    import tempfile
+
+    cont = {
+        r["w3"]: float(r["p_cont"]) for r in model.cont_model.collect()
+    }
+    lam2 = {
+        r["w2"]: float(r["backoff2"]) for r in model.ctx1_model.collect()
+    }
+    mid = {
+        (r["w2"], r["w3"]): float(r["p_disc2"])
+        for r in model.mid_model.collect()
+    }
+    lam3 = {
+        (r["w1"], r["w2"]): float(r["backoff3"])
+        for r in model.ctx2_model.collect()
+    }
+    tri = {
+        (r["w1"], r["w2"], r["w3"]): float(r["p_disc3"])
+        for r in model.tri_model.collect()
+    }
+    vocab = sorted(
+        {r["term"] for r in model.uni_model.collect()}
+        | set(cont)
+        | set(lam2)
+        | {w for pair in mid for w in pair}
+    )
+
+    def p_cont(w):  # unigram level
+        return cont.get(w, model.cont_floor)
+
+    def p_mid(w2, w3):  # bigram level, full interpolation
+        return mid.get((w2, w3), 0.0) + lam2.get(w2, 1.0) * p_cont(w3)
+
+    def p_tri(w1, w2, w3):
+        return tri.get((w1, w2, w3), 0.0) + lam3.get((w1, w2), 1.0) * p_mid(
+            w2, w3
+        )
+
+    def lg(p):
+        return f"{math.log10(p):.7f}"
+
+    bigram_keys = sorted(set(mid) | set(lam3))
+    lines = ["\\data\\"]
+    lines.append(f"ngram 1={len(vocab)}")
+    lines.append(f"ngram 2={len(bigram_keys)}")
+    lines.append(f"ngram 3={len(tri)}")
+    lines.append("")
+    lines.append("\\1-grams:")
+    for w in vocab:
+        bow = f"\t{lg(lam2[w])}" if w in lam2 else ""
+        lines.append(f"{lg(p_cont(w))}\t{_arpa_sym(w)}{bow}")
+    lines.append("")
+    lines.append("\\2-grams:")
+    for w2, w3 in bigram_keys:
+        bow = f"\t{lg(lam3[(w2, w3)])}" if (w2, w3) in lam3 else ""
+        lines.append(
+            f"{lg(p_mid(w2, w3))}\t{_arpa_sym(w2)} {_arpa_sym(w3)}{bow}"
+        )
+    lines.append("")
+    lines.append("\\3-grams:")
+    for w1, w2, w3 in sorted(tri):
+        lines.append(
+            f"{lg(p_tri(w1, w2, w3))}\t"
+            f"{_arpa_sym(w1)} {_arpa_sym(w2)} {_arpa_sym(w3)}"
+        )
+    lines.append("")
+    lines.append("\\end\\")
+    body = "\n".join(lines) + "\n"
+
+    path = str(path)
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".arpa-tmp-")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(body)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
