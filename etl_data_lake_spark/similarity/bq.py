@@ -115,14 +115,9 @@ def train_bq(
     return out
 
 
-def bq_encode(
-    corpus: DataFrame,
-    thresholds: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """→ (neighbor_id, codes array<tinyint> of ceil(d/8) bytes): the
-    one-bit-per-dimension compressed corpus."""
+def _bq_encode_udf(thresholds: np.ndarray):
+    """array<double> → packed sign bytes pandas UDF — shared by
+    :func:`bq_encode` and the persisted index's posting writer."""
     from pyspark.sql.functions import pandas_udf
 
     thr = np.asarray(thresholds, dtype=np.float64)
@@ -134,7 +129,19 @@ def bq_encode(
         packed = _pack_signs(v, thr)
         return pd.Series(list((packed.astype(np.int16) - 128).astype(np.int8)))
 
-    enc = pandas_udf(encode, "array<tinyint>")
+    return pandas_udf(encode, "array<tinyint>")
+
+
+def bq_encode(
+    corpus: DataFrame,
+    thresholds: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (neighbor_id, codes array<tinyint> of ceil(d/8) bytes): the
+    one-bit-per-dimension compressed corpus."""
+    thr = np.asarray(thresholds, dtype=np.float64)
+    enc = _bq_encode_udf(thr)
     c = fan_out(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -150,11 +157,13 @@ def hamming_distances(codes: np.ndarray, qbits: np.ndarray) -> np.ndarray:
     return _POPCOUNT[codes[:, None, :] ^ qbits[None, :, :]].sum(axis=2)
 
 
-def _bq_partial_topk(qbits: np.ndarray, n_keep: int):
+def _bq_partial_topk(qbits: np.ndarray, n_keep: int, cell_sets=None):
     """mapInPandas generator: (neighbor_id, codes) batches → per-batch
     top-``n_keep`` nearest-by-Hamming candidates PER QUERY as
     (neighbor_id, q_i, neg_hamming) rows — pq/sq's map-side partial
-    top-k with the score table replaced by XOR+popcount."""
+    top-k with the score table replaced by XOR+popcount.
+    ``cell_sets`` composes under IVF cell pruning exactly as in
+    pq._adc_partial_topk (batches then carry a ``cell`` column)."""
 
     def gen(batches):
         for pdf in batches:
@@ -165,6 +174,11 @@ def _bq_partial_topk(qbits: np.ndarray, n_keep: int):
             ).astype(np.uint8)
             dist = hamming_distances(codes, qbits)  # (n, n_q)
             n_q = qbits.shape[0]
+            neg = -dist.T.astype(np.float64)  # (n_q, n)
+            if cell_sets is not None:
+                cells = pdf["cell"].to_numpy()
+                for qi, cs in enumerate(cell_sets):
+                    neg[qi, ~np.isin(cells, sorted(cs))] = -np.inf
             long = pd.DataFrame(
                 {
                     "neighbor_id": np.tile(
@@ -173,9 +187,11 @@ def _bq_partial_topk(qbits: np.ndarray, n_keep: int):
                     "q_i": np.repeat(
                         np.arange(n_q, dtype=np.int32), len(codes)
                     ),
-                    "neg_hamming": -dist.T.reshape(-1).astype(np.float64),
+                    "neg_hamming": neg.reshape(-1),
                 }
             )
+            if cell_sets is not None:
+                long = long[np.isfinite(long["neg_hamming"].to_numpy())]
             yield (
                 long.sort_values(
                     ["q_i", "neg_hamming", "neighbor_id"],

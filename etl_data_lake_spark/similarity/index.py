@@ -76,6 +76,7 @@ class IvfIndex:
         self.centroids_tbl = TxnTable(spark, f"{self.path}/centroids")
         self.postings_tbl = TxnTable(spark, f"{self.path}/postings")
         self.books_tbl = TxnTable(spark, f"{self.path}/codebooks")
+        self.codec_tbl = TxnTable(spark, f"{self.path}/codec")
 
     # ------------------------------------------------------- build --
 
@@ -93,6 +94,7 @@ class IvfIndex:
         pq_m: int | None = None,
         pq_ks: int = 32,
         pq_iters: int = 8,
+        codec: str | None = None,
     ) -> "IvfIndex":
         """Train the quantizer on a bounded hash-spread sample (same
         deterministic rule as ivf_topk — one scan, tiny collect),
@@ -111,9 +113,26 @@ class IvfIndex:
         (id, cell, codes) — the fat vector column stays unread until
         the exact refine touches the few candidates. Codebooks publish
         between postings and centroids; the centroid commit remains
-        the single atomic switch."""
+        the single atomic switch.
+
+        ``codec`` stores the round-10 byte codecs in the postings
+        instead of PQ codes (mutually exclusive with ``pq_m``):
+        ``"sq8"`` = 8-bit scalar quantization (d-byte codes; the
+        per-dim [min,max] trains as ONE exact distributed aggregation
+        over the FULL corpus, so :meth:`query_codes` at full probe is
+        bit-identical to ``sq_topk(corpus, ..., bounds=...)``),
+        ``"bq"`` = 1-bit sign quantization (ceil(d/8)-byte codes,
+        per-dim mean thresholds). The trained codec parameters persist
+        under the same build-epoch rules as PQ codebooks."""
         import numpy as np
 
+        if pq_m is not None and codec is not None:
+            raise ValueError(
+                "pq_m and codec are mutually exclusive — a served "
+                "index stores one code family per build"
+            )
+        if codec not in (None, "sq8", "bq"):
+            raise ValueError(f"unknown codec {codec!r} (sq8, bq)")
         idx = IvfIndex(spark, path, id_col)
         train = sample_centroids(
             corpus, n_cells * max(train_factor, 1), id_col, vec_col
@@ -129,8 +148,20 @@ class IvfIndex:
                 np.asarray(train, dtype=np.float64), pq_m, pq_ks,
                 iters=pq_iters,
             )
+        codec_params = None
+        if codec == "sq8":
+            from etl_data_lake_spark.similarity.sq import train_sq
+
+            codec_params = train_sq(corpus, id_col, vec_col)  # (2, d)
+        elif codec == "bq":
+            from etl_data_lake_spark.similarity.bq import train_bq
+
+            codec_params = train_bq(corpus, id_col, vec_col)[None, :]
         build_no = idx._next_build()
-        assigned = idx._assign(corpus, centroids, vec_col, build_no, books)
+        assigned = idx._assign(
+            corpus, centroids, vec_col, build_no, books,
+            codec=codec, codec_params=codec_params,
+        )
         shards = shards if shards is not None else min(max(n_cells, 1), 32)
         idx.postings_tbl.append(
             assigned.repartitionByRange(shards, "cell")
@@ -152,6 +183,16 @@ class IvfIndex:
             # intact, or its ADC path would break — same epoch rule as
             # postings; gc() reclaims superseded builds' books
             idx.books_tbl.append(bdf, stats_cols=("build",))
+        if codec_params is not None:
+            cpdf = spark.createDataFrame(
+                [
+                    (build_no, codec, i, [float(x) for x in row])
+                    for i, row in enumerate(codec_params)
+                ],
+                "build long, kind string, row int, vals array<double>",
+            )
+            # same epoch rule as codebooks
+            idx.codec_tbl.append(cpdf, stats_cols=("build",))
         cdf = spark.createDataFrame(
             [(build_no, i, list(c)) for i, c in enumerate(centroids)],
             "build long, cell int, centroid array<double>",
@@ -172,7 +213,7 @@ class IvfIndex:
 
     def _assign(
         self, df: DataFrame, centroids, vec_col: str, build_no: int,
-        books=None,
+        books=None, codec: str | None = None, codec_params=None,
     ) -> DataFrame:
         assign = _probe_udf(centroids, 1)
         out = (
@@ -185,7 +226,39 @@ class IvfIndex:
         )
         if books is not None:
             out = out.withColumn("codes", _encode_udf(books)(F.col("vec")))
+        elif codec == "sq8":
+            from etl_data_lake_spark.similarity.sq import _sq_encode_udf
+
+            out = out.withColumn(
+                "codes", _sq_encode_udf(codec_params)(F.col("vec"))
+            )
+        elif codec == "bq":
+            from etl_data_lake_spark.similarity.bq import _bq_encode_udf
+
+            out = out.withColumn(
+                "codes", _bq_encode_udf(codec_params[0])(F.col("vec"))
+            )
         return out
+
+    def _codec(self, build_no: int):
+        """(kind, params) for ``build_no`` — params is (2, d) bounds
+        for sq8, (1, d) thresholds for bq — or None for an index with
+        no byte codec."""
+        import numpy as np
+
+        if self.codec_tbl.latest_version() == 0:
+            return None
+        rows = (
+            self.codec_tbl.snapshot()
+            .where(F.col("build") == build_no)
+            .orderBy("row")
+            .collect()
+        )
+        if not rows:
+            return None
+        return rows[0].kind, np.asarray(
+            [list(r.vals) for r in rows], dtype=np.float64
+        )
 
     def _codebooks(self, build_no: int):
         """PQ codebooks for ``build_no`` as an (m, ks, sd) array, or
@@ -283,9 +356,12 @@ class IvfIndex:
         any txn append, so a streaming foreachBatch can maintain the
         index exactly-once."""
         build_no, centroids = self._quantizer()
+        cdc = self._codec(build_no)
         assigned = self._assign(
             vectors, centroids, vec_col, build_no,
             books=self._codebooks(build_no),
+            codec=cdc[0] if cdc else None,
+            codec_params=cdc[1] if cdc else None,
         )
         return self.postings_tbl.append(
             assigned,
@@ -311,6 +387,10 @@ class IvfIndex:
         )
         if self.books_tbl.latest_version() > 0:
             self.books_tbl.delete_where(
+                "build", 0, cur - 1, stats_cols=("build",)
+            )
+        if self.codec_tbl.latest_version() > 0:
+            self.codec_tbl.delete_where(
                 "build", 0, cur - 1, stats_cols=("build",)
             )
         return v
@@ -649,6 +729,170 @@ class IvfIndex:
         )
         ranked = exact.withColumn(
             "rank", F.row_number().over(w).cast("long")
+        ).where(F.col("rank") <= k)
+        if filter_ids is None:
+            return ranked
+        return self._refill_short(
+            ranked, qrows, filter_ids, build_no, k, vec_col,
+            max_query_batch,
+        )
+
+    def query_codes(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        refine_factor: int = 4,
+        vec_col: str = "embedding",
+        max_query_batch: int = 100_000,
+        filter_ids: DataFrame | None = None,
+    ) -> DataFrame:
+        """Byte-codec query (requires a ``codec=`` build): probed
+        cells are scanned reading ONLY (id, cell, codes) — sq8 scores
+        each Arrow batch with one byte matmul (the affine identity in
+        similarity/sq.py), bq with XOR+popcount Hamming — then the
+        exact JVM-fold cosine refines the global
+        top-(k·refine_factor) candidates from the postings' vector
+        column. Build-once/query-many: the codec trained at build time
+        serves every query, exactly like ADC's codebooks.
+
+        With ``nprobe`` covering every cell and equal parameters, the
+        result is BIT-IDENTICAL to the on-the-fly ``sq_topk`` /
+        ``bq_topk`` at the index's trained parameters (the codec
+        trains on the full corpus with the same exact aggregation) —
+        test-pinned. ``filter_ids`` masks the code scan and k is
+        guaranteed by the same exact refill as :meth:`query`."""
+        import numpy as np
+
+        from etl_data_lake_spark.similarity.bq import (
+            _bq_partial_topk,
+            _pack_signs,
+        )
+        from etl_data_lake_spark.similarity.sq import (
+            _EPS,
+            _normalize,
+            _sq_partial_topk,
+        )
+
+        build_no, centroids = self._quantizer()
+        cdc = self._codec(build_no)
+        if cdc is None:
+            raise ValueError(
+                "query_codes needs a codec build (codec='sq8'/'bq'); "
+                "this index stores no byte codes"
+            )
+        kind, params = cdc
+        probe = _probe_udf(centroids, nprobe)
+        q = queries.select(
+            F.col(self.id_col).alias("query_id"),
+            as_double(vec_col).alias("qv"),
+        )
+        qrows = q.select(
+            "query_id", "qv", probe(F.col("qv")).alias("cells")
+        ).limit(max_query_batch + 1).collect()
+        if len(qrows) > max_query_batch:
+            raise ValueError(
+                f"query batch exceeds max_query_batch={max_query_batch}"
+            )
+        if not qrows:
+            sch = q.select(
+                F.col("query_id"),
+                F.col("query_id").alias("neighbor_id"),
+                F.lit(0.0).alias("cos_sim"),
+                F.lit(0).cast("long").alias("rank"),
+            ).schema
+            return self.spark.createDataFrame([], sch)
+        probed = sorted({c for r in qrows for c in r.cells})
+        query_mat = _normalize(
+            np.asarray([list(r.qv) for r in qrows], dtype=np.float64)
+        )
+        n_keep = k * refine_factor + 1
+        cell_sets = [set(int(c) for c in r.cells) for r in qrows]
+        if kind == "sq8":
+            lo, hi = params[0], params[1]
+            span = np.maximum(hi - lo, _EPS)
+            W = (query_mat * span[None, :] / 255.0).T
+            const = query_mat @ lo
+            gen = _sq_partial_topk(W, const, n_keep, cell_sets=cell_sets)
+            score_col = "adc"
+        else:  # bq
+            qbits = _pack_signs(query_mat, params[0])
+            gen = _bq_partial_topk(qbits, n_keep, cell_sets=cell_sets)
+            score_col = "neg_hamming"
+
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        id_type = q.schema["query_id"].dataType
+        q_idx = self.spark.createDataFrame(
+            [(i, r.query_id) for i, r in enumerate(qrows)],
+            StructType(
+                [
+                    StructField("q_i", IntegerType()),
+                    StructField("query_id", id_type),
+                ]
+            ),
+        )
+        codes = self._postings(build_no, probed).select(
+            F.col("id").alias("neighbor_id"), "codes", "cell"
+        )
+        if filter_ids is not None:
+            codes = codes.join(
+                self._id_mask(filter_ids, self.id_col, "neighbor_id"),
+                "neighbor_id",
+                "left_semi",
+            )
+        partial = codes.mapInPandas(
+            gen,
+            schema=StructType(
+                [
+                    StructField("neighbor_id", id_type),
+                    StructField("q_i", IntegerType()),
+                    StructField(score_col, DoubleType()),
+                ]
+            ),
+        )
+        cand_w = Window.partitionBy("query_id").orderBy(
+            F.desc(score_col), F.asc("neighbor_id")
+        )
+        cands = (
+            partial.join(F.broadcast(q_idx), "q_i")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("_r", F.row_number().over(cand_w))
+            .where(F.col("_r") <= k * refine_factor)
+            .select("query_id", "neighbor_id")
+        )
+        cv = self._postings(build_no, probed).select(
+            F.col("id").alias("neighbor_id"), F.col("vec").alias("cv")
+        )
+        qv = self.spark.createDataFrame(
+            [(r.query_id, [float(x) for x in r.qv]) for r in qrows],
+            StructType(
+                [
+                    StructField("query_id", id_type),
+                    StructField("qv", ArrayType(DoubleType())),
+                ]
+            ),
+        )
+        exact = (
+            cands.join(cv, "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        ranked = exact.withColumn(
+            "rank", F.row_number().over(w2).cast("long")
         ).where(F.col("rank") <= k)
         if filter_ids is None:
             return ranked

@@ -109,16 +109,10 @@ def train_sq(
     return np.stack([lo, hi])
 
 
-def sq_encode(
-    corpus: DataFrame,
-    bounds: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """→ (neighbor_id, codes array<tinyint>): the d-byte-per-vector
-    compressed corpus. Values OUTSIDE the trained bounds (vectors
-    added after training) clamp to the nearest level — degraded, not
-    wrong, exactly like any deployed scalar quantizer."""
+def _sq_encode_udf(bounds: np.ndarray):
+    """array<double> → array<tinyint> pandas UDF for the trained
+    bounds — shared by :func:`sq_encode` and the persisted index's
+    posting writer (similarity/index.py)."""
     from pyspark.sql.functions import pandas_udf
 
     lo, hi = bounds[0], bounds[1]
@@ -132,7 +126,20 @@ def sq_encode(
         codes = (np.clip(levels, 0, 255) - 128).astype(np.int8)
         return pd.Series(list(codes))
 
-    enc = pandas_udf(encode, "array<tinyint>")
+    return pandas_udf(encode, "array<tinyint>")
+
+
+def sq_encode(
+    corpus: DataFrame,
+    bounds: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (neighbor_id, codes array<tinyint>): the d-byte-per-vector
+    compressed corpus. Values OUTSIDE the trained bounds (vectors
+    added after training) clamp to the nearest level — degraded, not
+    wrong, exactly like any deployed scalar quantizer."""
+    enc = _sq_encode_udf(bounds)
     c = fan_out(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -167,13 +174,20 @@ def sq_reconstruct(
     return coded.select(*keep, dec(F.col(codes_col)).alias("vector"))
 
 
-def _sq_partial_topk(W: np.ndarray, const: np.ndarray, n_keep: int):
+def _sq_partial_topk(
+    W: np.ndarray, const: np.ndarray, n_keep: int, cell_sets=None
+):
     """mapInPandas generator: (neighbor_id, codes) batches → per-batch
     top-``n_keep`` approximate-score candidates PER QUERY as
     (neighbor_id, q_i, adc) rows — pq's map-side partial top-k with
     the m·ks table gather replaced by one (batch × d)·(d × n_q)
     matmul over the byte codes (the affine-reconstruction identity in
-    the module docstring)."""
+    the module docstring).
+
+    ``cell_sets`` (IVF-SQ composition, similarity/index.py): per-query
+    sets of probed IVF cells; batches must then carry a ``cell``
+    column, and a row only scores for queries whose probe set owns
+    its cell — same per-query semantics as pq._adc_partial_topk."""
 
     def gen(batches):
         for pdf in batches:
@@ -185,6 +199,11 @@ def _sq_partial_topk(W: np.ndarray, const: np.ndarray, n_keep: int):
             )
             scores = codes @ W + const[None, :]  # (n, n_q)
             n_q = W.shape[1]
+            sc_t = scores.T  # (n_q, n)
+            if cell_sets is not None:
+                cells = pdf["cell"].to_numpy()
+                for qi, cs in enumerate(cell_sets):
+                    sc_t[qi, ~np.isin(cells, sorted(cs))] = -np.inf
             long = pd.DataFrame(
                 {
                     "neighbor_id": np.tile(
@@ -193,9 +212,11 @@ def _sq_partial_topk(W: np.ndarray, const: np.ndarray, n_keep: int):
                     "q_i": np.repeat(
                         np.arange(n_q, dtype=np.int32), len(codes)
                     ),
-                    "adc": scores.T.reshape(-1),
+                    "adc": sc_t.reshape(-1),
                 }
             )
+            if cell_sets is not None:
+                long = long[np.isfinite(long["adc"].to_numpy())]
             yield (
                 long.sort_values(
                     ["q_i", "adc", "neighbor_id"],

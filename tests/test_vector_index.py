@@ -360,3 +360,145 @@ def test_ivfpq_filtered_adc_matches_filtered_exact(spark, emb, tmp_path):
     )
     want = _rows(idx.query(queries, k=5, nprobe=2, filter_ids=mask))
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Byte codecs in the persisted index (round 11, r10-verdict #6):
+# codec='sq8'/'bq' builds store array<tinyint> codes per posting so
+# the byte-matmul / Hamming pre-rank works build-once/query-many like
+# ADC — with epoch/add/gc semantics inherited.
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_index_full_probe_equals_onthefly_sq_topk(spark, emb, tmp_path):
+    """query_codes at full probe ≡ sq_topk bit-for-bit: the index's
+    codec trains on the full corpus with the same exact aggregation,
+    so serving from stored codes must not change a single row."""
+    from etl_data_lake_spark.similarity.sq import sq_topk
+
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "sq8"), emb, id_col="vec_id",
+        codec="sq8", **_PARAMS,
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    got = _rows(idx.query_codes(queries, k=10, nprobe=8, refine_factor=4))
+    want = _rows(sq_topk(emb, queries, k=10, refine_factor=4))
+    assert got == want and len(got) > 0
+
+
+def test_bq_index_full_probe_equals_onthefly_bq_topk(spark, emb, tmp_path):
+    from etl_data_lake_spark.similarity.bq import bq_topk
+
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "bq"), emb, id_col="vec_id",
+        codec="bq", **_PARAMS,
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    got = _rows(idx.query_codes(queries, k=10, nprobe=8, refine_factor=16))
+    want = _rows(bq_topk(emb, queries, k=10, refine_factor=16))
+    assert got == want and len(got) > 0
+
+
+def test_sq8_index_code_scan_never_reads_vectors(spark, emb, tmp_path):
+    """The codec pre-rank must scan only (id, cell, codes) — the fat
+    vector column enters the plan only at the candidate refine, same
+    pin as the ADC path."""
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "sq8"), emb, id_col="vec_id",
+        codec="sq8", **_PARAMS,
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    plan = (
+        idx.query_codes(queries, k=5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    code_scans = [s for s in scans if "codes" in s]
+    assert code_scans, plan
+    assert all("vec" not in s for s in code_scans), code_scans
+
+
+def test_sq8_index_add_encodes_against_frozen_codec(spark, emb, tmp_path):
+    """add() must encode new vectors with the BUILD-time codec (no
+    retrain) and the new ids must be findable through query_codes."""
+    base = emb.where(F.col("vec_id") >= 20)
+    added = emb.where(F.col("vec_id") < 20)
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "sq8"), base, id_col="vec_id",
+        codec="sq8", **_PARAMS,
+    )
+    before = idx._codec(idx.current_build())
+    idx.add(added)
+    after = idx._codec(idx.current_build())
+    assert (before[1] == after[1]).all()  # frozen parameters
+    # a query finds its own near-duplicates among the added vectors
+    queries = emb.where(F.col("vec_id") < 3)
+    got = idx.query_codes(queries, k=10, nprobe=8, refine_factor=8)
+    ids = {r.neighbor_id for r in got.collect()}
+    assert ids & set(range(20))  # added ids competitive
+
+
+def test_codec_gc_drops_superseded_build_params(spark, emb, tmp_path):
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "sq8"), emb, id_col="vec_id",
+        codec="sq8", **_PARAMS,
+    )
+    b1 = idx.current_build()
+    IvfIndex.build(
+        spark, str(tmp_path / "sq8"), emb, id_col="vec_id",
+        codec="sq8", **_PARAMS,
+    )
+    idx2 = IvfIndex(spark, str(tmp_path / "sq8"), id_col="vec_id")
+    assert idx2.current_build() == b1 + 1
+    idx2.gc()
+    assert idx2._codec(b1) is None
+    assert idx2._codec(b1 + 1) is not None
+    # the current build still serves
+    queries = emb.where(F.col("vec_id") < 3)
+    assert idx2.query_codes(queries, k=5, nprobe=8).count() > 0
+
+
+def test_codec_validation(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        IvfIndex.build(
+            spark, str(tmp_path / "x"), emb, id_col="vec_id",
+            pq_m=8, codec="sq8", **_PARAMS,
+        )
+    with pytest.raises(ValueError, match="unknown codec"):
+        IvfIndex.build(
+            spark, str(tmp_path / "y"), emb, id_col="vec_id",
+            codec="int4", **_PARAMS,
+        )
+    plain = IvfIndex.build(
+        spark, str(tmp_path / "plain"), emb, id_col="vec_id", **_PARAMS
+    )
+    with pytest.raises(ValueError, match="codec build"):
+        plain.query_codes(emb.where(F.col("vec_id") < 2))
+
+
+def test_sq8_index_filtered_query_guarantees_k(spark, emb, tmp_path):
+    """filter_ids masks the code scan; a selective filter still
+    returns exactly k via the exact refill, matching the filtered
+    brute force."""
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "sq8"), emb, id_col="vec_id",
+        codec="sq8", **_PARAMS,
+    )
+    mask = emb.where(F.col("vec_id") % 17 == 0).select("vec_id")
+    queries = emb.where(F.col("vec_id") < 3)
+    got = idx.query_codes(
+        queries, k=5, nprobe=2, refine_factor=4, filter_ids=mask
+    )
+    per_q = {}
+    for r in got.collect():
+        per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    n_eligible = mask.count()
+    for qid, ns in per_q.items():
+        assert len(ns) == min(5, n_eligible - (qid % 17 == 0))
+    # every neighbor satisfies the filter
+    allowed = {r.vec_id for r in mask.collect()}
+    assert all(n in allowed for ns in per_q.values() for n in ns)
