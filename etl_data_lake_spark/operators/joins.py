@@ -267,3 +267,149 @@ def interval_join(
         & (F.col(point_ts) < F.col(end_col))
     )
     return joined.drop("__bin")
+
+
+def interval_join_stream(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    on: Sequence[str] = (),
+    bin_width: float = 3600.0,
+    max_span: float = 86400.0,
+    points_watermark: str = "1 hour",
+    intervals_watermark: str = "1 hour",
+    max_bins_per_interval: int = 10_000,
+) -> DataFrame:
+    """STREAM-STREAM form of :func:`interval_join`: both ``points``
+    and ``intervals`` may be streaming frames; each point inner-joins
+    every interval with ``start <= ts < end`` (plus optional
+    equi-keys), with state evicted by watermarks.
+
+    The same bin rewrite does double duty here. In batch it kills the
+    BroadcastNestedLoopJoin; in streaming it gives the
+    StreamingSymmetricHashJoin a REAL equality key — without it, a
+    pure range predicate would pile both sides' state under one hash
+    key and compare every stored row against every arrival. With it,
+    state distributes by (on + bin) and each arrival probes exactly
+    its own bin's bucket.
+
+    Eviction needs the join condition to bound event time in BOTH
+    directions (Spark derives state TTLs from it):
+
+    * ``s <= ts`` already bounds the intervals side (a stored point
+      is unmatchable once the intervals watermark passes its ts);
+    * ``ts <= s + max_span`` bounds the points side (a stored
+      interval is unmatchable once the points watermark passes
+      s + max_span).
+
+    ``max_span`` is therefore a DECLARED upper bound on interval
+    length (end − start), not a heuristic: an interval longer than it
+    could match points the eviction bound already excluded, so such
+    intervals RAISE in-plan (the operator's loud-failure rule) rather
+    than silently losing matches. Late rows beyond the watermarks are
+    dropped by Spark's join-state semantics — the standard
+    stream-stream trade.
+
+    Works unchanged on batch frames (``withWatermark`` is a no-op in
+    batch) — the batch ≡ stream equality test runs the SAME call both
+    ways. Time-typed columns only: watermarks are event-time
+    machinery, so the numeric path has no streaming form.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    if max_span <= 0:
+        raise ValueError(f"max_span must be > 0, got {max_span}")
+    if max_bins_per_interval < 1:
+        raise ValueError(
+            f"max_bins_per_interval must be >= 1, got {max_bins_per_interval}"
+        )
+    on = list(on)
+    overlap = (set(points.columns) & set(intervals.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"column names collide outside the join keys: {sorted(overlap)} "
+            "— rename before joining"
+        )
+    for c in ("__pbin", "__ibin"):
+        if c in points.columns or c in intervals.columns:
+            raise ValueError(f"{c!r} is reserved by interval_join_stream")
+    dts = dict(points.dtypes)[point_ts]
+    s_dt = dict(intervals.dtypes)[start_col]
+    e_dt = dict(intervals.dtypes)[end_col]
+    if not (_is_time_type(dts) and _is_time_type(s_dt) and _is_time_type(e_dt)):
+        raise TypeError(
+            "interval_join_stream needs time-typed columns (watermarks "
+            f"are event-time machinery); got {point_ts}:{dts}, "
+            f"{start_col}:{s_dt}, {end_col}:{e_dt}"
+        )
+    w_micros = int(bin_width * 1_000_000)
+    if w_micros < 1:
+        raise ValueError(
+            f"bin_width {bin_width}s is below 1µs, the resolution of "
+            "Spark timestamps"
+        )
+    span_micros = int(max_span * 1_000_000)
+
+    p = points.withWatermark(point_ts, points_watermark).withColumn(
+        "__pbin", F.floor(_to_micros(F.col(point_ts)) / w_micros)
+    ).where(F.col("__pbin").isNotNull())
+
+    s_m = _to_micros(F.col(start_col))
+    e_m = _to_micros(F.col(end_col))
+    start_bin = F.floor(s_m / w_micros)
+    end_bin = F.floor((e_m - 1) / w_micros)
+    n_bins = end_bin - start_bin + 1
+    checked_end = (
+        F.when(
+            e_m - s_m > span_micros,
+            F.raise_error(
+                F.format_string(
+                    "interval_join_stream: an interval spans %s seconds, "
+                    f"over max_span={max_span} — matches beyond the "
+                    "eviction bound would be silently lost; raise "
+                    "max_span or split the interval",
+                    ((e_m - s_m) / 1_000_000).cast("string"),
+                )
+            ),
+        )
+        .when(
+            n_bins > max_bins_per_interval,
+            F.raise_error(
+                F.format_string(
+                    "interval_join_stream: an interval spans %s bins, over "
+                    f"max_bins_per_interval={max_bins_per_interval} — "
+                    "raise bin_width or split the interval",
+                    n_bins,
+                )
+            ),
+        )
+        .otherwise(end_bin)
+    )
+    iv = (
+        intervals.withWatermark(start_col, intervals_watermark)
+        .where(
+            F.col(start_col).isNotNull()
+            & F.col(end_col).isNotNull()
+            & (F.col(end_col) > F.col(start_col))
+        )
+        .withColumn("__ibin", F.explode(F.sequence(start_bin, checked_end)))
+    )
+    span_interval = F.expr(f"INTERVAL {span_micros} MICROSECONDS")
+    cond = (p["__pbin"] == iv["__ibin"])
+    for k in on:
+        cond = cond & (p[k] == iv[k])
+    cond = (
+        cond
+        & (iv[start_col] <= p[point_ts])
+        & (p[point_ts] < iv[end_col])
+        # redundant given the span guard, but this is the bound Spark
+        # reads to evict interval state — keep it IN the condition
+        & (p[point_ts] <= iv[start_col] + span_interval)
+    )
+    joined = p.join(iv, cond)
+    out = joined.drop(p["__pbin"]).drop(iv["__ibin"])
+    for k in on:
+        out = out.drop(iv[k])
+    return out
