@@ -145,27 +145,27 @@ _RESIZE_SCHEMA = StructType(
 
 
 def resize_images(
-    media: DataFrame, target_w: int = 16, target_h: int = 16
+    media: DataFrame, target_w: int = 16, target_h: int = 16, decoder=None
 ) -> DataFrame:
-    """Deterministic image 'resize': the FAKE1 stand-in treats the body
-    as a w×h byte raster and nearest-neighbor samples it down to
-    (target_w, target_h). A real pipeline swaps the inner function for
-    PIL/cv2 (codec.try_real_image_decode gates that); everything
-    around it — the kind filter BEFORE decode, the Arrow batch shape,
-    the declared binary output schema — is the production plumbing.
+    """Deterministic image 'resize': decode to a grayscale grid and
+    nearest-neighbor sample it down to (target_w, target_h).
+    ``decoder`` is the ONE decode seam (payload bytes → (h, w) uint8
+    grid; codec.py round-11 note): default = the FAKE1 stand-in
+    (codec.fake_image_grid), swap codec.pil_image_grid for real image
+    bytes — the kind filter BEFORE decode, the Arrow batch shape, and
+    the declared binary output schema are decoder-agnostic production
+    plumbing, test-pinned through an injected decoder.
     """
+    from etl_data_lake_spark.multimodal.codec import fake_image_grid
+
+    dec = decoder if decoder is not None else fake_image_grid
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = {"media_id": [], "width": [], "height": [], "body": []}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                _kind, w, h, _nf, body = decode_payload(bytes(p))
-                raster = np.frombuffer(body, dtype=np.uint8)
-                n = min(len(raster), w * h)
-                # pad the undersized stand-in bodies so indexing is total
-                grid = np.zeros(w * h, dtype=np.uint8)
-                grid[:n] = raster[:n]
-                grid = grid.reshape(h, w) if w * h else grid.reshape(0, 0)
+                grid = dec(bytes(p))
+                h, w = grid.shape
                 ys = (np.arange(target_h) * h // target_h) if h else []
                 xs = (np.arange(target_w) * w // target_w) if w else []
                 small = grid[np.ix_(ys, xs)] if h and w else np.zeros((0, 0))

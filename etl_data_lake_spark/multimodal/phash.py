@@ -43,8 +43,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from etl_data_lake_spark.multimodal.codec import decode_payload
-
 HASH_BITS = 64
 
 _DHASH_SCHEMA = StructType(
@@ -55,16 +53,12 @@ _DHASH_SCHEMA = StructType(
 )
 
 
-def dhash_of_raster(body: bytes, w: int, h: int) -> int:
-    """Pure-Python/numpy dHash of one image body (the testable unit):
-    zero-pad to w×h, nearest-neighbor sample to a 9×8 grid, bit
-    r*8+c = grid[r,c] > grid[r,c+1], packed MSB-first into a signed
-    64-bit int (two's complement — what a LongType column stores)."""
-    raster = np.frombuffer(body, dtype=np.uint8)
-    n = min(len(raster), w * h)
-    grid = np.zeros(w * h, dtype=np.uint8)
-    grid[:n] = raster[:n]
-    grid = grid.reshape(h, w)
+def dhash_of_grid(grid: "np.ndarray") -> int:
+    """dHash of one (h, w) uint8 grayscale grid — the decoder-agnostic
+    core: nearest-neighbor sample to a 9×8 grid, bit r*8+c =
+    grid[r,c] > grid[r,c+1], packed MSB-first into a signed 64-bit int
+    (two's complement — what a LongType column stores)."""
+    h, w = grid.shape
     ys = np.arange(8) * h // 8
     xs = np.arange(9) * w // 9
     small = grid[np.ix_(ys, xs)].astype(np.int16)
@@ -74,17 +68,34 @@ def dhash_of_raster(body: bytes, w: int, h: int) -> int:
     return int(np.uint64(u).astype(np.int64))
 
 
-def dhash_images(media: DataFrame) -> DataFrame:
+def dhash_of_raster(body: bytes, w: int, h: int) -> int:
+    """Pure-Python/numpy dHash of one FAKE1 image body (the testable
+    unit): zero-pad to w×h, then :func:`dhash_of_grid`."""
+    raster = np.frombuffer(body, dtype=np.uint8)
+    n = min(len(raster), w * h)
+    grid = np.zeros(w * h, dtype=np.uint8)
+    grid[:n] = raster[:n]
+    return dhash_of_grid(grid.reshape(h, w))
+
+
+def dhash_images(media: DataFrame, decoder=None) -> DataFrame:
     """→ (media_id, dhash long) for every ``kind == 'image'`` row.
-    Arrow-batched decode+hash; payloads never leave the stage."""
+    Arrow-batched decode+hash; payloads never leave the stage.
+    ``decoder`` is the ONE decode seam (codec.py round-11 note):
+    payload bytes → (h, w) uint8 grid; default = the FAKE1 stand-in
+    (codec.fake_image_grid), swap codec.pil_image_grid (or any
+    callable honoring the contract) for real image bytes — everything
+    downstream of the grid is decoder-agnostic and test-pinned so."""
+    from etl_data_lake_spark.multimodal.codec import fake_image_grid
+
+    dec = decoder if decoder is not None else fake_image_grid
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                _kind, w, h, _nf, body = decode_payload(bytes(p))
                 ids.append(int(mid))
-                hashes.append(dhash_of_raster(body, w, h))
+                hashes.append(dhash_of_grid(dec(bytes(p))))
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="int64"),
@@ -176,13 +187,15 @@ def image_near_dup_pairs(
     media: DataFrame,
     max_distance: int = 3,
     bands: int = 4,
+    decoder=None,
 ) -> DataFrame:
     """The composed operator: hash every image, then banded
     candidate-join + exact verify. → (id_a, id_b, hamming). The hash
     table is checkpointed before pairing: the candidate self-join
     reads it from both sides, and without materialization each side
-    would re-run the whole decode+hash scan."""
-    hashes = dhash_images(media).localCheckpoint()
+    would re-run the whole decode+hash scan. ``decoder`` passes
+    through to :func:`dhash_images` (the one decode seam)."""
+    hashes = dhash_images(media, decoder=decoder).localCheckpoint()
     return phash_near_dup_pairs(
         hashes, max_distance=max_distance, bands=bands
     )

@@ -131,3 +131,124 @@ def test_fake_payload_roundtrip_consistency():
     text = "hello perceptual world"
     p = encode_payload(0, text)
     assert p[18:] == text.encode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# The decode seam (round 11, r10-verdict #9): operators consume images
+# only through decoder(payload) -> (h, w) uint8 grid, so a real decode
+# swaps at exactly one place — proven by driving the distributed
+# operators end-to-end through an INJECTED non-FAKE1 decoder, and
+# through PIL where PIL exists.
+# ---------------------------------------------------------------------------
+
+
+def _raw_media(spark, images):
+    """(media_id, kind, payload) frame of RAW byte payloads — no FAKE1
+    framing; only a seam-respecting decoder can read these."""
+    return spark.createDataFrame(
+        [(i, "image", bytearray(b)) for i, b in images],
+        "media_id long, kind string, payload binary",
+    )
+
+
+def _raw_decoder(shape):
+    h, w = shape
+
+    def dec(payload: bytes):
+        import numpy as np
+
+        return np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+
+    return dec
+
+
+def test_injected_decoder_drives_dhash_end_to_end(spark):
+    import numpy as np
+
+    from etl_data_lake_spark.multimodal.phash import (
+        dhash_images,
+        dhash_of_grid,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(12, 10), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] ^= 255  # flip one pixel — near-duplicate
+    far = rng.integers(0, 256, size=(12, 10), dtype=np.uint8)
+    imgs = [(1, base.tobytes()), (2, near.tobytes()), (3, far.tobytes())]
+    media = _raw_media(spark, imgs)
+    dec = _raw_decoder((12, 10))
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in dhash_images(media, decoder=dec).collect()
+    }
+    want = {i: dhash_of_grid(dec(b)) for i, b in imgs}
+    assert got == want
+    # the composed near-dup operator through the same seam
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_near_dup_pairs(
+            media, max_distance=3, bands=4, decoder=dec
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_injected_decoder_drives_resize_end_to_end(spark):
+    import numpy as np
+
+    from etl_data_lake_spark.multimodal.decode import resize_images
+
+    grid = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    media = _raw_media(spark, [(1, grid.tobytes())])
+    out = resize_images(
+        media, target_w=4, target_h=3, decoder=_raw_decoder((6, 8))
+    ).collect()
+    assert len(out) == 1
+    ys = np.arange(3) * 6 // 3
+    xs = np.arange(4) * 8 // 4
+    assert bytes(out[0].body) == grid[np.ix_(ys, xs)].tobytes()
+    assert (out[0].width, out[0].height) == (4, 3)
+
+
+def _has_pil():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed")
+def test_pil_decoder_drives_dhash_end_to_end(spark, tmp_path):
+    """With PIL present, real PNG bytes flow through the same seam —
+    the docstring's 'a real PIL decode swaps at one seam' as a test."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from etl_data_lake_spark.multimodal.codec import pil_image_grid
+    from etl_data_lake_spark.multimodal.phash import (
+        dhash_images,
+        dhash_of_grid,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    png = buf.getvalue()
+    media = _raw_media(spark, [(1, png)])
+    got = dhash_images(media, decoder=pil_image_grid).collect()
+    assert got[0].dhash == dhash_of_grid(pil_image_grid(png))
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL installed — gate can't fire")
+def test_pil_decoder_gate_raises_loudly_without_pil():
+    from etl_data_lake_spark.multimodal.codec import pil_image_grid
+
+    with pytest.raises(NotImplementedError, match="PIL"):
+        pil_image_grid(b"\x89PNG fake")
