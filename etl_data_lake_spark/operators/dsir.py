@@ -1,0 +1,278 @@
+"""DSIR — Data Selection via Importance Resampling (round 11).
+
+The public method for picking pre-training data that "looks like" a
+target domain (Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling"): featurize every document as a bag of
+HASHED word n-grams, fit bag-of-buckets distributions p (target) and
+q (raw pool), weight each raw document by its log importance ratio
+Σ_b count_b·(log p_b − log q_b), and resample top-k under Gumbel
+noise. Cheap enough to run over the whole pool — the features are
+integer hashes, the distributions are two ≤ buckets-row tables.
+
+Determinism + cross-engine parity choices (both documented, neither
+changes the method's selection behavior):
+
+* bucket log-ratios are QUANTIZED to integer micro-nats
+  (round(1e6·(log p_b − log q_b))) before the per-document sum, so a
+  document's score is an exact INTEGER — invariant to float addition
+  order across partition layouts and bit-reproducible in the DuckDB
+  twin (the same trick PSI's per-bucket integer totals use);
+* the Gumbel noise is seeded per document from a cross-engine affine
+  hash of (doc_id, seed) — same corpus + same seed ⇒ same selection,
+  on any engine.
+
+Scale shape: featurization is one JVM-expression scan (the per-token
+char fold runs once per token; n-gram hashes COMPOSE from token
+hashes — functions/text.py's shingle discipline); each distribution
+is one ≤ buckets-row aggregate that broadcasts; scoring is one join
+against that broadcast + one groupBy(doc); selection is a global
+top-k (TakeOrderedAndProject — never a full sort). The pool is
+scanned twice (q fit + scoring) and the target once.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.text import (
+    MOD,
+    compose_shingle_hashes,
+    poly_hash,
+    tokens,
+)
+
+# affine per-doc hash for the seeded Gumbel draw (cross-engine: plain
+# integer arithmetic mod the shared 1e9+7). Knuth's multiplier for the
+# doc id; a second large odd multiplier DISPERSES the seed — an
+# additive seed would shift every u by seed/MOD and adjacent seeds
+# would select identically.
+_GUMBEL_A = 2_654_435_761
+_GUMBEL_B = 2_246_822_519
+
+
+def hashed_ngram_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """→ (doc_id, bucket, cnt): hashed word n-gram bag per document
+    (the paper's unigram+bigram default). Each token char-folds ONCE;
+    n-gram hashes compose from token hashes; bucket = hash mod
+    ``buckets``. Documents shorter than n tokens contribute no
+    n-grams at that order."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be non-empty positive orders, got {ns}")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            F.filter(tokens(text_col), lambda t: t != ""),
+            lambda t: poly_hash(t),
+        ).alias("_th"),
+    )
+    grams = F.concat(
+        *[compose_shingle_hashes(F.col("_th"), n) for n in ns]
+    )
+    return (
+        base.select("doc_id", F.explode(grams).alias("_h"))
+        .select("doc_id", F.pmod("_h", F.lit(buckets)).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bucket_log_ratio(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    buckets: int,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """→ (bucket, ratio_unats): integer micro-nat log importance
+    ratio per feature bucket, add-α smoothed on both sides —
+    ``round(1e6·(log p_b − log q_b))`` where
+    ``p_b = (n_target_b + α)/(N_target + α·buckets)`` (same for q).
+    Buckets absent from BOTH corpora are omitted (their ratio applies
+    to zero features); buckets absent from one side use that side's
+    smoothing floor. ≤ buckets rows — broadcasts."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    t = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("n_t"))
+    r = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("n_q"))
+    tot = t.agg(F.sum("n_t").alias("x")).collect()[0]["x"] or 0
+    toq = r.agg(F.sum("n_q").alias("x")).collect()[0]["x"] or 0
+    if tot == 0 or toq == 0:
+        raise ValueError(
+            "bucket_log_ratio: a side has no features — fit on "
+            "non-empty corpora"
+        )
+    denom_t = float(tot + alpha * buckets)
+    denom_q = float(toq + alpha * buckets)
+    joined = t.join(r, "bucket", "full").select(
+        "bucket",
+        F.coalesce("n_t", F.lit(0)).alias("n_t"),
+        F.coalesce("n_q", F.lit(0)).alias("n_q"),
+    )
+    ratio = (
+        F.log((F.col("n_t") + F.lit(alpha)) / F.lit(denom_t))
+        - F.log((F.col("n_q") + F.lit(alpha)) / F.lit(denom_q))
+    )
+    return joined.select(
+        "bucket",
+        F.round(ratio * F.lit(1_000_000.0)).cast("long").alias(
+            "ratio_unats"
+        ),
+    )
+
+
+def dsir_log_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+    alpha: float = 1.0,
+) -> DataFrame:
+    """→ (doc_id, n_features, score_unats): each raw document's
+    integer micro-nat log importance weight
+    Σ_b cnt_b · ratio_unats_b. Featureless documents score 0 with 0
+    features (left join — they stay eligible for resampling at the
+    neutral weight rather than vanishing). Exact integer arithmetic —
+    layout-invariant and DuckDB-twinnable."""
+    raw_counts = hashed_ngram_buckets(
+        raw_docs, text_col, id_col, buckets, ns
+    )
+    target_counts = hashed_ngram_buckets(
+        target_docs, text_col, id_col, buckets, ns
+    )
+    ratio = bucket_log_ratio(target_counts, raw_counts, buckets, alpha)
+    scored = (
+        raw_counts.join(F.broadcast(ratio), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_features"),
+            F.sum(
+                F.col("cnt") * F.coalesce("ratio_unats", F.lit(0))
+            ).cast("long").alias("score_unats"),
+        )
+    )
+    ids = raw_docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_features", F.lit(0)).cast("long").alias("n_features"),
+        F.coalesce("score_unats", F.lit(0)).cast("long").alias(
+            "score_unats"
+        ),
+    )
+
+
+def gumbel_key(doc_id_col, seed: int = 0):
+    """Deterministic per-doc Gumbel draw in micro-nats: u from the
+    affine hash of (doc_id, seed) mapped into (0, 1), g = −ln(−ln u),
+    scaled ×1e6. Cross-engine arithmetic; same seed ⇒ same draws."""
+    h = F.pmod(
+        doc_id_col.cast("long") * F.lit(_GUMBEL_A)
+        + F.lit(int(seed)) * F.lit(_GUMBEL_B),
+        F.lit(MOD),
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(MOD))
+    return F.round(-F.log(-F.log(u)) * F.lit(1_000_000.0)).cast("long")
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """→ the ``k`` selected rows of a :func:`dsir_log_weights` frame
+    (plus their ``gumbel_unats`` and ``key_unats``): Gumbel-top-k =
+    sampling k documents WITHOUT replacement with probability ∝
+    exp(score) — the paper's resampling step, derandomized by the
+    seeded per-doc draw. Global top-k by (key desc, doc_id asc) —
+    TakeOrderedAndProject, never a full sort."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keyed = weights.select(
+        "*",
+        gumbel_key(F.col("doc_id"), seed).alias("gumbel_unats"),
+    ).withColumn(
+        "key_unats", F.col("score_unats") + F.col("gumbel_unats")
+    )
+    return keyed.orderBy(
+        F.desc("key_unats"), F.asc("doc_id")
+    ).limit(k)
+
+
+def py_dsir_scores(
+    raw_texts: dict,
+    target_texts: dict,
+    buckets: int = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+    alpha: float = 1.0,
+) -> dict:
+    """Pure-Python reference of the whole weight pipeline (the
+    test-pinned twin): {doc_id: (n_features, score_unats)} — exact
+    integer equality with :func:`dsir_log_weights` is the contract."""
+    import re
+
+    def toks(s):
+        return [t for t in re.split(r"\s+", s.strip()) if t != ""]
+
+    def th(t):
+        a = 0
+        for ch in t:
+            a = (a * 31 + ord(ch)) % MOD
+        return a
+
+    def bag(text):
+        hs = [th(t) for t in toks(text)]
+        out: dict[int, int] = {}
+        for n in ns:
+            for i in range(len(hs) - n + 1):
+                a = hs[i]
+                for j in range(1, n):
+                    a = (a * 31 + hs[i + j]) % MOD
+                b = a % buckets
+                out[b] = out.get(b, 0) + 1
+        return out
+
+    t_cnt: dict[int, int] = {}
+    q_cnt: dict[int, int] = {}
+    for s in target_texts.values():
+        for b, c in bag(s).items():
+            t_cnt[b] = t_cnt.get(b, 0) + c
+    for s in raw_texts.values():
+        for b, c in bag(s).items():
+            q_cnt[b] = q_cnt.get(b, 0) + c
+    dt = sum(t_cnt.values()) + alpha * buckets
+    dq = sum(q_cnt.values()) + alpha * buckets
+
+    def half_away(x: float) -> int:
+        # Spark's ROUND (and DuckDB's) is HALF_UP away from zero;
+        # Python's round() is banker's — replicate Spark here
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    ratio = {
+        b: half_away(
+            (
+                math.log((t_cnt.get(b, 0) + alpha) / dt)
+                - math.log((q_cnt.get(b, 0) + alpha) / dq)
+            )
+            * 1_000_000.0
+        )
+        for b in set(t_cnt) | set(q_cnt)
+    }
+    out = {}
+    for i, s in raw_texts.items():
+        bg = bag(s)
+        out[i] = (
+            sum(bg.values()),
+            sum(c * ratio.get(b, 0) for b, c in bg.items()),
+        )
+    return out

@@ -368,3 +368,88 @@ def curation_mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (round 11): the full hashed-n-gram pipeline
+# — per-token char fold, composed 1-/2-gram hashes, bucket bag, add-α
+# smoothed integer micro-nat log ratios, per-doc integer scores —
+# replayed in DuckDB. Integer scores make the per-doc sum order-proof
+# (see operators/dsir.py); the only float step, log of a rational of
+# integers, is quantized at 1e-6 before any summation. Library twin
+# (50-entry driver cap), parity-checked in test_parity.
+# --------------------------------------------------------------------------
+_DSIR_BUCKETS = 1024
+_DSIR_ALPHA = 1.0
+
+
+def _dsir_oracle(buckets: int = _DSIR_BUCKETS, alpha: float = _DSIR_ALPHA) -> str:
+    tk = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')"
+    th = f"list_transform({tk}, t -> {sql_poly_hash('t')})"
+    from etl_data_lake_spark.functions.text import MOD
+
+    g2 = (
+        f"list_transform(range(1, len(th)), "
+        f"i -> (th[i] * 31 + th[i+1]) % {MOD})"
+    )
+    return f"""
+        WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+        tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        rawh AS (SELECT doc_id, {th} AS th FROM raw),
+        tgth AS (SELECT doc_id, {th} AS th FROM tgt),
+        rawg AS (
+            SELECT doc_id, unnest(list_concat(th, {g2})) % {buckets} AS bucket
+            FROM rawh
+        ),
+        tgtg AS (
+            SELECT doc_id, unnest(list_concat(th, {g2})) % {buckets} AS bucket
+            FROM tgth
+        ),
+        rawc AS (
+            SELECT doc_id, bucket, COUNT(*) AS cnt FROM rawg GROUP BY 1, 2
+        ),
+        qb AS (SELECT bucket, SUM(cnt) AS n_q FROM rawc GROUP BY 1),
+        tb AS (SELECT bucket, COUNT(*) AS n_t FROM tgtg GROUP BY 1),
+        tot AS (
+            SELECT (SELECT SUM(n_t) FROM tb) AS nt,
+                   (SELECT SUM(n_q) FROM qb) AS nq
+        ),
+        ratio AS (
+            SELECT COALESCE(tb.bucket, qb.bucket) AS bucket,
+                   CAST(ROUND((
+                       LN((COALESCE(n_t, 0) + {alpha})
+                          / (tot.nt + {alpha} * {buckets}))
+                     - LN((COALESCE(n_q, 0) + {alpha})
+                          / (tot.nq + {alpha} * {buckets}))
+                   ) * 1000000.0) AS BIGINT) AS ratio_unats
+            FROM tb FULL JOIN qb ON tb.bucket = qb.bucket, tot
+        ),
+        scored AS (
+            SELECT rawc.doc_id,
+                   SUM(cnt) AS n_features,
+                   SUM(cnt * COALESCE(ratio_unats, 0)) AS score_unats
+            FROM rawc LEFT JOIN ratio USING (bucket)
+            GROUP BY 1
+        )
+        SELECT r.doc_id,
+               CAST(COALESCE(n_features, 0) AS BIGINT) AS n_features,
+               CAST(COALESCE(score_unats, 0) AS BIGINT) AS score_unats
+        FROM raw r LEFT JOIN scored ON r.doc_id = scored.doc_id
+    """
+
+
+DSIR_WEIGHTS_SQL = _dsir_oracle()
+
+
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights over the documents table: target =
+    every 7th doc, raw pool = the rest. Oracle: DSIR_WEIGHTS_SQL."""
+    from etl_data_lake_spark.operators.dsir import dsir_log_weights
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.where(F.col("doc_id") % 7 != 0)
+    tgt = docs.where(F.col("doc_id") % 7 == 0)
+    return dsir_log_weights(
+        raw, tgt, buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA
+    )

@@ -202,6 +202,11 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.dedup_queries",
         "MAXIMAL_MATCH_SPANS_SQL",
     ),
+    (
+        "dsir_weights_docs",
+        "etl_data_lake_spark.queries.curation_ops",
+        "DSIR_WEIGHTS_SQL",
+    ),
 ]
 
 
