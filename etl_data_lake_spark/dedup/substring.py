@@ -357,3 +357,54 @@ def maximal_match_spans(
             (F.col("a_end") - F.col("a_start")).alias("match_tokens"),
         )
     )
+
+
+def dedup_repeated_substrings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    min_length: int | None = None,
+    hasher: str = "poly",
+    max_occurrences: int | None = 10_000,
+) -> DataFrame:
+    """The complete Lee et al. 2022 dedup ACTION: find every maximal
+    repeated substring of ≥ ``min_length`` tokens (default: ``w``)
+    and remove all occurrences EXCEPT the first — the copy in the
+    lowest doc id (earliest position for within-doc repeats) survives,
+    every other copy is excised. → the input rows with ``text_col``
+    rewritten (contamination's :func:`excise_spans` does the cut, so
+    untouched documents keep their text byte-for-byte and the
+    plan stays lambda-free / pandas-UDF-composable).
+
+    Keep-first falls out of :func:`maximal_match_spans`' canonical
+    pair orientation: every match row has doc_a < doc_b (or
+    a_start < b_start within one doc), so the union of b-side spans
+    is exactly "every occurrence that has an earlier twin" — a
+    substring in n documents is excised from the n−1 later ones via
+    their pairs with EARLIER holders, and the earliest holder never
+    appears on a b side. Overlapping cut spans union naturally
+    (excision drops covered positions, not span rows).
+
+    ``min_length`` is the paper's dedup threshold (they use 50
+    tokens); matches shorter than it are left alone. Scale shape is
+    maximal_match_spans' (candidates-sized) plus excise_spans'
+    (rebuild touches only documents that lose a span)."""
+    if min_length is None:
+        min_length = w
+    if min_length < w:
+        raise ValueError(
+            f"min_length={min_length} is below the detection window "
+            f"w={w} — shorter repeats are invisible by construction"
+        )
+    matches = maximal_match_spans(
+        docs, text_col, id_col, w, hasher, max_occurrences
+    ).where(F.col("match_tokens") >= min_length)
+    cuts = matches.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("span_start"),
+        F.col("b_end").alias("span_end"),
+    ).distinct()
+    from etl_data_lake_spark.dedup.contamination import excise_spans
+
+    return excise_spans(docs, cuts, text_col, id_col)

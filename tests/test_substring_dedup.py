@@ -316,3 +316,74 @@ def test_maximal_validation_and_empty(spark):
     with pytest.raises(ValueError, match="max_occurrences"):
         maximal_match_spans(docs, max_occurrences=1)
     assert maximal_match_spans(docs, w=W).count() == 0  # nothing shared
+
+
+# ---------------------------------------------------------------------------
+# dedup_repeated_substrings — the complete Lee et al. ACTION (round
+# 11): keep the FIRST occurrence, excise every later copy.
+# ---------------------------------------------------------------------------
+from etl_data_lake_spark.dedup.substring import dedup_repeated_substrings
+
+
+def _texts(df):
+    return {r["doc_id"]: r["text"] for r in df.collect()}
+
+
+def test_keep_first_excise_rest_across_three_docs(spark):
+    passage = " ".join(f"dup{i}" for i in range(W + 2))
+    docs = _mkdocs(
+        spark,
+        {
+            1: _uniq("a", 3) + " " + passage,
+            2: passage + " " + _uniq("b", 5),
+            3: _uniq("c", 2) + " " + passage + " " + _uniq("d", 2),
+            4: _uniq("e", 6),
+        },
+    )
+    out = _texts(dedup_repeated_substrings(docs, w=W))
+    assert passage in out[1]                  # earliest holder survives
+    assert passage not in out[2] and passage not in out[3]
+    # surrounding text survives the cut
+    assert out[2].split() == _uniq("b", 5).split()
+    assert out[3].split() == (_uniq("c", 2) + " " + _uniq("d", 2)).split()
+    assert out[4] == _uniq("e", 6)            # untouched doc: byte-equal
+
+
+def test_within_doc_repeat_keeps_earliest_position(spark):
+    phrase = " ".join(f"rep{i}" for i in range(W))
+    docs = _mkdocs(spark, {1: phrase + " " + _uniq("m", 4) + " " + phrase})
+    out = _texts(dedup_repeated_substrings(docs, w=W))
+    toks = out[1].split()
+    assert toks[:W] == phrase.split()         # first occurrence kept
+    assert out[1].count(phrase) == 1
+
+
+def test_min_length_threshold_spares_short_repeats(spark):
+    short = " ".join(f"s{i}" for i in range(W))          # exactly w
+    lng = " ".join(f"L{i}" for i in range(2 * W))        # 2w
+    docs = _mkdocs(
+        spark,
+        {
+            1: short + " " + lng,
+            2: short + " " + _uniq("x", 3) + " " + lng,
+        },
+    )
+    out = _texts(dedup_repeated_substrings(docs, w=W, min_length=2 * W))
+    assert short in out[1] and short in out[2]   # below threshold: kept
+    assert lng in out[1] and lng not in out[2]   # above: deduped
+    with pytest.raises(ValueError, match="min_length"):
+        dedup_repeated_substrings(docs, w=W, min_length=W - 1)
+
+
+def test_second_pass_finds_nothing_left(spark):
+    passage = " ".join(f"q{i}" for i in range(W + 3))
+    docs = _mkdocs(
+        spark,
+        {
+            1: _uniq("a", 4) + " " + passage,
+            2: passage + " " + _uniq("b", 4),
+            3: _uniq("c", 3) + " " + passage,
+        },
+    )
+    once = dedup_repeated_substrings(docs, w=W)
+    assert maximal_match_spans(once, w=W).count() == 0
