@@ -276,11 +276,16 @@ def save_arpa(path: str, model: KnTrigramModel) -> None:
         (r["w1"], r["w2"], r["w3"]): float(r["p_disc3"])
         for r in model.tri_model.collect()
     }
+    from etl_data_lake_spark.functions.lm import _UNK
+
     vocab = sorted(
         {r["term"] for r in model.uni_model.collect()}
         | set(cont)
         | set(lam2)
         | {w for pair in mid for w in pair}
+        | {_UNK}  # <unk> always present: its prob IS the unseen-word
+        # floor, which is what lets a standard ARPA consumer (and
+        # load_arpa's scorer) handle OOV tokens the way the tower does
     )
 
     def p_cont(w):  # unigram level
@@ -338,3 +343,241 @@ def save_arpa(path: str, model: KnTrigramModel) -> None:
         except OSError:
             pass
         raise
+
+
+# ---------------------------------------------------------------------------
+# ARPA IMPORT (round 11) — the other interop direction: score a corpus
+# under a model built by PUBLIC tooling (KenLM / SRILM / NLTK all emit
+# ARPA). The parser is deliberately liberal in what it accepts
+# (blank lines, missing trailing bows = 0.0, any section order, \data\
+# counts used only as a sanity cross-check) and the scorer implements
+# the STANDARD backoff evaluation — "if the n-gram is stored use its
+# logprob, else back off with the context's bow" — entirely in-plan:
+# the gram tables broadcast (an ARPA file is a bounded driver
+# artifact) and every probability is a JVM expression, no UDFs.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ArpaModel:
+    """Parsed ARPA n-gram model (orders 1-3). ``unigrams`` maps word →
+    (log10 p, log10 bow); ``bigrams`` maps (w1, w2) likewise;
+    ``trigrams`` maps (w1, w2, w3) → log10 p. ``order`` is the highest
+    section present."""
+
+    unigrams: dict
+    bigrams: dict
+    trigrams: dict
+    order: int
+
+
+def load_arpa(path: str) -> ArpaModel:
+    """Parse an ARPA file (max order 3). Raises on files without a
+    ``\\data\\`` header, on orders above 3, and on a declared count
+    that disagrees with the rows actually present (a truncated
+    download should fail here, not as mysterious perplexities)."""
+    declared: dict[int, int] = {}
+    grams: dict[int, dict] = {1: {}, 2: {}, 3: {}}
+    section = None
+    saw_data = False
+    with open(str(path), encoding="utf-8") as f:
+        for raw in f:
+            line = raw.rstrip("\n").strip("\r")
+            if line == "\\data\\":
+                saw_data = True
+                continue
+            if line.startswith("ngram "):
+                n, cnt = line[6:].split("=")
+                n = int(n)
+                if n > 3:
+                    raise ValueError(
+                        f"load_arpa supports orders 1-3; file declares "
+                        f"ngram {n}"
+                    )
+                declared[n] = int(cnt)
+                continue
+            if line.startswith("\\") and line.endswith("-grams:"):
+                section = int(line[1])
+                if section > 3:
+                    raise ValueError(
+                        f"load_arpa supports orders 1-3; found a "
+                        f"\\{section}-grams: section"
+                    )
+                continue
+            if line in ("\\end\\", "") or section is None:
+                continue
+            parts = line.split("\t")
+            if len(parts) == 1:  # some writers use spaces throughout
+                parts = line.split()
+                parts = [parts[0], " ".join(parts[1 : 1 + section])] + (
+                    parts[1 + section :] or []
+                )
+            lp = float(parts[0])
+            words = tuple(parts[1].split(" "))
+            if len(words) != section:
+                raise ValueError(
+                    f"malformed ARPA row in \\{section}-grams: {line!r}"
+                )
+            bow = float(parts[2]) if len(parts) > 2 and parts[2] else 0.0
+            key = words[0] if section == 1 else words
+            grams[section][key] = (lp, bow)
+    if not saw_data:
+        raise ValueError(f"{path} is not an ARPA file (no \\data\\ header)")
+    for n, cnt in declared.items():
+        if len(grams[n]) != cnt:
+            raise ValueError(
+                f"ARPA declares ngram {n}={cnt} but file holds "
+                f"{len(grams[n])} rows — truncated or corrupt"
+            )
+    order = max((n for n in (1, 2, 3) if grams[n]), default=0)
+    if order == 0:
+        raise ValueError(f"{path} holds no n-gram rows")
+    return ArpaModel(
+        unigrams=grams[1],
+        bigrams={k: v for k, v in grams[2].items()},
+        trigrams={k: v[0] for k, v in grams[3].items()},
+        order=order,
+    )
+
+
+def arpa_perplexity_score(
+    docs,
+    model: ArpaModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk: str = "<unk>",
+):
+    """→ ``(doc_id, n_tokens, avg_neg_logp, perplexity)`` under the
+    standard ARPA backoff evaluation (the same numbers ``query`` in
+    KenLM or SRILM's ``ngram -ppl`` compute, minus their <s>/</s>
+    convention — this scorer, like every scorer here, has no BOS/EOS):
+    first tokens by the 1-gram section, second by the bigram rule,
+    later by the trigram rule, each falling back through the context
+    bows. Words absent from the 1-grams map to ``unk`` (must be
+    present — standard ARPA OOV handling; raises up front otherwise).
+    All gram tables broadcast; probabilities are JVM expressions."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_data_lake_spark.functions.text import tokens
+
+    if unk not in model.unigrams:
+        raise ValueError(
+            f"ARPA model has no {unk!r} entry — cannot score "
+            "out-of-vocabulary tokens"
+        )
+    spark = docs.sparkSession
+    ln10 = math.log(10.0)
+    uni = F.broadcast(
+        spark.createDataFrame(
+            [(w, lp, bow) for w, (lp, bow) in model.unigrams.items()],
+            "w string, lp1 double, bow1 double",
+        )
+    )
+    bi = F.broadcast(
+        spark.createDataFrame(
+            [
+                (a, b, lp, bow)
+                for (a, b), (lp, bow) in model.bigrams.items()
+            ]
+            or [(None, None, None, None)],
+            "a string, b string, lp2 double, bow2 double",
+        )
+    )
+    tri = F.broadcast(
+        spark.createDataFrame(
+            [(a, b, c, lp) for (a, b, c), lp in model.trigrams.items()]
+            or [(None, None, None, None)],
+            "ta string, tb string, tc string, lp3 double",
+        )
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(
+            F.filter(tokens(text_col), lambda t: t != "")
+        ).alias("_pos", "_term"),
+    )
+    # vocab-map: unknown words → the unk symbol (one broadcast join)
+    mapped = toks.join(
+        uni.select(F.col("w").alias("_vw")),
+        toks["_term"] == F.col("_vw"),
+        "left",
+    ).select(
+        "doc_id",
+        "_pos",
+        F.when(F.col("_term").isNull(), F.lit(None))
+        .otherwise(F.coalesce(F.col("_vw"), F.lit(unk)))
+        .alias("_w3"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    seq = mapped.withColumn("_w2", F.lag("_w3", 1).over(w)).withColumn(
+        "_w1", F.lag("_w3", 2).over(w)
+    )
+    j = (
+        seq.join(uni, seq["_w3"] == uni["w"], "left")  # lp1(w3), bow1(w3)
+        .join(
+            bi.select(
+                F.col("a").alias("_pa"),
+                F.col("b").alias("_pb"),
+                F.col("lp2").alias("_plp2"),
+            ),
+            (seq["_w2"] == F.col("_pa")) & (seq["_w3"] == F.col("_pb")),
+            "left",
+        )  # stored bigram (w2, w3)
+        .join(
+            bi.select(
+                F.col("a").alias("_ca"),
+                F.col("b").alias("_cb"),
+                F.col("bow2").alias("_cbow"),
+            ),
+            (seq["_w1"] == F.col("_ca")) & (seq["_w2"] == F.col("_cb")),
+            "left",
+        )  # context bigram (w1, w2) → bow
+        .join(
+            uni.select(
+                F.col("w").alias("_xw"), F.col("bow1").alias("_xbow")
+            ),
+            seq["_w2"] == F.col("_xw"),
+            "left",
+        )  # context unigram (w2) → bow
+        .join(
+            tri,
+            (seq["_w1"] == F.col("ta"))
+            & (seq["_w2"] == F.col("tb"))
+            & (seq["_w3"] == F.col("tc")),
+            "left",
+        )
+    )
+    # log10 P(w3 | w2) by the bigram backoff rule
+    p_bi = F.when(F.col("_plp2").isNotNull(), F.col("_plp2")).otherwise(
+        F.coalesce(F.col("_xbow"), F.lit(0.0)) + F.col("lp1")
+    )
+    # log10 P(w3 | w1 w2) by the trigram backoff rule
+    p_tri = F.when(F.col("lp3").isNotNull(), F.col("lp3")).otherwise(
+        F.coalesce(F.col("_cbow"), F.lit(0.0)) + p_bi
+    )
+    lp = (
+        F.when(F.col("_w3").isNull(), F.lit(None))
+        .when(F.col("_w2").isNull(), F.col("lp1"))
+        .when(F.col("_w1").isNull(), p_bi)
+        .otherwise(p_tri)
+        * F.lit(ln10)  # ARPA is log10; perplexity wants nats
+    )
+    return (
+        j.select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("lp").cast("long").alias("n_tokens"),
+            (-F.avg("lp")).alias("avg_neg_logp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_neg_logp",
+            F.exp("avg_neg_logp").alias("perplexity"),
+        )
+    )
