@@ -25,6 +25,7 @@ size and skew-free (keys are (doc_id, token))."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -104,5 +105,92 @@ def repetition_filter(
         (F.col("dup_line_fraction") <= max_dup_line_fraction)
         & (F.col("dup_paragraph_fraction") <= max_dup_paragraph_fraction)
         & (F.col("top_word_char_fraction") <= max_top_word_char_fraction)
+    ).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def compression_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """→ (id_col, raw_bytes, compressed_bytes, compression_ratio):
+    per-document DEFLATE compression ratio (compressed/raw of the
+    UTF-8 text) — the standard cheap gibberish-vs-repetition signal
+    public corpus pipelines threshold on BOTH sides (Dolma/RedPajama
+    lineage): highly repetitive text compresses far below normal prose
+    (ratio ≲ 0.3 → templated/looped junk), while random-looking bytes
+    don't compress at all (ratio ≳ 1.0 → binary spill, DNA-style
+    strings, encrypted blobs).
+
+    This is the one quality signal here that is INHERENTLY a codec
+    call, so it runs as an Arrow-batched pandas UDF (zlib level
+    ``level``, the DEFLATE default 6) — per-row Python cost is the
+    compressor itself, which no JVM expression replaces. Empty
+    documents report ratio 0.0 (nothing to judge — callers gate on
+    length separately). Deterministic: zlib output for a fixed level
+    is stable across runs and platforms."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    if not 1 <= level <= 9:
+        raise ValueError(f"level must be in 1..9, got {level}")
+
+    @pandas_udf("long")
+    def gz_size(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                len(zlib.compress(t.encode("utf-8"), level))
+                if t
+                else 0
+                for t in texts.fillna("")
+            ]
+        )
+
+    # raw size is a JVM expression; only the compressor call is Python
+    out = df.select(
+        F.col(id_col),
+        F.coalesce(
+            F.octet_length(F.col(text_col)), F.lit(0)
+        ).cast("long").alias("raw_bytes"),
+        gz_size(F.col(text_col)).alias("compressed_bytes"),
+    )
+    return out.select(
+        id_col,
+        "raw_bytes",
+        "compressed_bytes",
+        F.round(
+            F.when(
+                F.col("raw_bytes") > 0,
+                F.col("compressed_bytes")
+                / F.col("raw_bytes").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("compression_ratio"),
+    )
+
+
+def compression_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_ratio: float = 0.25,
+    max_ratio: float = 0.95,
+    level: int = 6,
+) -> DataFrame:
+    """Rows whose compression ratio sits in the healthy-prose band —
+    the two-sided drop-in curation stage (below ``min_ratio`` =
+    repetitive junk, above ``max_ratio`` = incompressible noise).
+    Empty documents (ratio 0.0) drop with the repetitive band."""
+    if not 0.0 <= min_ratio < max_ratio:
+        raise ValueError(
+            f"need 0 <= min_ratio < max_ratio, got [{min_ratio}, {max_ratio}]"
+        )
+    sig = compression_signals(df, id_col, text_col, level)
+    keep = sig.where(
+        (F.col("compression_ratio") >= min_ratio)
+        & (F.col("compression_ratio") <= max_ratio)
     ).select(id_col)
     return df.join(keep, on=id_col, how="left_semi")

@@ -140,3 +140,76 @@ def test_redacted_text_composes_with_arrow_stages(spark, pii_docs):
         "doc_id", window_hashes_pandas_udf(2)(F.col("text")).alias("wh")
     )
     assert hashed.count() == 6
+
+
+# ---------------------------------------------------------------------------
+# compression_signals / compression_filter (round 11): the DEFLATE
+# ratio gibberish-vs-repetition signal.
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratio_separates_junk_prose_noise(spark):
+    import random
+    import string
+    import zlib
+
+    from etl_data_lake_spark.functions.repetition import compression_signals
+
+    rng = random.Random(3)
+    noise = "".join(rng.choice(string.ascii_letters + string.digits)
+                    for _ in range(4000))
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then wanders "
+        "through the quiet forest looking for something new to eat "
+    ) * 12
+    junk = "buy now click here " * 200
+    docs = spark.createDataFrame(
+        [(1, junk), (2, prose), (3, noise), (4, "")],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r for r in compression_signals(docs).collect()}
+    assert sig[1]["compression_ratio"] < sig[2]["compression_ratio"] \
+        < sig[3]["compression_ratio"]
+    assert sig[1]["compression_ratio"] < 0.25   # looped junk
+    assert sig[3]["compression_ratio"] > 0.7    # incompressible-ish
+    assert sig[4]["raw_bytes"] == 0 and sig[4]["compression_ratio"] == 0.0
+    # the numbers are zlib's, not an approximation
+    want = len(zlib.compress(prose.encode(), 6))
+    assert sig[2]["compressed_bytes"] == want
+
+
+def test_compression_filter_two_sided(spark):
+    from etl_data_lake_spark.functions.repetition import compression_filter
+
+    import random
+    import string
+
+    rng = random.Random(5)
+    noise = "".join(rng.choice(string.printable) for _ in range(3000))
+    words = (
+        "alpha bridge candle delta ember forest granite harbor island "
+        "jungle kernel lantern meadow nectar orchid prairie quartz "
+        "river summit timber umbra valley willow zephyr story garden"
+    ).split()
+    prose = " ".join(rng.choice(words) for _ in range(500))
+    docs = spark.createDataFrame(
+        [(1, "spam " * 500), (2, prose), (3, noise), (4, "")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in compression_filter(
+            docs, min_ratio=0.15, max_ratio=0.6
+        ).collect()
+    }
+    assert kept == {2}
+    import pytest
+
+    with pytest.raises(ValueError, match="min_ratio"):
+        compression_filter(docs, min_ratio=0.9, max_ratio=0.5)
+    with pytest.raises(ValueError, match="level"):
+        from etl_data_lake_spark.functions.repetition import (
+            compression_signals,
+        )
+
+        compression_signals(docs, level=0)
