@@ -356,3 +356,123 @@ def test_round10_s2_stages_compose(spark, tmp_path):
     if pairs.count() > 0:
         comp = connected_components(pairs, a_col="id_a", b_col="id_b")
         assert comp.count() >= 2  # any pair implies a >=2-node cluster
+
+
+def test_round11_stages_compose(spark, tmp_path):
+    """The round-11 additions composing end-to-end on the real corpus
+    (plus planted duplicates so the substring action has work to do):
+    compression-ratio gate → keep-first maximal-substring dedup →
+    DSIR selection toward the English slice → KN-trigram gate whose
+    model travels through the ARPA INTEROP path (save_arpa →
+    load_arpa → in-plan backoff scoring) → embedding-space drift
+    monitor over frozen k-means cells (selection must shift the
+    embedding distribution; the null direction must read 0)."""
+    from etl_data_lake_spark.dedup.substring import (
+        dedup_repeated_substrings,
+        maximal_match_spans,
+    )
+    from etl_data_lake_spark.functions.lm import train_kn_trigram_lm
+    from etl_data_lake_spark.functions.lm_io import (
+        arpa_perplexity_score,
+        load_arpa,
+        save_arpa,
+    )
+    from etl_data_lake_spark.functions.repetition import compression_filter
+    from etl_data_lake_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_resample,
+    )
+    from etl_data_lake_spark.operators.embedding_drift import (
+        embedding_cell_histogram,
+    )
+    from etl_data_lake_spark.operators.profile import (
+        drift_report_from_histograms,
+        population_stability_index,
+    )
+    from etl_data_lake_spark.similarity.kmeans import kmeans_fit
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n0 = docs.count()
+
+    # plant verbatim cross-doc passages: append doc 0's first 12
+    # tokens onto docs 3 and 7 so the dedup action has real cuts
+    head12 = " ".join(
+        docs.where(F.col("doc_id") == 0).collect()[0]["text"].split()[:12]
+    )
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").isin(3, 7),
+            F.concat_ws(" ", "text", F.lit(head12)),
+        ).otherwise(F.col("text")),
+    )
+
+    # 1. compression gate (wide band: the synthetic corpus is prose-y)
+    gated = compression_filter(planted, min_ratio=0.05, max_ratio=0.98)
+    n1 = gated.count()
+    assert 0 < n1 <= n0
+
+    # 2. keep-first substring dedup: the planted copies lose their
+    # passage, doc 0 keeps it
+    deduped = dedup_repeated_substrings(gated, w=8, min_length=10)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in deduped.where(F.col("doc_id").isin(0, 3, 7)).collect()
+    }
+    assert head12 in texts[0]
+    assert head12 not in texts[3] and head12 not in texts[7]
+    assert maximal_match_spans(deduped, w=8).where(
+        F.col("match_tokens") >= 10
+    ).count() == 0
+    assert deduped.count() == n1  # action rewrites text, drops no rows
+
+    # 3. DSIR toward the English slice: selected docs skew English
+    target = deduped.where(F.col("lang") == "en")
+    pool = deduped.where(F.col("lang").isNotNull())
+    w = dsir_log_weights(pool, target, buckets=2048)
+    picked = dsir_resample(w, k=120, seed=1).select("doc_id")
+    sel = deduped.join(picked, "doc_id", "left_semi")
+    base_rate = target.count() / pool.count()
+    sel_rate = sel.where(F.col("lang") == "en").count() / sel.count()
+    assert sel_rate > base_rate
+
+    # 4. KN-trigram gate through the ARPA interop path
+    m3 = train_kn_trigram_lm(
+        sel, vocab_size=5_000, max_trigrams=50_000, max_bigrams=50_000
+    )
+    apath = str(tmp_path / "model.arpa")
+    save_arpa(apath, m3)
+    arpa = load_arpa(apath)
+    ppl = arpa_perplexity_score(deduped, arpa)
+    # null perplexity is the token-less-doc contract, nothing else
+    assert (
+        ppl.where(F.col("perplexity").isNull())
+        .where(F.col("n_tokens") > 0)
+        .count()
+        == 0
+    )
+    cut = ppl.approxQuantile("perplexity", [0.8], 0.0)[0]
+    fluent = deduped.join(
+        ppl.where(F.col("perplexity") <= cut).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    assert 0 < fluent.count() < n1
+
+    # 5. embedding drift: fit cells on the RAW corpus's vectors, then
+    # compare raw vs the selected slice's vectors
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cells, _ = kmeans_fit(emb, 8, "vec_id", "embedding")
+    h_raw = embedding_cell_histogram(emb, cells)
+    sel_emb = emb.join(
+        sel.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    psi = population_stability_index(
+        drift_report_from_histograms(
+            h_raw, embedding_cell_histogram(sel_emb, cells)
+        )
+    )
+    assert psi > 0.0
+    assert population_stability_index(
+        drift_report_from_histograms(h_raw, h_raw)
+    ) == 0.0
