@@ -408,3 +408,83 @@ def test_image_dedup_composition_end_to_end(spark):
     )
     survivors = {r["canonical"] for r in keep.collect()}
     assert 0 in survivors and 96 not in survivors and 192 not in survivors
+
+
+def test_round11_ops_on_empty(spark, empty_docs):
+    """Round-11 operators on empty inputs: empty results (or the
+    documented loud raise), never a crash or a silent wrong shape."""
+    from datetime import datetime
+
+    from etl_data_lake_spark.dedup.substring import (
+        dedup_repeated_substrings,
+        maximal_match_spans,
+    )
+    from etl_data_lake_spark.functions.repetition import (
+        compression_filter,
+        compression_signals,
+    )
+    from etl_data_lake_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_resample,
+        hashed_ngram_buckets,
+    )
+    from etl_data_lake_spark.operators.embedding_drift import (
+        embedding_cell_histogram,
+    )
+    from etl_data_lake_spark.operators.joins import interval_join_stream
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    # maximal matches / the dedup action: empty in, empty (or
+    # unchanged-empty) out
+    assert maximal_match_spans(empty_docs).count() == 0
+    assert dedup_repeated_substrings(empty_docs).count() == 0
+
+    # compression signals: empty frame → empty frame, schema intact
+    sig = compression_signals(empty_docs)
+    assert sig.count() == 0
+    assert set(sig.columns) == {
+        "doc_id", "raw_bytes", "compressed_bytes", "compression_ratio",
+    }
+    assert compression_filter(empty_docs).count() == 0
+
+    # DSIR: empty pool featurizes to nothing; an empty SIDE for the
+    # distribution fit raises loudly (fitting on nothing is a config
+    # error, profile.drift_report's rule)
+    assert hashed_ngram_buckets(empty_docs).count() == 0
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    with pytest.raises(ValueError, match="non-empty"):
+        dsir_log_weights(empty_docs, docs)
+    with pytest.raises(ValueError, match="non-empty"):
+        dsir_log_weights(docs, empty_docs)
+    w = dsir_log_weights(docs, docs)
+    assert dsir_resample(w.where(F.lit(False)), k=3).count() == 0
+
+    # stream-stream interval join on empty (batch) frames
+    p = spark.createDataFrame(
+        [], "point_id long, key long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(1, 100, datetime(2024, 1, 1), datetime(2024, 1, 2))],
+        "iv_id long, key long, s timestamp, e timestamp",
+    )
+    assert interval_join_stream(
+        p, iv, point_ts="ts", start_col="s", end_col="e", on=("key",)
+    ).count() == 0
+    assert interval_join_stream(
+        spark.createDataFrame(
+            [(1, 100, datetime(2024, 1, 1, 6))],
+            "point_id long, key long, ts timestamp",
+        ),
+        iv.where(F.lit(False)),
+        point_ts="ts", start_col="s", end_col="e", on=("key",),
+    ).count() == 0
+
+    # embedding drift: an empty side histograms to zero rows, and the
+    # PSI core then raises its empty-side guard downstream
+    emb = load_table(spark, SF_DIR, "embeddings")
+    from etl_data_lake_spark.similarity.kmeans import kmeans_fit
+
+    cells, _ = kmeans_fit(emb.limit(50), 4, "vec_id", "embedding")
+    assert embedding_cell_histogram(
+        emb.where(F.lit(False)), cells
+    ).count() == 0
