@@ -412,6 +412,10 @@ def train_kn_bigram_lm(
                 "least one adjacent token pair"
             )
         discount = n1 / (n1 + 2.0 * n2) if (n1 + n2) > 0 else 0.5
+        # clamp into (0, 1): D = 0 (possible when n1 = 0) zeroes every
+        # λ and unseen continuations would score log(0) — see
+        # _coc_discount's note (same failure, found in round 11)
+        discount = min(max(discount, 1e-6), 1.0 - 1e-6)
 
         ctx = pair_counts.groupBy("_w1").agg(
             F.sum("_c12").alias("c1"),
@@ -636,7 +640,9 @@ def _unk_trigram_counts(
 
 @dataclass(frozen=True)
 class KnTrigramModel:
-    """Bounded pieces of the order-3 KN tower. ``tri_model
+    """Driver-side pieces of the order-3 KN tower (tri/mid truncated
+    by the trainer; the λ context tables bounded by the CALLER via
+    ``max_contexts`` — see train_kn_trigram_lm). ``tri_model
     (w1, w2, w3, p_disc3)``; ``ctx2_model (w1, w2, backoff3)`` with λ3
     per seen trigram context; ``mid_model (w2, w3, p_disc2)`` the
     continuation-count middle order; ``ctx1_model (w2, backoff2)``
@@ -658,13 +664,24 @@ class KnTrigramModel:
     discount2: float
 
 
+# A discount of exactly 0 is fatal, not merely suboptimal: λ = D·N/c
+# becomes 0 for every context, an unseen continuation under a seen
+# context then scores p = 0 + 0·p_lower = 0, F.log(0) = null silently
+# DROPS the token from the perplexity average, and save_arpa's
+# log10(λ) crashes outright. n1 = 0 (no singleton n-grams — e.g. a
+# reference corpus whose every document appears twice) produces
+# exactly that, so the leave-one-out estimate clamps into (0, 1).
+_D_MIN = 1e-6
+
+
 def _coc_discount(counts: DataFrame, col: str) -> float:
     cc = counts.agg(
         F.sum((F.col(col) == 1).cast("long")).alias("n1"),
         F.sum((F.col(col) == 2).cast("long")).alias("n2"),
     ).collect()[0]
     n1, n2 = int(cc["n1"] or 0), int(cc["n2"] or 0)
-    return n1 / (n1 + 2.0 * n2) if (n1 + n2) > 0 else 0.5
+    d = n1 / (n1 + 2.0 * n2) if (n1 + n2) > 0 else 0.5
+    return min(max(d, _D_MIN), 1.0 - _D_MIN)
 
 
 def train_kn_trigram_lm(
@@ -674,6 +691,7 @@ def train_kn_trigram_lm(
     alpha: float = 1.0,
     max_trigrams: int = 500_000,
     max_bigrams: int = 200_000,
+    max_contexts: int = 2_000_000,
 ) -> KnTrigramModel:
     """→ :class:`KnTrigramModel`. ``tri_model`` keeps the top
     ``max_trigrams`` triples, ``mid_model`` the top ``max_bigrams``
@@ -682,11 +700,20 @@ def train_kn_trigram_lm(
     term, conservatively deficient, never improper). The context (λ)
     tables are NEVER truncated — dropping a λ row would score a seen
     context with λ = 1 and hand it MORE mass than training assigned,
-    an improperness bug rather than a truncation trade."""
+    an improperness bug rather than a truncation trade. Their size is
+    therefore bounded by the CALLER, not the trainer: one row per
+    distinct (UNK-mapped) bigram context of the reference corpus — a
+    property of the reference snapshot and vocab, not of the corpus
+    being scored. ``max_contexts`` is the loud guard: a reference
+    whose context table exceeds it raises with the actual count
+    instead of silently collecting a corpus-scale table to the driver
+    and broadcasting it (shrink the reference or vocab_size, or raise
+    the bound deliberately)."""
     uni_model, oov_logp = train_unigram_lm(
         ref_docs, text_col, vocab_size, alpha
     )
     tri_counts = _unk_trigram_counts(ref_docs, uni_model, text_col).persist()
+    mid_counts = None
     try:
         if tri_counts.limit(1).count() == 0:
             raise ValueError(
@@ -700,6 +727,15 @@ def train_kn_trigram_lm(
             F.sum("_c").alias("c12"),
             F.count("*").alias("n_follow"),
         )
+        n_ctx = ctx2.count()
+        if n_ctx > max_contexts:
+            raise ValueError(
+                f"reference corpus has {n_ctx} distinct bigram contexts, "
+                f"over max_contexts={max_contexts} — the λ tables cannot "
+                "be truncated without improperness, so shrink the "
+                "reference snapshot or vocab_size (or raise max_contexts "
+                "deliberately)"
+            )
         # continuation counts N1+(·w2w3): distinct w1 per (w2,w3)
         mid_counts = tri_counts.groupBy("_w2", "_w3").agg(
             F.count("*").alias("n_cont")
@@ -784,8 +820,9 @@ def train_kn_trigram_lm(
             "w3 string, p_cont double",
         )
         cont_floor = alpha / denom
-        mid_counts.unpersist()
     finally:
+        if mid_counts is not None:
+            mid_counts.unpersist()
         tri_counts.unpersist()
     return KnTrigramModel(
         uni_model=uni_model,
@@ -815,7 +852,8 @@ def kn_trigram_perplexity_score(
     ``log(p_disc3 + λ3·(p_disc2 + λ2·p_cont))``. Unseen (w1,w2)
     context → λ3 = 1 (full backoff); unseen w2 context → λ2 = 1;
     unseen continuation → ``cont_floor``. One candidate scan; all six
-    model joins broadcast (bounded by construction); empty documents →
+    model joins broadcast (tri/mid truncated by the trainer, the λ
+    tables bounded by its ``max_contexts`` guard); empty documents →
     null perplexity."""
     from pyspark.sql import Window
 

@@ -278,6 +278,20 @@ def save_arpa(path: str, model: KnTrigramModel) -> None:
     }
     from etl_data_lake_spark.functions.lm import _UNK
 
+    literal_unk = {
+        w
+        for r in model.uni_model.collect()
+        for w in [r["term"]]
+        if w == _ARPA_UNK
+    }
+    if literal_unk:
+        raise ValueError(
+            "reference vocabulary contains the literal token '<unk>' — "
+            "ARPA reserves that symbol for the OOV outcome, and exporting "
+            "both would emit duplicate rows every consumer (including "
+            "load_arpa) rejects; normalize or drop the literal token "
+            "before training"
+        )
     vocab = sorted(
         {r["term"] for r in model.uni_model.collect()}
         | set(cont)
@@ -406,7 +420,7 @@ def load_arpa(path: str) -> ArpaModel:
                         f"\\{section}-grams: section"
                     )
                 continue
-            if line in ("\\end\\", "") or section is None:
+            if line == "\\end\\" or not line.strip() or section is None:
                 continue
             parts = line.split("\t")
             if len(parts) == 1:  # some writers use spaces throughout

@@ -190,7 +190,9 @@ def compression_filter(
         )
     sig = compression_signals(df, id_col, text_col, level)
     keep = sig.where(
-        (F.col("compression_ratio") >= min_ratio)
+        (F.col("raw_bytes") > 0)  # empty docs ALWAYS drop, even at
+        # min_ratio=0.0 — the documented contract, not a band artifact
+        & (F.col("compression_ratio") >= min_ratio)
         & (F.col("compression_ratio") <= max_ratio)
     ).select(id_col)
     return df.join(keep, on=id_col, how="left_semi")

@@ -44,13 +44,13 @@ from etl_data_lake_spark.functions.text import (
     tokens,
 )
 
-# affine per-doc hash for the seeded Gumbel draw (cross-engine: plain
-# integer arithmetic mod the shared 1e9+7). Knuth's multiplier for the
-# doc id; a second large odd multiplier DISPERSES the seed — an
-# additive seed would shift every u by seed/MOD and adjacent seeds
-# would select identically.
-_GUMBEL_A = 2_654_435_761
-_GUMBEL_B = 2_246_822_519
+# (no affine id hash: round-11 self-review found the original
+# doc_id*A form degenerated on non-numeric ids — cast('long') of a
+# string id is null in non-ANSI Spark, turning Gumbel-top-k into
+# "first k ids" with no error — and wrapped int64 for ids > ~3.5e9,
+# breaking the cross-engine determinism claim. The draw now char-folds
+# the id's STRING form through the shared 1e9+7 poly hash: any id
+# type, no overflow, reproducible in DuckDB via sql_poly_hash.)
 
 
 def hashed_ngram_buckets(
@@ -174,13 +174,26 @@ def dsir_log_weights(
 
 def gumbel_key(doc_id_col, seed: int = 0):
     """Deterministic per-doc Gumbel draw in micro-nats: u from the
-    affine hash of (doc_id, seed) mapped into (0, 1), g = −ln(−ln u),
-    scaled ×1e6. Cross-engine arithmetic; same seed ⇒ same draws."""
-    h = F.pmod(
-        doc_id_col.cast("long") * F.lit(_GUMBEL_A)
-        + F.lit(int(seed)) * F.lit(_GUMBEL_B),
-        F.lit(MOD),
+    char-fold poly hash of ``"<seed>#<doc_id as string>"`` mapped into
+    (0, 1), g = −ln(−ln u), scaled ×1e6. Works for ANY id type (the
+    id is hashed through its string form — no long cast that nulls
+    string ids, no int64 overflow for huge numeric ids) and is
+    cross-engine: the same fold is functions.text.sql_poly_hash. Null
+    ids hash as the empty string (one shared draw) rather than
+    silently sorting apart.
+
+    The fold alone is CONTINUOUS in the trailing character (ids
+    "url-1"/"url-2" hash 1 apart → micro-nat draws round equal), so a
+    final multiplicative scramble disperses adjacent hashes across
+    the whole ring — h < 1e9+7 times the Knuth multiplier stays under
+    2^63, exact in any engine's int64."""
+    h = poly_hash(
+        F.concat(
+            F.lit(f"{int(seed)}#"),
+            F.coalesce(doc_id_col.cast("string"), F.lit("")),
+        )
     )
+    h = F.pmod(h * F.lit(2_654_435_761) + F.lit(40_503), F.lit(MOD))
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(MOD))
     return F.round(-F.log(-F.log(u)) * F.lit(1_000_000.0)).cast("long")
 

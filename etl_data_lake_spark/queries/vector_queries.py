@@ -261,7 +261,15 @@ def ann_bench_queries() -> dict:
 
     def make(name: str):
         def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-            emb = _audit_corpus(load_table(spark, sf_dir, "embeddings"))
+            # persist like the recall entry so multi-scan methods
+            # (pq: train + encode + refine) read the corpus once —
+            # cache ownership is the bench's (clearCache between
+            # queries). Every method entry still pays the same
+            # constant load + audit-cap overhead, so CROSS-method
+            # deltas and round-over-round drift per method stay clean.
+            emb = _audit_corpus(
+                load_table(spark, sf_dir, "embeddings")
+            ).persist()
             queries = emb.where(F.col("vec_id") < _N_QUERIES)
             return _ann_methods(emb, queries)[name]()
 

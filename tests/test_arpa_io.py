@@ -149,3 +149,17 @@ def test_scorer_requires_unk(spark, tmp_path):
     docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="<unk>"):
         arpa_perplexity_score(docs, m)
+
+
+def test_whitespace_only_lines_are_skipped(spark, tmp_path):
+    """Regression (round-11 self-review): a line of only spaces inside
+    a section raised IndexError instead of the documented liberal
+    skip."""
+    body = (
+        "\\data\\\nngram 1=2\n\n\\1-grams:\n-1.0\ta\n   \n"
+        "-1.0\t<unk>\n\\end\\\n"
+    )
+    p = tmp_path / "ws.arpa"
+    p.write_text(body)
+    m = load_arpa(str(p))
+    assert set(m.unigrams) == {"a", "<unk>"}

@@ -120,3 +120,36 @@ def test_validation(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="non-empty"):
         dsir_log_weights(raw, empty, buckets=64)
+
+
+def test_resample_works_for_string_doc_ids(spark):
+    """Regression (round-11 self-review): the Gumbel draw previously
+    cast doc_id to long — null for string ids, silently degrading
+    top-k to 'first k ids'. The string-fold draw must produce distinct
+    seeded keys for string ids."""
+    raw = spark.createDataFrame(
+        [(f"url-{i}", t) for i, t in RAW.items()], "doc_id string, text string"
+    )
+    tgt = spark.createDataFrame(
+        [(f"t-{i}", t) for i, t in TARGET.items()],
+        "doc_id string, text string",
+    )
+    w = dsir_log_weights(raw, tgt, buckets=512)
+    sel = dsir_resample(w, k=3, seed=0).collect()
+    assert len(sel) == 3
+    assert len({r["gumbel_unats"] for r in sel}) == 3  # real draws
+    again = {r["doc_id"] for r in dsir_resample(w, k=3, seed=0).collect()}
+    assert again == {r["doc_id"] for r in sel}
+    other = {r["doc_id"] for r in dsir_resample(w, k=3, seed=9).collect()}
+    assert isinstance(other, set)  # seeded path executes for strings
+
+
+def test_huge_numeric_ids_keep_distinct_draws(spark):
+    """ids > 2^63/A no longer wrap: draws stay distinct + stable."""
+    base = 4_000_000_000  # past the old overflow point after multiply
+    w = spark.createDataFrame(
+        [(base + i, 5, 0) for i in range(6)],
+        "doc_id long, n_features long, score_unats long",
+    )
+    sel = dsir_resample(w, k=6, seed=0).collect()
+    assert len({r["gumbel_unats"] for r in sel}) == 6

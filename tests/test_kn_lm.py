@@ -58,6 +58,7 @@ def _py_kn(texts, vocab_size=50_000, alpha=1.0):
     n1 = sum(1 for c in pair_c.values() if c == 1)
     n2 = sum(1 for c in pair_c.values() if c == 2)
     D = n1 / (n1 + 2.0 * n2) if (n1 + n2) > 0 else 0.5
+    D = min(max(D, 1e-6), 1 - 1e-6)
     c1: dict[str, int] = {}
     nf: dict[str, int] = {}
     npre: dict[str, int] = {}

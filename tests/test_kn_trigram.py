@@ -63,7 +63,8 @@ def _py_kn3(texts, vocab_size=50_000, alpha=1.0):
     def _D(cs):
         n1 = sum(1 for c in cs if c == 1)
         n2 = sum(1 for c in cs if c == 2)
-        return n1 / (n1 + 2.0 * n2) if (n1 + n2) > 0 else 0.5
+        d = n1 / (n1 + 2.0 * n2) if (n1 + n2) > 0 else 0.5
+        return min(max(d, 1e-6), 1 - 1e-6)
 
     d3 = _D(tri_c.values())
     c12: dict[tuple, int] = {}
@@ -356,3 +357,54 @@ def test_arpa_export_reproduces_the_tower(spark, model, tmp_path):
     )
     # Σ over stored vocab ≤ 1 (the remainder is the unseen-word floor)
     assert total3 <= 1.0 + 1e-6
+
+
+def test_no_singleton_corpus_still_proper_and_exportable(spark, tmp_path):
+    """Regression (round-11 self-review): a reference where every
+    n-gram occurs ≥ 2 times estimates n1 = 0 → the raw leave-one-out
+    discount is 0, which zeroed every λ: unseen continuations scored
+    log(0) (silently DROPPED from the average by F.log's null) and
+    save_arpa crashed on log10(0). The clamp keeps D in (0, 1):
+    training succeeds, every tokenful doc scores finite, the export
+    round-trips."""
+    from etl_data_lake_spark.functions.lm_io import load_arpa, save_arpa
+
+    texts = ["the cat sat on the mat", "a dog ran in the park"]
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts * 2)],  # every doc twice
+        "doc_id long, text string",
+    )
+    m = train_kn_trigram_lm(ref, vocab_size=50_000, alpha=1.0)
+    assert 0.0 < m.discount3 < 1.0 and 0.0 < m.discount2 < 1.0
+    docs = spark.createDataFrame(
+        [(0, "the dog sat in the mat"), (1, "cat park unseen rare")],
+        "doc_id long, text string",
+    )
+    got = kn_trigram_perplexity_score(docs, m).collect()
+    for r in got:
+        assert r["n_tokens"] > 0
+        assert r["perplexity"] is not None and r["perplexity"] > 0
+    path = str(tmp_path / "nosingle.arpa")
+    save_arpa(path, m)  # crashed before the clamp
+    assert load_arpa(path).order == 3
+
+
+def test_max_contexts_guard(spark):
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(REF_TEXTS)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_contexts"):
+        train_kn_trigram_lm(ref, max_contexts=3)
+
+
+def test_save_arpa_rejects_literal_unk_token(spark, tmp_path):
+    from etl_data_lake_spark.functions.lm_io import save_arpa
+
+    ref = spark.createDataFrame(
+        [(0, "the <unk> token appears literally in this corpus text "
+             "and then some more words follow it")],
+        "doc_id long, text string",
+    )
+    m = train_kn_trigram_lm(ref)
+    with pytest.raises(ValueError, match="literal token"):
+        save_arpa(str(tmp_path / "bad.arpa"), m)

@@ -213,3 +213,22 @@ def test_compression_filter_two_sided(spark):
         )
 
         compression_signals(docs, level=0)
+
+
+def test_compression_filter_drops_empty_even_at_zero_min(spark):
+    """Regression (round-11 self-review): with min_ratio=0.0 an empty
+    doc's ratio 0.0 passed the band — the documented contract is that
+    empty docs ALWAYS drop."""
+    from etl_data_lake_spark.functions.repetition import compression_filter
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "some ordinary words of text here")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in compression_filter(
+            docs, min_ratio=0.0, max_ratio=1.5
+        ).collect()
+    }
+    assert kept == {3}
