@@ -107,7 +107,10 @@ HEADLINE = [
     # round-10 headline, growing with every codec added).
     "curation_mixture_summary",
     "media_histogram_stats",
-    "media_audio_windows",
+    # round 11: media_audio_windows → library twin (slot and bench
+    # line went to the DSIR weights entry)
+    "dsir_weights_docs",
+    "dedup_maximal_match_spans",
     "stream_tumbling_window_1h",
     "stream_dedup_exactly_once",
     "stream_stream_attribution_join",

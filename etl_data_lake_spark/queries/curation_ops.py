@@ -441,9 +441,15 @@ def _dsir_oracle(buckets: int = _DSIR_BUCKETS, alpha: float = _DSIR_ALPHA) -> st
 DSIR_WEIGHTS_SQL = _dsir_oracle()
 
 
+@register(
+    "dsir_weights_docs",
+    oracle=DSIR_WEIGHTS_SQL,
+    tags=("curation", "dsir", "selection"),
+)
 def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights over the documents table: target =
-    every 7th doc, raw pool = the rest. Oracle: DSIR_WEIGHTS_SQL."""
+    every 7th doc, raw pool = the rest. Oracle: DSIR_WEIGHTS_SQL.
+    Driver entry since round 11 (slot from media_audio_windows)."""
     from etl_data_lake_spark.operators.dsir import dsir_log_weights
     from etl_data_lake_spark.sources.catalog import load_table
 

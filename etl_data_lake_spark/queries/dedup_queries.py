@@ -535,9 +535,15 @@ _MAXIMAL_CAP = 10_000
 MAXIMAL_MATCH_SPANS_SQL = _maximal_match_oracle(_MAXIMAL_W, _MAXIMAL_CAP)
 
 
+@register(
+    "dedup_maximal_match_spans",
+    oracle=MAXIMAL_MATCH_SPANS_SQL,
+    tags=("dedup", "substring", "pairs"),
+)
 def dedup_maximal_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal variable-length verbatim matches between document pairs
-    over the documents table. Oracle: MAXIMAL_MATCH_SPANS_SQL."""
+    over the documents table. Oracle: MAXIMAL_MATCH_SPANS_SQL.
+    Driver entry since round 11 (slot from text_token_frequencies)."""
     from etl_data_lake_spark.dedup.substring import maximal_match_spans
 
     docs = load_table(spark, sf_dir, "documents")

@@ -113,22 +113,25 @@ def media_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "media_audio_windows",
-    oracle="""
-        WITH a AS (
-            SELECT doc_id, octet_length(encode(text)) AS nb
-            FROM documents
-            WHERE doc_id % 3 = 1 AND octet_length(encode(text)) > 0
-        )
-        SELECT doc_id AS media_id,
-               CAST(CEIL(nb / 128.0) AS BIGINT) AS n_windows,
-               CAST(CEIL(nb / 128.0) * (CEIL(nb / 128.0) - 1) / 2 AS BIGINT)
-                   AS idx_sum
-        FROM a
-    """,
-    tags=("multimodal", "audio", "fanout"),
-)
+# Library twin since round 11 — its driver slot went to
+# dsir_weights_docs; the audio framing invariants stay pinned in
+# test_multimodal and this exact query stays parity-checked in
+# test_parity::test_library_twin_parity (multimodal keeps two driver
+# entries: media_decode_metadata + media_histogram_stats).
+MEDIA_AUDIO_WINDOWS_SQL = """
+    WITH a AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb
+        FROM documents
+        WHERE doc_id % 3 = 1 AND octet_length(encode(text)) > 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(CEIL(nb / 128.0) AS BIGINT) AS n_windows,
+           CAST(CEIL(nb / 128.0) * (CEIL(nb / 128.0) - 1) / 2 AS BIGINT)
+               AS idx_sum
+    FROM a
+"""
+
+
 def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STFT-style audio framing (frame=256, hop=128) reduced to
     per-media invariants the oracle can recompute from payload size:

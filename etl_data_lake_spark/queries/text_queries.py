@@ -164,20 +164,24 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # here against the oracle; the corpus size N rides in via a broadcast
 # 1-row cross join, never a driver collect.
 # --------------------------------------------------------------------------
-@register(
-    "text_token_frequencies",
-    oracle=f"""
-        SELECT t AS token, COUNT(*) AS freq,
-               COUNT(DISTINCT doc_id) AS doc_freq,
-               ln((1.0 + (SELECT COUNT(*) FROM documents))
-                  / (1.0 + COUNT(DISTINCT doc_id))) + 1.0 AS idf
-        FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
-        GROUP BY t
-        ORDER BY freq DESC, token
-        LIMIT 20
-    """,
-    tags=("text", "agg", "topk", "relevance"),
-)
+# Library twin since round 11 — its driver slot went to
+# dedup_maximal_match_spans; the explode→agg→top-k + smooth-idf
+# signal still gets driver rows through text_token_counts (same
+# tokenize/explode) and text_bm25_topdocs (the posting aggregation
+# this statistic feeds), and this exact query stays parity-checked in
+# test_parity::test_library_twin_parity.
+TEXT_TOKEN_FREQUENCIES_SQL = f"""
+    SELECT t AS token, COUNT(*) AS freq,
+           COUNT(DISTINCT doc_id) AS doc_freq,
+           ln((1.0 + (SELECT COUNT(*) FROM documents))
+              / (1.0 + COUNT(DISTINCT doc_id))) + 1.0 AS idf
+    FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+    GROUP BY t
+    ORDER BY freq DESC, token
+    LIMIT 20
+"""
+
+
 def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count("*").alias("n_docs"))

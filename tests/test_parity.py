@@ -207,6 +207,16 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.curation_ops",
         "DSIR_WEIGHTS_SQL",
     ),
+    (
+        "media_audio_windows",
+        "etl_data_lake_spark.queries.multimodal_queries",
+        "MEDIA_AUDIO_WINDOWS_SQL",
+    ),
+    (
+        "text_token_frequencies",
+        "etl_data_lake_spark.queries.text_queries",
+        "TEXT_TOKEN_FREQUENCIES_SQL",
+    ),
 ]
 
 
