@@ -228,3 +228,54 @@ def test_packing_single_shuffle_on_shard(spark):
     # node names in the per-node detail section)
     plan = plan_string(packed.select("doc_id", "pack_id"), "executed")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_maximal_match_plan_is_equi_join(spark):
+    """maximal_match_spans' self-join runs on the whash equality key —
+    no BroadcastNestedLoop, no CartesianProduct anywhere in the plan
+    (the canonical pair-generation cliff)."""
+    from etl_data_lake_spark.dedup.substring import maximal_match_spans
+    from etl_data_lake_spark.plans import plan_string
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_string(maximal_match_spans(docs, w=4), "executed")
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """dsir_log_weights joins the ≤ buckets-row log-ratio table as a
+    BROADCAST — the pool-side feature table must never shuffle for
+    the scoring join."""
+    from etl_data_lake_spark.operators.dsir import dsir_log_weights
+    from etl_data_lake_spark.plans import plan_string
+    from etl_data_lake_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w = dsir_log_weights(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+        buckets=512,
+    )
+    plan = plan_string(w, "executed")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_embedding_cell_histogram_no_join_no_vector_shuffle(spark):
+    """The cell histogram is one Arrow scan + a ≤ k-row aggregate: no
+    join at all, and the single Exchange carries the (bucket, count)
+    partials, never vectors."""
+    from etl_data_lake_spark.operators.embedding_drift import (
+        embedding_cell_histogram,
+    )
+    from etl_data_lake_spark.plans import plan_string
+    from etl_data_lake_spark.similarity.kmeans import kmeans_fit
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cells, _ = kmeans_fit(emb.limit(64), 4, "vec_id", "embedding")
+    plan = plan_string(embedding_cell_histogram(emb, cells), "executed")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
