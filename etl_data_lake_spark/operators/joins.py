@@ -281,11 +281,22 @@ def interval_join_stream(
     points_watermark: str = "1 hour",
     intervals_watermark: str = "1 hour",
     max_bins_per_interval: int = 10_000,
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM form of :func:`interval_join`: both ``points``
-    and ``intervals`` may be streaming frames; each point inner-joins
+    and ``intervals`` may be streaming frames; each point joins
     every interval with ``start <= ts < end`` (plus optional
     equi-keys), with state evicted by watermarks.
+
+    ``how="left_outer"`` keeps UNMATCHED points with null interval
+    columns — the "events with no attributable campaign" shape. A
+    point has exactly one bin, so the outer row is emitted once. In
+    streaming, Spark emits an outer null row only once the watermark
+    proves no future interval can match it (the standard outer
+    stream-stream semantics: results for unmatched rows trail by the
+    watermark delay); in batch it behaves like any left join. Points
+    with a NULL timestamp are dropped in either mode — they can never
+    match and carry no event time for the watermark to reason about.
 
     The same bin rewrite does double duty here. In batch it kills the
     BroadcastNestedLoopJoin; in streaming it gives the
@@ -408,7 +419,11 @@ def interval_join_stream(
         # reads to evict interval state — keep it IN the condition
         & (p[point_ts] <= iv[start_col] + span_interval)
     )
-    joined = p.join(iv, cond)
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"how must be 'inner' or 'left_outer', got {how!r}"
+        )
+    joined = p.join(iv, cond, how)
     out = joined.drop(p["__pbin"]).drop(iv["__ibin"])
     for k in on:
         out = out.drop(iv[k])

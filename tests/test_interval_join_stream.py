@@ -228,3 +228,78 @@ def test_validation(spark):
             p, iv, point_ts="ts", start_col="s", end_col="e",
             max_span=0.0,
         )
+
+
+def test_left_outer_batch_keeps_unmatched_points(spark):
+    out = interval_join_stream(
+        spark.createDataFrame(POINTS, P_SCHEMA),
+        spark.createDataFrame(INTERVALS, I_SCHEMA),
+        on=("key",), how="left_outer", **KW,
+    )
+    rows = {r["point_id"]: r["iv_id"] for r in out.collect()}
+    # matched points carry their interval; every point appears
+    assert rows == {1: 10, 2: 11, 3: 12, 4: 12, 5: 14}
+    # a point with no interval at all (no key match) survives with null
+    lonely = spark.createDataFrame(
+        [(9, 999, _t(5))], P_SCHEMA
+    )
+    out2 = interval_join_stream(
+        lonely, spark.createDataFrame(INTERVALS, I_SCHEMA),
+        on=("key",), how="left_outer", **KW,
+    )
+    got = out2.collect()
+    assert len(got) == 1 and got[0]["iv_id"] is None
+    with pytest.raises(ValueError, match="how"):
+        interval_join_stream(
+            lonely, spark.createDataFrame(INTERVALS, I_SCHEMA),
+            on=("key",), how="full", **KW,
+        )
+
+
+def test_left_outer_stream_emits_nulls_after_watermark(spark, tmp_path):
+    """Streaming outer rows emit once the watermark proves no future
+    interval can match: feed a batch with an unmatched point, then a
+    much-later batch to advance the watermark — the null row appears."""
+    import tempfile
+
+    pdir, idir = str(tmp_path / "p4"), str(tmp_path / "i4")
+    kw = dict(KW)
+    kw.update(points_watermark="1 minute", intervals_watermark="1 minute")
+    p1 = [(1, 100, _t(5)), (2, 100, _t(200))]       # 2 has no interval
+    i1 = [(10, 100, _t(0), _t(30))]
+    spark.createDataFrame(p1, P_SCHEMA).write.parquet(pdir)
+    spark.createDataFrame(i1, I_SCHEMA).write.parquet(idir)
+    out = interval_join_stream(
+        spark.readStream.schema(
+            spark.createDataFrame(p1, P_SCHEMA).schema
+        ).option("maxFilesPerTrigger", 1).parquet(pdir),
+        spark.readStream.schema(
+            spark.createDataFrame(i1, I_SCHEMA).schema
+        ).option("maxFilesPerTrigger", 1).parquet(idir),
+        on=("key",), how="left_outer", **kw,
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("memory").queryName("ijs_outer")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds").start()
+        )
+        try:
+            q.processAllAvailable()
+            # far-future data on both sides → watermark sails past p1/i1
+            spark.createDataFrame(
+                [(3, 100, _t(5000))], P_SCHEMA
+            ).write.mode("append").parquet(pdir)
+            spark.createDataFrame(
+                [(11, 100, _t(5000), _t(5010))], I_SCHEMA
+            ).write.mode("append").parquet(idir)
+            q.processAllAvailable()
+            q.processAllAvailable()
+            got = {
+                (r["point_id"], r["iv_id"])
+                for r in spark.sql("SELECT * FROM ijs_outer").collect()
+            }
+        finally:
+            q.stop()
+    assert (1, 10) in got            # matched, emitted eagerly
+    assert (2, None) in got          # unmatched, emitted on watermark
