@@ -365,7 +365,7 @@ def dedup_repeated_substrings(
     id_col: str = "doc_id",
     w: int = 8,
     min_length: int | None = None,
-    hasher: str = "poly",
+    hasher: str = "xxhash64",
     max_occurrences: int | None = 10_000,
 ) -> DataFrame:
     """The complete Lee et al. 2022 dedup ACTION: find every maximal
@@ -376,6 +376,14 @@ def dedup_repeated_substrings(
     rewritten (contamination's :func:`excise_spans` does the cut, so
     untouched documents keep their text byte-for-byte and the
     plan stays lambda-free / pandas-UDF-composable).
+
+    Unlike the read-only span finders, this path DESTROYS text on hash
+    equality, so its default hasher is the collision-resistant 64-bit
+    ``xxhash64`` (round-12 ADVICE fix): at corpus scale the 'poly'
+    family's ~1e9 space gives birthday collisions that would excise
+    non-duplicate text. ``hasher="poly"`` remains available for the
+    oracle-twinned diagnostics that must match the SQL twin's
+    arithmetic.
 
     Keep-first falls out of :func:`maximal_match_spans`' canonical
     pair orientation: every match row has doc_a < doc_b (or

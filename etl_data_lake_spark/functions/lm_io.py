@@ -227,9 +227,15 @@ def load_lm(spark: SparkSession, path: str):
 # is the FULL interpolated value, and a context's backoff weight is
 # its λ (the standard conversion — querying the ARPA file with the
 # usual "if present use logp, else bow(context)·P(lower)" rule
-# reproduces the tower bit-for-bit, which the tests pin with an
-# independent ARPA evaluator). The tower has no BOS/EOS convention
-# (first tokens score under a separate unigram model), so the export
+# reproduces the tower's CONDITIONAL probabilities — every
+# second-and-later token of a document — bit-for-bit, which the tests
+# pin with an independent ARPA evaluator). A document's FIRST token
+# diverges by design: the tower scores it under the trained unigram
+# LM (uni_model / oov_logp) while any ARPA consumer — including
+# arpa_perplexity_score — uses the 1-gram section, i.e. the KN
+# continuation distribution, so whole-document perplexities from
+# KenLM/SRILM differ from kn_trigram_perplexity_score by exactly that
+# first-token term. The tower has no BOS/EOS convention, so the export
 # contains no <s>/</s> entries — documented, not hidden; UNK maps to
 # the standard "<unk>" symbol.
 # ---------------------------------------------------------------------------
@@ -371,29 +377,54 @@ def save_arpa(path: str, model: KnTrigramModel) -> None:
 # artifact) and every probability is a JVM expression, no UDFs.
 # ---------------------------------------------------------------------------
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 
 @dataclass(frozen=True)
 class ArpaModel:
-    """Parsed ARPA n-gram model (orders 1-3). ``unigrams`` maps word →
-    (log10 p, log10 bow); ``bigrams`` maps (w1, w2) likewise;
-    ``trigrams`` maps (w1, w2, w3) → log10 p. ``order`` is the highest
-    section present."""
+    """Parsed ARPA n-gram model, any order ≥ 1 (round 12: generalized
+    from the original 1-3 cap so real public artifacts — the standard
+    CCNet/KenLM perplexity filter ships a 5-gram ``.arpa`` — load and
+    score without modification). ``grams[n]`` maps an n-gram key (the
+    word itself at n=1, a word tuple at n≥2) → ``(log10 p, log10
+    bow)``; the highest order's bows are 0.0 (ARPA files carry none).
+    ``order`` is the highest section with rows.
 
-    unigrams: dict
-    bigrams: dict
-    trigrams: dict
-    order: int
+    ``unigrams`` / ``bigrams`` / ``trigrams`` remain as read-only views
+    for the order-3 tower round-trip surface (save_arpa ↔ load_arpa)."""
+
+    grams: dict = field(repr=False)
+    order: int = 0
+
+    @property
+    def unigrams(self) -> dict:
+        return self.grams.get(1, {})
+
+    @property
+    def bigrams(self) -> dict:
+        return self.grams.get(2, {})
+
+    @property
+    def trigrams(self) -> dict:
+        """(w1, w2, w3) → log10 p — probability only, matching the
+        pre-round-12 field shape."""
+        return {k: v[0] for k, v in self.grams.get(3, {}).items()}
 
 
 def load_arpa(path: str) -> ArpaModel:
-    """Parse an ARPA file (max order 3). Raises on files without a
-    ``\\data\\`` header, on orders above 3, and on a declared count
-    that disagrees with the rows actually present (a truncated
-    download should fail here, not as mysterious perplexities)."""
+    """Parse an ARPA file of any order. Raises on files without a
+    ``\\data\\`` header, on malformed section headers, and on a
+    declared count that disagrees with the rows actually present (a
+    truncated download should fail here, not as mysterious
+    perplexities).
+
+    Section headers are parsed by their FULL digit run
+    (``\\10-grams:`` → section 10), so a malformed or unexpected
+    high-order section can never be silently misread as section 1 and
+    corrupt the unigram table (round-12 fix of a round-11 ADVICE
+    finding)."""
     declared: dict[int, int] = {}
-    grams: dict[int, dict] = {1: {}, 2: {}, 3: {}}
+    grams: dict[int, dict] = {}
     section = None
     saw_data = False
     with open(str(path), encoding="utf-8") as f:
@@ -405,20 +436,19 @@ def load_arpa(path: str) -> ArpaModel:
             if line.startswith("ngram "):
                 n, cnt = line[6:].split("=")
                 n = int(n)
-                if n > 3:
-                    raise ValueError(
-                        f"load_arpa supports orders 1-3; file declares "
-                        f"ngram {n}"
-                    )
+                if n < 1:
+                    raise ValueError(f"malformed ARPA declaration {line!r}")
                 declared[n] = int(cnt)
+                grams.setdefault(n, {})
                 continue
             if line.startswith("\\") and line.endswith("-grams:"):
-                section = int(line[1])
-                if section > 3:
+                digits = line[1 : -len("-grams:")]
+                if not digits.isdigit() or int(digits) < 1:
                     raise ValueError(
-                        f"load_arpa supports orders 1-3; found a "
-                        f"\\{section}-grams: section"
+                        f"malformed ARPA section header {line!r}"
                     )
+                section = int(digits)
+                grams.setdefault(section, {})
                 continue
             if line == "\\end\\" or not line.strip() or section is None:
                 continue
@@ -445,15 +475,18 @@ def load_arpa(path: str) -> ArpaModel:
                 f"ARPA declares ngram {n}={cnt} but file holds "
                 f"{len(grams[n])} rows — truncated or corrupt"
             )
-    order = max((n for n in (1, 2, 3) if grams[n]), default=0)
+    order = max((n for n in grams if grams[n]), default=0)
     if order == 0:
         raise ValueError(f"{path} holds no n-gram rows")
-    return ArpaModel(
-        unigrams=grams[1],
-        bigrams={k: v for k, v in grams[2].items()},
-        trigrams={k: v[0] for k, v in grams[3].items()},
-        order=order,
-    )
+    if not grams.get(1):
+        raise ValueError(
+            f"{path} has no \\1-grams: section — every backoff path "
+            "terminates at the unigrams, so the model cannot score"
+        )
+    for n in range(2, order + 1):
+        grams.setdefault(n, {})
+    return ArpaModel(grams={n: grams[n] for n in range(1, order + 1)},
+                     order=order)
 
 
 def arpa_perplexity_score(
@@ -464,14 +497,27 @@ def arpa_perplexity_score(
     unk: str = "<unk>",
 ):
     """→ ``(doc_id, n_tokens, avg_neg_logp, perplexity)`` under the
-    standard ARPA backoff evaluation (the same numbers ``query`` in
-    KenLM or SRILM's ``ngram -ppl`` compute, minus their <s>/</s>
-    convention — this scorer, like every scorer here, has no BOS/EOS):
-    first tokens by the 1-gram section, second by the bigram rule,
-    later by the trigram rule, each falling back through the context
-    bows. Words absent from the 1-grams map to ``unk`` (must be
-    present — standard ARPA OOV handling; raises up front otherwise).
-    All gram tables broadcast; probabilities are JVM expressions."""
+    standard ARPA backoff evaluation at the model's own order (any
+    N ≥ 1 — round 12 generalized the order-3 special case so a real
+    KenLM 5-gram scores directly). The recursion is uniform:
+
+        P(w | ctx) = stored(ctx, w)            if the n-gram is listed
+                   = bow(ctx) + P(w | ctx[1:]) otherwise (bow = 0 when
+                                               the context is unlisted)
+
+    These are the numbers ``query`` in KenLM or SRILM's ``ngram -ppl``
+    compute, minus their <s>/</s> convention — this scorer, like every
+    scorer here, has no BOS/EOS: token i scores with min(i, N−1)
+    context words (first token by the 1-gram section, second by the
+    bigram rule, …). Words absent from the 1-grams map to ``unk``
+    (must be present — standard ARPA OOV handling; raises up front
+    otherwise).
+
+    Scale shape: every gram table is a bounded driver artifact →
+    broadcast; the token stream takes one window (the lag chain) and
+    2N−1 broadcast hash joins (a probability probe per order plus a
+    context-bow probe per order below the top); every probability is
+    a JVM ``when`` chain, no UDFs."""
     import math
 
     from pyspark.sql import Window
@@ -486,29 +532,25 @@ def arpa_perplexity_score(
         )
     spark = docs.sparkSession
     ln10 = math.log(10.0)
-    uni = F.broadcast(
-        spark.createDataFrame(
-            [(w, lp, bow) for w, (lp, bow) in model.unigrams.items()],
-            "w string, lp1 double, bow1 double",
+    order = model.order
+
+    def gram_df(n):
+        """Broadcast frame for order n: w1..wn, lp, bow (empty-safe)."""
+        schema = (
+            ", ".join(f"w{i} string" for i in range(1, n + 1))
+            + ", lp double, bow double"
         )
-    )
-    bi = F.broadcast(
-        spark.createDataFrame(
-            [
-                (a, b, lp, bow)
-                for (a, b), (lp, bow) in model.bigrams.items()
+        if n == 1:
+            rows = [
+                (w, lp, bow) for w, (lp, bow) in model.grams[1].items()
             ]
-            or [(None, None, None, None)],
-            "a string, b string, lp2 double, bow2 double",
-        )
-    )
-    tri = F.broadcast(
-        spark.createDataFrame(
-            [(a, b, c, lp) for (a, b, c), lp in model.trigrams.items()]
-            or [(None, None, None, None)],
-            "ta string, tb string, tc string, lp3 double",
-        )
-    )
+        else:
+            rows = [
+                (*k, lp, bow)
+                for k, (lp, bow) in model.grams.get(n, {}).items()
+            ]
+        return F.broadcast(spark.createDataFrame(rows, schema))
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode_outer(
@@ -516,8 +558,9 @@ def arpa_perplexity_score(
         ).alias("_pos", "_term"),
     )
     # vocab-map: unknown words → the unk symbol (one broadcast join)
+    uni = gram_df(1)
     mapped = toks.join(
-        uni.select(F.col("w").alias("_vw")),
+        uni.select(F.col("w1").alias("_vw")),
         toks["_term"] == F.col("_vw"),
         "left",
     ).select(
@@ -525,62 +568,54 @@ def arpa_perplexity_score(
         "_pos",
         F.when(F.col("_term").isNull(), F.lit(None))
         .otherwise(F.coalesce(F.col("_vw"), F.lit(unk)))
-        .alias("_w3"),
+        .alias("_t0"),  # current token; _tk = k positions back
     )
     w = Window.partitionBy("doc_id").orderBy("_pos")
-    seq = mapped.withColumn("_w2", F.lag("_w3", 1).over(w)).withColumn(
-        "_w1", F.lag("_w3", 2).over(w)
-    )
-    j = (
-        seq.join(uni, seq["_w3"] == uni["w"], "left")  # lp1(w3), bow1(w3)
-        .join(
-            bi.select(
-                F.col("a").alias("_pa"),
-                F.col("b").alias("_pb"),
-                F.col("lp2").alias("_plp2"),
-            ),
-            (seq["_w2"] == F.col("_pa")) & (seq["_w3"] == F.col("_pb")),
-            "left",
-        )  # stored bigram (w2, w3)
-        .join(
-            bi.select(
-                F.col("a").alias("_ca"),
-                F.col("b").alias("_cb"),
-                F.col("bow2").alias("_cbow"),
-            ),
-            (seq["_w1"] == F.col("_ca")) & (seq["_w2"] == F.col("_cb")),
-            "left",
-        )  # context bigram (w1, w2) → bow
-        .join(
-            uni.select(
-                F.col("w").alias("_xw"), F.col("bow1").alias("_xbow")
-            ),
-            seq["_w2"] == F.col("_xw"),
-            "left",
-        )  # context unigram (w2) → bow
-        .join(
-            tri,
-            (seq["_w1"] == F.col("ta"))
-            & (seq["_w2"] == F.col("tb"))
-            & (seq["_w3"] == F.col("tc")),
-            "left",
+    seq = mapped
+    for k in range(1, order):
+        seq = seq.withColumn(f"_t{k}", F.lag("_t0", k).over(w))
+
+    j = seq
+    # probability probes: order n keys on (_t{n-1}, …, _t0)
+    for n in range(1, order + 1):
+        g = gram_df(n).select(
+            *[F.col(f"w{i}").alias(f"_p{n}w{i}") for i in range(1, n + 1)],
+            F.col("lp").alias(f"_lp{n}"),
         )
-    )
-    # log10 P(w3 | w2) by the bigram backoff rule
-    p_bi = F.when(F.col("_plp2").isNotNull(), F.col("_plp2")).otherwise(
-        F.coalesce(F.col("_xbow"), F.lit(0.0)) + F.col("lp1")
-    )
-    # log10 P(w3 | w1 w2) by the trigram backoff rule
-    p_tri = F.when(F.col("lp3").isNotNull(), F.col("lp3")).otherwise(
-        F.coalesce(F.col("_cbow"), F.lit(0.0)) + p_bi
-    )
-    lp = (
-        F.when(F.col("_w3").isNull(), F.lit(None))
-        .when(F.col("_w2").isNull(), F.col("lp1"))
-        .when(F.col("_w1").isNull(), p_bi)
-        .otherwise(p_tri)
-        * F.lit(ln10)  # ARPA is log10; perplexity wants nats
-    )
+        cond = None
+        for i in range(1, n + 1):
+            c = F.col(f"_t{n - i}") if n - i else F.col("_t0")
+            eq = c == F.col(f"_p{n}w{i}")
+            cond = eq if cond is None else (cond & eq)
+        j = j.join(g, cond, "left")
+    # context-bow probes: backoff n+1 → n keys the CONTEXT
+    # (_t{n}, …, _t1), an n-gram
+    for n in range(1, order):
+        g = gram_df(n).select(
+            *[F.col(f"w{i}").alias(f"_b{n}w{i}") for i in range(1, n + 1)],
+            F.col("bow").alias(f"_bow{n}"),
+        )
+        cond = None
+        for i in range(1, n + 1):
+            eq = F.col(f"_t{n - i + 1}") == F.col(f"_b{n}w{i}")
+            cond = eq if cond is None else (cond & eq)
+        j = j.join(g, cond, "left")
+
+    # the uniform backoff cascade, bottom-up
+    p = F.col("_lp1")  # never null for non-null tokens (unk-mapped)
+    p_at = {1: p}
+    for n in range(2, order + 1):
+        p = F.when(F.col(f"_lp{n}").isNotNull(), F.col(f"_lp{n}")).otherwise(
+            F.coalesce(F.col(f"_bow{n - 1}"), F.lit(0.0)) + p
+        )
+        p_at[n] = p
+    # token i has only min(i, N−1) context words: pick the deepest
+    # order whose furthest context token exists
+    lp = F.when(F.col("_t0").isNull(), F.lit(None))
+    for n in range(1, order):
+        lp = lp.when(F.col(f"_t{n}").isNull(), p_at[n])
+    lp = lp.otherwise(p_at[order]) * F.lit(ln10)  # ARPA is log10
+
     return (
         j.select("doc_id", lp.alias("lp"))
         .groupBy("doc_id")

@@ -129,8 +129,11 @@ def compression_signals(
     ``level``, the DEFLATE default 6) — per-row Python cost is the
     compressor itself, which no JVM expression replaces. Empty
     documents report ratio 0.0 (nothing to judge — callers gate on
-    length separately). Deterministic: zlib output for a fixed level
-    is stable across runs and platforms."""
+    length separately) while ``compressed_bytes`` is still the TRUE
+    zlib output size (8 bytes of header/trailer for ``b""`` — the
+    column is always a measurement, never an invented number; round-12
+    fix of a round-11 ADVICE finding). Deterministic: zlib output for
+    a fixed level is stable across runs and platforms."""
     import zlib
 
     from pyspark.sql.functions import pandas_udf
@@ -143,8 +146,6 @@ def compression_signals(
         return pd.Series(
             [
                 len(zlib.compress(t.encode("utf-8"), level))
-                if t
-                else 0
                 for t in texts.fillna("")
             ]
         )

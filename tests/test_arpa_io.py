@@ -134,10 +134,193 @@ def test_load_arpa_validation(tmp_path):
     )
     with pytest.raises(ValueError, match="truncated|corrupt"):
         load_arpa(str(truncated))
+    # a declared order with no rows at all is the same corruption
     high = tmp_path / "h.arpa"
     high.write_text("\\data\\\nngram 4=1\n")
-    with pytest.raises(ValueError, match="orders 1-3"):
+    with pytest.raises(ValueError, match="truncated|corrupt"):
         load_arpa(str(high))
+    # backoff terminates at the unigrams — a file without them can't score
+    nouni = tmp_path / "n.arpa"
+    nouni.write_text(
+        "\\data\\\nngram 2=1\n\n\\2-grams:\n-1.0\ta b\n\\end\\\n"
+    )
+    with pytest.raises(ValueError, match="1-grams"):
+        load_arpa(str(nouni))
+
+
+def test_multidigit_section_headers_parse_fully(tmp_path):
+    """Round-12 regression (r11 ADVICE): '\\10-grams:' used to be read
+    as int(line[1]) == section 1, silently merging ten-gram rows into
+    the unigram table. The full digit run must parse."""
+    ten = " ".join("a" * 1 for _ in range(10))
+    body = (
+        "\\data\\\nngram 1=2\nngram 10=1\n\n"
+        "\\1-grams:\n-1.0\ta\t-0.5\n-2.0\t<unk>\n\n"
+        f"\\10-grams:\n-3.0\t{ten}\n\n\\end\\\n"
+    )
+    p = tmp_path / "ten.arpa"
+    p.write_text(body)
+    m = load_arpa(str(p))
+    assert m.order == 10
+    assert set(m.unigrams) == {"a", "<unk>"}  # NOT polluted
+    assert m.grams[10][tuple(["a"] * 10)] == (-3.0, 0.0)
+    bad = tmp_path / "bad.arpa"
+    bad.write_text("\\data\\\nngram 1=1\n\n\\x-grams:\n-1.0\ta\n\\end\\\n")
+    with pytest.raises(ValueError, match="section header"):
+        load_arpa(str(bad))
+
+
+# ---------------------------------------------------------------------------
+# order-5 (round 12): the standard public perplexity-filter artifact is
+# a KenLM 5-gram .arpa; load_arpa + arpa_perplexity_score must handle it
+# with the uniform backoff recursion. The independent evaluator below
+# implements that recursion in pure Python for ANY order (depth-4
+# backoff paths at order 5) — the Spark plan must match it exactly.
+# ---------------------------------------------------------------------------
+
+
+def _py_arpa_lp(m, ctx, w):
+    """log10 P(w | ctx) by the standard ARPA rule, any order."""
+    n = len(ctx) + 1
+    key = w if n == 1 else (*ctx, w)
+    hit = m.grams.get(n, {}).get(key)
+    if hit is not None:
+        return hit[0]
+    if not ctx:
+        raise AssertionError(f"unigram missing for {w!r}")
+    ckey = ctx[0] if len(ctx) == 1 else tuple(ctx)
+    centry = m.grams.get(len(ctx), {}).get(ckey)
+    bow = centry[1] if centry is not None else 0.0
+    return bow + _py_arpa_lp(m, ctx[1:], w)
+
+
+def _py_arpa_ppl(m, text, unk="<unk>"):
+    import math as _math
+
+    toks = [t for t in text.split() if t]
+    mapped = [t if t in m.unigrams else unk for t in toks]
+    lps = []
+    for i, w in enumerate(mapped):
+        ctx = tuple(mapped[max(0, i - (m.order - 1)) : i])
+        lps.append(_py_arpa_lp(m, ctx, w) * _math.log(10.0))
+    if not lps:
+        return 0, None, None
+    avg = -sum(lps) / len(lps)
+    return len(lps), avg, _math.exp(avg)
+
+
+def _write_arpa(path, grams):
+    """Serialize {n: {key: (lp, bow)}} as a well-formed ARPA file."""
+    lines = ["\\data\\"]
+    order = max(grams)
+    for n in range(1, order + 1):
+        lines.append(f"ngram {n}={len(grams.get(n, {}))}")
+    lines.append("")
+    for n in range(1, order + 1):
+        lines.append(f"\\{n}-grams:")
+        for key, (lp, bow) in sorted(grams.get(n, {}).items()):
+            ws = key if n == 1 else " ".join(key)
+            tail = f"\t{bow:.6f}" if (n < order and bow != 0.0) else ""
+            lines.append(f"{lp:.6f}\t{ws}{tail}")
+        lines.append("")
+    lines.append("\\end\\")
+    path.write_text("\n".join(lines) + "\n")
+
+
+@pytest.fixture(scope="module")
+def arpa5(tmp_path_factory):
+    """A seeded random order-5 model over a 6-word vocab: dense enough
+    that stored hits happen, sparse enough that every backoff depth
+    (5→4→3→2→1) is exercised."""
+    import random
+
+    rng = random.Random(12)
+    vocab = ["a", "b", "c", "d", "e", "<unk>"]
+    grams = {1: {w: (-rng.uniform(0.3, 2.0), -rng.uniform(0.05, 0.8))
+                 for w in vocab}}
+    for n in range(2, 6):
+        tbl = {}
+        for _ in range(40):
+            key = tuple(rng.choice(vocab) for _ in range(n))
+            bow = -rng.uniform(0.05, 0.8) if n < 5 else 0.0
+            tbl[key] = (-rng.uniform(0.3, 3.0), bow)
+        grams[n] = tbl
+    p = tmp_path_factory.mktemp("arpa5") / "model5.arpa"
+    _write_arpa(p, grams)
+    return load_arpa(str(p))
+
+
+def test_order5_scores_match_pure_python(spark, arpa5):
+    import random
+
+    assert arpa5.order == 5
+    rng = random.Random(99)
+    vocab = ["a", "b", "c", "d", "e", "zzz-oov"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 12))))
+            for i in range(40)]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["perplexity"])
+        for r in arpa_perplexity_score(
+            spark.createDataFrame(docs, "doc_id long, text string"), arpa5
+        ).collect()
+    }
+    deep_backoffs = 0
+    for i, text in docs:
+        n, _, ppl = _py_arpa_ppl(arpa5, text)
+        assert got[i][0] == n, text
+        if ppl is None:
+            assert got[i][1] is None
+        else:
+            assert abs(got[i][1] - ppl) / ppl < 1e-9, (text, got[i][1], ppl)
+        # count tokens whose 5-gram AND 4-gram probes both miss
+        toks = [t if t in arpa5.unigrams else "<unk>"
+                for t in text.split() if t]
+        for k in range(4, len(toks)):
+            full = tuple(toks[k - 4 : k + 1])
+            if full not in arpa5.grams[5] and full[1:] not in arpa5.grams[4]:
+                deep_backoffs += 1
+    assert deep_backoffs > 0, "fixture never exercised depth≥2 backoff"
+
+
+def test_order5_each_backoff_depth_hand_checked(spark, tmp_path):
+    """One hand-written order-5 file where each scored token lands at a
+    KNOWN depth: stored 5-gram, 5→4 with bow, 5→…→1 through missing
+    contexts (bow=0), and OOV."""
+    grams = {
+        1: {"a": (-0.5, -0.1), "b": (-0.6, -0.2), "c": (-0.7, 0.0),
+            "<unk>": (-1.5, 0.0)},
+        2: {("a", "b"): (-0.3, -0.15), ("b", "c"): (-0.4, 0.0)},
+        3: {("a", "b", "c"): (-0.25, -0.12)},
+        4: {("a", "b", "c", "a"): (-0.2, -0.08)},
+        5: {("a", "b", "c", "a", "b"): (-0.1, 0.0)},
+    }
+    p = tmp_path / "hand5.arpa"
+    _write_arpa(p, grams)
+    m = load_arpa(str(p))
+    # doc: a b c a b c  — token-by-token depths:
+    #  a: unigram; b: stored 2-gram; c: stored 3-gram; a: stored 4-gram;
+    #  b: stored 5-gram; final c: (b,c,a,b,c) miss → bow(b,c,a,b)=0 miss
+    #    → (c,a,b,c) miss → bow(c,a,b)=0 → (a,b,c) HIT at trigram
+    ln10 = math.log(10.0)
+    want_lps = [
+        -0.5,                      # P(a)
+        -0.3,                      # P(b|a) stored
+        -0.25,                     # P(c|a b) stored
+        -0.2,                      # P(a|a b c) stored
+        -0.1,                      # P(b|a b c a) stored
+        0.0 + 0.0 + (-0.25),       # depth-2 backoff to the trigram
+    ]
+    got = arpa_perplexity_score(
+        spark.createDataFrame([(0, "a b c a b c")],
+                              "doc_id long, text string"), m
+    ).collect()[0]
+    want_avg = -sum(lp * ln10 for lp in want_lps) / len(want_lps)
+    assert got["n_tokens"] == 6
+    assert abs(got["avg_neg_logp"] - want_avg) < 1e-9
+    # and the generic evaluator agrees with the hand math
+    n, avg, _ = _py_arpa_ppl(m, "a b c a b c")
+    assert n == 6 and abs(avg - want_avg) < 1e-12
 
 
 def test_scorer_requires_unk(spark, tmp_path):

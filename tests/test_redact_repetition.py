@@ -173,9 +173,12 @@ def test_compression_ratio_separates_junk_prose_noise(spark):
     assert sig[1]["compression_ratio"] < 0.25   # looped junk
     assert sig[3]["compression_ratio"] > 0.7    # incompressible-ish
     assert sig[4]["raw_bytes"] == 0 and sig[4]["compression_ratio"] == 0.0
-    # the numbers are zlib's, not an approximation
+    # the numbers are zlib's, not an approximation — INCLUDING the
+    # empty document (round-12 ADVICE fix: zlib.compress(b'') is 8
+    # bytes of header/trailer, not a fabricated 0)
     want = len(zlib.compress(prose.encode(), 6))
     assert sig[2]["compressed_bytes"] == want
+    assert sig[4]["compressed_bytes"] == len(zlib.compress(b"", 6))
 
 
 def test_compression_filter_two_sided(spark):

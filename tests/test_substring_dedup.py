@@ -387,3 +387,21 @@ def test_second_pass_finds_nothing_left(spark):
     )
     once = dedup_repeated_substrings(docs, w=W)
     assert maximal_match_spans(once, w=W).count() == 0
+
+
+def test_destructive_default_hasher_is_collision_resistant():
+    """Round-12 ADVICE pin: the DESTRUCTIVE action defaults to
+    xxhash64; the read-only span finders keep 'poly' for their SQL
+    twins."""
+    import inspect
+
+    from etl_data_lake_spark.dedup.substring import (
+        maximal_match_spans as mms,
+        repeated_spans as rs,
+    )
+
+    assert inspect.signature(
+        dedup_repeated_substrings
+    ).parameters["hasher"].default == "xxhash64"
+    assert inspect.signature(mms).parameters["hasher"].default == "poly"
+    assert inspect.signature(rs).parameters["hasher"].default == "poly"
