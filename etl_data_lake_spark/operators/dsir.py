@@ -104,8 +104,17 @@ def bucket_log_ratio(
         raise ValueError(f"alpha must be > 0, got {alpha}")
     t = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("n_t"))
     r = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("n_q"))
-    tot = t.agg(F.sum("n_t").alias("x")).collect()[0]["x"] or 0
-    toq = r.agg(F.sum("n_q").alias("x")).collect()[0]["x"] or 0
+    # both scalar totals in ONE driver action (two single-row aggs
+    # cross-joined — the same collect discipline as pagerank's delta
+    # fold, round-12 ADVICE fix): one job instead of two scans' worth
+    # of scheduling round-trips
+    totals = (
+        t.agg(F.sum("n_t").alias("x_t"))
+        .crossJoin(r.agg(F.sum("n_q").alias("x_q")))
+        .collect()[0]
+    )
+    tot = totals["x_t"] or 0
+    toq = totals["x_q"] or 0
     if tot == 0 or toq == 0:
         raise ValueError(
             "bucket_log_ratio: a side has no features — fit on "

@@ -153,3 +153,23 @@ def test_huge_numeric_ids_keep_distinct_draws(spark):
     )
     sel = dsir_resample(w, k=6, seed=0).collect()
     assert len({r["gumbel_unats"] for r in sel}) == 6
+
+
+def test_distribution_fit_is_one_driver_action(spark, monkeypatch):
+    """Round-12 ADVICE pin: bucket_log_ratio folds BOTH scalar totals
+    (target + pool feature counts) into a single collect — one driver
+    action, same discipline as pagerank's delta fold. Scores stay
+    bit-identical (the pure-Python parity above already pins that)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = []
+    orig = DataFrame.collect
+
+    def counted(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counted)
+    raw, tgt = _frames(spark)
+    dsir_log_weights(raw, tgt, buckets=512)  # plan builds → fit collects
+    assert len(calls) == 1
