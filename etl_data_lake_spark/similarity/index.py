@@ -77,6 +77,7 @@ class IvfIndex:
         self.postings_tbl = TxnTable(spark, f"{self.path}/postings")
         self.books_tbl = TxnTable(spark, f"{self.path}/codebooks")
         self.codec_tbl = TxnTable(spark, f"{self.path}/codec")
+        self.rotation_tbl = TxnTable(spark, f"{self.path}/rotation")
 
     # ------------------------------------------------------- build --
 
@@ -95,6 +96,7 @@ class IvfIndex:
         pq_ks: int = 32,
         pq_iters: int = 8,
         codec: str | None = None,
+        rotate: bool = False,
     ) -> "IvfIndex":
         """Train the quantizer on a bounded hash-spread sample (same
         deterministic rule as ivf_topk — one scan, tiny collect),
@@ -123,7 +125,19 @@ class IvfIndex:
         bit-identical to ``sq_topk(corpus, ..., bounds=...)``),
         ``"bq"`` = 1-bit sign quantization (ceil(d/8)-byte codes,
         per-dim mean thresholds). The trained codec parameters persist
-        under the same build-epoch rules as PQ codebooks."""
+        under the same build-epoch rules as PQ codebooks.
+
+        ``rotate=True`` upgrades an IVF-PQ build to IVF-OPQ (round 12;
+        Ge et al. CVPR 2013 via similarity/opq.py): the eigenvalue-
+        allocated PCA rotation fits on the corpus, the WHOLE index —
+        coarse quantizer, codebooks, postings — then lives in the
+        rotated basis, and the (d, d) matrix persists in its own
+        epoch-ruled table so :meth:`add` and every query path apply
+        the FROZEN rotation forever after. Rotation is orthonormal, so
+        exact-refine cosines are unchanged (same 6-dp scores); only
+        ADC candidate quality improves. The build is bit-identical to
+        building a plain IVF-PQ index over ``rotate_vectors(corpus,
+        R)`` and querying with rotated queries — test-pinned."""
         import numpy as np
 
         if pq_m is not None and codec is not None:
@@ -133,6 +147,20 @@ class IvfIndex:
             )
         if codec not in (None, "sq8", "bq"):
             raise ValueError(f"unknown codec {codec!r} (sq8, bq)")
+        if rotate and pq_m is None:
+            raise ValueError(
+                "rotate=True requires pq_m — OPQ is a rotation in "
+                "front of product quantization (Ge et al. 2013)"
+            )
+        rotation = None
+        if rotate:
+            from etl_data_lake_spark.similarity.opq import (
+                fit_rotation,
+                rotate_vectors,
+            )
+
+            rotation = fit_rotation(corpus, pq_m, id_col, vec_col)
+            corpus = rotate_vectors(corpus, rotation, vec_col)
         idx = IvfIndex(spark, path, id_col)
         train = sample_centroids(
             corpus, n_cells * max(train_factor, 1), id_col, vec_col
@@ -193,6 +221,17 @@ class IvfIndex:
             )
             # same epoch rule as codebooks
             idx.codec_tbl.append(cpdf, stats_cols=("build",))
+        if rotation is not None:
+            rdf = spark.createDataFrame(
+                [
+                    (build_no, i, [float(x) for x in row])
+                    for i, row in enumerate(rotation)
+                ],
+                "build long, row int, vals array<double>",
+            )
+            # same epoch rule as codebooks: the old build's rotation
+            # must survive until the new centroid publish
+            idx.rotation_tbl.append(rdf, stats_cols=("build",))
         cdf = spark.createDataFrame(
             [(build_no, i, list(c)) for i, c in enumerate(centroids)],
             "build long, cell int, centroid array<double>",
@@ -259,6 +298,32 @@ class IvfIndex:
         return rows[0].kind, np.asarray(
             [list(r.vals) for r in rows], dtype=np.float64
         )
+
+    def _rotation(self, build_no: int):
+        """(d, d) OPQ rotation for ``build_no``, or None for an
+        unrotated index."""
+        import numpy as np
+
+        if self.rotation_tbl.latest_version() == 0:
+            return None
+        rows = (
+            self.rotation_tbl.snapshot()
+            .where(F.col("build") == build_no)
+            .orderBy("row")
+            .collect()
+        )
+        if not rows:
+            return None
+        return np.asarray([list(r.vals) for r in rows], dtype=np.float64)
+
+    def _rotated(self, df: DataFrame, R, vec_col: str) -> DataFrame:
+        """``df`` with ``vec_col`` rotated into the index basis (no-op
+        when the build has no rotation)."""
+        if R is None:
+            return df
+        from etl_data_lake_spark.similarity.opq import rotate_vectors
+
+        return rotate_vectors(df, R, vec_col)
 
     def _codebooks(self, build_no: int):
         """PQ codebooks for ``build_no`` as an (m, ks, sd) array, or
@@ -357,6 +422,9 @@ class IvfIndex:
         index exactly-once."""
         build_no, centroids = self._quantizer()
         cdc = self._codec(build_no)
+        # frozen-rotation add: new vectors enter the SAME basis the
+        # quantizer, codebooks, and existing postings live in
+        vectors = self._rotated(vectors, self._rotation(build_no), vec_col)
         assigned = self._assign(
             vectors, centroids, vec_col, build_no,
             books=self._codebooks(build_no),
@@ -391,6 +459,10 @@ class IvfIndex:
             )
         if self.codec_tbl.latest_version() > 0:
             self.codec_tbl.delete_where(
+                "build", 0, cur - 1, stats_cols=("build",)
+            )
+        if self.rotation_tbl.latest_version() > 0:
+            self.rotation_tbl.delete_where(
                 "build", 0, cur - 1, stats_cols=("build",)
             )
         return v
@@ -475,6 +547,7 @@ class IvfIndex:
         broadcast hint, re-apply it after) or derive it from stable
         inputs."""
         build_no, centroids = self._quantizer()
+        queries = self._rotated(queries, self._rotation(build_no), vec_col)
         probe = _probe_udf(centroids, nprobe)
         q = queries.select(
             F.col(self.id_col).alias("query_id"),
@@ -619,6 +692,7 @@ class IvfIndex:
         import numpy as np
 
         build_no, centroids = self._quantizer()
+        queries = self._rotated(queries, self._rotation(build_no), vec_col)
         books = self._codebooks(build_no)
         if books is None:
             raise ValueError(
@@ -775,6 +849,7 @@ class IvfIndex:
         )
 
         build_no, centroids = self._quantizer()
+        queries = self._rotated(queries, self._rotation(build_no), vec_col)
         cdc = self._codec(build_no)
         if cdc is None:
             raise ValueError(

@@ -502,3 +502,148 @@ def test_sq8_index_filtered_query_guarantees_k(spark, emb, tmp_path):
     # every neighbor satisfies the filter
     allowed = {r.vec_id for r in mask.collect()}
     assert all(n in allowed for ns in per_q.values() for n in ns)
+
+
+# ---------------------------------------------------------------------------
+# IVF-OPQ (round 12): rotate=True stores the eigenvalue-allocated PCA
+# rotation with the build; assign/add/query all apply the frozen basis.
+# ---------------------------------------------------------------------------
+
+_OPQ = dict(n_cells=8, kmeans_iters=2, train_factor=64, pq_m=8, pq_ks=16)
+
+
+@pytest.fixture(scope="module")
+def correlated(spark):
+    """Same corpus shape as test_opq: rank-8 latents mixed across all
+    64 dims, so raw PQ slices straddle shared variance."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    mix = rng.normal(size=(8, 64))
+    Z = rng.normal(size=(600, 8))
+    X = Z @ mix + rng.normal(scale=0.05, size=(600, 64))
+    rows = [(i, [float(v) for v in X[i]]) for i in range(600)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_opq_index_bitequal_to_prerotated_pq_index(
+    spark, correlated, tmp_path
+):
+    """The round-11 codec discipline carried to OPQ: an OPQ build must
+    be BIT-IDENTICAL to a plain IVF-PQ build over the pre-rotated
+    corpus queried with pre-rotated queries — rotation is a basis
+    change of the whole index, not a query-time approximation."""
+    from etl_data_lake_spark.similarity.opq import rotate_vectors
+
+    a = IvfIndex.build(
+        spark, str(tmp_path / "opq"), correlated, id_col="vec_id",
+        rotate=True, **_OPQ,
+    )
+    R = a._rotation(a.current_build())
+    assert R is not None and R.shape == (64, 64)
+    b = IvfIndex.build(
+        spark, str(tmp_path / "pq_pre"),
+        rotate_vectors(correlated, R, "embedding"),
+        id_col="vec_id", **_OPQ,
+    )
+    queries = correlated.where(F.col("vec_id") < 8)
+    rq = rotate_vectors(queries, R, "embedding")
+    got_adc = _rows(a.query_adc(queries, k=10, nprobe=3, refine_factor=2))
+    want_adc = _rows(b.query_adc(rq, k=10, nprobe=3, refine_factor=2))
+    assert got_adc == want_adc and len(got_adc) > 0
+    got_ex = _rows(a.query(queries, k=10, nprobe=3))
+    want_ex = _rows(b.query(rq, k=10, nprobe=3))
+    assert got_ex == want_ex
+
+
+def test_opq_index_full_refine_matches_exact_cosine(
+    spark, correlated, tmp_path
+):
+    """Rotation is orthonormal ⇒ the exact refine (and the exact query
+    path) over the ROTATED postings reproduces original-space cosine
+    top-k at full probe/refine."""
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "opq"), correlated, id_col="vec_id",
+        rotate=True, **_OPQ,
+    )
+    queries = correlated.where(F.col("vec_id") < 4)
+    exact = _rows(cosine_topk(correlated, queries, k=5,
+                              id_col="vec_id", vec_col="embedding"))
+    n = correlated.count()
+    assert _rows(idx.query(queries, k=5, nprobe=8)) == exact
+    assert _rows(
+        idx.query_adc(queries, k=5, nprobe=8, refine_factor=n)
+    ) == exact
+
+
+def test_opq_index_add_applies_frozen_rotation(spark, correlated, tmp_path):
+    """add() takes RAW vectors and must rotate them into the frozen
+    build basis — a second handle (fresh process semantics) then sees
+    the union as one consistent index."""
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+
+    head = correlated.where(F.col("vec_id") < 500)
+    tail = correlated.where(F.col("vec_id") >= 500)
+    idx = IvfIndex.build(
+        spark, str(tmp_path / "opq"), head, id_col="vec_id",
+        rotate=True, **_OPQ,
+    )
+    idx.add(tail, vec_col="embedding")
+    again = IvfIndex(spark, str(tmp_path / "opq"), id_col="vec_id")
+    queries = correlated.where(F.col("vec_id") < 3)
+    exact = _rows(cosine_topk(correlated, queries, k=5,
+                              id_col="vec_id", vec_col="embedding"))
+    assert _rows(again.query(queries, k=5, nprobe=8)) == exact
+
+
+def test_opq_index_recall_dominates_plain_pq_index(
+    spark, correlated, tmp_path
+):
+    """test_opq's recall-dominance pin on the SERVED index: full coarse
+    probe isolates the codec, so the gap is pure ADC candidate
+    quality."""
+    from etl_data_lake_spark.similarity.bruteforce import cosine_topk
+
+    queries = correlated.where(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(correlated, queries, k=10,
+                                  id_col="vec_id",
+                                  vec_col="embedding").collect()}
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    pq = IvfIndex.build(
+        spark, str(tmp_path / "pq"), correlated, id_col="vec_id", **_OPQ,
+    )
+    opq = IvfIndex.build(
+        spark, str(tmp_path / "opq"), correlated, id_col="vec_id",
+        rotate=True, **_OPQ,
+    )
+    r_pq = recall(pq.query_adc(queries, k=10, nprobe=8, refine_factor=2))
+    r_opq = recall(opq.query_adc(queries, k=10, nprobe=8, refine_factor=2))
+    assert r_opq >= 0.9, r_opq
+    assert r_opq > r_pq, (r_opq, r_pq)
+
+
+def test_opq_index_validation_and_gc(spark, correlated, tmp_path):
+    with pytest.raises(ValueError, match="rotate=True requires pq_m"):
+        IvfIndex.build(
+            spark, str(tmp_path / "bad"), correlated, id_col="vec_id",
+            rotate=True, n_cells=8,
+        )
+    # rebuild + gc reclaims the superseded build's rotation rows
+    path = str(tmp_path / "opq")
+    IvfIndex.build(spark, path, correlated, id_col="vec_id",
+                   rotate=True, **_OPQ)
+    idx = IvfIndex.build(spark, path, correlated, id_col="vec_id",
+                         rotate=True, **_OPQ)
+    assert idx.rotation_tbl.snapshot().select(
+        "build").distinct().count() == 2
+    idx.gc()
+    builds = [r.build for r in idx.rotation_tbl.snapshot()
+              .select("build").distinct().collect()]
+    assert builds == [idx.current_build()]
