@@ -89,7 +89,9 @@ HEADLINE = [
     "asof_join_latest_order",
     "time_dimension",
     "events_session_window_agg",
-    "range_join_ship_lag",
+    # round 12: range_join_ship_lag → library twin; its slot (and
+    # bench line) went to the stream-stream interval join replay
+    "stream_interval_join_attribution",
     # round 7: the funnel family (windowed ordered-sequence match)
     "funnel_conversion",
     # extension operators (registered in later phases; skipped if absent)
@@ -111,6 +113,9 @@ HEADLINE = [
     # line went to the DSIR weights entry)
     "dsir_weights_docs",
     "dedup_maximal_match_spans",
+    # round 12: the keep-first dedup ACTION (slot from text_simhash,
+    # which was never a bench line)
+    "dedup_repeated_substrings",
     "stream_tumbling_window_1h",
     "stream_dedup_exactly_once",
     "stream_stream_attribution_join",

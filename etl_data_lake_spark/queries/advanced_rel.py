@@ -126,20 +126,22 @@ def distinct_agg_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order's date. The equi key carries the shuffle; the range predicate
 # evaluates post-probe — the shape that stays a hash join at 100 TB
 # (a PURE range join would need a bucketed interval strategy instead).
+# Library twin since round 12 (slot rotated to the stream-stream
+# interval join entry; its range semantics also ride
+# interval_join_first_hour) — parity-checked in
+# test_parity::test_library_twin_parity.
 # --------------------------------------------------------------------------
-@register(
-    "range_join_ship_lag",
-    oracle=f"""
-        SELECT l.l_orderkey, l.l_linenumber,
-               CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
-                   AS ship_lag_days
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-         AND l.l_shipdate >= o.o_orderdate
-         AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
-    """,
-    tags=("join", "range"),
-)
+RANGE_JOIN_SHIP_LAG_SQL = """
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS ship_lag_days
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+"""
+
+
 def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")

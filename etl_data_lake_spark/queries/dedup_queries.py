@@ -207,7 +207,12 @@ def _simhash_oracle() -> str:
     """
 
 
-@register("text_simhash", oracle=_simhash_oracle(), tags=("dedup", "hash"))
+# Library twin since round 12 (slot rotated to the keep-first
+# repeated-substring dedup ACTION below; the Hamming math stays pinned
+# in test_text_dedup) — parity-checked in test_library_twin_parity.
+TEXT_SIMHASH_SQL = _simhash_oracle()
+
+
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fingerprints = docs.select(
@@ -485,7 +490,9 @@ def text_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 8-gram overlap); the operator default stays w=8 and the planted
 # tests pin exact boundaries at varied lengths.
 # --------------------------------------------------------------------------
-def _maximal_match_oracle(w: int, max_occurrences: int) -> str:
+def _maximal_match_ctes(w: int, max_occurrences: int) -> str:
+    """The full pipeline up to a ``matches`` CTE — shared by the span
+    diagnostic's oracle and the keep-first ACTION's (round 12)."""
     return f"""{_window_cte(w)},
         eligible AS (
             SELECT whash FROM flat GROUP BY whash
@@ -517,16 +524,24 @@ def _maximal_match_oracle(w: int, max_occurrences: int) -> str:
                                       ORDER BY a_pos
                                       ROWS UNBOUNDED PRECEDING) AS run_id
             FROM flagged
-        )
-        SELECT doc_a, doc_b,
-               CAST(min(a_pos) AS BIGINT) AS a_start,
-               CAST(max(a_pos) + {w} AS BIGINT) AS a_end,
-               CAST(min(b_pos) AS BIGINT) AS b_start,
-               CAST(max(b_pos) + {w} AS BIGINT) AS b_end,
-               CAST(max(a_pos) + {w} - min(a_pos) AS BIGINT)
-                   AS match_tokens
-        FROM runs
-        GROUP BY doc_a, doc_b, diag, run_id
+        ),
+        matches AS (
+            SELECT doc_a, doc_b,
+                   CAST(min(a_pos) AS BIGINT) AS a_start,
+                   CAST(max(a_pos) + {w} AS BIGINT) AS a_end,
+                   CAST(min(b_pos) AS BIGINT) AS b_start,
+                   CAST(max(b_pos) + {w} AS BIGINT) AS b_end,
+                   CAST(max(a_pos) + {w} - min(a_pos) AS BIGINT)
+                       AS match_tokens
+            FROM runs
+            GROUP BY doc_a, doc_b, diag, run_id
+        )"""
+
+
+def _maximal_match_oracle(w: int, max_occurrences: int) -> str:
+    return f"""{_maximal_match_ctes(w, max_occurrences)}
+        SELECT doc_a, doc_b, a_start, a_end, b_start, b_end, match_tokens
+        FROM matches
     """
 
 
@@ -549,4 +564,91 @@ def dedup_maximal_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return maximal_match_spans(
         docs, w=_MAXIMAL_W, max_occurrences=_MAXIMAL_CAP
+    )
+
+
+# --------------------------------------------------------------------------
+# Keep-first repeated-substring dedup ACTION (promoted round 12, slot
+# from text_simhash): the complete Lee et al. 2022 pipeline — maximal
+# matches → b-side cut spans → excision, keeping the EARLIEST copy of
+# every repeated substring. The oracle replays all three stages in SQL
+# (the excise step is string-expressible: drop covered positions, re-
+# join survivors in order). hasher='poly' EXPLICITLY: the operator's
+# destructive default is xxhash64 (collision-resistant), but the
+# oracle twin must share the SQL-replayable hash family — the
+# documented poly-for-twins carve-out.
+# --------------------------------------------------------------------------
+_ACTION_MINLEN = 8  # excise only repeats of >= 8 tokens (w=4 detects
+# them; the threshold stage is therefore exercised, not a no-op)
+
+
+def _dedup_action_oracle(w: int, max_occurrences: int, min_length: int) -> str:
+    return f"""{_maximal_match_ctes(w, max_occurrences)},
+        cuts AS (
+            SELECT DISTINCT doc_b AS doc_id, b_start AS span_start,
+                            b_end AS span_end
+            FROM matches WHERE match_tokens >= {min_length}
+        ),
+        cutdocs AS (SELECT DISTINCT doc_id FROM cuts),
+        postoks AS (
+            SELECT doc_id, w.pos AS pos, w.tok AS tok
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(tk) + 1),
+                              i -> struct_pack(pos := i - 1, tok := tk[i])))
+                           AS w
+                FROM toks
+                WHERE doc_id IN (SELECT doc_id FROM cutdocs)
+            )
+        ),
+        kept AS (
+            SELECT p.doc_id, p.pos, p.tok
+            FROM postoks p
+            WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                              WHERE c.doc_id = p.doc_id
+                                AND p.pos >= c.span_start
+                                AND p.pos < c.span_end)
+        ),
+        rebuilt AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS new_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN cd.doc_id IS NOT NULL
+                    THEN COALESCE(r.new_text, '')
+                    ELSE d.text END AS text
+        FROM documents d
+        LEFT JOIN cutdocs cd ON d.doc_id = cd.doc_id
+        LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """
+
+
+DEDUP_REPEATED_SUBSTRINGS_SQL = _dedup_action_oracle(
+    _MAXIMAL_W, _MAXIMAL_CAP, _ACTION_MINLEN
+)
+
+
+@register(
+    "dedup_repeated_substrings",
+    oracle=DEDUP_REPEATED_SUBSTRINGS_SQL,
+    tags=("dedup", "substring", "action"),
+)
+def dedup_repeated_substrings_action(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Every occurrence of a >= 8-token repeated substring excised
+    except the earliest (lowest doc id / earliest position); untouched
+    documents keep their text byte-for-byte. Oracle:
+    DEDUP_REPEATED_SUBSTRINGS_SQL. Driver entry since round 12."""
+    from etl_data_lake_spark.dedup.substring import (
+        dedup_repeated_substrings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_repeated_substrings(
+        docs,
+        w=_MAXIMAL_W,
+        min_length=_ACTION_MINLEN,
+        hasher="poly",
+        max_occurrences=_MAXIMAL_CAP,
     )

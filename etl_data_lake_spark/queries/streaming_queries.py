@@ -282,3 +282,80 @@ def stream_funnel_emitted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_steps").cast("long").alias("n_steps"),
         "anchor_sec",
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream INTERVAL join (promoted round 12, slot from
+# range_join_ship_lag): the r11 operator replayed through the driver —
+# click intervals [ts, ts+10min) joined by purchases arriving inside
+# them, both sides streaming, availableNow replay. The oracle is the
+# plain batch range join (DuckDB), so the driver checks
+# batch ≡ stream for the bin-rewrite join itself, not just rows>0.
+# 5-minute bins ⇒ <= 3 bins per interval; max_span == the declared
+# 10-minute interval length.
+# --------------------------------------------------------------------------
+@register(
+    "stream_interval_join_attribution",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+               p.value AS purchase_value
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND p.event_type = 'purchase'
+         AND c.ts <= p.ts
+         AND p.ts < c.ts + INTERVAL 10 MINUTE
+    """,
+    tags=("streaming", "join", "range", "stateful"),
+)
+def stream_interval_join_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_data_lake_spark.operators.joins import interval_join_stream
+
+    # two independent source frames: deriving both sides from ONE
+    # stream frame makes the equi key self-referencing (Spark resolves
+    # `user_id == user_id` trivially true and the join loses its key)
+    clicks = event_stream(spark, sf_dir).where(
+        F.col("event_type") == "click"
+    ).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    purchases = event_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = interval_join_stream(
+        purchases,
+        clicks,
+        point_ts="p_ts",
+        start_col="s",
+        end_col="e",
+        on=("user_id",),
+        bin_width=300.0,
+        max_span=600.0,
+    )
+    out = run_available_now(
+        joined, _unique("ivjoin"), output_mode="append",
+        shuffle_partitions=_STATE_PARTS,
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_time"),
+        "purchase_value",
+    )

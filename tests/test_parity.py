@@ -217,6 +217,16 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.text_queries",
         "TEXT_TOKEN_FREQUENCIES_SQL",
     ),
+    (
+        "range_join_ship_lag",
+        "etl_data_lake_spark.queries.advanced_rel",
+        "RANGE_JOIN_SHIP_LAG_SQL",
+    ),
+    (
+        "text_simhash",
+        "etl_data_lake_spark.queries.dedup_queries",
+        "TEXT_SIMHASH_SQL",
+    ),
 ]
 
 
