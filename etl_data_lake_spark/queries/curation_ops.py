@@ -459,3 +459,103 @@ def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_log_weights(
         raw, tgt, buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA
     )
+
+
+# --------------------------------------------------------------------------
+# URL/domain-level curation (round 12, r11-verdict #7): host extraction
+# + registered-domain stats over deterministic synthetic URLs derived
+# from (source, lang, doc_id) — the documents table carries no URL
+# column, so the twin derives IDENTICAL strings on both engines and the
+# operators (functions/urls.py) do the parsing. Library twin (50-entry
+# driver cap), parity-checked in test_library_twin_parity; rotation
+# candidate for a future round. The URL shapes deliberately exercise
+# userinfo stripping, www/cdn subdomains, multi-part public suffixes
+# (co.uk, com.au), explicit ports, and query strings.
+# --------------------------------------------------------------------------
+_URL_SQL_EXPR = (
+    "'https://' || CASE WHEN doc_id % 11 = 0 THEN 'u@' ELSE '' END"
+    " || CASE doc_id % 7 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'"
+    "    ELSE '' END"
+    " || source || '.'"
+    " || CASE doc_id % 5 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com.au'"
+    "    WHEN 2 THEN 'org' WHEN 3 THEN 'io' ELSE 'com' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END"
+    " || '/d/' || doc_id"
+    " || CASE WHEN doc_id % 3 = 0 THEN '?ref=rss' ELSE '' END"
+)
+
+
+def doc_urls(docs: DataFrame) -> DataFrame:
+    """documents + the deterministic synthetic ``url`` column — the
+    Spark half of _URL_SQL_EXPR, string-identical by construction."""
+    did = F.col("doc_id")
+    userinfo = F.when(did % 11 == 0, F.lit("u@")).otherwise(F.lit(""))
+    sub = (
+        F.when(did % 7 == 0, F.lit("www."))
+        .when(did % 7 == 1, F.lit("cdn."))
+        .otherwise(F.lit(""))
+    )
+    tld = (
+        F.when(did % 5 == 0, F.lit("co.uk"))
+        .when(did % 5 == 1, F.lit("com.au"))
+        .when(did % 5 == 2, F.lit("org"))
+        .when(did % 5 == 3, F.lit("io"))
+        .otherwise(F.lit("com"))
+    )
+    port = F.when(did % 13 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    q = F.when(did % 3 == 0, F.lit("?ref=rss")).otherwise(F.lit(""))
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), userinfo, sub, F.col("source"),
+            F.lit("."), tld, port, F.lit("/d/"),
+            did.cast("string"), q,
+        ),
+    )
+
+
+def _domain_stats_oracle() -> str:
+    from etl_data_lake_spark.functions.urls import (
+        sql_registered_domain,
+        sql_url_host,
+    )
+
+    host = sql_url_host("url")
+    return f"""
+        WITH u AS (
+            SELECT doc_id, text, {_URL_SQL_EXPR} AS url FROM documents
+        ),
+        h AS (
+            SELECT doc_id, text, {host} AS host FROM u
+        ),
+        d AS (
+            SELECT host,
+                   {sql_registered_domain('host')} AS domain,
+                   coalesce(length(text), 0) AS chars
+            FROM h
+        ),
+        agg AS (
+            SELECT domain, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT host) AS n_hosts,
+                   SUM(chars) AS total_chars
+            FROM d GROUP BY domain
+        )
+        SELECT domain,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_hosts AS BIGINT) AS n_hosts,
+               CAST(total_chars AS BIGINT) AS total_chars,
+               ROUND(n_docs / SUM(n_docs) OVER (), 6) AS doc_share
+        FROM agg
+    """
+
+
+DOMAIN_STATS_SQL = _domain_stats_oracle()
+
+
+def domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus stats over the synthetic URL
+    column. Oracle: DOMAIN_STATS_SQL (library twin)."""
+    from etl_data_lake_spark.functions.urls import domain_stats
+
+    docs = doc_urls(load_table(spark, sf_dir, "documents"))
+    return domain_stats(docs, url_col="url", text_col="text")

@@ -227,6 +227,11 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.dedup_queries",
         "TEXT_SIMHASH_SQL",
     ),
+    (
+        "domain_stats_docs",
+        "etl_data_lake_spark.queries.curation_ops",
+        "DOMAIN_STATS_SQL",
+    ),
 ]
 
 

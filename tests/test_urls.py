@@ -1,0 +1,136 @@
+"""URL/domain curation (functions/urls.py, round 12): host extraction
+via the JVM parse_url, eTLD+1 reduction as array expressions, per-
+domain stats, and broadcast block/allow filters — the first stage of
+every public web-corpus pipeline, with the corpus side never
+shuffling. The DuckDB twin (DOMAIN_STATS_SQL) is parity-checked in
+test_parity::test_library_twin_parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.urls import (
+    domain_stats,
+    filter_domains,
+    registered_domain,
+    url_host,
+    with_domain,
+)
+
+
+def _hosts(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.h for r in df.select(url_host("url").alias("h")).collect()]
+
+
+def test_url_host_strips_userinfo_port_and_lowercases(spark):
+    got = _hosts(
+        spark,
+        [
+            "https://www.Example.COM/path?q=1",
+            "http://u:pw@api.example.org:8080/x",
+            "HTTPS://CDN.Example.co.uk:443/",
+            "ftp://files.example.io/a/b",
+            "not a url",
+            None,
+        ],
+    )
+    assert got == [
+        "www.example.com",
+        "api.example.org",
+        "cdn.example.co.uk",
+        "files.example.io",
+        None,
+        None,
+    ]
+
+
+def test_registered_domain_etld1(spark):
+    cases = {
+        "www.example.com": "example.com",
+        "a.b.c.example.com": "example.com",
+        "news.bbc.co.uk": "bbc.co.uk",
+        "bbc.co.uk": "bbc.co.uk",
+        "shop.foo.com.au": "foo.com.au",
+        "example.io": "example.io",
+        "localhost": "localhost",
+        None: None,
+    }
+    df = spark.createDataFrame(
+        [(h,) for h in cases], "host string"
+    ).select(
+        "host", registered_domain("host").alias("dom")
+    )
+    got = {r.host: r.dom for r in df.collect()}
+    assert got == cases
+
+
+def test_registered_domain_extra_suffixes(spark):
+    df = spark.createDataFrame(
+        [("docs.foo.dev.internal",)], "host string"
+    )
+    default = df.select(registered_domain("host").alias("d")).collect()[0].d
+    extended = df.select(
+        registered_domain("host", extra_suffixes=("dev.internal",)).alias("d")
+    ).collect()[0].d
+    assert default == "dev.internal"      # naive 2-label tail
+    assert extended == "foo.dev.internal"  # suffix-aware eTLD+1
+
+
+def _corpus(spark):
+    rows = [
+        (1, "https://www.good.com/a", "x" * 10),
+        (2, "https://cdn.good.com/b", "y" * 20),
+        (3, "https://spam.biz/z", "z" * 5),
+        (4, "https://news.bbc.co.uk/t", "w" * 8),
+        (5, "not a url", "q" * 3),
+        (6, "https://good.com/c", "r" * 4),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+def test_domain_stats_groups_by_etld1(spark):
+    got = {r.domain: r for r in domain_stats(_corpus(spark)).collect()}
+    assert got["good.com"].n_docs == 3
+    assert got["good.com"].n_hosts == 3  # www./cdn./apex
+    assert got["good.com"].total_chars == 34
+    assert got["spam.biz"].n_docs == 1
+    assert got["bbc.co.uk"].n_docs == 1
+    assert got[None].n_docs == 1  # malformed URLs group under null
+    assert abs(got["good.com"].doc_share - 0.5) < 1e-9
+
+
+def test_filter_domains_blocklist_allowlist(spark):
+    corpus = _corpus(spark)
+    blocked = filter_domains(corpus, blocklist=["spam.biz"])
+    assert {r.doc_id for r in blocked.collect()} == {1, 2, 4, 6}  # 5: null dom
+    allowed = filter_domains(corpus, allowlist=["good.com"])
+    assert {r.doc_id for r in allowed.collect()} == {1, 2, 6}
+    both = filter_domains(
+        corpus, blocklist=["good.com"], allowlist=["good.com", "bbc.co.uk"]
+    )
+    assert {r.doc_id for r in both.collect()} == {4}  # block wins
+    # DataFrame-typed list, subdomain matching via eTLD+1
+    bl = spark.createDataFrame([("GOOD.com",)], "domain string")
+    df_blocked = filter_domains(corpus, blocklist=bl)
+    assert {r.doc_id for r in df_blocked.collect()} == {3, 4}
+    with pytest.raises(ValueError, match="blocklist and/or an allowlist"):
+        filter_domains(corpus)
+    with pytest.raises(ValueError, match="exactly one column"):
+        filter_domains(corpus, blocklist=corpus.select("doc_id", "url"))
+
+
+def test_filter_plan_is_broadcast_and_corpus_unshuffled(spark):
+    corpus = _corpus(spark)
+    plan = filter_domains(
+        corpus, blocklist=["spam.biz"], allowlist=["good.com"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_with_domain_keeps_columns(spark):
+    out = with_domain(_corpus(spark))
+    assert out.columns == ["doc_id", "url", "text", "domain"]
+    assert out.where(F.col("doc_id") == 4).collect()[0].domain == "bbc.co.uk"
