@@ -353,6 +353,15 @@ def test_round10_s2_ops_on_empty(spark, empty_docs):
     empty_hashes = spark.createDataFrame([], "media_id long, dhash long")
     assert phash_near_dup_pairs(empty_hashes).count() == 0
 
+    # audio fingerprint (round 12): same sweep one modality over
+    from etl_data_lake_spark.multimodal.afp import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+
+    assert audio_fingerprints(media).count() == 0
+    assert audio_near_dup_pairs(media).count() == 0
+
     # q-digest: empty sketch collects to an empty reader (quantile
     # raises — pinned in test_sketches)
     empty_longs = spark.createDataFrame([], "x long")
