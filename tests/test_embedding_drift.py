@@ -113,3 +113,61 @@ def test_validation(spark, emb):
         embedding_cell_histogram(emb, [])
     with pytest.raises(ValueError, match="centroid"):
         embedding_histogram_sink(spark, "/tmp/x", [])
+
+
+def test_real_stream_3_microbatches_folds_to_batch(
+    spark, emb, cells, tmp_path
+):
+    """Round-12 pin (r11-verdict #8): the sink driven by an ACTUAL
+    Structured Streaming query — a 3-file source at maxFilesPerTrigger
+    = 1 ⇒ 3 micro-batches — must fold to the from-scratch histogram
+    of the whole corpus, and a full source REPLAY through a fresh
+    checkpoint (batch ids restart at 0) must no-op on the txn
+    watermark: state and version unchanged."""
+    from etl_data_lake_spark.sources.txn import TxnTable
+
+    src = str(tmp_path / "src")
+    emb.repartition(3).write.parquet(src)
+    state = str(tmp_path / "emb_hist_stream")
+    sink = embedding_histogram_sink(spark, state, cells)
+    schema = emb.schema.simpleString()[7:-1].replace(":", " ")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    tbl = TxnTable(spark, state)
+    v1 = tbl.latest_version()
+    assert v1 >= 3  # one txn commit per micro-batch
+    folded = {
+        r["bucket"]: r["n"] for r in read_histogram(spark, state).collect()
+    }
+    scratch = {
+        r["bucket"]: r["n"]
+        for r in embedding_cell_histogram(emb, cells).collect()
+    }
+    assert folded == scratch
+    # continuous monitoring readout: PSI vs the frozen reference ≡ 0
+    assert population_stability_index(
+        drift_report_from_histograms(
+            embedding_cell_histogram(emb, cells),
+            read_histogram(spark, state),
+        )
+    ) == 0.0
+    run(str(tmp_path / "ck2"))  # wiped checkpoint: full source replay
+    again = {
+        r["bucket"]: r["n"] for r in read_histogram(spark, state).collect()
+    }
+    assert again == scratch
+    assert tbl.latest_version() == v1  # replayed batch ids no-opped
