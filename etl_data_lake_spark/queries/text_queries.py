@@ -210,3 +210,26 @@ def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_token_counts / text_quality_scores above (50-entry driver cap);
 # text_fingerprints' poly-hash + md5 columns moved into text_simhash
 # (dedup_queries.py) — same per-doc hash-projection shape.
+
+
+# --------------------------------------------------------------------------
+# Gopher rule signals (round 12): the Rae et al. 2021 Table A1 filter
+# inputs over the documents table. Library twin (50-entry driver cap),
+# parity-checked in test_library_twin_parity; rotation candidate.
+# --------------------------------------------------------------------------
+def _gopher_oracle() -> str:
+    from etl_data_lake_spark.functions.gopher import sql_gopher_signals
+
+    return sql_gopher_signals("documents")
+
+
+GOPHER_SIGNALS_SQL = _gopher_oracle()
+
+
+def gopher_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule inputs. Oracle: GOPHER_SIGNALS_SQL
+    (library twin)."""
+    from etl_data_lake_spark.functions.gopher import gopher_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_signals(docs)

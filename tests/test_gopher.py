@@ -1,0 +1,117 @@
+"""Gopher quality rules (functions/gopher.py, round 12): each of the
+seven Rae et al. 2021 Table A1 rules exercised by a planted document
+that fails EXACTLY that rule while a healthy document passes all
+seven; signal arithmetic hand-checked; filter keeps input columns
+byte-for-byte; UDF-free plan. The DuckDB twin (GOPHER_SIGNALS_SQL)
+is parity-checked in test_parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.gopher import (
+    GOPHER_STOPWORDS,
+    gopher_filter,
+    gopher_signals,
+)
+
+# A healthy ~60-word document: mixed words, normal lengths, stop words.
+_GOOD = (
+    "the quick brown fox jumps over a lazy dog and then wanders off "
+    "to find something new to eat in the quiet forest where tall "
+    "trees have grown for many years with roots that reach deep "
+    "into the dark rich soil while birds sing softly above and the "
+    "river runs clear past mossy stones toward the distant sea"
+)
+
+
+def _sig(spark, text):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return gopher_signals(df).collect()[0]
+
+
+def test_signal_arithmetic_hand_checked(spark):
+    r = _sig(spark, "the cat### sat... now…\n- item one\n- item two…")
+    # words: the cat### sat... now… - item one - item two…  → 10
+    assert r.n_words == 10
+    # symbols: 3 hashes + 1 '...' + 2 '…' = 6 → 6/10
+    assert r.symbol_word_ratio == 0.6
+    # 3 lines; 2 start with '-' bullets; 'now…' and 'two…' trail off
+    assert r.bullet_line_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert r.ellipsis_line_frac == pytest.approx(2 / 3, abs=1e-6)
+    # alpha words: all but the two bare '-' → 8/10
+    assert r.alpha_word_frac == pytest.approx(0.8, abs=1e-6)
+    # stop hits: 'the' only
+    assert r.n_stop_hits == 1
+
+
+def test_each_rule_fails_exactly_one_planted_doc(spark):
+    docs = {
+        "good": _GOOD,
+        "too_short": "the small text has fewer words with that and be",
+        "long_words": " ".join(
+            ["the", "of", "and", "to"] * 13 + ["supercalifragilistic"] * 50
+        ),
+        "symbols": _GOOD + " " + "#" * 40,
+        "bullets": "the text with that\n" + "\n".join(
+            f"- bullet {i} of and to be have" for i in range(30)
+        ),
+        "ellipses": "the text of and\n" + "\n".join(
+            f"line {i} that trails off..." for i in range(30)
+        ),
+        "numeric": "the 1 2 3 4 5 6 7 8 9 10 of " + " ".join(
+            str(i) for i in range(60)
+        ),
+        "no_stops": " ".join(f"w{i}" for i in range(60)),
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id string, text string"
+    )
+    kept = {r.doc_id for r in gopher_filter(df).collect()}
+    assert kept == {"good"}
+    sig = {r.doc_id: r for r in gopher_signals(df).collect()}
+    assert sig["too_short"].n_words < 50
+    assert sig["long_words"].mean_word_chars > 10
+    assert sig["symbols"].symbol_word_ratio > 0.1
+    assert sig["bullets"].bullet_line_frac > 0.9
+    assert sig["ellipses"].ellipsis_line_frac > 0.3
+    assert sig["numeric"].alpha_word_frac < 0.8
+    assert sig["no_stops"].n_stop_hits < 2
+    # each planted doc fails ONLY its own rule at the paper thresholds
+    # (word count excepted — the planted bodies are sized to pass it)
+    for k in ("symbols", "bullets", "ellipses", "numeric"):
+        assert sig[k].n_words >= 50, k
+
+
+def test_empty_and_blank_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \n  \n"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_signals(df).collect()}
+    for i in (1, 2):
+        assert rows[i].n_words == 0 and rows[i].mean_word_chars == 0.0
+        assert rows[i].bullet_line_frac == 0.0
+    assert gopher_filter(df).count() == 0
+
+
+def test_filter_keeps_rows_byte_for_byte(spark):
+    df = spark.createDataFrame(
+        [(0, _GOOD, "en", 9)], "doc_id long, text string, lang string, x int"
+    )
+    out = gopher_filter(df).collect()
+    assert len(out) == 1
+    assert out[0].text == _GOOD and out[0].lang == "en" and out[0].x == 9
+
+
+def test_plan_is_udf_free(spark):
+    df = spark.createDataFrame([(0, _GOOD)], "doc_id long, text string")
+    plan = gopher_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stop_set_is_the_papers(spark):
+    assert GOPHER_STOPWORDS == (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    )

@@ -232,6 +232,11 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.curation_ops",
         "DOMAIN_STATS_SQL",
     ),
+    (
+        "gopher_signals_docs",
+        "etl_data_lake_spark.queries.text_queries",
+        "GOPHER_SIGNALS_SQL",
+    ),
 ]
 
 
