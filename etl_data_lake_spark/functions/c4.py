@@ -1,0 +1,124 @@
+"""C4-style page cleaning (Raffel et al. 2020, "Exploring the Limits
+of Transfer Learning…", §2.2) — the other canonical named public
+cleanup besides the Gopher rules: line-level retention followed by
+page-level drops. The paper's rules, implemented verbatim where they
+are string-expressible:
+
+line stage (:func:`c4_clean_lines`):
+* keep only lines ending in a terminal punctuation mark
+  (``. ! ? "`` or a closing curly quote);
+* keep only lines with ≥ ``min_words_per_line`` words (paper: 5);
+* drop any line containing the word "javascript" (case-insensitive,
+  word-bounded — the paper's cookie-banner heuristic).
+
+page stage (:func:`c4_page_filter`):
+* drop pages whose ORIGINAL text contains a curly bracket (code) or
+  the phrase "lorem ipsum" (template filler) — checked pre-cleaning
+  on purpose: a page that ever carried ``{`` is code regardless of
+  which lines survive;
+* drop pages whose CLEANED text has fewer than ``min_sentences``
+  terminal punctuation marks (paper: 3 sentences) — counted after
+  line cleaning, since that is the text that would ship;
+* optional ``ban_words``: the paper's bad-words list is data, not
+  code — pass it at deploy time; whole-word, case-insensitive,
+  page-level.
+
+(The paper's remaining step — three-sentence-span dedup across pages
+— is exact-substring dedup's job: dedup/substring.py.)
+
+Everything is higher-order array expressions + regexes over two
+splits: zero UDFs, zero shuffles — scan speed at 100 TB, and the
+output text column composes with downstream Arrow stages (pinned by
+test; the round-3/4 projection-collapse trap does not reproduce on
+Spark 4.1's UDF extraction, and the test will catch it if it
+returns)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TERMINAL_RE = r'[.!?"”]\s*$'
+_JS_RE = r"(?i)\bjavascript\b"
+
+
+def _word_count(line: Column) -> Column:
+    return F.size(
+        F.filter(F.split(F.trim(line), r"\s+"), lambda t: t != "")
+    )
+
+
+def _kept_lines(text: Column, min_words_per_line: int) -> Column:
+    return F.filter(
+        F.split(text, r"\n"),
+        lambda l: l.rlike(TERMINAL_RE)
+        & (_word_count(l) >= min_words_per_line)
+        & ~l.rlike(_JS_RE),
+    )
+
+
+def c4_clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+) -> DataFrame:
+    """``df`` with ``text_col`` rebuilt from the retained lines
+    (joined by newlines; all other columns untouched). A page whose
+    every line fails becomes the empty string — the page stage drops
+    it via the sentence floor."""
+    kept = F.array_join(
+        _kept_lines(F.col(text_col), min_words_per_line), "\n"
+    )
+    return df.select(
+        *[
+            kept.alias(c) if c == text_col else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def c4_page_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_sentences: int = 3,
+    min_words_per_line: int = 5,
+    ban_words: Iterable[str] = (),
+) -> DataFrame:
+    """Page-level predicate over the ORIGINAL text (markers) and the
+    would-be-cleaned text (sentence floor): rows that survive C4's
+    page drops. Returns input rows unchanged — compose with
+    :func:`c4_clean_lines` (or use :func:`c4_clean`)."""
+    text = F.col(text_col)
+    low = F.lower(text)
+    cond = (
+        text.isNotNull()
+        & ~text.contains("{")
+        & ~low.contains("lorem ipsum")
+    )
+    for w in ban_words:
+        cond = cond & ~low.rlike(r"\b" + str(w).lower() + r"\b")
+    cleaned = F.array_join(
+        _kept_lines(text, min_words_per_line), "\n"
+    )
+    cond = cond & (
+        F.regexp_count(cleaned, F.lit(r"[.!?]")) >= min_sentences
+    )
+    return df.where(cond)
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_sentences: int = 3,
+    min_words_per_line: int = 5,
+    ban_words: Iterable[str] = (),
+) -> DataFrame:
+    """The full C4 cleanup: page filter, then line rebuild — surviving
+    rows carry only their retained lines, every other column
+    byte-for-byte."""
+    pages = c4_page_filter(
+        df, text_col, min_sentences, min_words_per_line, ban_words
+    )
+    return c4_clean_lines(pages, text_col, min_words_per_line)

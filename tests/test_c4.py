@@ -1,0 +1,103 @@
+"""C4 page cleaning (functions/c4.py, round 12): each Raffel et al.
+2020 §2.2 rule exercised by a planted page/line, the line stage
+rebuilds text exactly, the page stage's pre/post-cleaning split is
+pinned, and the output text column composes with a downstream Arrow
+stage (the round-3/4 projection-collapse regression guard)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from etl_data_lake_spark.functions.c4 import (
+    c4_clean,
+    c4_clean_lines,
+    c4_page_filter,
+)
+
+_GOOD_PAGE = "\n".join(
+    [
+        "this is a perfectly normal sentence with plenty of words.",
+        "another full sentence follows it and also ends properly!",
+        'a third one is here to clear the sentence floor, "quoted."',
+        "short line.",                       # < 5 words → dropped
+        "no terminal punctuation on this line at all",   # dropped
+        "enable javascript to view the comments on this page.",  # dropped
+    ]
+)
+
+
+def test_line_stage_keeps_exactly_the_qualifying_lines(spark):
+    df = spark.createDataFrame(
+        [(1, _GOOD_PAGE, "en")], "doc_id long, text string, lang string"
+    )
+    out = c4_clean_lines(df).collect()[0]
+    assert out.text == "\n".join(
+        [
+            "this is a perfectly normal sentence with plenty of words.",
+            "another full sentence follows it and also ends properly!",
+            'a third one is here to clear the sentence floor, "quoted."',
+        ]
+    )
+    assert out.lang == "en"  # other columns untouched
+
+
+def test_page_stage_rules(spark):
+    pages = {
+        "good": _GOOD_PAGE,
+        "code": _GOOD_PAGE + "\nfunction f() { return 1; }",
+        "lorem": _GOOD_PAGE + "\nLorem Ipsum dolor sit amet and so on.",
+        "thin": "only one full sentence lives on this page today.",
+        "banned": _GOOD_PAGE + "\nthis page mentions the casino word often.",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in pages.items()], "doc_id string, text string"
+    )
+    kept = {r.doc_id for r in c4_page_filter(df).collect()}
+    assert kept == {"good", "banned"}
+    kept_b = {
+        r.doc_id for r in c4_page_filter(df, ban_words=("casino",)).collect()
+    }
+    assert kept_b == {"good"}
+
+
+def test_sentence_floor_counts_cleaned_text(spark):
+    """A page whose sentences all sit on disqualified lines must drop:
+    the floor is counted AFTER line cleaning."""
+    page = "\n".join(
+        [
+            "one! two! three! four!",       # 4 marks but < 5 words → line dies
+            "a full sentence that does survive the line stage here.",
+        ]
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    assert c4_page_filter(df).count() == 0  # 1 sentence < 3
+    assert c4_page_filter(df, min_sentences=1).count() == 1
+
+
+def test_c4_clean_composition_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, _GOOD_PAGE), (2, "{}"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    out = c4_clean(df).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].text.count("\n") == 2
+
+
+def test_cleaned_text_composes_with_arrow_stage(spark):
+    """Regression guard: the HOF-built text column must feed a
+    mapInPandas consumer (re-running token counting over cleaned text
+    is the canonical composition)."""
+    df = spark.createDataFrame(
+        [(1, _GOOD_PAGE)], "doc_id long, text string"
+    )
+    cleaned = c4_clean(df)
+
+    def fn(it):
+        for pdf in it:
+            pdf["n_tokens"] = pdf["text"].str.split().str.len()
+            yield pdf[["doc_id", "n_tokens"]]
+
+    got = cleaned.mapInPandas(fn, "doc_id long, n_tokens long").collect()
+    assert got[0].n_tokens == 30
