@@ -183,6 +183,8 @@ def filter_domains(
             "filter_domains needs a blocklist and/or an allowlist — "
             "with neither it would be a silent no-op"
         )
+    if "__dom" in df.columns:
+        raise ValueError("'__dom' is reserved by filter_domains — rename")
     spark = df.sparkSession
     out = df.withColumn(
         "__dom", registered_domain(url_host(url_col), extra_suffixes)

@@ -346,3 +346,32 @@ def test_whitespace_only_lines_are_skipped(spark, tmp_path):
     p.write_text(body)
     m = load_arpa(str(p))
     assert set(m.unigrams) == {"a", "<unk>"}
+
+
+def test_missing_middle_order_backs_off_through_it(spark, tmp_path):
+    """A file with 1-grams and 3-grams but NO 2-grams section (legal
+    ARPA): the empty middle table means every bigram probe misses and
+    its bow is 0, so P(w3|w1 w2) = stored trigram or backoff straight
+    to bow1(w2) + P(w3)."""
+    body = (
+        "\\data\\\nngram 1=3\nngram 3=1\n\n"
+        "\\1-grams:\n-0.5\ta\t-0.1\n-0.7\tb\t-0.2\n-1.5\t<unk>\n\n"
+        "\\3-grams:\n-0.2\ta b a\n\n\\end\\\n"
+    )
+    p = tmp_path / "gap.arpa"
+    p.write_text(body)
+    m = load_arpa(str(p))
+    assert m.order == 3 and not m.grams[2]
+    got = arpa_perplexity_score(
+        spark.createDataFrame([(0, "a b a b")], "doc_id long, text string"),
+        m,
+    ).collect()[0]
+    ln10 = math.log(10.0)
+    # a: uni; b|a: no bigram -> bow1(a) + lp1(b); a|a b: stored trigram;
+    # b|b a: no trigram, bow2(b,a)=0 -> no bigram -> bow1(a) + lp1(b)
+    want_lps = [-0.5, (-0.1 + -0.7), -0.2, (-0.1 + -0.7)]
+    want_avg = -sum(lp * ln10 for lp in want_lps) / len(want_lps)
+    assert got["n_tokens"] == 4
+    assert abs(got["avg_neg_logp"] - want_avg) < 1e-9
+    n, avg, _ = _py_arpa_ppl(m, "a b a b")
+    assert n == 4 and abs(avg - want_avg) < 1e-12
