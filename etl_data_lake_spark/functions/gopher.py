@@ -57,16 +57,10 @@ def _frac(num: Column, den: Column) -> Column:
     return F.when(den > 0, num / den.cast("double")).otherwise(F.lit(0.0))
 
 
-def gopher_signals(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """→ one row per input row: (id_col, n_words, mean_word_chars,
-    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
-    alpha_word_frac, n_stop_hits) — the seven rule inputs, rounded to
-    6 dp where fractional (cross-engine float hygiene). Empty/blank
-    documents report 0 everywhere (they fail rule 1 anyway)."""
+def _signal_exprs(text_col: str) -> dict[str, Column]:
+    """The seven rule inputs as per-row Columns — shared by the signal
+    projection and the filter so thresholds always apply to the SAME
+    (rounded) values."""
     text = F.col(text_col)
     words = _words(text)
     lines = _lines(text)
@@ -91,17 +85,32 @@ def gopher_signals(
             lambda s: F.array_contains(words, s),
         )
     )
-    return df.select(
-        F.col(id_col),
-        nw.cast("long").alias("n_words"),
-        F.round(_frac(total_chars, nw), 6).alias("mean_word_chars"),
-        F.round(
+    return {
+        "n_words": nw.cast("long"),
+        "mean_word_chars": F.round(_frac(total_chars, nw), 6),
+        "symbol_word_ratio": F.round(
             _frac(hash_chars + ell3 + ell1, nw), 6
-        ).alias("symbol_word_ratio"),
-        F.round(_frac(n_bullet, nl), 6).alias("bullet_line_frac"),
-        F.round(_frac(n_ellipsis_end, nl), 6).alias("ellipsis_line_frac"),
-        F.round(_frac(n_alpha, nw), 6).alias("alpha_word_frac"),
-        n_stop.cast("long").alias("n_stop_hits"),
+        ),
+        "bullet_line_frac": F.round(_frac(n_bullet, nl), 6),
+        "ellipsis_line_frac": F.round(_frac(n_ellipsis_end, nl), 6),
+        "alpha_word_frac": F.round(_frac(n_alpha, nw), 6),
+        "n_stop_hits": n_stop.cast("long"),
+    }
+
+
+def gopher_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ one row per input row: (id_col, n_words, mean_word_chars,
+    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+    alpha_word_frac, n_stop_hits) — the seven rule inputs, rounded to
+    6 dp where fractional (cross-engine float hygiene). Empty/blank
+    documents report 0 everywhere (they fail rule 1 anyway)."""
+    sig = _signal_exprs(text_col)
+    return df.select(
+        F.col(id_col), *[c.alias(name) for name, c in sig.items()]
     )
 
 
@@ -119,23 +128,28 @@ def gopher_filter(
     min_alpha_word_frac: float = 0.8,
     min_stop_hits: int = 2,
 ) -> DataFrame:
-    """Rows passing ALL seven Gopher rules (paper defaults) — a
-    left-semi join against the signal projection, so the kept rows
-    keep every input column byte-for-byte and the corpus shuffles
-    zero times (signals are per-row; the semi join is on the id)."""
-    sig = gopher_signals(df, text_col, id_col)
-    keep = sig.where(
-        F.col("n_words").between(min_words, max_words)
-        & F.col("mean_word_chars").between(
+    """Rows passing ALL seven Gopher rules (paper defaults) — ONE
+    in-place ``where`` over the per-row signal expressions: kept rows
+    carry every input column byte-for-byte, the scan is the only work
+    (no join, no shuffle — an earlier draft semi-joined the signal
+    projection back, paying a second scan plus an exchange for
+    nothing), and because it is a stateless row predicate the same
+    call works unchanged on a STREAMING frame (the gate shape:
+    readStream → gopher_filter → sink). Thresholds apply to the same
+    rounded values gopher_signals emits — one shared expression
+    set."""
+    sig = _signal_exprs(text_col)
+    return df.where(
+        sig["n_words"].between(min_words, max_words)
+        & sig["mean_word_chars"].between(
             min_mean_word_chars, max_mean_word_chars
         )
-        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
-        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
-        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
-        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
-        & (F.col("n_stop_hits") >= min_stop_hits)
-    ).select(id_col)
-    return df.join(keep, on=id_col, how="left_semi")
+        & (sig["symbol_word_ratio"] <= max_symbol_word_ratio)
+        & (sig["bullet_line_frac"] <= max_bullet_line_frac)
+        & (sig["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+        & (sig["alpha_word_frac"] >= min_alpha_word_frac)
+        & (sig["n_stop_hits"] >= min_stop_hits)
+    )
 
 
 # ---------------------------------------------------------------------------

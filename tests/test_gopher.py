@@ -115,3 +115,30 @@ def test_stop_set_is_the_papers(spark):
     assert GOPHER_STOPWORDS == (
         "the", "be", "to", "of", "and", "that", "have", "with",
     )
+
+
+def test_filter_plan_has_no_join_or_shuffle(spark):
+    df = spark.createDataFrame([(0, _GOOD)], "doc_id long, text string")
+    plan = gopher_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_filter_works_on_a_streaming_frame(spark, tmp_path):
+    """Stateless row predicate ⇒ the same call is a streaming quality
+    gate (readStream → gopher_filter → sink)."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, _GOOD), (2, "too short to pass.")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        gopher_filter(stream)
+        .writeStream.format("memory")
+        .queryName("gopher_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT doc_id FROM gopher_gate").collect()
+    assert [r.doc_id for r in got] == [1]
