@@ -476,3 +476,84 @@ def test_round11_stages_compose(spark, tmp_path):
     assert population_stability_index(
         drift_report_from_histograms(h_raw, h_raw)
     ) == 0.0
+
+
+def test_round12_stages_compose(spark):
+    """The round-12 additions composing end-to-end: the web-corpus
+    FRONT DOOR every public CC pipeline opens with — URL/domain stage
+    (host → eTLD+1 → stats → blocklist) → Gopher rule gate → C4 page
+    cleanup — then the multimodal side's audio near-dup over the same
+    corpus. Thresholds are corpus-adapted where the synthetic corpus
+    lacks the signal (no punctuation, one stop word); the PAPER
+    defaults are pinned per-rule in test_gopher/test_c4."""
+    from etl_data_lake_spark.functions.c4 import c4_clean
+    from etl_data_lake_spark.functions.gopher import (
+        gopher_filter,
+        gopher_signals,
+    )
+    from etl_data_lake_spark.functions.urls import (
+        domain_stats,
+        filter_domains,
+        with_domain,
+    )
+    from etl_data_lake_spark.multimodal.afp import audio_near_dup_pairs
+    from etl_data_lake_spark.multimodal.codec import fake_media_table
+    from etl_data_lake_spark.queries.curation_ops import doc_urls
+
+    docs = doc_urls(load_table(spark, SF_DIR, "documents"))
+    n0 = docs.count()
+
+    # 1. domain stats: shares sum to 1, doc masses add up
+    stats = domain_stats(docs, url_col="url").collect()
+    assert sum(r.n_docs for r in stats) == n0
+    assert abs(sum(r.doc_share for r in stats) - 1.0) < 1e-3
+
+    # 2. blocklist the single largest domain; the kept set must be
+    # EXACTLY the complement of its documents
+    worst = max(stats, key=lambda r: (r.n_docs, r.domain)).domain
+    kept = filter_domains(docs, url_col="url", blocklist=[worst])
+    doms = with_domain(docs, url_col="url")
+    want_kept = doms.where(F.col("domain") != worst).count()
+    n1 = kept.count()
+    assert n1 == want_kept < n0
+
+    # 3. Gopher gate (corpus-adapted: synthetic docs carry ~1 stop
+    # word and 30-70 words) — kept rows must individually satisfy the
+    # same signals the audit projection reports
+    gated = gopher_filter(kept, min_words=20, min_stop_hits=1)
+    n2 = gated.count()
+    assert 0 < n2 <= n1
+    sig = gopher_signals(gated)
+    assert sig.where(
+        (F.col("n_words") < 20) | (F.col("n_stop_hits") < 1)
+    ).count() == 0
+
+    # 4. C4 page cleanup: punctuate the tail (the synthetic corpus has
+    # no sentence structure), plant one code page — it must drop
+    punct = gated.withColumn("text", F.concat_ws("", "text", F.lit(".")))
+    code_page = punct.limit(1).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    ).withColumn("text", F.concat_ws("", "text", F.lit(" { }")))
+    cleaned = c4_clean(punct.union(code_page), min_sentences=1)
+    assert cleaned.count() == n2  # the planted code page dropped
+    assert cleaned.where(~F.col("text").rlike(r"\.$")).count() == 0
+
+    # 5. audio near-dup on the corpus's media table with one planted
+    # duplicate clip: the pair surfaces at Hamming 0
+    media = fake_media_table(
+        load_table(spark, SF_DIR, "documents").limit(150)
+    )
+    one = media.where(F.col("kind") == "audio").limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(one.media_id + 5_000_000, one.kind, bytearray(one.payload))],
+        "media_id long, kind string, payload binary",
+    )
+    pairs = audio_near_dup_pairs(
+        media.select("media_id", "kind", "payload").union(dup),
+        max_distance=1, bands=2,
+    )
+    hit = pairs.where(
+        (F.col("id_a") == one.media_id)
+        & (F.col("id_b") == one.media_id + 5_000_000)
+    ).collect()
+    assert len(hit) == 1 and hit[0].hamming == 0
