@@ -279,3 +279,32 @@ def test_embedding_cell_histogram_no_join_no_vector_shuffle(spark):
     plan = plan_string(embedding_cell_histogram(emb, cells), "executed")
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_dedup_action_excision_never_cartesian(spark):
+    """The round-12 driver entry's full pipeline — maximal matches →
+    cuts → excision — stays equi-keyed end to end: the span anti-join
+    in excise_spans keys on the doc id, so no BroadcastNestedLoop over
+    the corpus and no Cartesian anywhere."""
+    from etl_data_lake_spark.queries.registry import queries
+    from etl_data_lake_spark.plans import plan_string
+
+    q = queries()["dedup_repeated_substrings"](spark, SF_DIR)
+    plan = plan_string(q, "executed")
+    assert "Cartesian" not in plan, plan
+
+
+def test_urls_domain_stats_single_agg_no_join(spark):
+    """domain_stats is ONE hash aggregation over the scan (plus the
+    k-row global-share window) — no join, and the only exchanges key
+    the domain aggregate / the tiny window, never a second corpus
+    pass."""
+    from etl_data_lake_spark.functions.urls import domain_stats
+    from etl_data_lake_spark.plans import plan_string
+    from etl_data_lake_spark.queries.curation_ops import doc_urls
+    from etl_data_lake_spark.sources.catalog import load_table
+
+    docs = doc_urls(load_table(spark, SF_DIR, "documents"))
+    plan = plan_string(domain_stats(docs, url_col="url"), "executed")
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
