@@ -202,6 +202,56 @@ def filter_domains(
     return out.drop("__dom")
 
 
+def filter_domains_by_quality(
+    df: DataFrame,
+    score_col: str,
+    url_col: str = "url",
+    min_mean_score: float = 0.0,
+    min_docs: int = 10,
+    extra_suffixes: Iterable[str] = (),
+) -> DataFrame:
+    """Domain-LEVEL quality filtering (the RefinedWeb/CCNet move after
+    per-document scoring): drop every document of a registered domain
+    whose MEAN ``score_col`` across ≥ ``min_docs`` documents falls
+    below ``min_mean_score`` — one bad page is noise, a consistently
+    bad domain is a content farm. Domains with fewer than ``min_docs``
+    documents pass (not enough evidence to condemn the whole site),
+    as do null-domain rows here (attribute-level policy belongs to
+    :func:`filter_domains`).
+
+    Score semantics are the caller's (Gopher signal, classifier
+    log-odds, perplexity negated — anything where HIGHER is better).
+    Shape: one per-domain aggregate (≤ |domains| rows) → the
+    condemned set joins back BROADCAST anti — the corpus never
+    shuffles."""
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    if "__dom" in df.columns:
+        raise ValueError(
+            "'__dom' is reserved by filter_domains_by_quality — rename"
+        )
+    dom = registered_domain(url_host(url_col), extra_suffixes)
+    scored = df.withColumn("__dom", dom)
+    bad = (
+        scored.where(F.col("__dom").isNotNull())
+        .groupBy("__dom")
+        .agg(
+            F.count("*").alias("_n"),
+            F.avg(score_col).alias("_mean"),
+        )
+        .where(
+            (F.col("_n") >= min_docs)
+            & (F.col("_mean") < min_mean_score)
+        )
+        .select(F.col("__dom").alias("_bad_dom"))
+    )
+    return scored.join(
+        F.broadcast(bad),
+        scored["__dom"] == bad["_bad_dom"],
+        "left_anti",
+    ).drop("__dom")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twin helpers — the same host/domain algebra as portable SQL
 # (DuckDB has no parse_url; the regex mirrors java.net.URI's HOST:

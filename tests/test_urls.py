@@ -134,3 +134,36 @@ def test_with_domain_keeps_columns(spark):
     out = with_domain(_corpus(spark))
     assert out.columns == ["doc_id", "url", "text", "domain"]
     assert out.where(F.col("doc_id") == 4).collect()[0].domain == "bbc.co.uk"
+
+
+def test_filter_domains_by_quality(spark):
+    """Domain-level quality: a consistently-bad domain (>= min_docs,
+    mean below floor) loses ALL its documents — including its one good
+    page; a small bad domain passes on insufficient evidence; null
+    domains pass through."""
+    from etl_data_lake_spark.functions.urls import (
+        filter_domains_by_quality,
+    )
+
+    rows = (
+        [(i, f"https://farm.biz/{i}", 0.1) for i in range(10)]
+        + [(100, "https://farm.biz/good", 0.9)]   # drowned by the mean
+        + [(i, f"https://good.com/{i}", 0.9) for i in range(200, 210)]
+        + [(300, "https://tiny.org/1", 0.0), (301, "https://tiny.org/2", 0.0)]
+        + [(400, "not a url", 0.0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string, score double")
+    kept = {
+        r.doc_id
+        for r in filter_domains_by_quality(
+            df, "score", min_mean_score=0.5, min_docs=5
+        ).collect()
+    }
+    assert all(i not in kept for i in list(range(10)) + [100])
+    assert all(i in kept for i in range(200, 210))
+    assert {300, 301, 400} <= kept
+    assert "score" in df.columns  # input untouched
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_docs"):
+        filter_domains_by_quality(df, "score", min_docs=0)
