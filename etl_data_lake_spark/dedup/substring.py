@@ -413,6 +413,15 @@ def dedup_repeated_substrings(
         F.col("b_start").alias("span_start"),
         F.col("b_end").alias("span_end"),
     ).distinct()
+    # materialize the cut set ONCE (round 12): excise_spans reads its
+    # span side twice (hit-doc semi join + the positional anti join),
+    # and without a checkpoint each read re-runs the ENTIRE match
+    # pipeline — window hashes, self-join, diagonal windows — tripling
+    # the dominant cost. The cuts table is bounded by the losing spans
+    # (candidates-sized, tiny next to the corpus), so this is the
+    # cheap side to pin down. localCheckpoint also truncates the
+    # lineage the rebuild join would otherwise re-plan.
+    cuts = cuts.localCheckpoint()
     from etl_data_lake_spark.dedup.contamination import excise_spans
 
     return excise_spans(docs, cuts, text_col, id_col)
