@@ -156,6 +156,34 @@ def normalize_weights(targets: dict[str, float]) -> dict[str, float]:
     return {k: v / s for k, v in targets.items()}
 
 
+def temperature_mixture_weights(
+    sizes: dict[str, float], alpha: float = 0.3
+) -> dict[str, float]:
+    """The multilingual temperature-sampling recipe (exponential
+    smoothing of the empirical distribution — XLM-R / mT5 use
+    α ≈ 0.3, T5/C4 α = 1 is proportional, α → 0 is uniform): target
+    weight ∝ size^α, normalized. ``sizes`` is per-stratum corpus mass
+    in any consistent unit (rows, tokens, bytes — typically the
+    ``n_total`` column of :func:`mixture_rates` or an exact-BPE token
+    sum). Feed the result straight into :func:`resample_to_mixture`
+    (round 12): the two compose into the standard low-resource-
+    upweighting mix without hand-written targets.
+
+    Driver-side pure function like :func:`normalize_weights`, for the
+    same reason — both engines (and any SQL twin) must inline
+    bit-identical double literals."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not sizes:
+        raise ValueError("empty mixture sizes")
+    bad = {k: v for k, v in sizes.items() if not v > 0.0}
+    if bad:
+        raise ValueError(f"non-positive stratum sizes: {bad}")
+    return normalize_weights(
+        {k: float(v) ** alpha for k, v in sizes.items()}
+    )
+
+
 def resample_to_mixture(
     df: DataFrame,
     targets: dict[str, float],

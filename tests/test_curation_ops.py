@@ -476,3 +476,53 @@ def test_split_leakage_safe_validation_and_determinism(spark):
         split_leakage_safe(
             docs.withColumn("cluster_id", F.lit(1)), pairs, w
         )
+
+
+def test_temperature_mixture_weights(spark):
+    """Round-12: the XLM-R/mT5 exponential-smoothing recipe — α=1 is
+    proportional, smaller α flattens toward uniform monotonically, and
+    the output composes with resample_to_mixture (the low-resource
+    stratum's SHARE rises after temperature resampling)."""
+    import pytest as _pytest
+
+    from etl_data_lake_spark.operators.sampling import (
+        resample_to_mixture,
+        temperature_mixture_weights,
+    )
+
+    sizes = {"en": 8000.0, "fr": 1500.0, "sw": 500.0}
+    w1 = temperature_mixture_weights(sizes, alpha=1.0)
+    assert abs(w1["en"] - 0.8) < 1e-12  # α=1 ⇒ proportional
+    w03 = temperature_mixture_weights(sizes, alpha=0.3)
+    w01 = temperature_mixture_weights(sizes, alpha=0.1)
+    # flattening is monotone in α: low-resource share grows as α drops
+    assert w1["sw"] < w03["sw"] < w01["sw"] < 1 / 3
+    assert w1["en"] > w03["en"] > w01["en"] > 1 / 3
+    for w in (w1, w03, w01):
+        assert abs(sum(w.values()) - 1.0) < 1e-12
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_mixture_weights(sizes, alpha=0.0)
+    with _pytest.raises(ValueError, match="non-positive"):
+        temperature_mixture_weights({"en": 0.0})
+
+    # composition: resampling to the α=0.3 targets raises the
+    # low-resource stratum's share above its raw share
+    rows = (
+        [(i, "en") for i in range(800)]
+        + [(i + 10_000, "fr") for i in range(150)]
+        + [(i + 20_000, "sw") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = resample_to_mixture(
+        df, temperature_mixture_weights(
+            {k: float(v) for k, v in
+             {r["lang"]: r["n"] for r in
+              df.groupBy("lang").agg(F.count("*").alias("n")).collect()
+              }.items()},
+            alpha=0.3,
+        ),
+        "lang", ("doc_id",),
+    )
+    n = out.count()
+    sw_share = out.where(F.col("lang") == "sw").count() / n
+    assert sw_share > 50 / 1000  # raw share was 5%
