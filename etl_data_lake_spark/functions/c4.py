@@ -44,15 +44,34 @@ TERMINAL_RE = r'[.!?"”]\s*$'
 _JS_RE = r"(?i)\bjavascript\b"
 
 
+def _ban_regex(word: str) -> str:
+    """Case-insensitive pattern for one ban-list entry with every
+    regex metacharacter escaped (round-12 review fix: the public bad-
+    words lists carry entries like ``a$$`` — an unescaped ``$``
+    anchors and the entry silently never matches; an unbalanced
+    ``(`` kills the scan). Word boundaries apply only where the
+    entry's edge is a word character — ``\\b`` next to punctuation
+    would demand a boundary that plain text rarely provides."""
+    import re as _re
+
+    w = str(word).lower()
+    if not w:
+        raise ValueError("empty ban_words entry")
+    pre = r"\b" if (w[0].isalnum() or w[0] == "_") else ""
+    suf = r"\b" if (w[-1].isalnum() or w[-1] == "_") else ""
+    return f"(?i){pre}{_re.escape(w)}{suf}"
+
+
 def _word_count(line: Column) -> Column:
-    return F.size(
-        F.filter(F.split(F.trim(line), r"\s+"), lambda t: t != "")
-    )
+    from etl_data_lake_spark.functions.text import nonempty_tokens
+
+    return F.size(nonempty_tokens(line))
 
 
 def _kept_lines(text: Column, min_words_per_line: int) -> Column:
+    # \r?\n: a CRLF corpus must not leave \r glued to every line
     return F.filter(
-        F.split(text, r"\n"),
+        F.split(text, r"\r?\n"),
         lambda l: l.rlike(TERMINAL_RE)
         & (_word_count(l) >= min_words_per_line)
         & ~l.rlike(_JS_RE),
@@ -91,6 +110,11 @@ def c4_page_filter(
     page drops. Returns input rows unchanged — compose with
     :func:`c4_clean_lines` (or use :func:`c4_clean`)."""
     text = F.col(text_col)
+    cond = _page_cond(text, min_sentences, min_words_per_line, ban_words)
+    return df.where(cond)
+
+
+def _page_cond(text, min_sentences, min_words_per_line, ban_words):
     low = F.lower(text)
     cond = (
         text.isNotNull()
@@ -98,14 +122,13 @@ def c4_page_filter(
         & ~low.contains("lorem ipsum")
     )
     for w in ban_words:
-        cond = cond & ~low.rlike(r"\b" + str(w).lower() + r"\b")
+        cond = cond & ~text.rlike(_ban_regex(w))
     cleaned = F.array_join(
         _kept_lines(text, min_words_per_line), "\n"
     )
-    cond = cond & (
+    return cond & (
         F.regexp_count(cleaned, F.lit(r"[.!?]")) >= min_sentences
     )
-    return df.where(cond)
 
 
 def c4_clean(
@@ -117,8 +140,35 @@ def c4_clean(
 ) -> DataFrame:
     """The full C4 cleanup: page filter, then line rebuild — surviving
     rows carry only their retained lines, every other column
-    byte-for-byte."""
-    pages = c4_page_filter(
-        df, text_col, min_sentences, min_words_per_line, ban_words
+    byte-for-byte. Single-pass (round-12 review fix): the kept-lines
+    array materializes ONCE as a projected column below the filter —
+    composing c4_page_filter ∘ c4_clean_lines would evaluate the whole
+    split+regex+word-count pipeline twice per surviving page, doubling
+    the dominant cost of a scan-speed stage."""
+    if "__c4_lines" in df.columns:
+        raise ValueError("'__c4_lines' is reserved by c4_clean — rename")
+    text = F.col(text_col)
+    staged = df.withColumn(
+        "__c4_lines", _kept_lines(text, min_words_per_line)
     )
-    return c4_clean_lines(pages, text_col, min_words_per_line)
+    low = F.lower(text)
+    cond = (
+        text.isNotNull()
+        & ~text.contains("{")
+        & ~low.contains("lorem ipsum")
+    )
+    for w in ban_words:
+        cond = cond & ~text.rlike(_ban_regex(w))
+    cond = cond & (
+        F.regexp_count(
+            F.array_join("__c4_lines", "\n"), F.lit(r"[.!?]")
+        )
+        >= min_sentences
+    )
+    kept = F.array_join("__c4_lines", "\n")
+    return staged.where(cond).select(
+        *[
+            kept.alias(c) if c == text_col else F.col(c)
+            for c in df.columns
+        ]
+    )

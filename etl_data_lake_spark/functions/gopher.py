@@ -40,15 +40,21 @@ _ELLIPSIS_RE = r"(\.\.\.|…)$"
 
 
 def _words(text: Column) -> Column:
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    from etl_data_lake_spark.functions.text import nonempty_tokens
+
+    return nonempty_tokens(text)
 
 
 def _lines(text: Column) -> Column:
     # lambda, not bare F.trim: transform passes the element INDEX as a
     # second arg to binary callables, which would silently become
-    # trim's deprecated trim-string parameter
+    # trim's deprecated trim-string parameter.
+    # split on \r?\n (round-12 review fix): a CRLF corpus would leave
+    # \r on every line, where Java's '$' matches BEFORE the trailing
+    # terminator but RE2/DuckDB's does not — the twin would diverge
+    # on the first Windows-lineage document.
     return F.filter(
-        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        F.transform(F.split(text, r"\r?\n"), lambda l: F.trim(l)),
         lambda l: l != "",
     )
 
@@ -164,8 +170,9 @@ def sql_gopher_signals(table: str = "documents") -> str:
             SELECT doc_id,
                    list_filter(regexp_split_to_array(trim(text), '\\s+'),
                                t -> t != '') AS words,
-                   list_filter(list_transform(string_split(text, chr(10)),
-                                              l -> trim(l)),
+                   list_filter(list_transform(
+                                   regexp_split_to_array(text, '\\r?\\n'),
+                                   l -> trim(l)),
                                l -> l != '') AS lines,
                    length(text)
                        - length(replace(text, '#', '')) AS hash_chars,

@@ -80,14 +80,22 @@ def _pre_tokenizers(node) -> list:
     return [node]
 
 
-def load_hf_tokenizer_json(path: str) -> HfBpeTokenizer:
+def load_hf_tokenizer_json(
+    path: str, ignore_added_tokens: bool = False
+) -> HfBpeTokenizer:
     """Parse a ``tokenizer.json``. Raises on non-BPE models, on
     normalizers, on pre-tokenizers outside {ByteLevel, Whitespace,
-    WhitespaceSplit}, and on merges naming symbols whose concatenation
-    is missing from the vocab (a truncated artifact should fail here,
-    not as garbage ids). Accepts both merge spellings in the wild:
-    ``"a b"`` strings (classic) and ``["a", "b"]`` pairs (newer
-    ``tokenizers`` releases)."""
+    WhitespaceSplit}, on ``ByteLevel.use_regex=false`` (a materially
+    different split), on a declared ``unk_token`` missing from the
+    vocab, on ``added_tokens`` (unless ``ignore_added_tokens=True`` —
+    an added token's string in the corpus would BPE-split into pieces
+    instead of its reserved id, so the caller must assert the corpus
+    cannot contain them; GPT-2's ``<|endoftext|>`` is the classic safe
+    case), and on merges naming symbols whose concatenation is missing
+    from the vocab (a truncated artifact should fail here, not as
+    garbage ids). Accepts both merge spellings in the wild: ``"a b"``
+    strings (classic) and ``["a", "b"]`` pairs (newer ``tokenizers``
+    releases)."""
     with open(str(path), encoding="utf-8") as f:
         doc = json.load(f)
     model = doc.get("model") or {}
@@ -104,6 +112,16 @@ def load_hf_tokenizer_json(path: str) -> HfBpeTokenizer:
             "re-tokenize the corpus wrong; strip it or normalize "
             "upstream (functions/normalize.py)"
         )
+    added = doc.get("added_tokens") or []
+    if added and not ignore_added_tokens:
+        raise ValueError(
+            f"artifact declares {len(added)} added_tokens (e.g. "
+            f"{added[0].get('content')!r}) which this loader does not "
+            "reserve — their strings in the corpus would BPE-split "
+            "instead of mapping to the reserved id; pass "
+            "ignore_added_tokens=True only if the corpus cannot "
+            "contain them"
+        )
     pres = _pre_tokenizers(doc.get("pre_tokenizer"))
     byte_level = False
     add_prefix_space = False
@@ -112,6 +130,11 @@ def load_hf_tokenizer_json(path: str) -> HfBpeTokenizer:
         if t == "ByteLevel":
             byte_level = True
             add_prefix_space = bool(p.get("add_prefix_space", False))
+            if p.get("use_regex", True) is False:
+                raise ValueError(
+                    "ByteLevel use_regex=false is a materially "
+                    "different split — unsupported"
+                )
         elif t in ("Whitespace", "WhitespaceSplit"):
             pass
         else:
@@ -138,6 +161,12 @@ def load_hf_tokenizer_json(path: str) -> HfBpeTokenizer:
                 "not in the vocab — truncated or corrupt artifact"
             )
     unk = model.get("unk_token")
+    if unk is not None and unk not in vocab:
+        raise ValueError(
+            f"declared unk_token {unk!r} is not in the vocab — the "
+            "first OOV piece would fail deep inside an executor "
+            "instead of here"
+        )
     if byte_level:
         missing = [c for c in _BYTE_ENC.values() if c not in vocab]
         if missing:
@@ -266,8 +295,13 @@ def hf_token_ids(
 
     text = F.col(text_col)
     if tok.byte_level and tok.add_prefix_space:
+        # mirror ByteLevel exactly (round-12 review fix): the space is
+        # prepended ONLY when the text is non-empty and does not
+        # already start with one — unconditional prepending on
+        # ' hello' would mint an extra bare-space token no public
+        # consumer of the same artifact produces
         text = F.when(
-            text.isNull() | (text == ""), text
+            text.isNull() | (text == "") | text.startswith(" "), text
         ).otherwise(F.concat(F.lit(" "), text))
     pretoks = F.regexp_extract_all(text, F.lit(tok.pre_pattern), F.lit(0))
     return docs.withColumn(out_col, enc(pretoks))

@@ -26,6 +26,14 @@ def tokens(col: str | Column, pattern: str = r"\s+") -> Column:
     return F.split(F.trim(c), pattern)
 
 
+def nonempty_tokens(col: str | Column, pattern: str = r"\s+") -> Column:
+    """:func:`tokens` minus the empty string a blank/empty input
+    splits to — THE word list every counting operator means (one
+    definition, shared by gopher/c4/dsir-class consumers, so a
+    tokenization tweak lands everywhere at once)."""
+    return F.filter(tokens(col, pattern), lambda t: t != "")
+
+
 def poly_hash(col: str | Column) -> Column:
     """Char-level polynomial rolling hash: fold(a*31 + ascii(ch)) % MOD."""
     c = F.col(col) if isinstance(col, str) else col

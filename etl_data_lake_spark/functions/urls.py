@@ -72,29 +72,36 @@ def registered_domain(
     host: str | Column,
     extra_suffixes: Iterable[str] = (),
 ) -> Column:
-    """eTLD+1 of a (lowercased) host column: last two labels, or last
-    three when the two-label tail is a multi-part suffix. Single-label
-    hosts (``localhost``) pass through; null stays null. Pure array
+    """eTLD+1 of a (lowercased) host column: the LONGEST matching
+    public suffix (the built-in 2-label set plus ``extra_suffixes`` of
+    ANY label depth — the real PSL carries 3- and 4-label suffixes
+    like ``pvt.k12.ma.us``, and a suffix the caller passes must never
+    be silently ignored; round-12 review fix) plus one more label.
+    Single-label hosts (``localhost``) pass through, as does a host
+    that IS a bare suffix (no registrable domain — we return the host
+    rather than inventing one); null stays null. Pure array
     expressions over one split — codegen, no UDF."""
     h = F.col(host) if isinstance(host, str) else host
     suffixes = sorted(set(MULTI_PART_SUFFIXES) | set(extra_suffixes))
+    by_len: dict[int, list[str]] = {}
+    for s in suffixes:
+        by_len.setdefault(s.count(".") + 1, []).append(s)
     parts = F.split(h, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(
-        ".", F.element_at(parts, -2), F.element_at(parts, -1)
-    )
-    last3 = F.concat_ws(
-        ".",
-        F.element_at(parts, -3),
-        F.element_at(parts, -2),
-        F.element_at(parts, -1),
-    )
-    return (
-        F.when(h.isNull(), F.lit(None).cast("string"))
-        .when(n <= 1, h)
-        .when((n >= 3) & last2.isin(*suffixes), last3)
-        .otherwise(last2)
-    )
+
+    def last_k(k: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.element_at(parts, -i) for i in range(k, 0, -1)]
+        )
+
+    expr = F.when(h.isNull(), F.lit(None).cast("string")).when(n <= 1, h)
+    # longest suffix first: a 3-label match must win over its own
+    # 2-label tail
+    for k in sorted(by_len, reverse=True):
+        expr = expr.when(
+            (n >= k + 1) & last_k(k).isin(*by_len[k]), last_k(k + 1)
+        )
+    return expr.otherwise(last_k(2))
 
 
 def with_domain(
@@ -270,14 +277,28 @@ def sql_registered_domain(
     host_expr: str, extra_suffixes: Iterable[str] = ()
 ) -> str:
     suffixes = sorted(set(MULTI_PART_SUFFIXES) | set(extra_suffixes))
-    sufs = ", ".join(f"'{s}'" for s in suffixes)
+    by_len: dict[int, list[str]] = {}
+    for s in suffixes:
+        by_len.setdefault(s.count(".") + 1, []).append(s)
     parts = f"string_split({host_expr}, '.')"
+
+    def last_k(k: int) -> str:
+        return " || '.' || ".join(
+            f"{parts}[{-i}]" for i in range(k, 0, -1)
+        )
+
+    whens = []
+    for k in sorted(by_len, reverse=True):
+        sufs = ", ".join(f"'{s}'" for s in by_len[k])
+        whens.append(
+            f"WHEN len({parts}) >= {k + 1} AND ({last_k(k)}) IN ({sufs})"
+            f" THEN {last_k(k + 1)}"
+        )
+    when_block = "\n             ".join(whens)
     return f"""
         CASE WHEN {host_expr} IS NULL THEN NULL
              WHEN len({parts}) <= 1 THEN {host_expr}
-             WHEN len({parts}) >= 3
-                  AND ({parts}[-2] || '.' || {parts}[-1]) IN ({sufs})
-                 THEN {parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1]
-             ELSE {parts}[-2] || '.' || {parts}[-1]
+             {when_block}
+             ELSE {last_k(2)}
         END
     """

@@ -101,3 +101,48 @@ def test_cleaned_text_composes_with_arrow_stage(spark):
 
     got = cleaned.mapInPandas(fn, "doc_id long, n_tokens long").collect()
     assert got[0].n_tokens == 30
+
+
+def test_ban_words_with_regex_metacharacters(spark):
+    """Round-12 review fix: real public bad-words lists carry entries
+    like 'a$$' — unescaped they anchor (never match) or crash the
+    scan; word boundaries apply only at word-character edges."""
+    pages = {
+        "clean": _GOOD_PAGE,
+        "dollar": _GOOD_PAGE + "\nthis page sells a$$ stuff today.",
+        "paren": _GOOD_PAGE + "\nbad(word) appears right here now.",
+        # substring of a longer word must NOT trip a word-edged entry
+        "classy": _GOOD_PAGE + "\nthe classic assembly passes fine.",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in pages.items()], "doc_id string, text string"
+    )
+    kept = {
+        r.doc_id
+        for r in c4_page_filter(
+            df, ban_words=("a$$", "bad(word)", "ass")
+        ).collect()
+    }
+    assert kept == {"clean", "classy"}
+
+
+def test_crlf_lines_clean_identically(spark):
+    """CRLF documents: the \\r must not glue onto lines (it would make
+    terminal punctuation engine-dependent)."""
+    lf = _GOOD_PAGE
+    crlf = _GOOD_PAGE.replace("\n", "\r\n")
+    df = spark.createDataFrame(
+        [(1, lf), (2, crlf)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in c4_clean(df, min_sentences=1).collect()}
+    assert out[1] == out[2]
+
+
+def test_c4_clean_reserved_column_guard(spark):
+    df = spark.createDataFrame(
+        [(1, _GOOD_PAGE, "x")], "doc_id long, text string, __c4_lines string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="__c4_lines"):
+        c4_clean(df)

@@ -142,3 +142,19 @@ def test_filter_works_on_a_streaming_frame(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("SELECT doc_id FROM gopher_gate").collect()
     assert [r.doc_id for r in got] == [1]
+
+
+def test_crlf_text_matches_lf_signals(spark):
+    """Round-12 review fix: \\r?\\n splitting — on CRLF text Java's $
+    matches before the trailing \\r while RE2/DuckDB's does not, so
+    leaving \\r on lines would split the engine twins."""
+    lf = "first line trails off...\n- bullet item\nplain line here"
+    crlf = lf.replace("\n", "\r\n")
+    df = spark.createDataFrame(
+        [(1, lf), (2, crlf)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in gopher_signals(df).collect()}
+    for field in ("n_words", "bullet_line_frac", "ellipsis_line_frac",
+                  "symbol_word_ratio"):
+        assert rows[1][field] == rows[2][field], field
+    assert rows[1].ellipsis_line_frac == pytest.approx(1 / 3, abs=1e-6)

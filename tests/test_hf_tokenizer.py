@@ -186,3 +186,44 @@ def test_gpt2_pattern_covers_whitespace_runs(spark):
         ).alias("t")
     ).collect()[0].t
     assert "".join(toks) == text
+
+
+def test_prefix_space_not_doubled_and_added_tokens_guard(spark, tmp_path):
+    """Round-12 review fixes: (a) add_prefix_space mirrors ByteLevel —
+    prepend ONLY when the text doesn't already start with a space, so
+    ' hi' and 'hi' encode identically; (b) added_tokens raise unless
+    the caller asserts the corpus can't contain them; (c) a declared
+    unk_token missing from the vocab fails at LOAD, not in an
+    executor."""
+    merges = [("Ġ", "h"), ("Ġh", "i")]
+    doc, vocab = _mini_doc(merges)
+    doc["pre_tokenizer"] = {"type": "ByteLevel", "add_prefix_space": True}
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(doc))
+    tok = load_hf_tokenizer_json(str(p))
+    df = spark.createDataFrame(
+        [(1, "hi"), (2, " hi")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.token_ids for r in hf_token_ids(df, tok).collect()}
+    assert got[1] == got[2] == [vocab["Ġhi"]]
+
+    doc["added_tokens"] = [{"id": 999, "content": "<|endoftext|>"}]
+    p2 = tmp_path / "added.json"
+    p2.write_text(json.dumps(doc))
+    with pytest.raises(ValueError, match="added_tokens"):
+        load_hf_tokenizer_json(str(p2))
+    tok2 = load_hf_tokenizer_json(str(p2), ignore_added_tokens=True)
+    assert tok2.merges == tuple(merges)
+
+    doc2, _ = _mini_doc(merges, unk_token="<unk>")
+    p3 = tmp_path / "badunk.json"
+    p3.write_text(json.dumps(doc2))
+    with pytest.raises(ValueError, match="unk_token"):
+        load_hf_tokenizer_json(str(p3))
+
+    doc3, _ = _mini_doc(merges)
+    doc3["pre_tokenizer"] = {"type": "ByteLevel", "use_regex": False}
+    p4 = tmp_path / "noregex.json"
+    p4.write_text(json.dumps(doc3))
+    with pytest.raises(ValueError, match="use_regex"):
+        load_hf_tokenizer_json(str(p4))

@@ -167,3 +167,42 @@ def test_filter_domains_by_quality(spark):
 
     with _pytest.raises(ValueError, match="min_docs"):
         filter_domains_by_quality(df, "score", min_docs=0)
+
+
+def test_multilabel_extra_suffixes_respected(spark):
+    """Round-12 review fix: the real PSL has 3- and 4-label suffixes;
+    a caller-passed suffix of any depth must win over its own shorter
+    tails (longest match first)."""
+    df = spark.createDataFrame(
+        [
+            ("myschool.pvt.k12.ma.us",),
+            ("pvt.k12.ma.us",),      # a bare suffix has no registrant
+            ("deep.a.b.example.com",),
+        ],
+        "host string",
+    )
+    extra = ("pvt.k12.ma.us", "k12.ma.us")
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", registered_domain("host", extra_suffixes=extra).alias("d")
+        ).collect()
+    }
+    assert got["myschool.pvt.k12.ma.us"] == "myschool.pvt.k12.ma.us"
+    # the bare 4-label suffix matches its own 3-label tail and takes
+    # one more label — the full host, i.e. bare suffixes pass through
+    assert got["pvt.k12.ma.us"] == "pvt.k12.ma.us"
+    assert got["deep.a.b.example.com"] == "example.com"
+    # and the DuckDB twin implements the same longest-first ladder
+    import duckdb
+
+    from etl_data_lake_spark.functions.urls import sql_registered_domain
+
+    sql = sql_registered_domain("host", extra_suffixes=extra)
+    want = {
+        h: duckdb.sql(
+            f"SELECT {sql} AS d FROM (SELECT '{h}' AS host)"
+        ).fetchone()[0]
+        for h in got
+    }
+    assert {k: v for k, v in got.items()} == want

@@ -47,7 +47,14 @@ def main() -> None:
 
     reps = f"(SELECT unnest(range({R})) AS r)"
 
-    maxok = con.sql(f"SELECT max(l_orderkey)+1 FROM {src('lineitem')}").fetchone()[0]
+    # one shared order-key offset covering BOTH tables: offsetting by
+    # max(l_orderkey) alone would collide replicas whenever an order
+    # has no lineitems (max(o_orderkey) > max(l_orderkey)) — today the
+    # two maxima coincide, but the generator must not depend on that
+    maxok = con.sql(
+        f"SELECT greatest((SELECT max(l_orderkey) FROM {src('lineitem')}),"
+        f" (SELECT max(o_orderkey) FROM {src('orders')})) + 1"
+    ).fetchone()[0]
     con.sql(f"""
         COPY (SELECT l_orderkey + r*{maxok} AS l_orderkey,
                      l_partkey, l_suppkey, l_linenumber, l_quantity,
