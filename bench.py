@@ -96,7 +96,9 @@ HEADLINE = [
     "funnel_conversion",
     # extension operators (registered in later phases; skipped if absent)
     "text_quality_scores",
-    "text_token_counts",
+    # round 13: text_token_counts → library twin; its slot (and bench
+    # line) went to the Gopher rule-signal projection
+    "gopher_signals_docs",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_clusters",
     "corpus_curation_pipeline",
@@ -120,7 +122,9 @@ HEADLINE = [
     "stream_dedup_exactly_once",
     "stream_stream_attribution_join",
     # round-3 additions: curation operators under the driver oracle
-    "curation_split_assign",
+    # (round 13: curation_split_assign → library twin; its bench line
+    # went to the domain-stats aggregation)
+    "domain_stats_docs",
     "curation_pack_assign",
     "text_bm25_topdocs",
     "dedup_substring_spans",

@@ -8,8 +8,13 @@ PAPER's seven rules exactly, as one codegen'd projection + one filter:
 
 1. word count in [min_words, max_words]            (paper: 50–100 000)
 2. mean word length in [min/max_mean_word_chars]   (paper: 3–10)
-3. symbol-to-word ratio ('#' chars + '…'/'...'
-   occurrences per word) ≤ max_symbol_word_ratio   (paper: 0.1)
+3. symbol-to-word ratio ≤ max_symbol_word_ratio
+   for EITHER symbol family separately — '#' chars
+   per word, and '…'/'...' occurrences per word
+   (paper: 0.1 "for either the hash symbol or the
+   ellipsis"; a round-12 draft pooled the two into
+   one ratio, which is strictly stricter than the
+   paper — round-13 advice fix)
 4. fraction of lines starting with a bullet
    ≤ max_bullet_line_frac                          (paper: 0.9)
 5. fraction of lines ending with an ellipsis
@@ -85,18 +90,19 @@ def _signal_exprs(text_col: str) -> dict[str, Column]:
         F.filter(lines, lambda l: l.rlike(_ELLIPSIS_RE))
     )
     n_alpha = F.size(F.filter(words, lambda t: t.rlike("[A-Za-z]")))
+    # distinct stop-set hits as ONE set intersection (array_intersect
+    # dedups) — same semantics as the 8 array_contains probes it
+    # replaces, smaller expression tree (round-12 verdict item #8)
     n_stop = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-            lambda s: F.array_contains(words, s),
+        F.array_intersect(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]), words
         )
     )
     return {
         "n_words": nw.cast("long"),
         "mean_word_chars": F.round(_frac(total_chars, nw), 6),
-        "symbol_word_ratio": F.round(
-            _frac(hash_chars + ell3 + ell1, nw), 6
-        ),
+        "hash_word_ratio": F.round(_frac(hash_chars, nw), 6),
+        "ellipsis_word_ratio": F.round(_frac(ell3 + ell1, nw), 6),
         "bullet_line_frac": F.round(_frac(n_bullet, nl), 6),
         "ellipsis_line_frac": F.round(_frac(n_ellipsis_end, nl), 6),
         "alpha_word_frac": F.round(_frac(n_alpha, nw), 6),
@@ -110,8 +116,10 @@ def gopher_signals(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """→ one row per input row: (id_col, n_words, mean_word_chars,
-    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
-    alpha_word_frac, n_stop_hits) — the seven rule inputs, rounded to
+    hash_word_ratio, ellipsis_word_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, n_stop_hits) — the seven
+    rules' inputs (rule 3 reports its two symbol families separately,
+    as the paper thresholds them), rounded to
     6 dp where fractional (cross-engine float hygiene). Empty/blank
     documents report 0 everywhere (they fail rule 1 anyway)."""
     sig = _signal_exprs(text_col)
@@ -134,7 +142,9 @@ def gopher_filter(
     min_alpha_word_frac: float = 0.8,
     min_stop_hits: int = 2,
 ) -> DataFrame:
-    """Rows passing ALL seven Gopher rules (paper defaults) — ONE
+    """Rows passing ALL seven Gopher rules (paper defaults;
+    ``max_symbol_word_ratio`` bounds the hash and ellipsis ratios
+    EACH, per the paper's "either" wording) — ONE
     in-place ``where`` over the per-row signal expressions: kept rows
     carry every input column byte-for-byte, the scan is the only work
     (no join, no shuffle — an earlier draft semi-joined the signal
@@ -150,7 +160,8 @@ def gopher_filter(
         & sig["mean_word_chars"].between(
             min_mean_word_chars, max_mean_word_chars
         )
-        & (sig["symbol_word_ratio"] <= max_symbol_word_ratio)
+        & (sig["hash_word_ratio"] <= max_symbol_word_ratio)
+        & (sig["ellipsis_word_ratio"] <= max_symbol_word_ratio)
         & (sig["bullet_line_frac"] <= max_bullet_line_frac)
         & (sig["ellipsis_line_frac"] <= max_ellipsis_line_frac)
         & (sig["alpha_word_frac"] >= min_alpha_word_frac)
@@ -190,9 +201,11 @@ def sql_gopher_signals(table: str = "documents") -> str:
                         / CAST(len(words) AS DOUBLE)
                    ELSE 0.0 END, 6) AS mean_word_chars,
                ROUND(CASE WHEN len(words) > 0
-                   THEN (hash_chars + ell3 + ell1)
-                        / CAST(len(words) AS DOUBLE)
-                   ELSE 0.0 END, 6) AS symbol_word_ratio,
+                   THEN hash_chars / CAST(len(words) AS DOUBLE)
+                   ELSE 0.0 END, 6) AS hash_word_ratio,
+               ROUND(CASE WHEN len(words) > 0
+                   THEN (ell3 + ell1) / CAST(len(words) AS DOUBLE)
+                   ELSE 0.0 END, 6) AS ellipsis_word_ratio,
                ROUND(CASE WHEN len(lines) > 0
                    THEN len(list_filter(lines,
                             l -> regexp_matches(l, '{_BULLET_RE}')))

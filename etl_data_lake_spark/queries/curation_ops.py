@@ -70,11 +70,16 @@ def _split_oracle() -> str:
     """
 
 
-@register(
-    "curation_split_assign",
-    oracle=_split_oracle(),
-    tags=("curation", "sampling"),
-)
+# Library twin since round 13 — its driver slot rotated to
+# domain_stats_docs (rotation #4; round-12 verdict item #1): the same
+# ring-hash decision machinery still gets driver rows through
+# curation_pack_assign (identical portable bucket) and
+# curation_mixture_summary (the same ring-threshold keep rule), and
+# this exact query stays parity-checked in
+# test_parity::test_library_twin_parity.
+CURATION_SPLIT_SQL = _split_oracle()
+
+
 def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     splits = split_deterministic(
@@ -466,9 +471,9 @@ def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + registered-domain stats over deterministic synthetic URLs derived
 # from (source, lang, doc_id) — the documents table carries no URL
 # column, so the twin derives IDENTICAL strings on both engines and the
-# operators (functions/urls.py) do the parsing. Library twin (50-entry
-# driver cap), parity-checked in test_library_twin_parity; rotation
-# candidate for a future round. The URL shapes deliberately exercise
+# operators (functions/urls.py) do the parsing. DRIVER ENTRY since
+# round 13 (rotation #4, slot from curation_split_assign). The URL
+# shapes deliberately exercise
 # userinfo stripping, www/cdn subdomains, multi-part public suffixes
 # (co.uk, com.au), explicit ports, and query strings.
 # --------------------------------------------------------------------------
@@ -552,9 +557,16 @@ def _domain_stats_oracle() -> str:
 DOMAIN_STATS_SQL = _domain_stats_oracle()
 
 
+@register(
+    "domain_stats_docs",
+    oracle=DOMAIN_STATS_SQL,
+    tags=("curation", "urls", "domains"),
+)
 def domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain corpus stats over the synthetic URL
-    column. Oracle: DOMAIN_STATS_SQL (library twin)."""
+    column (functions/urls.py): try_parse_url host → eTLD+1 → one
+    map-side-combinable hash aggregation (≤ |domains| rows) + a
+    scalar-window corpus share. Oracle: DOMAIN_STATS_SQL."""
     from etl_data_lake_spark.functions.urls import domain_stats
 
     docs = doc_urls(load_table(spark, sf_dir, "documents"))

@@ -37,20 +37,24 @@ _TOK = "regexp_split_to_array(trim(text), '\\s+')"
 _BPE_PAT = r"'[a-z]+| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
 
 
-@register(
-    "text_token_counts",
-    oracle=f"""
-        SELECT doc_id,
-               CAST(len({_TOK}) AS BIGINT) AS n_tokens,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT)
-                   AS n_subwords_est,
-               CAST(len(regexp_extract_all(text,
-                   '{_BPE_PAT.replace("'", "''")}')) AS BIGINT) AS n_pretokens
-        FROM documents
-    """,
-    tags=("text", "tokenize"),
-)
+# Library twin since round 13 — its driver slot rotated to
+# gopher_signals_docs (rotation #4; round-12 verdict item #1): the
+# tokenize/count signal still gets driver rows through text_bm25_topdocs
+# (the same tokenize → posting stage) and text_quality_scores (the same
+# whitespace split), and this exact query stays parity-checked in
+# test_parity::test_library_twin_parity.
+TEXT_TOKEN_COUNTS_SQL = f"""
+    SELECT doc_id,
+           CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT)
+               AS n_subwords_est,
+           CAST(len(regexp_extract_all(text,
+               '{_BPE_PAT.replace("'", "''")}')) AS BIGINT) AS n_pretokens
+    FROM documents
+"""
+
+
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -214,8 +218,9 @@ def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Gopher rule signals (round 12): the Rae et al. 2021 Table A1 filter
-# inputs over the documents table. Library twin (50-entry driver cap),
-# parity-checked in test_library_twin_parity; rotation candidate.
+# inputs over the documents table. DRIVER ENTRY since round 13
+# (rotation #4, slot from text_token_counts) — round 12's flagship
+# curation operator under the hard driver signal.
 # --------------------------------------------------------------------------
 def _gopher_oracle() -> str:
     from etl_data_lake_spark.functions.gopher import sql_gopher_signals
@@ -226,9 +231,16 @@ def _gopher_oracle() -> str:
 GOPHER_SIGNALS_SQL = _gopher_oracle()
 
 
+@register(
+    "gopher_signals_docs",
+    oracle=GOPHER_SIGNALS_SQL,
+    tags=("text", "curation", "gopher"),
+)
 def gopher_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document Gopher rule inputs. Oracle: GOPHER_SIGNALS_SQL
-    (library twin)."""
+    """Per-document Gopher rule inputs (functions/gopher.py): the
+    seven Rae et al. 2021 Table A1 rules' inputs, rule 3's two symbol
+    families reported separately. One codegen projection over two
+    splits — no UDF, no shuffle (plan pinned in test_gopher)."""
     from etl_data_lake_spark.functions.gopher import gopher_signals
 
     docs = load_table(spark, sf_dir, "documents")

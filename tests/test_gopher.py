@@ -35,8 +35,10 @@ def test_signal_arithmetic_hand_checked(spark):
     r = _sig(spark, "the cat### sat... now…\n- item one\n- item two…")
     # words: the cat### sat... now… - item one - item two…  → 10
     assert r.n_words == 10
-    # symbols: 3 hashes + 1 '...' + 2 '…' = 6 → 6/10
-    assert r.symbol_word_ratio == 0.6
+    # hash family: 3 '#' chars → 3/10; ellipsis family: 1 '...' +
+    # 2 '…' = 3 → 3/10 (the paper thresholds each family separately)
+    assert r.hash_word_ratio == 0.3
+    assert r.ellipsis_word_ratio == 0.3
     # 3 lines; 2 start with '-' bullets; 'now…' and 'two…' trail off
     assert r.bullet_line_frac == pytest.approx(2 / 3, abs=1e-6)
     assert r.ellipsis_line_frac == pytest.approx(2 / 3, abs=1e-6)
@@ -73,7 +75,7 @@ def test_each_rule_fails_exactly_one_planted_doc(spark):
     sig = {r.doc_id: r for r in gopher_signals(df).collect()}
     assert sig["too_short"].n_words < 50
     assert sig["long_words"].mean_word_chars > 10
-    assert sig["symbols"].symbol_word_ratio > 0.1
+    assert sig["symbols"].hash_word_ratio > 0.1
     assert sig["bullets"].bullet_line_frac > 0.9
     assert sig["ellipses"].ellipsis_line_frac > 0.3
     assert sig["numeric"].alpha_word_frac < 0.8
@@ -82,6 +84,32 @@ def test_each_rule_fails_exactly_one_planted_doc(spark):
     # (word count excepted — the planted bodies are sized to pass it)
     for k in ("symbols", "bullets", "ellipses", "numeric"):
         assert sig[k].n_words >= 50, k
+
+
+def test_symbol_families_threshold_separately(spark):
+    """Paper semantics (round-13 advice fix): rule 3 applies the 0.1
+    bound to the hash ratio and the ellipsis ratio EACH — a document
+    at 0.06 + 0.06 passes (the pooled 0.12 draft ratio would have
+    dropped it), while 0.12 in either single family still fails."""
+    base = _GOOD.split()
+    # symbols sit mid-document so rule 5 (lines ENDING in an ellipsis)
+    # stays quiet — this test isolates rule 3
+    mid = " … … … … #### "
+    both_low = " ".join(base[:30]) + mid + " ".join(base[30:])
+    hash_high = " ".join(base[:30]) + " " + "#" * 8 + " " + " ".join(base[30:])
+    ell_high = " ".join(base[:30]) + " … " * 8 + " ".join(base[30:])
+    df = spark.createDataFrame(
+        [("both_low", both_low), ("hash_high", hash_high),
+         ("ell_high", ell_high)],
+        "doc_id string, text string",
+    )
+    sig = {r.doc_id: r for r in gopher_signals(df).collect()}
+    assert sig["both_low"].hash_word_ratio <= 0.1
+    assert sig["both_low"].ellipsis_word_ratio <= 0.1
+    assert (sig["both_low"].hash_word_ratio
+            + sig["both_low"].ellipsis_word_ratio) > 0.1
+    kept = {r.doc_id for r in gopher_filter(df).collect()}
+    assert kept == {"both_low"}
 
 
 def test_empty_and_blank_docs(spark):
@@ -155,6 +183,6 @@ def test_crlf_text_matches_lf_signals(spark):
     )
     rows = {r.doc_id: r for r in gopher_signals(df).collect()}
     for field in ("n_words", "bullet_line_frac", "ellipsis_line_frac",
-                  "symbol_word_ratio"):
+                  "hash_word_ratio", "ellipsis_word_ratio"):
         assert rows[1][field] == rows[2][field], field
     assert rows[1].ellipsis_line_frac == pytest.approx(1 / 3, abs=1e-6)

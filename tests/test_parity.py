@@ -227,15 +227,18 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.dedup_queries",
         "TEXT_SIMHASH_SQL",
     ),
+    # round 13 rotation #4: gopher_signals_docs / domain_stats_docs
+    # promoted to driver entries; their freed twin slots hold the two
+    # demoted queries below.
     (
-        "domain_stats_docs",
-        "etl_data_lake_spark.queries.curation_ops",
-        "DOMAIN_STATS_SQL",
+        "text_token_counts",
+        "etl_data_lake_spark.queries.text_queries",
+        "TEXT_TOKEN_COUNTS_SQL",
     ),
     (
-        "gopher_signals_docs",
-        "etl_data_lake_spark.queries.text_queries",
-        "GOPHER_SIGNALS_SQL",
+        "curation_split_assign",
+        "etl_data_lake_spark.queries.curation_ops",
+        "CURATION_SPLIT_SQL",
     ),
 ]
 
