@@ -115,10 +115,10 @@ def test_export_round_trip_matches_repo_encoder(spark, tmp_path):
 
 
 def test_validation_raises_loudly(tmp_path):
-    # WordPiece model
-    p = tmp_path / "wp.json"
-    p.write_text(json.dumps({"model": {"type": "WordPiece", "vocab": {}}}))
-    with pytest.raises(ValueError, match="BPE"):
+    # unsupported model family (WordPiece/Unigram load since round 13)
+    p = tmp_path / "wl.json"
+    p.write_text(json.dumps({"model": {"type": "WordLevel", "vocab": {}}}))
+    with pytest.raises(ValueError, match="WordLevel"):
         load_hf_tokenizer_json(str(p))
     # normalizer present
     doc, _ = _mini_doc([("h", "e")])
@@ -227,3 +227,237 @@ def test_prefix_space_not_doubled_and_added_tokens_guard(spark, tmp_path):
     p4.write_text(json.dumps(doc3))
     with pytest.raises(ValueError, match="use_regex"):
         load_hf_tokenizer_json(str(p4))
+
+
+# ---------------------------------------------------------------------------
+# Round 13: pre-tokenizer fidelity fixes + WordPiece/Unigram artifacts
+# ---------------------------------------------------------------------------
+
+
+def test_whitespace_pretokenizer_is_hf_regex(spark, tmp_path):
+    """HF 'Whitespace' is \\w+|[^\\w\\s]+ — 'ab,' splits into
+    ['ab', ','] (round-13 advice fix: the \\S+ draft kept it fused,
+    silently diverging from the tooling that produced the artifact);
+    'WhitespaceSplit' stays split-on-whitespace."""
+    vocab = {"a": 0, "b": 1, "ab": 2, ",": 3, "ab,": 4, "<unk>": 5}
+    doc = {
+        "model": {
+            "type": "BPE",
+            "vocab": vocab,
+            "merges": ["a b", "ab ,"],
+            "unk_token": "<unk>",
+        },
+        "pre_tokenizer": {"type": "Whitespace"},
+    }
+    p = tmp_path / "ws.json"
+    p.write_text(json.dumps(doc))
+    tok = load_hf_tokenizer_json(str(p))
+    assert tok.word_split == "whitespace"
+    df = spark.createDataFrame([(1, "ab,")], "doc_id long, text string")
+    got = hf_token_ids(df, tok).collect()[0].token_ids
+    assert got == [vocab["ab"], vocab[","]]  # NOT the fused 'ab,'
+
+    doc["pre_tokenizer"] = {"type": "WhitespaceSplit"}
+    p2 = tmp_path / "wss.json"
+    p2.write_text(json.dumps(doc))
+    tok2 = load_hf_tokenizer_json(str(p2))
+    assert tok2.word_split == "whitespace_split"
+    got2 = hf_token_ids(df, tok2).collect()[0].token_ids
+    assert got2 == [vocab["ab,"]]  # one whitespace-free pretoken
+
+
+def test_gpt2_pattern_unicode_whitespace(spark):
+    """(?U) fix: NBSP (U+00A0) and ideographic space (U+3000) are
+    whitespace to HF/GPT-2's Unicode-aware regex — the Java-default
+    ASCII \\s would glue them into the letter runs. Every char still
+    lands in exactly one pretoken."""
+    text = "a b　c d"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    toks = df.select(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(GPT2_PRE_PATTERN), F.lit(0)
+        ).alias("t")
+    ).collect()[0].t
+    assert "".join(toks) == text
+    # the NBSP must be its own \s+ pretoken, not fused into 'a' or 'b'
+    assert "a" in toks and "b" in toks and " " in toks
+    assert "　" in toks
+
+
+def test_wordpiece_artifact_matches_repo_encoder(spark, tmp_path):
+    """A hand-built WordPiece tokenizer.json encodes bit-for-bit like
+    functions/wordpiece.py in-plan (round-12 verdict item #2), and the
+    trainer's export round-trips."""
+    from etl_data_lake_spark.functions.hf_tokenizer import (
+        HfWordPieceTokenizer,
+        save_hf_wordpiece_json,
+    )
+    from etl_data_lake_spark.functions.wordpiece import (
+        WordPieceModel,
+        learn_wordpiece,
+        wordpiece_encode,
+        wordpiece_tokens_df,
+    )
+
+    # hand-built artifact: BERT-style vocab with ## continuations
+    vocab = {"[UNK]": 0, "un": 1, "##aff": 2, "##able": 3, "aff": 4,
+             "run": 5, "##s": 6}
+    doc = {
+        "model": {
+            "type": "WordPiece",
+            "vocab": vocab,
+            "unk_token": "[UNK]",
+            "continuing_subword_prefix": "##",
+            "max_input_chars_per_word": 100,
+        },
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+    }
+    p = tmp_path / "wp.json"
+    p.write_text(json.dumps(doc))
+    tok = load_hf_tokenizer_json(str(p))
+    assert isinstance(tok, HfWordPieceTokenizer)
+    model = WordPieceModel(vocab=tuple(vocab), unk_token="[UNK]")
+    text = "unaffable runs zzz"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = hf_token_ids(df, tok).collect()[0].token_ids
+    want = [
+        vocab[piece]
+        for w in text.split()
+        for piece in wordpiece_encode(w, model)
+    ]
+    assert got == want
+    assert vocab["[UNK]"] in got  # 'zzz' is unmatchable
+
+    # trainer → export → load → in-plan ids == wordpiece_tokens_df
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    trained = learn_wordpiece(docs, vocab_size=300)
+    p2 = tmp_path / "trained.json"
+    save_hf_wordpiece_json(str(p2), trained)
+    tok2 = load_hf_tokenizer_json(str(p2))
+    ids2id = dict(tok2.vocab)
+    got_ids = {
+        r.doc_id: r.token_ids
+        for r in hf_token_ids(docs, tok2).collect()
+    }
+    want_pieces = {
+        r.doc_id: r.wp_tokens
+        for r in wordpiece_tokens_df(docs, trained).collect()
+    }
+    assert got_ids.keys() == want_pieces.keys()
+    for k in got_ids:
+        assert got_ids[k] == [ids2id[p_] for p_ in want_pieces[k]], k
+
+
+def test_unigram_artifact_matches_repo_encoder(spark, tmp_path):
+    """A hand-built Unigram tokenizer.json encodes like
+    functions/unigram.py's Viterbi; OOV chars map to unk_id with
+    consecutive unknowns FUSED; unk_id null + OOV raises; and the
+    trainer's export round-trips in-plan."""
+    from etl_data_lake_spark.functions.hf_tokenizer import (
+        HfUnigramTokenizer,
+        save_hf_unigram_json,
+    )
+    from etl_data_lake_spark.functions.unigram import (
+        learn_unigram,
+        unigram_tokens_df,
+    )
+
+    entries = [["low", -1.0], ["er", -1.5], ["l", -5.0], ["o", -5.0],
+               ["w", -5.0], ["e", -5.0], ["r", -5.0], ["<unk>", -20.0]]
+    doc = {
+        "model": {"type": "Unigram", "vocab": entries, "unk_id": 7},
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+    }
+    p = tmp_path / "uni.json"
+    p.write_text(json.dumps(doc))
+    tok = load_hf_tokenizer_json(str(p))
+    assert isinstance(tok, HfUnigramTokenizer)
+    df = spark.createDataFrame([(1, "lower low zz")],
+                               "doc_id long, text string")
+    got = hf_token_ids(df, tok).collect()[0].token_ids
+    # Viterbi: 'lower' → low+er beats chars; 'zz' fuses to ONE unk
+    assert got == [0, 1, 0, 7]
+
+    doc2 = {"model": {"type": "Unigram", "vocab": entries[:-1],
+                      "unk_id": None},
+            "pre_tokenizer": {"type": "WhitespaceSplit"}}
+    p2 = tmp_path / "nounk.json"
+    p2.write_text(json.dumps(doc2))
+    tok2 = load_hf_tokenizer_json(str(p2))
+    with pytest.raises(Exception, match="unk_id"):
+        hf_token_ids(df, tok2).collect()
+
+    # trainer → export → load → in-plan ids == unigram_tokens_df
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    trained = learn_unigram(docs, vocab_size=200)
+    p3 = tmp_path / "trained_uni.json"
+    save_hf_unigram_json(str(p3), trained)
+    tok3 = load_hf_tokenizer_json(str(p3))
+    ids3 = {piece: i for i, (piece, _) in enumerate(tok3.entries)}
+    got_ids = {
+        r.doc_id: r.token_ids
+        for r in hf_token_ids(docs, tok3).collect()
+    }
+    want_pieces = {
+        r.doc_id: r.unigram_tokens
+        for r in unigram_tokens_df(docs, trained).collect()
+    }
+    assert got_ids.keys() == want_pieces.keys()
+    for k in got_ids:
+        assert got_ids[k] == [ids3[p_] for p_ in want_pieces[k]], k
+
+
+def test_wordpiece_artifact_guards(tmp_path):
+    base = {
+        "model": {
+            "type": "WordPiece",
+            "vocab": {"[UNK]": 0, "a": 1},
+            "unk_token": "[UNK]",
+        },
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+    }
+    # exotic continuation prefix
+    bad = json.loads(json.dumps(base))
+    bad["model"]["continuing_subword_prefix"] = "@@"
+    p = tmp_path / "cont.json"
+    p.write_text(json.dumps(bad))
+    with pytest.raises(ValueError, match="continuing_subword_prefix"):
+        load_hf_tokenizer_json(str(p))
+    # missing unk
+    bad2 = json.loads(json.dumps(base))
+    del bad2["model"]["unk_token"]
+    p2 = tmp_path / "unk.json"
+    p2.write_text(json.dumps(bad2))
+    with pytest.raises(ValueError, match="unk_token"):
+        load_hf_tokenizer_json(str(p2))
+    # BertPreTokenizer rejected, not approximated
+    bad3 = json.loads(json.dumps(base))
+    bad3["pre_tokenizer"] = {"type": "BertPreTokenizer"}
+    p3 = tmp_path / "bert.json"
+    p3.write_text(json.dumps(bad3))
+    with pytest.raises(ValueError, match="pre_tokenizer"):
+        load_hf_tokenizer_json(str(p3))
+    # Unigram byte_fallback
+    bad4 = {"model": {"type": "Unigram", "vocab": [["a", -1.0]],
+                      "unk_id": 0, "byte_fallback": True},
+            "pre_tokenizer": {"type": "WhitespaceSplit"}}
+    p4 = tmp_path / "bf.json"
+    p4.write_text(json.dumps(bad4))
+    with pytest.raises(ValueError, match="byte_fallback"):
+        load_hf_tokenizer_json(str(p4))
+
+
+def test_token_counts_reserved_column_raises(spark, tmp_path):
+    """hf_token_counts stages ids in '__ids'; an input that already
+    carries that column must raise (the repo's reserved-column
+    convention), not be silently overwritten and dropped."""
+    merges = [("h", "e")]
+    doc, _ = _mini_doc(merges)
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(doc))
+    tok = load_hf_tokenizer_json(str(p))
+    df = spark.createDataFrame(
+        [(1, "he", "keep")], "doc_id long, text string, __ids string"
+    )
+    with pytest.raises(ValueError, match="__ids"):
+        hf_token_counts(df, tok)
