@@ -18,7 +18,10 @@ page stage (:func:`c4_page_filter`):
   which lines survive;
 * drop pages whose CLEANED text has fewer than ``min_sentences``
   terminal punctuation marks (paper: 3 sentences) — counted after
-  line cleaning, since that is the text that would ship;
+  line cleaning, since that is the text that would ship; the count
+  uses the shared terminator set of functions/sentences.py (round
+  13: includes the CJK/fullwidth terminals ``。．！？…``, so a
+  Chinese or Japanese page's sentences count toward the floor);
 * optional ``ban_words``: the paper's bad-words list is data, not
   code — pass it at deploy time; whole-word, case-insensitive,
   page-level.
@@ -40,7 +43,19 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TERMINAL_RE = r'[.!?"”]\s*$'
+from etl_data_lake_spark.functions.sentences import (
+    TERMINATORS,
+    TERMINATOR_CLASS,
+)
+
+# The paper's line-terminal set is English C4's: terminal punctuation
+# or an END QUOTATION MARK ('. ! ? "'). Round 13 extends both halves
+# with the shared CJK/fullwidth terminators (functions/sentences.py)
+# and the CJK end quotes 」』, so a Chinese/Japanese line is not
+# structurally un-keepable — a deliberate, documented deviation that
+# is a no-op on English pages. Brackets/parens stay excluded: the
+# paper counts quotes, not arbitrary closers.
+TERMINAL_RE = f'[{TERMINATORS}"”」』]\\s*$'
 _JS_RE = r"(?i)\bjavascript\b"
 
 
@@ -127,7 +142,7 @@ def _page_cond(text, min_sentences, min_words_per_line, ban_words):
         _kept_lines(text, min_words_per_line), "\n"
     )
     return cond & (
-        F.regexp_count(cleaned, F.lit(r"[.!?]")) >= min_sentences
+        F.regexp_count(cleaned, F.lit(TERMINATOR_CLASS)) >= min_sentences
     )
 
 
@@ -161,7 +176,7 @@ def c4_clean(
         cond = cond & ~text.rlike(_ban_regex(w))
     cond = cond & (
         F.regexp_count(
-            F.array_join("__c4_lines", "\n"), F.lit(r"[.!?]")
+            F.array_join("__c4_lines", "\n"), F.lit(TERMINATOR_CLASS)
         )
         >= min_sentences
     )

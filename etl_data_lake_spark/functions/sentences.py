@@ -9,14 +9,21 @@ floor" and the contamination family's span semantics already treat
 the sentence as a unit — this makes it a first-class column.
 
 Segmentation is the DETERMINISTIC regex rule, stated plainly: a
-sentence is a maximal run ending in ``[.!?]+`` plus any closing
-quotes/brackets, or the terminator-less tail. No abbreviation model —
-"Dr. Smith" splits after "Dr." — because a model would be a language-
-specific artifact (ship one upstream if needed); what matters at
-corpus scale is that the rule is total (every character lands in
-exactly one sentence — reconstruction is exact modulo the whitespace
-BETWEEN sentences, test-pinned) and cheap (one JVM
-``regexp_extract_all``, no UDF, no shuffle).
+sentence is a maximal run ending in one or more terminators plus any
+closing quotes/brackets, or the terminator-less tail. Script
+coverage (round-13 verdict item #4): the terminator set spans Latin
+``.!?``, the horizontal ellipsis ``…``, and the CJK/fullwidth
+terminals ``。．！？``; the closing-punctuation set spans ASCII
+quotes/brackets, curly quotes, and the ideographic closers
+``」』）〉》】〕``. Scripts without terminal punctuation marks (Thai,
+Lao, Khmer running text) segment as ONE sentence per document — a
+language-specific model belongs upstream, not here. No abbreviation
+model either — "Dr. Smith" splits after "Dr." — because a model
+would be a language-specific artifact; what matters at corpus scale
+is that the rule is total (every character lands in exactly one
+sentence — reconstruction is exact modulo the whitespace BETWEEN
+sentences, test-pinned) and cheap (one JVM ``regexp_extract_all``,
+no UDF, no shuffle).
 
 Chunking is one higher-order ``aggregate`` fold over the sentence
 array — still per-row, still zero-shuffle: sentences append to the
@@ -34,8 +41,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Latin + fullwidth/CJK sentence terminators (。U+3002, ．U+FF0E,
+# ！U+FF01, ？U+FF1F, …U+2026). Exposed so consumers counting
+# sentences (functions/c4.py's three-sentence floor) share ONE rule.
+TERMINATORS = ".!?。．！？…"
+# closing quotes/brackets that bind to the preceding terminator:
+# ASCII + curly + CJK corner brackets / fullwidth closers
+_CLOSERS = "\"'”’)\\]」』）〉》】〕"
+TERMINATOR_CLASS = f"[{TERMINATORS}]"
+
 # maximal terminator-ended run | terminator-less tail
-SENTENCE_RE = r"""[^.!?]*[.!?]+["'”’)\]]*|[^.!?]+$"""
+SENTENCE_RE = (
+    f"[^{TERMINATORS}]*[{TERMINATORS}]+[{_CLOSERS}]*"
+    f"|[^{TERMINATORS}]+$"
+)
 
 
 def sentence_array(text: str | Column) -> Column:

@@ -121,3 +121,52 @@ def test_composes_with_c4_and_packing(spark):
     got = chunks.orderBy("chunk_idx").collect()
     assert sum(r.n_sentences for r in got) == 3
     assert all(len(r.chunk) <= 120 for r in got)
+
+
+def test_cjk_terminators_split_correctly(spark):
+    """Round-13 verdict item #4: CJK/fullwidth terminals and
+    ideographic closing quotes segment; reconstruction stays exact."""
+    docs = [
+        (1, "第一句です。二番目の文！これは質問ですか？最後の文"),
+        (2, "「引用でした。」次の文。"),
+        (3, "Mixed script sentence. 中文句子。And back！"),
+        (4, "全角終止．そして省略…続き"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", sentence_array("text").alias("s")
+        ).collect()
+    }
+    assert rows[1] == [
+        "第一句です。", "二番目の文！", "これは質問ですか？", "最後の文",
+    ]
+    # the ideographic closing quote binds to the preceding terminator
+    assert rows[2] == ["「引用でした。」", "次の文。"]
+    assert rows[3] == ["Mixed script sentence.", "中文句子。", "And back！"]
+    assert rows[4] == ["全角終止．", "そして省略…", "続き"]
+    # totality: every non-space character lands in exactly one sentence
+    import re
+
+    for i, text in docs:
+        assert "".join(rows[i]).replace(" ", "") == re.sub(r"\s", "", text)
+
+
+def test_c4_sentence_floor_counts_cjk(spark):
+    """The C4 three-sentence floor shares the terminator set: a CJK
+    page with three sentences passes, two drops."""
+    from etl_data_lake_spark.functions.c4 import c4_page_filter
+
+    three = "这是完整的第一句内容很充实。第二句也有足够的词。第三句结束全文。"
+    two = "只有两个句子的页面在这里。第二句就结束了。"
+    df = spark.createDataFrame(
+        [(1, three), (2, two)], "doc_id long, text string"
+    )
+    # min_words_per_line=1: CJK text has no spaces, so the paper's
+    # 5-word line rule (whitespace words) is out of scope here
+    kept = {
+        r.doc_id
+        for r in c4_page_filter(df, min_words_per_line=1).collect()
+    }
+    assert kept == {1}
