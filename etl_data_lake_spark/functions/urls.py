@@ -302,3 +302,159 @@ def sql_registered_domain(
              ELSE {last_k(2)}
         END
     """
+
+
+# ---------------------------------------------------------------------------
+# Full public-suffix-list support (round 13, r12-verdict #5): the PSL
+# is DATA, not code — accept a snapshot in the public format
+# (publicsuffix.org/list/: one rule per line, '//' comments, '*.'
+# wildcard rules, '!' exception rules) and evaluate the published
+# algorithm as pure JVM expressions. ~10k rules become per-label-depth
+# set-membership tests (Catalyst folds big `isin` lists to InSet —
+# O(1) hash probes inside codegen), so the corpus side still never
+# shuffles, never joins, never touches Python; the expression path
+# above (registered_domain) remains for the code-shipped subset and
+# is bit-compatible on it (test-pinned).
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PublicSuffixList:
+    """A parsed PSL snapshot: ``exact`` rules, ``wildcards`` (the base
+    under ``*.``), ``exceptions`` (without ``!``), all lowercase. Rules
+    are matched against hosts AS WRITTEN — a Unicode PSL snapshot
+    matches Unicode hosts, a punycoded snapshot matches punycoded
+    hosts; normalize both sides upstream to the same form."""
+
+    exact: tuple
+    wildcards: tuple
+    exceptions: tuple
+
+
+def parse_psl(lines) -> PublicSuffixList:
+    """Parse PSL rules from an iterable of lines (the public format).
+    Comments (``//``), blanks, and anything after the first whitespace
+    drop; ``*`` is accepted ONLY as the whole leftmost label (the only
+    position the spec allows — an embedded wildcard raises rather than
+    silently matching nothing); an exception rule must keep at least
+    one label after the ``!`` label is consumed."""
+    exact: list[str] = []
+    wildcards: list[str] = []
+    exceptions: list[str] = []
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower()
+        if rule.startswith("!"):
+            body = rule[1:]
+            if "*" in body or "." not in body or not body.strip("."):
+                raise ValueError(
+                    f"malformed PSL exception rule {rule!r} — the "
+                    "exception minus its leftmost label must be a "
+                    "non-empty suffix"
+                )
+            exceptions.append(body)
+            continue
+        if rule.startswith("*."):
+            base = rule[2:]
+            if "*" in base or not base:
+                raise ValueError(
+                    f"malformed PSL wildcard rule {rule!r} — '*' is "
+                    "only valid as the whole leftmost label"
+                )
+            wildcards.append(base)
+            continue
+        if "*" in rule:
+            raise ValueError(
+                f"malformed PSL rule {rule!r} — '*' is only valid as "
+                "the whole leftmost label"
+            )
+        exact.append(rule)
+    return PublicSuffixList(
+        exact=tuple(sorted(set(exact))),
+        wildcards=tuple(sorted(set(wildcards))),
+        exceptions=tuple(sorted(set(exceptions))),
+    )
+
+
+def load_psl(path: str) -> PublicSuffixList:
+    """Parse a PSL snapshot file (ship the artifact beside the job —
+    the list changes monthly and is config, not code)."""
+    with open(str(path), encoding="utf-8") as f:
+        return parse_psl(f)
+
+
+def _by_depth(rules) -> dict:
+    out: dict[int, list] = {}
+    for r in rules:
+        out.setdefault(r.count(".") + 1, []).append(r)
+    return out
+
+
+def registered_domain_psl(host, psl: PublicSuffixList):
+    """eTLD+1 of a (lowercased) host column under a full PSL snapshot
+    — the published algorithm: an EXCEPTION rule wins outright (the
+    registrable domain IS the exception rule), else the LONGEST
+    matching rule (exact, or ``*.base`` matching one extra label)
+    names the public suffix and the registrable domain is that suffix
+    plus one label, else the implicit ``*`` default rule (suffix =
+    the last label). Hosts that ARE a bare public suffix pass through
+    unchanged, single-label hosts pass through, null stays null —
+    the same conventions as :func:`registered_domain`, which this is
+    bit-compatible with on the built-in subset (test-pinned). Pure
+    array/set expressions over one split — codegen, no UDF, no join,
+    no shuffle."""
+    h = F.col(host) if isinstance(host, str) else host
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+
+    def last_k(k: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.element_at(parts, -i) for i in range(k, 0, -1)]
+        )
+
+    expr = F.when(h.isNull(), F.lit(None).cast("string")).when(n <= 1, h)
+    # exceptions first (the spec: "If more than one rule matches, the
+    # prevailing rule is ... the exception rule"), deepest first
+    for k in sorted(_by_depth(psl.exceptions), reverse=True):
+        rules = _by_depth(psl.exceptions)[k]
+        expr = expr.when((n >= k) & last_k(k).isin(rules), last_k(k))
+    # then longest match across exact + wildcard, by EFFECTIVE public-
+    # suffix depth descending (a wildcard base of depth m yields a
+    # suffix of depth m+1)
+    ex_d = _by_depth(psl.exact)
+    wc_d = _by_depth(psl.wildcards)
+    depths = sorted(
+        set(ex_d) | {m + 1 for m in wc_d}, reverse=True
+    )
+    for s in depths:
+        if s in ex_d:
+            expr = expr.when(
+                (n >= s + 1) & last_k(s).isin(ex_d[s]), last_k(s + 1)
+            )
+        if s - 1 in wc_d:
+            expr = expr.when(
+                (n >= s + 1) & last_k(s - 1).isin(wc_d[s - 1]),
+                last_k(s + 1),
+            )
+    # implicit '*' default rule: public suffix = the last label —
+    # and a host that IS a matched suffix falls through to last_k(2)
+    # == the host itself for 2-label bare suffixes, or is caught by
+    # the n-guards above for deeper ones, landing here unchanged
+    return expr.otherwise(last_k(2))
+
+
+def with_domain_psl(
+    df: DataFrame,
+    psl: PublicSuffixList,
+    url_col: str = "url",
+    out_col: str = "domain",
+) -> DataFrame:
+    """``df`` plus ``out_col`` = PSL-exact registered domain of
+    ``url_col`` (the snapshot-driven twin of :func:`with_domain`)."""
+    return df.withColumn(
+        out_col, registered_domain_psl(url_host(url_col), psl)
+    )

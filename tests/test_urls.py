@@ -206,3 +206,149 @@ def test_multilabel_extra_suffixes_respected(spark):
         for h in got
     }
     assert {k: v for k, v in got.items()} == want
+
+
+# ---------------------------------------------------------------------------
+# Round 13: full public-suffix-list snapshot support (r12-verdict #5)
+# ---------------------------------------------------------------------------
+
+_PSL_SNAPSHOT = """\
+// ===BEGIN ICANN DOMAINS===
+com
+org
+uk
+co.uk
+// country with wildcard registrations
+ck
+*.ck
+!www.ck
+jp
+// 3-label suffix from the real list
+pvt.k12.ma.us
+us
+k12.ma.us
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+"""
+
+
+def _psl():
+    from etl_data_lake_spark.functions.urls import parse_psl
+
+    return parse_psl(_PSL_SNAPSHOT.splitlines())
+
+
+def _domains(spark, hosts, psl):
+    from etl_data_lake_spark.functions.urls import registered_domain_psl
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    return {
+        r.host: r.d
+        for r in df.select(
+            "host", registered_domain_psl("host", psl).alias("d")
+        ).collect()
+    }
+
+
+def test_psl_parse_and_load(tmp_path):
+    from etl_data_lake_spark.functions.urls import load_psl, parse_psl
+
+    psl = _psl()
+    assert "github.io" in psl.exact and "ck" in psl.wildcards
+    assert psl.exceptions == ("www.ck",)
+    p = tmp_path / "psl.dat"
+    p.write_text(_PSL_SNAPSHOT)
+    assert load_psl(str(p)) == psl
+    # malformed rules raise loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="leftmost"):
+        parse_psl(["foo.*.bar"])
+    with _pt.raises(ValueError, match="exception"):
+        parse_psl(["!tld"])
+
+
+def test_psl_wildcard_and_exception_rules(spark):
+    psl = _psl()
+    got = _domains(
+        spark,
+        [
+            "foo.bar.ck",      # *.ck → suffix bar.ck → foo.bar.ck
+            "bar.ck",          # IS a wildcard suffix → pass through
+            "www.ck",          # exception → registrable www.ck
+            "deep.www.ck",     # exception tail → www.ck
+            "user.github.io",  # private-section exact rule
+            "www.user.github.io",
+            "github.io",       # bare suffix → pass through
+            "school.pvt.k12.ma.us",        # 3-label suffix +1
+            "deep.school.pvt.k12.ma.us",   # longest rule wins over k12.ma.us
+            "example.zz",      # unknown TLD → implicit * default
+            "a.example.zz",
+            "localhost",       # single label passes through
+        ],
+        psl,
+    )
+    assert got["foo.bar.ck"] == "foo.bar.ck"
+    assert got["bar.ck"] == "bar.ck"
+    assert got["www.ck"] == "www.ck"
+    assert got["deep.www.ck"] == "www.ck"
+    assert got["user.github.io"] == "user.github.io"
+    assert got["www.user.github.io"] == "user.github.io"
+    assert got["github.io"] == "github.io"
+    assert got["school.pvt.k12.ma.us"] == "school.pvt.k12.ma.us"
+    assert got["deep.school.pvt.k12.ma.us"] == "school.pvt.k12.ma.us"
+    assert got["example.zz"] == "example.zz"
+    assert got["a.example.zz"] == "example.zz"
+    assert got["localhost"] == "localhost"
+
+
+def test_psl_parity_with_expression_form_on_builtin_subset(spark):
+    """Feeding the code-shipped MULTI_PART_SUFFIXES through the PSL
+    path must reproduce registered_domain bit-for-bit (same defaults,
+    same bare-suffix pass-through) over the corpus's synthetic hosts
+    plus crafted edge hosts."""
+    from etl_data_lake_spark.functions.urls import (
+        MULTI_PART_SUFFIXES,
+        parse_psl,
+        registered_domain,
+        registered_domain_psl,
+        url_host,
+    )
+    from etl_data_lake_spark.queries.curation_ops import doc_urls
+    from etl_data_lake_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    psl = parse_psl(list(MULTI_PART_SUFFIXES))
+    hosts = doc_urls(load_table(spark, SF_DIR, "documents")).select(
+        url_host("url").alias("host")
+    )
+    edge = spark.createDataFrame(
+        [("co.uk",), ("x.co.uk",), ("deep.x.co.uk",), ("com",),
+         ("a.b",), ("single",), (None,)],
+        "host string",
+    )
+    both = hosts.union(edge).select(
+        "host",
+        registered_domain("host").alias("expr_d"),
+        registered_domain_psl("host", psl).alias("psl_d"),
+    )
+    diff = both.where(
+        ~(F.col("expr_d").eqNullSafe(F.col("psl_d")))
+    ).collect()
+    assert diff == []
+
+
+def test_psl_plan_is_expression_only(spark):
+    psl = _psl()
+    from etl_data_lake_spark.functions.urls import with_domain_psl
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x")], "doc_id long, url string"
+    )
+    plan = (
+        with_domain_psl(df, psl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
