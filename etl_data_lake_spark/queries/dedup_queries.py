@@ -652,3 +652,54 @@ def dedup_repeated_substrings_action(
         hasher="poly",
         max_occurrences=_MAXIMAL_CAP,
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level paragraph dedup (round 13, dedup/paragraphs.py): the
+# Dolma-style keep-first paragraph ACTION replayed end-to-end in SQL —
+# md5 exists on both engines, so the split/trim/digest/window/rebuild
+# pipeline is exactly twinned. Library twin (50-entry driver cap),
+# parity-checked in test_parity::test_library_twin_parity; rotation
+# candidate for round 14.
+# --------------------------------------------------------------------------
+
+PARAGRAPH_DEDUP_SQL = """
+    WITH p0 AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\n{2,}') AS paras
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(paras) + 1),
+                      i -> {'para_idx': i - 1,
+                            'para': regexp_replace(paras[i],
+                                    '(^\\s+|\\s+$)', '', 'g')}),
+                      recursive := true)
+        FROM p0
+    ),
+    k AS (
+        SELECT doc_id, para_idx, para,
+               row_number() OVER (PARTITION BY md5(para)
+                                  ORDER BY doc_id, para_idx) AS rn
+        FROM p WHERE para != ''
+    ),
+    r AS (
+        SELECT doc_id,
+               string_agg(para, chr(10) || chr(10)
+                          ORDER BY para_idx) AS new_text
+        FROM k WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.new_text, '') AS text
+    FROM documents d LEFT JOIN r USING (doc_id)
+"""
+
+
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first corpus-wide paragraph dedup over the documents
+    table. Oracle: PARAGRAPH_DEDUP_SQL (library twin)."""
+    from etl_data_lake_spark.dedup.paragraphs import (
+        drop_duplicate_paragraphs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return drop_duplicate_paragraphs(docs)

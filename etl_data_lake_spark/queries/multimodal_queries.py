@@ -151,3 +151,18 @@ def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_windows"),
         F.sum("window_idx").cast("long").alias("idx_sum"),
     )
+
+
+def media_afp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only surface (round-13 verdict item #6): the audio
+    fingerprint near-dup pipeline end to end — decode+FFT+hash over
+    every audio clip (the kind filter prunes before decode), then the
+    banded candidate join + exact Hamming verify. Correctness is
+    pinned in tests/test_afp.py (banded ≡ brute force at three
+    settings); this entry gives the multimodal family's last
+    un-benched member a per-round cost anchor."""
+    from etl_data_lake_spark.multimodal.afp import audio_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = fake_media_table(docs).select("media_id", "kind", "payload")
+    return audio_near_dup_pairs(media, max_distance=3, bands=4)

@@ -497,3 +497,13 @@ def test_round11_ops_on_empty(spark, empty_docs):
     assert embedding_cell_histogram(
         emb.where(F.lit(False)), cells
     ).count() == 0
+
+
+def test_afp_on_empty(spark, empty_docs):
+    from etl_data_lake_spark.multimodal import fake_media_table
+    from etl_data_lake_spark.multimodal.afp import audio_near_dup_pairs
+
+    media = fake_media_table(empty_docs).select(
+        "media_id", "kind", "payload"
+    )
+    assert audio_near_dup_pairs(media).count() == 0

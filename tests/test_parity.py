@@ -240,6 +240,12 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.curation_ops",
         "CURATION_SPLIT_SQL",
     ),
+    # round 13 new operator: corpus-wide keep-first paragraph dedup
+    (
+        "paragraph_dedup_docs",
+        "etl_data_lake_spark.queries.dedup_queries",
+        "PARAGRAPH_DEDUP_SQL",
+    ),
 ]
 
 

@@ -20,8 +20,15 @@ artifact of cloned data):
   CROSS-replica verbatim overlap is impossible (cloned text would
   make every dup window 10x hot and pair counts ~100x — a quadratic
   artifact of cloning, not of the operator).
-* embeddings + dims (region nation customer supplier part): copied
-  unscaled (the swept entries treat them as dims or don't read them).
+* embeddings: vec_id offset per replica AND the vector ROTATED by r
+  positions in replica r (round 13, for the ANN sweep entries):
+  rotation preserves the norm and the coordinate distribution while
+  making each replica a distinct direction — verbatim clones would
+  put 10 identical points at every location, an artificial worst case
+  for bucket occupancy and tie handling that measures cloning, not
+  the operator.
+* dims (region nation customer supplier part): copied unscaled (the
+  swept entries treat them as dims or don't read them).
 """
 
 from __future__ import annotations
@@ -93,10 +100,21 @@ def main() -> None:
               FROM {src('documents')}, {reps})
         TO '{DST}/documents.parquet' (FORMAT parquet)
     """)
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "embeddings"):
+    maxv = con.sql(
+        f"SELECT max(vec_id)+1 FROM {src('embeddings')}"
+    ).fetchone()[0]
+    con.sql(f"""
+        COPY (SELECT vec_id + r*{maxv} AS vec_id,
+                     CAST(list_concat(embedding[r+1:],
+                                      embedding[1:r]) AS FLOAT[])
+                         AS embedding,
+                     label
+              FROM {src('embeddings')}, {reps})
+        TO '{DST}/embeddings.parquet' (FORMAT parquet)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part"):
         shutil.copyfile(SRC / f"{t}.parquet", DST / f"{t}.parquet")
-    for t in ("lineitem", "orders", "events", "documents"):
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         n = con.sql(f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
         print(t, n)
     print("sf1 at", DST)

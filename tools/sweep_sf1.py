@@ -17,15 +17,25 @@ ENTRIES = [
     "time_dimension",
     "dedup_substring_spans",
     "dsir_weights_docs",
+    # round 13 (r12-verdict #7): the dedup/ANN families' 100 TB claims
+    # get empirical exponents too — minhash banding/clustering over
+    # the replicated documents, and two ANN method plans over the
+    # replicated+rotated embeddings (tools/make_sf1.py)
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_clusters",
+    "ann_method_ivf",
+    "ann_method_hnsw",
 ]
 
 
 def main() -> None:
     from etl_data_lake_spark.queries.registry import queries
+    from etl_data_lake_spark.queries.vector_queries import ann_bench_queries
     from etl_data_lake_spark.session import get_spark
 
     spark = get_spark(app_name="sf1-sweep")
-    qs = queries()
+    qs = dict(queries())
+    qs.update(ann_bench_queries())
     out = {}
     for sf_dir, label in (("/root/testdata/sf0.1", "sf0.1"),
                           ("/root/repo/.sf1", "sf1")):
