@@ -49,10 +49,13 @@ def _cpu_microbench_mt(workers: int = 8, iters: int = 20_000_000) -> float:
     are comparable."""
     import multiprocessing as mp
 
-    t0 = time.perf_counter()
     with mp.get_context("fork").Pool(workers) as pool:
+        # warm the pool first: fork + import cost is startup, not
+        # contention, and must not read as a slow box
+        pool.map(_add_loop, [1] * workers)
+        t0 = time.perf_counter()
         pool.map(_add_loop, [iters] * workers)
-    return round(time.perf_counter() - t0, 3)
+        return round(time.perf_counter() - t0, 3)
 
 
 def _proc_stat_fields() -> dict[str, int] | None:
