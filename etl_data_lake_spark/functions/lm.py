@@ -969,3 +969,98 @@ def kn_trigram_perplexity_score(
             F.exp("avg_neg_logp").alias("perplexity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (round 13) — the step Wenzek et al. 2020
+# run AFTER LM scoring: split each language's documents into
+# head/middle/tail by per-language perplexity quantiles (the paper
+# cuts at 1/3 and 2/3), then train on head(+middle). The scorers
+# above (unigram/bigram/KN/ARPA) produce the perplexity column; this
+# operator produces the bucket label and the per-language cut table.
+# ---------------------------------------------------------------------------
+
+
+def perplexity_cuts(
+    scored: DataFrame,
+    perp_col: str = "perplexity",
+    lang_col: str = "lang",
+    bounds: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """→ one row per language: (lang_col, cut_1 … cut_k), the
+    perplexity values at each quantile in ``bounds`` (ascending, in
+    (0, 1)). ``exact=False`` (the 100 TB default) uses Spark's
+    bounded-memory ``approx_percentile`` sketch — map-side
+    combinable, error ≤ 1/accuracy of rank; ``exact=True`` uses the
+    interpolating ``percentile`` aggregate (CCNet semantics and the
+    DuckDB ``quantile_cont`` twin, but it buffers each language's
+    values — reserve it for oracle checks and bounded corpora). Null
+    perplexities (empty docs) are ignored by both aggregates."""
+    if not bounds or list(bounds) != sorted(set(bounds)) or not all(
+        0.0 < b < 1.0 for b in bounds
+    ):
+        raise ValueError(
+            f"bounds must be strictly increasing in (0, 1); got {bounds}"
+        )
+    pcts = F.array(*[F.lit(float(b)) for b in bounds])
+    agg = (
+        F.percentile(perp_col, pcts)
+        if exact
+        else F.approx_percentile(
+            perp_col, pcts, F.lit(int(accuracy))
+        )
+    )
+    cuts = scored.groupBy(lang_col).agg(agg.alias("_cuts"))
+    return cuts.select(
+        lang_col,
+        *[
+            F.element_at("_cuts", i + 1).alias(f"cut_{i + 1}")
+            for i in range(len(bounds))
+        ],
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    perp_col: str = "perplexity",
+    lang_col: str = "lang",
+    bounds: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple = ("head", "middle", "tail"),
+    out_col: str = "ppl_bucket",
+    exact: bool = False,
+    accuracy: int = 10_000,
+    cuts: DataFrame | None = None,
+) -> DataFrame:
+    """``scored`` plus ``out_col``: the CCNet bucket label —
+    ``labels[i]`` for perplexity ≤ the i-th per-language cut, the
+    last label above every cut (lower perplexity = more fluent =
+    'head'). Null perplexity rows get a null bucket (score them or
+    drop them upstream; silently labeling unscored docs 'head' would
+    poison the best bucket).
+
+    Pass ``cuts`` to reuse a table from :func:`perplexity_cuts`
+    (e.g. cuts frozen from a reference snapshot — the CCNet deploy
+    shape, where monthly crawls bucket against LAST month's cuts);
+    otherwise cuts compute from ``scored`` itself. Shape: the cut
+    table is ≤ |languages| rows and joins back BROADCAST — the
+    corpus side never shuffles."""
+    if len(labels) != len(bounds) + 1:
+        raise ValueError(
+            f"need len(bounds)+1 labels; got {len(bounds)} bounds "
+            f"and {len(labels)} labels"
+        )
+    if out_col in scored.columns:
+        raise ValueError(f"{out_col!r} already exists — rename")
+    if cuts is None:
+        cuts = perplexity_cuts(
+            scored, perp_col, lang_col, bounds, exact, accuracy
+        )
+    joined = scored.join(F.broadcast(cuts), lang_col, "left")
+    p = F.col(perp_col)
+    expr = F.when(p.isNull(), F.lit(None).cast("string"))
+    for i, lab in enumerate(labels[:-1]):
+        expr = expr.when(p <= F.col(f"cut_{i + 1}"), F.lit(lab))
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return joined.select(*scored.columns, expr.alias(out_col))

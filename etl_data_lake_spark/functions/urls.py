@@ -458,3 +458,64 @@ def with_domain_psl(
     return df.withColumn(
         out_col, registered_domain_psl(url_host(url_col), psl)
     )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    order_by,
+    url_col: str = "url",
+    max_docs: int = 1000,
+    extra_suffixes: Iterable[str] = (),
+    psl=None,
+) -> DataFrame:
+    """Per-domain QUOTA capping (round 13 — the RefinedWeb/CCNet
+    anti-concentration move after quality scoring): keep at most
+    ``max_docs`` documents of each registered domain, preferring rows
+    by ``order_by`` (a Column or list of Columns — e.g.
+    ``F.desc("quality")``). Without a cap a handful of SEO farms and
+    mirror hosts dominate any crawl-derived corpus; with one, domain
+    mass is bounded by policy, not by crawler luck.
+
+    ``order_by`` is REQUIRED and should be a total order (add an id
+    tiebreak) — a partial order would make the kept set depend on
+    partitioning, the exact nondeterminism this repo's sampling
+    operators exist to avoid. Rows with unparseable URLs (null
+    domain) drop, as in :func:`filter_domains` — a quota needs an
+    attributable owner. Pass ``psl`` (a :class:`PublicSuffixList`)
+    to group by the snapshot-exact eTLD+1 instead of the built-in
+    subset.
+
+    Shape: ONE window (partitionBy domain → row_number) — a single
+    shuffle keyed on the domain; skew is the true domain mass, which
+    is exactly the thing being capped (the hottest partition shrinks
+    to ``max_docs`` on output)."""
+    if max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    if order_by is None:
+        raise ValueError(
+            "order_by is required — an unordered cap would keep a "
+            "partitioning-dependent subset"
+        )
+    order = list(order_by) if isinstance(order_by, (list, tuple)) else [
+        order_by
+    ]
+    if "__dom" in df.columns or "__rn" in df.columns:
+        raise ValueError(
+            "'__dom'/'__rn' are reserved by cap_per_domain — rename"
+        )
+    host = url_host(url_col)
+    dom = (
+        registered_domain_psl(host, psl)
+        if psl is not None
+        else registered_domain(host, extra_suffixes)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__dom").orderBy(*order)
+    return (
+        df.withColumn("__dom", dom)
+        .where(F.col("__dom").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_docs)
+        .drop("__dom", "__rn")
+    )

@@ -224,3 +224,117 @@ def test_bigram_truncation_and_layout_invariance(spark):
     assert got == want
     with pytest.raises(ValueError, match="lam"):
         bigram_perplexity_score(docs, uni, oov, bi_all, lam=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Round 13: CCNet head/middle/tail perplexity bucketing
+# ---------------------------------------------------------------------------
+
+
+def _scored_fixture(spark):
+    # two languages, perplexities 1..9 (en) and 10,20,30 (de), plus a
+    # null-perplexity row (empty doc)
+    rows = [(i, "en", float(i)) for i in range(1, 10)]
+    rows += [(100, "de", 10.0), (101, "de", 20.0), (102, "de", 30.0)]
+    rows += [(200, "en", None)]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, perplexity double"
+    )
+
+
+def test_perplexity_cuts_exact_per_language(spark):
+    from etl_data_lake_spark.functions.lm import perplexity_cuts
+
+    cuts = {
+        r.lang: (r.cut_1, r.cut_2)
+        for r in perplexity_cuts(
+            _scored_fixture(spark), exact=True
+        ).collect()
+    }
+    # en: 9 values 1..9 → interpolated terciles at ranks 1+8/3, 1+16/3
+    assert cuts["en"][0] == pytest.approx(1 + 8 / 3)
+    assert cuts["en"][1] == pytest.approx(1 + 16 / 3)
+    # de: 3 values → cuts between them
+    assert cuts["de"][0] == pytest.approx(10 + 20 / 3)
+    assert cuts["de"][1] == pytest.approx(10 + 40 / 3)
+
+
+def test_perplexity_buckets_ccnet_semantics(spark):
+    from etl_data_lake_spark.functions.lm import perplexity_buckets
+
+    out = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(
+            _scored_fixture(spark), exact=True
+        ).collect()
+    }
+    # en: 1..3 head (≤3.667), 4,5 middle (≤6.333), 7..9 tail
+    assert [out[i] for i in range(1, 10)] == [
+        "head", "head", "head", "middle", "middle", "middle",
+        "tail", "tail", "tail",
+    ]
+    # de buckets use DE's cuts, not EN's
+    assert (out[100], out[101], out[102]) == ("head", "middle", "tail")
+    # a null perplexity must NOT land in head
+    assert out[200] is None
+
+
+def test_perplexity_buckets_approx_matches_exact_small(spark):
+    from etl_data_lake_spark.functions.lm import perplexity_buckets
+
+    df = _scored_fixture(spark)
+    a = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(df, exact=False).collect()
+    }
+    b = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(df, exact=True).collect()
+    }
+    # at 12 values the sketch's rank error is < 1 rank at
+    # accuracy=10k, but the two estimators may still disagree on
+    # EXACT-tie boundary docs; require agreement off the boundaries
+    diff = {k for k in a if a[k] != b[k]}
+    assert len(diff) <= 2, (diff, a, b)
+
+
+def test_perplexity_buckets_frozen_cuts_and_guards(spark):
+    from etl_data_lake_spark.functions.lm import (
+        perplexity_buckets,
+        perplexity_cuts,
+    )
+
+    df = _scored_fixture(spark)
+    frozen = perplexity_cuts(df.where(F.col("lang") == "en"), exact=True)
+    out = perplexity_buckets(df, cuts=frozen, exact=True)
+    got = {r.doc_id: r.ppl_bucket for r in out.collect()}
+    # de rows have no cuts in the frozen table → every non-null
+    # comparison fails → they fall to the LAST label (tail), loudly
+    # visible, never silently head
+    assert got[100] == got[102] == "tail"
+    with pytest.raises(ValueError, match="bounds"):
+        perplexity_cuts(df, bounds=(0.9, 0.1))
+    with pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(df, labels=("a", "b"))
+    with pytest.raises(ValueError, match="rename"):
+        perplexity_buckets(df.withColumn("ppl_bucket", F.lit("x")))
+
+
+def test_perplexity_buckets_corpus_side_never_shuffles(spark):
+    from etl_data_lake_spark.functions.lm import (
+        perplexity_buckets,
+        perplexity_cuts,
+    )
+
+    df = _scored_fixture(spark)
+    frozen = perplexity_cuts(df, exact=True)
+    plan = (
+        perplexity_buckets(df, cuts=frozen)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # any hash exchange belongs to the ≤|langs|-row cut aggregation
+    # (keyed on lang); the corpus side reaches the join unshuffled
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "lang" in line, line

@@ -352,3 +352,65 @@ def test_psl_plan_is_expression_only(spark):
     )
     assert "Exchange" not in plan and "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_cap_per_domain(spark):
+    """Round 13: per-domain quota — keeps the top max_docs by the
+    given order, drops null-domain rows, single-window plan."""
+    from etl_data_lake_spark.functions.urls import cap_per_domain
+
+    rows = [
+        (i, f"https://www.farm.com/{i}", float(i)) for i in range(10)
+    ] + [
+        (100, "https://a.example.org/x", 5.0),
+        (101, "https://b.example.org/y", 7.0),
+        (102, "not a url", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, quality double"
+    )
+    out = cap_per_domain(
+        df, [F.desc("quality"), F.asc("doc_id")], max_docs=3
+    )
+    got = sorted(r.doc_id for r in out.collect())
+    # farm.com: top-3 by quality = ids 7,8,9; example.org both fit;
+    # the malformed URL drops
+    assert got == [7, 8, 9, 100, 101]
+    # columns pass through, reserved names raise, validation raises
+    assert set(out.columns) == {"doc_id", "url", "quality"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_docs"):
+        cap_per_domain(df, F.desc("quality"), max_docs=0)
+    with _pt.raises(ValueError, match="order_by"):
+        cap_per_domain(df, None)
+    with _pt.raises(ValueError, match="reserved"):
+        cap_per_domain(df.withColumn("__dom", F.lit("x")), F.asc("doc_id"))
+    # scale pin: Spark prunes hot domains MAP-SIDE via a partial
+    # WindowGroupLimit before the one domain shuffle — the hottest
+    # partition ships at most max_docs rows per input partition, so
+    # the cap is also the skew bound; and no Python anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "EvalPython" not in plan and "Join" not in plan, plan
+
+
+def test_cap_per_domain_with_psl(spark):
+    """The psl= grouping treats user.github.io as its own domain."""
+    from etl_data_lake_spark.functions.urls import cap_per_domain, parse_psl
+
+    psl = parse_psl(["com", "io", "github.io"])
+    rows = [
+        (1, "https://alice.github.io/a", 1.0),
+        (2, "https://alice.github.io/b", 2.0),
+        (3, "https://bob.github.io/c", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, quality double"
+    )
+    out = cap_per_domain(
+        df, [F.desc("quality"), F.asc("doc_id")], max_docs=1, psl=psl
+    )
+    # per-USER-site cap: alice keeps her best, bob keeps his —
+    # the subset-form would fold both under github.io and keep one
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3]
