@@ -557,3 +557,108 @@ def test_round12_stages_compose(spark):
         & (F.col("id_b") == one.media_id + 5_000_000)
     ).collect()
     assert len(hit) == 1 and hit[0].hamming == 0
+
+
+def test_round13_stages_compose(spark):
+    """The round-13 additions composing end-to-end on the real corpus:
+    PSL-exact domain grouping → per-domain quota (cap_per_domain) →
+    corpus-wide paragraph dedup → LM scoring → CCNet head/middle/tail
+    bucketing — the full web-pipeline spine with this round's
+    operators in their production positions."""
+    from etl_data_lake_spark.dedup.paragraphs import (
+        drop_duplicate_paragraphs,
+        duplicate_paragraph_stats,
+    )
+    from etl_data_lake_spark.functions.lm import (
+        perplexity_buckets,
+        perplexity_score,
+        train_unigram_lm,
+    )
+    from etl_data_lake_spark.functions.urls import (
+        cap_per_domain,
+        parse_psl,
+        with_domain_psl,
+    )
+    from etl_data_lake_spark.queries.curation_ops import doc_urls
+
+    docs = doc_urls(load_table(spark, SF_DIR, "documents"))
+    n0 = docs.count()
+
+    # 1. PSL-exact quota: cap every registered domain at 10 docs,
+    # preferring longer documents (a quality proxy), id tiebreak
+    psl = parse_psl(
+        ["com", "org", "io", "uk", "co.uk", "au", "com.au"]
+    )
+    capped = cap_per_domain(
+        docs,
+        [F.desc("n_chars"), F.asc("doc_id")],
+        max_docs=10,
+        psl=psl,
+    )
+    n1 = capped.count()
+    assert 0 < n1 < n0
+    doms = with_domain_psl(capped, psl)
+    per_dom = doms.groupBy("domain").count().collect()
+    assert max(r["count"] for r in per_dom) <= 10
+    # and within a domain the kept docs are the LONGEST ones: the
+    # shortest kept >= the longest dropped for a full domain
+    full = [r.domain for r in per_dom if r["count"] == 10]
+    if full:
+        d = full[0]
+        kept_min = (
+            doms.where(F.col("domain") == d)
+            .agg(F.min("n_chars")).collect()[0][0]
+        )
+        dropped_max = (
+            with_domain_psl(docs, psl)
+            .where(F.col("domain") == d)
+            .join(capped.select("doc_id"), "doc_id", "left_anti")
+            .agg(F.max("n_chars")).collect()[0][0]
+        )
+        assert dropped_max is None or kept_min >= dropped_max
+
+    # 2. plant a boilerplate paragraph on a slice, paragraph-dedup it
+    footer = "Subscribe to our newsletter for updates."
+    with_footer = capped.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws("\n\n", "text", F.lit(footer)),
+        ).otherwise(F.col("text")),
+    )
+    stats = duplicate_paragraph_stats(with_footer).where(
+        F.col("n_occurrences") >= 2
+    )
+    footer_row = [
+        r for r in stats.collect()
+        if r.n_occurrences >= n1 // 5 - 1
+    ]
+    assert footer_row, "planted footer not found in dup stats"
+    deduped = drop_duplicate_paragraphs(with_footer)
+    # exactly one copy of the footer survives corpus-wide
+    n_with = deduped.where(
+        F.col("text").contains(footer)
+    ).count()
+    assert n_with == 1
+    assert deduped.count() == n1  # no row lost
+
+    # 3. LM-score the deduped corpus and bucket per language
+    model, oov = train_unigram_lm(
+        deduped.select("doc_id", "text"), vocab_size=2000
+    )
+    scored = perplexity_score(deduped.select("doc_id", "text"), model, oov)
+    scored = scored.join(
+        deduped.select("doc_id", "lang"), "doc_id"
+    )
+    bucketed = perplexity_buckets(scored, exact=True)
+    counts = {
+        (r.lang, r.ppl_bucket): r["count"]
+        for r in bucketed.groupBy("lang", "ppl_bucket").count().collect()
+    }
+    langs = {k[0] for k in counts}
+    for lang in langs:
+        tot = sum(v for (l, _), v in counts.items() if l == lang)
+        if tot >= 9:
+            # terciles: each bucket holds roughly a third per language
+            for b in ("head", "middle", "tail"):
+                assert counts.get((lang, b), 0) >= tot // 6, (lang, b)
