@@ -166,6 +166,9 @@ HEADLINE = [
     # surface, like ann_method_*) — the multimodal family's last
     # un-benched member gets a cost anchor
     "afp_near_dup_pairs",
+    # round 13: corpus-wide paragraph dedup ACTION (new family member
+    # this round; bench-only surface, twin-checked in test_parity)
+    "paragraph_dedup_docs",
     # round 11: media_audio_windows → library twin (slot and bench
     # line went to the DSIR weights entry)
     "dsir_weights_docs",
@@ -235,6 +238,11 @@ def main() -> None:
     )
 
     qs["afp_near_dup_pairs"] = media_afp_near_dup
+    from etl_data_lake_spark.queries.dedup_queries import (
+        paragraph_dedup_docs,
+    )
+
+    qs["paragraph_dedup_docs"] = paragraph_dedup_docs
 
     def run_once(name: str) -> float:
         # per-query isolation: a query may persist() intermediates for

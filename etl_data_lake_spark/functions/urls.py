@@ -95,6 +95,12 @@ def registered_domain(
         )
 
     expr = F.when(h.isNull(), F.lit(None).cast("string")).when(n <= 1, h)
+    # a host that IS a known suffix passes through (round-13 fix: a
+    # deep bare suffix must not fall through to a SHALLOWER rule and
+    # mint a bogus registrable — host 'pvt.k12.ma.us' with only that
+    # suffix configured used to come back as 'ma.us')
+    if suffixes:
+        expr = expr.when(h.isin(*suffixes), h)
     # longest suffix first: a 3-label match must win over its own
     # 2-label tail
     for k in sorted(by_len, reverse=True):
@@ -288,6 +294,13 @@ def sql_registered_domain(
         )
 
     whens = []
+    if suffixes:
+        all_sufs = ", ".join(f"'{s}'" for s in suffixes)
+        # bare-suffix passthrough — must mirror registered_domain's
+        # round-13 fix exactly or the engine twins diverge
+        whens.append(
+            f"WHEN {host_expr} IN ({all_sufs}) THEN {host_expr}"
+        )
     for k in sorted(by_len, reverse=True):
         sufs = ", ".join(f"'{s}'" for s in by_len[k])
         whens.append(
@@ -432,10 +445,19 @@ def registered_domain_psl(host, psl: PublicSuffixList):
     )
     for s in depths:
         if s in ex_d:
+            # a host that IS this suffix passes through (no registrable
+            # label exists — same round-13 fix as registered_domain: a
+            # deep bare suffix must not fall to a shallower rule)
+            expr = expr.when((n == s) & h.isin(ex_d[s]), h)
             expr = expr.when(
                 (n >= s + 1) & last_k(s).isin(ex_d[s]), last_k(s + 1)
             )
         if s - 1 in wc_d:
+            # host IS a wildcard-matched suffix (n == base+1) — pass
+            # through for the same reason
+            expr = expr.when(
+                (n == s) & last_k(s - 1).isin(wc_d[s - 1]), h
+            )
             expr = expr.when(
                 (n >= s + 1) & last_k(s - 1).isin(wc_d[s - 1]),
                 last_k(s + 1),

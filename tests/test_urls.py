@@ -414,3 +414,67 @@ def test_cap_per_domain_with_psl(spark):
     # per-USER-site cap: alice keeps her best, bob keeps his —
     # the subset-form would fold both under github.io and keep one
     assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+
+
+def test_deep_bare_suffix_passes_through(spark):
+    """Round-13 fix: a host that IS a known public suffix passes
+    through on every path — it must not fall to a SHALLOWER rule and
+    mint a bogus registrable. 'pvt.k12.ma.us' with only that suffix
+    configured used to come back as 'ma.us'."""
+    from etl_data_lake_spark.functions.urls import (
+        parse_psl,
+        registered_domain,
+        registered_domain_psl,
+        sql_registered_domain,
+    )
+
+    hosts = ["pvt.k12.ma.us", "k12.ma.us", "x.pvt.k12.ma.us"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    extra = ("pvt.k12.ma.us",)
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", registered_domain("host", extra).alias("d")
+        ).collect()
+    }
+    assert got["pvt.k12.ma.us"] == "pvt.k12.ma.us"  # bare suffix
+    assert got["x.pvt.k12.ma.us"] == "x.pvt.k12.ma.us"  # suffix + 1
+    # PSL path with BOTH rules (the real list nests suffixes): deep
+    # bare suffix must not resolve via the shallower k12.ma.us rule
+    psl = parse_psl(["us", "k12.ma.us", "pvt.k12.ma.us"])
+    got_psl = {
+        r.host: r.d
+        for r in df.select(
+            "host", registered_domain_psl("host", psl).alias("d")
+        ).collect()
+    }
+    assert got_psl["pvt.k12.ma.us"] == "pvt.k12.ma.us"
+    assert got_psl["k12.ma.us"] == "k12.ma.us"
+    assert got_psl["x.pvt.k12.ma.us"] == "x.pvt.k12.ma.us"
+    # and the DuckDB twin stays in lockstep with the Spark expression
+    import duckdb
+
+    sql = sql_registered_domain("host", extra)
+    for h in hosts:
+        want = duckdb.sql(
+            f"SELECT {sql} AS d FROM (SELECT '{h}' AS host)"
+        ).fetchone()[0]
+        assert got[h] == want, h
+
+
+def test_psl_wildcard_bare_suffix_passthrough(spark):
+    """A host that IS a wildcard-matched suffix ('anything.ck' at
+    depth base+1) passes through even when deeper defaults would
+    otherwise rewrite it."""
+    from etl_data_lake_spark.functions.urls import parse_psl
+
+    psl = parse_psl(["ck", "*.ck", "*.k12.ma.us", "us", "ma.us"])
+    got = _domains(
+        spark,
+        ["foo.ck", "school.k12.ma.us", "a.school.k12.ma.us"],
+        psl,
+    )
+    assert got["foo.ck"] == "foo.ck"  # wildcard suffix itself
+    # *.k12.ma.us: 'school.k12.ma.us' IS the matched suffix (4 labels)
+    assert got["school.k12.ma.us"] == "school.k12.ma.us"
+    assert got["a.school.k12.ma.us"] == "a.school.k12.ma.us"
