@@ -620,3 +620,71 @@ def hf_token_counts(
     return with_ids.withColumn(
         out_col, F.size("__ids").cast("long")
     ).drop("__ids")
+
+
+def hf_tokenizer_stats(
+    docs: DataFrame,
+    tok: HfTokenizer,
+    text_col: str = "text",
+    group_col: str | None = "lang",
+) -> DataFrame:
+    """Tokenizer FERTILITY audit (round 13): per group (language,
+    source, …) under the loaded tokenizer —
+
+    * ``n_docs``, ``n_tokens``, ``n_words`` (whitespace words),
+      ``n_bytes`` (UTF-8);
+    * ``tokens_per_word`` — fertility, the MT-literature metric: how
+      many subwords an average word shatters into (≈1 on the
+      tokenizer's home language, inflating on scripts the vocab
+      under-serves);
+    * ``bytes_per_token`` — compression: how much raw text one token
+      carries (the direct driver of context-window cost per
+      document).
+
+    The standard audit before committing a corpus to a public
+    tokenizer: fertility imbalance across languages is a known
+    multilingual-cost trap, and this makes it ONE scan + one
+    ≤|groups|-row aggregation. ``group_col=None`` returns a single
+    corpus-wide row (grouped under a literal 'all')."""
+    if "__n_tok" in docs.columns:
+        raise ValueError(
+            "'__n_tok' is reserved by hf_tokenizer_stats — rename"
+        )
+    counted = hf_token_counts(docs, tok, text_col, "__n_tok")
+    group = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+        if group_col is not None
+        else F.lit("all")
+    )
+    text = F.col(text_col)
+    per_doc = counted.select(
+        group.alias("group"),
+        F.col("__n_tok").alias("n_tok"),
+        F.size(
+            F.filter(F.split(text, r"\s+"), lambda w: w != "")
+        ).cast("long").alias("n_words"),
+        F.coalesce(
+            F.octet_length(text).cast("long"), F.lit(0)
+        ).alias("n_bytes"),
+    )
+    agg = per_doc.groupBy("group").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+    )
+    return agg.select(
+        "group",
+        "n_docs",
+        "n_tokens",
+        "n_words",
+        "n_bytes",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_tokens") / F.col("n_words"), 6),
+        ).alias("tokens_per_word"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_bytes") / F.col("n_tokens"), 6),
+        ).alias("bytes_per_token"),
+    )

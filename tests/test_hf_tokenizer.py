@@ -461,3 +461,46 @@ def test_token_counts_reserved_column_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="__ids"):
         hf_token_counts(df, tok)
+
+
+def test_tokenizer_fertility_stats(spark, tmp_path):
+    """Per-group fertility/compression audit: hand-computable counts
+    under a mini char-level BPE; group=None collapses to one row."""
+    from etl_data_lake_spark.functions.hf_tokenizer import (
+        hf_tokenizer_stats,
+    )
+
+    vocab = {"a": 0, "b": 1, "ab": 2, "<unk>": 3}
+    doc = {
+        "model": {
+            "type": "BPE",
+            "vocab": vocab,
+            "merges": ["a b"],
+            "unk_token": "<unk>",
+        },
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+    }
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(doc))
+    tok = load_hf_tokenizer_json(str(p))
+    df = spark.createDataFrame(
+        [
+            (1, "en", "ab ab"),    # 2 words → 2 tokens (merged)
+            (2, "en", "ba"),       # 1 word → 2 tokens (b, a)
+            (3, "de", "abba ab"),  # ab+b+a=3  +  ab=1 → 4 tokens
+            (4, "de", None),       # null text → 0 everywhere
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.group: r for r in hf_tokenizer_stats(df, tok).collect()
+    }
+    assert got["en"].n_docs == 2
+    assert got["en"].n_tokens == 4 and got["en"].n_words == 3
+    assert got["en"].tokens_per_word == pytest.approx(4 / 3)
+    assert got["en"].bytes_per_token == pytest.approx(7 / 4)
+    assert got["de"].n_tokens == 4 and got["de"].n_words == 2
+    assert got["de"].tokens_per_word == 2.0
+    one = hf_tokenizer_stats(df, tok, group_col=None).collect()
+    assert len(one) == 1 and one[0].group == "all"
+    assert one[0].n_tokens == 8 and one[0].n_docs == 4
