@@ -181,3 +181,49 @@ def drop_duplicate_paragraphs(
         .join(rebuilt, id_col, "left")
         .select(*out_cols)
     )
+
+
+def excise_paragraphs(
+    docs: DataFrame,
+    digests,
+    text_col: str = "text",
+    max_digests: int = 100_000,
+) -> DataFrame:
+    """Stateless paragraph excision against a FROZEN digest blocklist
+    — the deploy split of this module: a nightly batch pass finds the
+    corpus's hottest boilerplate (:func:`duplicate_paragraph_stats`,
+    take the top-K ``para_md5``), and ingest drops those paragraphs
+    from every arriving document. Because the rule is a pure per-row
+    expression (split → filter against the digest set → rejoin), the
+    SAME call works on a STREAMING frame (readStream → gate → sink),
+    unlike the corpus-wide window of
+    :func:`drop_duplicate_paragraphs`.
+
+    ``digests`` is a bounded python iterable of md5 hex strings; the
+    set compiles into the plan as an InSet (hash probe inside
+    codegen), so it must be a RULE SET, not a corpus artifact —
+    ``max_digests`` raises loudly past the bound rather than letting
+    a million-entry literal melt the driver. Kept paragraphs rejoin
+    with a blank line; all other columns pass through untouched."""
+    dig = sorted({str(d).lower() for d in digests})
+    if not dig:
+        raise ValueError(
+            "excise_paragraphs needs at least one digest — an empty "
+            "blocklist would be a silent no-op"
+        )
+    if len(dig) > max_digests:
+        raise ValueError(
+            f"{len(dig)} digests exceed max_digests={max_digests}: "
+            "a plan-literal set must stay a bounded rule set; for "
+            "corpus-sized blocklists use drop_duplicate_paragraphs"
+        )
+    kept = F.filter(
+        _paragraphs(F.col(text_col)),
+        lambda p: ~F.md5(p.cast("binary")).isin(dig),
+    )
+    return docs.withColumn(
+        text_col,
+        F.when(
+            F.col(text_col).isNull(), F.lit(None).cast("string")
+        ).otherwise(F.array_join(kept, "\n\n")),
+    )

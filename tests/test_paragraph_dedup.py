@@ -134,3 +134,52 @@ def test_stats_scan_prunes_text_before_exchange(spark):
     for line in hot:
         assert "para#" not in line, line
     assert any("para_md5#" in line for line in hot), plan
+
+
+def test_excise_paragraphs_blocklist(spark):
+    import hashlib
+
+    from etl_data_lake_spark.dedup.paragraphs import excise_paragraphs
+
+    h = hashlib.md5(_FOOTER.encode()).hexdigest()
+    out = {
+        r.doc_id: r.text
+        for r in excise_paragraphs(_df(spark), [h]).collect()
+    }
+    assert out[1] == "Unique opening paragraph one."
+    assert out[2] == "Second doc's own content here."
+    assert out[4] == ""   # all-blocklisted doc → empty, kept
+    assert out[6] is None  # null text passes through as null
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one"):
+        excise_paragraphs(_df(spark), [])
+    with _pt.raises(ValueError, match="max_digests"):
+        excise_paragraphs(_df(spark), [f"{i:032x}" for i in range(9)],
+                          max_digests=3)
+
+
+def test_excise_paragraphs_is_a_streaming_gate(spark, tmp_path):
+    """Stateless per-row rule ⇒ the same call runs on a streaming
+    frame — the nightly-batch-finds / ingest-excises deploy shape."""
+    import hashlib
+
+    from etl_data_lake_spark.dedup.paragraphs import excise_paragraphs
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, f"Fresh content here.\n\n{_FOOTER}")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    h = hashlib.md5(_FOOTER.encode()).hexdigest()
+    q = (
+        excise_paragraphs(stream, [h])
+        .writeStream.format("memory")
+        .queryName("para_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT text FROM para_gate").collect()
+    assert [r.text for r in got] == ["Fresh content here."]
