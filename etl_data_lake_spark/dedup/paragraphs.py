@@ -24,19 +24,19 @@ Scale shape (stated for 100 TB):
   that at ~10^-17. The raw paragraph text never enters the shuffle
   for the stats pass (digest + ids only).
 * the keep-first decision is ONE window (partitionBy digest,
-  orderBy (doc_id, para_idx), row_number = 1) — |paragraphs|-parallel,
-  map-side-combinable nothing to pre-aggregate because the decision
-  needs the global minimum PER GROUP and the window IS that shuffle;
-  skew is bounded by the hottest boilerplate block, the same profile
-  every public implementation has.
+  orderBy (doc_id, para_idx), row_number = 1) — |paragraphs|-parallel;
+  the decision needs the global minimum PER GROUP, so the window's
+  shuffle is irreducible, and skew is bounded by the hottest
+  boilerplate block — the same profile every public implementation
+  has.
 * reconstruction re-aggregates kept paragraphs per document and joins
   the new text back on the id — the one unavoidable corpus-wide join
   of any rewrite ACTION (same as substring excision).
 
-DuckDB twins: PARAGRAPH_DEDUP docstrings cite
-queries-compatible SQL in tests/test_paragraph_dedup.py — md5 exists
-on both engines, so the whole pipeline (split, trim, digest, window,
-rebuild) replays exactly.
+DuckDB twin: queries/dedup_queries.PARAGRAPH_DEDUP_SQL replays the
+whole keep-first ACTION in SQL (md5 exists on both engines, so
+split, trim, digest, window and rebuild twin exactly), parity-checked
+in tests/test_parity.py::test_library_twin_parity.
 """
 
 from __future__ import annotations
