@@ -541,3 +541,108 @@ def cap_per_domain(
         .where(F.col("__rn") <= max_docs)
         .drop("__dom", "__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (round 13, late): crawls see
+# the same page under userinfo'd, fragmented, tracking-tagged and
+# default-ported variants; canonicalizing before URL-level dedup is
+# the step CCNet/C4-class pipelines run before any content hash.
+# ---------------------------------------------------------------------------
+
+# the common cross-site tracking parameters (utm_* handled as a prefix)
+TRACKING_PARAMS: tuple[str, ...] = (
+    "fbclid", "gclid", "gclsrc", "dclid", "msclkid", "mc_cid",
+    "mc_eid", "igshid", "ref", "ref_src", "ref_url", "referrer",
+    "source", "spm", "yclid", "_ga", "_gl", "s_kwcid",
+)
+
+
+def canonical_url(url: str | Column) -> Column:
+    """Deterministic canonical form of a URL — pure JVM expressions:
+
+    * scheme and host lowercase; userinfo stripped; default ports
+      dropped (``:80`` for http, ``:443`` for https), explicit
+      non-default ports kept;
+    * fragment removed (client-side only, never a different page);
+    * tracking query parameters removed (``utm_*`` by prefix plus
+      :data:`TRACKING_PARAMS`), the survivors SORTED — parameter
+      order is transport noise, and sorting makes equal pages hash
+      equal;
+    * empty query/path degrade cleanly (no dangling ``?``; an absent
+      path stays absent — this is a DEDUP KEY, not a fetchable URL
+      guarantee).
+
+    Malformed URLs canonicalize to NULL (``try_parse_url``), matching
+    the family's convention that unattributable rows are policy, not
+    crashes."""
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    authority = F.lower(F.try_parse_url(c, F.lit("AUTHORITY")))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(c, F.lit("QUERY"))
+    params = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (p != "")
+        & ~F.lower(F.regexp_extract(p, "^([^=]*)", 1)).startswith("utm_")
+        & ~F.lower(F.regexp_extract(p, "^([^=]*)", 1)).isin(
+            *TRACKING_PARAMS
+        ),
+    )
+    query_part = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme.isNull() | host.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            scheme, F.lit("://"), host, port_part, path, query_part
+        )
+    )
+
+
+def dedup_by_canonical_url(
+    df: DataFrame,
+    order_by,
+    url_col: str = "url",
+) -> DataFrame:
+    """Keep exactly ONE row per canonical URL, preferring rows by
+    ``order_by`` (a Column or list — REQUIRED total order, same
+    contract as :func:`cap_per_domain`); rows whose URL fails to
+    canonicalize (null) are all kept (no key to collide on). One
+    window keyed on the canonical form — |rows|-parallel, and Spark's
+    partial WindowGroupLimit prunes the hot keys map-side."""
+    if order_by is None:
+        raise ValueError(
+            "order_by is required — an unordered keep would retain a "
+            "partitioning-dependent row"
+        )
+    order = list(order_by) if isinstance(order_by, (list, tuple)) else [
+        order_by
+    ]
+    if "__curl" in df.columns or "__rn" in df.columns:
+        raise ValueError(
+            "'__curl'/'__rn' are reserved by dedup_by_canonical_url"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__curl").orderBy(*order)
+    keyed = df.withColumn("__curl", canonical_url(url_col))
+    nulls = keyed.where(F.col("__curl").isNull())
+    kept = (
+        keyed.where(F.col("__curl").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return kept.unionByName(nulls).drop("__curl")

@@ -478,3 +478,63 @@ def test_psl_wildcard_bare_suffix_passthrough(spark):
     # *.k12.ma.us: 'school.k12.ma.us' IS the matched suffix (4 labels)
     assert got["school.k12.ma.us"] == "school.k12.ma.us"
     assert got["a.school.k12.ma.us"] == "a.school.k12.ma.us"
+
+
+def test_canonical_url(spark):
+    """Round 13 late: canonicalization — case, userinfo, default
+    ports, fragments, tracking params, param order."""
+    from etl_data_lake_spark.functions.urls import canonical_url
+
+    cases = {
+        # case + default port + fragment
+        "HTTPS://WWW.Example.COM:443/Path#frag":
+            "https://www.example.com/Path",
+        # userinfo stripped, non-default port kept
+        "http://u:pw@api.example.org:8080/x":
+            "http://api.example.org:8080/x",
+        # tracking params dropped (utm_* prefix + named), rest sorted
+        "https://a.com/p?utm_source=x&b=2&a=1&fbclid=zzz":
+            "https://a.com/p?a=1&b=2",
+        # all params tracking → no dangling '?'
+        "https://a.com/p?utm_campaign=c&gclid=g": "https://a.com/p",
+        # http default port dropped
+        "http://a.com:80/": "http://a.com/",
+        # malformed → null
+        "not a url": None,
+    }
+    df = spark.createDataFrame(
+        [(u,) for u in cases], "url string"
+    ).select("url", canonical_url("url").alias("c"))
+    got = {r.url: r.c for r in df.collect()}
+    assert got == cases
+
+
+def test_dedup_by_canonical_url(spark):
+    from etl_data_lake_spark.functions.urls import dedup_by_canonical_url
+
+    rows = [
+        (1, "https://a.com/p?utm_source=x", 0.9),
+        (2, "https://A.com:443/p", 0.5),        # http≠https: distinct
+        (3, "HTTPS://a.com/p#top", 0.7),        # same as 1 canonically
+        (4, "https://a.com/q", 0.1),
+        (5, "garbage", 0.0),
+        (6, "also garbage", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, score double")
+    out = dedup_by_canonical_url(
+        df, [F.desc("score"), F.asc("doc_id")]
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    # 1 wins its canonical group over 3; 2 is https://a.com/p too!
+    # (443 is https default) → group {1,2,3} keeps 1 (score 0.9);
+    # 4 unique; 5,6 null-canonical both kept
+    assert kept == [1, 4, 5, 6]
+    assert set(out.columns) == {"doc_id", "url", "score"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="order_by"):
+        dedup_by_canonical_url(df, None)
+    with _pt.raises(ValueError, match="reserved"):
+        dedup_by_canonical_url(
+            df.withColumn("__curl", F.lit("x")), F.asc("doc_id")
+        )
