@@ -646,3 +646,49 @@ def dedup_by_canonical_url(
         .drop("__rn")
     )
     return kept.unionByName(nulls).drop("__curl")
+
+
+def sql_canonical_url(url_expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url` — the same normalization
+    as portable regex/list SQL (scheme/host lower, userinfo strip,
+    default-port drop, fragment drop, tracking-param filter with
+    survivors sorted; malformed → NULL)."""
+    scheme = (
+        f"lower(nullif(regexp_extract({url_expr}, "
+        "'^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''))"
+    )
+    auth = (
+        f"regexp_replace(regexp_extract({url_expr}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '')"
+    )
+    host = f"lower(nullif(regexp_extract({auth}, '^([^:]*)', 1), ''))"
+    port = f"regexp_extract(lower({auth}), ':([0-9]+)$', 1)"
+    path = (
+        f"coalesce(regexp_extract({url_expr}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')"
+    )
+    query = f"regexp_extract({url_expr}, '^[^?#]*\\?([^#]*)', 1)"
+    tracking = ", ".join(f"'{t}'" for t in TRACKING_PARAMS)
+    params = (
+        f"list_sort(list_filter(string_split(coalesce({query}, ''), '&'), "
+        "p -> p != '' "
+        "AND NOT starts_with(lower(regexp_extract(p, '^([^=]*)', 1)), 'utm_') "
+        f"AND lower(regexp_extract(p, '^([^=]*)', 1)) NOT IN ({tracking})))"
+    )
+    port_part = f"""
+        CASE WHEN {port} = ''
+                  OR ({scheme} = 'http' AND {port} = '80')
+                  OR ({scheme} = 'https' AND {port} = '443')
+             THEN '' ELSE ':' || {port} END
+    """
+    query_part = f"""
+        CASE WHEN len({params}) > 0
+             THEN '?' || array_to_string({params}, '&')
+             ELSE '' END
+    """
+    return f"""
+        CASE WHEN {scheme} IS NULL OR {host} IS NULL THEN NULL
+             ELSE {scheme} || '://' || {host} || {port_part}
+                  || {path} || {query_part}
+        END
+    """

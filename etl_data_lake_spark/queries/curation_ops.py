@@ -571,3 +571,51 @@ def domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = doc_urls(load_table(spark, sf_dir, "documents"))
     return domain_stats(docs, url_col="url", text_col="text")
+
+
+# --------------------------------------------------------------------------
+# URL-level dedup by canonical form (round 13, late): the crawl-side
+# dedup over the synthetic URL column — canonicalization (case,
+# userinfo, default ports, fragments, tracking params incl. the
+# corpus's own '?ref=rss') then keep-one-per-form by (n_chars desc,
+# doc_id asc). Library twin (50-entry driver cap), parity-checked in
+# test_parity::test_library_twin_parity; rotation candidate.
+# --------------------------------------------------------------------------
+
+
+def _url_dedup_oracle() -> str:
+    from etl_data_lake_spark.functions.urls import sql_canonical_url
+
+    curl = sql_canonical_url("url")
+    return f"""
+        WITH u AS (
+            SELECT doc_id, n_chars, {_URL_SQL_EXPR} AS url FROM documents
+        ),
+        c AS (SELECT doc_id, n_chars, {curl} AS curl FROM u),
+        k AS (
+            SELECT doc_id, n_chars, curl,
+                   row_number() OVER (PARTITION BY curl
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM c WHERE curl IS NOT NULL
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM k WHERE rn = 1
+        UNION ALL
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM c WHERE curl IS NULL
+    """
+
+
+URL_DEDUP_SQL = _url_dedup_oracle()
+
+
+def url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-canonical-URL over the synthetic URL column.
+    Oracle: URL_DEDUP_SQL (library twin)."""
+    from etl_data_lake_spark.functions.urls import dedup_by_canonical_url
+
+    docs = doc_urls(load_table(spark, sf_dir, "documents"))
+    out = dedup_by_canonical_url(
+        docs, [F.desc("n_chars"), F.asc("doc_id")]
+    )
+    return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))

@@ -246,6 +246,12 @@ _LIBRARY_TWINS = [
         "etl_data_lake_spark.queries.dedup_queries",
         "PARAGRAPH_DEDUP_SQL",
     ),
+    # round 13 late: URL-level dedup by canonical form
+    (
+        "url_dedup_docs",
+        "etl_data_lake_spark.queries.curation_ops",
+        "URL_DEDUP_SQL",
+    ),
 ]
 
 
