@@ -25,6 +25,12 @@ ENTRIES = [
     "dedup_minhash_clusters",
     "ann_method_ivf",
     "ann_method_hnsw",
+    # round 13 late: the round's new corpus operators — rotated-in
+    # driver entries + the paragraph/URL dedup library twins
+    "gopher_signals_docs",
+    "domain_stats_docs",
+    "paragraph_dedup_docs",
+    "url_dedup_docs",
 ]
 
 
@@ -36,6 +42,13 @@ def main() -> None:
     spark = get_spark(app_name="sf1-sweep")
     qs = dict(queries())
     qs.update(ann_bench_queries())
+    from etl_data_lake_spark.queries.curation_ops import url_dedup_docs
+    from etl_data_lake_spark.queries.dedup_queries import (
+        paragraph_dedup_docs,
+    )
+
+    qs["paragraph_dedup_docs"] = paragraph_dedup_docs
+    qs["url_dedup_docs"] = url_dedup_docs
     out = {}
     for sf_dir, label in (("/root/testdata/sf0.1", "sf0.1"),
                           ("/root/repo/.sf1", "sf1")):
