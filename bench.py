@@ -37,7 +37,8 @@ def _cpu_microbench(iters: int = 20_000_000) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def _cpu_microbench_mt(workers: int = 8, iters: int = 20_000_000) -> float:
+def _cpu_microbench_mt(workers: int | None = None,
+                       iters: int = 20_000_000) -> float:
     """Wall seconds for ``workers`` CONCURRENT add loops in separate
     processes — the round-12 blind spot made explicit: the single-
     thread loop read 0.62 s (a fast box) while 32-way Spark stages ran
@@ -49,6 +50,11 @@ def _cpu_microbench_mt(workers: int = 8, iters: int = 20_000_000) -> float:
     are comparable."""
     import multiprocessing as mp
 
+    # scale with the box (review fix): a hardcoded 8 on a 4-core host
+    # reads ~2x on a perfectly idle machine — core count is not
+    # contention
+    if workers is None:
+        workers = max(1, min(8, (os.cpu_count() or 8) // 2))
     with mp.get_context("fork").Pool(workers) as pool:
         # warm the pool first: fork + import cost is startup, not
         # contention, and must not read as a slow box
@@ -92,18 +98,26 @@ ANCHOR_MAX_MT_RATIO = 1.6  # mt wall / single wall; ≈1.0-1.3 when idle
 
 
 def _calibration_block(
-    start: dict, end: dict, micro_sec: float, micro_mt_sec: float
+    start: dict,
+    end: dict,
+    micro_sec: float,
+    micro_mt_sec: float,
+    micro_end_sec: float | None = None,
+    micro_mt_end_sec: float | None = None,
 ) -> dict:
     """Cross-round comparability record, emitted with every bench run.
 
     steal_pct is the share of jiffies stolen by the hypervisor DURING
     this bench run (delta, not the boot-cumulative number that made the
     round-9 record unreadable); cpu_microbench_sec is the single-core
-    fixed-work yardstick and cpu_microbench_mt_sec its 8-process
-    concurrent twin (round-13 fix: contention that spares one core but
-    taxes eight shows up here). ``anchor_grade`` applies the stated
-    gate; a reader compares two BENCH_r{N}.json totals only when both
-    runs pass it (or after normalizing by the yardsticks).
+    fixed-work yardstick and cpu_microbench_mt_sec its concurrent
+    multi-process twin (round-13 fix: contention that spares one core
+    but taxes many shows up here). Both yardsticks are measured BEFORE
+    AND AFTER the queries (review fix: a co-tenant arriving mid-run is
+    invisible to start-only probes — the exact round-12 failure mode)
+    and the gate takes the WORST reading. ``anchor_grade`` applies the
+    stated gate; a reader compares two BENCH_r{N}.json totals only
+    when both runs pass it (or after normalizing by the yardsticks).
     """
     mt_ratio = (
         round(micro_mt_sec / micro_sec, 3) if micro_sec > 0 else None
@@ -115,6 +129,18 @@ def _calibration_block(
         "loadavg_start": start["loadavg"],
         "loadavg_end": end["loadavg"],
     }
+    worst_ratio = mt_ratio
+    if micro_end_sec is not None and micro_mt_end_sec is not None:
+        mt_ratio_end = (
+            round(micro_mt_end_sec / micro_end_sec, 3)
+            if micro_end_sec > 0
+            else None
+        )
+        block["cpu_microbench_end_sec"] = micro_end_sec
+        block["cpu_microbench_mt_end_sec"] = micro_mt_end_sec
+        block["mt_ratio_end"] = mt_ratio_end
+        if mt_ratio_end is not None:
+            worst_ratio = max(worst_ratio or 0.0, mt_ratio_end)
     s0, s1 = start.get("proc_stat"), end.get("proc_stat")
     if s0 and s1:
         total0, total1 = sum(s0.values()), sum(s1.values())
@@ -126,7 +152,7 @@ def _calibration_block(
     block["anchor_grade"] = bool(
         start["loadavg"][0] <= ANCHOR_MAX_LOADAVG_START
         and block.get("steal_pct", 0.0) <= ANCHOR_MAX_STEAL_PCT
-        and (mt_ratio is None or mt_ratio <= ANCHOR_MAX_MT_RATIO)
+        and (worst_ratio is None or worst_ratio <= ANCHOR_MAX_MT_RATIO)
     )
     return block
 
@@ -328,8 +354,13 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(audit))
+    # post-run yardsticks: the queries are done (noop sink, nothing
+    # retained), so a slow reading HERE is the box, not us
+    micro_end_sec = _cpu_microbench()
+    micro_mt_end_sec = _cpu_microbench_mt()
     calibration = _calibration_block(cal_start, _calibration_snapshot(),
-                                     micro_sec, micro_mt_sec)
+                                     micro_sec, micro_mt_sec,
+                                     micro_end_sec, micro_mt_end_sec)
     print(
         json.dumps(
             {

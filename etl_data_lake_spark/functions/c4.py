@@ -19,9 +19,11 @@ page stage (:func:`c4_page_filter`):
 * drop pages whose CLEANED text has fewer than ``min_sentences``
   terminal punctuation marks (paper: 3 sentences) — counted after
   line cleaning, since that is the text that would ship; the count
-  uses the shared terminator set of functions/sentences.py (round
-  13: includes the CJK/fullwidth terminals ``。．！？…``, so a
-  Chinese or Japanese page's sentences count toward the floor);
+  uses C4's OWN terminal set (round 13: Latin ``.!?`` plus the
+  CJK/fullwidth ``。．！？`` so Chinese/Japanese sentences count
+  toward the floor — but NOT the ellipsis ``…``, which
+  functions/sentences.py's segmentation terminates on; see the
+  comment at ``_C4_TERMINALS``);
 * optional ``ban_words``: the paper's bad-words list is data, not
   code — pass it at deploy time; whole-word, case-insensitive,
   page-level.
@@ -43,19 +45,21 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_data_lake_spark.functions.sentences import (
-    TERMINATORS,
-    TERMINATOR_CLASS,
-)
-
 # The paper's line-terminal set is English C4's: terminal punctuation
 # or an END QUOTATION MARK ('. ! ? "'). Round 13 extends both halves
-# with the shared CJK/fullwidth terminators (functions/sentences.py)
-# and the CJK end quotes 」』, so a Chinese/Japanese line is not
-# structurally un-keepable — a deliberate, documented deviation that
-# is a no-op on English pages. Brackets/parens stay excluded: the
-# paper counts quotes, not arbitrary closers.
-TERMINAL_RE = f'[{TERMINATORS}"”」』]\\s*$'
+# with the CJK/fullwidth terminators 。．！？ and the CJK end quotes
+# 」』, so a Chinese/Japanese line is not structurally un-keepable —
+# a deliberate, documented deviation that IS a no-op on English pages
+# because the added characters do not occur in English typography.
+# The horizontal ellipsis '…' is deliberately EXCLUDED (review fix):
+# it is common in English ('Read more…' teaser lines are exactly the
+# truncated boilerplate this rule exists to drop, and the paper's own
+# rule drops them), so sentences.py's segmentation set — which does
+# terminate on '…' — is the wrong set for C4's keep/drop policy.
+_C4_TERMINALS = ".!?。．！？"
+TERMINAL_RE = f'[{_C4_TERMINALS}"”」』]\\s*$'
+# the sentence-floor COUNT uses the same C4-specific set
+TERMINATOR_CLASS = f"[{_C4_TERMINALS}]"
 _JS_RE = r"(?i)\bjavascript\b"
 
 

@@ -219,17 +219,25 @@ class HfUnigramTokenizer:
 
         def enc(word: str) -> list:
             out: list = []
+            # fuse RUNS OF OOV PIECES only (round-13 review fix): the
+            # HF fuse_unk rule is keyed on the piece being unknown,
+            # not on the last emitted id — a genuine in-vocab
+            # occurrence of the unk piece string followed by an OOV
+            # char must still emit both tokens
+            prev_oov = False
             for p in unigram_encode(word, model):
                 i = ids.get(p)
                 if i is not None:
                     out.append(int(i))
+                    prev_oov = False
                 elif unk_id is None:
                     raise ValueError(
                         f"piece {p!r} not in the Unigram vocab and the "
                         "artifact declares unk_id: null"
                     )
-                elif not out or out[-1] != int(unk_id):
-                    out.append(int(unk_id))  # fuse consecutive unks
+                elif not prev_oov:
+                    out.append(int(unk_id))
+                    prev_oov = True
             return out
 
         return enc
@@ -258,6 +266,7 @@ def _analyze_pre(doc: dict) -> tuple[bool, bool, str]:
     byte_level = False
     add_prefix_space = False
     word_split = "whitespace_split"
+    saw_ws = False
     for p in _pre_tokenizers(doc.get("pre_tokenizer")):
         t = p.get("type")
         if t == "ByteLevel":
@@ -270,8 +279,10 @@ def _analyze_pre(doc: dict) -> tuple[bool, bool, str]:
                     "different split — unsupported"
                 )
         elif t == "Whitespace":
+            saw_ws = True
             word_split = "whitespace"
         elif t == "WhitespaceSplit":
+            saw_ws = True
             word_split = "whitespace_split"
         else:
             raise ValueError(
@@ -279,6 +290,17 @@ def _analyze_pre(doc: dict) -> tuple[bool, bool, str]:
                 "Whitespace, WhitespaceSplit; BertPreTokenizer has no "
                 "exact regex twin and is rejected, not approximated)"
             )
+    if byte_level and saw_ws:
+        # round-13 review fix: a Sequence composing ByteLevel with a
+        # whitespace splitter has COMPOSED semantics this loader does
+        # not implement — last-wins would silently mis-tokenize (and
+        # order-dependently), the exact failure the module promises
+        # to raise on
+        raise ValueError(
+            "pre_tokenizer Sequence mixes ByteLevel with a whitespace "
+            "splitter — the composed split is not implemented; "
+            "refusing to guess"
+        )
     return byte_level, add_prefix_space, word_split
 
 
@@ -483,14 +505,22 @@ def save_hf_tokenizer_json(path: str, merges, byte_level: bool = True) -> None:
 
 def save_hf_wordpiece_json(path: str, model) -> None:
     """Export a repo-trained :class:`~.wordpiece.WordPieceModel`:
-    ids follow the model's ordered vocab (alphabet first, merges in
-    learn order — the training transcript), ``[UNK]`` appended when
-    the trainer didn't already include it (it never does; BERT's
-    vocab files carry specials up front, but id STABILITY is what
-    matters for round-trip, not position)."""
+    ids follow the model's ORDERED vocab (the trainer's transcript:
+    unk + alphabet first, merges in learn order), the unk token
+    appended only if the trainer somehow omitted it. The
+    encode-optimized form (``vocab`` swapped to a frozenset) is
+    REJECTED — set iteration order varies with hash randomization,
+    which would make two exports of the identical model disagree on
+    ids (round-13 review fix)."""
     from etl_data_lake_spark.functions.tokenizer_io import _atomic_write
     from etl_data_lake_spark.functions.wordpiece import _CONT
 
+    if isinstance(model.vocab, (set, frozenset)):
+        raise ValueError(
+            "save_hf_wordpiece_json needs the trainer's ORDERED vocab; "
+            "got a set (the broadcastable encode form) — export the "
+            "model returned by learn_wordpiece/train_wordpiece_from_hist"
+        )
     vocab: dict[str, int] = {}
     for piece in model.vocab:
         vocab.setdefault(piece, len(vocab))

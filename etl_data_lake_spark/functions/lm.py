@@ -1044,8 +1044,12 @@ def perplexity_buckets(
     (e.g. cuts frozen from a reference snapshot — the CCNet deploy
     shape, where monthly crawls bucket against LAST month's cuts);
     otherwise cuts compute from ``scored`` itself. Shape: the cut
-    table is ≤ |languages| rows and joins back BROADCAST — the
-    corpus side never shuffles."""
+    table is ≤ |languages| rows and joins back BROADCAST (null-safe
+    key, round-13 review fix: ``perplexity_cuts`` groups null-lang
+    rows into their own NULL group, and a plain equi-join could
+    never reach that cut row — every null-lang document would have
+    silently landed in the last bucket) — the corpus side never
+    shuffles."""
     if len(labels) != len(bounds) + 1:
         raise ValueError(
             f"need len(bounds)+1 labels; got {len(bounds)} bounds "
@@ -1057,7 +1061,11 @@ def perplexity_buckets(
         cuts = perplexity_cuts(
             scored, perp_col, lang_col, bounds, exact, accuracy
         )
-    joined = scored.join(F.broadcast(cuts), lang_col, "left")
+    joined = scored.join(
+        F.broadcast(cuts),
+        scored[lang_col].eqNullSafe(cuts[lang_col]),
+        "left",
+    ).drop(cuts[lang_col])
     p = F.col(perp_col)
     expr = F.when(p.isNull(), F.lit(None).cast("string"))
     for i, lab in enumerate(labels[:-1]):

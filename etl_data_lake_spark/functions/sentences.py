@@ -42,8 +42,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Latin + fullwidth/CJK sentence terminators (。U+3002, ．U+FF0E,
-# ！U+FF01, ？U+FF1F, …U+2026). Exposed so consumers counting
-# sentences (functions/c4.py's three-sentence floor) share ONE rule.
+# ！U+FF01, ？U+FF1F, …U+2026). This is the SEGMENTATION set — the
+# ellipsis terminates a sentence here because a trailing-off clause
+# is a unit for chunking. functions/c4.py keeps its own terminal set
+# WITHOUT '…' (the paper's keep/drop policy treats '…'-ended lines
+# as truncated boilerplate) — the two rules serve different policies
+# and are deliberately not shared.
 TERMINATORS = ".!?。．！？…"
 # closing quotes/brackets that bind to the preceding terminator:
 # ASCII + curly + CJK corner brackets / fullwidth closers

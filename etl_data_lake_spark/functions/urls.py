@@ -432,9 +432,9 @@ def registered_domain_psl(host, psl: PublicSuffixList):
     expr = F.when(h.isNull(), F.lit(None).cast("string")).when(n <= 1, h)
     # exceptions first (the spec: "If more than one rule matches, the
     # prevailing rule is ... the exception rule"), deepest first
-    for k in sorted(_by_depth(psl.exceptions), reverse=True):
-        rules = _by_depth(psl.exceptions)[k]
-        expr = expr.when((n >= k) & last_k(k).isin(rules), last_k(k))
+    exc_d = _by_depth(psl.exceptions)
+    for k in sorted(exc_d, reverse=True):
+        expr = expr.when((n >= k) & last_k(k).isin(exc_d[k]), last_k(k))
     # then longest match across exact + wildcard, by EFFECTIVE public-
     # suffix depth descending (a wildcard base of depth m yields a
     # suffix of depth m+1)

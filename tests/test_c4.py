@@ -146,3 +146,21 @@ def test_c4_clean_reserved_column_guard(spark):
 
     with _pytest.raises(ValueError, match="__c4_lines"):
         c4_clean(df)
+
+
+def test_ellipsis_lines_still_drop(spark):
+    """Round-13 review fix: '…' is a sentence-SEGMENTATION terminator
+    (functions/sentences.py) but NOT a C4 line terminal — 'Read
+    more…' teasers are exactly the truncated boilerplate the paper's
+    rule drops, and they must keep dropping."""
+    from etl_data_lake_spark.functions.c4 import c4_clean_lines
+
+    page = "\n".join([
+        "this opening line has plenty of words and ends properly.",
+        "click here to read more about this story…",
+        "this closing line also has enough words to be kept!",
+    ])
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    out = c4_clean_lines(df).collect()[0].text
+    assert "read more" not in out
+    assert out.count("\n") == 1  # the two proper lines survive

@@ -338,3 +338,26 @@ def test_perplexity_buckets_corpus_side_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "lang" in line, line
+
+
+def test_perplexity_buckets_null_lang_group(spark):
+    """Round-13 review fix: null-language rows form their own
+    quantile group and must bucket against THAT group's cuts (the
+    plain equi-join could never reach the null-group cut row, so
+    every null-lang doc silently landed in 'tail')."""
+    from etl_data_lake_spark.functions.lm import perplexity_buckets
+
+    rows = [(i, None, float(i)) for i in range(1, 10)]
+    rows += [(100, "en", 50.0), (101, "en", 60.0), (102, "en", 70.0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, perplexity double"
+    )
+    out = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(df, exact=True).collect()
+    }
+    # the null group's own terciles: 1-3 head … 7-9 tail
+    assert [out[i] for i in (1, 5, 9)] == ["head", "middle", "tail"]
+    # and a fluent null-lang doc is NOT condemned by en's cuts
+    assert out[1] == "head"
+    assert (out[100], out[102]) == ("head", "tail")
