@@ -100,16 +100,51 @@ def bm25_score(
     summation order is fixed and the result is reproducible across
     partitionings and engines (a plain ``sum`` leaves the order to the
     shuffle). Queries are a handful of terms, so the fixed-width agg
-    costs nothing."""
-    term_doc = term_doc_table(docs, text_col, id_col)
-    # prune to the query's postings before any corpus-wide aggregation
-    # EXCEPT df/N, which are corpus properties: df comes from the full
-    # term table filtered to query terms (still tiny), N/avgdl from
-    # corpus_stats.
+    costs nothing.
+
+    Plan shape (round 14): the naive form evaluated the full
+    ``term_doc_table`` subtree THREE times (postings, df, corpus
+    stats), each paying the tokenize+explode scan, the (doc, term)
+    shuffle, and a window over the whole posting table for ``dl``.
+    Here every corpus-wide quantity is derived without the window:
+
+    * ``dl`` is ``sum(size(tokens))`` per doc (identical to the old
+      ``sum(tf) over (partition by doc)`` — explode emits one row per
+      array element), so the per-doc length table shuffles one
+      ``(id, int)`` row per doc instead of sorting the posting table;
+    * postings are pruned to the query's terms BEFORE their shuffle;
+    * ``df`` aggregates the pruned postings themselves — for query
+      terms they are exactly the matching ``term_doc`` rows, so no
+      second corpus pass exists at all.
+
+    Two tokenize scans total (one narrow: token counts only), zero
+    windows, and every exchange after the scans is query-sized except
+    the per-doc length aggregation — which the removed window also
+    paid, on strictly more bytes."""
     terms = sorted(set(query_terms))
-    postings = term_doc.where(F.col("term").isin(terms))
-    dfreq = doc_frequencies(term_doc).where(F.col("term").isin(terms))
-    stats = corpus_stats(term_doc)
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    ).where(F.col("_toks").isNotNull())
+    # one (id, int) row per doc; groupBy (not a bare select) so
+    # duplicate doc ids merge exactly like term_doc_table's aggregation
+    doc_lens = base.groupBy("doc_id").agg(
+        F.sum(F.size("_toks")).alias("dl")
+    )
+    stats = doc_lens.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    postings = counts.join(doc_lens, "doc_id")
+    dfreq = counts.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
