@@ -64,7 +64,89 @@ def hashed_ngram_buckets(
     (the paper's unigram+bigram default). Each token char-folds ONCE;
     n-gram hashes compose from token hashes; bucket = hash mod
     ``buckets``. Documents shorter than n tokens contribute no
-    n-grams at that order."""
+    n-grams at that order.
+
+    Arrow-batched (round 14): the bag — tokenize, per-token char fold,
+    window composition AND the per-doc bucket count — is one pandas
+    UDF emitting (bucket, cnt) structs, exploded flat. The JVM
+    expression form (kept below as the parity reference) ran the char
+    fold as interpreted higher-order-function lambdas (a closure call
+    per character — the measured LSH-family bottleneck,
+    functions/text.py) and needed a corpus-wide (doc, bucket) shuffle
+    just to count within each doc; counting inside the batch makes the
+    scan shuffle-free. Bit-equality with the expression form is
+    test-pinned (tests/test_dsir.py), same contract as
+    shingle_hashes_pandas_udf."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be non-empty positive orders, got {ns}")
+    from etl_data_lake_spark.sources.catalog import fan_out
+
+    bag = _bucket_bag_pandas_udf(buckets, tuple(ns))
+    return (
+        fan_out(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", F.explode(bag(F.col(text_col))).alias("_bc"))
+        .select("doc_id", F.col("_bc.bucket").alias("bucket"),
+                F.col("_bc.cnt").alias("cnt"))
+    )
+
+
+def _bucket_bag_pandas_udf(buckets: int, ns: tuple[int, ...]):
+    """text → array<struct<bucket,cnt>>: the hashed n-gram bag of one
+    document, counted in-batch. Tokenization replicates the JVM
+    ``filter(split(trim(text), '\\s+'), t != '')`` exactly (trim strips
+    SPACES only; Java ``\\s`` is ASCII [ \\t\\n\\x0b\\f\\r]); hashes
+    are the shared base-31 char fold mod 1e9+7 with n-window
+    composition. Output order inside the array follows first
+    occurrence — deterministic, and irrelevant downstream (every
+    consumer aggregates)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    splitter = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def one(text):
+        if text is None:
+            return None
+        th = []
+        for t in splitter.split(text.strip(" ")):
+            if not t:
+                continue
+            h = 0
+            for ch in t:
+                h = (h * 31 + ord(ch)) % MOD
+            th.append(h)
+        out: dict[int, int] = {}
+        for n in ns:
+            for i in range(len(th) - n + 1):
+                a = th[i]
+                for j in range(1, n):
+                    a = (a * 31 + th[i + j]) % MOD
+                b = a % buckets
+                out[b] = out.get(b, 0) + 1
+        return list(out.items())
+
+    def f(s):
+        return s.map(one)
+
+    return pandas_udf(f, "array<struct<bucket:long,cnt:long>>")
+
+
+def hashed_ngram_buckets_expr(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """The pure-JVM-expression form of :func:`hashed_ngram_buckets` —
+    kept as the cross-engine parity reference (it IS the shape the
+    DuckDB oracle twin implements); tests pin bit-equality between the
+    two. Not the production path: the interpreted char-fold lambdas
+    and the (doc, bucket) counting shuffle are exactly what the Arrow
+    form removes."""
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     if not ns or any(n < 1 for n in ns):
@@ -104,17 +186,30 @@ def bucket_log_ratio(
         raise ValueError(f"alpha must be > 0, got {alpha}")
     t = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("n_t"))
     r = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("n_q"))
-    # both scalar totals in ONE driver action (two single-row aggs
-    # cross-joined — the same collect discipline as pagerank's delta
-    # fold, round-12 ADVICE fix): one job instead of two scans' worth
-    # of scheduling round-trips
-    totals = (
-        t.agg(F.sum("n_t").alias("x_t"))
-        .crossJoin(r.agg(F.sum("n_q").alias("x_q")))
-        .collect()[0]
+    # The WHOLE fit in ONE driver action (extends the round-12 ADVICE
+    # one-collect discipline): the per-bucket join is ≤ buckets rows
+    # by construction — a model, not data — so collecting it and
+    # deriving the totals locally costs the driver nothing extra,
+    # while leaving the ratio distributed made every downstream
+    # consumer RE-RUN the two count aggregations + full join (the
+    # ratio frame is referenced by the scoring broadcast and by any
+    # caller inspection — each reference re-evaluated the subtree).
+    # The returned frame is a local ≤ buckets-row DataFrame: consumers
+    # broadcast it straight from the driver, zero recomputation. The
+    # log arithmetic is the same IEEE sequence the JVM expression ran
+    # (add, divide, log, subtract, ×1e6, round-half-away-from-zero);
+    # bit-equality with the pure-Python reference stays test-pinned.
+    rows = (
+        t.join(r, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_t", F.lit(0)).alias("n_t"),
+            F.coalesce("n_q", F.lit(0)).alias("n_q"),
+        )
+        .collect()
     )
-    tot = totals["x_t"] or 0
-    toq = totals["x_q"] or 0
+    tot = sum(row["n_t"] for row in rows)
+    toq = sum(row["n_q"] for row in rows)
     if tot == 0 or toq == 0:
         raise ValueError(
             "bucket_log_ratio: a side has no features — fit on "
@@ -122,20 +217,27 @@ def bucket_log_ratio(
         )
     denom_t = float(tot + alpha * buckets)
     denom_q = float(toq + alpha * buckets)
-    joined = t.join(r, "bucket", "full").select(
-        "bucket",
-        F.coalesce("n_t", F.lit(0)).alias("n_t"),
-        F.coalesce("n_q", F.lit(0)).alias("n_q"),
-    )
-    ratio = (
-        F.log((F.col("n_t") + F.lit(alpha)) / F.lit(denom_t))
-        - F.log((F.col("n_q") + F.lit(alpha)) / F.lit(denom_q))
-    )
-    return joined.select(
-        "bucket",
-        F.round(ratio * F.lit(1_000_000.0)).cast("long").alias(
-            "ratio_unats"
-        ),
+
+    def half_away(x: float) -> int:
+        # Spark/DuckDB ROUND is HALF_UP away from zero; Python round()
+        # is banker's — replicate Spark (same as py_dsir_scores)
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    out = [
+        (
+            row["bucket"],
+            half_away(
+                (
+                    math.log((row["n_t"] + alpha) / denom_t)
+                    - math.log((row["n_q"] + alpha) / denom_q)
+                )
+                * 1_000_000.0
+            ),
+        )
+        for row in rows
+    ]
+    return target_counts.sparkSession.createDataFrame(
+        out, "bucket long, ratio_unats long"
     )
 
 
@@ -154,9 +256,17 @@ def dsir_log_weights(
     features (left join — they stay eligible for resampling at the
     neutral weight rather than vanishing). Exact integer arithmetic —
     layout-invariant and DuckDB-twinnable."""
+    from pyspark import StorageLevel
+
+    # The raw bag feeds TWO consumers (the fit's per-bucket count and
+    # the scoring aggregation): persist it so the featurization scan
+    # runs once, materialized by the fit's collect. The target bag has
+    # exactly one consumer (the fit) — no persist. Cache ownership is
+    # the caller's, per the bench contract (clearCache between
+    # queries); MEMORY_AND_DISK spills rather than OOMs.
     raw_counts = hashed_ngram_buckets(
         raw_docs, text_col, id_col, buckets, ns
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     target_counts = hashed_ngram_buckets(
         target_docs, text_col, id_col, buckets, ns
     )

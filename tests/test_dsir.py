@@ -109,6 +109,38 @@ def test_plan_is_global_topk(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_arrow_bag_matches_expression_form(spark):
+    """The Arrow-batched featurizer (production path) must emit the
+    exact (doc_id, bucket, cnt) multiset of the JVM expression form —
+    the cross-engine parity reference the DuckDB twin implements.
+    Exercises multi-space/tab/newline separators, leading/trailing
+    whitespace, an empty doc, a null doc, and unigram-only order."""
+    from etl_data_lake_spark.operators.dsir import hashed_ngram_buckets_expr
+
+    rows = [
+        (1, "the cat  sat\t on\nthe mat "),
+        (2, "  leading and trailing  "),
+        (3, ""),
+        (4, None),
+        (5, "one"),
+        (6, "a b a b a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for ns in ((1, 2), (1,), (3,)):
+        got = sorted(
+            tuple(r) for r in hashed_ngram_buckets(
+                docs, buckets=97, ns=ns
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in hashed_ngram_buckets_expr(
+                docs, buckets=97, ns=ns
+            ).collect()
+        )
+        assert got == want, f"ns={ns}"
+        assert got, f"ns={ns} produced no rows"
+
+
 def test_validation(spark):
     raw, tgt = _frames(spark)
     with pytest.raises(ValueError, match="buckets"):

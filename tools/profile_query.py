@@ -8,6 +8,14 @@ import os
 import sys
 import time
 
+def _micro() -> float:
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i
+    return round(time.perf_counter() - t0, 3)
+
+
 name = sys.argv[1]
 runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 tag = sys.argv[3] if len(sys.argv) > 3 else "before"
@@ -39,6 +47,7 @@ _inc = pandas_udf(_inc_fn, "long")
 cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 spark.range(cpus * 100, numPartitions=cpus).select(_inc("id").alias("v")).write.format("noop").mode("overwrite").save()
 
+print(f"MICRO(pre): {_micro()}s  [idle box ≈ 0.7s]", flush=True)
 for i in range(runs):
     spark.catalog.clearCache()
     t0 = time.perf_counter()
@@ -47,6 +56,7 @@ for i in range(runs):
     df.write.format("noop").mode("overwrite").save()
     t_all = time.perf_counter() - t0
     print(f"RUN {i}: total={t_all:.3f}s build(driver-side)={t_build:.3f}s", flush=True)
+print(f"MICRO(post): {_micro()}s", flush=True)
 
 # job-level timing for one more run using the status tracker
 st = spark.sparkContext.statusTracker()
