@@ -83,6 +83,12 @@ def connected_components(
     ).select("e.src", "e.dst")
     staged = both.distinct().persist()
     n_edges = staged.count()  # also materializes the persist
+    if n_edges == 0:
+        staged.unpersist()
+        # no nodes to label — lazily-empty frame, zero further jobs
+        return pairs.select(
+            F.col(a_col).alias("doc_id"), F.col(a_col).alias("cluster_id")
+        ).limit(0)
     session = pairs.sparkSession
     default_par = int(session.conf.get("spark.sql.shuffle.partitions", "200"))
     n_part = max(1, min(default_par, n_edges // _EDGES_PER_PARTITION + 1))
@@ -92,15 +98,26 @@ def connected_components(
     edges = staged.repartition(n_part, "dst").localCheckpoint(eager=True)
     staged.unpersist()
 
+    # FUSED ROUND 1 (round 14): under identity initial labels the first
+    # propagation is least(self, min over neighbors) — pure aggregation
+    # over the edge table, no labels frame to build, no join. This
+    # replaces three driver-synchronized jobs (initial-labels
+    # checkpoint, round-1 update checkpoint, round-1 changed count)
+    # with one; the explicit repartition keeps the loop's
+    # co-partitioning contract (labels hash-partitioned by doc_id at
+    # n_part, matching edges on dst). Round 1's changed count is not
+    # observed — with any non-self edge it is nonzero, and convergence
+    # is detected from round 2 exactly as before (max_rounds total
+    # propagation rounds either way).
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("cluster_id"))
+        .withColumnRenamed("src", "doc_id")
         .repartition(n_part, "doc_id")
         .localCheckpoint(eager=True)
     )
-    changed = 0
-    for _ in range(max_rounds):
+    changed = n_edges  # sentinel: round 1 counts as still-moving
+    for _ in range(max_rounds - 1):
         neighbor_min = (
             edges.join(
                 labels.select(
@@ -113,6 +130,9 @@ def connected_components(
             .agg(F.min("dst_label").alias("nbr_min"))
             .withColumnRenamed("src", "doc_id")
         )
+        # lazy checkpoint: the changed-count action below materializes
+        # the checkpoint AND folds the convergence probe into the same
+        # job — one driver round-trip per round instead of two
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -123,7 +143,7 @@ def connected_components(
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = updated.where(F.col("cluster_id") != F.col("old_label")).count()
         labels = updated.drop("old_label")
