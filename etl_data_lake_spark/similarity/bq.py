@@ -157,6 +157,50 @@ def hamming_distances(codes: np.ndarray, qbits: np.ndarray) -> np.ndarray:
     return _POPCOUNT[codes[:, None, :] ^ qbits[None, :, :]].sum(axis=2)
 
 
+def _encode_score_partial_topk(
+    thr: np.ndarray, qbits: np.ndarray, n_keep: int
+):
+    """mapInPandas generator: (neighbor_id, cv) RAW-VECTOR batches →
+    per-batch top-``n_keep`` nearest-by-Hamming candidates per query —
+    :func:`_bq_encode_udf`'s sign packing and :func:`_bq_partial_topk`'s
+    XOR+popcount fused into ONE Python pass (the pq/sq round-14
+    fusion: chained ArrowEvalPython → MapInPandas in one stage pays
+    two JVM↔Python round-trips per task). ``_pack_signs`` output IS
+    the uint8 form the scorer consumed after its +128 re-offset, so
+    candidates are bit-equal to the two-operator form."""
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = _normalize(np.stack(pdf["cv"].to_numpy()).astype(np.float64))
+            codes = _pack_signs(v, thr).astype(np.uint8)
+            dist = hamming_distances(codes, qbits)  # (n, n_q)
+            n_q = qbits.shape[0]
+            neg = -dist.T.astype(np.float64)
+            long = pd.DataFrame(
+                {
+                    "neighbor_id": np.tile(
+                        pdf["neighbor_id"].to_numpy(), n_q
+                    ),
+                    "q_i": np.repeat(
+                        np.arange(n_q, dtype=np.int32), len(codes)
+                    ),
+                    "neg_hamming": neg.reshape(-1),
+                }
+            )
+            yield (
+                long.sort_values(
+                    ["q_i", "neg_hamming", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("q_i", sort=False)
+                .head(n_keep)
+            )
+
+    return gen
+
+
 def _bq_partial_topk(qbits: np.ndarray, n_keep: int, cell_sets=None):
     """mapInPandas generator: (neighbor_id, codes) batches → per-batch
     top-``n_keep`` nearest-by-Hamming candidates PER QUERY as
@@ -266,10 +310,14 @@ def bq_topk(
         ),
     )
     filtered = corpus if predicate is None else corpus.where(predicate)
-    encoded = bq_encode(filtered, thr, id_col, vec_col)
     n_keep = k * refine_factor + 1
-    partial = encoded.mapInPandas(
-        _bq_partial_topk(qbits, n_keep),
+    partial = fan_out(
+        filtered.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(vec_col).alias("cv"),
+        )
+    ).mapInPandas(
+        _encode_score_partial_topk(thr, qbits, n_keep),
         schema=StructType(
             [
                 StructField("neighbor_id", id_type),
@@ -282,11 +330,14 @@ def bq_topk(
     cand_w = Window.partitionBy("query_id").orderBy(
         F.desc("neg_hamming"), F.asc("neighbor_id")
     )
+    # materialized, lineage-cut candidate set (bounded) — see
+    # pq_topk's identical note on AQE re-executing the Arrow scan
     cands = (
         scored.where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("_r", F.row_number().over(cand_w))
         .where(F.col("_r") <= k * refine_factor)
         .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     # exact refine: only the candidates read the fat vector column
     cv = filtered.select(

@@ -142,6 +142,65 @@ def _adc_tables(books: np.ndarray, query_mat: np.ndarray) -> np.ndarray:
     )
 
 
+def _encode_score_partial_topk(
+    books: np.ndarray, tabs: np.ndarray, n_keep: int
+):
+    """mapInPandas generator: (neighbor_id, cv) RAW-VECTOR batches →
+    the per-batch top-``n_keep`` ADC candidates per query as
+    (neighbor_id, q_i, adc) rows — :func:`_encode_udf`'s quantization
+    and :func:`_adc_partial_topk`'s scoring FUSED into one Python
+    pass.
+
+    Why fused (round 14): as separate operators they plan as
+    ArrowEvalPython → MapInPandas chained INSIDE ONE STAGE — every
+    task pays two JVM↔Python round-trips and the executor pins two
+    Python workers per core (measured: 32 tasks × ~4 s wall at ~0.1 s
+    CPU each, the workers blocking on each other's Arrow pipes). The
+    codes here are intermediate by construction — identical int32
+    argmins feeding identical table gathers — so emitted candidates
+    are bit-equal to the two-operator form (tests pin refine ≡ brute
+    force either way). ``pq_encode`` keeps the standalone encoder for
+    index persistence."""
+    m, ks, sd = books.shape
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = _normalize(np.stack(pdf["cv"].to_numpy()).astype(np.float64))
+            codes = np.empty((len(v), m), dtype=np.int64)
+            for s in range(m):
+                x = v[:, s * sd : (s + 1) * sd]
+                d = ((x[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d.argmin(1)
+            n_q = tabs.shape[0]
+            scores = np.zeros((len(codes), n_q))
+            for s in range(m):
+                scores += tabs[:, s, :][:, codes[:, s]].T
+            sc_t = scores.T
+            long = pd.DataFrame(
+                {
+                    "neighbor_id": np.tile(
+                        pdf["neighbor_id"].to_numpy(), n_q
+                    ),
+                    "q_i": np.repeat(
+                        np.arange(n_q, dtype=np.int32), len(codes)
+                    ),
+                    "adc": sc_t.reshape(-1),
+                }
+            )
+            yield (
+                long.sort_values(
+                    ["q_i", "adc", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("q_i", sort=False)
+                .head(n_keep)
+            )
+
+    return gen
+
+
 def _adc_partial_topk(
     tabs: np.ndarray, m: int, n_keep: int, cell_sets=None
 ):
@@ -323,13 +382,17 @@ def pq_topk(
     )
 
     filtered = corpus if predicate is None else corpus.where(predicate)
-    encoded = pq_encode(filtered, books, id_col, vec_col)
     tabs = _adc_tables(books, query_mat)
     # +1 keeps a full candidate set even when a query's own row wins a
     # partial slot (self-matches are dropped after the partial)
     n_keep = k * refine_factor + 1
-    partial = encoded.mapInPandas(
-        _adc_partial_topk(tabs, m, n_keep),
+    partial = fan_out(
+        filtered.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(vec_col).alias("cv"),
+        )
+    ).mapInPandas(
+        _encode_score_partial_topk(books, tabs, n_keep),
         schema=StructType(
             [
                 StructField("neighbor_id", id_type),
@@ -342,11 +405,20 @@ def pq_topk(
     cand_w = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
     )
+    # Materialize the candidate set (≤ queries · k · refine_factor
+    # rows — bounded and tiny) and CUT THE LINEAGE: left lazy, the
+    # refine join's planner-side broadcast/probe decisions re-execute
+    # the whole encode + ADC Arrow scan per reference (measured: the
+    # 32-task MapInPandas stage ran 3× per query under AQE, the
+    # overlapping broadcast builds thrashing the Python worker pool).
+    # After the checkpoint the expensive pass runs exactly once and
+    # the refine plans against a local-sized leaf.
     cands = (
         scored.where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("_r", F.row_number().over(cand_w))
         .where(F.col("_r") <= k * refine_factor)
         .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
 
     # exact refine: only the candidates read the fat vector column

@@ -174,6 +174,56 @@ def sq_reconstruct(
     return coded.select(*keep, dec(F.col(codes_col)).alias("vector"))
 
 
+def _encode_score_partial_topk(
+    bounds: np.ndarray, W: np.ndarray, const: np.ndarray, n_keep: int
+):
+    """mapInPandas generator: (neighbor_id, cv) RAW-VECTOR batches →
+    per-batch top-``n_keep`` approximate-score candidates per query —
+    :func:`_sq_encode_udf`'s quantization and :func:`_sq_partial_topk`'s
+    scoring fused into ONE Python pass. Separate operators plan as
+    ArrowEvalPython → MapInPandas chained inside one stage: two
+    JVM↔Python round-trips per task and two pinned Python workers per
+    core (the measured pq stall — see pq._encode_score_partial_topk).
+    The byte codes are identical int8 levels re-offset to the same
+    float64 values, so emitted candidates are bit-equal to the
+    two-operator form."""
+    lo = bounds[0]
+    span = np.maximum(bounds[1] - bounds[0], _EPS)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = _normalize(np.stack(pdf["cv"].to_numpy()).astype(np.float64))
+            levels = np.rint((v - lo) / span * 255.0)
+            codes = (np.clip(levels, 0, 255) - 128).astype(np.int8)
+            codes = codes.astype(np.float64) + 128.0
+            scores = codes @ W + const[None, :]  # (n, n_q)
+            n_q = W.shape[1]
+            sc_t = scores.T
+            long = pd.DataFrame(
+                {
+                    "neighbor_id": np.tile(
+                        pdf["neighbor_id"].to_numpy(), n_q
+                    ),
+                    "q_i": np.repeat(
+                        np.arange(n_q, dtype=np.int32), len(codes)
+                    ),
+                    "adc": sc_t.reshape(-1),
+                }
+            )
+            yield (
+                long.sort_values(
+                    ["q_i", "adc", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("q_i", sort=False)
+                .head(n_keep)
+            )
+
+    return gen
+
+
 def _sq_partial_topk(
     W: np.ndarray, const: np.ndarray, n_keep: int, cell_sets=None
 ):
@@ -293,10 +343,14 @@ def sq_topk(
         ),
     )
     filtered = corpus if predicate is None else corpus.where(predicate)
-    encoded = sq_encode(filtered, bounds, id_col, vec_col)
     n_keep = k * refine_factor + 1
-    partial = encoded.mapInPandas(
-        _sq_partial_topk(W, const, n_keep),
+    partial = fan_out(
+        filtered.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(vec_col).alias("cv"),
+        )
+    ).mapInPandas(
+        _encode_score_partial_topk(bounds, W, const, n_keep),
         schema=StructType(
             [
                 StructField("neighbor_id", id_type),
@@ -309,11 +363,16 @@ def sq_topk(
     cand_w = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
     )
+    # materialized, lineage-cut candidate set (bounded at
+    # queries · k · refine_factor rows): left lazy, AQE's broadcast
+    # planning re-executes the Arrow scan per reference — see
+    # pq_topk's identical note
     cands = (
         scored.where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("_r", F.row_number().over(cand_w))
         .where(F.col("_r") <= k * refine_factor)
         .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     # exact refine: only the candidates read the fat vector column
     cv = filtered.select(

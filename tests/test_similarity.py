@@ -437,11 +437,13 @@ def test_semantic_dedup_keep_canonical_per_cluster(spark):
 
 
 def test_pq_shuffle_carries_candidates_not_corpus(spark):
-    """Round-4 scale fix: ADC scoring + per-batch partial top-k happen
-    inside one MapInPandas over the narrow codes column; the exchange
-    feeding the per-query ranking window reads the partial's candidate
-    rows, never a corpus-sized posexplode (there is no Generate node
-    in the plan at all)."""
+    """Round-4 scale fix, tightened in round 14: encode + ADC scoring
+    + per-batch partial top-k happen inside ONE fused MapInPandas over
+    the raw-vector scan, and the candidate set is materialized as a
+    lineage-cut local checkpoint (bounded at queries·k·refine rows) —
+    the refine join therefore plans against a candidate-sized leaf
+    (Scan ExistingRDD), never re-executing the Arrow pass, and no
+    corpus-sized posexplode exists anywhere (no Generate node)."""
     from etl_data_lake_spark.similarity.pq import pq_topk
     from etl_data_lake_spark.sources.catalog import load_table
 
@@ -453,7 +455,10 @@ def test_pq_shuffle_carries_candidates_not_corpus(spark):
         .executedPlan()
         .toString()
     )
-    assert "MapInPandas" in plan
+    # the refine stage reads the checkpointed candidate leaf …
+    assert "ExistingRDD" in plan
+    # … and never re-runs (or inlines) the corpus-wide Python pass
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "Generate" not in plan and "PosExplode" not in plan
 
 
