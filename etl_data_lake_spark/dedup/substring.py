@@ -118,16 +118,19 @@ def window_hashes(
 
 def duplicated_windows(window_tbl: DataFrame) -> DataFrame:
     """→ the (doc_id, pos, whash) rows whose hash occurs ≥2 times in
-    the corpus (across documents or repeated within one). The
-    ``count > 1`` prune happens in ONE aggregation on the hash — the
-    unique-window majority is dropped before any further shuffle."""
-    hot = (
-        window_tbl.groupBy("whash")
-        .agg(F.count("*").alias("n_occ"))
-        .where(F.col("n_occ") > 1)
-        .select("whash")
+    the corpus (across documents or repeated within one).
+
+    One pass (round 14): ``count(*) over (partition by whash)`` + a
+    filter — the window table is scanned ONCE and shuffled ONCE. The
+    previous aggregate-then-join-back form paid the Arrow window-hash
+    scan twice (once under the count aggregation, once under the probe
+    side of the join) plus a second full-table shuffle for the join;
+    the count-window form trades the hash aggregate for a sort within
+    the single whash exchange, strictly fewer passes at any scale."""
+    counted = window_tbl.withColumn(
+        "n_occ", F.count("*").over(Window.partitionBy("whash"))
     )
-    return window_tbl.join(hot, "whash").select("doc_id", "pos")
+    return counted.where(F.col("n_occ") > 1).select("doc_id", "pos")
 
 
 def merge_spans(marked: DataFrame, w: int) -> DataFrame:
@@ -296,11 +299,25 @@ def maximal_match_spans(
             f"max_occurrences must be >= 2 (or None), got {max_occurrences}"
         )
     wh = window_hashes(docs, text_col, id_col, w, hasher)
-    counts = wh.groupBy("whash").agg(F.count("*").alias("n_occ"))
-    eligible = counts.where(F.col("n_occ") > 1)
+    # one pass + one shuffle for the occurrence prune (the
+    # duplicated_windows round-14 shape: count-over-window instead of
+    # aggregate-then-join-back, which re-ran the Arrow scan)…
+    eligible = F.col("n_occ") > 1
     if max_occurrences is not None:
-        eligible = eligible.where(F.col("n_occ") <= max_occurrences)
-    dup = wh.join(eligible.select("whash"), "whash")
+        eligible = eligible & (F.col("n_occ") <= max_occurrences)
+    dup = (
+        wh.withColumn(
+            "n_occ", F.count("*").over(Window.partitionBy("whash"))
+        )
+        .where(eligible)
+        .select("whash", "doc_id", "pos")
+        # …then MATERIALIZE the surviving occurrences: both sides of
+        # the pair self-join read this frame, and without the
+        # lineage-cut each side re-executes the whole scan+shuffle.
+        # Bounded by duplicated-window occurrences only — the unique-
+        # window majority is already gone.
+        .localCheckpoint(eager=True)
+    )
 
     a = dup.select(
         "whash",
