@@ -64,8 +64,12 @@ def _unique(name: str) -> str:
 )
 def stream_tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = tumbling_counts(event_stream(spark, sf_dir))
+    # complete-mode aggregation: every batch re-emits the full result,
+    # so the trailing watermark-advance batch adds nothing (oracle-
+    # pinned batch≡stream)
     return run_available_now(
-        stream, _unique("tumble"), shuffle_partitions=_STATE_PARTS
+        stream, _unique("tumble"), shuffle_partitions=_STATE_PARTS,
+        no_data_batch=False,
     )
 
 
@@ -150,8 +154,11 @@ def stream_sliding_window_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_data_lake_spark.streaming.events import sliding_counts
 
     stream = sliding_counts(event_stream(spark, sf_dir))
+    # complete-mode aggregation — same no-data-batch reasoning as the
+    # tumbling entry
     return run_available_now(
-        stream, _unique("slide"), shuffle_partitions=_STATE_PARTS
+        stream, _unique("slide"), shuffle_partitions=_STATE_PARTS,
+        no_data_batch=False,
     )
 
 
@@ -183,9 +190,11 @@ def stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFram
     from etl_data_lake_spark.streaming.events import attribution_join
 
     stream = attribution_join(event_stream(spark, sf_dir))
+    # inner join: matches emit on arrival; the trailing batch only
+    # evicts state (oracle-pinned batch≡stream)
     return run_available_now(
         stream, _unique("attr"), output_mode="append",
-        shuffle_partitions=_STATE_PARTS,
+        shuffle_partitions=_STATE_PARTS, no_data_batch=False,
     )
 
 
@@ -206,9 +215,11 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = event_stream(spark, sf_dir)
     redelivered = s.union(event_stream(spark, sf_dir))
     stream = dedup_exactly_once(redelivered)
+    # watermark-bounded dedup emits each id's first row on arrival;
+    # the trailing batch only evicts state (oracle-pinned)
     return run_available_now(
         stream, _unique("dedup"), output_mode="append",
-        shuffle_partitions=_STATE_PARTS,
+        shuffle_partitions=_STATE_PARTS, no_data_batch=False,
     )
 
 
@@ -354,9 +365,11 @@ def stream_interval_join_attribution(
         bin_width=300.0,
         max_span=600.0,
     )
+    # inner interval join: matches emit on arrival; the trailing
+    # watermark-advance batch only evicts state (oracle-pinned)
     out = run_available_now(
         joined, _unique("ivjoin"), output_mode="append",
-        shuffle_partitions=_STATE_PARTS,
+        shuffle_partitions=_STATE_PARTS, no_data_batch=False,
     )
     return out.select(
         "user_id",

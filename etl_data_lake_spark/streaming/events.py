@@ -230,6 +230,7 @@ def run_available_now(
     query_name: str = "snap",
     output_mode: str = "complete",
     shuffle_partitions: int | None = None,
+    no_data_batch: bool = True,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over the currently
     available data (availableNow trigger → memory sink) and return the
@@ -247,14 +248,38 @@ def run_available_now(
     partition per stateful operator, which dominates a bounded
     availableNow replay at test scale. A long-lived cluster deployment
     sizes this to throughput instead (it is a conf, not a code
-    shape)."""
+    shape).
+
+    ``no_data_batch=False`` skips the trailing empty micro-batch Spark
+    otherwise runs to advance the watermark after the data is consumed
+    (``spark.sql.streaming.noDataMicroBatches.enabled``, restored
+    afterwards). ONLY valid for plans whose emitted set does not
+    depend on that final watermark advance: inner stream-stream joins
+    (matches emit on arrival; the extra batch only evicts state),
+    complete-mode windowed aggregations (every batch re-emits the full
+    result), and watermark-bounded dedup (first-seen rows emit on
+    arrival). Plans with EVENT-TIME TIMEOUTS (the sessionizer, the
+    funnel) and append-mode windowed aggregations NEED the final batch
+    — their timer-flushed / watermark-closed rows are emitted by it —
+    so they must keep the default. Each opt-out here is pinned by the
+    entry's batch≡stream oracle. The saving is one full micro-batch
+    cycle (per-batch planning + one state-store pass per partition per
+    stateful operator) on every bounded replay."""
     spark = result.sparkSession
     prev = None
+    prev_ndb = None
     try:
         if shuffle_partitions is not None:
             prev = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        if not no_data_batch:
+            prev_ndb = spark.conf.get(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+            )
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "false"
             )
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
@@ -269,6 +294,10 @@ def run_available_now(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_ndb is not None:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+            )
     return spark.table(query_name)
 
 
