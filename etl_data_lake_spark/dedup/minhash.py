@@ -94,7 +94,14 @@ def lsh_candidates(
     :func:`band_table` (the incremental index persists one) so the
     banding is not re-derived."""
     if band_tbl is None:
-        band_tbl = band_table(signatures, bands, rows)
+        # materialize + cut lineage: both sides of the bucket self-join
+        # reference this frame, and left lazy each side re-runs the
+        # whole signature aggregation (groupBy-min over the shingle
+        # table) that feeds it. Bounded at |docs|·bands rows of
+        # (id, int, long) — banding metadata, not corpus payload.
+        band_tbl = band_table(signatures, bands, rows).localCheckpoint(
+            eager=True
+        )
     if bucket_cap is not None:
         w = Window.partitionBy("band", "band_key").orderBy("doc_id")
         band_tbl = (
