@@ -108,11 +108,20 @@ def _scored_with_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHARED library arithmetic (functions/classifier.nb_prior /
     nb_score_tokens) so the oracle pins the exact expressions the
     production nb_quality_filter applies, not a lookalike copy."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
+    # the tokenized+labeled frame feeds THREE subtrees (the per-term
+    # weight aggregation, the 1-row prior, and the scoring join);
+    # persist it so the tokenize+weak-label pass runs once instead of
+    # three times. MEMORY_AND_DISK spills rather than OOMs; cache
+    # ownership is the caller's (bench clearCache between queries).
     lab = docs.select(
         "doc_id",
         tokens("text").alias("toks"),
-    ).withColumn("y", weak_quality_label(F.col("toks")))
+    ).withColumn("y", weak_quality_label(F.col("toks"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     tok = lab.select(
         "doc_id", "y", F.explode("toks").alias("term")
     )
