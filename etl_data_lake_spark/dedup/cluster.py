@@ -59,6 +59,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_rounds: int = 20,
     strict: bool = True,
+    local_max_edges: int = 250_000,
 ) -> DataFrame:
     """→ (doc_id, cluster_id): every node appearing in ``pairs``,
     labeled with the minimum doc id reachable from it.
@@ -69,7 +70,21 @@ def connected_components(
     (default) non-convergence raises; ``strict=False`` downgrades to a
     ``RuntimeWarning`` for callers that prefer partial clusters over a
     failed job. Either way the remedy is a larger ``max_rounds`` —
-    rounds ≈ component diameter, so 20 covers any realistic dup graph."""
+    rounds ≈ component diameter, so 20 covers any realistic dup graph.
+
+    ``local_max_edges`` (round 14): a candidate graph at or below this
+    many directed edges is solved DRIVER-SIDE by union-find after one
+    bounded collect — exact, always-converged (max_rounds is
+    irrelevant on this path), and it replaces the per-round
+    join+aggregate jobs plus their checkpoints with a single action.
+    The bound is the same boundedness contract as the repo's
+    model/sketch collects: the edge list is already counted before the
+    decision, 250k edges is a few MB of ids, and near-dup graphs are
+    orders of magnitude smaller than their corpus by construction
+    (LSH emitted them precisely because few pairs collide). Graphs
+    above the bound run the distributed label-propagation loop
+    unchanged — set ``local_max_edges=0`` to force it (the tests
+    exercising loop convergence do)."""
     # both directions in ONE pass over pairs — a union of two selects
     # would compute the (possibly expensive, usually uncached) pair
     # pipeline twice
@@ -90,6 +105,44 @@ def connected_components(
             F.col(a_col).alias("doc_id"), F.col(a_col).alias("cluster_id")
         ).limit(0)
     session = pairs.sparkSession
+    if n_edges <= local_max_edges:
+        rows = staged.collect()  # bounded by the guard just checked
+        staged.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            s, d = row["src"], row["dst"]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rs] = rd
+        label: dict = {}
+        for node in parent:
+            r = find(node)
+            if r not in label or node < label[r]:
+                label[r] = node
+        out = [(node, label[find(node)]) for node in parent]
+        id_type = pairs.schema[a_col].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        return session.createDataFrame(
+            out,
+            StructType(
+                [
+                    StructField("doc_id", id_type),
+                    StructField("cluster_id", id_type),
+                ]
+            ),
+        )
     default_par = int(session.conf.get("spark.sql.shuffle.partitions", "200"))
     n_part = max(1, min(default_par, n_edges // _EDGES_PER_PARTITION + 1))
     # checkpoint the right-sized edge table eagerly so the sizing-stage

@@ -191,8 +191,18 @@ def test_connected_components_matches_union_find(spark, edges):
     expected = {n: find(n) for n in parent}
 
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    got = {
+    # both execution paths must agree with the reference: the default
+    # driver-side union-find (small graphs) and the distributed
+    # label-propagation loop (local_max_edges=0 forces it)
+    got_local = {
         r.doc_id: r.cluster_id
         for r in connected_components(df, max_rounds=40).collect()
     }
-    assert got == expected
+    assert got_local == expected
+    got_dist = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            df, max_rounds=40, local_max_edges=0
+        ).collect()
+    }
+    assert got_dist == expected

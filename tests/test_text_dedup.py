@@ -176,18 +176,29 @@ def test_connected_components_nonconvergence_is_loud(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
     )
+    # local_max_edges=0 forces the distributed loop — the driver-side
+    # union-find path always converges, so max_rounds only exists there
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_rounds=2).collect()
+        connected_components(
+            chain, max_rounds=2, local_max_edges=0
+        ).collect()
 
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        labels = connected_components(chain, max_rounds=2, strict=False)
+        labels = connected_components(
+            chain, max_rounds=2, strict=False, local_max_edges=0
+        )
         got = {r.doc_id: r.cluster_id for r in labels.collect()}
     assert any("did not converge" in str(w.message) for w in caught)
     assert len(got) == 13  # all nodes labeled, just not fully merged
 
-    full = connected_components(chain, max_rounds=20)
+    full = connected_components(chain, max_rounds=20, local_max_edges=0)
     assert {r.cluster_id for r in full.collect()} == {0}
+    # the local path (default bound) returns the identical labeling
+    local = connected_components(chain)
+    assert {(r.doc_id, r.cluster_id) for r in local.collect()} == {
+        (i, 0) for i in range(13)
+    }
 
 
 def test_shingle_pandas_udf_matches_jvm_expressions(spark):
