@@ -111,6 +111,21 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 
+    # Python-worker daemon with the guarded import-cache refresh
+    # (fastworker.py): stock workers pay ~0.15-0.3 s of zipimport
+    # directory re-reads per task via the unconditional
+    # importlib.invalidate_caches() in setup_spark_files — a fixed tax
+    # on EVERY Python task at any scale. The repo root rides
+    # spark.executorEnv.PYTHONPATH so worker processes can import the
+    # module (merged after Spark's own zip paths; appended to any
+    # caller-provided PYTHONPATH).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_pythonpath = (
+        os.environ["PYTHONPATH"] + os.pathsep + repo_root
+        if os.environ.get("PYTHONPATH")
+        else repo_root
+    )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -121,6 +136,8 @@ def get_spark(
         # local mode: keep parquet split size default (128m); at 100 TB
         # this is the knob that balances task count vs per-task overhead.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.python.daemon.module", "etl_data_lake_spark.fastworker")
+        .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
     )
     if s3a:
         builder = builder.config(

@@ -420,6 +420,7 @@ def funnel_stream(
     within_s: float,
     watermark: str = "0 seconds",
     tombstone_ttl_s: float | None = None,
+    prefilter_steps: bool = True,
 ) -> DataFrame:
     """Custom stateful operator: the streaming twin of
     operators/funnel — per-user greedy ordered-step matching with a
@@ -575,18 +576,32 @@ def funnel_stream(
             max(deadline_ms, state.getCurrentWatermarkMs() + 1)
         )
 
-    # NO step-type pre-filter: every event must flow THROUGH the
-    # watermark collector so unrelated traffic advances the stream
-    # clock and an idle funnel still times out. Writing the filter
-    # after withWatermark doesn't help — Catalyst pushes a predicate
-    # that doesn't touch the event-time column below the
-    # EventTimeWatermark node, silently freezing the watermark at the
-    # last funnel-relevant event (measured: the timeout test never
-    # fired). Non-step events are skipped inside the state function
-    # instead; callers with a 100 TB event firehose can pre-filter
-    # upstream if they accept funnel-only time advancement.
+    # Step-type pre-filter ABOVE the watermark collector (round 15,
+    # ``prefilter_steps``): every event still flows THROUGH
+    # EventTimeWatermark — which computes its max-event-time stats on
+    # the rows passing the node, wherever later filters sit — so
+    # unrelated traffic advances the stream clock and an idle funnel
+    # still times out; only the shuffle into the state operator and
+    # the per-group Python pass see the (usually much smaller)
+    # step-event subset. The predicate deliberately REFERENCES the
+    # event-time column (`ts IS NULL`, a no-op disjunct for non-null
+    # event times — null-ts rows were previously forwarded to the
+    # state fn and still are): Catalyst's PushPredicateThroughNonJoin
+    # only pushes a conjunct below EventTimeWatermark when it does NOT
+    # touch the watermark attribute, so this filter provably stays
+    # above the node (a bare event_type IN (...) would be pushed below
+    # and silently freeze the watermark at the last funnel-relevant
+    # event — measured in round 7: the timeout test never fired).
+    # Plan-pinned in tests/test_streaming.py; the state fn keeps its
+    # own non-step skip, so ``prefilter_steps=False`` is
+    # emission-identical (A/B-pinned by test).
+    prepared = events.withWatermark("ts", watermark)
+    if prefilter_steps:
+        prepared = prepared.where(
+            F.col("event_type").isin(*steps) | F.col("ts").isNull()
+        )
     prepared = (
-        events.withWatermark("ts", watermark)
+        prepared
         .select(
             "user_id",
             F.col("ts"),

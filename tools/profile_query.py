@@ -1,5 +1,5 @@
 """Profile one bench query: run N times (noop sink), print each time,
-dump .explain(formatted) to plans/r14/<name>_<tag>.txt, and print
+dump .explain(formatted) to plans/r15/<name>_<tag>.txt, and print
 per-job wall times via a status listener.
 
 Usage: python tools/profile_query.py <name> [runs] [tag]
@@ -7,6 +7,8 @@ Usage: python tools/profile_query.py <name> [runs] [tag]
 import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _micro() -> float:
     t0 = time.perf_counter()
@@ -79,7 +81,7 @@ for j in sorted(jobs):
             stages.append((sid, si.name.split("\n")[0][:60], si.numTasks))
     print(f"job {j}: stages={stages}")
 
-with open(f"/root/repo/plans/r14/{name}_{tag}.txt", "w") as f:
+with open(f"/root/repo/plans/r15/{name}_{tag}.txt", "w") as f:
     f.write(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
 print("plan written")
 spark.stop()
