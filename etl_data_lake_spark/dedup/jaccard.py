@@ -67,7 +67,19 @@ def jaccard_pairs(
     ``candidates`` (doc_a, doc_b), when given, restricts the verify
     join to LSH candidates — the MinHash path reuses this verbatim.
     """
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # one row per doc; REFERENCED TWICE below (n_a and n_b joins). Left
+    # lazy, Spark plans the whole per-doc count aggregation — a full
+    # pass over the shingle table plus its exchange — once per
+    # reference (round-15 plan audit: two identical
+    # HashAggregate+Exchange subtrees). Materializing the doc-sized
+    # count table runs that pass once; at corpus scale the saving is a
+    # full shingle-table aggregation, for a bounded (|docs| row)
+    # checkpoint.
+    sizes = (
+        shingles.groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+        .localCheckpoint(eager=True)
+    )
     if candidates is not None:
         # Candidates-FIRST: expand each (doc_a, doc_b) by doc_a's
         # shingles, probe doc_b's on (doc_b, shingle). Work is
