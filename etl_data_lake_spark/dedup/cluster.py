@@ -105,8 +105,22 @@ def connected_components(
             F.col(a_col).alias("doc_id"), F.col(a_col).alias("cluster_id")
         ).limit(0)
     session = pairs.sparkSession
+    rows = None
     if n_edges <= local_max_edges:
         rows = staged.collect()  # bounded by the guard just checked
+        # null ids cannot take the driver path: `node < label[r]`
+        # would compare None with a concrete id (TypeError), and the
+        # distributed loop's null semantics are join-order-specific
+        # (null-keyed edges drop from neighbor propagation but a null
+        # node still self-labels through the aggregation) — rather
+        # than replicate that corner here, route any graph containing
+        # a null endpoint to the distributed loop, which remains the
+        # semantics of record (round-14 ADVICE fix).
+        if any(
+            row["src"] is None or row["dst"] is None for row in rows
+        ):
+            rows = None
+    if rows is not None:
         staged.unpersist()
         parent: dict = {}
 
@@ -236,13 +250,22 @@ def dedup_keep_canonical(
     unscored members rank after scored ones), so dedup keeps the best
     copy of each duplicate group, not an arbitrary one. Scale shape is
     unchanged: the score join and the rank window run on the
-    graph-sized component frame, never the corpus."""
+    graph-sized component frame, never the corpus.
+
+    ``scores`` may also be a CALLABLE (round 15): it receives the
+    member-id frame (one ``id_col`` row per pair-graph node — bounded
+    by the graph, not the corpus) and returns the score frame. A
+    scorer whose plan would otherwise score the whole corpus can
+    semi-join on those ids and stay graph-sized — only members are
+    ever ranked, so the kept set is identical."""
     comp = connected_components(pairs)
     if scores is None:
         losers = comp.where(F.col("cluster_id") != F.col(id_col)).select(
             F.col(id_col)
         )
         return docs.join(losers, id_col, "left_anti")
+    if callable(scores):
+        scores = scores(comp.select(F.col("doc_id").alias(id_col)))
     from pyspark.sql import Window
 
     member_scores = comp.join(

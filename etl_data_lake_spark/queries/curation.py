@@ -128,15 +128,28 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition), not minimum id: dedup keeps the BEST copy of each
     duplicate group. One extra tokenize scan + term-keyed shuffle for
     the scorer; the rank window stays graph-sized."""
+    from pyspark import StorageLevel
+
     from etl_data_lake_spark.queries.quality_model import (
         _scored_with_weak_labels,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    curated = quality_filter(docs)
+    # TWO consumers read the filtered corpus (the shingle pipeline and
+    # the final anti-join projection) and the quality predicate is a
+    # full tokenize pass — persist so it runs once (§5 rule: reused,
+    # spillable; the bench clears caches between queries).
+    curated = quality_filter(docs).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = minhash_lsh_pairs(curated, threshold=0.5)
-    scores = _scored_with_weak_labels(spark, sf_dir).select(
-        "doc_id", F.col("log_odds").alias("score")
+    # scorer as a CALLABLE: only cluster MEMBERS are ever ranked, so
+    # the NB scoring join + per-doc aggregation semi-join down to the
+    # graph-sized member set (the model itself still trains on the
+    # full corpus — oracle arithmetic unchanged).
+    kept = dedup_keep_canonical(
+        curated,
+        pairs,
+        scores=lambda member_ids: _scored_with_weak_labels(
+            spark, sf_dir, only_ids=member_ids
+        ).select("doc_id", F.col("log_odds").alias("score")),
     )
-    kept = dedup_keep_canonical(curated, pairs, scores=scores)
     return kept.select("doc_id", "lang", "n_chars")

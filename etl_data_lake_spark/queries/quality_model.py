@@ -102,12 +102,24 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scored_with_weak_labels(spark, sf_dir)
 
 
-def _scored_with_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scored_with_weak_labels(
+    spark: SparkSession, sf_dir: str, only_ids: DataFrame | None = None
+) -> DataFrame:
     """The one bootstrap composition both the catalog entry and the
     eval twin grade: weak-label → train → score, assembled from the
     SHARED library arithmetic (functions/classifier.nb_prior /
     nb_score_tokens) so the oracle pins the exact expressions the
-    production nb_quality_filter applies, not a lookalike copy."""
+    production nb_quality_filter applies, not a lookalike copy.
+
+    ``only_ids`` (round 15): a (doc_id) frame restricting which
+    documents are SCORED — the model still trains on the full corpus
+    (weights and prior are corpus-wide, exactly the oracle's), but the
+    scoring join + per-doc aggregation only see the semi-joined
+    subset. A caller that consumes scores for a bounded set (the
+    curation pipeline ranks only cluster MEMBERS) turns the scoring
+    pass from corpus-sized to member-sized; scores for the surviving
+    docs are bit-identical to the unrestricted run (the per-doc sum
+    never looks outside the doc)."""
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
@@ -129,8 +141,15 @@ def _scored_with_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same GROUP BY, exactly like the oracle) — no second scan of
     # the labeling lineage, and duplicate doc_ids merge instead of
     # fanning out through a join
+    score_tok = tok.select(
+        "doc_id", F.col("y").alias("weak_label"), "term"
+    )
+    if only_ids is not None:
+        score_tok = score_tok.join(
+            only_ids.select("doc_id"), "doc_id", "semi"
+        )
     scored = nb_score_tokens(
-        tok.select("doc_id", F.col("y").alias("weak_label"), "term"),
+        score_tok,
         nb_log_odds_weights(tok),
         nb_prior(lab),
         carry_label="weak_label",

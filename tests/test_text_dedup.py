@@ -89,6 +89,32 @@ def test_connected_components_known_graph(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_null_ids_route_distributed(spark):
+    """Round-14 ADVICE fix: a small graph containing null endpoints
+    must not crash the driver-side union-find (None < int raised
+    TypeError); it routes to the distributed loop, so both paths
+    label null-containing graphs identically."""
+    from etl_data_lake_spark.dedup.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (None, None)],
+        "doc_a long, doc_b long",
+    )
+    via_guard = sorted(
+        ((r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()),
+        key=str,
+    )
+    distributed = sorted(
+        (
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(pairs, local_max_edges=0).collect()
+        ),
+        key=str,
+    )
+    assert via_guard == distributed
+    assert (1, 1) in via_guard and (2, 1) in via_guard
+
+
 def test_dedup_keep_canonical(spark):
     from etl_data_lake_spark.dedup.cluster import dedup_keep_canonical
     from etl_data_lake_spark.sources.catalog import load_table
