@@ -126,7 +126,20 @@ def duplicated_windows(window_tbl: DataFrame) -> DataFrame:
     scan twice (once under the count aggregation, once under the probe
     side of the join) plus a second full-table shuffle for the join;
     the count-window form trades the hash aggregate for a sort within
-    the single whash exchange, strictly fewer passes at any scale."""
+    the single whash exchange, strictly fewer passes at any scale.
+
+    Skew exposure (round 15, measured and accepted): window functions
+    have no partial aggregation, so a globally-hot window hash (one
+    viral boilerplate paragraph corpus-wide) colocates ALL its
+    occurrences in one task's sort. Both skew-safe alternatives —
+    two-level ``groupBy(whash)`` count + join-back over a persisted
+    window table, and the same with a broadcast of the dup-hash set
+    over a recomputed scan — were measured 25–30% SLOWER end-to-end
+    (the Arrow window-hash scan and the extra materialization dominate
+    the saved sort). A corpus known to contain viral exact duplicates
+    should run exact-dedup first or use
+    :func:`maximal_match_spans`'s ``max_occurrences`` valve, which
+    bounds the same hot set before the pair join."""
     counted = window_tbl.withColumn(
         "n_occ", F.count("*").over(Window.partitionBy("whash"))
     )

@@ -405,3 +405,29 @@ def test_destructive_default_hasher_is_collision_resistant():
     ).parameters["hasher"].default == "xxhash64"
     assert inspect.signature(mms).parameters["hasher"].default == "poly"
     assert inspect.signature(rs).parameters["hasher"].default == "poly"
+
+
+def test_hot_hash_corpus_completes_and_labels_every_occurrence(spark):
+    """Round-15 adversarial skew pin (VERDICT item 9): one window hash
+    appearing in 10^4 documents. The count-over-window prune colocates
+    every occurrence of the hot hash in one window task — this test
+    pins that the adversarial corpus still completes and labels every
+    occurrence correctly (a two-level groupBy+join-back alternative
+    was measured 25–30% slower at bench scale and reverted; the
+    straggler exposure is documented at duplicated_windows, and
+    maximal_match_spans keeps its max_occurrences escape valve)."""
+    from etl_data_lake_spark.dedup.substring import (
+        duplicated_windows,
+        window_hashes,
+    )
+
+    passage = "hot0 hot1 hot2 hot3"  # exactly one W-window per doc
+    docs = spark.createDataFrame(
+        [(i, passage) for i in range(10_000)], "doc_id long, text string"
+    )
+    wh = window_hashes(docs, w=W)
+    dup = duplicated_windows(wh)
+    assert dup.count() == 10_000  # every occurrence of the hot hash kept
+    spans = repeated_spans(docs, w=W)
+    got = spans.where(F.col("doc_id") == 42).collect()
+    assert [(r.span_start, r.span_end) for r in got] == [(0, 4)]
