@@ -28,6 +28,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # SIZE-derived post-shuffle partition counts (round 15): with the
+    # default (true), AQE never coalesces below the session parallelism,
+    # so a kilobyte-sized shuffle still schedules one near-empty task
+    # per core — pure fixed overhead that made several small queries run
+    # FASTER on 8 cores than 32. With false, the coalesced count comes
+    # from advisoryPartitionSizeInBytes (64 MB default): small shuffles
+    # collapse to a handful of tasks, and at production scale every
+    # shuffle exceeds the advisory size anyway so the flag changes
+    # nothing there. This is the Spark-documented recommendation for
+    # busy clusters (partition count from data volume, not core count).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     # Write timestamps as annotated TIMESTAMP_MICROS, not legacy INT96:
     # INT96 columns carry NO footer min/max statistics (measured), so
     # every time-range file skip and txn-manifest stat on a timestamp
