@@ -96,13 +96,20 @@ def train_bq(
     if first is None:
         raise ValueError("cannot train BQ thresholds on an empty corpus")
     d = int(first["d"])
-    v = as_double(vec_col)
+    # fan_out BEFORE the normalize+explode (same single-task fit scan
+    # train_sq had: a 1-file / 1-partition-cached corpus runs the whole
+    # d-way explode + partial avg serially). avg's partial sums regroup
+    # under the repartition — a ≤1-ulp mean shift in principle — and
+    # the bit-parity of every downstream result is verified against the
+    # unpartitioned form in tests plus the sf0.01/sf0.1 oracle runs.
+    c = fan_out(corpus.select(as_double(vec_col).alias("_v")))
+    v = F.col("_v")
     nrm = F.greatest(
         F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)),
         F.lit(1e-300),
     )
     rows = (
-        corpus.select(
+        c.select(
             F.posexplode(F.transform(v, lambda x: x / nrm)).alias("pos", "x")
         )
         .groupBy("pos")

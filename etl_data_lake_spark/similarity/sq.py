@@ -88,13 +88,21 @@ def train_sq(
     if first is None:
         raise ValueError("cannot train SQ bounds on an empty corpus")
     d = int(first["d"])
-    v = as_double(vec_col)
+    # fan_out BEFORE the normalize+explode: the training scan inherits
+    # the source's file partitioning — a single-file corpus (or a
+    # 1-partition cache of it) runs the whole d-way explode + partial
+    # min/max in ONE task (measured 434 ms serial at bench scale, the
+    # largest serial segment of the SQ plan). The repartition carries
+    # the raw vectors only; min/max are order-independent, so the
+    # changed grouping of partial aggregates is bit-neutral.
+    c = fan_out(corpus.select(as_double(vec_col).alias("_v")))
+    v = F.col("_v")
     nrm = F.greatest(
         F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)),
         F.lit(1e-300),
     )
     rows = (
-        corpus.select(
+        c.select(
             F.posexplode(F.transform(v, lambda x: x / nrm)).alias("pos", "x")
         )
         .groupBy("pos")
